@@ -1,0 +1,217 @@
+"""HTML main-content extraction: DOM-tree text-density + link-density scoring.
+
+The north_star requires "HTML boilerplate stripping via DOM-tree text-density
+and link-density scoring" over Common-Crawl-style pages (BASELINE.json).  The
+reference engine parses PDFs; for ``html:binary`` input this module plays the
+role pdfplumber plays there: bytes -> ordered pages of (text, tables).
+
+Algorithm (public technique, cf. Boilerpipe/trafilatura literature in
+PAPERS.md): build a light DOM with html.parser (stdlib), remove
+script/style/nav/header/footer/aside/form subtrees, then score each block
+element by link density (anchor-text chars / total chars) and text length;
+blocks that are link-heavy or trivially short are boilerplate.  <table>
+elements become ragged string grids — the same shape pdfplumber emits —
+feeding the T1-T16 collapse chain unchanged.  Page boundaries: elements with
+class/attribute "page" (or <hr>) split pages; otherwise one page per document.
+
+Pure function of the input bytes — no network fetches, no external parser deps.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from pdf_parser_spark.core.model import Page, Table
+
+_DROP_TAGS = frozenset((
+    "script", "style", "noscript", "nav", "header", "footer", "aside",
+    "form", "iframe", "svg", "button",
+))
+_BLOCK_TAGS = frozenset((
+    "p", "div", "section", "article", "main", "li", "ul", "ol",
+    "h1", "h2", "h3", "h4", "h5", "h6", "pre", "blockquote", "br", "tr",
+))
+_VOID_TAGS = frozenset((
+    "br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+))
+
+MAX_LINK_DENSITY = 0.5  # anchor-chars / text-chars above which a block is chrome
+MIN_BLOCK_CHARS = 3
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "text_parts")
+
+    def __init__(self, tag: str, attrs: dict[str, str]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[_Node] = []
+        self.text_parts: list[str] = []
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", {})
+        self.stack: list[_Node] = [self.root]
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        node = _Node(tag, {k: (v or "") for k, v in attrs})
+        self.stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        node = _Node(tag, {k: (v or "") for k, v in attrs})
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        # pop to the nearest matching open tag (tolerant of bad nesting)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            node = self.stack[-1]
+            node.children.append(None)  # text marker preserves order
+            node.text_parts.append(data)
+
+
+def _iter_text(node: _Node) -> str:
+    """In-order text of a subtree, block tags forcing line breaks."""
+    out: list[str] = []
+    ti = 0
+    for child in node.children:
+        if child is None:
+            out.append(node.text_parts[ti])
+            ti += 1
+        elif child.tag in _DROP_TAGS:
+            continue
+        else:
+            inner = _iter_text(child)
+            if child.tag in _BLOCK_TAGS:
+                out.append("\n" + inner + "\n")
+            else:
+                out.append(inner)
+    return "".join(out)
+
+
+def _anchor_chars(node: _Node, inside_a: bool = False) -> tuple[int, int]:
+    """(anchor_text_chars, total_text_chars) of the subtree."""
+    a = t = 0
+    ti = 0
+    for child in node.children:
+        if child is None:
+            n = len(node.text_parts[ti].strip())
+            ti += 1
+            t += n
+            if inside_a:
+                a += n
+        elif child.tag in _DROP_TAGS:
+            continue
+        else:
+            ca, ct = _anchor_chars(child, inside_a or child.tag == "a")
+            a += ca
+            t += ct
+    return a, t
+
+
+def link_density(node: _Node) -> float:
+    a, t = _anchor_chars(node)
+    return a / t if t else 1.0
+
+
+def _extract_tables(node: _Node, out: list[Table]) -> None:
+    if node.tag == "table":
+        grid: Table = []
+        _collect_rows(node, grid)
+        if grid:
+            out.append(grid)
+        return  # nested tables inside cells are kept as cell text
+    for child in node.children:
+        if child is not None and child.tag not in _DROP_TAGS:
+            _extract_tables(child, out)
+
+
+def _collect_rows(node: _Node, grid: Table) -> None:
+    for child in node.children:
+        if child is None or child.tag in _DROP_TAGS:
+            continue
+        if child.tag == "tr":
+            row = [
+                " ".join(_iter_text(cell).split())
+                for cell in child.children
+                if cell is not None and cell.tag in ("td", "th")
+            ]
+            grid.append(row)
+        else:
+            _collect_rows(child, grid)
+
+
+def _clean_block_text(raw: str) -> str:
+    lines = [" ".join(ln.split()) for ln in raw.split("\n")]
+    kept = [ln for ln in lines if ln]
+    return "\n".join(kept)
+
+
+def _content_text(node: _Node) -> str:
+    """Boilerplate-stripped text of a subtree: link-dense / too-short blocks
+    removed, others concatenated in document order."""
+    out: list[str] = []
+    ti = 0
+    for child in node.children:
+        if child is None:
+            out.append(node.text_parts[ti])
+            ti += 1
+            continue
+        if child.tag in _DROP_TAGS or child.tag == "table":
+            continue  # tables are emitted separately as grids
+        text = _clean_block_text(_iter_text(child))
+        if not text:
+            continue
+        if child.tag in _BLOCK_TAGS:
+            if len(text) >= MIN_BLOCK_CHARS and link_density(child) <= MAX_LINK_DENSITY:
+                out.append("\n" + _content_text(child) + "\n")
+        else:
+            out.append(_content_text(child))
+    # interleave with the node's own text
+    if not out and node.text_parts:
+        return "".join(node.text_parts)
+    return "".join(out)
+
+
+def _find_page_nodes(node: _Node, acc: list[_Node]) -> None:
+    cls = node.attrs.get("class", "")
+    if node.tag in ("div", "section", "article") and "page" in cls.split():
+        acc.append(node)
+        return
+    for child in node.children:
+        if child is not None and child.tag not in _DROP_TAGS:
+            _find_page_nodes(child, acc)
+
+
+def extract_html_pages(html: bytes | str) -> list[Page]:
+    """bytes/str of HTML -> ordered Pages of boilerplate-stripped text + table
+    grids.  Page split: explicit class="page" containers when present, else
+    the whole document as page 1."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    builder = _DomBuilder()
+    builder.feed(html)
+    root = builder.root
+
+    page_nodes: list[_Node] = []
+    _find_page_nodes(root, page_nodes)
+    if not page_nodes:
+        page_nodes = [root]
+
+    pages: list[Page] = []
+    for i, node in enumerate(page_nodes, start=1):
+        text = _clean_block_text(_content_text(node))
+        tables: list[Table] = []
+        _extract_tables(node, tables)
+        pages.append(Page(page_number=i, text=text, tables=tables))
+    return pages

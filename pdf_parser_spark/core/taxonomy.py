@@ -1,0 +1,183 @@
+"""Line-item normalization: exact alias lookup -> difflib fuzzy match.
+
+Semantics of reference normalize.py:29-146 and consistency.py:6-33, re-expressed
+for batch execution: the alias index is built ONCE per process (the reference
+reloads its YAML per document — pipeline.py:245 — a known inefficiency we fix)
+and captured in the Arrow-UDF closure; in Spark terms it is the broadcast side
+of a dictionary join.  The LLM tier (normalize.py:164-223) is excluded: the
+deterministic no-API-key fallback path defines byte-identity.
+"""
+
+from __future__ import annotations
+
+import difflib
+import re
+from functools import lru_cache
+from typing import NamedTuple
+
+from pdf_parser_spark.core.numeric import is_numeric_cell
+from pdf_parser_spark.core.taxonomy_data import TAXONOMY_ROWS
+
+FUZZY_THRESHOLD = 0.85  # ref normalize.py:73
+
+
+class MatchResult(NamedTuple):
+    canonical: str | None
+    confidence: float
+    method: str  # "exact" | "fuzzy" | "none"
+
+
+@lru_cache(maxsize=1)
+def alias_index() -> dict[str, str]:
+    """lowercase alias -> canonical, insertion order preserved.
+
+    Order contract (ref normalize.py:29-46): per taxonomy item, the canonical
+    name itself is inserted first, then its aliases, sections in document
+    order.  Duplicate keys keep their FIRST insertion position (dict update
+    semantics) — this drives fuzzy tie-breaking determinism.
+    """
+    index: dict[str, str] = {}
+    for _section, _key, canonical, aliases in TAXONOMY_ROWS:
+        index[canonical.lower()] = canonical
+        for alias in aliases:
+            index[alias.lower()] = canonical
+    return index
+
+
+def canonical_names() -> list[str]:
+    """All canonical names in taxonomy order (deduplicated, first wins)."""
+    seen: dict[str, None] = {}
+    for _s, _k, canonical, _a in TAXONOMY_ROWS:
+        seen.setdefault(canonical)
+    return list(seen)
+
+
+def taxonomy_rows() -> list[tuple[str, str, str, int]]:
+    """Flatten to (section, canonical, alias, alias_rank) rows — the broadcast
+    dimension-table shape used by the relational normalization query (the
+    alias_rank column freezes YAML order for deterministic joins)."""
+    out: list[tuple[str, str, str, int]] = []
+    rank = 0
+    for section, _key, canonical, aliases in TAXONOMY_ROWS:
+        out.append((section, canonical, canonical, rank))
+        rank += 1
+        for alias in aliases:
+            out.append((section, canonical, alias, rank))
+            rank += 1
+    return out
+
+
+def match_line_item(label: str, index: dict[str, str] | None = None) -> MatchResult:
+    """Exact then fuzzy match of a display label (ref normalize.py:49-76).
+
+    Fuzzy pass scans ALL aliases with difflib.SequenceMatcher; ties resolve to
+    the first maximum in index iteration order — identical to the reference.
+    """
+    if not label or not label.strip():
+        return MatchResult(None, 0.0, "none")
+    idx = index if index is not None else alias_index()
+    needle = label.strip().lower()
+    hit = idx.get(needle)
+    if hit is not None:
+        return MatchResult(hit, 1.0, "exact")
+
+    best_score = 0.0
+    best: str | None = None
+    for alias, canonical in idx.items():
+        score = difflib.SequenceMatcher(None, needle, alias).ratio()
+        if score > best_score:
+            best_score = score
+            best = canonical
+    if best_score >= FUZZY_THRESHOLD:
+        return MatchResult(best, best_score, "fuzzy")
+    return MatchResult(None, best_score, "none")
+
+
+# Current / non-current context tracking (ref normalize.py:79-96)
+_CTX_CURRENT = re.compile(r"(?:^|\b)current\s+(?:assets|liabilities)", re.IGNORECASE)
+_CTX_NON_CURRENT = re.compile(
+    r"(?:non[- ]?current|long[- ]?term)\s+(?:assets|liabilities)", re.IGNORECASE
+)
+_CTX_OVERRIDES: dict[str, dict[str, str]] = {
+    "marketable securities": {
+        "non-current": "Long-Term Investments",
+        "current": "Short-Term Investments",
+    },
+    "other current liabilities": {"current": "Other Current Liabilities"},
+    "other non-current liabilities": {"non-current": "Other Non-Current Liabilities"},
+}
+
+
+def normalize_rows(rows: list[list[str]]) -> list[list[str]]:
+    """Insert a Canonical column at index 1 of every row (ref normalize.py:99-146).
+
+    The current/non-current context is a stateful scan WITHIN one document's
+    rows — it never crosses documents, so in Spark this stays inside the
+    per-document Arrow batch (never a cross-row window).
+    """
+    idx = alias_index()
+    out: list[list[str]] = []
+    context = ""
+    for row in rows:
+        first = (row[0] if row else "").strip()
+        if not first or is_numeric_cell(first):
+            canonical = ""
+        else:
+            if _CTX_NON_CURRENT.search(first):
+                context = "non-current"
+            elif _CTX_CURRENT.search(first):
+                context = "current"
+            value_cells = row[1:]
+            header_row = first.endswith(":") or (
+                bool(value_cells) and all(not c.strip() for c in value_cells)
+            )
+            if header_row:
+                canonical = ""
+            else:
+                override = _CTX_OVERRIDES.get(first.lower(), {})
+                if context and context in override:
+                    canonical = override[context]
+                else:
+                    canonical = match_line_item(first, idx).canonical or ""
+        out.append([row[0], canonical] + row[1:])
+    return out
+
+
+def unmapped_labels(normalized: list[list[str]]) -> list[str]:
+    """Labels whose canonical came back empty (ref normalize.py:149-161)."""
+    return [
+        row[0]
+        for row in normalized
+        if len(row) >= 2 and row[0].strip() and not row[1].strip()
+    ]
+
+
+def first_wins_mappings(mappings_in_order: list[dict[str, str]]) -> dict[str, str]:
+    """Global label->canonical map, first non-empty wins (ref consistency.py:17-23).
+
+    The caller supplies filings in a DETERMINISTIC order — the engine contract
+    is (period_end, url) ascending, replacing the reference's filesystem glob
+    order.  The Spark expression of this is a groupBy(label) min_by aggregation
+    over the same ordering (operators.consistency).
+    """
+    merged: dict[str, str] = {}
+    for mapping in mappings_in_order:
+        for label, canonical in mapping.items():
+            if canonical and label not in merged:
+                merged[label] = canonical
+    return merged
+
+
+def backfill_mappings(
+    mappings_in_order: list[dict[str, str]],
+) -> list[dict[str, str]]:
+    """Apply the global first-wins map to empty slots (ref consistency.py:25-31)."""
+    merged = first_wins_mappings(mappings_in_order)
+    out: list[dict[str, str]] = []
+    for mapping in mappings_in_order:
+        updated = dict(mapping)
+        for label, canonical in updated.items():
+            if not canonical and label in merged:
+                updated[label] = merged[label]
+        out.append(updated)
+    return out

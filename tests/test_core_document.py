@@ -1,0 +1,140 @@
+"""End-to-end per-document extraction: determinism, golden-style assertions,
+HTML boilerplate stripping (mirrors the reference golden-test strategy,
+tests/test_golden.py, against our own deterministic corpus)."""
+
+from pdf_parser_spark.core.document import extract_document
+from pdf_parser_spark.core.html_extract import extract_html_pages
+from pdf_parser_spark.sources.corpus import generate_corpus
+
+RUN_TS = "2026-08-16T00:00:00Z"
+
+
+def _corpus():
+    return generate_corpus(30, seed=42)
+
+
+def test_determinism_byte_identical():
+    rows = _corpus()
+    for r in rows[:10]:
+        a = extract_document(r["url"], r["html"], r["text"], RUN_TS)
+        b = extract_document(r["url"], r["html"], r["text"], RUN_TS)
+        assert a == b
+        assert a["markdown"].encode() == b["markdown"].encode()
+
+
+def test_clean_filing_structure():
+    r = _corpus()[0]
+    res = extract_document(r["url"], r["html"], r["text"], RUN_TS)
+    md = res["markdown"]
+    assert res["status"] == "ok"
+    assert res["report_type"] == "sec"
+    # golden-style structural facts
+    assert md.startswith("---\n")
+    assert "## Cover Page" in md
+    assert "## Consolidated Balance Sheets" in md
+    assert "| Total assets | Total Assets |" in md
+    assert "## Validation" in md
+    assert "| BS Balance (Assets vs L+E) | PASS |" in md
+    assert "| Cross: Net Income (IS vs CF) | PASS |" in md
+    assert res["n_checks_fail"] == 0
+    assert res["mappings"]["Cash and cash equivalents"] == "Cash & Cash Equivalents"
+    # spans cover the document in order, non-overlapping
+    spans = res["spans"]
+    assert spans and all(s["start"] <= s["end"] for s in spans)
+    for a, b in zip(spans, spans[1:]):
+        assert a["end"] <= b["start"]
+    # span text contains its own section heading
+    bs = next(s for s in spans if s["section"] == "balance_sheet")
+    assert "Consolidated Balance Sheets" in md[bs["start"]:bs["end"]]
+
+
+def test_cross_filing_label_variants_normalize_to_same_canonical():
+    rows = _corpus()
+    results = [
+        extract_document(r["url"], r["html"], r["text"], RUN_TS)
+        for r in rows
+        if "/filing-" in r["url"]
+    ]
+    rev_labels = set()
+    for res in results:
+        for label, canonical in res["mappings"].items():
+            if canonical == "Revenue":
+                rev_labels.add(label)
+    # the corpus rotates revenue label variants; all normalize to "Revenue"
+    assert len(rev_labels) >= 2
+
+
+def test_ifrs_branch():
+    rows = _corpus()
+    r = next(x for x in rows if "/ifrs/" in x["url"])
+    res = extract_document(r["url"], r["html"], r["text"], RUN_TS)
+    assert res["report_type"] == "ifrs"
+    assert "Consolidated Statement of Profit or Loss" in res["markdown"]
+    assert "Notes to the Consolidated Financial Statements" in res["markdown"]
+
+
+def test_scanned_rejection():
+    rows = _corpus()
+    r = next(x for x in rows if "/scanned/" in x["url"])
+    res = extract_document(r["url"], r["html"], r["text"], RUN_TS)
+    assert res["status"] == "rejected_scanned"
+    assert res["markdown"] == ""
+
+
+def test_bold_overlay_repair_flows_through():
+    rows = _corpus()
+    r = next(x for x in rows if "bold_overlay" in x["url"])
+    res = extract_document(r["url"], r["html"], r["text"], RUN_TS)
+    assert res["status"] == "ok"
+    assert "YYYeeeaaarrr" not in res["markdown"]
+
+
+def test_single_col_text_table_path():
+    rows = _corpus()
+    r = next(x for x in rows if "single_col" in x["url"])
+    res = extract_document(r["url"], r["html"], r["text"], RUN_TS)
+    # text-only doc: income statement parsed via the text-as-table fallback
+    # (the '$' stays in the label — the value-token regex excludes it, exactly
+    # like reference programmatic.py:1021,1084)
+    assert "| Revenue $ |" in res["markdown"]
+
+
+def test_empty_document_errors_soft():
+    res = extract_document("https://h/x", None, None, RUN_TS)
+    assert res["status"] == "error"
+    assert "empty document" in res["error"]
+
+
+def test_html_boilerplate_stripped():
+    html = (
+        "<html><body>"
+        "<nav><a href='/a'>Home</a> <a href='/b'>Filings</a> <a href='/c'>More</a></nav>"
+        "<div class='page'><p>This is the real main content of the page, long "
+        "enough to be kept by the extractor.</p>"
+        "<p><a href='/x'>link</a> <a href='/y'>link</a> <a href='/z'>link</a></p></div>"
+        "<footer><a href='/p'>Privacy</a></footer>"
+        "</body></html>"
+    )
+    pages = extract_html_pages(html)
+    assert len(pages) == 1
+    text = pages[0].text
+    assert "real main content" in text
+    assert "Privacy" not in text
+    assert "Home" not in text
+
+
+def test_html_table_extraction_grid():
+    html = (
+        "<div class='page'><table>"
+        "<tr><td>Cash</td><td>$</td><td>854</td></tr>"
+        "<tr><td>Total assets</td><td>$</td><td>2,000</td></tr>"
+        "</table></div>"
+    )
+    pages = extract_html_pages(html)
+    assert pages[0].tables == [[["Cash", "$", "854"], ["Total assets", "$", "2,000"]]]
+
+
+def test_corpus_is_deterministic():
+    a = generate_corpus(16, seed=42)
+    b = generate_corpus(16, seed=42)
+    assert a == b
