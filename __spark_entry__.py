@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline over sf0.001 documents
+mapped into the pages shape.  ``queries()``/``oracle_sql()`` cover the
+SURVEY.md §2 relational operators (W1/W2/W3, V2 banding, regex projections,
+sessionization), the training-data operators (dedup exact/jaccard/minhash/
+simhash/embedding, ANN brute-force + IVF, text stats, multimodal byte stats),
+and TPC-H-style headline queries.  Float outputs are rounded to 4dp on BOTH
+sides; integer outputs are BIGINT on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +14,352 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RUN_TS = "2026-08-16T00:00:00Z"  # run-scoped literal: deterministic parsed_at
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, ...) -> pages(url, warc_ts, html, text, lang)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (mapInPandas Arrow stage + W1/W2
+    relational post-processing) over sf0.001 + the synthetic filing corpus."""
+    from pdf_parser_spark.operators.consistency import finalize
+    from pdf_parser_spark.operators.extract import extract_stage
+    from pdf_parser_spark.sources.pages import synthetic_pages
 
+    driver_pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
+    corpus = synthetic_pages(spark, n_docs=48).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    pages = driver_pages.unionByName(corpus)
+    extracted = extract_stage(pages, run_ts=RUN_TS)
+    final = finalize(extracted)
+    return final.select(
+        "url", "status", "report_type", "company_key", "filing_sequence",
+        "period_end", "n_pages", "n_sections", "n_checks_pass", "n_checks_fail",
+        "avg_confidence",
+    )
+
+
+# --------------------------------------------------------------------------
+# queries(): name -> (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_parser_spark.operators import dedup, multimodal, similarity, textstats
+    from pdf_parser_spark.operators.consistency import finalize
+    from pdf_parser_spark.operators.extract import extract_stage
+    from pdf_parser_spark.plans import relational as R
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def extract_pipeline(spark, sf_dir):
+        extracted = extract_stage(_docs_as_pages(spark, sf_dir), run_ts=RUN_TS)
+        final = finalize(extracted)
+        return final.select(
+            "url", "status", "report_type", "n_pages", "n_sections",
+            "filing_sequence",
+        ).orderBy("url")
+
+    return {
+        # --- SURVEY §2.9 cross-document operators over driver tables ---
+        "w1_event_sequence": R.w1_event_sequence,
+        "w2_first_value": R.w2_first_value,
+        "w3_lang_summary": R.w3_lang_summary,
+        "v2_tolerance_bands": R.v2_tolerance_bands,
+        "w4_sessionize": R.w4_sessionize,
+        "f_regex_extract": R.f_regex_extract,
+        # --- TPC-H-style headline queries ---
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_orders": R.q3_top_orders,
+        "q5_region_revenue": R.q5_region_revenue,
+        # --- text analysis ---
+        "t_token_count": lambda s, d: textstats.token_count(_docs(s, d)),
+        "t_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
+        "t_quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
+        "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+        # --- dedup ---
+        "d_exact": lambda s, d: dedup.exact_dedup_groups(_docs(s, d)),
+        "d_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.2),
+        "d_minhash_sig": lambda s, d: dedup.minhash_signatures(_docs(s, d))
+        .select("doc_id", F.posexplode("sig").alias("k", "minhash"))
+        .select("doc_id", F.col("k").cast("long").alias("k"), "minhash")
+        .orderBy("doc_id", "k"),
+        "d_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "d_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "d_embedding_neardup": lambda s, d: dedup.embedding_neardup_pairs(_emb(s, d), threshold=0.3),
+        # --- similarity search ---
+        "s_ann_brute": lambda s, d: similarity.brute_force_topk(_emb(s, d)),
+        "s_ann_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d)),
+        # --- multimodal plumbing (oracle-checked byte stats face) ---
+        "m_binary_stats": lambda s, d: multimodal.binary_stats(_docs(s, d)),
+        # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
+        "extract_pipeline": extract_pipeline,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracle_sql(): DuckDB-ANSI equivalents on the same tables
+# --------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+# 3-gram word shingles, matching functions.word_shingles exactly:
+# len<3 -> single whole-text shingle, else windows of 3
+_SHINGLES = (
+    "CASE WHEN len({t}) < 3 THEN [array_to_string({t}, ' ')] "
+    "ELSE list_transform(range(1, len({t}) - 1), i -> array_to_string({t}[i:i+2], ' ')) END"
+).format(t=_TOKS)
+
+_H32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+_EN = "['the','a','of','and','to','in','is','for','on','with']"
+_ES = "['el','la','de','y','que','en','un','una','los','por']"
+_FR = "['le','la','de','et','que','en','un','une','les','pour']"
+_DE = "['der','die','das','und','zu','in','ein','eine','mit','von']"
+
+
+def _hits(words: str) -> str:
+    return (
+        f"CAST(len(list_intersect(list_distinct(list_transform({_TOKS}, w -> lower(w))), {words})) AS BIGINT)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from pdf_parser_spark.operators.dedup import MINHASH_PARAMS
+
+    minhash_terms = ", ".join(
+        f"CAST(list_min(list_transform(hs, h -> ({a} * h + {b}) % 4294967296)) AS BIGINT)"
+        for a, b in MINHASH_PARAMS
+    )
+    sigs_cte = f"""
+        WITH sh AS (
+            SELECT doc_id, list_distinct({_SHINGLES}) AS shingles FROM documents
+        ), hashed AS (
+            SELECT doc_id, list_transform(shingles, s -> {_H32.format(x='s')}) AS hs
+            FROM sh
+        ), sigs AS (
+            SELECT doc_id, [{minhash_terms}] AS sig FROM hashed
+        )
     """
-    return {}
+    bands_cte = sigs_cte + """
+        , banded AS (
+            SELECT doc_id, b AS band,
+                   CAST(b AS VARCHAR) || '_' || CAST(sig[2*b+1] AS VARCHAR) || '_' || CAST(sig[2*b+2] AS VARCHAR) AS bucket
+            FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+        )
+    """
+
+    return {
+        "w1_event_sequence": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+            FROM events ORDER BY user_id, seq
+        """,
+        "w2_first_value": """
+            SELECT event_type, first_value FROM (
+                SELECT event_type, value AS first_value,
+                       row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+                FROM events) WHERE rn = 1 ORDER BY event_type
+        """,
+        "w3_lang_summary": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "v2_tolerance_bands": """
+            SELECT status, count(*) AS n FROM (
+                SELECT CASE
+                    WHEN l_quantity * p_retailprice = l_extendedprice THEN 'PASS'
+                    WHEN abs(l_quantity * p_retailprice - l_extendedprice)
+                         / abs(l_quantity * p_retailprice) <= 0.01 THEN 'WARN'
+                    ELSE 'FAIL' END AS status
+                FROM lineitem JOIN part ON l_partkey = p_partkey)
+            GROUP BY status ORDER BY status
+        """,
+        "w4_sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                             OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, value,
+                       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM gaps
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 4) AS session_value
+            FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        "f_regex_extract": """
+            SELECT event_id, CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k
+            FROM events ORDER BY event_id
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+        """,
+        "t_token_count": f"""
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured
+            FROM documents ORDER BY doc_id
+        """,
+        "t_lang_id": f"""
+            SELECT doc_id,
+                   {_hits(_EN)} AS en_hits,
+                   {_hits(_ES)} AS es_hits,
+                   {_hits(_FR)} AS fr_hits,
+                   {_hits(_DE)} AS de_hits,
+                   CASE
+                     WHEN {_hits(_ES)} > {_hits(_EN)} AND {_hits(_ES)} >= {_hits(_FR)} AND {_hits(_ES)} >= {_hits(_DE)} THEN 'es'
+                     WHEN {_hits(_FR)} > {_hits(_EN)} AND {_hits(_FR)} > {_hits(_ES)} AND {_hits(_FR)} >= {_hits(_DE)} THEN 'fr'
+                     WHEN {_hits(_DE)} > {_hits(_EN)} AND {_hits(_DE)} > {_hits(_ES)} AND {_hits(_DE)} > {_hits(_FR)} THEN 'de'
+                     ELSE 'en' END AS predicted_lang
+            FROM documents ORDER BY doc_id
+        """,
+        "t_quality_score": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   round(length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOKS}), 4) AS mean_word_len,
+                   round({_hits(_EN)} / 10.0, 4) AS stopword_ratio,
+                   round(0.5 * ({_hits(_EN)} / 10.0)
+                       + 0.3 * (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOKS}) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+                       + 0.2 * least(len({_TOKS}) / 100.0, 1.0), 4) AS quality
+            FROM documents ORDER BY doc_id
+        """,
+        "t_fingerprint": """
+            SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "d_exact": """
+            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                   count(*) AS n_docs, min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY fp ORDER BY keep_doc_id
+        """,
+        "d_ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT doc_id, source AS block, list_distinct({_SHINGLES}) AS sh
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.sh, b.sh)) /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.sh, b.sh)) /
+                        len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.2
+            ORDER BY doc_a, doc_b
+        """,
+        "d_minhash_sig": sigs_cte + """
+            SELECT doc_id, k, sig[k + 1] AS minhash
+            FROM sigs, (SELECT unnest(range(0, 8)) AS k)
+            ORDER BY doc_id, k
+        """,
+        "d_minhash_lsh": bands_cte + """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
+        """,
+        "d_embedding_neardup": """
+            WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+            FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+            ORDER BY vec_a, vec_b
+        """,
+        "s_ann_brute": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.v, c.v) /
+                             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+                FROM emb q CROSS JOIN emb c
+                WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "s_ann_ivf": """
+            WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.v, c.v) /
+                             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+                FROM emb q JOIN emb c ON q.label = c.label
+                WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "m_binary_stats": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   md5(text) AS checksum
+            FROM documents ORDER BY doc_id
+        """,
+        # d_simhash and extract_pipeline intentionally have NO oracle entry:
+        # simhash is a vectorized numpy kernel, extract_pipeline a full text
+        # pipeline — the driver records the weaker rows-only check for both.
+    }

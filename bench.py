@@ -1,0 +1,154 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: extraction docs/sec (the BASELINE.json north-rule metric)
+over the deterministic synthetic corpus, measured through the full pipeline
+(Arrow extraction stage + W1/W2 relational post-processing + parquet sink).
+Relational headline queries (TPC-H-style + dedup + ANN) are timed per-query
+at $SPARK_GRAFT_SF_DIR.
+
+Modes:
+  python bench.py                 # per-round bench (one JSON line on stdout)
+  python bench.py --scaling       # local[8] vs local[32] scaling evidence
+                                  # (writes BENCH/BASELINE.md, prints JSON)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (default 1200).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "1200"))
+RUN_TS = "2026-08-16T00:00:00Z"
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def extraction_throughput(spark, n_docs: int) -> tuple[float, int]:
+    """Full-pipeline wall time over n_docs synthetic pages -> (sec, docs)."""
+    from pdf_parser_spark.operators.consistency import finalize
+    from pdf_parser_spark.operators.extract import extract_stage
+    from pdf_parser_spark.sources.pages import synthetic_pages
+
+    pages = synthetic_pages(spark, n_docs=n_docs).cache()
+    n = pages.count()  # materialize input outside the timed section
+    out_dir = tempfile.mkdtemp(prefix="bench_extract_")
+    try:
+        t0 = time.perf_counter()
+        extracted = extract_stage(pages, run_ts=RUN_TS)
+        final = finalize(extracted)
+        final.write.mode("overwrite").parquet(f"{out_dir}/extracted")
+        elapsed = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        pages.unpersist()
+    return elapsed, n
+
+
+def relational_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Headline relational queries, each timed to full materialization."""
+    from pdf_parser_spark.operators import dedup, similarity, textstats
+    from pdf_parser_spark.plans import relational as R
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    suite = {
+        "q1_pricing_summary": lambda: R.q1_pricing_summary(spark, sf_dir),
+        "q3_top_orders": lambda: R.q3_top_orders(spark, sf_dir),
+        "q5_region_revenue": lambda: R.q5_region_revenue(spark, sf_dir),
+        "w4_sessionize": lambda: R.w4_sessionize(spark, sf_dir),
+        "d_minhash_lsh": lambda: dedup.minhash_lsh_pairs(docs),
+        "d_exact": lambda: dedup.exact_dedup_groups(docs),
+        "s_ann_brute": lambda: similarity.brute_force_topk(emb),
+        "t_quality_score": lambda: textstats.quality_score(docs),
+    }
+    times: dict[str, float] = {}
+    for name, build in suite.items():
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def run_once(master: str, n_docs: int, with_queries: bool = True):
+    from pdf_parser_spark.session import get_spark
+
+    spark = get_spark("bench", master=master)
+    try:
+        # JVM/codegen warmup on a tiny slice so the timed run measures steady state
+        extraction_throughput(spark, 32)
+        elapsed, n = extraction_throughput(spark, n_docs)
+        qtimes = relational_queries(spark, SF_DIR) if with_queries else {}
+        return elapsed, n, qtimes
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        results = {}
+        for cores in (8, 32):
+            elapsed, n, _ = run_once(f"local[{cores}]", N_DOCS, with_queries=False)
+            results[cores] = (n / elapsed, elapsed)
+        eff = (results[32][0] / results[8][0]) / 4.0
+        lines = [
+            "# BENCH — scaling evidence (N vs 4N cores)",
+            "",
+            "Same job (full extraction pipeline: Arrow stage + W1/W2 + parquet",
+            f"sink), same input ({N_DOCS} synthetic docs), two parallelism levels.",
+            "",
+            "| cores | docs/sec | wall sec |",
+            "|---|---|---|",
+            f"| 8 (N) | {results[8][0]:.1f} | {results[8][1]:.2f} |",
+            f"| 32 (4N) | {results[32][0]:.1f} | {results[32][1]:.2f} |",
+            "",
+            f"**Scaling efficiency (T32/T8)/4 = {eff:.3f}** (north-rule target ≥ 0.8)",
+        ]
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(json.dumps({
+            "metric": "extraction_docs_per_sec_scaling",
+            "value": round(results[32][0], 2),
+            "unit": "docs/sec",
+            "queries": {
+                "local8_docs_per_sec": round(results[8][0], 2),
+                "local32_docs_per_sec": round(results[32][0], 2),
+                "scaling_efficiency": round(eff, 3),
+            },
+            "sf": _sf_from_dir(SF_DIR),
+        }))
+        return
+
+    elapsed, n, qtimes = run_once(f"local[{CPUS}]", N_DOCS)
+    docs_per_sec = n / elapsed
+    print(json.dumps({
+        "metric": "extraction_docs_per_sec",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/sec",
+        "queries": {**qtimes, "extraction_pipeline": round(elapsed, 3)},
+        "sf": _sf_from_dir(SF_DIR),
+        "n_docs": n,
+        "cores": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

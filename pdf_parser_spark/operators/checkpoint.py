@@ -1,0 +1,62 @@
+"""Checkpoint / lineage / resume (north_rule resumability).
+
+The reference fails soft per PDF inside a driver loop (cli.py:104-111) and
+re-runs everything on restart.  At 10^12 rows that is unacceptable: the engine
+appends per-partition lineage rows (partition id, url range, counts, run id)
+to a checkpoint table next to the data sink, and on restart anti-joins pending
+urls against already-completed work so only the remainder recomputes.
+
+Table format seam (SURVEY.md §7.0): plain partitioned parquet with an
+append-only directory layout — the same code path works against an Iceberg
+catalog by swapping ``save``/``load`` for ``writeTo``/``table`` when the
+runtime has the Iceberg jars (not available in this sandbox).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "partition_id int, run_id string, url_min string, url_max string, "
+    "n_rows long, n_ok long, n_error long"
+)
+
+
+def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage/metrics: derived from the extraction output with
+    spark_partition_id(), aggregated JVM-side."""
+    return (
+        extracted
+        .withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.min("url").alias("url_min"),
+            F.max("url").alias("url_max"),
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+            F.sum((F.col("status") != "ok").cast("long")).alias("n_error"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
+def write_checkpoint(
+    extracted: DataFrame, out_dir: str, run_id: str, mode: str = "append"
+) -> None:
+    """Write results + lineage.  Results are partitioned by status so failed
+    rows are a cheap partition-pruned scan for triage."""
+    extracted.write.mode(mode).partitionBy("status").parquet(f"{out_dir}/extracted")
+    lineage_rows(extracted, run_id).write.mode("append").parquet(f"{out_dir}/lineage")
+
+
+def pending_urls(spark: SparkSession, pages: DataFrame, out_dir: str) -> DataFrame:
+    """Resume: pages not yet present in the completed sink.  left_anti join on
+    url — at scale both sides are bucketed by url hash so this is co-located;
+    with AQE the completed side is typically the small build side early in a
+    resumed run."""
+    try:
+        done = spark.read.parquet(f"{out_dir}/extracted").select("url")
+    except Exception:
+        return pages  # nothing checkpointed yet
+    return pages.join(done, on="url", how="left_anti")

@@ -1,0 +1,219 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (the 100 TB design, tested at sf0.01-0.1):
+- exact: one shuffle on the md5 fingerprint — the cheapest possible dedup.
+- ngram-jaccard: never all-pairs.  Pairs are generated within a blocking key
+  (here: `source`; generally a cheap LSH band or length bucket), so the join
+  is band-local; jaccard itself is JVM array_intersect/array_union.
+- minhash+LSH: k portable hash functions over shingles -> per-band signature
+  -> groupBy band bucket -> pairs only within buckets.  All column ops.
+- simhash: vectorized Pandas UDF (numpy bit ops) — the one op where per-bit
+  SQL would explode row counts; Python is Arrow-batched, not per-row.
+- embedding cosine: blocked by the coarse cluster label (IVF-style) so the
+  self-join is cluster-local; broadcast when one side is small.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pdf_parser_spark.functions import portable_hash32, word_shingles
+
+# (a, b) parameters of k=8 affine minhash permutations over the 32-bit
+# portable hash space.  a < 2^20 keeps a*h < 2^52: exact in int64 arithmetic
+# in BOTH Spark and the DuckDB oracle (no overflow divergence).
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (131071, 524287), (786433, 196613), (917503, 262139), (655357, 131063),
+    (524269, 786431), (262133, 917479), (196597, 655331), (999983, 333331),
+)
+_M32 = (1 << 32) - 1
+
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: (fp, n_docs, keep_doc_id) — keeper is the
+    smallest doc_id; duplicates = rows where n_docs > 1."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        documents.select(F.md5(normalized).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str = "source",
+) -> DataFrame:
+    """Near-dup pairs by n-gram-shingle Jaccard within a blocking key.
+
+    (doc_a, doc_b, jaccard) for doc_a < doc_b, jaccard >= threshold, rounded
+    4dp.  The block join bounds candidate pairs; at 100 TB the block key is an
+    LSH band (see minhash_lsh_pairs) — `source` keeps the demo query cheap."""
+    with_sh = documents.select(
+        "doc_id",
+        F.col(block_col).alias("block"),
+        F.array_distinct(word_shingles(F.col("text"), n)).alias("sh"),
+    )
+    a = with_sh.alias("a")
+    b = with_sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.round(inter / union, 4)
+    return (
+        a.join(b, on=(F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sig array<long>) — k minhashes via affine permutations of the
+    portable 32-bit shingle hash.  Pure column ops: explode-free (transform +
+    array_min over the shingle array)."""
+    sh = F.array_distinct(word_shingles(F.col("text"), n))
+    hashed = F.transform(sh, lambda s: portable_hash32(s))
+    sig = F.array(*[
+        F.array_min(
+            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_M32 + 1))
+        )
+        for a, b in MINHASH_PARAMS
+    ])
+    return documents.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, n: int = 3, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: signature split into bands, banded
+    groupBy-join, candidates deduplicated.  (doc_a, doc_b, n_shared_bands).
+
+    Plan: shuffle 1 = groupBy band key (explode bands), shuffle 2 = none (the
+    self-join is on the band bucket).  At 10^12 docs each band bucket is tiny,
+    so the join never sees a cross product."""
+    assert bands * rows_per_band == len(MINHASH_PARAMS)
+    sigs = minhash_signatures(documents, n)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws(
+                    "_",
+                    F.lit(i),
+                    *[F.col("sig")[i * rows_per_band + j] for j in range(rows_per_band)],
+                )
+                for i in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@pandas_udf("long")
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens, md5-based (Arrow-vectorized).
+
+    For each token take 64 bits of md5; accumulate +1/-1 per bit position;
+    sign -> bit.  numpy does the bit unpacking batch-wide."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = (text or "").split()
+        if not toks:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(63, -1, -1, dtype=np.uint64)
+        for tok in toks:
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            )
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            acc += 2 * bits - 1
+        sim = 0
+        for bit in (acc > 0).astype(np.int64):
+            sim = (sim << 1) | int(bit)
+        # store as signed 64-bit
+        out[i] = sim - (1 << 64) if sim >= (1 << 63) else sim
+    return pd.Series(out)
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — near-dup candidates are rows with small hamming
+    distance; pair generation at scale blocks on the top-k bytes of the hash."""
+    return documents.select("doc_id", _simhash64(F.col("text")).alias("simhash")).orderBy("doc_id")
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs blocked on the high 2 bytes (16-bit prefix):
+    identical-prefix candidates only, then exact hamming filter JVM-side
+    (bit_count on xor)."""
+    sh = simhash(documents).withColumn(
+        "block", F.shiftright(F.col("simhash"), 48)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, on=(F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup within the coarse cluster (label) — IVF-style
+    blocking.  (vec_a, vec_b, cos_sim rounded 4dp).  Double-precision math so
+    the SQL oracle reproduces values bit-for-bit."""
+    emb = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = F.round(dot / (na * nb), 4)
+    return (
+        a.join(b, on=(F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )

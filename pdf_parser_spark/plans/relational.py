@@ -1,0 +1,193 @@
+"""Relational query plans: the SURVEY.md §2 cross-document operators
+re-expressed over the driver's TPC-H-ish tables, plus classic scan/join/agg
+benchmarks.  Every query here has a DuckDB oracle in __spark_entry__.
+
+Plan-quality notes (verified via .explain("formatted")):
+- dimension joins (region/nation/part) broadcast — no shuffle on the big side
+- aggregations are partial (map-side combine) before the exchange
+- filters/projections sit at the parquet scan (PushedFilters/ReadSchema)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- W1 analog: sequence assignment per group ------------------------------
+
+def w1_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per user over (ts, event_id) — the filing_sequence window
+    (ref cli.py:121-124) over the events table.  One shuffle on user_id."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("seq", F.row_number().over(w).cast("long"))
+        .select("user_id", "event_id", "seq")
+        .orderBy("user_id", "seq")
+    )
+
+
+# --- W2 analog: first-wins mapping -----------------------------------------
+
+def w2_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First value per event_type in (ts, event_id) order — the first-wins
+    global mapping (ref consistency.py:17-23) as min_by aggregation."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("value").alias("first_value"))
+        .orderBy("event_type")
+    )
+
+
+# --- W3 analog: status rollup ------------------------------------------------
+
+def w3_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy counts + avg — the batch summary (ref cli.py:127-138)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- V2 analog: tolerance-banded equality check -------------------------------
+
+def v2_tolerance_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASS/WARN/FAIL banding (ref validate.py:69-108) of reported vs derived
+    values: l_extendedprice vs l_quantity * p_retailprice.  Broadcast join on
+    part (small dim), CASE banding, groupBy rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    expected = F.col("l_quantity") * F.col("p_retailprice")
+    actual = F.col("l_extendedprice")
+    rel = F.abs(expected - actual) / F.abs(expected)
+    status = (
+        F.when(expected == actual, "PASS")
+        .when(rel <= 0.01, "WARN")
+        .otherwise("FAIL")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("status")
+    )
+
+
+# --- W4: sessionization (gap-based) -------------------------------------------
+
+def w4_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Classic gap sessionization: lag + cumulative sum of gap breaks.
+    Two windows over the same (user_id, ts) partitioning — one shuffle."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; interpret as UTC (session TZ) for
+    # epoch-second arithmetic, matching the oracle's floor(epoch(ts))
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    with_s = events.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --- scalar regex projection ---------------------------------------------------
+
+def f_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's dominant scalar family (regex capture) over events.props
+    JSON-ish strings — JVM regexp_extract, no Python."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.regexp_extract("props", r"\"k\":\s*(\d+)", 1).cast("int").alias("k"),
+    ).orderBy("event_id")
+
+
+# --- TPC-H-style headline queries ---------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregate over lineitem with a date filter that
+    pushes to the scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer x orders x lineitem, revenue top-10.
+    customer is broadcast; orders/lineitem shuffle on the join key once."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+    ).alias("revenue")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join, dims broadcast, revenue per nation."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )

@@ -1,0 +1,53 @@
+"""Pages-table I/O: synthesize the corpus as a DataFrame / parquet layout.
+
+Input contract (BASELINE.json input_hint):
+(url string, warc_ts timestamp, html binary, text string, lang string).
+
+The parquet layout mirrors what an Iceberg table with
+``partitioned by (days(warc_ts), bucket(N, url))`` gives: day partition dirs +
+url-hash bucketing via repartition, so partition pruning on warc_ts and
+bucket-local joins survive the seam (SURVEY.md §7.0: no Iceberg jars in this
+sandbox).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, StringType, StructField, StructType, TimestampType,
+)
+
+from pdf_parser_spark.sources.corpus import generate_corpus
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("html", BinaryType(), True),
+    StructField("text", StringType(), True),
+    StructField("lang", StringType(), True),
+])
+
+
+def synthetic_pages(spark: SparkSession, n_docs: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic corpus as a DataFrame (generator is a pure function)."""
+    rows = generate_corpus(n_docs, seed)
+    data = [
+        (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows
+    ]
+    return spark.createDataFrame(data, PAGES_SCHEMA)
+
+
+def write_pages(df: DataFrame, path: str, buckets: int = 8) -> None:
+    """Persist with day partitioning + url-hash bucketing-by-repartition."""
+    (
+        df.withColumn("ds", F.date_format("warc_ts", "yyyy-MM-dd"))
+        .repartition(buckets, F.xxhash64("url"))
+        .write.mode("overwrite")
+        .partitionBy("ds")
+        .parquet(path)
+    )
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("url", "warc_ts", "html", "text", "lang")

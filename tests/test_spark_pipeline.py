@@ -1,0 +1,145 @@
+"""Spark-layer integration: extraction stage, W1/W2, checkpoint/resume,
+metrics, streaming.  Runs on local[4]; marked slow-ish but still seconds."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.checkpoint import pending_urls, write_checkpoint
+from pdf_parser_spark.operators.consistency import finalize
+from pdf_parser_spark.operators.extract import extract_stage
+from pdf_parser_spark.operators.metrics import status_summary, validation_rollup
+from pdf_parser_spark.sources.pages import synthetic_pages, write_pages, read_pages
+
+RUN_TS = "2026-08-16T00:00:00Z"
+N_DOCS = 24
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    pages = synthetic_pages(spark, N_DOCS)
+    return extract_stage(pages, run_ts=RUN_TS).cache()
+
+
+def test_extraction_stage_row_parity(spark, extracted):
+    assert extracted.count() == N_DOCS
+
+
+def test_extraction_matches_core_per_url(spark, extracted):
+    """Spark output ≡ single-node core per url (the north-rule equivalence)."""
+    from pdf_parser_spark.core.document import extract_document
+    from pdf_parser_spark.sources.corpus import generate_corpus
+
+    spark_rows = {r["url"]: r for r in extracted.collect()}
+    for raw in generate_corpus(N_DOCS, 42):
+        core = extract_document(raw["url"], raw["html"], raw["text"], RUN_TS)
+        got = spark_rows[raw["url"]]
+        assert got["status"] == core["status"]
+        assert (got["markdown"] or "").encode() == core["markdown"].encode(), raw["url"]
+        assert dict(got["mappings"] or {}) == core["mappings"]
+
+
+def test_w1_sequence_deterministic_and_ordered(spark, extracted):
+    final = finalize(extracted)
+    rows = final.select("company_key", "filing_sequence", "period_end").collect()
+    by_company: dict[str, list] = {}
+    for r in rows:
+        by_company.setdefault(r["company_key"], []).append(r)
+    for key, grp in by_company.items():
+        grp.sort(key=lambda r: r["filing_sequence"])
+        periods = [r["period_end"] or "" for r in grp]
+        assert periods == sorted(periods), key
+        assert [r["filing_sequence"] for r in grp] == list(range(1, len(grp) + 1))
+
+
+def test_w2_backfill_matches_core(spark, extracted):
+    """Spark first-wins backfill ≡ core.backfill_mappings over the same order."""
+    from pdf_parser_spark.core.taxonomy import first_wins_mappings
+
+    final = finalize(extracted)
+    ok = [r for r in final.where("status = 'ok'").collect() if r["mappings"]]
+    ordered = sorted(ok, key=lambda r: ((r["period_end"] or "") + r["url"]))
+    expected_global = first_wins_mappings([dict(r["mappings"]) for r in ordered])
+    for r in ok:
+        cons = dict(r["mappings_consistent"] or {})
+        for label, canonical in cons.items():
+            if canonical:
+                assert canonical == expected_global.get(label, canonical)
+
+
+def test_metrics_rollups(spark, extracted):
+    statuses = {r["status"]: r["n_docs"] for r in status_summary(extracted).collect()}
+    assert statuses.get("ok", 0) >= N_DOCS - 4
+    roll = validation_rollup(extracted).first()
+    assert roll["total_fail"] == 0
+    assert roll["total_pass"] > 0
+
+
+def test_checkpoint_resume_anti_join(spark):
+    pages = synthetic_pages(spark, 12)
+    out_dir = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        first_half = pages.limit(6)
+        extracted = extract_stage(first_half, run_ts=RUN_TS, repartition=False)
+        write_checkpoint(extracted, out_dir, run_id="r1")
+        remaining = pending_urls(spark, pages, out_dir)
+        assert remaining.count() == 6
+        done_urls = {r["url"] for r in spark.read.parquet(f"{out_dir}/extracted").select("url").collect()}
+        rem_urls = {r["url"] for r in remaining.select("url").collect()}
+        assert not (done_urls & rem_urls)
+        lineage = spark.read.parquet(f"{out_dir}/lineage")
+        assert lineage.agg(F.sum("n_rows")).first()[0] == 6
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_pages_roundtrip_partition_layout(spark):
+    pages = synthetic_pages(spark, 10)
+    d = tempfile.mkdtemp(prefix="pages_")
+    try:
+        write_pages(pages, d)
+        back = read_pages(spark, d)
+        assert back.count() == 10
+        assert set(back.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_extract(spark):
+    from pdf_parser_spark.streaming import stream_extract
+
+    in_dir = tempfile.mkdtemp(prefix="stream_in_")
+    out_dir = tempfile.mkdtemp(prefix="stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        synthetic_pages(spark, 8).write.mode("overwrite").parquet(in_dir)
+        q = stream_extract(spark, in_dir, out_dir, ckpt, run_ts=RUN_TS)
+        q.processAllAvailable()
+        q.stop()
+        got = spark.read.parquet(out_dir)
+        assert got.count() == 8
+        assert got.where("status = 'ok'").count() >= 6
+    finally:
+        for d in (in_dir, out_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_multimodal_media_features(spark):
+    from pdf_parser_spark.operators.multimodal import media_features
+
+    df = spark.createDataFrame(
+        [(1, b"payload-one"), (2, b"payload-two-longer")],
+        "doc_id long, payload binary",
+    )
+    out = media_features(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["byte_len"] == 11
+    assert by_id[2]["byte_len"] == 18
+    assert all(r["width"] >= 16 and r["height"] >= 16 for r in out)
+    # deterministic
+    again = {r["doc_id"]: r for r in media_features(df).collect()}
+    assert again == by_id
