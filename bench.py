@@ -95,7 +95,11 @@ def run_once(master: str, n_docs: int, with_queries: bool = True):
         # JVM/codegen warmup on a tiny slice so the timed run measures steady state
         extraction_throughput(spark, 32)
         elapsed, n = extraction_throughput(spark, n_docs)
-        qtimes = relational_queries(spark, SF_DIR) if with_queries else {}
+        if with_queries:
+            relational_queries(spark, "/root/testdata/sf0.001")  # warmup pass
+            qtimes = relational_queries(spark, SF_DIR)
+        else:
+            qtimes = {}
         return elapsed, n, qtimes
     finally:
         spark.stop()
