@@ -87,8 +87,16 @@ def salted_repartition(
 
     Pure hash partitioning already spreads urls, but a pathological heavy host
     with near-identical urls can still skew map work at 10^12 scale; the salt
-    term breaks residual clustering.  Cheap column ops — no Python."""
-    n = num_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    term breaks residual clustering.  Cheap column ops — no Python.
+
+    Partition count defaults to 4 tasks per core (per-document cost varies
+    ~10x with document size, so 1 task/core is straggler-bound; finer
+    granularity lets the scheduler balance — same reasoning as cluster-scale
+    `4 x executors x cores` sizing)."""
+    n = num_partitions or max(
+        DEFAULT_SHUFFLE_PARTITIONS,
+        4 * pages.sparkSession.sparkContext.defaultParallelism,
+    )
     salted = F.xxhash64(F.col("url")) + F.pmod(
         F.xxhash64(F.col("url"), F.lit("salt")), F.lit(salt_buckets)
     )

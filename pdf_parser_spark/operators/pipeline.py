@@ -1,0 +1,55 @@
+"""End-to-end batch pipeline: extract -> checkpointed sink -> relational
+post-processing (W1/W2) -> consistency table.
+
+Why materialize between the Arrow stage and the relational stages: `finalize`
+consumes the extraction output in THREE plan branches (the W1 window, the W2
+explode/groupBy, and the W2 broadcast build side).  Without a materialization
+point Spark recomputes the mapInPandas subtree once per branch — measured 3x
+the extraction cost.  Writing Stage 1 to the checkpoint sink first (which the
+north-rule resumability contract requires anyway) makes the relational stages
+read back a columnar table where they prune to the handful of narrow columns
+they touch (url, company, period_end, mappings) — the multi-KB markdown
+column is never re-read.  At 10^12-doc scale this is the only viable shape:
+persisting the stage output in executor memory is not (output ~= input size).
+
+Reference parity: this replaces the reference's driver loop + post-hoc file
+rewrite (cli.py:102-124) with extract -> sink -> window/agg -> narrow sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pdf_parser_spark.operators.checkpoint import pending_urls, write_checkpoint
+from pdf_parser_spark.operators.consistency import finalize
+from pdf_parser_spark.operators.extract import extract_stage
+
+CONSISTENCY_COLS = [
+    "url", "company_key", "filing_sequence", "mappings_consistent",
+]
+
+
+def run_batch(
+    pages: DataFrame,
+    out_dir: str,
+    run_ts: str = "",
+    run_id: str = "r0",
+    resume: bool = False,
+) -> DataFrame:
+    """Full batch run. Writes ``{out_dir}/extracted`` (+ ``lineage``) and
+    ``{out_dir}/consistency``; returns the final consistency DataFrame.
+
+    With ``resume=True``, pages already present in the extracted sink are
+    anti-joined away first (north-rule resumability) and the relational
+    stages run over the union of old + new results.
+    """
+    spark = pages.sparkSession
+    todo = pending_urls(spark, pages, out_dir) if resume else pages
+    extracted = extract_stage(todo, run_ts=run_ts)
+    write_checkpoint(extracted, out_dir, run_id=run_id)
+
+    # Relational stages read the materialized, column-pruned sink.
+    materialized = spark.read.parquet(f"{out_dir}/extracted")
+    final = finalize(materialized).select(*CONSISTENCY_COLS)
+    final.write.mode("overwrite").parquet(f"{out_dir}/consistency")
+    return spark.read.parquet(f"{out_dir}/consistency")
