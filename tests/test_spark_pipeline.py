@@ -97,6 +97,41 @@ def test_checkpoint_resume_anti_join(spark):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def test_run_batch_and_resume(spark):
+    """Full batch pipeline: sinks written, then a resumed run only processes
+    the pending remainder (kill-and-resume semantics, north-rule)."""
+    from pdf_parser_spark.operators.pipeline import run_batch
+
+    pages = synthetic_pages(spark, 12)
+    out_dir = tempfile.mkdtemp(prefix="batch_")
+    try:
+        # first run over half the corpus
+        final1 = run_batch(pages.limit(6), out_dir, run_ts=RUN_TS, run_id="r1")
+        assert final1.count() == 6
+        # resumed run over the full corpus: only 6 new rows extracted
+        final2 = run_batch(pages, out_dir, run_ts=RUN_TS, run_id="r2", resume=True)
+        assert final2.count() == 12
+        extracted = spark.read.parquet(f"{out_dir}/extracted")
+        assert extracted.count() == 12  # no row recomputed/duplicated
+        lineage = spark.read.parquet(f"{out_dir}/lineage")
+        by_run = {
+            r["run_id"]: r["n"]
+            for r in lineage.groupBy("run_id").agg(F.sum("n_rows").alias("n")).collect()
+        }
+        assert by_run == {"r1": 6, "r2": 6}
+        # consistency table covers every url exactly once
+        assert final2.select("url").distinct().count() == 12
+        # filing_sequence is 1..n per company over the union
+        for key, seqs in (
+            final2.groupBy("company_key")
+            .agg(F.sort_array(F.collect_list("filing_sequence")).alias("s"))
+            .collect()
+        ):
+            assert list(seqs) == list(range(1, len(seqs) + 1)), key
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def test_pages_roundtrip_partition_layout(spark):
     pages = synthetic_pages(spark, 10)
     d = tempfile.mkdtemp(prefix="pages_")
