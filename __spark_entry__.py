@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v2_tolerance_bands": R.v2_tolerance_bands,
         "w4_sessionize": R.w4_sessionize,
         "f_regex_extract": R.f_regex_extract,
+        # --- joins / set ops / rollup ---
+        "j_asof_latest_order": R.j_asof_latest_order,
+        "u_setops": R.u_setops,
+        "g_rollup_revenue": R.g_rollup_revenue,
         # --- TPC-H-style headline queries ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_top_orders": R.q3_top_orders,
@@ -108,6 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d)),
         # --- multimodal plumbing (oracle-checked byte stats face) ---
         "m_binary_stats": lambda s, d: multimodal.binary_stats(_docs(s, d)),
+        "m_media_features": lambda s, d: multimodal.media_features(
+            _docs(s, d).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        ).orderBy("doc_id"),
+        "d_simhash_pairs": lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=16),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
         "extract_pipeline": extract_pipeline,
     }
@@ -211,6 +219,35 @@ def oracle_sql() -> dict[str, str]:
         "f_regex_extract": """
             SELECT event_id, CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k
             FROM events ORDER BY event_id
+        """,
+        "j_asof_latest_order": """
+            SELECT e.event_id, o.o_orderkey, o.o_orderdate
+            FROM events e LEFT JOIN LATERAL (
+                SELECT o_orderkey, o_orderdate FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+            ) o ON TRUE
+            ORDER BY event_id
+        """,
+        "u_setops": """
+            WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer
+                       WHERE c_mktsegment = 'BUILDING'),
+                 b AS (SELECT DISTINCT o_custkey AS k FROM orders)
+            SELECT 'except' AS op, count(*) AS n FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+            UNION ALL
+            SELECT 'intersect' AS op, count(*) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+            UNION ALL
+            SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b)
+            ORDER BY op
+        """,
+        "g_rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY returnflag, linestatus
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -359,7 +396,8 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS checksum
             FROM documents ORDER BY doc_id
         """,
-        # d_simhash and extract_pipeline intentionally have NO oracle entry:
-        # simhash is a vectorized numpy kernel, extract_pipeline a full text
-        # pipeline — the driver records the weaker rows-only check for both.
+        # d_simhash / d_simhash_pairs / m_media_features / extract_pipeline
+        # intentionally have NO oracle entry: simhash is a vectorized numpy
+        # kernel, media_features a stubbed decode UDF, extract_pipeline a full
+        # text pipeline — the driver records the weaker rows-only check.
     }

@@ -124,6 +124,101 @@ def f_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# --- as-of join (operator Spark lacks natively) --------------------------------
+
+def j_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest order with
+    o_orderdate <= ts (tie-break: max o_orderkey).
+
+    Implemented as the scalable union+window pattern — tag both streams,
+    sort within the key by (time, stream, orderkey) and carry the last seen
+    order forward — ONE shuffle on the key, no range explosion, no
+    per-event subquery.  This is how as-of joins are done at 10^12-row scale
+    (cf. the sort-merge as-of in kdb/QuestDB literature)."""
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    tagged_orders = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    tagged_events = events.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    # orders sort before events at equal t (<= semantics); equal-date orders
+    # sort ascending by o_orderkey so the LAST one wins the tie
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "is_event", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = tagged_orders.unionByName(tagged_events).select(
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("o_orderdate"),
+    )
+    return (
+        merged.where(F.col("is_event") == 1)
+        .select("event_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    )
+
+
+# --- set operations -------------------------------------------------------------
+
+def u_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT counts over two customer-key sets (BUILDING
+    customers vs customers with orders).  Spark rewrites intersect/except as
+    semi/anti hash joins — same shuffle profile as the SQL."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    ).distinct()
+    b = orders.select(F.col("o_custkey").alias("k")).distinct()
+    rows = [
+        a.union(b).distinct().agg(F.count("*").alias("n")).select(F.lit("union").alias("op"), "n"),
+        a.intersect(b).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n"),
+        a.subtract(b).agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("op")
+
+
+# --- rollup aggregation ----------------------------------------------------------
+
+def g_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(l_returnflag, l_linestatus) revenue — hierarchical subtotals in
+    one pass (Expand + single shuffle), NULL group keys coalesced to 'ALL'
+    for a stable cross-engine representation."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
 # --- TPC-H-style headline queries ---------------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
