@@ -43,7 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
         "url", "warc_ts", "html", "text", "lang"
     )
     pages = driver_pages.unionByName(corpus)
-    extracted = extract_stage(pages, run_ts=RUN_TS)
+    # persist: finalize consumes the extraction output in three plan branches
+    # (W1 window, W2 groupBy, W2 broadcast build); without a materialization
+    # point the Arrow stage would recompute 3x.  Batch jobs use the
+    # checkpointed-sink shape instead (operators/pipeline.run_batch).
+    extracted = extract_stage(pages, run_ts=RUN_TS).persist()
     final = finalize(extracted)
     return final.select(
         "url", "status", "report_type", "company_key", "filing_sequence",
@@ -69,7 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     def extract_pipeline(spark, sf_dir):
-        extracted = extract_stage(_docs_as_pages(spark, sf_dir), run_ts=RUN_TS)
+        extracted = extract_stage(
+            _docs_as_pages(spark, sf_dir), run_ts=RUN_TS
+        ).persist()  # see entry(): finalize fans out into 3 plan branches
         final = finalize(extracted)
         return final.select(
             "url", "status", "report_type", "n_pages", "n_sections",
