@@ -104,10 +104,16 @@ def run_once(master: str, n_docs: int, with_queries: bool = True):
     try:
         # JVM/codegen warmup on a tiny slice so the timed run measures steady state
         extraction_throughput(spark, 32)
+        # best-of-2: the sandbox VM sees variable host-neighbor load, so a
+        # single timing can be off 2-3x; min over repeats estimates true cost
         elapsed, n = extraction_throughput(spark, n_docs)
+        elapsed2, _ = extraction_throughput(spark, n_docs)
+        elapsed = min(elapsed, elapsed2)
         if with_queries:
             relational_queries(spark, "/root/testdata/sf0.001")  # warmup pass
-            qtimes = relational_queries(spark, SF_DIR)
+            t1 = relational_queries(spark, SF_DIR)
+            t2 = relational_queries(spark, SF_DIR)
+            qtimes = {k: min(t1[k], t2[k]) for k in t1}
         else:
             qtimes = {}
         return elapsed, n, qtimes
@@ -129,7 +135,7 @@ def main() -> None:
             int(os.environ.get("BENCH_SCALING_N", "2")),
             int(os.environ.get("BENCH_SCALING_4N", "8")),
         )
-        scaling_docs = int(os.environ.get("BENCH_SCALING_DOCS", str(16 * N_DOCS)))
+        scaling_docs = int(os.environ.get("BENCH_SCALING_DOCS", str(8 * N_DOCS)))
         results = {}
         for cores in (n_lo, n_hi):
             elapsed, n, _ = run_once(f"local[{cores}]", scaling_docs, with_queries=False)

@@ -24,36 +24,43 @@ _KNOWN_WORDS = frozenset(_FIN_TERMS) | frozenset((
 ))
 
 
+def _char_runs(line: str) -> list[tuple[str, int]]:
+    """Run-length encoding of a line — factor-independent, computed once."""
+    runs: list[tuple[str, int]] = []
+    i = 0
+    n = len(line)
+    while i < n:
+        ch = line[i]
+        j = i + 1
+        while j < n and line[j] == ch:
+            j += 1
+        runs.append((ch, j - i))
+        i = j
+    return runs
+
+
 def _collapse_with_factor(line: str, factor: int) -> str | None:
     """Collapse assuming each glyph repeats `factor` times; None when the run
     structure doesn't fit (ref pdf_extract.py:82-130)."""
     if not line:
         return None
+    return _collapse_runs(_char_runs(line), factor)
+
+
+def _collapse_runs(runs: list[tuple[str, int]], factor: int) -> str | None:
     collapsed: list[str] = []
-    i = 0
     matches = 0
     groups = 0
-    n = len(line)
-    while i < n:
-        ch = line[i]
-        j = i
-        while j < n and line[j] == ch:
-            j += 1
-        run = j - i
+    for ch, run in runs:
         if ch == " ":
             collapsed.append(" ")  # space runs are lenient
-            i = j
             continue
         groups += 1
-        if run == factor:
-            matches += 1
-            collapsed.append(ch)
-        elif run % factor == 0:
+        if run % factor == 0:
             matches += 1
             collapsed.append(ch * (run // factor))
         else:
             collapsed.append(ch * run)
-        i = j
     if groups >= _MIN_GROUPS and matches / groups >= _ACCEPT_GROUP_RATIO:
         return "".join(collapsed)
     return None
@@ -62,18 +69,35 @@ def _collapse_with_factor(line: str, factor: int) -> str | None:
 def collapse_repeated_line(line: str) -> str:
     """Best-factor collapse of one line; identity when nothing fits
     (ref pdf_extract.py:54-79: pick the candidate with the lowest
-    collapsed/original length ratio)."""
+    collapsed/original length ratio; ascending factor order, strict <,
+    so the smallest winning factor takes ties).
+
+    Fast path: the run-length structure is factor-independent, so it is
+    computed ONCE; a factor-f match needs run % f == 0 (f >= 2), so any
+    line where fewer than 70% of non-space runs have length >= 2 can never
+    collapse — i.e., virtually all normal text skips the factor loop."""
     if len(line) < 6:
         return line
+    runs = _char_runs(line)
+    groups = 0
+    multi = 0
+    for ch, run in runs:
+        if ch != " ":
+            groups += 1
+            if run >= 2:
+                multi += 1
+    if groups < _MIN_GROUPS or multi / groups < _ACCEPT_GROUP_RATIO:
+        return line
+    n = len(line)
     best_ratio = None
     best_text = None
     for factor in range(_MIN_FACTOR, _MAX_FACTOR + 1):
-        if len(line) < factor * 3:
+        if n < factor * 3:
             continue
-        candidate = _collapse_with_factor(line, factor)
+        candidate = _collapse_runs(runs, factor)
         if candidate is None:
             continue
-        ratio = len(candidate) / len(line)
+        ratio = len(candidate) / n
         if best_ratio is None or ratio < best_ratio:
             best_ratio, best_text = ratio, candidate
     return best_text if best_text is not None else line
