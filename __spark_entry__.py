@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         "t_quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+        "t_winnow_fp": lambda s, d: textstats.winnow_fingerprint(_docs(s, d)),
         # --- dedup ---
         "d_exact": lambda s, d: dedup.exact_dedup_groups(_docs(s, d)),
         "d_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.2),
@@ -323,6 +324,27 @@ def oracle_sql() -> dict[str, str]:
         "t_fingerprint": """
             SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id
+        """,
+        "t_winnow_fp": f"""
+            WITH sh AS (
+                SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+            ), pos AS (
+                SELECT doc_id,
+                       unnest(shingles) AS s,
+                       generate_subscripts(shingles, 1) AS pos,
+                       len(shingles) AS n_sh
+                FROM sh
+            ), hashed AS (
+                SELECT doc_id, pos, n_sh, {_H32.format(x='s')} AS h FROM pos
+            ), wmin AS (
+                SELECT doc_id, pos, n_sh,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM hashed
+            )
+            SELECT DISTINCT doc_id, fp FROM wmin
+            WHERE pos <= greatest(n_sh - 3, 1)
+            ORDER BY doc_id, fp
         """,
         "d_exact": """
             SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdf_parser_spark.functions import words
+from pdf_parser_spark.functions import portable_hash32, words
 
 # Tiny high-frequency stopword sets per language — the classic cheap lang-id
 # signal (ratio of language-i stopwords among tokens).  Deterministic and
@@ -82,6 +82,43 @@ def quality_score(documents: DataFrame) -> DataFrame:
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         quality.alias("quality"),
     ).orderBy("doc_id")
+
+
+def winnow_fingerprint(
+    documents: DataFrame, n: int = 3, window: int = 4
+) -> DataFrame:
+    """(doc_id, fp) rows — winnowing document fingerprints (Schleimer et al.,
+    SIGMOD 2003): hash every n-gram shingle, slide a w-window over the hash
+    sequence, keep each window's minimum, emit the distinct minima.
+
+    Expressed relationally so it scales: posexplode the shingle sequence ->
+    ONE portable hash per shingle -> window-min per doc ordered by position
+    (single shuffle on doc_id) -> distinct.  The naive higher-order-function
+    form (transform over window starts with array_min(slice(...)) inside the
+    lambda) recomputes the hash array per window — O(shingles x windows) md5
+    calls.  Short docs (< window full windows) fall back to the global min
+    via the pos <= greatest(n_sh - window + 1, 1) bound."""
+    from pyspark.sql import Window as W
+
+    from pdf_parser_spark.functions import word_shingles
+
+    sh = documents.select(
+        "doc_id", F.posexplode(word_shingles(F.col("text"), n)).alias("pos", "s")
+    ).select(
+        "doc_id", "pos",
+        portable_hash32(F.col("s")).alias("h"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n_sh"),
+    )
+    wmin = F.min("h").over(
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    return (
+        sh.withColumn("fp", wmin)
+        .where(F.col("pos") <= F.greatest(F.col("n_sh") - window + 1, F.lit(1)) - 1)
+        .select("doc_id", "fp")
+        .distinct()
+        .orderBy("doc_id", "fp")
+    )
 
 
 def fingerprint(documents: DataFrame) -> DataFrame:
