@@ -69,6 +69,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _docs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+    def _st_sessionize(spark, sf_dir):
+        from pdf_parser_spark.streaming.sessionize import sessionize_via_stream
+
+        return sessionize_via_stream(spark, sf_dir)
+
     def _emb(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -89,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_lang_summary": R.w3_lang_summary,
         "v2_tolerance_bands": R.v2_tolerance_bands,
         "w4_sessionize": R.w4_sessionize,
+        "st_sessionize": _st_sessionize,
         "f_regex_extract": R.f_regex_extract,
         # --- joins / set ops / rollup ---
         "j_asof_latest_order": R.j_asof_latest_order,
@@ -207,6 +213,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY status ORDER BY status
         """,
         "w4_sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                             OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, value,
+                       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM gaps
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 4) AS session_value
+            FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        # streaming twin of W4 — held to the SAME sql oracle (bounded replay
+        # through applyInPandasWithState must reproduce the batch sessions)
+        "st_sessionize": """
             WITH gaps AS (
                 SELECT user_id, ts, value, event_id,
                        CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL

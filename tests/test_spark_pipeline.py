@@ -202,3 +202,20 @@ def test_multimodal_resize_and_frames(spark):
     assert len(by_doc[2]) == 4   # 9000 bytes -> capped at max_frames
     assert len(by_doc[3]) == 1   # empty payload -> 1 frame minimum
     assert [r["frame_index"] for r in sorted(by_doc[2], key=lambda r: r["frame_index"])] == [0, 1, 2, 3]
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    """Stateful applyInPandasWithState sessionizer == batch lag/cumsum W4."""
+    from pdf_parser_spark.plans.relational import w4_sessionize
+    from pdf_parser_spark.streaming.sessionize import sessionize_via_stream
+
+    sf = "/root/testdata/sf0.001"
+    stream = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["session_value"])
+        for r in sessionize_via_stream(spark, sf).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["session_value"])
+        for r in w4_sessionize(spark, sf).collect()
+    }
+    assert stream == batch and len(stream) > 0
