@@ -74,6 +74,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return sessionize_via_stream(spark, sf_dir)
 
+    def _x_accession(spark, sf_dir):
+        from pdf_parser_spark.operators.xbrl import accession_lookup
+        from pdf_parser_spark.sources import xbrl as X
+
+        req = spark.createDataFrame(X.requests_rows(), X.REQUESTS_SCHEMA)
+        # dates as ISO strings: pandas widens DATE to timestamp in the
+        # driver's DuckDB fetch, so a date-typed column can't hash-match
+        return accession_lookup(req, X.submissions_df(spark)).withColumn(
+            "report_date", F.col("report_date").cast("string")
+        )
+
+    def _x_facts(spark, sf_dir):
+        from pdf_parser_spark.operators.xbrl import statement_facts
+        from pdf_parser_spark.sources import xbrl as X
+
+        return (
+            statement_facts(X.facts_df(spark))
+            .withColumn("end_date", F.col("end_date").cast("string"))
+            .withColumn("start_date", F.col("start_date").cast("string"))
+        )
+
+    def _x_crossval(spark, sf_dir):
+        from pdf_parser_spark.operators.xbrl import cross_validate
+        from pdf_parser_spark.sources import xbrl as X
+
+        xv = (
+            X.facts_df(spark)
+            .where(
+                "unit = 'USD' AND segment IS NULL "
+                "AND end_date = DATE '2024-12-31' AND start_date = DATE '2024-10-01'"
+            )
+            .select("cik", "concept", F.col("val").alias("xbrl_val"))
+        )
+        pdfv = spark.createDataFrame(X.pdf_values_rows(), X.PDF_VALUES_SCHEMA)
+        return cross_validate(pdfv, xv)
+
     def _emb(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -104,6 +140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_top_orders": R.q3_top_orders,
         "q5_region_revenue": R.q5_region_revenue,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q4_order_priority": R.q4_order_priority,
+        "q18_large_orders": R.q18_large_orders,
+        # --- XBRL dimension operators (N6/N7/V8 relational) ---
+        "x_accession_lookup": _x_accession,
+        "x_statement_facts": _x_facts,
+        "x_cross_validate": _x_crossval,
         # --- text analysis ---
         "t_token_count": lambda s, d: textstats.token_count(_docs(s, d)),
         "t_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
@@ -185,6 +228,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs, (SELECT unnest(range(0, 4)) AS b)
         )
     """
+
+    # XBRL dimension data inlined as VALUES CTEs from the SAME generator the
+    # Spark side uses, so the oracle checks the relational logic (N6/N7/V8)
+    from pdf_parser_spark.sources import xbrl as X
+
+    subs_cte = X.values_cte(
+        X.submissions_rows(), ["cik", "form", "report_date", "accession"],
+        dates={"report_date"},
+    )
+    req_cte = X.values_cte(
+        X.requests_rows(), ["cik", "form", "report_date"], dates={"report_date"}
+    )
+    facts_cte = X.values_cte(
+        X.facts_rows(),
+        ["cik", "concept", "unit", "accn", "start_date", "end_date", "val", "segment"],
+        dates={"start_date", "end_date"}, doubles={"val"},
+    )
+    pdfv_cte = X.values_cte(
+        X.pdf_values_rows(), ["cik", "concept", "pdf_val"],
+        dates=set(), doubles={"pdf_val"},
+    )
 
     return {
         "w1_event_sequence": """
@@ -317,6 +381,94 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
             GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 180) big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "x_accession_lookup": f"""
+            WITH subs AS (SELECT * FROM {subs_cte}),
+                 reqs AS (SELECT * FROM {req_cte})
+            SELECT r.cik, r.form,
+                   strftime(r.report_date, '%Y-%m-%d') AS report_date,
+                   s.accession
+            FROM reqs r
+            LEFT JOIN subs s
+              ON r.cik = s.cik
+             AND regexp_replace(r.form, '/A$', '') = regexp_replace(s.form, '/A$', '')
+             AND r.report_date = s.report_date
+            ORDER BY r.cik, r.report_date, r.form
+        """,
+        "x_statement_facts": f"""
+            WITH facts AS (SELECT * FROM {facts_cte}),
+            base AS (
+                SELECT *, CASE unit WHEN 'USD' THEN 1 WHEN 'USD/shares' THEN 2
+                                    WHEN 'shares' THEN 3 WHEN 'pure' THEN 4 END AS unit_rank
+                FROM facts WHERE segment IS NULL
+            ), best AS (
+                SELECT * FROM (
+                    SELECT *, min(unit_rank) OVER (PARTITION BY cik, concept) AS br
+                    FROM base) WHERE unit_rank = br
+            ), per_end AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY cik, concept, end_date
+                        ORDER BY (end_date - start_date) DESC, start_date ASC, val DESC) AS rn
+                    FROM best) WHERE rn = 1
+            ), recent AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY cik, concept ORDER BY end_date DESC) AS recency
+                    FROM per_end) WHERE recency <= 4
+            )
+            SELECT cik, concept,
+                   strftime(end_date, '%Y-%m-%d') AS end_date,
+                   strftime(start_date, '%Y-%m-%d') AS start_date,
+                   unit, val
+            FROM recent ORDER BY cik, concept, end_date DESC
+        """,
+        "x_cross_validate": f"""
+            WITH facts AS (SELECT * FROM {facts_cte}),
+            xv AS (
+                SELECT cik, concept, val AS xbrl_val FROM facts
+                WHERE unit = 'USD' AND segment IS NULL
+                  AND end_date = DATE '2024-12-31' AND start_date = DATE '2024-10-01'
+            ), pdfv AS (SELECT * FROM {pdfv_cte}),
+            j AS (
+                SELECT p.pdf_val, x.xbrl_val
+                FROM pdfv p FULL OUTER JOIN xv x
+                  ON p.cik = x.cik AND p.concept = x.concept
+            )
+            SELECT severity, count(*) AS n FROM (
+                SELECT CASE
+                    WHEN pdf_val IS NULL THEN 'xbrl_only'
+                    WHEN xbrl_val IS NULL THEN 'pdf_only'
+                    WHEN abs(pdf_val - xbrl_val) / greatest(abs(xbrl_val), 1.0) <= 0.01 THEN 'match'
+                    WHEN abs(pdf_val - xbrl_val) / greatest(abs(xbrl_val), 1.0) <= 0.05 THEN 'minor'
+                    ELSE 'major' END AS severity
+                FROM j)
+            GROUP BY severity ORDER BY severity
         """,
         "t_token_count": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,

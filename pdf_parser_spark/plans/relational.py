@@ -265,7 +265,12 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table star join, dims broadcast, revenue per nation."""
+    """TPC-H Q5 shape: 6-table star join, revenue per nation.
+
+    Broadcast ONLY the true dims (region 5 rows, nation 25 rows — constant at
+    any SF).  customer/supplier scale linearly with the fact tables (~15B rows
+    at 100 TB) so they stay shuffle joins on their keys; AQE picks
+    broadcast-hash anyway when a filtered side turns out small at runtime."""
     region = load(spark, sf_dir, "region")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -274,7 +279,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load(spark, sf_dir, "supplier")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(sup, li.l_suppkey == sup.s_suppkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
@@ -285,4 +290,65 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side filter + global agg — zero shuffle rows
+    beyond the final partial-agg exchange.  All three predicates (shipdate
+    range, discount band, quantity cap) push down to the parquet scan
+    (PushedFilters), and only 4 of 11 lineitem columns are read (ReadSchema);
+    at 100 TB this is the min/max-zone-map fast path."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery as a LEFT SEMI join (no row multiplication,
+    build side carries only the join key), then count by priority."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    q = orders.where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        q.join(returned, q.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy-HAVING over the fact table, then join the
+    (small, post-aggregation) qualifying-key set back — the agg result is the
+    broadcast side at any SF because HAVING cuts it to a sliver; top-k via
+    orderBy+limit pushes a TakeOrderedAndProject, never a full sort."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .where(F.col("total_qty") > 180)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
     )

@@ -219,3 +219,29 @@ def test_streaming_sessionize_matches_batch(spark):
         for r in w4_sessionize(spark, sf).collect()
     }
     assert stream == batch and len(stream) > 0
+
+
+def test_xbrl_dimension_operators(spark):
+    """N6 unit-preference/segment/period rules + N7 '/A' normalization (SURVEY
+    §2.7; ref edgar_client.py:116-295)."""
+    from pdf_parser_spark.operators.xbrl import accession_lookup, statement_facts
+    from pdf_parser_spark.sources import xbrl as X
+
+    facts = statement_facts(X.facts_df(spark, n_companies=2)).collect()
+    assert facts, "no facts survived"
+    # <=4 periods per (cik, concept); preferred unit only; no segments survive
+    from collections import Counter
+    per_cc = Counter((r["cik"], r["concept"]) for r in facts)
+    assert max(per_cc.values()) <= 4
+    assert {r["unit"] for r in facts} == {"USD"}
+    # longest duration wins: every kept 2024-12-31 fact must be the YTD row
+    for r in facts:
+        if str(r["end_date"]) == "2024-12-31":
+            assert str(r["start_date"]) == "2024-01-01"
+
+    req = spark.createDataFrame(X.requests_rows(2), X.REQUESTS_SCHEMA)
+    acc = accession_lookup(req, X.submissions_df(spark, n_companies=2)).collect()
+    by_key = {(r["cik"], str(r["report_date"])): r["accession"] for r in acc}
+    assert by_key[("9999999999", "2024-12-31")] is None  # guaranteed miss
+    hits = [a for a in by_key.values() if a is not None]
+    assert len(hits) >= 4  # '/A'-flipped requests still resolve
