@@ -74,6 +74,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return sessionize_via_stream(spark, sf_dir)
 
+    def _qc_structural(spark, sf_dir):
+        """Fleet pass-rates of the reference's 9 output checks over the
+        synthetic corpus (extraction output is not SQL-expressible -> the
+        driver's rows-only check; deterministic per seed)."""
+        from pdf_parser_spark.operators.quality import (
+            quality_summary, structural_check_stage,
+        )
+        from pdf_parser_spark.sources.pages import synthetic_pages
+
+        ext = extract_stage(
+            synthetic_pages(spark, 96), run_ts=RUN_TS
+        ).where("status = 'ok'")
+        return quality_summary(structural_check_stage(ext))
+
     def _x_accession(spark, sf_dir):
         from pdf_parser_spark.operators.xbrl import accession_lookup
         from pdf_parser_spark.sources import xbrl as X
@@ -143,6 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q4_order_priority": R.q4_order_priority,
         "q18_large_orders": R.q18_large_orders,
+        # --- structural quality harness (SURVEY §5 level 4; rows-only) ---
+        "qc_structural": _qc_structural,
         # --- XBRL dimension operators (N6/N7/V8 relational) ---
         "x_accession_lookup": _x_accession,
         "x_statement_facts": _x_facts,

@@ -33,12 +33,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and measures SLOWER (verified: 9600 docs, 21.9s at local[32] vs ~12s at
 # local[16]).  The same rule at cluster scale: executor cores = hw/2.
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
-# 76800 matches the BENCH/BASELINE.md scaling-run corpus, so the headline and
-# the N-vs-4N evidence are directly comparable; it also amortizes the ~11 s
-# per-run fixed cost (session/plan/sink setup) that dominates small corpora —
-# measured marginal rate is ~1530 docs/s regardless of corpus size (9600 ->
-# 557/s, 38400 -> 1067/s, 76800 -> ~1250/s headline on this host).
-N_DOCS = int(os.environ.get("BENCH_DOCS", "76800"))
+# 38400 amortizes the ~11 s per-run fixed cost (session/plan/sink setup) that
+# dominates small corpora while keeping total bench wall bounded — measured
+# marginal rate is ~1530 docs/s regardless of corpus size (9600 -> 557/s,
+# 38400 -> 1067/s headline on this host; the BENCH/BASELINE.md scaling run
+# uses 76800 and shows the same marginal rate at 8 cores).
+N_DOCS = int(os.environ.get("BENCH_DOCS", "38400"))
 RUN_TS = "2026-08-16T00:00:00Z"
 
 

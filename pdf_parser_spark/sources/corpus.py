@@ -154,6 +154,25 @@ def _balance_rows(v: dict[str, int]) -> list[list[str]]:
     ]
 
 
+def _equity_rows(v: dict[str, int], period: str) -> list[list[str]]:
+    """Stockholders'-equity roll-forward: own header row (T14 path) + sparse
+    component columns (only some cells populated per row)."""
+    end = v["equity"]
+    ni = v["net_income"]
+    sbc = max(end // 50, 1)
+    begin = end - ni - sbc
+    cs = max(end // 100, 1)
+    apic = max(begin // 3, 1)
+    re_begin = begin - cs - apic
+    return [
+        ["", "Common Stock", "Additional Paid-in Capital", "Retained Earnings", "Total"],
+        ["Balance at beginning of period", _fmt_num(cs), _fmt_num(apic), _fmt_num(re_begin), _fmt_num(begin)],
+        ["Net income", "", "", _fmt_num(ni), _fmt_num(ni)],
+        ["Stock-based compensation", "", _fmt_num(sbc), "", _fmt_num(sbc)],
+        [f"Balance at {period}", _fmt_num(cs), _fmt_num(apic + sbc), _fmt_num(re_begin + ni), _fmt_num(end)],
+    ]
+
+
 def _cashflow_rows(v: dict[str, int]) -> list[list[str]]:
     def signed(x: int) -> str:
         return f"({_fmt_num(-x)})" if x < 0 else _fmt_num(x)
@@ -224,6 +243,15 @@ def _filing_html(
         f"<p>{year} {year - 1}</p>" + _tbl(_cashflow_rows(v)),
         cf_text,
     )
+    eq_text = "\n".join([
+        "CONDENSED CONSOLIDATED STATEMENTS OF STOCKHOLDERS' EQUITY",
+        "(in thousands)",
+    ])
+    page(
+        "<h2>CONDENSED CONSOLIDATED STATEMENTS OF STOCKHOLDERS' EQUITY</h2>"
+        "<p>(in thousands)</p>" + _tbl(_equity_rows(v, period)),
+        eq_text,
+    )
     notes_text = "\n".join([
         "NOTES TO CONDENSED CONSOLIDATED FINANCIAL STATEMENTS",
         "Note 1. Basis of Presentation",
@@ -242,6 +270,16 @@ def _filing_html(
     ])
     page("<h2>Item 2. MANAGEMENT'S DISCUSSION AND ANALYSIS</h2><p>"
          + mda_text.replace("\n", "</p><p>") + "</p>", mda_text)
+    if form == "10-K":
+        rf_text = "\n".join([
+            "Item 1A. RISK FACTORS",
+            f"An investment in {company} common stock involves a high degree of risk.",
+            "Our operating results may fluctuate significantly from period to period.",
+            "We depend on a limited number of suppliers for key components.",
+            "Adverse macroeconomic conditions could reduce demand for our products.",
+        ])
+        page("<h2>Item 1A. RISK FACTORS</h2><p>"
+             + rf_text.replace("\n", "</p><p>") + "</p>", rf_text)
     sig_text = "SIGNATURES\nPursuant to the requirements of the Securities Exchange Act of 1934."
     page("<h2>SIGNATURES</h2><p>Pursuant to the requirements of the Securities Exchange Act of 1934.</p>",
          sig_text)

@@ -245,3 +245,31 @@ def test_xbrl_dimension_operators(spark):
     assert by_key[("9999999999", "2024-12-31")] is None  # guaranteed miss
     hits = [a for a in by_key.values() if a is not None]
     assert len(hits) >= 4  # '/A'-flipped requests still resolve
+
+
+def test_structural_quality_harness(spark):
+    """The reference's 9 output checks (test_runner.py:358-368) as a fleet
+    stage: clean SEC filings pass all 9; degraded families fail the expected
+    subset (FIXTURES.md §6 structural gate)."""
+    from pdf_parser_spark.operators.extract import extract_stage
+    from pdf_parser_spark.operators.quality import (
+        quality_summary, structural_check_stage,
+    )
+
+    ext = extract_stage(synthetic_pages(spark, 40), run_ts=RUN_TS).where(
+        "status = 'ok'"
+    )
+    checks = structural_check_stage(ext).persist()
+    # clean filing family = urls with /q[1-4]/ paths: all 9 checks pass
+    clean_fail = checks.where(
+        "url rlike '/q[1-4]/' AND NOT passed"
+    ).count()
+    assert clean_fail == 0, f"{clean_fail} failed checks on clean filings"
+    # degraded families fail financial-table checks (placeholders, no pipes)
+    degraded_fail = checks.where(
+        "(url rlike '/news/|/artifacts/') AND check = 'financial_tables_formatted' AND NOT passed"
+    ).count()
+    assert degraded_fail > 0
+    summary = {r["check"]: r for r in quality_summary(checks).collect()}
+    assert len(summary) == 9
+    assert summary["table_structure_valid"]["pass_rate"] == 1.0
