@@ -51,3 +51,22 @@ def write_pages(df: DataFrame, path: str, buckets: int = 8) -> None:
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("url", "warc_ts", "html", "text", "lang")
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, path: str, buckets: int = 8, key: str = "url"
+) -> None:
+    """True Spark bucketing (the parquet stand-in for Iceberg
+    ``bucket(N, url)`` — SURVEY.md §7.0): hash-bucket + sort by the key at
+    write time so downstream equi-joins between tables bucketed on the same
+    key run with ZERO Exchange on either side (sort-merge join straight off
+    the scans).  At 10^12 rows this is the difference between re-shuffling
+    the corpus per join and never shuffling it at all."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )

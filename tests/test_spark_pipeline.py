@@ -273,3 +273,30 @@ def test_structural_quality_harness(spark):
     summary = {r["check"]: r for r in quality_summary(checks).collect()}
     assert len(summary) == 9
     assert summary["table_structure_valid"]["pass_rate"] == 1.0
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Two tables bucketed on url (write_bucketed_table) equi-join with ZERO
+    Exchange in the physical plan — the Iceberg bucket(N, url) co-location
+    contract, parquet edition."""
+    from pdf_parser_spark.sources.pages import write_bucketed_table
+
+    base = tempfile.mkdtemp(prefix="buckets_")
+    try:
+        pages = synthetic_pages(spark, 24).select("url", "lang", "warc_ts")
+        stats = pages.select("url", F.length("url").alias("n"))
+        write_bucketed_table(pages, "t_pages_b", f"{base}/pages", buckets=4)
+        write_bucketed_table(stats, "t_stats_b", f"{base}/stats", buckets=4)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_pages_b").join(spark.table("t_stats_b"), "url")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 24
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for t in ("t_pages_b", "t_stats_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(base, ignore_errors=True)
