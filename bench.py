@@ -102,18 +102,21 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def run_once(master: str, n_docs: int, with_queries: bool = True):
+def run_once(master: str, n_docs: int, with_queries: bool = True, repeats: int = 2):
     from pdf_parser_spark.session import get_spark
 
     spark = get_spark("bench", master=master)
     try:
         # JVM/codegen warmup on a tiny slice so the timed run measures steady state
         extraction_throughput(spark, 32)
-        # best-of-2: the sandbox VM sees variable host-neighbor load, so a
-        # single timing can be off 2-3x; min over repeats estimates true cost
+        # best-of-N: the sandbox VM sees variable host-neighbor load, so a
+        # single short timing can be off 2-3x; min over repeats estimates
+        # true cost.  The scaling path passes repeats=1 — its runs are long
+        # enough (minutes) to amortize noise, and both legs see the same host.
         elapsed, n = extraction_throughput(spark, n_docs)
-        elapsed2, _ = extraction_throughput(spark, n_docs)
-        elapsed = min(elapsed, elapsed2)
+        for _ in range(repeats - 1):
+            elapsed2, _n = extraction_throughput(spark, n_docs)
+            elapsed = min(elapsed, elapsed2)
         if with_queries:
             relational_queries(spark, "/root/testdata/sf0.001")  # warmup pass
             t1 = relational_queries(spark, SF_DIR)
@@ -140,11 +143,21 @@ def main() -> None:
             int(os.environ.get("BENCH_SCALING_N", "2")),
             int(os.environ.get("BENCH_SCALING_4N", "8")),
         )
-        scaling_docs = int(os.environ.get("BENCH_SCALING_DOCS", str(8 * N_DOCS)))
+        scaling_docs = int(os.environ.get("BENCH_SCALING_DOCS", str(N_DOCS)))
+        # interleave the legs A/B/A/B and take min wall per leg: the sandbox
+        # host sees multi-minute load swings from neighbors, so back-to-back
+        # single samples can skew the RATIO by 30%+; interleaving decorrelates
+        # the noise and min() estimates each leg's true cost
+        rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
         results = {}
-        for cores in (n_lo, n_hi):
-            elapsed, n, _ = run_once(f"local[{cores}]", scaling_docs, with_queries=False)
-            results[cores] = (n / elapsed, elapsed)
+        for _ in range(rounds):
+            for cores in (n_lo, n_hi):
+                elapsed, n, _ = run_once(
+                    f"local[{cores}]", scaling_docs, with_queries=False, repeats=1
+                )
+                prev = results.get(cores)
+                if prev is None or elapsed < prev[1]:
+                    results[cores] = (n / elapsed, elapsed)
         eff = (results[n_hi][0] / results[n_lo][0]) / 4.0
         lines = [
             "# BENCH — scaling evidence (N vs 4N cores)",

@@ -22,10 +22,15 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    master = master or os.environ.get("SPARK_MASTER")
+    if master is None and os.environ.get("SPARK_ENV_LOADED") != "1":
+        # plain `python` launch -> local fallback; under spark-submit
+        # (SPARK_ENV_LOADED=1) the --master flag is already in the JVM conf
+        # and must NOT be overridden (a yarn/k8s submit would silently run
+        # local otherwise)
+        master = f"local[{cpus}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -39,4 +44,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if master:
+        builder = builder.master(master)
     return builder.getOrCreate()

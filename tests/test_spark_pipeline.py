@@ -300,3 +300,28 @@ def test_bucketed_join_no_shuffle(spark):
         for t in ("t_pages_b", "t_stats_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_job_cli_smoke(spark, monkeypatch, capsys):
+    """python -m pdf_parser_spark --synthesize: full batch + summary print.
+    Reuses the session via a get_spark monkeypatch (the CLI normally owns its
+    session lifecycle)."""
+    import pdf_parser_spark.__main__ as job
+
+    out = tempfile.mkdtemp(prefix="job_out_")
+    try:
+        import pdf_parser_spark.session as sess
+
+        monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+        monkeypatch.setattr(spark, "stop", lambda: None)
+        rc = job.main([
+            "--synthesize", "20", "--output", out,
+            "--run-ts", RUN_TS, "--quality-report",
+        ])
+        assert rc == 0
+        printed = capsys.readouterr().out
+        assert "batch complete" in printed and "structural quality" in printed
+        assert spark.read.parquet(f"{out}/extracted").count() == 20
+        assert spark.read.parquet(f"{out}/consistency").count() > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
