@@ -67,6 +67,64 @@ def taxonomy_rows() -> list[tuple[str, str, str, int]]:
     return out
 
 
+@lru_cache(maxsize=1)
+def _alias_scan_cache() -> list[tuple[str, str, int, dict[str, int]]]:
+    """Per-alias precomputed (alias, canonical, len, char-multiset) for the
+    bound cascade in _fuzzy_canonical.  Built once per process from the frozen
+    default index — the broadcast-dictionary side of the fuzzy theta-join."""
+    out = []
+    for alias, canonical in alias_index().items():
+        counts: dict[str, int] = {}
+        for ch in alias:
+            counts[ch] = counts.get(ch, 0) + 1
+        out.append((alias, canonical, len(alias), counts))
+    return out
+
+
+def _fuzzy_canonical(needle: str) -> str | None:
+    """Accepted-match-only fuzzy scan: returns the canonical the reference
+    scan (normalize.py:65-76) would accept at >= FUZZY_THRESHOLD, or None.
+
+    Result-preserving prunes on top of _fuzzy_scan's: because only matches at
+    or above the threshold are consumed here, any alias whose ratio upper
+    bound sits BELOW the threshold is skipped outright.  The bounds
+    (difflib's documented real_quick_ratio >= quick_ratio >= ratio chain) are
+    computed from precomputed alias lengths / char multisets without
+    constructing a SequenceMatcher, so most aliases cost two arithmetic ops.
+    First-max tie-breaking is unchanged: every alias whose true ratio equals
+    the global max (>= threshold) has bounds >= that max and is never pruned,
+    and the strict > update keeps the first attainer — identical to the
+    reference's running-best scan.
+    """
+    best_score = 0.0
+    best: str | None = None
+    ln = len(needle)
+    ncounts: dict[str, int] = {}
+    for ch in needle:
+        ncounts[ch] = ncounts.get(ch, 0) + 1
+    nget = ncounts.get
+    for alias, canonical, la, acounts in _alias_scan_cache():
+        tot = ln + la
+        if not tot:
+            continue
+        # real_quick_ratio bound from lengths alone
+        floor = best_score if best_score > FUZZY_THRESHOLD else FUZZY_THRESHOLD
+        if 2.0 * (ln if ln < la else la) / tot < floor:
+            continue
+        # quick_ratio bound: char-multiset intersection
+        inter = 0
+        for ch, c in acounts.items():
+            n = nget(ch, 0)
+            inter += c if c < n else n
+        if 2.0 * inter / tot < floor:
+            continue
+        score = difflib.SequenceMatcher(None, needle, alias).ratio()
+        if score > best_score:
+            best_score = score
+            best = canonical
+    return best if best_score >= FUZZY_THRESHOLD else None
+
+
 def _fuzzy_scan(needle: str, idx: dict[str, str]) -> tuple[str | None, float]:
     """First-max fuzzy scan, reference semantics (normalize.py:65-76), with
     two result-preserving prunes: difflib's documented upper bounds
@@ -85,6 +143,18 @@ def _fuzzy_scan(needle: str, idx: dict[str, str]) -> tuple[str | None, float]:
             best_score = score
             best = canonical
     return best, best_score
+
+
+@lru_cache(maxsize=131072)
+def _canonical_default_index(needle: str) -> str | None:
+    """Memoized canonical-or-None against the process-global index — the hot
+    path for normalize_rows, which consumes only the accepted canonical.
+    Equals _match_default_index(needle).canonical by the _fuzzy_canonical
+    equivalence argument (differentially tested in test_core_taxonomy)."""
+    hit = alias_index().get(needle)
+    if hit is not None:
+        return hit
+    return _fuzzy_canonical(needle)
 
 
 @lru_cache(maxsize=131072)
@@ -167,8 +237,9 @@ def normalize_rows(rows: list[list[str]]) -> list[list[str]]:
                 if context and context in override:
                     canonical = override[context]
                 else:
-                    # default-index path -> memoized (labels repeat massively)
-                    canonical = match_line_item(first).canonical or ""
+                    # default-index path -> memoized (labels repeat massively);
+                    # canonical-only scan skips sub-threshold ratio work
+                    canonical = _canonical_default_index(first.lower()) or ""
         out.append([row[0], canonical] + row[1:])
     return out
 

@@ -6,10 +6,16 @@ Arrow extraction stage, applied to page text and every table cell.
 
 from __future__ import annotations
 
+import re
+
 # Factors tried for repeated-character collapse (ref pdf_extract.py:65)
 _MIN_FACTOR, _MAX_FACTOR = 2, 15
 _ACCEPT_GROUP_RATIO = 0.7  # ref pdf_extract.py:128
 _MIN_GROUPS = 3
+
+# run-length gate regexes: a "group" is a maximal run of one non-space char
+_RUN_RE = re.compile(r"([^ ])\1*")
+_MULTI_RUN_RE = re.compile(r"([^ ])\1+")
 
 # Financial vocabulary for de-interleave scoring (ref pdf_extract.py:134-145)
 _FIN_TERMS = (
@@ -78,16 +84,15 @@ def collapse_repeated_line(line: str) -> str:
     collapse — i.e., virtually all normal text skips the factor loop."""
     if len(line) < 6:
         return line
-    runs = _char_runs(line)
-    groups = 0
-    multi = 0
-    for ch, run in runs:
-        if ch != " ":
-            groups += 1
-            if run >= 2:
-                multi += 1
-    if groups < _MIN_GROUPS or multi / groups < _ACCEPT_GROUP_RATIO:
+    # C-level gate: count non-space runs / multi-char runs with the regex
+    # engine before any Python char walk (counts equal _char_runs' tallies)
+    groups = len(_RUN_RE.findall(line))
+    if groups < _MIN_GROUPS:
         return line
+    multi = len(_MULTI_RUN_RE.findall(line))
+    if multi / groups < _ACCEPT_GROUP_RATIO:
+        return line
+    runs = _char_runs(line)
     n = len(line)
     best_ratio = None
     best_text = None

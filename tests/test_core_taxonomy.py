@@ -104,3 +104,56 @@ def test_backfill_no_conflict_between_labels():
 
 def test_backfill_empty_input():
     assert backfill_mappings([]) == []
+
+
+def test_fuzzy_canonical_fast_path_matches_full_scan():
+    """_canonical_default_index (bound-cascade prune, canonical-only) must
+    equal match_line_item(...).canonical for every needle class: exact hits,
+    fuzzy hits, near-threshold cases, and garbage.  Differential over the
+    alias set with deterministic perturbations."""
+    import random
+
+    from pdf_parser_spark.core.taxonomy import (
+        _canonical_default_index,
+        _match_default_index,
+    )
+
+    rng = random.Random(7)
+    needles: list[str] = []
+    for alias in alias_index():
+        needles.append(alias)  # exact
+        if len(alias) > 4:
+            i = rng.randrange(len(alias))
+            needles.append(alias[:i] + alias[i + 1:])       # deletion
+            needles.append(alias[:i] + "x" + alias[i:])      # insertion
+            needles.append(alias[:i] + "z" + alias[i + 1:])  # substitution
+            needles.append(alias + " and other")             # suffix noise
+    needles += ["", "zzzz", "total q", "the quick brown fox", "1,234"]
+    for needle in needles:
+        needle = needle.lower()
+        want = _match_default_index(needle).canonical
+        got = _canonical_default_index(needle)
+        assert got == want, f"fast path diverged for {needle!r}: {got} != {want}"
+
+
+def test_collapse_gate_regex_equals_run_walk():
+    """The C-regex run gate must count exactly what _char_runs tallies."""
+    import re as _re
+
+    from pdf_parser_spark.core.textrepair import (
+        _MULTI_RUN_RE,
+        _RUN_RE,
+        _char_runs,
+    )
+
+    samples = [
+        "YYYeeeaaarrr", "TToottaall", "Total revenues", "  spaced  out  ",
+        "aaa bbb ccc", "a" * 30, "ab" * 15, "x", "", "$$ 1,,2233",
+        "CPoremfemrreond SSttcoockk", "Net\tincome", "——  ——",
+    ]
+    for s in samples:
+        runs = _char_runs(s)
+        groups = sum(1 for ch, _ in runs if ch != " ")
+        multi = sum(1 for ch, r in runs if ch != " " and r >= 2)
+        assert len(_RUN_RE.findall(s)) == groups, s
+        assert len(_MULTI_RUN_RE.findall(s)) == multi, s
