@@ -19,6 +19,8 @@ Pure function of the input bytes — no network fetches, no external parser deps
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 from pdf_parser_spark.core.model import Page, Table
@@ -78,6 +80,135 @@ class _DomBuilder(HTMLParser):
             node = self.stack[-1]
             node.children.append(None)  # text marker preserves order
             node.text_parts.append(data)
+
+
+# ---------------------------------------------------------------------------
+# Fast DOM builder: one C-regex scanner instead of html.parser's per-construct
+# Python dispatch.  Produces the same _Node tree as _DomBuilder for the HTML
+# constructs this module consumes (differential-tested in
+# tests/test_core_extraction.py::test_fast_dom_equals_htmlparser).  html.parser
+# remains the reference implementation and the fallback.
+# ---------------------------------------------------------------------------
+
+# start tag: name + quote-aware attr region, optional self-close slash
+_START_RE = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"        # tag name (html.parser tagfind)
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)"     # attrs, quotes may hide >
+    r"(/?)>",
+)
+_END_RE = re.compile(r"</\s*([a-zA-Z][^\t\n\r\f >]*)[^>]*>")
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_DECL_RE = re.compile(r"<![^>]*>")
+_PI_RE = re.compile(r"<\?[^>]*>")
+_ATTR_RE = re.compile(
+    r"([^\s/>=]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
+)
+_RAWTEXT_CLOSE = {
+    tag: re.compile(rf"</{tag}(?=[\t\n\r\f />])|</{tag}$", re.IGNORECASE)
+    for tag in ("script", "style")
+}
+
+
+def _parse_attrs(raw: str) -> dict[str, str]:
+    if not raw or raw.isspace():
+        return {}
+    attrs: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        val = m.group(2)
+        if val is None:
+            val = ""
+        elif val[:1] in "\"'" and val[:1] == val[-1:] and len(val) >= 2:
+            val = val[1:-1]
+        if "&" in val:
+            val = unescape(val)
+        attrs[name] = val
+    return attrs
+
+
+def _fast_dom(html: str) -> _Node:
+    root = _Node("#root", {})
+    stack = [root]
+    pos = 0
+    n = len(html)
+    find = html.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            text = html[pos:]
+            if text:
+                node = stack[-1]
+                node.children.append(None)
+                node.text_parts.append(unescape(text) if "&" in text else text)
+            break
+        if lt > pos:
+            text = html[pos:lt]
+            node = stack[-1]
+            node.children.append(None)
+            node.text_parts.append(unescape(text) if "&" in text else text)
+        nxt = html[lt + 1: lt + 2]
+        if nxt == "" or (nxt.isalpha() and find(">", lt) < 0):
+            break  # incomplete construct at EOF: html.parser buffers & drops
+        if nxt == "/":
+            m = _END_RE.match(html, lt)
+            if m:
+                tag = m.group(1).lower()
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == tag:
+                        del stack[i:]
+                        break
+                pos = m.end()
+                continue
+            gt = find(">", lt)  # bogus end tag -> comment-until-'>' (ref path)
+            pos = gt + 1 if gt >= 0 else n
+            continue
+        elif nxt == "!":
+            m = _COMMENT_RE.match(html, lt) if html.startswith("<!--", lt) \
+                else _DECL_RE.match(html, lt)
+            if m:
+                pos = m.end()
+            else:
+                pos = n  # unterminated markup decl: consumed silently
+            continue
+        elif nxt == "?":
+            m = _PI_RE.match(html, lt)
+            pos = m.end() if m else n
+            continue
+        elif nxt.isalpha():
+            m = _START_RE.match(html, lt)
+            if m is None:
+                break  # '>' hidden inside an unbalanced quote: html.parser
+                # buffers the incomplete tag (and the rest) forever -> drop
+            if m:
+                tag = m.group(1).lower()
+                node = _Node(tag, _parse_attrs(m.group(2)))
+                stack[-1].children.append(node)
+                pos = m.end()
+                if m.group(3):  # self-closing -> never pushed
+                    continue
+                if tag in _RAWTEXT_CLOSE:
+                    # CDATA content model: raw text until the matching close
+                    cm = _RAWTEXT_CLOSE[tag].search(html, pos)
+                    end = cm.start() if cm else n
+                    if end > pos:
+                        node.children.append(None)
+                        node.text_parts.append(html[pos:end])  # no unescape
+                    if cm:
+                        em = _END_RE.match(html, end)
+                        pos = em.end() if em else n
+                    else:
+                        pos = n
+                    continue
+                if tag not in _VOID_TAGS:
+                    stack.append(node)
+                continue
+        # not a recognizable construct: literal '<' as text (html.parser
+        # "invalid character" path)
+        node = stack[-1]
+        node.children.append(None)
+        node.text_parts.append("<")
+        pos = lt + 1
+    return root
 
 
 def _iter_text(node: _Node) -> str:
@@ -199,10 +330,20 @@ def extract_html_pages(html: bytes | str) -> list[Page]:
     the whole document as page 1."""
     if isinstance(html, bytes):
         html = html.decode("utf-8", errors="replace")
+    root = _fast_dom(html)
+
+    return _pages_from_root(root)
+
+
+def _reference_dom(html: str) -> _Node:
+    """html.parser-built tree — the reference implementation _fast_dom is
+    differential-tested against."""
     builder = _DomBuilder()
     builder.feed(html)
-    root = builder.root
+    return builder.root
 
+
+def _pages_from_root(root: _Node) -> list[Page]:
     page_nodes: list[_Node] = []
     _find_page_nodes(root, page_nodes)
     if not page_nodes:

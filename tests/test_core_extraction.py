@@ -368,3 +368,52 @@ def test_statement_values_extraction():
     ]
     data = statement_values(rows)
     assert data == {"Revenue": [100.0, 90.0]}
+
+
+def test_fast_dom_equals_htmlparser():
+    """_fast_dom (regex scanner) must produce identical extracted pages to the
+    html.parser reference builder — over the synthetic corpus and a gallery of
+    adversarial constructs (comments, CDATA scripts, quoted '>', bad nesting,
+    entities, incomplete trailing tags)."""
+    from pdf_parser_spark.core import html_extract as H
+    from pdf_parser_spark.sources.corpus import generate_corpus
+
+    def pages_via(dom_fn, html):
+        if isinstance(html, bytes):
+            html = html.decode("utf-8", errors="replace")
+        return H._pages_from_root(dom_fn(html))
+
+    for row in generate_corpus(150, 42):
+        if not row["html"]:
+            continue
+        assert pages_via(H._fast_dom, row["html"]) == pages_via(
+            H._reference_dom, row["html"]), row["url"]
+
+    snippets = [
+        "<p>a &amp; b &#39;c&#39;</p>",
+        "<div class='page'>x<br/>y</div><div class=\"page\">z</div>",
+        "<script>if (a<b) { document.write('<div>no</div>'); }</script><p>keep</p>",
+        "<style>p > a { color: red }</style><p>t</p>",
+        "<!-- <p>gone</p> --><p>here</p>",
+        "<!DOCTYPE html><html><body><p>x</p></body></html>",
+        "<p>unclosed <b>bold <i>ital</p><p>next</p>",
+        "<table><tr><td>a</td><td>b>c</td></tr></table>",
+        "<a href='x.html?a=1&amp;b=2' title=\"q>r\">link</a> 3 < 5 text",
+        "<p>1 < 2 and <3 and < 4</p>",
+        "<img src=x><input type='text'><hr><p>after voids</p>",
+        "<P>UPPER <DIV CLASS='page'>MiXeD</DIV>",
+        "<td nowrap>bare attr</td>",
+        "text only, no tags at all & entities &lt;here&gt;",
+        "<p>trailing open <",
+        "<p>a <b",
+        "<p>a <b attr='unclosed>",
+        "</ x><p>after bogus</p>",
+        "</><p>after empty end</p>",
+        "<p>a</b></p><p>b</p>",
+        "<script>never closed...",
+        "<div  class = 'page'  id='x'>spaced attrs</div>",
+        "<?xml version='1.0'?><p>pi</p>",
+        "<p>a</p >\n<p>b</p>",
+    ]
+    for s in snippets:
+        assert pages_via(H._fast_dom, s) == pages_via(H._reference_dom, s), repr(s)
