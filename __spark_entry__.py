@@ -157,6 +157,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q4_order_priority": R.q4_order_priority,
         "q18_large_orders": R.q18_large_orders,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q10_returned_items": R.q10_returned_items,
+        "q12_priority_by_status": R.q12_priority_by_status,
+        "q13_order_count_distribution": R.q13_order_count_distribution,
+        "q14_promo_revenue": R.q14_promo_revenue,
+        "q15_top_supplier": R.q15_top_supplier,
+        "q19_bracket_revenue": R.q19_bracket_revenue,
+        "q22_dormant_customers": R.q22_dormant_customers,
         # --- structural quality harness (SURVEY §5 level 4; rows-only) ---
         "qc_structural": _qc_structural,
         # --- XBRL dimension operators (N6/N7/V8 relational) ---
@@ -412,6 +420,102 @@ def oracle_sql() -> dict[str, str]:
               AND EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 4) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1999-01-01'
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            ) shipping
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q12_priority_by_status": """
+            SELECT o_orderstatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey) c_orders
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * promo / total, 4) AS promo_revenue_pct
+            FROM (
+                SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0.0 END), 4) AS promo,
+                       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
+            )
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q19_bracket_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_dormant_customers": """
+            SELECT n_name, count(*) AS numcust,
+                   round(sum(c_acctbal), 4) AS totacctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4)
+                               FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= '2000-07-01')
+            GROUP BY n_name ORDER BY n_name
         """,
         "q18_large_orders": """
             SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty

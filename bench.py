@@ -33,12 +33,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and measures SLOWER (verified: 9600 docs, 21.9s at local[32] vs ~12s at
 # local[16]).  The same rule at cluster scale: executor cores = hw/2.
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
-# 38400 amortizes the ~11 s per-run fixed cost (session/plan/sink setup) that
-# dominates small corpora while keeping total bench wall bounded — measured
-# marginal rate is ~1530 docs/s regardless of corpus size (9600 -> 557/s,
-# 38400 -> 1067/s headline on this host; the BENCH/BASELINE.md scaling run
-# uses 76800 and shows the same marginal rate at 8 cores).
-N_DOCS = int(os.environ.get("BENCH_DOCS", "38400"))
+# 76800 amortizes the ~8-10 s per-run fixed cost (session/plan/sink setup +
+# the W1/W2 relational tail) that dominates small corpora while keeping total
+# bench wall bounded; after the fuzzy-floor/fast-DOM kernel work the marginal
+# extraction rate is ~2.5-3x the pre-optimization figures quoted in git
+# history.  The BENCH/BASELINE.md scaling run uses 2x this corpus so the
+# fixed cost is <5% of the slow leg.
+N_DOCS = int(os.environ.get("BENCH_DOCS", "76800"))
 RUN_TS = "2026-08-16T00:00:00Z"
 
 
@@ -143,7 +144,7 @@ def main() -> None:
             int(os.environ.get("BENCH_SCALING_N", "2")),
             int(os.environ.get("BENCH_SCALING_4N", "8")),
         )
-        scaling_docs = int(os.environ.get("BENCH_SCALING_DOCS", str(N_DOCS)))
+        scaling_docs = int(os.environ.get("BENCH_SCALING_DOCS", str(2 * N_DOCS)))
         # interleave the legs A/B/A/B and take min wall per leg: the sandbox
         # host sees multi-minute load swings from neighbors, so back-to-back
         # single samples can skew the RATIO by 30%+; interleaving decorrelates

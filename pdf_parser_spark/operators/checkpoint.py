@@ -43,9 +43,11 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
 
 def write_checkpoint(
     extracted: DataFrame, out_dir: str, run_id: str, mode: str = "append"
-) -> None:
-    """Write results + lineage.  Results are partitioned by status so failed
-    rows are a cheap partition-pruned scan for triage.
+) -> DataFrame:
+    """Write results + lineage; returns the materialized sink DataFrame so
+    downstream stages reuse ONE parquet read (no second directory listing /
+    schema inference).  Results are partitioned by status so failed rows are
+    a cheap partition-pruned scan for triage.
 
     Lineage is aggregated from the ALREADY-WRITTEN sink, not from the input
     plan: aggregating the un-materialized `extracted` would re-execute the
@@ -58,12 +60,14 @@ def write_checkpoint(
         .write.mode(mode).partitionBy("status").parquet(f"{out_dir}/extracted")
     )
     spark = extracted.sparkSession
+    materialized = spark.read.parquet(f"{out_dir}/extracted")
     written = (
-        spark.read.parquet(f"{out_dir}/extracted")
+        materialized
         .where(F.col("run_id") == run_id)
         .select("url", "status")
     )
     lineage_rows(written, run_id).write.mode("append").parquet(f"{out_dir}/lineage")
+    return materialized
 
 
 def pending_urls(spark: SparkSession, pages: DataFrame, out_dir: str) -> DataFrame:

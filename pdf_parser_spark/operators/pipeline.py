@@ -46,10 +46,9 @@ def run_batch(
     spark = pages.sparkSession
     todo = pending_urls(spark, pages, out_dir) if resume else pages
     extracted = extract_stage(todo, run_ts=run_ts)
-    write_checkpoint(extracted, out_dir, run_id=run_id)
-
-    # Relational stages read the materialized, column-pruned sink.
-    materialized = spark.read.parquet(f"{out_dir}/extracted")
+    # Relational stages read the materialized, column-pruned sink returned by
+    # the checkpoint writer (single listing/schema-inference pass).
+    materialized = write_checkpoint(extracted, out_dir, run_id=run_id)
     final = finalize(materialized).select(*CONSISTENCY_COLS)
     final.write.mode("overwrite").parquet(f"{out_dir}/consistency")
     return spark.read.parquet(f"{out_dir}/consistency")

@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import pytest
 
+SF001 = "/root/testdata/sf0.001"
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -1,0 +1,169 @@
+"""Physical-plan regression tests — the 100 TB contract, asserted.
+
+Each test pins a plan property that matters at cluster scale and would
+silently regress without failing any row-level test: column pruning before
+the Arrow exchange, predicate/partition pushdown into parquet scans,
+broadcast (not shuffle) joins for dimensions, and semi/anti join shapes that
+carry only key columns.  Assertions read `.explain("formatted")` output.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF001
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from pdf_parser_spark.sources.pages import synthetic_pages, write_pages
+
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    write_pages(synthetic_pages(spark, n_docs=24), path, buckets=2)
+    return path
+
+
+@pytest.fixture(scope="module")
+def extracted_parquet(spark, pages_parquet, tmp_path_factory):
+    from pdf_parser_spark.operators.extract import extract_stage
+    from pdf_parser_spark.sources.pages import read_pages
+
+    path = str(tmp_path_factory.mktemp("plans") / "extracted")
+    (
+        extract_stage(read_pages(spark, pages_parquet), run_ts="t")
+        .withColumn("run_id", F.lit("r"))
+        .write.partitionBy("status").parquet(path)
+    )
+    return path
+
+
+def test_extraction_scan_prunes_to_arrow_columns(spark, pages_parquet):
+    """Only url/html/text may cross into Python; warc_ts/lang must be pruned
+    AT THE SCAN (ReadSchema), not dropped after deserialization — at 10^12
+    rows reading an unused timestamp column is real I/O."""
+    from pdf_parser_spark.operators.extract import extract_stage
+    from pdf_parser_spark.sources.pages import read_pages
+
+    p = plan(extract_stage(read_pages(spark, pages_parquet), run_ts="t"))
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan, p
+    line = scan[0]
+    assert "url" in line and "html" in line and "text" in line, line
+    assert "warc_ts" not in line and "lang" not in line, line
+
+
+def test_relational_stage_never_rereads_markdown(spark, extracted_parquet):
+    """finalize consumes the checkpointed sink; its scans must prune away the
+    fat markdown column (the whole point of materializing between stages)."""
+    from pdf_parser_spark.operators.consistency import finalize
+    from pdf_parser_spark.operators.pipeline import CONSISTENCY_COLS
+
+    mat = spark.read.parquet(extracted_parquet)
+    p = plan(finalize(mat).select(*CONSISTENCY_COLS))
+    for ln in p.splitlines():
+        if "ReadSchema" in ln:
+            assert "markdown" not in ln, ln
+            assert "spans" not in ln, ln
+
+
+def test_w2_mapping_join_is_broadcast(spark, extracted_parquet):
+    """The label->canonical dictionary is taxonomy-bounded (tiny at any SF):
+    joining it back must be a BroadcastHashJoin, never a shuffle of the
+    exploded fact side."""
+    from pdf_parser_spark.operators.consistency import consistent_mappings
+
+    p = plan(consistent_mappings(spark.read.parquet(extracted_parquet)))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_status_partition_pruning(spark, extracted_parquet):
+    """Failed-row triage reads ONLY the error partition directory."""
+    df = spark.read.parquet(extracted_parquet).where(F.col("status") == "error")
+    p = plan(df.select("url"))
+    assert "PartitionFilters" in p, p
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
+    assert "status" in pf, pf
+
+
+def test_q6_filters_push_to_scan(spark):
+    """Q6's predicates must reach the parquet reader (PushedFilters) so
+    row-group zone maps can skip data at scale."""
+    from pdf_parser_spark.plans.relational import q6_forecast_revenue
+
+    p = plan(q6_forecast_revenue(spark, SF001))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed, p
+    line = pushed[0]
+    assert "l_shipdate" in line and "l_discount" in line and "l_quantity" in line, line
+
+
+def test_q5_dimension_joins_broadcast(spark):
+    """nation/region (constant-size dims) must broadcast — a shuffle join on
+    a 5-row table at 100 TB would shuffle the whole fact side."""
+    from pdf_parser_spark.plans.relational import q5_region_revenue
+
+    p = plan(q5_region_revenue(spark, SF001))
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_q4_semi_join_carries_key_only(spark):
+    """The EXISTS rewrite must be LeftSemi and its build side must project
+    only the join key (no payload columns shuffled)."""
+    from pdf_parser_spark.plans.relational import q4_order_priority
+
+    p = plan(q4_order_priority(spark, SF001))
+    assert "LeftSemi" in p, p
+    for ln in p.splitlines():
+        if "ReadSchema" in ln and "l_orderkey" in ln:
+            assert "l_extendedprice" not in ln and "l_quantity" not in ln, ln
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """NOT EXISTS -> LeftAnti; the global-average comparison must be a
+    broadcast (nested loop over ONE row), never a driver collect."""
+    from pdf_parser_spark.plans.relational import q22_dormant_customers
+
+    p = plan(q22_dormant_customers(spark, SF001))
+    assert "LeftAnti" in p, p
+    assert "Broadcast" in p, p
+
+
+def test_extraction_has_single_shuffle(spark, pages_parquet):
+    """extract_stage = salted repartition + mapInPandas: exactly ONE Exchange
+    in the narrow stage (the explicit salt repartition), nothing else."""
+    from pdf_parser_spark.operators.extract import extract_stage
+    from pdf_parser_spark.sources.pages import read_pages
+
+    p = plan(extract_stage(read_pages(spark, pages_parquet), run_ts="t"))
+    tree = p.split("\n\n")[0]  # the tree section; details repeat node names
+    assert tree.count("Exchange") == 1, p
+
+
+def test_salted_repartition_spreads_heavy_host(spark):
+    """The synthetic corpus puts ~30% of urls on one heavy host.  After the
+    salted xxhash64 repartition no partition may hold more than ~3x the mean
+    row count — the map-stage skew bound that keeps one executor from
+    becoming the straggler at 10^12 rows."""
+    from pdf_parser_spark.operators.extract import salted_repartition
+    from pdf_parser_spark.sources.pages import synthetic_pages
+
+    pages = synthetic_pages(spark, n_docs=640)
+    parts = salted_repartition(pages, num_partitions=16)
+    sizes = (
+        parts.rdd.glom().map(len).collect()
+    )
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 3 * mean, sizes
+    # and the heavy host itself is spread across many partitions
+    heavy = parts.where(F.col("url").contains("example-heavy"))
+    n_parts_with_heavy = (
+        heavy.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert n_parts_with_heavy >= 8, n_parts_with_heavy
