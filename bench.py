@@ -17,6 +17,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
@@ -51,17 +52,37 @@ def _sf_from_dir(path: str) -> float:
         return 0.0
 
 
+_CORPUS_DIRS: dict[int, str] = {}
+
+
+def corpus_parquet(n_docs: int) -> str:
+    """Sharded parquet corpus for n_docs, generated ONCE per process (pyarrow
+    direct write, no JVM) and reused by every leg — both scaling legs read
+    byte-identical input files."""
+    path = _CORPUS_DIRS.get(n_docs)
+    if path is None:
+        from pdf_parser_spark.sources.pages import write_synthetic_pages_parquet
+
+        path = tempfile.mkdtemp(prefix=f"bench_corpus_{n_docs}_")
+        write_synthetic_pages_parquet(path, n_docs)
+        _CORPUS_DIRS[n_docs] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def extraction_throughput(spark, n_docs: int) -> tuple[float, int]:
     """Full-pipeline wall time over n_docs synthetic pages -> (sec, docs).
 
-    Times the production shape (operators/pipeline.py): Arrow extraction ->
-    checkpointed fat sink + lineage -> column-pruned W1/W2 -> narrow
-    consistency sink."""
+    Times the production shape end-to-end (operators/pipeline.py): parquet
+    table scan -> Arrow extraction -> checkpointed fat sink + lineage ->
+    column-pruned W1/W2 -> narrow consistency sink.  The input is a parquet
+    table on disk (the production input shape), not a pre-cached DataFrame;
+    the untimed count() warms the OS page cache so both legs read from RAM."""
     from pdf_parser_spark.operators.pipeline import run_batch
-    from pdf_parser_spark.sources.pages import synthetic_pages
+    from pdf_parser_spark.sources.pages import read_pages
 
-    pages = synthetic_pages(spark, n_docs=n_docs).cache()
-    n = pages.count()  # materialize input outside the timed section
+    pages = read_pages(spark, corpus_parquet(n_docs))
+    n = pages.count()  # untimed: warms page cache + materializes listing
     out_dir = tempfile.mkdtemp(prefix="bench_extract_")
     try:
         t0 = time.perf_counter()
@@ -69,7 +90,6 @@ def extraction_throughput(spark, n_docs: int) -> tuple[float, int]:
         elapsed = time.perf_counter() - t0
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-        pages.unpersist()
     return elapsed, n
 
 

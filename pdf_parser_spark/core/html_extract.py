@@ -107,6 +107,9 @@ _RAWTEXT_CLOSE = {
     tag: re.compile(rf"</{tag}(?=[\t\n\r\f />])|</{tag}$", re.IGNORECASE)
     for tag in ("script", "style")
 }
+# the only tags whose attributes this module reads (class-based page split)
+_ATTR_TAGS = frozenset(("div", "section", "article"))
+_EMPTY_ATTRS: dict[str, str] = {}  # shared read-only sentinel (never mutated)
 
 
 def _parse_attrs(raw: str) -> dict[str, str]:
@@ -181,7 +184,14 @@ def _fast_dom(html: str) -> _Node:
                 # buffers the incomplete tag (and the rest) forever -> drop
             if m:
                 tag = m.group(1).lower()
-                node = _Node(tag, _parse_attrs(m.group(2)))
+                # attrs are only ever consulted on page-container candidates
+                # (_find_page_nodes); skip the attr regex everywhere else
+                attrs = (
+                    _parse_attrs(m.group(2))
+                    if tag in _ATTR_TAGS
+                    else _EMPTY_ATTRS
+                )
+                node = _Node(tag, attrs)
                 stack[-1].children.append(node)
                 pos = m.end()
                 if m.group(3):  # self-closing -> never pushed

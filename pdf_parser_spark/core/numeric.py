@@ -7,6 +7,7 @@ Pure scalar functions plus vectorized pandas variants used by the Arrow stages.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 _CURRENCY_RE = re.compile(r"[$€£]")  # $ € £
 _PAREN_RE = re.compile(r"^\((.+)\)$")
@@ -41,11 +42,13 @@ def parse_numeric(value: str | None) -> float | None:
     return -out if neg else out
 
 
+@lru_cache(maxsize=16384)
 def is_numeric_cell(cell: str) -> bool:
     """True when a table cell is numeric-ish (ref programmatic._is_numeric:778-788).
 
     Dashes and the empty string count as numeric (they are null placeholders in
-    financial tables); parenthetical negatives are accepted.
+    financial tables); parenthetical negatives are accepted.  Memoized — pure,
+    and cell vocabulary repeats across documents.
     """
     cleaned = cell.replace("$", "").replace(",", "").replace(" ", "").strip()
     if cleaned in ("—", "-", "–", ""):

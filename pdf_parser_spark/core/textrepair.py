@@ -7,6 +7,7 @@ Arrow extraction stage, applied to page text and every table cell.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 # Factors tried for repeated-character collapse (ref pdf_extract.py:65)
 _MIN_FACTOR, _MAX_FACTOR = 2, 15
@@ -16,6 +17,7 @@ _MIN_GROUPS = 3
 # run-length gate regexes: a "group" is a maximal run of one non-space char
 _RUN_RE = re.compile(r"([^ ])\1*")
 _MULTI_RUN_RE = re.compile(r"([^ ])\1+")
+_HAS_DIGIT = re.compile(r"\d")
 
 # Financial vocabulary for de-interleave scoring (ref pdf_extract.py:134-145)
 _FIN_TERMS = (
@@ -124,7 +126,11 @@ def deinterleave(text: str) -> str:
     stripped = text.strip()
     if len(stripped) < 10 or len(stripped) >= 60:
         return text
-    if any(c.isdigit() for c in stripped):
+    # \d covers the ASCII case C-side; isdigit() additionally matches
+    # superscript/No-category digits, so non-ASCII strings take the exact path
+    if _HAS_DIGIT.search(stripped) or (
+        not stripped.isascii() and any(c.isdigit() for c in stripped)
+    ):
         return text
     words = stripped.lower().split()
     if words and sum(1 for w in words if w in _KNOWN_WORDS) / len(words) >= 0.4:
@@ -158,7 +164,12 @@ def deinterleave(text: str) -> str:
     return text
 
 
+@lru_cache(maxsize=65536)
 def repair_cell(cell: str) -> str:
     """Cell-level repair order used at extraction time (ref pdf_extract.py:233-236):
-    factor-collapse first, then de-interleave."""
+    factor-collapse first, then de-interleave.
+
+    Memoized: pure function of the cell, and table cells repeat massively
+    across a corpus ('Total', '$', year headers...) — the same broadcast-
+    style amortization as the taxonomy matcher."""
     return deinterleave(collapse_repeated_line(cell))

@@ -38,6 +38,39 @@ def synthetic_pages(spark: SparkSession, n_docs: int = 64, seed: int = 42) -> Da
     return spark.createDataFrame(data, PAGES_SCHEMA)
 
 
+def write_synthetic_pages_parquet(
+    path: str, n_docs: int, seed: int = 42, shard_rows: int = 19200
+) -> str:
+    """Generate the corpus and write sharded parquet with pyarrow directly —
+    no JVM round-trip.  spark.createDataFrame ships every row through the
+    driver's Python->JVM pickler with per-field schema verification, which is
+    minutes-to-hung at 10^5+ fat rows; pyarrow columnar write is seconds, and
+    reading a parquet table is the production input shape anyway
+    (BASELINE.json: the job reads an Iceberg table, not driver memory)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ])
+    rows = generate_corpus(n_docs, seed)
+    os.makedirs(path, exist_ok=True)
+    cols = ("url", "warc_ts", "html", "text", "lang")
+    for shard, start in enumerate(range(0, len(rows), shard_rows)):
+        chunk = rows[start: start + shard_rows]
+        table = pa.Table.from_pydict(
+            {c: [r[c] for r in chunk] for c in cols}, schema=schema
+        )
+        pq.write_table(table, f"{path}/part-{shard:04d}.parquet")
+    return path
+
+
 def write_pages(df: DataFrame, path: str, buckets: int = 8) -> None:
     """Persist with day partitioning + url-hash bucketing-by-repartition."""
     (
