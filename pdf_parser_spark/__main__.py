@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="override master (default: whatever spark-submit set)")
     p.add_argument("--quality-report", action="store_true",
                    help="also print structural 9-check pass rates")
+    p.add_argument("--xbrl-dim", default=None, metavar="PATH|synth",
+                   help="XBRL facts dimension: parquet path, or 'synth' for "
+                        "the corpus-issuer synthetic dim; enables the V8 "
+                        "cross-validation sink (default: off — the "
+                        "reference's --no-xbrl path)")
     args = p.parse_args(argv)
     if bool(args.input) == bool(args.synthesize):
         p.error("exactly one of --input / --synthesize N is required")
@@ -53,11 +58,19 @@ def main(argv: list[str] | None = None) -> int:
 
             pages = synthetic_pages(spark, args.synthesize)
 
+        xbrl_facts = None
+        if args.xbrl_dim == "synth":
+            from pdf_parser_spark.sources.xbrl import corpus_facts_df
+
+            xbrl_facts = corpus_facts_df(spark)
+        elif args.xbrl_dim:
+            xbrl_facts = spark.read.parquet(args.xbrl_dim)
+
         from pdf_parser_spark.operators.pipeline import run_batch
 
         final = run_batch(
             pages, args.output, run_ts=args.run_ts,
-            run_id=args.run_id, resume=args.resume,
+            run_id=args.run_id, resume=args.resume, xbrl_facts=xbrl_facts,
         )
         n = final.count()
 
@@ -67,6 +80,16 @@ def main(argv: list[str] | None = None) -> int:
         print(f"== batch complete: {n} documents -> {args.output}")
         for row in status_summary(extracted).collect():
             print(f"   {row['status']:>10}: {row['n_docs']}")
+
+        if xbrl_facts is not None:
+            from pyspark.sql import functions as F
+
+            xv = spark.read.parquet(f"{args.output}/xbrl_validation")
+            print("== XBRL cross-validation (V8 severity bands)")
+            for row in (
+                xv.groupBy("severity").count().orderBy("severity").collect()
+            ):
+                print(f"   {row['severity']:>10}: {row['count']}")
 
         if args.quality_report:
             from pdf_parser_spark.operators.quality import (

@@ -107,6 +107,7 @@ def _empty_result(url: str, source: str) -> dict[str, Any]:
         "fiscal_year": "",
         "scale": "",
         "source": source,
+        "statement_values": {},
         "spans": [],
         "n_pages": 0,
         "n_sections": 0,
@@ -235,6 +236,17 @@ def _extract_sec(
             vals = statement_values(normalized_rows[key])
             if vals:
                 statements[stmt_type] = vals
+
+    # flat canonical -> first numeric value, first statement wins on overlap
+    # (e.g. Net Income appears in IS and CF; V6 already checks they agree).
+    # Exported as a column so fleet-wide XBRL cross-validation (V8) can run
+    # relationally against the facts dimension (ref pipeline.py:272-317).
+    flat_values: dict[str, float] = {}
+    for stmt in statements.values():
+        for canonical, vals in stmt.items():
+            if canonical not in flat_values and vals:
+                flat_values[canonical] = vals[0]
+    result["statement_values"] = flat_values
 
     checks = run_all_checks(statements) if statements else []
     validation_md = render_checks_markdown(checks)

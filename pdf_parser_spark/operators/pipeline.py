@@ -35,6 +35,7 @@ def run_batch(
     run_ts: str = "",
     run_id: str = "r0",
     resume: bool = False,
+    xbrl_facts: DataFrame | None = None,
 ) -> DataFrame:
     """Full batch run. Writes ``{out_dir}/extracted`` (+ ``lineage``) and
     ``{out_dir}/consistency``; returns the final consistency DataFrame.
@@ -42,6 +43,13 @@ def run_batch(
     With ``resume=True``, pages already present in the extracted sink are
     anti-joined away first (north-rule resumability) and the relational
     stages run over the union of old + new results.
+
+    With ``xbrl_facts`` (the pre-materialized EDGAR-shaped dimension, the
+    engine's stand-in for the reference's per-document HTTP fetch,
+    ref pipeline.py:272-317), a fleet-wide V8 cross-validation sink
+    ``{out_dir}/xbrl_validation`` is also written — per-(url, concept)
+    severity of PDF-vs-XBRL disagreement.  Omitting it is the reference's
+    --no-xbrl path (the byte-identity target).
     """
     spark = pages.sparkSession
     todo = pending_urls(spark, pages, out_dir) if resume else pages
@@ -49,6 +57,12 @@ def run_batch(
     # Relational stages read the materialized, column-pruned sink returned by
     # the checkpoint writer (single listing/schema-inference pass).
     materialized = write_checkpoint(extracted, out_dir, run_id=run_id)
+    if xbrl_facts is not None:
+        from pdf_parser_spark.operators.xbrl import fleet_cross_validate
+
+        fleet_cross_validate(materialized, xbrl_facts).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/xbrl_validation")
     final = finalize(materialized).select(*CONSISTENCY_COLS)
     final.write.mode("overwrite").parquet(f"{out_dir}/consistency")
     return spark.read.parquet(f"{out_dir}/consistency")

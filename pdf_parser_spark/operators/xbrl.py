@@ -124,3 +124,68 @@ def cross_validate(pdf_values: DataFrame, xbrl_values: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("severity")
     )
+
+
+# XBRL US-GAAP concept -> taxonomy canonical (the slice of the reference's
+# xbrl_taxonomy_map.yaml covering the synthesized facts dimension's concepts;
+# ref edgar_client.py:160-175 loads the full map the same shape)
+CONCEPT_CANONICAL: dict[str, str] = {
+    "Revenues": "Revenue",
+    "NetIncomeLoss": "Net Income",
+    "Assets": "Total Assets",
+    "Liabilities": "Total Liabilities",
+    "StockholdersEquity": "Total Stockholders' Equity",
+    "CashAndCashEquivalentsAtCarryingValue": "Cash & Cash Equivalents",
+}
+
+
+def fleet_cross_validate(extracted: DataFrame, facts: DataFrame) -> DataFrame:
+    """V8 fleet-wide: per-(url, concept) severity of PDF-vs-XBRL disagreement
+    (ref pipeline.py:272-317 + confidence.py:30-84, relational edition).
+
+    extracted carries statement_values (canonical -> extracted value) from the
+    Arrow stage; facts is the pre-materialized XBRL dimension.  Plan: explode
+    the per-doc map (narrow), broadcast-join the concept dictionary and the
+    N6-reduced most-recent facts — the fact dimension is bounded by
+    (companies x concepts), tiny next to the corpus, so the fact side is
+    always the broadcast build side and the corpus never shuffles.
+
+    Returns (url, cik, concept, pdf_val, xbrl_val, severity).
+    """
+    spark = extracted.sparkSession
+    concept_dim = spark.createDataFrame(
+        [(k, v) for k, v in CONCEPT_CANONICAL.items()],
+        "concept string, canonical string",
+    )
+    latest = (
+        statement_facts(facts, max_periods=1)
+        .select("cik", "concept", F.col("val").alias("xbrl_val"))
+    )
+    pdf_vals = (
+        extracted
+        .where((F.col("status") == "ok") & (F.col("cik") != ""))
+        .select(
+            "url",
+            # cover pages print the cik unpadded; EDGAR keys are 10-digit
+            # zero-padded (ref edgar_client.py CIK{int(cik):010d})
+            F.lpad(F.col("cik"), 10, "0").alias("cik"),
+            F.explode("statement_values").alias("canonical", "pdf_val"),
+        )
+        .join(F.broadcast(concept_dim), "canonical")
+    )
+    rel = F.abs(F.col("pdf_val") - F.col("xbrl_val")) / F.greatest(
+        F.abs(F.col("xbrl_val")), F.lit(1.0)
+    )
+    severity = (
+        F.when(F.col("xbrl_val").isNull(), "pdf_only")
+        .when(rel <= 0.01, "match")
+        .when(rel <= 0.05, "minor")
+        .otherwise("major")
+    )
+    return (
+        pdf_vals.join(F.broadcast(latest), ["cik", "concept"], "left")
+        .select(
+            "url", "cik", "concept", "pdf_val", "xbrl_val",
+            severity.alias("severity"),
+        )
+    )

@@ -60,17 +60,23 @@ def submissions_rows(n_companies: int = 8, seed: int = 42) -> list[tuple]:
     return rows
 
 
-def facts_rows(n_companies: int = 8, seed: int = 42) -> list[tuple]:
+def facts_rows(
+    n_companies: int = 8, seed: int = 42, ciks: list[str] | None = None
+) -> list[tuple]:
     """(cik, concept, unit, accn, start_date, end_date, val, segment).
 
     Exercises every N6 rule: multiple units per concept (preference order),
     segment-tagged rows (must be skipped, edgar_client.py:229-230), >4 end
     dates (keep most recent 4), and per-end-date duration ties (keep the
-    longest, edgar_client.py:255-275)."""
+    longest, edgar_client.py:255-275).  Pass ``ciks`` to generate facts for
+    specific companies (e.g. the synthetic corpus issuers) instead of the
+    default derived cik sequence."""
     rng = random.Random(seed + 1)
     rows = []
-    for c in range(n_companies):
-        cik = f"{1000000 + 137 * c:010d}"
+    cik_list = ciks if ciks is not None else [
+        f"{1000000 + 137 * c:010d}" for c in range(n_companies)
+    ]
+    for cik in cik_list:
         for concept in _CONCEPTS:
             base = rng.randrange(10_000, 5_000_000)
             for qi, end_s in enumerate(_QUARTER_ENDS):
@@ -157,8 +163,21 @@ def submissions_df(spark: SparkSession, n_companies: int = 8, seed: int = 42) ->
     return spark.createDataFrame(submissions_rows(n_companies, seed), SUBMISSIONS_SCHEMA)
 
 
-def facts_df(spark: SparkSession, n_companies: int = 8, seed: int = 42) -> DataFrame:
-    return spark.createDataFrame(facts_rows(n_companies, seed), FACTS_SCHEMA)
+def facts_df(
+    spark: SparkSession,
+    n_companies: int = 8,
+    seed: int = 42,
+    ciks: list[str] | None = None,
+) -> DataFrame:
+    return spark.createDataFrame(facts_rows(n_companies, seed, ciks), FACTS_SCHEMA)
+
+
+def corpus_facts_df(spark: SparkSession, seed: int = 42) -> DataFrame:
+    """Facts dimension for the synthetic corpus issuers (sources/corpus.py
+    COMPANIES) — the dimension the batch job's --xbrl stage joins."""
+    from pdf_parser_spark.sources.corpus import COMPANIES
+
+    return facts_df(spark, seed=seed, ciks=[cik for _n, _t, cik in COMPANIES])
 
 
 def _sql_lit(v) -> str:

@@ -325,3 +325,35 @@ def test_job_cli_smoke(spark, monkeypatch, capsys):
         assert spark.read.parquet(f"{out}/consistency").count() > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_fleet_xbrl_cross_validation(spark, tmp_path):
+    """V8 fleet-wide: the batch job with an XBRL dimension writes a
+    per-(url, concept) severity sink joined on the corpus issuers' ciks
+    (ref pipeline.py:272-317 as a broadcast join, not per-doc HTTP)."""
+    from pdf_parser_spark.operators.pipeline import run_batch
+    from pdf_parser_spark.sources.pages import synthetic_pages
+    from pdf_parser_spark.sources.xbrl import corpus_facts_df
+
+    out = str(tmp_path / "xv")
+    run_batch(
+        synthetic_pages(spark, n_docs=40),
+        out,
+        run_ts="2026-08-16T00:00:00Z",
+        xbrl_facts=corpus_facts_df(spark),
+    )
+    xv = spark.read.parquet(f"{out}/xbrl_validation")
+    rows = xv.collect()
+    assert rows, "no cross-validation rows"
+    assert set(xv.columns) == {
+        "url", "cik", "concept", "pdf_val", "xbrl_val", "severity"
+    }
+    sevs = {r["severity"] for r in rows}
+    assert sevs <= {"match", "minor", "major", "pdf_only"}
+    # the synthetic facts are independent of the corpus numbers, so joined
+    # concepts must exist and disagree (major) rather than silently match
+    joined = [r for r in rows if r["xbrl_val"] is not None]
+    assert joined, "facts dimension never joined by cik"
+    # every ok filing with a cik contributes rows
+    n_urls = xv.select("url").distinct().count()
+    assert n_urls >= 20, n_urls
