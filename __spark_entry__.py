@@ -124,6 +124,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pdfv = spark.createDataFrame(X.pdf_values_rows(), X.PDF_VALUES_SCHEMA)
         return cross_validate(pdfv, xv)
 
+    def _x_fleet(spark, sf_dir):
+        """Fleet-wide V8: extraction's exported statement_values broadcast-
+        joined against the corpus-issuer facts dimension (rows-only — the PDF
+        side comes out of the Arrow extraction stage, not SQL)."""
+        from pdf_parser_spark.operators.extract import extract_stage
+        from pdf_parser_spark.operators.xbrl import fleet_cross_validate
+        from pdf_parser_spark.sources.pages import synthetic_pages
+        from pdf_parser_spark.sources.xbrl import corpus_facts_df
+
+        extracted = extract_stage(
+            synthetic_pages(spark, n_docs=60), run_ts=RUN_TS
+        )
+        return fleet_cross_validate(extracted, corpus_facts_df(spark)).orderBy(
+            "url", "concept"
+        )
+
     def _emb(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -171,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_accession_lookup": _x_accession,
         "x_statement_facts": _x_facts,
         "x_cross_validate": _x_crossval,
+        "x_fleet_cross_validate": _x_fleet,
         # --- text analysis ---
         "t_token_count": lambda s, d: textstats.token_count(_docs(s, d)),
         "t_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),

@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         # html/markdown rows are fat: keep scan partitions modest
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # markdown/text columns compress ~2x better under zstd than snappy at
+        # equal-or-less write wall (measured: 10.8 -> 5.9 MB, 1.58 -> 1.43 s
+        # on the extracted sink) — at 100 TB the scan I/O saving dominates
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
