@@ -89,6 +89,15 @@ SECTION_PATTERNS: list[tuple[str, re.Pattern[str]]] = [
 
 _PATTERN_BY_KEY = dict(SECTION_PATTERNS)
 
+# Superset prefilter: every SECTION_PATTERNS regex REQUIRES one of these
+# literals (CONSOLIDATED for the five statements, NOTES, MANAGEMENT,
+# QUANTITATIVE, CONTROLS, Item for the Item-prefixed keys, SIGNATURE), so a
+# page with no hint can match no pattern — one C-regex scan replaces 13.
+_SECTION_HINT = re.compile(
+    r"CONSOLIDATED|NOTES|MANAGEMENT|QUANTITATIVE|CONTROLS|ITEM|SIGNATURE",
+    re.IGNORECASE,
+)
+
 # Per-key page caps (ref section_split.py:428-435)
 _MAX_PAGES = {
     INCOME_STATEMENT: 5,
@@ -141,7 +150,15 @@ def is_toc_page(text: str) -> bool:
             return True
         return True  # header-area TOC without financial data, or buried TOC
     # fallback: a page matching >=4 section patterns is likely a TOC
-    return sum(1 for _k, pat in SECTION_PATTERNS if pat.search(text)) >= 4
+    if not _SECTION_HINT.search(text):
+        return False  # no pattern can match (hint is a required-literal superset)
+    hits = 0
+    for _k, pat in SECTION_PATTERNS:
+        if pat.search(text):
+            hits += 1
+            if hits >= 4:
+                return True
+    return False
 
 
 # --- heading validation (ref section_split.py:163-223) ----------------------
@@ -197,6 +214,9 @@ def _find_starts(pages: Sequence[Page]) -> list[tuple[str, int]]:
     found: list[tuple[str, int]] = []
     seen: set[str] = set()
     for page in pages:
+        if not _SECTION_HINT.search(page.text):
+            continue  # no heading pattern can match; skips TOC check too
+            # (a TOC page always carries section hints, so nothing is lost)
         if is_toc_page(page.text):
             continue  # the reference's "partition pruning" analog
         for key, pattern in SECTION_PATTERNS:

@@ -138,3 +138,25 @@ def test_corpus_is_deterministic():
     a = generate_corpus(16, seed=42)
     b = generate_corpus(16, seed=42)
     assert a == b
+
+
+def test_corpus_golden_hash():
+    """Change-detector over the whole extraction surface: md5 of
+    (url, status, markdown, mappings, statement_values) for 120 corpus docs.
+    Catches ANY unintended semantic drift from refactors/optimizations — every
+    performance change must reproduce this hash bit-for-bit (recompute and
+    update ONLY for a deliberate, reviewed semantic change)."""
+    import hashlib
+
+    from pdf_parser_spark.core.document import extract_document
+    from pdf_parser_spark.sources.corpus import generate_corpus
+
+    h = hashlib.md5()
+    for r in generate_corpus(120, 42):
+        d = extract_document(r["url"], r["html"], r["text"], "2026-08-16T00:00:00Z")
+        h.update(d["url"].encode())
+        h.update(d["status"].encode())
+        h.update(d["markdown"].encode())
+        h.update(repr(sorted(d["mappings"].items())).encode())
+        h.update(repr(sorted(d["statement_values"].items())).encode())
+    assert h.hexdigest() == "c764eaa691b09ca5512b67b13b7c8543"
