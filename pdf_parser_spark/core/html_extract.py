@@ -90,42 +90,48 @@ class _DomBuilder(HTMLParser):
 # remains the reference implementation and the fallback.
 # ---------------------------------------------------------------------------
 
-# start tag: name + quote-aware attr region, optional self-close slash
-_START_RE = re.compile(
-    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"        # tag name (html.parser tagfind)
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)"     # attrs, quotes may hide >
-    r"(/?)>",
+# start-tag machinery: the stdlib's OWN tolerant regexes, so the fast scanner
+# terminates/buffers start tags exactly where html.parser does (quoted values
+# only consume when closed; junk-terminated tags re-emit as data, mirroring
+# HTMLParser.check_for_whole_start_tag/parse_starttag)
+from html.parser import (  # noqa: E402  (regex constants, stable since 3.x)
+    attrfind_tolerant as _ATTRFIND,
+    locatestarttagend_tolerant as _LOCATE_START_END,
+    tagfind_tolerant as _TAGFIND,
 )
+
+_NEXT_BUFFERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
 _END_RE = re.compile(r"</\s*([a-zA-Z][^\t\n\r\f >]*)[^>]*>")
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _DECL_RE = re.compile(r"<![^>]*>")
 _PI_RE = re.compile(r"<\?[^>]*>")
-_ATTR_RE = re.compile(
-    r"([^\s/>=]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
-)
 _RAWTEXT_CLOSE = {
     tag: re.compile(rf"</{tag}(?=[\t\n\r\f />])|</{tag}$", re.IGNORECASE)
     for tag in ("script", "style")
 }
 # the only tags whose attributes this module reads (class-based page split)
 _ATTR_TAGS = frozenset(("div", "section", "article"))
+_WS_OR_SEMI = re.compile(r"[\s;]")
 _EMPTY_ATTRS: dict[str, str] = {}  # shared read-only sentinel (never mutated)
 
 
-def _parse_attrs(raw: str) -> dict[str, str]:
-    if not raw or raw.isspace():
-        return {}
+def _parse_attrs_tolerant(html: str, k: int, endpos: int) -> dict[str, str]:
+    """Attribute dict over html[k:endpos] using the stdlib attrfind_tolerant
+    loop — same splits/quoting/entity handling as HTMLParser.parse_starttag."""
     attrs: dict[str, str] = {}
-    for m in _ATTR_RE.finditer(raw):
-        name = m.group(1).lower()
-        val = m.group(2)
-        if val is None:
-            val = ""
-        elif val[:1] in "\"'" and val[:1] == val[-1:] and len(val) >= 2:
-            val = val[1:-1]
-        if "&" in val:
-            val = unescape(val)
-        attrs[name] = val
+    while k < endpos:
+        m = _ATTRFIND.match(html, k)
+        if not m:
+            break
+        name, rest, value = m.group(1, 2, 3)
+        if not rest:
+            value = ""
+        elif (value[:1] == "'" == value[-1:]) or (value[:1] == '"' == value[-1:]):
+            value = value[1:-1]
+        if value and "&" in value:
+            value = unescape(value)
+        attrs[name.lower()] = value or ""
+        k = m.end()
     return attrs
 
 
@@ -139,6 +145,12 @@ def _fast_dom(html: str) -> _Node:
         lt = find("<", pos)
         if lt < 0:
             text = html[pos:]
+            # html.parser buffers the WHOLE trailing segment when its last
+            # '&' (within 34 chars of EOF) could open a truncated charref
+            # (no whitespace/';' after it) — mirror that drop
+            amppos = text.rfind("&", max(0, len(text) - 34))
+            if amppos >= 0 and not _WS_OR_SEMI.search(text, amppos):
+                break
             if text:
                 node = stack[-1]
                 node.children.append(None)
@@ -150,8 +162,8 @@ def _fast_dom(html: str) -> _Node:
             node.children.append(None)
             node.text_parts.append(unescape(text) if "&" in text else text)
         nxt = html[lt + 1: lt + 2]
-        if nxt == "" or (nxt.isalpha() and find(">", lt) < 0):
-            break  # incomplete construct at EOF: html.parser buffers & drops
+        if nxt == "":
+            break  # lone '<' at EOF: html.parser buffers & drops
         if nxt == "/":
             m = _END_RE.match(html, lt)
             if m:
@@ -177,41 +189,59 @@ def _fast_dom(html: str) -> _Node:
             m = _PI_RE.match(html, lt)
             pos = m.end() if m else n
             continue
-        elif nxt.isalpha():
-            m = _START_RE.match(html, lt)
-            if m is None:
-                break  # '>' hidden inside an unbalanced quote: html.parser
-                # buffers the incomplete tag (and the rest) forever -> drop
-            if m:
-                tag = m.group(1).lower()
-                # attrs are only ever consulted on page-container candidates
-                # (_find_page_nodes); skip the attr regex everywhere else
-                attrs = (
-                    _parse_attrs(m.group(2))
-                    if tag in _ATTR_TAGS
-                    else _EMPTY_ATTRS
-                )
-                node = _Node(tag, attrs)
-                stack[-1].children.append(node)
-                pos = m.end()
-                if m.group(3):  # self-closing -> never pushed
-                    continue
-                if tag in _RAWTEXT_CLOSE:
-                    # CDATA content model: raw text until the matching close
-                    cm = _RAWTEXT_CLOSE[tag].search(html, pos)
-                    end = cm.start() if cm else n
-                    if end > pos:
-                        node.children.append(None)
-                        node.text_parts.append(html[pos:end])  # no unescape
-                    if cm:
-                        em = _END_RE.match(html, end)
-                        pos = em.end() if em else n
-                    else:
-                        pos = n
-                    continue
-                if tag not in _VOID_TAGS:
-                    stack.append(node)
+        elif "a" <= nxt <= "z" or "A" <= nxt <= "Z":  # ASCII only: html.parser
+            # rejects '<º' as a tag ('º'.isalpha() is True but not [a-zA-Z])
+            # mirror HTMLParser.check_for_whole_start_tag exactly
+            lm = _LOCATE_START_END.match(html, lt)
+            j = lm.end()
+            after = html[j: j + 1]
+            if after == ">":
+                endpos = j + 1
+                self_closing = False
+            elif after == "/" and html.startswith("/>", j):
+                endpos = j + 2
+                self_closing = True
+            elif after == "" or after in _NEXT_BUFFERS or after == "/":
+                break  # incomplete at buffer end: html.parser waits -> drop
+            else:
+                # bogus-but-terminated tag: html.parser emits it as RAW data
+                # (no charref conversion on this path)
+                endpos = j if j > lt else lt + 1
+                node = stack[-1]
+                node.children.append(None)
+                node.text_parts.append(html[lt:endpos])
+                pos = endpos
                 continue
+            tm = _TAGFIND.match(html, lt + 1)
+            tag = tm.group(1).lower()
+            # attrs are only ever consulted on page-container candidates
+            # (_find_page_nodes); skip the attr regex everywhere else
+            attrs = (
+                _parse_attrs_tolerant(html, tm.end(), j)
+                if tag in _ATTR_TAGS
+                else _EMPTY_ATTRS
+            )
+            node = _Node(tag, attrs)
+            stack[-1].children.append(node)
+            pos = endpos
+            if self_closing:  # never pushed
+                continue
+            if tag in _RAWTEXT_CLOSE:
+                # CDATA content model: raw text until the matching close
+                cm = _RAWTEXT_CLOSE[tag].search(html, pos)
+                end = cm.start() if cm else n
+                if end > pos:
+                    node.children.append(None)
+                    node.text_parts.append(html[pos:end])  # no unescape
+                if cm:
+                    em = _END_RE.match(html, end)
+                    pos = em.end() if em else n
+                else:
+                    pos = n
+                continue
+            if tag not in _VOID_TAGS:
+                stack.append(node)
+            continue
         # not a recognizable construct: literal '<' as text (html.parser
         # "invalid character" path)
         node = stack[-1]

@@ -240,7 +240,9 @@ def normalize_rows(rows: list[list[str]]) -> list[list[str]]:
                     # default-index path -> memoized (labels repeat massively);
                     # canonical-only scan skips sub-threshold ratio work
                     canonical = _canonical_default_index(first.lower()) or ""
-        out.append([row[0], canonical] + row[1:])
+        # ref normalize.py:144 indexes row[0] unguarded (its callers filter
+        # empty rows); fail-soft here: an empty row passes through unchanged
+        out.append([row[0], canonical] + row[1:] if row else [])
     return out
 
 

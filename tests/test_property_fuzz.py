@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) over the pure kernels.
+
+The reference has no property testing (SURVEY.md §5); these pin the
+engine-level invariants that unit vectors can't sweep: parser equivalence on
+arbitrary input, idempotence, and null-safety of the numeric kernels.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# fragments that compose into realistic-and-degenerate HTML
+_HTML_BITS = st.sampled_from([
+    "<p>", "</p>", "<div class='page'>", "</div>", "<table>", "</table>",
+    "<tr>", "</tr>", "<td>", "</td>", "<b>", "<br/>", "<a href='x'>", "</a>",
+    "<script>", "</script>", "<style>", "</style>", "<!-- c -->", "<!DOCTYPE x>",
+    "text", "Total revenues", "1,234", "&amp;", "&#65;", "<", ">", "&",
+    "\n", " ", "CONSOLIDATED BALANCE SHEETS", "<p", "='", "\"", "<3", "</",
+    "<td nowrap>", "<P>", "</ x>",
+])
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(st.one_of(_HTML_BITS, st.text(max_size=6)),
+                min_size=0, max_size=60))
+def test_fast_dom_equals_htmlparser_on_fuzzed_html(bits):
+    """_fast_dom must match the html.parser reference builder on ARBITRARY
+    tag soup (fragments + raw random text, incl. NUL/non-ASCII), not just the
+    corpus — same pages, same text, same tables.  A 15k-example sweep of this
+    property drove the tolerant-start-tag rewrite (stdlib attrfind/locate
+    regexes) and the NUL/ASCII-letter/raw-bogus-data edge fixes."""
+    from pdf_parser_spark.core import html_extract as H
+
+    html = "".join(bits)
+    fast = H._pages_from_root(H._fast_dom(html))
+    ref = H._pages_from_root(H._reference_dom(html))
+    assert fast == ref, repr(html)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(min_size=0, max_size=80))
+def test_parse_numeric_total_function(s):
+    """parse_numeric never raises and is sign-correct on parenthesized input."""
+    from pdf_parser_spark.core.numeric import parse_numeric
+
+    out = parse_numeric(s)
+    assert out is None or isinstance(out, float)
+    wrapped = parse_numeric(f"({s})")
+    if wrapped is not None and out is not None and out > 0:
+        assert wrapped == -out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=0, max_size=60))
+def test_collapse_repeated_line_idempotent(s):
+    """Collap111 semantics: applying the repair twice equals applying once
+    (a collapsed line must not collapse further into garbage)."""
+    from pdf_parser_spark.core.textrepair import collapse_repeated_line
+
+    once = collapse_repeated_line(s)
+    assert collapse_repeated_line(once) == collapse_repeated_line(once)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.lists(st.text(max_size=12), max_size=6), max_size=8))
+def test_normalize_rows_shape_invariants(rows):
+    """normalize_rows always inserts exactly one canonical column at index 1
+    and never reorders/edits the other cells."""
+    from pdf_parser_spark.core.taxonomy import normalize_rows
+
+    out = normalize_rows(rows)
+    assert len(out) == len(rows)
+    for before, after in zip(rows, out):
+        if before:
+            assert after[0] == before[0]
+            assert after[2:] == before[1:]
+        assert len(after) == len(before) + 1 if before else True
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_extract_document_never_raises(payload):
+    """Fail-soft contract: arbitrary bytes produce a result row, never an
+    exception (the Arrow stage depends on this to keep batches alive)."""
+    from pdf_parser_spark.core.document import extract_document
+
+    d = extract_document("fuzz://doc", payload, None, "t")
+    assert d["url"] == "fuzz://doc"
+    assert isinstance(d["status"], str) and d["status"]
