@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="override master (default: whatever spark-submit set)")
     p.add_argument("--quality-report", action="store_true",
                    help="also print structural 9-check pass rates")
+    p.add_argument("--dedup", action="store_true",
+                   help="collapse byte-identical pages (min-url keeper) "
+                        "before extraction — crawl mirrors never reach the "
+                        "Python stage")
     p.add_argument("--xbrl-dim", default=None, metavar="PATH|synth",
                    help="XBRL facts dimension: parquet path, or 'synth' for "
                         "the corpus-issuer synthetic dim; enables the V8 "
@@ -71,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
         final = run_batch(
             pages, args.output, run_ts=args.run_ts,
             run_id=args.run_id, resume=args.resume, xbrl_facts=xbrl_facts,
+            dedup=args.dedup,
         )
         n = final.count()
 

@@ -20,6 +20,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 from pdf_parser_spark.operators.checkpoint import pending_urls, write_checkpoint
 from pdf_parser_spark.operators.consistency import finalize
 from pdf_parser_spark.operators.extract import extract_stage
@@ -29,6 +32,26 @@ CONSISTENCY_COLS = [
 ]
 
 
+def dedup_pages(pages):
+    """Exact-content dedup BEFORE the Arrow stage: keep the min-url row per
+    content fingerprint.  At Common-Crawl scale a large fraction of pages are
+    byte-identical mirrors — dropping them ahead of extraction saves the
+    expensive Python work, not just sink space.  One shuffle on the md5 of
+    (html, text); deterministic keeper (min url) so retries are stable."""
+    fp = F.md5(F.concat(
+        F.coalesce(F.col("html").cast("string"), F.lit("")),
+        F.lit("\x00"),
+        F.coalesce(F.col("text"), F.lit("")),
+    ))
+    w_min = F.min("url").over(Window.partitionBy("fp"))
+    return (
+        pages.withColumn("fp", fp)
+        .withColumn("keep_url", w_min)
+        .where(F.col("url") == F.col("keep_url"))
+        .drop("fp", "keep_url")
+    )
+
+
 def run_batch(
     pages: DataFrame,
     out_dir: str,
@@ -36,6 +59,7 @@ def run_batch(
     run_id: str = "r0",
     resume: bool = False,
     xbrl_facts: DataFrame | None = None,
+    dedup: bool = False,
 ) -> DataFrame:
     """Full batch run. Writes ``{out_dir}/extracted`` (+ ``lineage``) and
     ``{out_dir}/consistency``; returns the final consistency DataFrame.
@@ -50,9 +74,15 @@ def run_batch(
     ``{out_dir}/xbrl_validation`` is also written — per-(url, concept)
     severity of PDF-vs-XBRL disagreement.  Omitting it is the reference's
     --no-xbrl path (the byte-identity target).
+
+    With ``dedup=True``, byte-identical pages (html+text fingerprint) are
+    collapsed to their min-url representative BEFORE extraction — the mirror
+    fraction of a web crawl never reaches the Python stage.
     """
     spark = pages.sparkSession
     todo = pending_urls(spark, pages, out_dir) if resume else pages
+    if dedup:
+        todo = dedup_pages(todo)
     extracted = extract_stage(todo, run_ts=run_ts)
     # Relational stages read the materialized, column-pruned sink returned by
     # the checkpoint writer (single listing/schema-inference pass).

@@ -357,3 +357,26 @@ def test_fleet_xbrl_cross_validation(spark, tmp_path):
     # every ok filing with a cik contributes rows
     n_urls = xv.select("url").distinct().count()
     assert n_urls >= 20, n_urls
+
+
+def test_dedup_pages_before_extraction(spark):
+    """dedup=True collapses byte-identical pages to the min-url keeper BEFORE
+    the Arrow stage (crawl mirrors never reach Python)."""
+    from pdf_parser_spark.operators.pipeline import dedup_pages, run_batch
+
+    base = synthetic_pages(spark, 10)
+    mirror = base.withColumn("url", F.concat(F.lit("zz-mirror://"), F.col("url")))
+    pages = base.unionByName(mirror)  # 20 rows, 10 distinct payloads
+
+    deduped = dedup_pages(pages)
+    urls = [r["url"] for r in deduped.select("url").collect()]
+    assert len(urls) == 10
+    assert all(not u.startswith("zz-mirror://") for u in urls)  # min-url keeper
+
+    out = tempfile.mkdtemp(prefix="dedup_batch_")
+    try:
+        final = run_batch(pages, out, run_ts=RUN_TS, dedup=True)
+        assert final.count() == 10
+        assert spark.read.parquet(f"{out}/extracted").count() == 10
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
