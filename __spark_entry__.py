@@ -473,10 +473,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_priority_by_status": """
             SELECT o_orderstatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
             GROUP BY o_orderstatus ORDER BY o_orderstatus

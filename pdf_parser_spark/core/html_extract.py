@@ -87,7 +87,8 @@ class _DomBuilder(HTMLParser):
 # Python dispatch.  Produces the same _Node tree as _DomBuilder for the HTML
 # constructs this module consumes (differential-tested in
 # tests/test_core_extraction.py::test_fast_dom_equals_htmlparser).  html.parser
-# remains the reference implementation and the fallback.
+# remains the reference implementation the fast scanner is held equal to;
+# extract_html_pages always runs the fast scanner (no runtime fallback).
 # ---------------------------------------------------------------------------
 
 # start-tag machinery: the stdlib's OWN tolerant regexes, so the fast scanner
@@ -101,38 +102,57 @@ from html.parser import (  # noqa: E402  (regex constants, stable since 3.x)
 )
 
 _NEXT_BUFFERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
-_END_RE = re.compile(r"</\s*([a-zA-Z][^\t\n\r\f >]*)[^>]*>")
-_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+# end tags: the stdlib tries the STRICT endtagfind first (</\s*name\s*>, narrow
+# name charset), then falls back to tagfind_tolerant at i+2 (no leading
+# whitespace, name stops at / > \x00 or space), then '</>' / bogus-comment
+_END_STRICT = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_COMMENT_CLOSE = re.compile(r"--\s*>")  # stdlib _commentclose: '-- >' closes too
 _DECL_RE = re.compile(r"<![^>]*>")
 _PI_RE = re.compile(r"<\?[^>]*>")
+# marked sections (<![CDATA[..]]>, <![if ..]>): stdlib parse_marked_section
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MARKED_STD = frozenset(("temp", "cdata", "ignore", "include", "rcdata"))
+_MARKED_MS = frozenset(("if", "else", "endif"))
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")
+# CDATA content model: html.parser 3.x sets interesting = '</\s*script\s*>'
+# (the FULL strict close tag) — '</script foo>' does NOT terminate a script
 _RAWTEXT_CLOSE = {
-    tag: re.compile(rf"</{tag}(?=[\t\n\r\f />])|</{tag}$", re.IGNORECASE)
+    tag: re.compile(rf"</\s*{tag}\s*>", re.IGNORECASE)
     for tag in ("script", "style")
 }
 # the only tags whose attributes this module reads (class-based page split)
 _ATTR_TAGS = frozenset(("div", "section", "article"))
+# tag-body chars that can change parse_starttag's end-decision (self-closing
+# vs start vs bogus-raw-data); bodies without them never stall the attr walk
+_SUSPECT = re.compile(r"[/'\"=]")
 _WS_OR_SEMI = re.compile(r"[\s;]")
 _EMPTY_ATTRS: dict[str, str] = {}  # shared read-only sentinel (never mutated)
 
 
-def _parse_attrs_tolerant(html: str, k: int, endpos: int) -> dict[str, str]:
-    """Attribute dict over html[k:endpos] using the stdlib attrfind_tolerant
-    loop — same splits/quoting/entity handling as HTMLParser.parse_starttag."""
+def _parse_attrs_tolerant(
+    html: str, k: int, endpos: int, collect: bool
+) -> tuple[dict[str, str], int]:
+    """Stdlib attrfind_tolerant walk over html[k:endpos] — same splits/
+    quoting/entity handling as HTMLParser.parse_starttag.  Returns the attr
+    dict (empty unless ``collect``) and the position where the walk stopped;
+    the CALLER must apply parse_starttag's end-decision on html[k:endpos]."""
     attrs: dict[str, str] = {}
     while k < endpos:
         m = _ATTRFIND.match(html, k)
         if not m:
             break
-        name, rest, value = m.group(1, 2, 3)
-        if not rest:
-            value = ""
-        elif (value[:1] == "'" == value[-1:]) or (value[:1] == '"' == value[-1:]):
-            value = value[1:-1]
-        if value and "&" in value:
-            value = unescape(value)
-        attrs[name.lower()] = value or ""
+        if collect:
+            name, rest, value = m.group(1, 2, 3)
+            if not rest:
+                value = ""
+            elif (value[:1] == "'" == value[-1:]) or (value[:1] == '"' == value[-1:]):
+                value = value[1:-1]
+            if value and "&" in value:
+                value = unescape(value)
+            attrs[name.lower()] = value or ""
         k = m.end()
-    return attrs
+    return attrs, k
 
 
 def _fast_dom(html: str) -> _Node:
@@ -165,25 +185,74 @@ def _fast_dom(html: str) -> _Node:
         if nxt == "":
             break  # lone '<' at EOF: html.parser buffers & drops
         if nxt == "/":
-            m = _END_RE.match(html, lt)
-            if m:
-                tag = m.group(1).lower()
-                for i in range(len(stack) - 1, 0, -1):
-                    if stack[i].tag == tag:
-                        del stack[i:]
-                        break
-                pos = m.end()
+            if find(">", lt + 1) < 0:
+                break  # no '>' anywhere: html.parser buffers forever -> drop
+            m = _END_STRICT.match(html, lt)
+            if m is None:
+                tm = _TAGFIND.match(html, lt + 2)
+                if tm is not None:
+                    # tolerant path: pop the clean name, skip junk to '>'
+                    tag = tm.group(1).lower()
+                    for i in range(len(stack) - 1, 0, -1):
+                        if stack[i].tag == tag:
+                            del stack[i:]
+                            break
+                    pos = find(">", tm.end()) + 1  # '>' exists past the name
+                    continue
+                if html.startswith("</>", lt):
+                    pos = lt + 3
+                    continue
+                gt = find(">", lt + 2)  # bogus end tag -> comment-until-'>'
+                if gt < 0:
+                    break  # '>' was before lt+2 (i.e. '</' + '>' only): dead
+                pos = gt + 1
                 continue
-            gt = find(">", lt)  # bogus end tag -> comment-until-'>' (ref path)
-            pos = gt + 1 if gt >= 0 else n
+            tag = m.group(1).lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            pos = m.end()
             continue
         elif nxt == "!":
-            m = _COMMENT_RE.match(html, lt) if html.startswith("<!--", lt) \
-                else _DECL_RE.match(html, lt)
-            if m:
-                pos = m.end()
-            else:
-                pos = n  # unterminated markup decl: consumed silently
+            if html.startswith("<!--", lt):
+                cm = _COMMENT_CLOSE.search(html, lt + 4)
+                if cm is None:
+                    break  # unterminated comment: buffered forever -> drop
+                pos = cm.end()
+                continue
+            if html.startswith("<![", lt):
+                dm = _DECLNAME.match(html, lt + 3)
+                if dm is None:
+                    # html.parser raises AssertionError ('unknown status
+                    # keyword') here; fail-soft: skip to the next '>'
+                    gt = find(">", lt + 3)
+                    if gt < 0:
+                        break
+                    pos = gt + 1
+                    continue
+                if dm.end() == n:
+                    break  # name touches buffer end: parser waits -> drop
+                name = dm.group().strip().lower()
+                if name in _MARKED_STD:
+                    cm = _MARKED_CLOSE.search(html, lt + 3)
+                elif name in _MARKED_MS:
+                    cm = _MS_MARKED_CLOSE.search(html, lt + 3)
+                else:
+                    gt = find(">", lt + 3)  # ref raises; fail-soft as above
+                    if gt < 0:
+                        break
+                    pos = gt + 1
+                    continue
+                if cm is None:
+                    break  # unterminated marked section -> drop
+                pos = cm.end()
+                continue
+            # doctype or bogus declaration: consume to the first '>'
+            m = _DECL_RE.match(html, lt)
+            if m is None:
+                break  # unterminated: buffered forever -> drop
+            pos = m.end()
             continue
         elif nxt == "?":
             m = _PI_RE.match(html, lt)
@@ -197,10 +266,8 @@ def _fast_dom(html: str) -> _Node:
             after = html[j: j + 1]
             if after == ">":
                 endpos = j + 1
-                self_closing = False
             elif after == "/" and html.startswith("/>", j):
                 endpos = j + 2
-                self_closing = True
             elif after == "" or after in _NEXT_BUFFERS or after == "/":
                 break  # incomplete at buffer end: html.parser waits -> drop
             else:
@@ -214,30 +281,52 @@ def _fast_dom(html: str) -> _Node:
                 continue
             tm = _TAGFIND.match(html, lt + 1)
             tag = tm.group(1).lower()
-            # attrs are only ever consulted on page-container candidates
-            # (_find_page_nodes); skip the attr regex everywhere else
-            attrs = (
-                _parse_attrs_tolerant(html, tm.end(), j)
-                if tag in _ATTR_TAGS
-                else _EMPTY_ATTRS
-            )
+            # parse_starttag decides start-vs-startend (and the bogus raw-data
+            # re-emission) by walking attrfind and testing the leftover
+            # html[k:endpos].strip() against ('>', '/>') — e.g. '<p/>' is a
+            # STARTEND tag even though locatestarttagend swallowed the '/'.
+            # The walk only changes the outcome when the body contains one of
+            # / ' " = (otherwise it provably consumes to endpos with end '>'),
+            # so plain tags skip it; page-container candidates always walk to
+            # collect attrs for the class-based page split.
+            collect = tag in _ATTR_TAGS
+            if collect or _SUSPECT.search(html, tm.end(), j):
+                attrs, k = _parse_attrs_tolerant(html, tm.end(), endpos, collect)
+                tag_end = html[k:endpos].strip()
+                if tag_end not in (">", "/>"):
+                    # attr walk stalled: html.parser re-emits the whole tag
+                    # as raw data (no charref conversion)
+                    node = stack[-1]
+                    node.children.append(None)
+                    node.text_parts.append(html[lt:endpos])
+                    pos = endpos
+                    continue
+                self_closing = tag_end == "/>"
+                if not collect:
+                    attrs = _EMPTY_ATTRS
+            else:
+                attrs = _EMPTY_ATTRS
+                # clean body: the walk provably reaches j, so the tag is
+                # startend exactly when the explicit '/>' sits at j
+                self_closing = after == "/"
             node = _Node(tag, attrs)
             stack[-1].children.append(node)
             pos = endpos
             if self_closing:  # never pushed
                 continue
             if tag in _RAWTEXT_CLOSE:
-                # CDATA content model: raw text until the matching close
+                # CDATA content model: raw text until the FULL strict close
+                # tag ('</script foo>' does not close); an unclosed rawtext
+                # element buffers its tail forever in html.parser -> dropped,
+                # so no text is attached in that case either
                 cm = _RAWTEXT_CLOSE[tag].search(html, pos)
-                end = cm.start() if cm else n
-                if end > pos:
-                    node.children.append(None)
-                    node.text_parts.append(html[pos:end])  # no unescape
-                if cm:
-                    em = _END_RE.match(html, end)
-                    pos = em.end() if em else n
-                else:
+                if cm is None:
                     pos = n
+                    continue
+                if cm.start() > pos:
+                    node.children.append(None)
+                    node.text_parts.append(html[pos:cm.start()])  # no unescape
+                pos = cm.end()
                 continue
             if tag not in _VOID_TAGS:
                 stack.append(node)

@@ -41,14 +41,15 @@ def consistent_mappings(extracted: DataFrame) -> DataFrame:
         .where(F.col("label").isNotNull())
     )
     # first non-empty canonical in (period_end, url) order, via min_by on a
-    # sortable composite key — a single shuffle, no window needed
+    # struct key (true lexicographic TUPLE order; a concat key would misorder
+    # e.g. an empty period_end against a digit-leading url) — a single shuffle, no window needed
     global_map = (
         exploded
         .where(F.col("canonical") != "")
         .groupBy("label")
         .agg(
             F.min_by(
-                "canonical", F.concat_ws("", "period_end", "url")
+                "canonical", F.struct("period_end", "url")
             ).alias("global_canonical")
         )
     )

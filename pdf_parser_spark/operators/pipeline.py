@@ -37,11 +37,20 @@ def dedup_pages(pages):
     content fingerprint.  At Common-Crawl scale a large fraction of pages are
     byte-identical mirrors — dropping them ahead of extraction saves the
     expensive Python work, not just sink space.  One shuffle on the md5 of
-    (html, text); deterministic keeper (min url) so retries are stable."""
+    (html, text); deterministic keeper (min url) so retries are stable.
+    The fingerprint hashes the raw BINARY html (md5 accepts binary directly;
+    a cast to string would mangle non-UTF-8 crawl bytes) with a length prefix
+    as an unambiguous field separator."""
     fp = F.md5(F.concat(
-        F.coalesce(F.col("html").cast("string"), F.lit("")),
-        F.lit("\x00"),
-        F.coalesce(F.col("text"), F.lit("")),
+        F.encode(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.length(F.col("html")), F.lit(-1)).cast("string"),
+                F.coalesce(F.col("text"), F.lit("\x00")),
+            ),
+            "UTF-8",
+        ),
+        F.coalesce(F.col("html"), F.lit(b"")),
     ))
     w_min = F.min("url").over(Window.partitionBy("fp"))
     return (

@@ -18,23 +18,42 @@ _HTML_BITS = st.sampled_from([
     "text", "Total revenues", "1,234", "&amp;", "&#65;", "<", ">", "&",
     "\n", " ", "CONSOLIDATED BALANCE SHEETS", "<p", "='", "\"", "<3", "</",
     "<td nowrap>", "<P>", "</ x>",
+    # marked sections / CDATA (r2 ADVICE: _DECL_RE leaked ']]>' tails)
+    "<![CDATA[ a>b ]]>", "<![CDATA[", "]]>", "<![if x]>", "<![endif]>",
+    "<![cdata]>", "<![rcdata[x] ]>", "<![",
+    # tolerant end-tag shapes (r2 ADVICE: '/' leaked into the popped name)
+    "</div/x>", "</div x>", "</p attr='v'>", "</>", "</ div>", "</P/>",
+    # rawtext close variants: 3.11 requires the full strict close tag
+    "</script foo>", "</SCRIPT >", "</style\n>", "<script>a=1;",
+    # comment close with whitespace, bogus declarations, PIs
+    "<!--x-- >", "<!-->", "<!x y>", "<?php x ?>", "<?>", "<!",
+    # attr soup around the locatestarttagend/attrfind boundary
+    "<a b=1,c=2>", "<a 'q'>", "<a ==x>", "<a b='c'd>", "<div class=page>",
+    "<div class = 'page'>", "<a b=\">\">", "<a b=>", "/>", "=",
 ])
 
 
-@settings(max_examples=500, deadline=None)
+@settings(max_examples=1500, deadline=None)
 @given(st.lists(st.one_of(_HTML_BITS, st.text(max_size=6)),
                 min_size=0, max_size=60))
 def test_fast_dom_equals_htmlparser_on_fuzzed_html(bits):
     """_fast_dom must match the html.parser reference builder on ARBITRARY
     tag soup (fragments + raw random text, incl. NUL/non-ASCII), not just the
-    corpus — same pages, same text, same tables.  A 15k-example sweep of this
+    corpus — same pages, same text, same tables.  Differential sweeps of this
     property drove the tolerant-start-tag rewrite (stdlib attrfind/locate
-    regexes) and the NUL/ASCII-letter/raw-bogus-data edge fixes."""
+    regexes), the NUL/ASCII-letter/raw-bogus-data edge fixes, and the r2
+    marked-section/end-tag/rawtext-close rewrites.  Inputs where html.parser
+    itself raises (unknown marked-section keyword -> AssertionError) are
+    outside the byte-identity contract: the fast path must still be fail-soft
+    (no exception), the trees need not match."""
     from pdf_parser_spark.core import html_extract as H
 
     html = "".join(bits)
-    fast = H._pages_from_root(H._fast_dom(html))
-    ref = H._pages_from_root(H._reference_dom(html))
+    fast = H._pages_from_root(H._fast_dom(html))  # must never raise
+    try:
+        ref = H._pages_from_root(H._reference_dom(html))
+    except AssertionError:
+        return  # reference parser rejects this input; fail-soft is enough
     assert fast == ref, repr(html)
 
 
@@ -60,7 +79,7 @@ def test_collapse_repeated_line_idempotent(s):
     from pdf_parser_spark.core.textrepair import collapse_repeated_line
 
     once = collapse_repeated_line(s)
-    assert collapse_repeated_line(once) == collapse_repeated_line(once)
+    assert collapse_repeated_line(once) == once
 
 
 @settings(max_examples=200, deadline=None)

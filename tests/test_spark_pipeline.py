@@ -62,13 +62,65 @@ def test_w2_backfill_matches_core(spark, extracted):
 
     final = finalize(extracted)
     ok = [r for r in final.where("status = 'ok'").collect() if r["mappings"]]
-    ordered = sorted(ok, key=lambda r: ((r["period_end"] or "") + r["url"]))
+    ordered = sorted(ok, key=lambda r: ((r["period_end"] or ""), r["url"]))
     expected_global = first_wins_mappings([dict(r["mappings"]) for r in ordered])
     for r in ok:
         cons = dict(r["mappings_consistent"] or {})
         for label, canonical in cons.items():
             if canonical:
                 assert canonical == expected_global.get(label, canonical)
+
+
+def test_w2_first_wins_tuple_order_regression(spark):
+    """r2 VERDICT item 4: the first-wins key must be TUPLE order
+    (period_end asc, url asc), not string-concat order.  A digit-leading url
+    with an empty period_end ('' + '1://...') would win under concat order;
+    under tuple order the dated row wins because '' < '1997' puts the empty
+    period first only when periods tie."""
+    from pdf_parser_spark.operators.consistency import consistent_mappings
+
+    rows = [
+        # tuple key ('', '1://z') sorts FIRST (empty period before any date);
+        # concat key '1://z' sorts AFTER '1997-12-31http://a' (':' > '9'),
+        # so the two orderings pick different winners for X
+        ("1://z", "", "ok", {"X": "win_tuple"}),
+        ("http://a", "1997-12-31", "ok", {"X": "win_concat"}),
+        # docC has X with an empty canonical -> backfilled with the winner
+        ("http://c", "1997-12-31", "ok", {"X": ""}),
+        # same-period url tie-break: digit-leading url wins under asc
+        ("http://0", "1997-12-31", "ok", {"Cash": "from_0"}),
+        ("http://b", "1997-12-31", "ok", {"Cash": ""}),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, period_end string, status string, mappings map<string,string>"
+    )
+    out = {r["url"]: dict(r["mappings_consistent"])
+           for r in consistent_mappings(df).collect()}
+    assert out["http://c"]["X"] == "win_tuple"      # concat order -> win_concat
+    assert out["http://a"]["X"] == "win_concat"     # own non-empty value kept
+    assert out["http://b"]["Cash"] == "from_0"      # url asc tie-break
+
+
+def test_dedup_pages_binary_fingerprint(spark):
+    """r2 VERDICT item 4b: the content fingerprint hashes raw binary html —
+    non-UTF-8 byte payloads that a string cast would mangle must still dedup
+    exactly, and near-identical invalid-UTF-8 payloads must NOT collide."""
+    from pdf_parser_spark.operators.pipeline import dedup_pages
+
+    payload_a = bytes(range(256)) * 3          # invalid UTF-8, 768 bytes
+    payload_b = payload_a[:-1] + b"\x01"       # differs in the last byte
+    rows = [
+        ("http://a1", payload_a, "t", "en"),
+        ("http://a2", payload_a, "t", "en"),   # exact mirror -> dropped
+        ("http://b1", payload_b, "t", "en"),   # 1-byte delta -> kept
+        ("http://n1", None, "t", "en"),
+        ("http://n2", None, "t", "en"),        # null-html mirror -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.current_timestamp())
+    urls = sorted(r["url"] for r in dedup_pages(df).select("url").collect())
+    assert urls == ["http://a1", "http://b1", "http://n1"]
 
 
 def test_metrics_rollups(spark, extracted):
