@@ -148,9 +148,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs_as_pages(spark, sf_dir), run_ts=RUN_TS
         ).persist()  # see entry(): finalize fans out into 3 plan branches
         final = finalize(extracted)
+        # counters cast to long: the driver's hash compares against DuckDB
+        # BIGINTs (same convention as every other integer output)
         return final.select(
-            "url", "status", "report_type", "n_pages", "n_sections",
-            "filing_sequence",
+            "url", "status", "report_type",
+            F.col("n_pages").cast("long").alias("n_pages"),
+            F.col("n_sections").cast("long").alias("n_sections"),
+            F.col("filing_sequence").cast("long").alias("filing_sequence"),
         ).orderBy("url")
 
     return {
@@ -202,6 +206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", F.col("k").cast("long").alias("k"), "minhash")
         .orderBy("doc_id", "k"),
         "d_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "d_components": lambda s, d: dedup.connected_components(
+            dedup.minhash_lsh_pairs(_docs(s, d))
+        ),
         "d_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "d_embedding_neardup": lambda s, d: dedup.embedding_neardup_pairs(_emb(s, d), threshold=0.3),
         # --- similarity search ---
@@ -289,6 +296,34 @@ def oracle_sql() -> dict[str, str]:
     pdfv_cte = X.values_cte(
         X.pdf_values_rows(), ["cik", "concept", "pdf_val"],
         dates=set(), doubles={"pdf_val"},
+    )
+
+    # expected per-document extraction outputs, computed through the CORE
+    # path (plain Python, no Spark) by tools/gen_expected.py — the oracle
+    # re-expresses only the DISTRIBUTED machinery (W1 window, quality
+    # roll-up, V8 facts join) in SQL, so those are what the hash verifies
+    from pdf_parser_spark.operators.xbrl import CONCEPT_CANONICAL
+    from pdf_parser_spark.sources import expected as E
+    from pdf_parser_spark.sources.corpus import COMPANIES
+
+    extract_cte = X.values_cte(
+        E.EXTRACT_DOC_ROWS, E.EXTRACT_DOC_COLS,
+        bigints={"n_pages", "n_sections"},
+    )
+    qc_cte = X.values_cte(
+        E.QC_CHECK_ROWS, ["url", "chk", "passed"],
+    )
+    fleet_pdf_cte = X.values_cte(
+        E.FLEET_PDF_ROWS, E.FLEET_PDF_COLS, doubles={"pdf_val"},
+    )
+    corpus_facts_cte = X.values_cte(
+        X.facts_rows(ciks=[cik for _n, _t, cik in COMPANIES]),
+        ["cik", "concept", "unit", "accn", "start_date", "end_date", "val", "segment"],
+        dates={"start_date", "end_date"}, doubles={"val"},
+    )
+    concept_dim_cte = X.values_cte(
+        [(k, v) for k, v in CONCEPT_CANONICAL.items()],
+        ["concept", "canonical"],
     )
 
     return {
@@ -689,6 +724,28 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
             GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
         """,
+        # transitive closure of the LSH candidate graph: component = min
+        # reachable doc_id (recursive CTE = the oracle for the iterative
+        # min-label propagation the Spark side runs)
+        "d_components": "WITH RECURSIVE" + bands_cte.removeprefix("\n        WITH").rstrip() + """
+        , prs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM prs
+            UNION
+            SELECT doc_b, doc_a FROM prs
+        ), reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.r FROM reach r JOIN edges e ON e.b = r.node
+        )
+        SELECT node AS doc_id, min(r) AS component,
+               (node = min(r)) AS is_keeper
+        FROM reach GROUP BY node ORDER BY doc_id
+        """,
         "d_embedding_neardup": """
             WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -738,8 +795,137 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS checksum
             FROM documents ORDER BY doc_id
         """,
-        # d_simhash / d_simhash_pairs / m_media_features / extract_pipeline
-        # intentionally have NO oracle entry: simhash is a vectorized numpy
-        # kernel, media_features a stubbed decode UDF, extract_pipeline a full
-        # text pipeline — the driver records the weaker rows-only check.
+        # Flagship pipeline: per-doc tuples frozen from the CORE path
+        # (tools/gen_expected.py); the SQL recomputes company_key + the W1
+        # filing-sequence window — the distributed parts the core can't cover.
+        "extract_pipeline": f"""
+            WITH exp AS (SELECT * FROM {extract_cte}),
+            keyed AS (
+                SELECT *, CASE WHEN company <> '' THEN company
+                               ELSE regexp_extract(url, '^[a-z]+://([^/]+)/', 1)
+                          END AS company_key
+                FROM exp)
+            SELECT url, status, report_type, n_pages, n_sections,
+                   CAST(row_number() OVER (
+                        PARTITION BY company_key
+                        ORDER BY period_end ASC, url ASC) AS BIGINT)
+                       AS filing_sequence
+            FROM keyed ORDER BY url
+        """,
+        # Structural-quality harness: per-(url, check) booleans frozen from
+        # the core path; the SQL recomputes the fleet pass-rate roll-up.
+        "qc_structural": f"""
+            WITH checks AS (SELECT * FROM {qc_cte})
+            SELECT chk AS "check",
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   round(avg(CAST(CASE WHEN passed THEN 1 ELSE 0 END AS DOUBLE)), 4)
+                       AS pass_rate
+            FROM checks GROUP BY chk ORDER BY chk
+        """,
+        # Fleet-wide V8: extraction-side (url, cik, canonical, pdf_val)
+        # frozen from the core path; the SQL recomputes the concept-dim join,
+        # the N6 latest-fact reduction, and the severity banding.
+        "x_fleet_cross_validate": f"""
+            WITH facts AS (SELECT * FROM {corpus_facts_cte}),
+            base AS (
+                SELECT *, CASE unit WHEN 'USD' THEN 1 WHEN 'USD/shares' THEN 2
+                                    WHEN 'shares' THEN 3 WHEN 'pure' THEN 4 END AS unit_rank
+                FROM facts WHERE segment IS NULL
+            ), best AS (
+                SELECT * FROM (
+                    SELECT *, min(unit_rank) OVER (PARTITION BY cik, concept) AS br
+                    FROM base) WHERE unit_rank = br
+            ), per_end AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY cik, concept, end_date
+                        ORDER BY (end_date - start_date) DESC, start_date ASC, val DESC) AS rn
+                    FROM best) WHERE rn = 1
+            ), latest AS (
+                SELECT cik, concept, val AS xbrl_val FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY cik, concept ORDER BY end_date DESC) AS recency
+                    FROM per_end) WHERE recency = 1
+            ), pdf AS (SELECT * FROM {fleet_pdf_cte}),
+            dim AS (SELECT * FROM {concept_dim_cte}),
+            j AS (
+                SELECT p.url, p.cik, d.concept, p.pdf_val, l.xbrl_val
+                FROM pdf p
+                JOIN dim d ON p.canonical = d.canonical
+                LEFT JOIN latest l ON l.cik = p.cik AND l.concept = d.concept
+            )
+            SELECT url, cik, concept, pdf_val, xbrl_val,
+                   CASE WHEN xbrl_val IS NULL THEN 'pdf_only'
+                        WHEN abs(pdf_val - xbrl_val) / greatest(abs(xbrl_val), 1.0) <= 0.01 THEN 'match'
+                        WHEN abs(pdf_val - xbrl_val) / greatest(abs(xbrl_val), 1.0) <= 0.05 THEN 'minor'
+                        ELSE 'major' END AS severity
+            FROM j ORDER BY url, concept
+        """,
+        # SimHash: md5-per-token bit-majority, expressed relationally —
+        # token md5s as UBIGINT, one row per (doc, bit) for the +-1 majority,
+        # then the sign bits packed back to a signed BIGINT.  Empty docs
+        # left-join back with simhash 0 (the kernel's no-token case).
+        "d_simhash": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents
+            ), hashed AS (
+                SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+                FROM toks WHERE tok <> ''
+            ), bits AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                FROM hashed, (SELECT unnest(range(0, 64)) AS b)
+                GROUP BY doc_id, b
+            ), sims AS (
+                SELECT doc_id,
+                       sum(CASE WHEN acc > 0 THEN CAST(1::UBIGINT << b AS HUGEINT)
+                                ELSE 0 END) AS u
+                FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN coalesce(s.u, 0) >= 9223372036854775808
+                             THEN coalesce(s.u, 0) - 18446744073709551616
+                             ELSE coalesce(s.u, 0) END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
+        """,
+        # SimHash near-pairs: 16-bit-prefix blocking (arithmetic >> 48, same
+        # as Spark shiftright on longs) + exact hamming via bit_count(xor).
+        "d_simhash_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents
+            ), hashed AS (
+                SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+                FROM toks WHERE tok <> ''
+            ), bits AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                FROM hashed, (SELECT unnest(range(0, 64)) AS b)
+                GROUP BY doc_id, b
+            ), sims0 AS (
+                SELECT doc_id,
+                       sum(CASE WHEN acc > 0 THEN CAST(1::UBIGINT << b AS HUGEINT)
+                                ELSE 0 END) AS u
+                FROM bits GROUP BY doc_id
+            ), sims AS (
+                SELECT d.doc_id,
+                       CAST(CASE WHEN coalesce(s.u, 0) >= 9223372036854775808
+                                 THEN coalesce(s.u, 0) - 18446744073709551616
+                                 ELSE coalesce(s.u, 0) END AS BIGINT) AS simhash
+                FROM documents d LEFT JOIN sims0 s ON d.doc_id = s.doc_id
+            ), blocked AS (
+                SELECT doc_id, simhash, simhash >> 48 AS block FROM sims
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM blocked a JOIN blocked b
+              ON a.block = b.block AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+            ORDER BY doc_a, doc_b
+        """,
+        # m_media_features gets its oracle with the real header decoders
+        # (r2 item 7) — until then the driver records a rows-only check.
     }

@@ -143,29 +143,42 @@ def minhash_lsh_pairs(
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, md5-based (Arrow-vectorized).
 
-    For each token take 64 bits of md5; accumulate +1/-1 per bit position;
-    sign -> bit.  numpy does the bit unpacking batch-wide."""
+    For each token take the top 8 md5 bytes (big-endian uint64); accumulate
+    +1/-1 per bit position weighted by token count; sign -> bit.
+
+    Vectorization (r2, replacing the per-token Python+numpy inner loop):
+    md5 is computed once per DISTINCT token per batch (a dict memo — token
+    reuse in prose is high), digests land in one bytes buffer unpacked by a
+    single ``np.frombuffer`` per doc, and the 64 bit-columns are produced by
+    one (n_unique x 64) matrix op weighted by ``np.unique`` counts.  Measured
+    >=10x over the loop form at sf0.1 (see BENCH notes)."""
     import hashlib
 
     import numpy as np
 
+    md5 = hashlib.md5
+    memo: dict[str, bytes] = {}
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts)  # 2^63 .. 2^0
     out = np.zeros(len(texts), dtype=np.int64)
     for i, text in enumerate(texts):
         toks = (text or "").split()
         if not toks:
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(63, -1, -1, dtype=np.uint64)
-        for tok in toks:
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            )
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += 2 * bits - 1
-        sim = 0
-        for bit in (acc > 0).astype(np.int64):
-            sim = (sim << 1) | int(bit)
-        # store as signed 64-bit
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        buf = bytearray()
+        for tok in uniq:
+            d = memo.get(tok)
+            if d is None:
+                d = md5(tok.encode()).digest()[:8]
+                memo[tok] = d
+            buf += d
+        h = np.frombuffer(bytes(buf), dtype=">u8").astype(np.uint64)
+        # (n_unique x 64) bit matrix; +count for 1-bits, -count for 0-bits
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+        sim = int(powers[acc > 0].sum())
         out[i] = sim - (1 << 64) if sim >= (1 << 63) else sim
     return pd.Series(out)
 
@@ -195,6 +208,61 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Transitive near-dup clusters from a candidate-pair list: iterative
+    min-label propagation over the (symmetrized) pair graph — the step every
+    production dedup pipeline needs after LSH, because a<->b and b<->c must
+    resolve to ONE keeper for {a, b, c}.
+
+    Returns (doc_id, component, is_keeper): component = min doc_id reachable
+    (the cluster's keeper id), is_keeper marks the row to keep.
+
+    Scale design: no external graph lib.  Each round is one equi-join on the
+    node id plus one groupBy-min — both shuffles on the same key, AQE-sized.
+    Rounds needed = cluster diameter, and near-dup clusters are shallow (LSH
+    pairs are cliques-ish), so convergence is typically 2-3 rounds.  Only
+    docs that appear in a pair participate: at 10^12 docs the propagation
+    input is the (far smaller) candidate set, not the corpus.  The per-round
+    driver action is a scalar changed-count (cheap); lineage is truncated by
+    localCheckpoint each round so plans don't grow superlinearly."""
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(sym["a"].alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    ).orderBy("doc_id")
 
 
 def embedding_neardup_pairs(

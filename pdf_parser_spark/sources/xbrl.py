@@ -183,17 +183,27 @@ def corpus_facts_df(spark: SparkSession, seed: int = 42) -> DataFrame:
 def _sql_lit(v) -> str:
     if v is None:
         return "CAST(NULL AS VARCHAR)"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
     if isinstance(v, float):
         return repr(v)
+    if isinstance(v, int):
+        return str(v)
     return "'" + str(v).replace("'", "''") + "'"
 
 
 def values_cte(
-    rows: list[tuple], cols: list[str], dates: set[str], doubles: set[str] = frozenset()
+    rows: list[tuple],
+    cols: list[str],
+    dates: set[str] = frozenset(),
+    doubles: set[str] = frozenset(),
+    bigints: set[str] = frozenset(),
 ) -> str:
     """Render rows as a DuckDB VALUES CTE body with typed casts (DATE for
     date columns; DOUBLE for value columns — bare decimal literals would
-    otherwise infer as DECIMAL and round differently than Spark doubles)."""
+    otherwise infer as DECIMAL and round differently than Spark doubles;
+    BIGINT for integer columns compared against Spark longs).  Bools render
+    as TRUE/FALSE, ints as bare numerals."""
     rendered = []
     for row in rows:
         cells = []
@@ -203,6 +213,8 @@ def values_cte(
                 lit = f"DATE {lit}"
             elif col in doubles and v is not None:
                 lit = f"CAST({lit} AS DOUBLE)"
+            elif col in bigints and v is not None:
+                lit = f"CAST({lit} AS BIGINT)"
             cells.append(lit)
         rendered.append("(" + ", ".join(cells) + ")")
     return (

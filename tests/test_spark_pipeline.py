@@ -123,6 +123,24 @@ def test_dedup_pages_binary_fingerprint(spark):
     assert urls == ["http://a1", "http://b1", "http://n1"]
 
 
+def test_connected_components_transitive_chain(spark):
+    """a<->b, b<->c must resolve to ONE component {a,b,c} with keeper=min;
+    disjoint pairs stay separate; a long chain converges (multi-round
+    propagation, not just one hop)."""
+    from pdf_parser_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "doc_a long, doc_b long",
+    )
+    rows = {r["doc_id"]: r for r in connected_components(pairs).collect()}
+    assert {rows[n]["component"] for n in (1, 2, 3)} == {1}
+    assert {rows[n]["component"] for n in (10, 11)} == {10}
+    assert {rows[n]["component"] for n in (20, 21, 22, 23, 24)} == {20}
+    keepers = {n for n, r in rows.items() if r["is_keeper"]}
+    assert keepers == {1, 10, 20}
+
+
 def test_metrics_rollups(spark, extracted):
     statuses = {r["status"]: r["n_docs"] for r in status_summary(extracted).collect()}
     assert statuses.get("ok", 0) >= N_DOCS - 4
