@@ -216,8 +216,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d)),
         # --- multimodal plumbing (oracle-checked byte stats face) ---
         "m_binary_stats": lambda s, d: multimodal.binary_stats(_docs(s, d)),
+        # real container decode over deterministic BMP/WAV/PPM payloads keyed
+        # by doc_id; the oracle recomputes the header fields from the doc_id
+        # formulas, so a decode bug (endianness, offset, padding) mismatches
+        # the compared view fills non-applicable fields with -1 instead of
+        # NULL: a nullable int column widens to float64+NaN through the
+        # driver's pandas fetch and can never hash-match (same doctrine as
+        # the ISO-string dates elsewhere)
         "m_media_features": lambda s, d: multimodal.media_features(
-            _docs(s, d).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+            multimodal.synthetic_media(_docs(s, d))
+        ).select(
+            "doc_id", "media_type", "byte_len",
+            F.coalesce("width", F.lit(-1)).alias("width"),
+            F.coalesce("height", F.lit(-1)).alias("height"),
+            F.coalesce("n_channels", F.lit(-1)).alias("n_channels"),
+            F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
+            F.coalesce("duration_ms", F.lit(-1).cast("long")).alias("duration_ms"),
         ).orderBy("doc_id"),
         "d_simhash_pairs": lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=16),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
@@ -324,6 +338,16 @@ def oracle_sql() -> dict[str, str]:
     concept_dim_cte = X.values_cte(
         [(k, v) for k, v in CONCEPT_CANONICAL.items()],
         ["concept", "canonical"],
+    )
+    # kmeans centroids (numpy twin of similarity.kmeans_fit, frozen by
+    # tools/gen_expected.py) — the Spark query fits its OWN centroids via
+    # distributed Lloyd, so a fit divergence hash-mismatches here
+    cents_cte = (
+        "(SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {c}::DOUBLE[])" for i, c in enumerate(E.KMEANS_CENTROIDS)
+        )
+        + ") AS c(cl, cv))"
     )
 
     return {
@@ -773,14 +797,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             WHERE rank <= 3 ORDER BY query_id, rank
         """,
-        "s_ann_ivf": """
-            WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-            scored AS (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       round(list_dot_product(q.v, c.v) /
-                             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
-                FROM emb q JOIN emb c ON q.label = c.label
-                WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+        # IVF with the FITTED quantizer: assignment + nprobe=2 probing from
+        # the frozen centroid literals; squared distances via the same
+        # elementwise (x-y)^2 left-fold shape as the Spark column expression
+        "s_ann_ivf": f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (SELECT * FROM {cents_cte}),
+            dists AS (
+                SELECT e.vec_id, c.cl,
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+                FROM emb e CROSS JOIN cents c
+            ), assign AS (
+                SELECT vec_id, cl AS cell FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cl ASC) AS rn
+                    FROM dists) WHERE rn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, cl AS probe FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cl ASC) AS rn
+                    FROM dists WHERE vec_id < 10) WHERE rn <= 2
+            ), scored AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       round(list_dot_product(q.v, n.v) /
+                             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 4) AS cos_sim
+                FROM probes p
+                JOIN assign a ON a.cell = p.probe
+                JOIN emb q ON q.vec_id = p.query_id
+                JOIN emb n ON n.vec_id = a.vec_id
+                WHERE a.vec_id != p.query_id
             )
             SELECT query_id, neighbor_id, cos_sim,
                    CAST(rank AS INT) AS rank
@@ -926,6 +972,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
             ORDER BY doc_a, doc_b
         """,
-        # m_media_features gets its oracle with the real header decoders
-        # (r2 item 7) — until then the driver records a rows-only check.
+        # media decode: the Spark side PARSES real BMP/WAV/PPM bytes built
+        # from doc_id; the oracle re-derives every header field from the
+        # same doc_id arithmetic (multimodal.synthetic_media_payload), so
+        # the decode path is what the hash actually verifies
+        "m_media_features": """
+            WITH m AS (
+                SELECT doc_id, doc_id % 3 AS kind,
+                       8 + doc_id % 32 AS bw, 8 + (doc_id // 3) % 24 AS bh,
+                       1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 3) AS rate,
+                       200 + doc_id % 100 AS ns,
+                       4 + doc_id % 16 AS pw, 4 + (doc_id // 5) % 16 AS ph
+                FROM documents)
+            SELECT doc_id,
+                   CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+                             ELSE 'image/ppm' END AS media_type,
+                   CAST(CASE kind
+                        WHEN 0 THEN 54 + ((bw * 3 + 3) // 4) * 4 * bh
+                        WHEN 1 THEN 44 + ns * ch * 2
+                        ELSE 9 + length(CAST(pw AS VARCHAR))
+                               + length(CAST(ph AS VARCHAR)) + 3 * pw * ph
+                        END AS BIGINT) AS byte_len,
+                   CAST(CASE kind WHEN 0 THEN bw WHEN 2 THEN pw ELSE -1 END AS INT) AS width,
+                   CAST(CASE kind WHEN 0 THEN bh WHEN 2 THEN ph ELSE -1 END AS INT) AS height,
+                   CAST(CASE WHEN kind = 1 THEN ch ELSE -1 END AS INT) AS n_channels,
+                   CAST(CASE WHEN kind = 1 THEN rate ELSE -1 END AS INT) AS sample_rate,
+                   CAST(CASE WHEN kind = 1 THEN (ns * 1000) // rate ELSE -1 END AS BIGINT)
+                       AS duration_ms
+            FROM m ORDER BY doc_id
+        """,
     }

@@ -112,7 +112,9 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         "w4_sessionize": lambda: R.w4_sessionize(spark, sf_dir),
         "d_minhash_lsh": lambda: dedup.minhash_lsh_pairs(docs),
         "d_exact": lambda: dedup.exact_dedup_groups(docs),
+        "d_simhash": lambda: dedup.simhash(docs),
         "s_ann_brute": lambda: similarity.brute_force_topk(emb),
+        "s_ann_ivf": lambda: similarity.ivf_topk(emb),  # incl. kmeans fit
         "t_quality_score": lambda: textstats.quality_score(docs),
     }
     times: dict[str, float] = {}
@@ -121,6 +123,20 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         build().write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
     return times
+
+
+def ann_recall(spark, sf_dir: str, k: int = 3) -> float:
+    """recall@k of the IVF path vs the exact brute-force baseline on the
+    same query set (both result sets are <= n_queries*k rows — driver-side
+    set math on tiny collects)."""
+    from pdf_parser_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(emb, k=k).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.ivf_topk(emb, k=k).collect()}
+    return round(len(brute & ivf) / max(len(brute), 1), 4)
 
 
 def run_once(master: str, n_docs: int, with_queries: bool = True, repeats: int = 2):
@@ -143,6 +159,7 @@ def run_once(master: str, n_docs: int, with_queries: bool = True, repeats: int =
             t1 = relational_queries(spark, SF_DIR)
             t2 = relational_queries(spark, SF_DIR)
             qtimes = {k: min(t1[k], t2[k]) for k in t1}
+            qtimes["s_ann_ivf_recall_at_3"] = ann_recall(spark, SF_DIR)
         else:
             qtimes = {}
         return elapsed, n, qtimes
@@ -174,18 +191,19 @@ def host_control(workers: int, iters: int = 1_500_000) -> float:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        # N=1 vs 4N=4 cores: in PySpark local mode each "core" runs a JVM
-        # task thread AND an Arrow Python worker process, so local[N] loads
-        # ~2N hardware threads; 1 vs 4 keeps the total load <= 8 of the 32
-        # host threads, the regime where the shared VM's steal is smallest.
-        # Input is sized so compute dominates per-job overhead (at 10^12 docs
-        # it is noise by construction).
-        n_lo, n_hi = (
-            int(os.environ.get("BENCH_SCALING_N", "1")),
-            int(os.environ.get("BENCH_SCALING_4N", "4")),
-        )
+        # Two chained N-vs-4N steps (1->4 and 4->16 cores) so the efficiency
+        # claim is shown to hold INTO the regime the per-round bench runs at
+        # (local[16/32]), not just in the quiet low-core regime.  In local
+        # mode each Spark "core" runs a JVM task thread AND an Arrow Python
+        # worker process, so local[16] already saturates a 32-thread host —
+        # the per-leg md5 host control separates VM/neighbor contention from
+        # plan-level scaling loss.  Input is sized so compute dominates
+        # per-job overhead (at 10^12 docs it is noise by construction).
+        legs = [
+            int(x) for x in os.environ.get("BENCH_SCALING_LEGS", "1,4,8,16").split(",")
+        ]
         scaling_docs = int(os.environ.get("BENCH_SCALING_DOCS", str(N_DOCS)))
-        # interleave the legs A/B/A/B... and take min wall per leg: the
+        # interleave the legs A/B/C/D/A/B/... and take min wall per leg: the
         # sandbox host sees multi-minute load swings from neighbor tenants,
         # so back-to-back single samples can skew the RATIO by 30%+;
         # interleaving decorrelates the noise and min() catches each leg's
@@ -195,7 +213,7 @@ def main() -> None:
         results: dict[int, tuple[float, float]] = {}
         controls: dict[int, float] = {}
         for _ in range(rounds):
-            for cores in (n_lo, n_hi):
+            for cores in legs:
                 ctl = host_control(cores)
                 elapsed, n, _ = run_once(
                     f"local[{cores}]", scaling_docs, with_queries=False, repeats=1
@@ -204,48 +222,67 @@ def main() -> None:
                 prev = results.get(cores)
                 if prev is None or elapsed < prev[1]:
                     results[cores] = (n / elapsed, elapsed)
-        eff = (results[n_hi][0] / results[n_lo][0]) / 4.0
-        ctl_eff = (controls[n_hi] / controls[n_lo]) / (n_hi / n_lo)
+
+        def eff(lo: int, hi: int) -> float:
+            return (results[hi][0] / results[lo][0]) / (hi / lo)
+
+        def ctl_eff(lo: int, hi: int) -> float:
+            return (controls[hi] / controls[lo]) / (hi / lo)
+
+        pairs = [(legs[i], legs[j]) for i, j in
+                 [(0, 1), (1, 3), (0, 3)] if j < len(legs)] \
+            if len(legs) >= 4 else [(legs[0], legs[-1])]
         lines = [
-            "# BENCH — scaling evidence (N vs 4N cores)",
+            "# BENCH — scaling evidence (chained N vs 4N steps)",
             "",
             "Same job (full pipeline: parquet scan -> Arrow extraction ->",
             "checkpointed sink + lineage -> column-pruned W1/W2 -> consistency",
-            f"sink), same input ({scaling_docs} synthetic docs), two parallelism",
+            f"sink), same input ({scaling_docs} synthetic docs), "
+            f"{len(legs)} parallelism",
             f"levels, best of {rounds} interleaved rounds per leg.",
             "",
-            f"Why {n_lo} vs {n_hi}: in local mode each Spark core runs a JVM task",
-            "thread AND an Arrow Python worker process, so local[N] exercises",
-            f"~2N hardware threads; {n_lo} vs {n_hi} keeps the total load <= 8 of the",
-            "32 host threads — the regime where this shared VM's neighbor-steal",
-            "is smallest.  A pure-CPU multiprocessing control (md5 burn, zero",
-            "shared state, zero Spark) brackets each leg to record what the",
-            "host itself delivered in the same window.",
+            "Each local-mode core drives a JVM task thread AND an Arrow Python",
+            "worker process (~2 hw threads per core for this Python-heavy",
+            "stage), so the 16-core leg saturates the 32-thread host.  A",
+            "pure-CPU multiprocessing control (md5 burn, zero shared state,",
+            "zero Spark) brackets each leg to record what the host itself",
+            "delivered in the same window — separating plan-level scaling loss",
+            "from VM/neighbor contention.",
             "",
             "| cores | docs/sec | wall sec | host control chunks/sec |",
             "|---|---|---|---|",
-            f"| {n_lo} (N) | {results[n_lo][0]:.1f} | {results[n_lo][1]:.2f} | {controls[n_lo]:.2f} |",
-            f"| {n_hi} (4N) | {results[n_hi][0]:.1f} | {results[n_hi][1]:.2f} | {controls[n_hi]:.2f} |",
+        ] + [
+            f"| {c} | {results[c][0]:.1f} | {results[c][1]:.2f} | {controls[c]:.2f} |"
+            for c in legs
+        ] + [
             "",
-            f"**Scaling efficiency (T{n_hi}/T{n_lo})/4 = {eff:.3f}** (north-rule target ≥ 0.8).",
-            f"Host-control efficiency over the same windows: {ctl_eff:.3f} — the",
-            "ceiling this shared VM granted ANY perfectly-parallel CPU work; the",
-            "job's shortfall vs 1.0 is bounded by the host's, not the plan's,",
-            "parallelism.",
+            "| step | job efficiency | host-control efficiency (same windows) |",
+            "|---|---|---|",
+        ] + [
+            f"| {lo} -> {hi} cores ({hi // lo}x) | **{eff(lo, hi):.3f}** | {ctl_eff(lo, hi):.3f} |"
+            for lo, hi in pairs
+        ] + [
+            "",
+            "North-rule criterion: N -> 4N efficiency >= 0.8.  The",
+            "host-control column is the ceiling this shared VM granted ANY",
+            "perfectly-parallel CPU work in the same window; the job's",
+            "shortfall vs 1.0 is bounded by the host's, not the plan's,",
+            "parallelism.  The 4 -> 16 step runs ~32 hardware threads (JVM +",
+            "Python workers), so its control captures the saturation/steal",
+            "regime the per-round local[16] bench lives in.",
         ]
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write("\n".join(lines) + "\n")
+        q = {f"local{c}_docs_per_sec": round(results[c][0], 2) for c in legs}
+        for lo, hi in pairs:
+            q[f"scaling_efficiency_{lo}_{hi}"] = round(eff(lo, hi), 3)
+            q[f"host_control_efficiency_{lo}_{hi}"] = round(ctl_eff(lo, hi), 3)
         print(json.dumps({
             "metric": "extraction_docs_per_sec_scaling",
-            "value": round(results[n_hi][0], 2),
+            "value": round(results[legs[-1]][0], 2),
             "unit": "docs/sec",
-            "queries": {
-                f"local{n_lo}_docs_per_sec": round(results[n_lo][0], 2),
-                f"local{n_hi}_docs_per_sec": round(results[n_hi][0], 2),
-                "scaling_efficiency": round(eff, 3),
-                "host_control_efficiency": round(ctl_eff, 3),
-            },
+            "queries": q,
             "sf": _sf_from_dir(SF_DIR),
         }))
         return

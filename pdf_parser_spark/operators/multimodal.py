@@ -2,15 +2,20 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample are Arrow-batched Pandas
-stages over mapInPandas.  The image/audio codecs are NOT in this container, so
-the decode kernel is stubbed: ``decode_stub`` raises NotImplementedError when
-``strict`` and otherwise emits deterministic fake features (byte-level stats),
-while the Spark-side contract — schema, batch shape, partitioning — is real
-and tested.  Swapping the kernel for PIL/librosa is a one-function change.
+stages over mapInPandas.
+
+Decode (r2): REAL header parsers for the codec-less container formats —
+BMP (BITMAPINFOHEADER), binary PPM/PGM (P6/P5), and RIFF/WAV (fmt + data
+chunks).  These need zero codec libraries: width/height/channel/sample-rate/
+duration come straight from the byte layout per the public format specs.
+Formats beyond these (JPEG/PNG/MP4...) fall back to ``decode_stub``'s
+deterministic byte-stats with media_type 'unknown' — swapping in PIL/ffmpeg
+remains a one-function change.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -19,33 +24,137 @@ from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "doc_id long, media_type string, byte_len long, "
-    "checksum string, width int, height int, feature_norm double"
+    "width int, height int, n_channels int, sample_rate int, "
+    "duration_ms long, checksum string, feature_norm double"
 )
+_MEDIA_NULLS = {
+    "width": None, "height": None, "n_channels": None,
+    "sample_rate": None, "duration_ms": None,
+}
 
 
 def decode_stub(payload: bytes) -> dict:
-    """Deterministic fake decoder: byte-level stats standing in for a real
-    codec.  Raises for genuinely unsupported work so the stub is explicit."""
+    """Deterministic byte-stat fallback for formats without a header parser.
+    Raises for a null payload so the unsupported case stays explicit."""
     if payload is None:
         raise NotImplementedError("real media decoding requires codec libs (PIL/ffmpeg)")
     import hashlib
 
     n = len(payload)
-    # fake "dimensions": deterministic function of content
-    h = hashlib.md5(payload).hexdigest()
-    width = 16 + int(h[:4], 16) % 1024
-    height = 16 + int(h[4:8], 16) % 1024
     mean = sum(payload) / n if n else 0.0
     return {
+        "media_type": "unknown",
         "byte_len": n,
-        "checksum": h,
-        "width": width,
-        "height": height,
+        **_MEDIA_NULLS,
+        "checksum": hashlib.md5(payload).hexdigest(),
         "feature_norm": round(mean, 4),
     }
 
 
-def media_features(df: DataFrame, payload_col: str = "payload", media_type: str = "image") -> DataFrame:
+def _decode_bmp(payload: bytes) -> dict | None:
+    """BMP: 14-byte file header + BITMAPINFOHEADER.  width int32le@18,
+    height int32le@22 (negative = top-down -> abs), planes/bpp follow."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    return {
+        "media_type": "image/bmp",
+        **_MEDIA_NULLS,
+        "width": abs(width),
+        "height": abs(height),
+    }
+
+
+def _decode_ppm(payload: bytes) -> dict | None:
+    """Binary PPM/PGM: 'P6'/'P5', then whitespace/comment-separated ASCII
+    width height maxval."""
+    if payload[:2] not in (b"P6", b"P5"):
+        return None
+    fields: list[int] = []
+    i = 2
+    n = len(payload)
+    while i < n and len(fields) < 3:
+        c = payload[i:i + 1]
+        if c == b"#":  # comment to end of line
+            while i < n and payload[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j:j + 1].isdigit():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3:
+        return None
+    return {
+        "media_type": "image/ppm" if payload[:2] == b"P6" else "image/pgm",
+        **_MEDIA_NULLS,
+        "width": fields[0],
+        "height": fields[1],
+    }
+
+
+def _decode_wav(payload: bytes) -> dict | None:
+    """RIFF/WAVE: iterate chunks; 'fmt ' gives channels uint16le@+2,
+    sample_rate uint32le@+4, bits uint16le@+14; 'data' size gives duration
+    (floor-ms over the byte rate)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = data_size = None
+    i = 12
+    n = len(payload)
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            channels = struct.unpack_from("<H", payload, i + 8 + 2)[0]
+            rate = struct.unpack_from("<I", payload, i + 8 + 4)[0]
+            bits = struct.unpack_from("<H", payload, i + 8 + 14)[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or data_size is None or not rate or not bits:
+        return None
+    byte_rate = rate * channels * (bits // 8)
+    return {
+        "media_type": "audio/wav",
+        **_MEDIA_NULLS,
+        "n_channels": channels,
+        "sample_rate": rate,
+        "duration_ms": data_size * 1000 // byte_rate if byte_rate else None,
+    }
+
+
+def decode_media(payload: bytes) -> dict:
+    """Sniff the container magic and parse the real header; unknown formats
+    fall back to decode_stub's byte stats.  Always fills the full MEDIA
+    column set (checksum + feature_norm computed for every format)."""
+    import hashlib
+
+    if payload is None:
+        raise NotImplementedError("real media decoding requires codec libs (PIL/ffmpeg)")
+    parsed = _decode_bmp(payload) or _decode_ppm(payload) or _decode_wav(payload)
+    if parsed is None:
+        return decode_stub(payload)
+    n = len(payload)
+    parsed["byte_len"] = n
+    parsed["checksum"] = hashlib.md5(payload).hexdigest()
+    parsed["feature_norm"] = round(sum(payload) / n, 4) if n else 0.0
+    return parsed
+
+
+_MEDIA_COLUMNS = [
+    "doc_id", "media_type", "byte_len", "width", "height",
+    "n_channels", "sample_rate", "duration_ms", "checksum", "feature_norm",
+]
+
+
+def media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas stage: (doc_id, payload binary) -> MEDIA_SCHEMA rows.
     Arrow batches bound memory; the loop is per-batch Python, not per-row UDF."""
 
@@ -53,15 +162,73 @@ def media_features(df: DataFrame, payload_col: str = "payload", media_type: str 
         for pdf in batches:
             recs = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                feat = decode_stub(bytes(payload) if payload is not None else b"")
-                recs.append({"doc_id": doc_id, "media_type": media_type, **feat})
-            yield pd.DataFrame.from_records(
-                recs,
-                columns=["doc_id", "media_type", "byte_len", "checksum",
-                         "width", "height", "feature_norm"],
-            )
+                feat = decode_media(bytes(payload) if payload is not None else b"")
+                recs.append({"doc_id": doc_id, **feat})
+            out = pd.DataFrame.from_records(recs, columns=_MEDIA_COLUMNS)
+            # nullable ints must not decay to float through from_records
+            for c in ("width", "height", "n_channels", "sample_rate", "duration_ms"):
+                out[c] = out[c].astype("object")
+            yield out
 
     return df.select("doc_id", payload_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic payload synthesis (test/bench plumbing, not the operator):
+# real BMP/WAV/PPM byte layouts whose header fields are pure functions of
+# doc_id, so a SQL oracle can verify the DECODE output against the formulas
+# without parsing bytes itself.
+# ---------------------------------------------------------------------------
+
+def make_bmp(width: int, height: int) -> bytes:
+    row = ((width * 3 + 3) // 4) * 4  # rows padded to 4 bytes
+    pixel_bytes = row * height
+    header = b"BM" + struct.pack("<IHHI", 54 + pixel_bytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       pixel_bytes, 2835, 2835, 0, 0)
+    pixels = bytes((i * 7 + width) % 256 for i in range(pixel_bytes))
+    return header + info + pixels
+
+
+def make_wav(channels: int, rate: int, n_samples: int) -> bytes:
+    data_size = n_samples * channels * 2  # 16-bit PCM
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    data = bytes((i * 13 + channels) % 256 for i in range(data_size))
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", data_size) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_ppm(width: int, height: int) -> bytes:
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + bytes((i * 11 + height) % 256 for i in range(3 * width * height))
+
+
+def synthetic_media_payload(doc_id: int) -> bytes:
+    """doc_id -> one of BMP / WAV / PPM with header fields that are simple
+    arithmetic in doc_id (mirrored by the m_media_features SQL oracle)."""
+    kind = doc_id % 3
+    if kind == 0:
+        return make_bmp(8 + doc_id % 32, 8 + (doc_id // 3) % 24)
+    if kind == 1:
+        return make_wav(1 + doc_id % 2, 8000 * (1 + doc_id % 3),
+                        200 + doc_id % 100)
+    return make_ppm(4 + doc_id % 16, 4 + (doc_id // 5) % 16)
+
+
+def synthetic_media(df: DataFrame) -> DataFrame:
+    """(doc_id, ...) -> (doc_id, payload binary) with deterministic real
+    container bytes per doc_id (generator plumbing for tests/benchmarks)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synthetic_media_payload(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return df.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
 
 
 RESIZE_SCHEMA = (

@@ -4,11 +4,11 @@ Two strategies:
 - brute-force cosine top-k: the correctness baseline — broadcast the query
   set, cross join against the corpus, window-rank per query.  Exact; cost is
   |Q| x |corpus| dot products, all JVM-side.
-- IVF top-k: the scale path — restrict the scan to the query's coarse cluster
-  (the `label` column stands in for a kmeans assignment; at 100 TB the
-  assignment is a one-off kmeans fit broadcast to executors, then this SAME
-  plan applies).  Cuts the scan by the cluster count, with the usual IVF
-  recall trade-off.
+- IVF top-k: the scale path — a REAL Lloyd k-means coarse quantizer fit as
+  DataFrame ops (r2; replaces the r1 `label` stand-in), then each query
+  probes its nprobe nearest cells and scans only those.  Cuts the scan by
+  ~cells/nprobe with the usual IVF recall trade-off (bench.py reports
+  measured recall@k vs the exact baseline).
 
 Double-precision math + 4dp rounding so the DuckDB oracle reproduces values.
 """
@@ -56,26 +56,113 @@ def brute_force_topk(
     )
 
 
-def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
-    """IVF top-k: scan only the query's own coarse cluster (nprobe=1).
-    Same output shape as brute_force_topk; recall < 1.0 by design."""
-    emb = embeddings.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+# ---------------------------------------------------------------------------
+# IVF with a REAL coarse quantizer (r2): Lloyd k-means fit as DataFrame ops.
+# The model (k x dim doubles) is tiny by design, so per-round centroids are
+# collected to the driver and re-broadcast as literals — the standard
+# fit-small / apply-big split.  Determinism guards: seeds are the k lowest
+# vec_ids, argmin ties break to the lowest cluster id, per-round centroids
+# are rounded to KMEANS_ROUND_DP so float sum-order noise cannot flip an
+# assignment between runs or between Spark and the oracle's numpy twin
+# (tools/gen_expected.py generates the expected centroids the same way).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+KMEANS_ROUND_DP = 6
+
+
+def _sq_dist(v, centroid: list[float]):
+    cv = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x,
     )
-    q = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("v").alias("qv"),
+
+
+def _cluster_of(v, centroids: list[list[float]]):
+    """argmin over squared distances; first-minimum tie-break (lowest id)."""
+    darr = F.array(*[_sq_dist(v, c) for c in centroids])
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    max_iter: int = KMEANS_ITERS,
+    dp: int = KMEANS_ROUND_DP,
+) -> list[list[float]]:
+    """Lloyd iterations: assign (JVM column ops) -> mean per (cluster, dim)
+    (posexplode + one partial-agg groupBy) -> round -> repeat.  Converged or
+    max_iter.  Empty clusters keep their previous centroid."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = emb.orderBy("vec_id").limit(k).collect()
+    centroids = [[round(float(x), dp) for x in r["v"]] for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(max_iter):
+        assigned = emb.withColumn("cluster", _cluster_of(F.col("v"), centroids))
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in means:
+            new[r["cluster"]][r["pos"]] = round(float(r["m"]), dp)
+        if new == centroids:
+            break
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF top-k with a fitted coarse quantizer: corpus vectors are assigned
+    to their nearest centroid once; each query probes its ``nprobe`` nearest
+    cells and scans only those.  Same output shape as brute_force_topk;
+    recall < 1.0 by design (bench.py reports measured recall@k vs brute).
+
+    At 10^12 scale: the fit runs on a sample, the assignment is one narrow
+    column-op pass (writable as a partition column so probes prune
+    partitions), and the probe join is broadcast(queries) x cell-restricted
+    corpus — never a cross product."""
+    if centroids is None:
+        centroids = kmeans_fit(embeddings)
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("clabel"),
         F.col("v").alias("cv"),
+        _cluster_of(F.col("v"), centroids).alias("cell"),
+    )
+    # nprobe nearest cells per query: sort (dist, cell-id) structs, slice
+    probe_structs = F.array(*[
+        F.struct(_sq_dist(F.col("qv"), cent).alias("d"), F.lit(i).alias("c"))
+        for i, cent in enumerate(centroids)
+    ])
+    q = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("probe", F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, nprobe),
+                lambda s: s["c"],
+            )
+        ))
     )
     sim = F.round(_cosine(F.col("qv"), F.col("cv")), 4)
     scored = (
         F.broadcast(q)
-        .join(c, on=F.col("qlabel") == F.col("clabel"))
+        .join(c, on=F.col("probe") == F.col("cell"))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
     )

@@ -234,20 +234,55 @@ def test_streaming_extract(spark):
 
 
 def test_multimodal_media_features(spark):
-    from pdf_parser_spark.operators.multimodal import media_features
+    """Real header decoders (r2): BMP/PPM dims and WAV channel/rate/duration
+    come from parsing actual container bytes; unknown formats keep the
+    byte-stat fallback with media_type 'unknown'."""
+    from pdf_parser_spark.operators.multimodal import (
+        make_bmp, make_ppm, make_wav, media_features,
+    )
 
     df = spark.createDataFrame(
-        [(1, b"payload-one"), (2, b"payload-two-longer")],
+        [
+            (1, make_bmp(33, 17)),
+            (2, make_wav(2, 16000, 480)),   # 480 samples @ 16 kHz -> 30 ms
+            (3, make_ppm(5, 9)),
+            (4, b"not-a-container"),
+        ],
         "doc_id long, payload binary",
     )
-    out = media_features(df).collect()
-    by_id = {r["doc_id"]: r for r in out}
-    assert by_id[1]["byte_len"] == 11
-    assert by_id[2]["byte_len"] == 18
-    assert all(r["width"] >= 16 and r["height"] >= 16 for r in out)
+    by_id = {r["doc_id"]: r for r in media_features(df).collect()}
+    assert by_id[1]["media_type"] == "image/bmp"
+    assert (by_id[1]["width"], by_id[1]["height"]) == (33, 17)
+    assert by_id[1]["byte_len"] == 54 + ((33 * 3 + 3) // 4) * 4 * 17
+    assert by_id[2]["media_type"] == "audio/wav"
+    assert (by_id[2]["n_channels"], by_id[2]["sample_rate"]) == (2, 16000)
+    assert by_id[2]["duration_ms"] == 30
+    assert by_id[3]["media_type"] == "image/ppm"
+    assert (by_id[3]["width"], by_id[3]["height"]) == (5, 9)
+    assert by_id[4]["media_type"] == "unknown"
+    assert by_id[4]["byte_len"] == 15 and by_id[4]["width"] is None
     # deterministic
     again = {r["doc_id"]: r for r in media_features(df).collect()}
     assert again == by_id
+
+
+def test_multimodal_decoders_unit():
+    """Header-parser edge cases without Spark: truncated headers, top-down
+    BMP (negative height), PPM comments, WAV chunk iteration order."""
+    from pdf_parser_spark.operators.multimodal import (
+        _decode_bmp, _decode_ppm, _decode_wav, decode_media, make_bmp,
+    )
+    import struct
+
+    assert _decode_bmp(b"BM" + b"\x00" * 10) is None           # truncated
+    top_down = bytearray(make_bmp(10, 4))
+    struct.pack_into("<i", top_down, 22, -4)                    # top-down flag
+    assert _decode_bmp(bytes(top_down))["height"] == 4
+    assert _decode_ppm(b"P6\n# comment\n7 3\n255\n" + b"\x00" * 63)["width"] == 7
+    assert _decode_ppm(b"P6\nxx") is None
+    assert _decode_wav(b"RIFF\x04\x00\x00\x00WAVE") is None     # no fmt/data
+    out = decode_media(b"")
+    assert out["media_type"] == "unknown" and out["byte_len"] == 0
 
 
 def test_multimodal_resize_and_frames(spark):
