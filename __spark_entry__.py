@@ -185,6 +185,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": R.q15_top_supplier,
         "q19_bracket_revenue": R.q19_bracket_revenue,
         "q22_dormant_customers": R.q22_dormant_customers,
+        # --- r2: the correlated/decorrelation family (adapted to the
+        # available schema: no partsupp/receiptdate/container columns) ---
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q20_promo_volume_suppliers": R.q20_promo_volume_suppliers,
+        "q21_lone_returning_supplier": R.q21_lone_returning_supplier,
+        "q2_min_price_supplier": R.q2_min_price_supplier,
+        "q8_market_share": R.q8_market_share,
+        "q9_profit_by_nation_year": R.q9_profit_by_nation_year,
+        "q11_revenue_concentration": R.q11_revenue_concentration,
+        "q16_supplier_diversity": R.q16_supplier_diversity,
         # --- structural quality harness (SURVEY §5 level 4; rows-only) ---
         "qc_structural": _qc_structural,
         # --- XBRL dimension operators (N6/N7/V8 relational) ---
@@ -602,6 +612,106 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#1'
+              AND l_quantity < (
+                  SELECT CAST(0.2 AS DOUBLE) * avg(l_quantity)
+                  FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+        """,
+        "q20_promo_volume_suppliers": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'PROMO'
+                  AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(l_quantity) > 45)
+            ORDER BY s_suppkey
+        """,
+        "q21_lone_returning_supplier": """
+            SELECT s_name, count(*) AS numwait
+            FROM lineitem l1
+            JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20
+        """,
+        "q2_min_price_supplier": """
+            WITH per_ps AS (
+                SELECT l_partkey, l_suppkey, min(l_extendedprice) AS price
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_size = 10 GROUP BY l_partkey, l_suppkey)
+            SELECT s_acctbal, s_name, l_partkey AS p_partkey,
+                   round(price, 4) AS min_price
+            FROM per_ps JOIN supplier ON s_suppkey = l_suppkey
+            WHERE price = (SELECT min(p2.price) FROM per_ps p2
+                           WHERE p2.l_partkey = per_ps.l_partkey)
+            ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC LIMIT 10
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                                  ELSE CAST(0.0 AS DOUBLE) END) / sum(vol), 4)
+                       AS mkt_share
+            FROM (
+                SELECT o_orderdate, n2.n_name AS supp_nation,
+                       l_extendedprice * (1 - l_discount) AS vol
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'ASIA')
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "q9_profit_by_nation_year": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity / 10.0), 4) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_type = 'STANDARD'
+            GROUP BY n_name, o_year ORDER BY nation ASC, o_year DESC
+        """,
+        "q11_revenue_concentration": """
+            SELECT l_partkey AS p_partkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
+            FROM lineitem
+            GROUP BY l_partkey
+            HAVING round(sum(l_extendedprice * (1 - l_discount)), 4) > (
+                SELECT sum(l_extendedprice * (1 - l_discount)) * 1.5
+                       / count(DISTINCT l_partkey)
+                FROM lineitem)
+            ORDER BY value DESC, p_partkey ASC
+        """,
+        "q16_supplier_diversity": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#3'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+            LIMIT 20
         """,
         "x_accession_lookup": f"""
             WITH subs AS (SELECT * FROM {subs_cte}),

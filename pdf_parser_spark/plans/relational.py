@@ -534,3 +534,223 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (adapted: no p_container column in this schema —
+    p_brand carries the part filter): revenue of lineitems whose quantity is
+    below 20% of the PART's average quantity — the correlated-scalar-agg
+    decorrelation pattern.  Spark-first plan: the correlated subquery becomes
+    a per-part partial aggregate joined back; the agg output is keyed by
+    p_partkey and post-aggregation tiny, so it broadcasts at any SF while
+    lineitem never shuffles twice."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp table — availability is derived
+    from shipped volume): suppliers whose 1997 shipments of any PROMO part
+    exceed 45 units — the nested-IN-over-aggregation pattern.  The inner agg
+    collapses to a distinct supplier-key sliver, so the outer filter is a
+    LEFT SEMI join with only the key crossing the exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    sup = load(spark, sf_dir, "supplier")
+    heavy = (
+        li.where((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 45)
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(heavy, sup.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_lone_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no receipt/commit dates — l_returnflag='R'
+    plays the 'failed delivery' role): suppliers with a returned line on a
+    finished multi-supplier order where NO OTHER supplier returned — the
+    EXISTS + NOT-EXISTS double-correlated self-join pattern.  Spark-first:
+    EXISTS -> LEFT SEMI on (orderkey, supplier!=), NOT EXISTS -> LEFT ANTI on
+    the same shape; both carry only join keys through the exchange, and the
+    three lineitem legs share one shuffle key (l_orderkey)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    sup = load(spark, sf_dir, "supplier")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("s1"))
+        .join(orders.select("o_orderkey"), F.col("o1") == F.col("o_orderkey"), "left_semi")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    exists_other = l1.join(
+        l2, (F.col("o1") == F.col("o2")) & (F.col("s1") != F.col("s2")), "left_semi"
+    )
+    lone = exists_other.join(
+        l3, (F.col("o1") == F.col("o3")) & (F.col("s1") != F.col("s3")), "left_anti"
+    )
+    return (
+        lone.join(F.broadcast(sup), F.col("s1") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp — per-(part,supplier) minimum
+    shipped unit price plays supply cost): for size-10 parts, the suppliers
+    matching the PART-level minimum price — the correlated-min pattern.
+    Spark-first: per-(part,supp) agg, then a min-over-part window on the
+    (already reduced) agg output instead of a second correlated scan."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_size") == 10)
+    sup = load(spark, sf_dir, "supplier")
+    per_ps = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("price"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        per_ps.withColumn("best_price", F.min("price").over(w))
+        .where(F.col("price") == F.col("best_price"))
+    )
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_acctbal", "s_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("price", 4).alias("min_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_name").asc(), F.col("p_partkey").asc())
+        .limit(10)
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of ASIA-region customer
+    order volume per order year — conditional-aggregate-over-star-join.
+    region/nation broadcast; the year comes off o_orderdate so the group key
+    is computed, not stored."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    n_c = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
+    n_s = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == region.r_regionkey, "left_semi")
+        .join(F.broadcast(n_s), sup.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol), 4
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no ps_supplycost — cost modeled as
+    p_retailprice * quantity / 10): profit per supplier nation per year over
+    parts named like '%green%'-style filter (here: p_type = 'STANDARD').
+    nation broadcast; part filter pushes to its scan before the fact join."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    sup = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    nation = load(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") / 10.0
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp — shipped revenue per part plays
+    inventory value): parts whose revenue exceeds 1.5x the mean per-part
+    revenue — the HAVING-vs-global-scalar-subquery pattern, with an
+    SF-independent threshold (a fixed share would select everything or
+    nothing as the part count scales).  The scalar is a 1-row broadcast
+    cross join; the per-part agg shuffles once."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.round(F.sum(rev), 4).alias("value"))
+    total = li.agg(
+        (F.sum(rev) * 1.5 / F.countDistinct("l_partkey")).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        .orderBy(F.col("value").desc(), F.col("p_partkey").asc())
+    )
+
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp — shippers per part family from
+    lineitem; the NOT-IN side excludes negative-balance suppliers): distinct
+    supplier count per (p_brand, p_type, p_size) — NOT-IN -> LEFT ANTI with
+    only keys crossing, then a distinct-count aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#3")
+    bad = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+            F.col("p_type").asc(), F.col("p_size").asc(),
+        )
+        .limit(20)
+    )
