@@ -114,7 +114,6 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         "d_exact": lambda: dedup.exact_dedup_groups(docs),
         "d_simhash": lambda: dedup.simhash(docs),
         "s_ann_brute": lambda: similarity.brute_force_topk(emb),
-        "s_ann_ivf": lambda: similarity.ivf_topk(emb),  # incl. kmeans fit
         "t_quality_score": lambda: textstats.quality_score(docs),
     }
     times: dict[str, float] = {}
@@ -122,6 +121,16 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         build().write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+    # IVF decomposed: the one-off kmeans fit (driver-looped Lloyd rounds,
+    # amortized over every later query in production) vs the probe-scan
+    # (the per-query cost IVF exists to shrink)
+    t0 = time.perf_counter()
+    centroids = similarity.kmeans_fit(emb)
+    times["s_ann_kmeans_fit"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    similarity.ivf_topk(emb, centroids=centroids).write.format("noop").mode(
+        "overwrite").save()
+    times["s_ann_ivf"] = round(time.perf_counter() - t0, 3)
     return times
 
 

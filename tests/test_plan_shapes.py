@@ -167,3 +167,41 @@ def test_salted_repartition_spreads_heavy_host(spark):
         heavy.select(F.spark_partition_id().alias("p")).distinct().count()
     )
     assert n_parts_with_heavy >= 8, n_parts_with_heavy
+
+
+def test_q21_semi_anti_join_shapes(spark):
+    """Q21's EXISTS/NOT-EXISTS legs must compile to LeftSemi/LeftAnti joins
+    (no row multiplication) and the supplier dim must broadcast."""
+    from pdf_parser_spark.plans.relational import q21_lone_returning_supplier
+
+    p = plan(q21_lone_returning_supplier(spark, SF001))
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_q17_correlated_agg_is_join_not_subquery_per_row(spark):
+    """The correlated scalar avg decorrelates to ONE per-part aggregate
+    joined back (a partial_avg appears exactly once; no nested-loop join)."""
+    from pdf_parser_spark.plans.relational import q17_small_quantity_revenue
+
+    p = plan(q17_small_quantity_revenue(spark, SF001))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("partial_avg") == 1, p
+
+
+def test_q20_semi_join_carries_key_only(spark):
+    """The nested-IN collapses to a LEFT SEMI whose build side projects only
+    the supplier key (no fat columns cross the exchange)."""
+    from pdf_parser_spark.plans.relational import q20_promo_volume_suppliers
+
+    p = plan(q20_promo_volume_suppliers(spark, SF001))
+    assert "LeftSemi" in p, p
+
+
+def test_q16_not_in_is_anti_join(spark):
+    from pdf_parser_spark.plans.relational import q16_supplier_diversity
+
+    p = plan(q16_supplier_diversity(spark, SF001))
+    assert "LeftAnti" in p, p
+    assert "distinct" in p.lower(), p
