@@ -208,6 +208,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         "t_winnow_fp": lambda s, d: textstats.winnow_fingerprint(_docs(s, d)),
+        "t_token_count_bpe": lambda s, d: textstats.bpe_token_count(_docs(s, d)),
+        "t_quality_gate": lambda s, d: textstats.quality_gate(_docs(s, d)),
+        "st_dedup": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.dedup", fromlist=["dedup_via_stream"]
+        ).dedup_via_stream(s, d),
         # --- dedup ---
         "d_exact": lambda s, d: dedup.exact_dedup_groups(_docs(s, d)),
         "d_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.2),
@@ -803,6 +808,51 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOKS}) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
                        + 0.2 * least(len({_TOKS}) / 100.0, 1.0), 4) AS quality
             FROM documents ORDER BY doc_id
+        """,
+        "t_token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_runs,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_runs,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_symbol_runs
+            FROM documents ORDER BY doc_id
+        """,
+        "t_quality_gate": f"""
+            WITH sig AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                       length(regexp_replace(text, '\\s+', '', 'g'))
+                           / len({_TOKS}) AS mean_wl,
+                       {_hits(_EN)} AS stop_hits,
+                       (length(text) - length(replace(text, '#', '')))
+                           / len({_TOKS}) AS hash_ratio,
+                       len(list_filter(regexp_split_to_array(text, '\\n'),
+                           l -> ends_with(l, '...')))
+                           / len(regexp_split_to_array(text, '\\n')) AS ellipsis_ratio,
+                       len(list_filter(regexp_split_to_array(text, '\\n'),
+                           l -> starts_with(ltrim(l), '- ')
+                             OR starts_with(ltrim(l), '* ')))
+                           / len(regexp_split_to_array(text, '\\n')) AS bullet_ratio
+                FROM documents
+            ), gated AS (
+                SELECT doc_id, concat_ws(';',
+                    CASE WHEN n_tokens < 50 THEN 'too_few_tokens' END,
+                    CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+                    CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 'word_len' END,
+                    CASE WHEN stop_hits < 2 THEN 'no_stopwords' END,
+                    CASE WHEN hash_ratio > 0.1 THEN 'hash_symbols' END,
+                    CASE WHEN ellipsis_ratio > 0.3 THEN 'ellipsis_lines' END,
+                    CASE WHEN bullet_ratio > 0.9 THEN 'bullet_lines' END
+                ) AS reasons
+                FROM sig)
+            SELECT doc_id, (reasons = '') AS passed, reasons
+            FROM gated ORDER BY doc_id
+        """,
+        # streaming exact dedup held to the batch DISTINCT oracle: the
+        # surviving state keys must be exactly the distinct fingerprints
+        "st_dedup": """
+            SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents ORDER BY fp
         """,
         "t_fingerprint": """
             SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp

@@ -84,6 +84,87 @@ def quality_score(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# GPT-2-style pre-tokenizer classes without lookahead (RE2-compatible so the
+# DuckDB oracle runs the IDENTICAL pattern): letter runs, digit runs, symbol
+# runs.  Whitespace separates; a run count approximates the BPE pre-token
+# count the real byte-pair merge would start from.
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_word_runs, n_number_runs, n_symbol_runs) —
+    the brief's 'BPE-ish regex' token count next to the whitespace count:
+    one JVM regexp pass per class, whole-stage codegen, no Python."""
+    def runs(pattern: str):
+        return F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0))
+        ).cast("long")
+
+    return documents.select(
+        "doc_id",
+        runs(BPE_PRETOKEN_RE).alias("n_bpe_tokens"),
+        runs(r"[A-Za-z]+").alias("n_word_runs"),
+        runs(r"[0-9]+").alias("n_number_runs"),
+        runs(r"[^A-Za-z0-9\s]+").alias("n_symbol_runs"),
+    ).orderBy("doc_id")
+
+
+# C4/Gopher-style hard gate thresholds (public heuristics: Raffel et al. C4,
+# Rae et al. Gopher rules) — deterministic, mirrored in the SQL oracle.
+GATE_MIN_TOKENS = 50
+GATE_MAX_TOKENS = 100_000
+GATE_MEAN_WL_LO = 3.0
+GATE_MEAN_WL_HI = 10.0
+GATE_MIN_STOPWORD_HITS = 2
+GATE_MAX_HASH_RATIO = 0.1
+GATE_MAX_ELLIPSIS_LINE_RATIO = 0.3
+GATE_MAX_BULLET_LINE_RATIO = 0.9
+
+
+def quality_gate(documents: DataFrame) -> DataFrame:
+    """(doc_id, passed, reasons) — the C4/Gopher HARD filter chain next to
+    the soft quality_score: token-count band, mean-word-length band, English
+    stopword presence, '#'-symbol ratio, ellipsis-line ratio, bullet-line
+    ratio.  All JVM higher-order column ops (split + filter lambdas); reasons
+    is the ';'-joined failed rules in pipeline order ('' when passed)."""
+    toks = words(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    mean_wl = F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_tokens
+    stop_hits = _stopword_hits(EN_STOPWORDS)
+    hash_ratio = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+        / n_tokens
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines
+    )
+    bullet_ratio = (
+        F.size(F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("- ") | F.ltrim(l).startswith("* "),
+        )) / n_lines
+    )
+    rules = [
+        (n_tokens < GATE_MIN_TOKENS, "too_few_tokens"),
+        (n_tokens > GATE_MAX_TOKENS, "too_many_tokens"),
+        ((mean_wl < GATE_MEAN_WL_LO) | (mean_wl > GATE_MEAN_WL_HI), "word_len"),
+        (stop_hits < GATE_MIN_STOPWORD_HITS, "no_stopwords"),
+        (hash_ratio > GATE_MAX_HASH_RATIO, "hash_symbols"),
+        (ellipsis_ratio > GATE_MAX_ELLIPSIS_LINE_RATIO, "ellipsis_lines"),
+        (bullet_ratio > GATE_MAX_BULLET_LINE_RATIO, "bullet_lines"),
+    ]
+    reasons = F.concat_ws(
+        ";", *[F.when(cond, F.lit(name)) for cond, name in rules]
+    )
+    return documents.select(
+        "doc_id",
+        (reasons == "").alias("passed"),
+        reasons.alias("reasons"),
+    ).orderBy("doc_id")
+
+
 def winnow_fingerprint(
     documents: DataFrame, n: int = 3, window: int = 4
 ) -> DataFrame:

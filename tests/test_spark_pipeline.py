@@ -123,6 +123,60 @@ def test_dedup_pages_binary_fingerprint(spark):
     assert urls == ["http://a1", "http://b1", "http://n1"]
 
 
+def test_streaming_dedup_drops_mirrors(spark, tmp_path):
+    """Streaming dropDuplicates(fp): mirrors arriving in LATER micro-batches
+    must be dropped by the dedup state, not just within-batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming.dedup import stream_dedup
+
+    def write_batch(path, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }), path)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    write_batch(str(in_dir / "b0.parquet"),
+                [(1, "alpha text"), (2, "beta text"), (3, "ALPHA   TEXT")])
+    q = stream_dedup(spark, str(in_dir), str(tmp_path / "ckpt"), "dedup_test")
+    q.processAllAvailable()
+    # batch 2: one cross-batch mirror (of doc 1) + one new doc
+    write_batch(str(in_dir / "b1.parquet"),
+                [(4, "alpha text"), (5, "gamma text")])
+    q.processAllAvailable()
+    q.stop()
+    fps = [r["fp"] for r in spark.table("dedup_test").collect()]
+    # alpha (docs 1/3/4 normalize to the same fp), beta, gamma -> 3 survivors
+    assert len(fps) == 3 and len(set(fps)) == 3
+
+
+def test_quality_gate_rules(spark):
+    """Each gate rule fires on a doc engineered to violate exactly it."""
+    from pdf_parser_spark.operators.textstats import quality_gate
+
+    good = "the quick brown fox jumps over the lazy dog and " * 20
+    rows = [
+        (1, good),
+        (2, "the cat sat"),                                   # too few tokens
+        (3, "zz " * 200),                                     # no stopwords (+word_len)
+        (4, good + " " + "#" * 400),                          # hash symbols
+        (5, "\n".join(["the dog runs to a tree and stops..."] * 30)),  # ellipsis
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_gate(df).collect()}
+    assert out[1]["passed"] and out[1]["reasons"] == ""
+    assert "too_few_tokens" in out[2]["reasons"]
+    assert "no_stopwords" in out[3]["reasons"]
+    assert "hash_symbols" in out[4]["reasons"]
+    assert "ellipsis_lines" in out[5]["reasons"]
+
+
 def test_connected_components_transitive_chain(spark):
     """a<->b, b<->c must resolve to ONE component {a,b,c} with keeper=min;
     disjoint pairs stay separate; a long chain converges (multi-round
