@@ -98,6 +98,23 @@ def test_normalize_rows_shape_invariants(rows):
         assert len(after) == len(before) + 1 if before else True
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200))
+def test_decode_media_total_on_arbitrary_bytes(payload):
+    """decode_media is total on arbitrary byte payloads (truncated headers,
+    magic-prefix junk, random bytes): returns the full column set, never
+    raises.  Mirrors the fail-soft contract of the Arrow stage."""
+    from pdf_parser_spark.operators.multimodal import decode_media
+
+    for prefix in (b"", b"BM", b"P6", b"RIFF", b"RIFF1234WAVE"):
+        out = decode_media(prefix + payload)
+        assert set(out) == {
+            "media_type", "byte_len", "width", "height", "n_channels",
+            "sample_rate", "duration_ms", "checksum", "feature_norm",
+        }
+        assert out["byte_len"] == len(prefix + payload)
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.binary(max_size=300))
 def test_extract_document_never_raises(payload):

@@ -123,6 +123,45 @@ def test_dedup_pages_binary_fingerprint(spark):
     assert urls == ["http://a1", "http://b1", "http://n1"]
 
 
+def test_build_training_corpus_funnel(spark, tmp_path):
+    """The composite LLM-data funnel: exact mirrors die before extraction,
+    failed docs die at the status filter, near-identical extractions resolve
+    to one keeper, and the funnel stats audit every stage."""
+    from pdf_parser_spark.operators.corpus_pipeline import build_training_corpus
+
+    base = synthetic_pages(spark, 24)
+    # exact mirrors of every page under a different (later-sorting) url
+    mirror = base.withColumn("url", F.concat(F.lit("zz-mirror://"), F.col("url")))
+    pages = base.unionByName(mirror)
+
+    out, stats = build_training_corpus(
+        pages, str(tmp_path / "corpus_build"), run_ts=RUN_TS
+    )
+    # mirrors collapse exactly: 48 -> 24 before Python
+    assert stats["input"] == 48
+    assert stats["after_exact_dedup"] == 24
+    # funnel is monotone and ends non-empty
+    assert (stats["after_exact_dedup"] >= stats["extracted_ok"]
+            >= stats["gate_passed"] >= stats["final_corpus"] > 0)
+    urls = [r["url"] for r in out.select("url").collect()]
+    assert len(urls) == len(set(urls))
+    assert all(not u.startswith("zz-mirror://") for u in urls)
+    # the near-dup stage keeps one doc per LSH cluster: re-running the
+    # pair+component logic over the FINAL corpus must find no losers
+    from pdf_parser_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+    pairs = minhash_lsh_pairs(
+        out.select(F.col("url").alias("doc_id"), F.col("markdown").alias("text"))
+    )
+    leftovers = connected_components(pairs).where(~F.col("is_keeper")).count()
+    assert leftovers == 0
+    # funnel stats sink carries the audit row
+    fs = spark.read.parquet(str(tmp_path / "corpus_build" / "funnel_stats"))
+    row = fs.collect()[0]
+    assert row["input"] == 48 and row["final_corpus"] == stats["final_corpus"]
+
+
 def test_streaming_dedup_drops_mirrors(spark, tmp_path):
     """Streaming dropDuplicates(fp): mirrors arriving in LATER micro-batches
     must be dropped by the dedup state, not just within-batch."""
