@@ -28,17 +28,39 @@ IFRS_MARKERS = (
 )
 
 
+# required-literal prefilters per marker: every regex match string must
+# contain the listed literal(s) (uppercased page scan), so a page without
+# them can skip the regex entirely.  None = no cheap literal exists.
+_SEC_LITS = (("FORM", "10-"), ("EXCHANGE",), ("CENTRAL",))
+_IFRS_LITS = (("000",), ("IFRS",), None, ("STATEMENT",), ("STATEMENT",),
+              None)
+
+
 def classify_report_type(page_texts: Sequence[str], scan_pages: int = 10) -> str:
     """'sec' or 'ifrs' by counting UNIQUE patterns matched over the first N
-    pages; ties default to 'sec' (ref detect.py:111-129)."""
+    pages; ties default to 'sec' (ref detect.py:111-129).
+
+    Perf (hit sets unchanged): a pattern already in its hit set is never
+    re-searched on later pages, and each remaining pattern first checks its
+    required literal(s) against one uppercased copy of the page."""
     sec_hits: set[int] = set()
     ifrs_hits: set[int] = set()
+    n_sec, n_ifrs = len(SEC_MARKERS), len(IFRS_MARKERS)
     for text in page_texts[:scan_pages]:
+        if len(sec_hits) == n_sec and len(ifrs_hits) == n_ifrs:
+            break
+        up = text.upper()
         for i, pat in enumerate(SEC_MARKERS):
-            if pat.search(text):
+            if i in sec_hits:
+                continue
+            lits = _SEC_LITS[i]
+            if all(l in up for l in lits) and pat.search(text):
                 sec_hits.add(i)
         for i, pat in enumerate(IFRS_MARKERS):
-            if pat.search(text):
+            if i in ifrs_hits:
+                continue
+            lits = _IFRS_LITS[i]
+            if (lits is None or all(l in up for l in lits)) and pat.search(text):
                 ifrs_hits.add(i)
     return "ifrs" if len(ifrs_hits) > len(sec_hits) else "sec"
 
