@@ -111,6 +111,9 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         "q5_region_revenue": lambda: R.q5_region_revenue(spark, sf_dir),
         "w4_sessionize": lambda: R.w4_sessionize(spark, sf_dir),
         "d_minhash_lsh": lambda: dedup.minhash_lsh_pairs(docs),
+        "d_components": lambda: dedup.connected_components(
+            dedup.minhash_lsh_pairs(docs)
+        ),
         "d_exact": lambda: dedup.exact_dedup_groups(docs),
         "d_simhash": lambda: dedup.simhash(docs),
         "s_ann_brute": lambda: similarity.brute_force_topk(emb),
@@ -134,18 +137,25 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def ann_recall(spark, sf_dir: str, k: int = 3) -> float:
+def ann_recall(spark, sf_dir: str, k: int = 3) -> dict[str, float]:
     """recall@k of the IVF path vs the exact brute-force baseline on the
-    same query set (both result sets are <= n_queries*k rows — driver-side
-    set math on tiny collects)."""
+    same query set, swept over nprobe (the IVF speed/recall knob).  Result
+    sets are <= n_queries*k rows — driver-side set math on tiny collects;
+    the kmeans fit runs once and is shared across probes."""
     from pdf_parser_spark.operators import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     brute = {(r["query_id"], r["neighbor_id"])
              for r in similarity.brute_force_topk(emb, k=k).collect()}
-    ivf = {(r["query_id"], r["neighbor_id"])
-           for r in similarity.ivf_topk(emb, k=k).collect()}
-    return round(len(brute & ivf) / max(len(brute), 1), 4)
+    centroids = similarity.kmeans_fit(emb)
+    out: dict[str, float] = {}
+    for nprobe in (1, 2, 4):
+        ivf = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.ivf_topk(
+                   emb, k=k, nprobe=nprobe, centroids=centroids).collect()}
+        out[f"s_ann_ivf_recall_at_{k}_nprobe{nprobe}"] = round(
+            len(brute & ivf) / max(len(brute), 1), 4)
+    return out
 
 
 def run_once(master: str, n_docs: int, with_queries: bool = True, repeats: int = 2):
@@ -168,7 +178,7 @@ def run_once(master: str, n_docs: int, with_queries: bool = True, repeats: int =
             t1 = relational_queries(spark, SF_DIR)
             t2 = relational_queries(spark, SF_DIR)
             qtimes = {k: min(t1[k], t2[k]) for k in t1}
-            qtimes["s_ann_ivf_recall_at_3"] = ann_recall(spark, SF_DIR)
+            qtimes.update(ann_recall(spark, SF_DIR))
         else:
             qtimes = {}
         return elapsed, n, qtimes
