@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_winnow_fp": lambda s, d: textstats.winnow_fingerprint(_docs(s, d)),
         "t_token_count_bpe": lambda s, d: textstats.bpe_token_count(_docs(s, d)),
         "t_quality_gate": lambda s, d: textstats.quality_gate(_docs(s, d)),
+        "t_repetition": lambda s, d: textstats.repetition_stats(_docs(s, d)),
         "st_dedup": lambda s, d: __import__(
             "pdf_parser_spark.streaming.dedup", fromlist=["dedup_via_stream"]
         ).dedup_via_stream(s, d),
@@ -847,6 +848,83 @@ def oracle_sql() -> dict[str, str]:
                 FROM sig)
             SELECT doc_id, (reasons = '') AS passed, reasons
             FROM gated ORDER BY doc_id
+        """,
+        # Gopher repetition family: duplicate line/paragraph (character)
+        # fractions + top-2-gram coverage, all exact BIGINT counters and an
+        # integer-cross-multiplied gate (thresholds in operators.textstats)
+        "t_repetition": f"""
+            WITH lb AS (
+                SELECT doc_id, trim(b) AS block
+                FROM documents, unnest(regexp_split_to_array(text, '\\n')) AS t(b)
+                WHERE trim(b) <> ''
+            ), lg AS (
+                SELECT doc_id, block, count(*) AS cnt, length(block) AS blen
+                FROM lb GROUP BY doc_id, block
+            ), ls AS (
+                SELECT doc_id,
+                       CAST(sum(cnt) AS BIGINT) AS n_lines,
+                       CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_lines,
+                       CAST(sum(cnt * blen) AS BIGINT) AS lines_chars,
+                       CAST(sum(CASE WHEN cnt >= 2 THEN cnt * blen ELSE 0 END) AS BIGINT) AS dup_lines_chars
+                FROM lg GROUP BY doc_id
+            ), pb AS (
+                SELECT doc_id, trim(b) AS block
+                FROM documents, unnest(regexp_split_to_array(text, '\\n{{2,}}')) AS t(b)
+                WHERE trim(b) <> ''
+            ), pg AS (
+                SELECT doc_id, block, count(*) AS cnt, length(block) AS blen
+                FROM pb GROUP BY doc_id, block
+            ), ps AS (
+                SELECT doc_id,
+                       CAST(sum(cnt) AS BIGINT) AS n_paras,
+                       CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_paras,
+                       CAST(sum(cnt * blen) AS BIGINT) AS paras_chars,
+                       CAST(sum(CASE WHEN cnt >= 2 THEN cnt * blen ELSE 0 END) AS BIGINT) AS dup_paras_chars
+                FROM pg GROUP BY doc_id
+            ), toks AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), grams AS (
+                SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+                FROM toks, unnest(range(1, len(t))) AS r(i)
+                WHERE len(t) >= 2
+            ), gg AS (
+                SELECT doc_id, gram, count(*) AS cnt
+                FROM grams GROUP BY doc_id, gram
+            ), top2 AS (
+                SELECT doc_id,
+                       CAST(cnt AS BIGINT) AS top2_count,
+                       CAST(cnt * length(gram) AS BIGINT) AS top2_chars
+                FROM gg
+                QUALIFY row_number() OVER (
+                    PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) = 1
+            ), base AS (
+                SELECT doc_id,
+                       CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS nws_chars
+                FROM documents
+            ), joined AS (
+                SELECT base.doc_id,
+                       COALESCE(n_lines, 0) AS n_lines,
+                       COALESCE(n_dup_lines, 0) AS n_dup_lines,
+                       COALESCE(dup_lines_chars, 0) AS dup_lines_chars,
+                       COALESCE(lines_chars, 0) AS lines_chars,
+                       COALESCE(n_paras, 0) AS n_paras,
+                       COALESCE(n_dup_paras, 0) AS n_dup_paras,
+                       COALESCE(dup_paras_chars, 0) AS dup_paras_chars,
+                       COALESCE(paras_chars, 0) AS paras_chars,
+                       COALESCE(top2_count, 0) AS top2_count,
+                       COALESCE(top2_chars, 0) AS top2_chars,
+                       nws_chars
+                FROM base
+                LEFT JOIN ls ON base.doc_id = ls.doc_id
+                LEFT JOIN ps ON base.doc_id = ps.doc_id
+                LEFT JOIN top2 ON base.doc_id = top2.doc_id
+            )
+            SELECT *, (n_dup_lines * 100 <= n_lines * 30
+                   AND dup_lines_chars * 100 <= lines_chars * 20
+                   AND n_dup_paras * 100 <= n_paras * 30
+                   AND dup_paras_chars * 100 <= paras_chars * 20
+                   AND top2_chars * 100 <= nws_chars * 20) AS rep_passed
+            FROM joined ORDER BY doc_id
         """,
         # streaming exact dedup held to the batch DISTINCT oracle: the
         # surviving state keys must be exactly the distinct fingerprints

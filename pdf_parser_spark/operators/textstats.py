@@ -209,3 +209,108 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.md5(normalized).alias("fp")
     ).orderBy("doc_id")
+
+
+# Gopher repetition thresholds (Rae et al. 2021, Table A1 — public
+# heuristics), expressed as exact integer-ratio comparisons so the gate
+# verdict is hash-stable (no float rounding in the compared columns).
+REP_MAX_DUP_LINE_PCT = 30        # duplicate-line fraction > 0.30 -> fail
+REP_MAX_DUP_LINE_CHAR_PCT = 20   # chars inside duplicated lines > 0.20
+REP_MAX_DUP_PARA_PCT = 30
+REP_MAX_DUP_PARA_CHAR_PCT = 20
+REP_MAX_TOP2GRAM_CHAR_PCT = 20   # chars covered by the top word 2-gram
+
+
+def _dup_block_stats(documents: DataFrame, split_re: str, prefix: str) -> DataFrame:
+    """Per-doc duplicate-block stats for one block granularity (lines or
+    paragraphs): explode trimmed non-empty blocks, count occurrences per
+    (doc_id, block), fold back to per-doc totals.  Two partial-aggregatable
+    shuffles both keyed by doc_id-led keys — scale-safe, no skew beyond the
+    largest single document."""
+    blocks = F.filter(
+        F.transform(F.split(F.col("text"), split_re), lambda b: F.trim(b)),
+        lambda b: b != "",
+    )
+    exploded = documents.select("doc_id", F.explode(blocks).alias("block"))
+    per_block = exploded.groupBy("doc_id", "block").agg(
+        F.count("*").alias("cnt"), F.length(F.first("block")).alias("blen")
+    )
+    dup = F.col("cnt") >= 2
+    return per_block.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias(f"n_{prefix}"),
+        F.sum(F.when(dup, F.col("cnt")).otherwise(0)).cast("long").alias(f"n_dup_{prefix}"),
+        F.sum(F.col("cnt") * F.col("blen")).cast("long").alias(f"{prefix}_chars"),
+        F.sum(F.when(dup, F.col("cnt") * F.col("blen")).otherwise(0))
+        .cast("long").alias(f"dup_{prefix}_chars"),
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, n_dup_lines, dup_line_chars, line_chars, n_paras,
+    n_dup_paras, dup_para_chars, para_chars, top2_count, top2_chars,
+    nws_chars, rep_passed) — the Gopher repetition-filter family: duplicate
+    line/paragraph fraction, duplicate line/paragraph *character* fraction,
+    and the character fraction covered by the most frequent word 2-gram.
+
+    All counters are exact BIGINTs; ``rep_passed`` applies the public Gopher
+    thresholds via integer cross-multiplication (no float compare).  Blocks
+    are trimmed and empty blocks dropped; the top 2-gram ties break on the
+    lexicographically smallest gram; docs with <2 tokens have no 2-gram
+    (top2_count = 0).  Complements quality_gate (C4-style surface rules) —
+    repetition is the signal that catches boilerplate/spam pages that pass
+    length and stopword checks."""
+    base = documents.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+        .cast("long").alias("nws_chars"),
+    )
+    lines = _dup_block_stats(documents, r"\n", "lines")
+    paras = _dup_block_stats(documents, r"\n{2,}", "paras")
+
+    toks = words(F.col("text"))
+    grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )
+    )
+    per_gram = (
+        documents.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # max count, then lexicographically smallest gram: min_by over (-cnt, gram)
+    top2 = per_gram.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct(F.col("cnt"), F.length("gram").alias("glen")),
+            F.struct((-F.col("cnt")).alias("neg"), F.col("gram")),
+        ).alias("t")
+    ).select(
+        "doc_id",
+        F.col("t.cnt").cast("long").alias("top2_count"),
+        (F.col("t.cnt") * F.col("t.glen")).cast("long").alias("top2_chars"),
+    )
+
+    joined = (
+        base.join(lines, "doc_id", "left")
+        .join(paras, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .na.fill(0)
+    )
+    passed = (
+        (F.col("n_dup_lines") * 100 <= F.col("n_lines") * REP_MAX_DUP_LINE_PCT)
+        & (F.col("dup_lines_chars") * 100
+           <= F.col("lines_chars") * REP_MAX_DUP_LINE_CHAR_PCT)
+        & (F.col("n_dup_paras") * 100 <= F.col("n_paras") * REP_MAX_DUP_PARA_PCT)
+        & (F.col("dup_paras_chars") * 100
+           <= F.col("paras_chars") * REP_MAX_DUP_PARA_CHAR_PCT)
+        & (F.col("top2_chars") * 100
+           <= F.col("nws_chars") * REP_MAX_TOP2GRAM_CHAR_PCT)
+    )
+    return joined.select(
+        "doc_id",
+        "n_lines", "n_dup_lines", "dup_lines_chars", "lines_chars",
+        "n_paras", "n_dup_paras", "dup_paras_chars", "paras_chars",
+        "top2_count", "top2_chars", "nws_chars",
+        passed.alias("rep_passed"),
+    ).orderBy("doc_id")

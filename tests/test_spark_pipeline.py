@@ -216,6 +216,36 @@ def test_quality_gate_rules(spark):
     assert "ellipsis_lines" in out[5]["reasons"]
 
 
+def test_repetition_stats_gopher_rules(spark):
+    """Duplicate-line and top-2-gram rules fire on engineered docs; exact
+    counters match hand computation; empty/one-token docs pass vacuously."""
+    from pdf_parser_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "the cat sat\nthe cat sat\n\nunique para here with words\n\nthe cat sat"),
+        (2, "spam spam spam spam spam spam spam spam"),  # top-2-gram covers all
+        (3, ""),
+        (4, "one"),
+        (5, "a normal document with varied lines\nsecond line differs\n\n"
+            "third paragraph is unique and long enough"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    # doc 1: 'the cat sat' x3 of 4 lines (33 of 60 chars) -> dup-line fail
+    assert (out[1]["n_lines"], out[1]["n_dup_lines"]) == (4, 3)
+    assert (out[1]["dup_lines_chars"], out[1]["lines_chars"]) == (33, 60)
+    assert out[1]["n_dup_paras"] == 0  # 2-line para != 1-line para
+    assert not out[1]["rep_passed"]
+    # doc 2: top 2-gram 'spam spam' count 7, 63 chars vs 32 non-ws -> fail
+    assert (out[2]["top2_count"], out[2]["top2_chars"]) == (7, 63)
+    assert not out[2]["rep_passed"]
+    # empty / single-token docs: zero counters, vacuous pass
+    for d in (3, 4):
+        assert out[d]["top2_count"] == 0 and out[d]["rep_passed"]
+    assert out[5]["rep_passed"]
+
+
 def test_connected_components_transitive_chain(spark):
     """a<->b, b<->c must resolve to ONE component {a,b,c} with keeper=min;
     disjoint pairs stay separate; a long chain converges (multi-round
