@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 
 RUN_TS = "2026-08-16T00:00:00Z"  # run-scoped literal: deterministic parsed_at
 
+# registered domains dropped by the u_blocklist driver query (match actual
+# reg_domains produced by weburl.with_synthetic_urls at any sf)
+BLOCKED_DOMAINS = ["src3.example.com", "src5.co.uk", "src7.io", "src11.org"]
+
 
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, text, ...) -> pages(url, warc_ts, html, text, lang)."""
@@ -61,7 +65,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from pdf_parser_spark.operators import dedup, multimodal, similarity, textstats
+    from pdf_parser_spark.operators import (
+        dedup, multimodal, similarity, textstats, weburl,
+    )
     from pdf_parser_spark.operators.consistency import finalize
     from pdf_parser_spark.operators.extract import extract_stage
     from pdf_parser_spark.plans import relational as R
@@ -250,6 +256,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("duration_ms", F.lit(-1).cast("long")).alias("duration_ms"),
         ).orderBy("doc_id"),
         "d_simhash_pairs": lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=16),
+        # --- URL / domain operators (deterministic synthetic url column;
+        # the oracle re-derives it from the same doc_id/source formula) ---
+        "u_canonicalize": lambda s, d: weburl.registered_domain(
+            weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
+        ).select("doc_id", "url", "canonical_url", "host", "reg_domain")
+        .orderBy("doc_id"),
+        "u_domain_rollup": lambda s, d: weburl.domain_rollup(
+            weburl.with_synthetic_urls(_docs(s, d))
+        ),
+        "u_blocklist": lambda s, d: weburl.blocklist_filter(
+            weburl.with_synthetic_urls(_docs(s, d)), BLOCKED_DOMAINS
+        ).select("doc_id", "reg_domain").orderBy("doc_id"),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
         "extract_pipeline": extract_pipeline,
     }
@@ -365,6 +383,69 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") AS c(cl, cv))"
     )
+
+    # shared URL CTEs: synthesize the deterministic url column, parse with
+    # the same URL_RE six-group regex, canonicalize under the same rules,
+    # and resolve registered domains on the distinct-host dim exactly as
+    # weburl.registered_domain does (longest matching suffix, <= 3 labels)
+    from pdf_parser_spark.operators import weburl as WU
+
+    _track = ", ".join(f"'{k}'" for k in WU.TRACKING_KEYS)
+    _sfx = ", ".join(f"'{sx}'" for sx in WU.PUBLIC_SUFFIXES)
+    _url_cte = f"""
+        u AS (SELECT doc_id, lang, text, source, {WU.URL_SYNTH_SQL} AS url
+              FROM documents),
+        p AS (
+            SELECT u.*,
+                   lower(regexp_extract(url, '{WU.URL_RE}', 1)) AS scheme,
+                   lower(regexp_extract(url, '{WU.URL_RE}', 2)) AS host,
+                   regexp_extract(url, '{WU.URL_RE}', 3) AS port_s,
+                   regexp_extract(url, '{WU.URL_RE}', 4) AS path_raw,
+                   regexp_extract(url, '{WU.URL_RE}', 5) AS query_s
+            FROM u
+        ),
+        canon AS (
+            SELECT *,
+                scheme || '://' || host
+                || CASE WHEN (scheme = 'https' AND port_s = ':443')
+                          OR (scheme = 'http' AND port_s = ':80')
+                        THEN '' ELSE port_s END
+                || CASE WHEN regexp_replace(path_raw, '/+$', '') = ''
+                        THEN '/' ELSE regexp_replace(path_raw, '/+$', '') END
+                || CASE WHEN len(kept) = 0 THEN ''
+                        ELSE '?' || array_to_string(kept, '&') END
+                AS canonical_url
+            FROM (
+                SELECT *, list_sort(list_filter(
+                        regexp_split_to_array(substr(query_s, 2), '&'),
+                        q -> q <> ''
+                             AND NOT starts_with(split_part(q, '=', 1), 'utm_')
+                             AND NOT list_contains([{_track}], split_part(q, '=', 1))
+                    )) AS kept
+                FROM p
+            )
+        ),
+        hll AS (
+            SELECT host, regexp_split_to_array(host, '\\.') AS l
+            FROM (SELECT DISTINCT host FROM p)
+        ),
+        cands AS (
+            SELECT host, i, array_to_string(l[len(l)-i+1:len(l)], '.') AS s
+            FROM hll, unnest(range(1,
+                greatest(least(len(l) - 1, {WU.MAX_SUFFIX_LABELS}), 1) + 1)) AS r(i)
+        ),
+        best AS (
+            SELECT host, max(CASE WHEN s IN ({_sfx}) THEN i END) AS b
+            FROM cands GROUP BY host
+        ),
+        reg AS (
+            SELECT hll.host,
+                   CASE WHEN len(l) > COALESCE(b, 1)
+                        THEN array_to_string(l[len(l)-COALESCE(b,1):len(l)], '.')
+                        ELSE hll.host END AS reg_domain
+            FROM hll JOIN best USING (host)
+        )
+    """
 
     return {
         "w1_event_sequence": """
@@ -1238,5 +1319,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN kind = 1 THEN (ns * 1000) // rate ELSE -1 END AS BIGINT)
                        AS duration_ms
             FROM m ORDER BY doc_id
+        """,
+        "u_canonicalize": f"""
+            WITH {_url_cte}
+            SELECT c.doc_id, c.url, c.canonical_url, c.host, r.reg_domain
+            FROM canon c JOIN reg r USING (host)
+            ORDER BY c.doc_id
+        """,
+        "u_domain_rollup": f"""
+            WITH {_url_cte}
+            SELECT r.reg_domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT c.host) AS BIGINT) AS n_hosts,
+                   CAST(sum(length(c.text)) AS BIGINT) AS total_chars,
+                   CAST(count(DISTINCT c.lang) AS BIGINT) AS n_langs
+            FROM canon c JOIN reg r USING (host)
+            GROUP BY r.reg_domain ORDER BY r.reg_domain
+        """,
+        "u_blocklist": f"""
+            WITH {_url_cte}
+            SELECT c.doc_id, r.reg_domain
+            FROM canon c JOIN reg r USING (host)
+            WHERE r.reg_domain NOT IN ({", ".join(f"'{b}'" for b in BLOCKED_DOMAINS)})
+            ORDER BY c.doc_id
         """,
     }

@@ -1,0 +1,260 @@
+"""URL / domain operators for a web-crawl corpus.
+
+A webtext training pipeline spends its first joins on URLs: canonicalize
+(so near-identical fetch URLs collapse), group by registered domain (per-site
+quotas, per-site quality priors), and drop blocklisted sites.  The reference
+pipeline receives pre-resolved document URLs (its EDGAR fetch layer,
+``edgar_client.py``), so these operators are the web-scale generalization of
+that ingest surface rather than a port of a specific reference function.
+
+All transforms are pure JVM column expressions (regexp + higher-order array
+functions, whole-stage codegen, zero Python).  The parse regex and every
+canonicalization rule live in the RE2/Java-regex common subset so the DuckDB
+oracle can reproduce results byte-for-byte.
+
+Scale notes:
+- canonicalization is a narrow map — no shuffle at any scale.
+- registered-domain extraction joins exploded host-suffix candidates
+  (<= ``MAX_SUFFIX_LABELS`` per host) against a *broadcast* suffix dimension
+  — the real public-suffix list is ~9k rows, far under any broadcast
+  threshold; never a row-wise ``array_contains`` over the full PSL.
+- domain rollup is one partial-aggregatable groupBy on the registered
+  domain; per-site skew (one giant domain) is the classic salting case and
+  the count/sum aggregates here are all algebraic, so AQE skew handling
+  suffices.
+- blocklist drop is a broadcast LEFT ANTI join — key-only build side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# one match, six groups: scheme, host, :port, path, ?query, #fragment
+URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+
+# tracking query params dropped by canonicalize(): utm_* plus these keys
+TRACKING_KEYS = ("ref", "fbclid", "gclid", "msclkid")
+
+# stand-in for the public-suffix list (the real one is a ~9k-row broadcast
+# dim with identical join shape); longest-suffix-wins, max 3 labels deep
+PUBLIC_SUFFIXES = (
+    "com", "org", "net", "io", "gov", "edu", "uk", "co.uk", "org.uk",
+    "ac.uk", "de", "fr", "jp", "co.jp", "example.com",
+)
+MAX_SUFFIX_LABELS = 3
+
+DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add raw parse columns (scheme, host, port_s, path, query_s, frag) —
+    exactly the six URL_RE groups, untouched case, '' when absent."""
+    u = F.col(url_col)
+    return df.withColumns({
+        "scheme": F.regexp_extract(u, URL_RE, 1),
+        "host": F.regexp_extract(u, URL_RE, 2),
+        "port_s": F.regexp_extract(u, URL_RE, 3),
+        "path": F.regexp_extract(u, URL_RE, 4),
+        "query_s": F.regexp_extract(u, URL_RE, 5),
+        "frag": F.regexp_extract(u, URL_RE, 6),
+    })
+
+
+def _kept_params(query_s):
+    """Sorted non-tracking 'k=v' params from a raw '?...' string."""
+    raw = F.split(F.substring(query_s, 2, 1 << 30), "&")
+    key = lambda p: F.substring_index(p, "=", 1)  # noqa: E731
+    kept = F.filter(
+        raw,
+        lambda p: (p != "")
+        & ~F.startswith(key(p), F.lit("utm_"))
+        & ~key(p).isin(*TRACKING_KEYS),
+    )
+    return F.array_sort(kept)
+
+
+def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``canonical_url`` (plus lowercased ``scheme``/``host`` and the
+    raw parse columns): lowercase scheme+host, strip the scheme's default
+    port, strip the fragment, drop tracking params (utm_* and
+    TRACKING_KEYS), sort surviving params, collapse trailing slashes
+    ('' and '/+'-tails -> '/' resp. stripped; bare authority -> '/')."""
+    parsed = url_parts(df, url_col)
+    scheme = F.lower(F.col("scheme"))
+    host = F.lower(F.col("host"))
+    port = F.when(
+        ((scheme == "https") & (F.col("port_s") == ":443"))
+        | ((scheme == "http") & (F.col("port_s") == ":80")),
+        F.lit(""),
+    ).otherwise(F.col("port_s"))
+    stripped = F.regexp_replace(F.col("path"), "/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    kept = _kept_params(F.col("query_s"))
+    query = F.when(F.size(kept) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(kept, "&"))
+    )
+    return (
+        parsed.withColumn("scheme", scheme)
+        .withColumn("host", host)
+        .withColumn(
+            "canonical_url",
+            F.concat(F.col("scheme"), F.lit("://"), F.col("host"), port, path, query),
+        )
+    )
+
+
+def suffix_dim(spark, suffixes=PUBLIC_SUFFIXES) -> DataFrame:
+    """The public-suffix broadcast dimension: (suffix, n_labels)."""
+    rows = [(s, s.count(".") + 1) for s in suffixes]
+    return spark.createDataFrame(rows, "suffix string, n_labels int")
+
+
+def registered_domain(
+    df: DataFrame, host_col: str = "host", suffixes: DataFrame | None = None
+) -> DataFrame:
+    """Add ``reg_domain`` = eTLD+1 under longest-matching-suffix rules.
+
+    Resolved on the *distinct-host* dimension, not the document rows: dedup
+    hosts (massive reduction — a 100 TB crawl has ~10^8 hosts vs ~10^11
+    docs), explode each host's <= MAX_SUFFIX_LABELS trailing-label
+    candidates, broadcast-join the suffix dim, keep the longest match, and
+    prepend the label before it; then join the slim (host, reg_domain) map
+    back onto the fat rows (AQE broadcasts it when small; sort-merge on the
+    host key otherwise — never a shuffle of document text against the PSL).
+    Hosts with no matching suffix (or a single label) fall back to treating
+    the last label as the suffix.
+    """
+    if suffixes is None:
+        suffixes = suffix_dim(df.sparkSession)
+    hosts = df.select(F.lower(F.col(host_col)).alias("_host_l")).distinct()
+    labels = F.split(F.col("_host_l"), r"\.")
+    n = F.size(labels)
+    cand = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.least(n - 1, F.lit(MAX_SUFFIX_LABELS)), F.lit(1))),
+        lambda i: F.struct(
+            i.alias("i"), F.array_join(F.slice(labels, n - i + 1, i), ".").alias("s")
+        ),
+    )
+    matched = (
+        hosts.withColumn("_cand", F.explode(cand))
+        .join(F.broadcast(suffixes), on=F.col("_cand.s") == F.col("suffix"), how="left")
+        .groupBy("_host_l")
+        .agg(F.max(F.when(F.col("suffix").isNotNull(), F.col("_cand.i"))).alias("_best"))
+    )
+    lab2 = F.split(F.col("_host_l"), r"\.")
+    n2 = F.size(lab2)
+    best = F.coalesce(F.col("_best"), F.lit(1))
+    reg = F.when(
+        n2 > best, F.array_join(F.slice(lab2, n2 - best, best + 1), ".")
+    ).otherwise(F.col("_host_l"))  # single-label host: the host itself
+    host_map = matched.select("_host_l", reg.alias("reg_domain"))
+    return df.join(
+        host_map, on=F.lower(F.col(host_col)) == F.col("_host_l"), how="left"
+    ).drop("_host_l")
+
+
+def domain_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registered-domain corpus stats: (reg_domain, n_docs, n_hosts,
+    total_chars, n_langs).  One shuffle; all aggregates algebraic."""
+    canon = registered_domain(canonicalize(df, url_col))
+    return (
+        canon.groupBy("reg_domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("reg_domain")
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, blocked: list[str], url_col: str = "url"
+) -> DataFrame:
+    """Drop documents whose registered domain is blocklisted — broadcast
+    LEFT ANTI join (key-only build side, no row payload shipped)."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame([(b,) for b in blocked], "blocked_domain string")
+    canon = registered_domain(canonicalize(df, url_col))
+    return canon.join(
+        F.broadcast(dim),
+        on=F.col("reg_domain") == F.col("blocked_domain"),
+        how="left_anti",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic URL synthesis: the documents table carries no URL column, so
+# driver queries attach one derived purely from (doc_id, source) — the same
+# closed-form formula is written in the DuckDB oracle, which is what lets the
+# hash gate verify the *operators* end-to-end (same pattern as
+# multimodal.synthetic_media).  Exercises every canonicalization rule:
+# scheme/host case, default vs real vs absent port, empty & trailing-slash
+# paths, tracking vs kept params, fragments, and 2-4-label hosts across
+# single- and multi-label public suffixes.
+# ---------------------------------------------------------------------------
+
+
+def with_synthetic_urls(documents: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    src = F.when(d % 2 == 0, F.upper("source")).otherwise(F.col("source"))
+    scheme = (
+        F.when(d % 3 == 0, "https").when(d % 3 == 1, "HTTPS").otherwise("http")
+    )
+    www = F.when(d % 2 == 0, "WWW.").otherwise("")
+    sub = F.when(d % 7 == 3, "news.").otherwise("")
+    base = (
+        F.when(d % 5 == 0, F.concat(src, F.lit(".CO.UK")))
+        .when(d % 5 == 1, F.concat(src, F.lit(".org")))
+        .when(d % 5 == 2, F.concat(src, F.lit(".io")))
+        .otherwise(F.concat(src, F.lit(".example.com")))
+    )
+    port = (
+        F.when(d % 4 == 0, ":443").when(d % 4 == 1, ":80")
+        .when(d % 4 == 2, ":8080").otherwise("")
+    )
+    path = (
+        F.when(d % 6 == 0, "")
+        .when(d % 6 == 1, "/")
+        .when(d % 6 == 2, F.concat(F.lit("/a/b/"), d, F.lit("/")))
+        .otherwise(F.concat(F.lit("/docs/"), d))
+    )
+    query = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&z="), d % 26, F.lit("&id="), d % 97,
+                F.lit("&utm_campaign=x&a=1"),
+            ),
+        )
+        .when(d % 3 == 1, F.concat(F.lit("?ref=tw&q="), d % 13))
+        .otherwise("")
+    )
+    frag = F.when(d % 5 == 2, F.concat(F.lit("#s"), d % 9)).otherwise("")
+    url = F.concat(scheme, F.lit("://"), www, sub, base, port, path, query, frag)
+    return documents.withColumn("url", url)
+
+
+# The same formula as one SQL expression, for oracle_sql() composition.
+URL_SYNTH_SQL = """
+    (CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS' ELSE 'http' END)
+    || '://'
+    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 3 THEN 'news.' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+    || (CASE doc_id % 5 WHEN 0 THEN '.CO.UK' WHEN 1 THEN '.org'
+             WHEN 2 THEN '.io' ELSE '.example.com' END)
+    || (CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+             WHEN 2 THEN ':8080' ELSE '' END)
+    || (CASE doc_id % 6 WHEN 0 THEN '' WHEN 1 THEN '/'
+             WHEN 2 THEN '/a/b/' || doc_id || '/'
+             ELSE '/docs/' || doc_id END)
+    || (CASE doc_id % 3
+             WHEN 0 THEN '?utm_source=feed&z=' || (doc_id % 26)
+                         || '&id=' || (doc_id % 97) || '&utm_campaign=x&a=1'
+             WHEN 1 THEN '?ref=tw&q=' || (doc_id % 13)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 2 THEN '#s' || (doc_id % 9) ELSE '' END)
+"""

@@ -608,3 +608,39 @@ def test_dedup_pages_before_extraction(spark):
         assert spark.read.parquet(f"{out}/extracted").count() == 10
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_weburl_canonicalize_and_domains(spark):
+    """Hand-computed canonicalization + registered-domain edge cases:
+    default-port strip only for the matching scheme, tracking-param drop +
+    sort, fragment strip, trailing-slash collapse, single-label host,
+    unmatched suffix fallback, multi-label public suffix."""
+    from pdf_parser_spark.operators.weburl import (
+        blocklist_filter, canonicalize, registered_domain,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.Ex.CO.UK:443/a/b//?utm_source=f&z=2&a=1#frag"),
+        (2, "http://ex.org:80/docs/2?utm_x=1&ref=tw"),   # all params tracked
+        (3, "https://ex.io:80/p"),                       # :80 on https kept
+        (4, "http://localhost/x/"),                      # single label
+        (5, "https://a.b.internal/q?b=2&a=1"),           # no suffix match
+        (6, "https://deep.sub.ex.example.com"),          # multi-label suffix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in registered_domain(canonicalize(df)).collect()}
+
+    assert out[1]["canonical_url"] == "https://www.ex.co.uk/a/b?a=1&z=2"
+    assert out[2]["canonical_url"] == "http://ex.org/docs/2"
+    assert out[3]["canonical_url"] == "https://ex.io:80/p"
+    assert out[4]["canonical_url"] == "http://localhost/x"
+    assert out[5]["canonical_url"] == "https://a.b.internal/q?a=1&b=2"
+    assert out[6]["canonical_url"] == "https://deep.sub.ex.example.com/"
+
+    assert out[1]["reg_domain"] == "ex.co.uk"
+    assert out[4]["reg_domain"] == "localhost"
+    assert out[5]["reg_domain"] == "b.internal"  # fallback: last label as suffix
+    assert out[6]["reg_domain"] == "ex.example.com"
+
+    kept = blocklist_filter(df, ["ex.co.uk", "ex.example.com"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4, 5]
