@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "s_ann_brute": lambda s, d: similarity.brute_force_topk(_emb(s, d)),
         "s_ann_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d)),
+        "s_ann_lsh": lambda s, d: similarity.lsh_topk(_emb(s, d)),
         # --- multimodal plumbing (oracle-checked byte stats face) ---
         "m_binary_stats": lambda s, d: multimodal.binary_stats(_docs(s, d)),
         # real container decode over deterministic BMP/WAV/PPM payloads keyed
@@ -1146,6 +1147,50 @@ def oracle_sql() -> dict[str, str]:
                 JOIN emb q ON q.vec_id = p.query_id
                 JOIN emb n ON n.vec_id = a.vec_id
                 WHERE a.vec_id != p.query_id
+            )
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        # Random-hyperplane LSH: the oracle RE-DERIVES the md5 planes in SQL
+        # (no frozen literals), rebuilds the packed sign signature with the
+        # same 6dp projection rounding, bands it, and re-ranks collided
+        # pairs with exact cosine — byte-identical to similarity.lsh_topk
+        "s_ann_lsh": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            planes AS (
+                SELECT p, j,
+                       ('0x' || substr(md5('plane_' || p || '_' || j), 1, 8))::UBIGINT
+                           / 2147483648.0 - 1.0 AS w
+                FROM unnest(range(0, 16)) tp(p),
+                     unnest(range(0, (SELECT len(v) FROM emb LIMIT 1))) tj(j)
+            ), proj AS (
+                SELECT e.vec_id, pl.p, round(sum(e.v[pl.j + 1] * pl.w), 6) AS pr
+                FROM emb e CROSS JOIN planes pl
+                GROUP BY e.vec_id, pl.p
+            ), sig AS (
+                SELECT vec_id,
+                       CAST(sum(CASE WHEN pr > 0 THEN 1::BIGINT << p ELSE 0 END)
+                            AS BIGINT) AS sig
+                FROM proj GROUP BY vec_id
+            ), bands AS (
+                SELECT vec_id, b, (sig >> (8 * b)) & 255 AS bv
+                FROM sig, unnest([0, 1]) tb(b)
+            ), cand AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM bands q JOIN bands c ON q.b = c.b AND q.bv = c.bv
+                WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+            ), scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qe.v, ce.v) /
+                             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos_sim
+                FROM cand
+                JOIN emb qe ON qe.vec_id = query_id
+                JOIN emb ce ON ce.vec_id = neighbor_id
             )
             SELECT query_id, neighbor_id, cos_sim,
                    CAST(rank AS INT) AS rank

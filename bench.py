@@ -134,6 +134,9 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
     similarity.ivf_topk(emb, centroids=centroids).write.format("noop").mode(
         "overwrite").save()
     times["s_ann_ivf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    similarity.lsh_topk(emb).write.format("noop").mode("overwrite").save()
+    times["s_ann_lsh"] = round(time.perf_counter() - t0, 3)
     return times
 
 
@@ -155,6 +158,10 @@ def ann_recall(spark, sf_dir: str, k: int = 3) -> dict[str, float]:
                    emb, k=k, nprobe=nprobe, centroids=centroids).collect()}
         out[f"s_ann_ivf_recall_at_{k}_nprobe{nprobe}"] = round(
             len(brute & ivf) / max(len(brute), 1), 4)
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.lsh_topk(emb, k=k).collect()}
+    out[f"s_ann_lsh_recall_at_{k}"] = round(
+        len(brute & lsh) / max(len(brute), 1), 4)
     return out
 
 

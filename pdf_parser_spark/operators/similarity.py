@@ -174,3 +174,113 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash-for-vectors): the second scale path next to
+# IVF.  Hyperplane weights are derived from md5 (portable_hash32 doctrine:
+# md5 is bit-identical across Spark, DuckDB, and Python), so the oracle
+# RE-DERIVES the planes in SQL rather than trusting frozen literals.  The
+# integer-over-2^31 weights are exact doubles in every engine; projections
+# are rounded at LSH_ROUND_DP before the sign test so summation-order float
+# noise cannot flip a bit between engines.
+#
+# At 10^12 scale: signatures are one narrow map (P dot products per row);
+# candidate generation joins on (band, band_value) buckets — never a cross
+# product; the exact re-rank touches only bucket-collided pairs.  Recall is
+# tuned by n_planes/band_bits exactly like MinHash-LSH band math.
+# ---------------------------------------------------------------------------
+
+LSH_PLANES = 16
+LSH_BAND_BITS = 8
+LSH_ROUND_DP = 6
+
+
+def lsh_planes(dim: int, n_planes: int = LSH_PLANES) -> list[list[float]]:
+    """Deterministic hyperplanes: w[p][j] = md5_32('plane_{p}_{j}')/2^31 - 1,
+    uniform in [-1, 1) and exactly representable as a double."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"plane_{p}_{j}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _dot_lit(v, weights: list[float]):
+    wv = F.array(*[F.lit(float(x)) for x in weights])
+    return F.aggregate(
+        F.zip_with(v, wv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def lsh_signature(v, planes: list[list[float]]):
+    """Packed n-plane sign signature as a long column."""
+    bits = [
+        F.when(F.round(_dot_lit(v, pl), LSH_ROUND_DP) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p, pl in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_planes: int = LSH_PLANES,
+    band_bits: int = LSH_BAND_BITS,
+) -> DataFrame:
+    """LSH-bucketed ANN: same output shape as brute_force_topk.  Corpus and
+    query signatures are banded (n_planes/band_bits bands); candidates are
+    pairs colliding in >=1 band, re-ranked by exact cosine.  Queries with no
+    collision in any band are absent (recall < 1 by design; bench.py reports
+    measured recall@k vs brute)."""
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    planes = lsh_planes(dim, n_planes)
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("sig", lsh_signature(F.col("v"), planes))
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftright(F.col("sig"), band_bits * b).bitwiseAND(mask).alias("bv"),
+            )
+            for b in range(n_bands)
+        ])
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), bands.alias("k")
+    ).select("neighbor_id", "cv", "k.b", "k.bv")
+    q = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), bands.alias("k"))
+        .select("query_id", "qv", "k.b", "k.bv")
+    )
+    sim = F.round(_cosine(F.col("qv"), F.col("cv")), 4)
+    scored = (
+        F.broadcast(q)
+        .join(c, on=["b", "bv"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .groupBy("query_id", "neighbor_id")  # dedup multi-band collisions
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

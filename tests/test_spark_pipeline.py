@@ -644,3 +644,27 @@ def test_weburl_canonicalize_and_domains(spark):
 
     kept = blocklist_filter(df, ["ex.co.uk", "ex.example.com"])
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4, 5]
+
+
+def test_lsh_topk_identical_and_opposite_vectors(spark):
+    """Identical vectors share every plane sign -> must collide and rank
+    first with cos 1.0; an exactly opposite vector flips every decided bit
+    -> never collides with its antipode."""
+    from pdf_parser_spark.operators.similarity import lsh_topk
+
+    base = [0.9, -0.4, 0.2, 0.7]
+    rows = [
+        (0, [float(x) for x in base], 0),
+        (1, [float(x) for x in base], 0),            # exact duplicate
+        (2, [float(-x) for x in base], 0),           # antipode
+        (3, [float(x * 0.95 + 0.01) for x in base], 0),  # near-dup
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = lsh_topk(emb, n_queries=3, k=3)
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+           for r in out.collect()}
+    assert got[(0, 1)][0] == 1 and got[(0, 1)][1] == 1.0
+    assert got[(1, 1)][0] == 0 and got[(1, 1)][1] == 1.0
+    # the antipode never appears in either direction
+    assert all(n != 2 for q in (0, 1) for (n, _) in [got[(q, r)] for r in (1, 2) if (q, r) in got])
+    assert not any(q == 2 and n in (0, 1) for (q, _), (n, _s) in got.items())
