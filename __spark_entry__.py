@@ -269,6 +269,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_blocklist": lambda s, d: weburl.blocklist_filter(
             weburl.with_synthetic_urls(_docs(s, d)), BLOCKED_DOMAINS
         ).select("doc_id", "reg_domain").orderBy("doc_id"),
+        # WARC connector round-trip: docs -> archive files -> parsed back;
+        # md5(body) pins byte-exact payload fidelity against the oracle
+        "u_warc_roundtrip": lambda s, d: __import__(
+            "pdf_parser_spark.sources.warc", fromlist=["roundtrip"]
+        ).roundtrip(s, d),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
         "extract_pipeline": extract_pipeline,
     }
@@ -1387,5 +1392,16 @@ def oracle_sql() -> dict[str, str]:
             FROM canon c JOIN reg r USING (host)
             WHERE r.reg_domain NOT IN ({", ".join(f"'{b}'" for b in BLOCKED_DOMAINS)})
             ORDER BY c.doc_id
+        """,
+        # WARC round-trip: every parsed column is recomputable from the
+        # documents table alone; body_md5 = md5(text) is the byte-fidelity pin
+        "u_warc_roundtrip": """
+            SELECT doc_id,
+                   'https://' || source || '.example.com/doc/' || doc_id AS target_uri,
+                   CAST(200 AS INT) AS http_status,
+                   CAST(length(text) AS BIGINT) AS content_length,
+                   CAST(length(text) AS BIGINT) AS n_body_chars,
+                   md5(text) AS body_md5
+            FROM documents ORDER BY doc_id
         """,
     }

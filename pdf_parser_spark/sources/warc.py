@@ -1,0 +1,136 @@
+"""WARC-style crawl-archive connector.
+
+Web-crawl corpora ship as WARC files (one file = many response records,
+each: WARC header block, HTTP header block, payload — blocks separated by
+CRLFCRLF, records separated by two CRLFs before the next ``WARC/1.0``
+version line).  The reference ingests already-fetched documents through its
+HTTP client; at crawl scale the archive file IS the source format, so this
+connector makes the engine directly consumable from that layout.
+
+Read path is fully DataFrame-native and JVM-side: ``spark.read.text`` with
+``lineSep='WARC/1.0\\r\\n'`` chops the byte stream into records (Hadoop's
+line reader honors multi-byte custom delimiters and split boundaries, so
+one large plain WARC parallelizes across tasks; gzip WARCs parallelize at
+file granularity like every Spark gzip source), then header fields and the
+payload are carved out with ``split(limit=3)``/``regexp_extract`` column
+ops — zero Python in the parse.
+
+Write path (the synthesizer for tests/benchmarks) renders each record as
+one string column and appends per-partition ``.warc`` files from the
+executors — the standard one-file-per-task archive sink shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_VERSION_LINE = "WARC/1.0\r\n"
+WARC_DATE = "2026-08-16T00:00:00Z"  # run-scoped literal, like entry RUN_TS
+
+# WARC-Target-URI synthesized for documents rows (oracle re-derives it)
+URI_SQL = "'https://' || source || '.example.com/doc/' || doc_id"
+
+
+def _uri_col():
+    return F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")
+    )
+
+
+def warc_records(documents: DataFrame) -> DataFrame:
+    """Render one response record per document: (doc_id, record string).
+    Payload is the raw document text — byte-for-byte, which is what lets a
+    round-trip test assert md5(body) == md5(text)."""
+    body = F.col("text")
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+              "Content-Length: "),
+        F.length(body), F.lit("\r\n\r\n"), body,
+    )
+    rec = F.concat(
+        F.lit(WARC_VERSION_LINE),
+        F.lit("WARC-Type: response\r\n"),
+        F.lit("WARC-Record-ID: <urn:doc:"), F.col("doc_id"), F.lit(">\r\n"),
+        F.lit("WARC-Target-URI: "), _uri_col(), F.lit("\r\n"),
+        F.lit(f"WARC-Date: {WARC_DATE}\r\n"),
+        F.lit("Content-Type: application/http; msgtype=response\r\n"),
+        F.lit("Content-Length: "), F.length(http), F.lit("\r\n\r\n"),
+        http, F.lit("\r\n\r\n"),
+    )
+    return documents.select("doc_id", rec.alias("record"))
+
+
+def write_warc(documents: DataFrame, out_dir: str, n_files: int = 4) -> str:
+    """Write records as ``part-NNNNN.warc`` files, one per task, records
+    range-partitioned and sorted by doc_id so output bytes are deterministic.
+    Executor-side writes (foreachPartition) — no driver collect."""
+    os.makedirs(out_dir, exist_ok=True)
+    recs = (
+        warc_records(documents)
+        .repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+
+    def _write(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc")
+        with open(path, "w", encoding="utf-8", newline="") as f:
+            for row in it:
+                f.write(row["record"])
+
+    recs.foreachPartition(_write)
+    return out_dir
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a WARC directory/file into
+    (target_uri, warc_date, http_status, content_type, content_length, body).
+
+    Records are split on the version line; the three CRLFCRLF-separated
+    blocks are carved with split(limit=3) so payload bytes containing blank
+    lines stay intact; per-spec trailing record CRLFs are stripped from the
+    payload."""
+    raw = spark.read.option("lineSep", WARC_VERSION_LINE).text(path)
+    parts = F.split(F.col("value"), r"\r\n\r\n", 3)
+    warc_hdr = parts.getItem(0)
+    http_hdr = parts.getItem(1)
+    body = F.regexp_replace(parts.getItem(2), r"(\r\n)+$", "")
+    return (
+        raw.where(F.col("value") != "")
+        .select(
+            F.regexp_extract(warc_hdr, r"WARC-Target-URI: ([^\r\n]*)", 1).alias("target_uri"),
+            F.regexp_extract(warc_hdr, r"WARC-Date: ([^\r\n]*)", 1).alias("warc_date"),
+            F.regexp_extract(http_hdr, r"^HTTP/[0-9.]+ ([0-9]+)", 1)
+            .cast("int").alias("http_status"),
+            F.regexp_extract(http_hdr, r"Content-Type: ([^\r\n]*)", 1).alias("content_type"),
+            F.regexp_extract(http_hdr, r"Content-Length: ([0-9]+)", 1)
+            .cast("long").alias("content_length"),
+            body.alias("body"),
+        )
+    )
+
+
+def roundtrip(spark: SparkSession, sf_dir: str, scratch_root: str | None = None) -> DataFrame:
+    """Driver query: documents -> WARC files -> connector read -> per-doc
+    fidelity columns.  md5(body) proves byte-exact payload round-trip; the
+    oracle recomputes every column from the documents table alone."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = scratch_root or tempfile.gettempdir()
+    out_dir = os.path.join(
+        root, f"pdf_parser_spark_warc_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_warc(docs, out_dir)
+    parsed = read_warc(spark, out_dir)
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        "target_uri", "http_status", "content_length",
+        F.length("body").cast("long").alias("n_body_chars"),
+        F.md5("body").alias("body_md5"),
+    ).orderBy("doc_id")

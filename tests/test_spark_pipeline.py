@@ -668,3 +668,43 @@ def test_lsh_topk_identical_and_opposite_vectors(spark):
     # the antipode never appears in either direction
     assert all(n != 2 for q in (0, 1) for (n, _) in [got[(q, r)] for r in (1, 2) if (q, r) in got])
     assert not any(q == 2 and n in (0, 1) for (q, _), (n, _s) in got.items())
+
+
+def test_warc_read_carves_blocks_and_keeps_blank_lines_in_body(spark, tmp_path):
+    """split(limit=3) must keep CRLFCRLF sequences inside the payload;
+    status/content-type/length parse per record; trailing record CRLFs are
+    stripped; write->read round-trips document text byte-exactly."""
+    from pdf_parser_spark.sources.warc import read_warc, write_warc
+
+    body1 = "para one\r\n\r\npara two"   # blank line INSIDE payload
+    raw = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://a.example.com/doc/1\r\n"
+        "WARC-Date: 2026-08-16T00:00:00Z\r\n\r\n"
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\nContent-Length: {len(body1)}\r\n\r\n"
+        f"{body1}\r\n\r\n"
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://b.example.com/doc/2\r\n"
+        "WARC-Date: 2026-08-16T00:00:00Z\r\n\r\n"
+        "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\nContent-Length: 0\r\n\r\n"
+        "\r\n\r\n"
+    )
+    p = tmp_path / "hand.warc"
+    p.write_bytes(raw.encode())
+    out = {r["target_uri"]: r for r in read_warc(spark, str(tmp_path)).collect()}
+    r1 = out["https://a.example.com/doc/1"]
+    assert r1["body"] == body1 and r1["http_status"] == 200
+    assert r1["content_length"] == len(body1)
+    r2 = out["https://b.example.com/doc/2"]
+    assert r2["http_status"] == 404 and r2["body"] == ""
+
+    # write->read round-trip on a tiny documents frame
+    docs = spark.createDataFrame(
+        [(7, "alpha beta", "en", "srcA", 10), (8, "gamma", "de", "srcB", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "rt")
+    write_warc(docs, d, n_files=2)
+    back = {r["target_uri"]: r["body"] for r in read_warc(spark, d).collect()}
+    assert back["https://srcA.example.com/doc/7"] == "alpha beta"
+    assert back["https://srcB.example.com/doc/8"] == "gamma"
