@@ -66,7 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_parser_spark.operators import (
-        dedup, multimodal, similarity, textstats, weburl,
+        curation, dedup, multimodal, similarity, textstats, weburl,
     )
     from pdf_parser_spark.operators.consistency import finalize
     from pdf_parser_spark.operators.extract import extract_stage
@@ -274,6 +274,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_warc_roundtrip": lambda s, d: __import__(
             "pdf_parser_spark.sources.warc", fromlist=["roundtrip"]
         ).roundtrip(s, d),
+        # --- corpus curation (training-data build steps) ---
+        "c_decontaminate": lambda s, d: curation.decontaminate(
+            _docs(s, d), curation.benchmark_snippets(_docs(s, d))
+        ),
+        "c_pii_scrub": lambda s, d: curation.pii_scrub(
+            curation.with_synthetic_pii(_docs(s, d))
+        ),
+        "c_stratified_sample": lambda s, d: curation.stratified_sample(_docs(s, d)),
+        "c_pack_shards": lambda s, d: curation.pack_shards(_docs(s, d)),
+        "d_incremental": lambda s, d: curation.incremental_dedup(_docs(s, d)),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
         "extract_pipeline": extract_pipeline,
     }
@@ -330,6 +340,18 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs, (SELECT unnest(range(0, 4)) AS b)
         )
     """
+
+    # curation constants shared with the Spark side (regex literals, rate
+    # table, mods) — imported so the oracle can never drift from the engine
+    from pdf_parser_spark.operators import curation as C
+
+    # shingles of the first-8-word benchmark snippet: the _SHINGLES macro
+    # with its token array sliced to [1:8] (rejoin+resplit on the Spark side
+    # is identity on space-joined whitespace tokens)
+    _SNIP_SHINGLES = _SHINGLES.replace(_TOKS, f"({_TOKS})[1:8]")
+    _rate_cases = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(C.DEFAULT_RATES.items())
+    )
 
     # XBRL dimension data inlined as VALUES CTEs from the SAME generator the
     # Spark side uses, so the oracle checks the relational logic (N6/N7/V8)
@@ -1403,5 +1425,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_body_chars,
                    md5(text) AS body_md5
             FROM documents ORDER BY doc_id
+        """,
+        # --- corpus curation ---
+        # benchmark = first-8-word snippets of doc_id%37==0 docs; a doc is
+        # contaminated iff it shares a distinct word-3-gram with any snippet
+        "c_decontaminate": f"""
+            WITH bench AS (
+                SELECT DISTINCT unnest(list_distinct({_SNIP_SHINGLES})) AS s
+                FROM documents WHERE doc_id % {C.BENCH_MOD} = 0
+            ), docsh AS (
+                SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s FROM documents
+            ), hits AS (
+                SELECT doc_id, count(*) AS n_hits
+                FROM docsh JOIN bench USING (s) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(list_distinct({_SHINGLES})) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # synthetic PII re-derived from doc_id, counts on the pre-redaction
+        # text, clean_md5 pins the redacted bytes (email -> ip -> phone order)
+        "c_pii_scrub": """
+            WITH pii AS (
+                SELECT doc_id, text || CASE
+                    WHEN doc_id % 4 = 0 THEN ' Contact user' || doc_id ||
+                        '@example.com or admin' || doc_id || '@mail.example.org.'
+                    WHEN doc_id % 4 = 1 THEN ' Origin server 10.' || (doc_id % 256)
+                        || '.' || ((doc_id // 256) % 256) || '.' || (doc_id % 100 + 1)
+                        || ' logged.'
+                    WHEN doc_id % 4 = 2 THEN ' Call +1-555-' ||
+                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.'
+                    ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '""" + C.EMAIL_RE + """')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '""" + C.IP_RE + """')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text, '""" + C.PHONE_RE + """')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '""" + C.EMAIL_RE + """', '<EMAIL>', 'g'),
+                       '""" + C.IP_RE + """', '<IP>', 'g'),
+                       '""" + C.PHONE_RE + """', '<PHONE>', 'g')) AS clean_md5
+            FROM pii ORDER BY doc_id
+        """,
+        # hash-deterministic per-language sampling (rates in bp of 10000)
+        "c_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('smpl:' || doc_id), 1, 8)) AS BIGINT)
+                  % 10000 < CASE lang {_rate_cases} ELSE -1 END
+            ORDER BY doc_id
+        """,
+        # sequential token-budget packing within each source
+        "c_pack_shards": f"""
+            WITH t AS (
+                SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                               - n_tokens) / 500) AS BIGINT) AS shard_id
+            FROM t ORDER BY doc_id
+        """,
+        # incremental dedup of the doc_id%5!=0 batch against the %5==0 index:
+        # exact = fingerprint already indexed; near = shares an LSH band
+        # bucket with an index doc (reuses the minhash band CTE)
+        "d_incremental": bands_cte + f"""
+            , fps AS (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+                FROM documents
+            ), idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % {C.INDEX_MOD} = 0)
+            , ib AS (
+                SELECT DISTINCT band, bucket FROM banded
+                WHERE doc_id % {C.INDEX_MOD} = 0
+            ), ex AS (
+                SELECT DISTINCT f.doc_id FROM fps f JOIN idx USING (fp)
+                WHERE f.doc_id % {C.INDEX_MOD} <> 0
+            ), nr AS (
+                SELECT DISTINCT b.doc_id FROM banded b JOIN ib USING (band, bucket)
+                WHERE b.doc_id % {C.INDEX_MOD} <> 0
+            )
+            SELECT f.doc_id,
+                   CASE WHEN ex.doc_id IS NOT NULL THEN 'dup_exact'
+                        WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                        ELSE 'novel' END AS verdict
+            FROM fps f
+            LEFT JOIN ex ON f.doc_id = ex.doc_id
+            LEFT JOIN nr ON f.doc_id = nr.doc_id
+            WHERE f.doc_id % {C.INDEX_MOD} <> 0
+            ORDER BY f.doc_id
         """,
     }

@@ -1,0 +1,255 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, PII scrubbing, deterministic stratified sampling,
+token-budget shard packing, and incremental dedup against an existing
+corpus index.
+
+These extend the reference's per-document pipeline (cf.
+/root/reference/src/pipeline.py — single-corpus, batch-at-once) with the
+corpus-level curation steps a 100 TB training-data build needs.  Every
+operator is pure JVM column expressions + standard joins (no Python in any
+hot path) and each driver query has an exact DuckDB oracle in
+__spark_entry__.oracle_sql.
+
+Scale notes are per-operator; the shared principles:
+- candidate generation is always bounded (broadcast benchmark set, LSH band
+  buckets, per-stratum windows) — never an all-pairs join;
+- sampling/packing decisions are pure functions of the row (md5-hash
+  thresholds, per-key running sums), so re-running on a changed cluster
+  size or after a resume yields byte-identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.functions import portable_hash32, words, word_shingles
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 37  # doc_id % BENCH_MOD == 0 rows stand in for the benchmark set
+
+
+def benchmark_snippets(documents: DataFrame, mod: int = BENCH_MOD) -> DataFrame:
+    """Deterministic stand-in for an eval-benchmark prompt set: the first 8
+    words of every doc_id % mod == 0 document.  (In production this is the
+    real benchmark table — MMLU/GSM8K prompts etc.)"""
+    snippet = F.concat_ws(" ", F.slice(words(F.col("text")), 1, 8))
+    return documents.where(F.col("doc_id") % mod == 0).select(snippet.alias("snippet"))
+
+
+def decontaminate(documents: DataFrame, benchmark: DataFrame, n: int = 3) -> DataFrame:
+    """Flag documents sharing any word n-gram with the benchmark set.
+
+    (doc_id, n_shingles, n_hits, contaminated) — n_hits counts DISTINCT
+    contaminated shingles per doc.
+
+    Scale design: benchmark prompt sets are small (≤ millions of shingles)
+    → broadcast; the per-doc shingle explode is narrow; the only shuffles
+    are the groupBy(doc_id) hit count and the final doc_id join, which AQE
+    turns into a broadcast of the (tiny, post-filter) hit table.  At 10^12
+    docs nothing here grows beyond O(corpus tokens) map-side work.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(F.col("snippet"), n))).alias("s")
+        ).distinct()
+    )
+    doc_sh = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("s"),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = documents.select(
+        "doc_id",
+        F.size(F.array_distinct(word_shingles(F.col("text"), n)))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to be byte-compatible between Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backreferences, ASCII \b only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def with_synthetic_pii(documents: DataFrame) -> DataFrame:
+    """Append deterministic PII (derived from doc_id alone) so the oracle
+    can re-derive it: doc_id%4==0 → two emails, 1 → an IPv4, 2 → a phone,
+    3 → untouched."""
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit(" Contact user"), d, F.lit("@example.com or admin"),
+        d, F.lit("@mail.example.org."),
+    )
+    ip = F.concat(
+        F.lit(" Origin server 10."), d % 256, F.lit("."),
+        F.floor(d / 256).cast("long") % 256, F.lit("."), d % 100 + 1,
+        F.lit(" logged."),
+    )
+    phone = F.concat(
+        F.lit(" Call +1-555-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" now."),
+    )
+    suffix = (
+        F.when(d % 4 == 0, email)
+        .when(d % 4 == 1, ip)
+        .when(d % 4 == 2, phone)
+        .otherwise(F.lit(""))
+    )
+    return documents.withColumn("text", F.concat(F.col("text"), suffix))
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, clean_md5) — counts matched on the
+    ORIGINAL text; clean_md5 = md5 of the text after sequential redaction
+    (emails → <EMAIL>, then IPs → <IP>, then phones → <PHONE>), pinning the
+    redacted bytes exactly.  Pure JVM regexp ops — whole-stage codegen, one
+    pass, no shuffle."""
+    t = F.col("text")
+    clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, IP_RE, "<IP>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(IP_RE), F.lit(0))).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# per-language keep rates in basis points of 10000 (the usual "rebalance the
+# language mix" curation step)
+DEFAULT_RATES = {"en": 5000, "zh": 3000, "de": 2500, "fr": 1000, "es": 500}
+
+
+def stratified_sample(documents: DataFrame, rates: dict[str, int] | None = None) -> DataFrame:
+    """Hash-deterministic per-language downsampling: keep a row iff
+    md5('smpl:'||doc_id) mod 10000 < rate_bp[lang].  (doc_id, lang).
+
+    The rate table is a broadcast dim join (not a CASE expression) because
+    in production it is a real config table; languages absent from the plan
+    are dropped (inner join).  Determinism means resumes/re-runs at any
+    cluster size select the identical sample — no RNG state, no
+    sample()-by-partition nondeterminism."""
+    rates = rates if rates is not None else DEFAULT_RATES
+    dim = documents.sparkSession.createDataFrame(
+        sorted(rates.items()), "lang string, rate_bp long"
+    )
+    h = portable_hash32(F.concat(F.lit("smpl:"), F.col("doc_id").cast("string"))) % 10000
+    return (
+        documents.join(F.broadcast(dim), "lang")
+        .where(h < F.col("rate_bp"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing
+# ---------------------------------------------------------------------------
+
+
+def pack_shards(documents: DataFrame, budget_tokens: int = 500) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards by sequential
+    packing within each source: shard_id = floor(prefix_token_sum / budget)
+    over (source, doc_id asc).  (doc_id, source, n_tokens, shard_id).
+
+    Scale design: the running sum is a window PARTITIONED BY source, so it
+    parallelizes across sources (one shuffle, no global ordering).  A
+    corpus-global packing would need the two-phase parallel prefix sum
+    (per-partition subtotals → tiny driver-side offset table → broadcast
+    back); per-source shards are what training pipelines actually write, so
+    the partitioned form is the production shape."""
+    n_tok = F.size(words(F.col("text"))).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    prev_cum = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        documents.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("shard_id", F.floor(prev_cum / F.lit(budget_tokens)).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against an existing corpus index
+# ---------------------------------------------------------------------------
+
+INDEX_MOD = 5  # doc_id % INDEX_MOD == 0 rows stand in for the ingested corpus
+
+
+def incremental_dedup(documents: DataFrame, index_mod: int = INDEX_MOD) -> DataFrame:
+    """Classify a new crawl batch against an already-ingested corpus index:
+    (doc_id, verdict ∈ {dup_exact, near_dup, novel}) for every batch doc.
+
+    dup_exact: normalized-text md5 fingerprint already in the index.
+    near_dup: shares ≥1 MinHash-LSH band bucket with an index doc (and is
+    not an exact dup).  Otherwise novel.
+
+    The demo splits one table by doc_id % index_mod; in production the
+    index is a persisted (fp) / (band, bucket) pair of tables bucketed on
+    their join keys, so each nightly batch joins against it with zero
+    index-side shuffle.  The index side is corpus-sized — these are
+    shuffle/bucket joins, NOT broadcasts."""
+    from pdf_parser_spark.operators.dedup import minhash_bands
+
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    is_index = F.col("doc_id") % index_mod == 0
+    index = documents.where(is_index)
+    batch = documents.where(~is_index)
+
+    index_fps = index.select(fp.alias("fp")).distinct()
+    exact_ids = (
+        batch.select("doc_id", fp.alias("fp"))
+        .join(index_fps, "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+    index_bands = minhash_bands(index).select("band", "bucket").distinct()
+    near_ids = (
+        minhash_bands(batch)
+        .join(index_bands, ["band", "bucket"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("dup_exact"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

@@ -100,18 +100,16 @@ def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     return documents.select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     documents: DataFrame, n: int = 3, bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
-    """MinHash+LSH candidate pairs: signature split into bands, banded
-    groupBy-join, candidates deduplicated.  (doc_a, doc_b, n_shared_bands).
-
-    Plan: shuffle 1 = groupBy band key (explode bands), shuffle 2 = none (the
-    self-join is on the band bucket).  At 10^12 docs each band bucket is tiny,
-    so the join never sees a cross product."""
+    """(doc_id, band, bucket) — LSH band buckets of the MinHash signature.
+    The shared candidate-generation layer under minhash_lsh_pairs and
+    curation.incremental_dedup (which joins a batch's bands against a
+    persisted index of these rows)."""
     assert bands * rows_per_band == len(MINHASH_PARAMS)
     sigs = minhash_signatures(documents, n)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(*[
@@ -124,6 +122,18 @@ def minhash_lsh_pairs(
             ])
         ).alias("band", "bucket"),
     )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, n: int = 3, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: signature split into bands, banded
+    groupBy-join, candidates deduplicated.  (doc_a, doc_b, n_shared_bands).
+
+    Plan: shuffle 1 = groupBy band key (explode bands), shuffle 2 = none (the
+    self-join is on the band bucket).  At 10^12 docs each band bucket is tiny,
+    so the join never sees a cross product."""
+    banded = minhash_bands(documents, n, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,0 +1,95 @@
+"""Curation operators: decontamination, PII scrub, stratified sampling,
+shard packing, incremental dedup — engineered-input unit tests (the driver
+oracle covers the corpus-scale behavior)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_decontaminate_flags_shared_trigram_only(spark):
+    # doc 0 (0 % 37 == 0) seeds the benchmark with its first 8 words
+    docs = _docs(spark, [
+        (0, "alpha beta gamma delta epsilon zeta eta theta TAIL NOT IN SNIPPET", "en", "s", 1),
+        (1, "prefix words then alpha beta gamma inside a sentence", "en", "s", 1),
+        (2, "completely unrelated text with no overlap at all", "en", "s", 1),
+        (3, "TAIL NOT IN SNIPPET appears here but past the snippet cut", "en", "s", 1),
+    ])
+    out = {r["doc_id"]: r for r in
+           curation.decontaminate(docs, curation.benchmark_snippets(docs)).collect()}
+    assert out[0]["contaminated"] and out[0]["n_hits"] >= 6  # its own snippet
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1  # 'alpha beta gamma'
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    # doc 3 shares words 9+ of doc 0, which the 8-word snippet must NOT cover
+    assert not out[3]["contaminated"]
+
+
+def test_pii_scrub_counts_and_redacts_byte_exactly(spark):
+    text = ("Reach a.b+c@x.co or DUP a.b+c@x.co at 192.168.1.1 "
+            "or call +1-555-0199; version 1.2.3.4 too")
+    expected_clean = ("Reach <EMAIL> or DUP <EMAIL> at <IP> "
+                      "or call <PHONE>; version <IP> too")
+    docs = _docs(spark, [(1, text, "en", "s", 1)])
+    row = curation.pii_scrub(docs).collect()[0]
+    assert (row["n_emails"], row["n_ips"], row["n_phones"]) == (2, 2, 1)
+    assert row["clean_md5"] == hashlib.md5(expected_clean.encode()).hexdigest()
+
+
+def test_with_synthetic_pii_matches_scrub_counts(spark):
+    docs = _docs(spark, [(i, f"base text {i}", "en", "s", 1) for i in range(8)])
+    out = {r["doc_id"]: r for r in
+           curation.pii_scrub(curation.with_synthetic_pii(docs)).collect()}
+    for i in range(8):
+        want = {0: (2, 0, 0), 1: (0, 1, 0), 2: (0, 0, 1), 3: (0, 0, 0)}[i % 4]
+        assert (out[i]["n_emails"], out[i]["n_ips"], out[i]["n_phones"]) == want
+
+
+def test_stratified_sample_is_deterministic_and_drops_unplanned_langs(spark):
+    docs = _docs(spark, [(i, "t", ["en", "zh", "xx"][i % 3], "s", 1) for i in range(300)])
+    a = curation.stratified_sample(docs).collect()
+    b = curation.stratified_sample(docs).collect()
+    assert a == b and len(a) > 0
+    langs = {r["lang"] for r in a}
+    assert "xx" not in langs  # not in the rate plan -> dropped
+    # rate 0 keeps nothing; rate 10000 keeps everything
+    all_en = curation.stratified_sample(docs, {"en": 10000, "zh": 0})
+    got = [r["lang"] for r in all_en.collect()]
+    assert got == ["en"] * 100
+
+
+def test_pack_shards_sequential_prefix_sum(spark):
+    # 3 docs x 300 tokens in one source with budget 500:
+    # prefix sums before each doc are 0, 300, 600 -> shards 0, 0, 1
+    rows = [(i, " ".join(["w"] * 300), "en", "A", 1) for i in range(3)]
+    rows.append((10, " ".join(["w"] * 10), "en", "B", 1))  # other source: shard 0
+    out = {r["doc_id"]: r for r in
+           curation.pack_shards(_docs(spark, rows), budget_tokens=500).collect()}
+    assert [out[i]["shard_id"] for i in range(3)] == [0, 0, 1]
+    assert out[10]["shard_id"] == 0 and out[10]["n_tokens"] == 10
+
+
+def test_incremental_dedup_verdicts(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(spark, [
+        (0, base, "en", "s", 1),                      # index doc
+        (1, "  THE  quick brown fox jumps over the lazy dog again and again today ",
+         "en", "s", 1),                               # exact dup after normalization
+        (2, base.replace("today", "tomorrow"), "en", "s", 1),  # near dup (shares bands)
+        (3, "entirely different content with zero overlap whatsoever in any shingle",
+         "en", "s", 1),                               # novel
+    ])
+    out = {r["doc_id"]: r["verdict"] for r in curation.incremental_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3}  # index doc 0 not in the batch output
+    assert out[1] == "dup_exact"
+    assert out[2] == "near_dup"
+    assert out[3] == "novel"
