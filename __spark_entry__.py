@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": lambda s, d: __import__(
             "pdf_parser_spark.streaming.dedup", fromlist=["dedup_via_stream"]
         ).dedup_via_stream(s, d),
+        "st_window_counts": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.windowed", fromlist=["window_counts_via_stream"]
+        ).window_counts_via_stream(s, d),
         # --- dedup ---
         "d_exact": lambda s, d: dedup.exact_dedup_groups(_docs(s, d)),
         "d_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.2),
@@ -273,6 +276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5(body) pins byte-exact payload fidelity against the oracle
         "u_warc_roundtrip": lambda s, d: __import__(
             "pdf_parser_spark.sources.warc", fromlist=["roundtrip"]
+        ).roundtrip(s, d),
+        # JSONL interchange round-trip: binary html crosses the text format
+        # as base64; text_md5/html_md5 pin byte-exact payload fidelity
+        "u_jsonl_roundtrip": lambda s, d: __import__(
+            "pdf_parser_spark.sources.jsonl", fromlist=["roundtrip"]
         ).roundtrip(s, d),
         # --- corpus curation (training-data build steps) ---
         "c_decontaminate": lambda s, d: curation.decontaminate(
@@ -1424,6 +1432,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS content_length,
                    CAST(length(text) AS BIGINT) AS n_body_chars,
                    md5(text) AS body_md5
+            FROM documents ORDER BY doc_id
+        """,
+        # streaming tumbling-window rollup (complete-mode bounded replay)
+        # must equal the batch GROUP BY hour-bucket; epoch-seconds window
+        # start avoids tz/repr ambiguity in the hash compare
+        "st_window_counts": """
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id
+            FROM events
+            GROUP BY window_start, event_type
+            ORDER BY window_start, event_type
+        """,
+        # JSONL round-trip: html synthesized as '<html><body>'||text||...,
+        # so both md5 pins are recomputable from documents alone
+        "u_jsonl_roundtrip": """
+            SELECT doc_id,
+                   'doc://' || source || '/' || doc_id AS url,
+                   lang,
+                   CAST(length(text) AS BIGINT) AS n_chars_rt,
+                   md5(text) AS text_md5,
+                   md5('<html><body>' || text || '</body></html>') AS html_md5
             FROM documents ORDER BY doc_id
         """,
         # --- corpus curation ---

@@ -708,3 +708,62 @@ def test_warc_read_carves_blocks_and_keeps_blank_lines_in_body(spark, tmp_path):
     back = {r["target_uri"]: r["body"] for r in read_warc(spark, d).collect()}
     assert back["https://srcA.example.com/doc/7"] == "alpha beta"
     assert back["https://srcB.example.com/doc/8"] == "gamma"
+
+
+def test_streaming_window_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode emits a window once when the watermark passes its end;
+    a row arriving after that is dropped, never re-emitted."""
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_parser_spark.streaming.windowed import stream_window_counts
+
+    def _batch(path, rows):
+        utc = dt.timezone.utc
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([dt.datetime(2026, 8, 16, *r[1], tzinfo=utc) for r in rows],
+                           pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }), path)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    q = stream_window_counts(
+        spark, str(in_dir), str(tmp_path / "ckpt"), "wm_" + tmp_path.name,
+        window="1 hour", watermark="30 minutes", output_mode="append",
+    )
+    try:
+        _batch(str(in_dir / "b0.parquet"), [(1, (10, 0)), (2, (12, 0))])
+        q.processAllAvailable()
+        # batch1: event_id 3 is LATE (10:15 < watermark 11:30) -> dropped;
+        # event_id 4 advances the watermark so [12:00) and later flush
+        _batch(str(in_dir / "b1.parquet"), [(3, (10, 15)), (4, (13, 0))])
+        q.processAllAvailable()
+        _batch(str(in_dir / "b2.parquet"), [(5, (20, 0))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["window"].start.hour: r["n_events"]
+            for r in spark.table("wm_" + tmp_path.name).collect()}
+    assert rows[10] == 1          # late event 3 was NOT added
+    assert rows[12] == 1 and rows[13] == 1
+    assert 20 not in rows         # tail window still open -> never emitted
+
+
+def test_jsonl_roundtrip_preserves_binary_bytes(spark, tmp_path):
+    from pdf_parser_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    payload = bytes(range(256))  # non-UTF-8 binary must survive base64
+    pages = spark.createDataFrame(
+        [("u1", payload, "text one", "en"), ("u2", b"", "", "de")],
+        "url string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    write_jsonl(pages, str(tmp_path / "out"), n_files=2)
+    back = {r["url"]: r for r in read_jsonl(spark, str(tmp_path / "out")).collect()}
+    assert bytes(back["u1"]["html"]) == payload
+    assert back["u1"]["text"] == "text one"
+    assert bytes(back["u2"]["html"] or b"") == b"" and back["u2"]["lang"] == "de"
