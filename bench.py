@@ -95,7 +95,7 @@ def extraction_throughput(spark, n_docs: int) -> tuple[float, int]:
 
 def relational_queries(spark, sf_dir: str) -> dict[str, float]:
     """Headline relational queries, each timed to full materialization."""
-    from pdf_parser_spark.operators import dedup, similarity, textstats
+    from pdf_parser_spark.operators import curation, dedup, similarity, textstats
     from pdf_parser_spark.plans import relational as R
 
     # the sf tables are single small parquet files -> 1 scan partition;
@@ -115,6 +115,10 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
             dedup.minhash_lsh_pairs(docs)
         ),
         "d_exact": lambda: dedup.exact_dedup_groups(docs),
+        "d_incremental": lambda: curation.incremental_dedup(docs),
+        "c_decontaminate": lambda: curation.decontaminate(
+            docs, curation.benchmark_snippets(docs)
+        ),
         "d_simhash": lambda: dedup.simhash(docs),
         "s_ann_brute": lambda: similarity.brute_force_topk(emb),
         "t_quality_score": lambda: textstats.quality_score(docs),
