@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             curation.with_synthetic_pii(_docs(s, d))
         ),
         "c_stratified_sample": lambda s, d: curation.stratified_sample(_docs(s, d)),
+        "c_lm_coverage": lambda s, d: curation.lm_coverage(
+            _docs(s, d), curation.fit_vocab(_docs(s, d))
+        ),
         "c_pack_shards": lambda s, d: curation.pack_shards(_docs(s, d)),
         "d_incremental": lambda s, d: curation.incremental_dedup(_docs(s, d)),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
@@ -1213,8 +1216,8 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS sig
                 FROM proj GROUP BY vec_id
             ), bands AS (
-                SELECT vec_id, b, (sig >> (8 * b)) & 255 AS bv
-                FROM sig, unnest([0, 1]) tb(b)
+                SELECT vec_id, b, (sig >> (4 * b)) & 15 AS bv
+                FROM sig, unnest([0, 1, 2, 3]) tb(b)
             ), cand AS (
                 SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
                 FROM bands q JOIN bands c ON q.b = c.b AND q.bv = c.bv
@@ -1509,6 +1512,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5('smpl:' || doc_id), 1, 8)) AS BIGINT)
                   % 10000 < CASE lang {_rate_cases} ELSE -1 END
             ORDER BY doc_id
+        """,
+        # CCNet-style fluency proxy: unigram vocab (top-256 by count desc,
+        # token asc) fitted on the doc_id%7==0 clean subset; per-doc integer
+        # coverage + summed frequency ranks (no float log-probs — exact)
+        "c_lm_coverage": f"""
+            WITH cl AS (
+                SELECT unnest(list_transform({_TOKS}, t -> lower(t))) AS token
+                FROM documents WHERE doc_id % {C.CLEAN_MOD} = 0
+            ), vc AS (
+                SELECT token, count(*) AS cnt FROM cl GROUP BY token
+            ), vocab AS (
+                SELECT token,
+                       row_number() OVER (ORDER BY cnt DESC, token) AS rank
+                FROM vc QUALIFY rank <= {C.VOCAB_SIZE}
+            ), ex AS (
+                SELECT doc_id,
+                       unnest(list_transform({_TOKS}, t -> lower(t))) AS token
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(v.rank) AS BIGINT) AS n_in_vocab,
+                   CAST((count(v.rank) * 10000) // count(*) AS BIGINT) AS coverage_bp,
+                   CAST(coalesce(sum(v.rank), 0) AS BIGINT) AS sum_rank
+            FROM ex LEFT JOIN vocab v USING (token)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # sequential token-budget packing within each source
         "c_pack_shards": f"""

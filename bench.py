@@ -162,10 +162,11 @@ def ann_recall(spark, sf_dir: str, k: int = 3) -> dict[str, float]:
                    emb, k=k, nprobe=nprobe, centroids=centroids).collect()}
         out[f"s_ann_ivf_recall_at_{k}_nprobe{nprobe}"] = round(
             len(brute & ivf) / max(len(brute), 1), 4)
-    lsh = {(r["query_id"], r["neighbor_id"])
-           for r in similarity.lsh_topk(emb, k=k).collect()}
-    out[f"s_ann_lsh_recall_at_{k}"] = round(
-        len(brute & lsh) / max(len(brute), 1), 4)
+    for bb in (8, 4, 2):  # LSH recall/cost knob sweep (default 4)
+        lsh = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.lsh_topk(emb, k=k, band_bits=bb).collect()}
+        out[f"s_ann_lsh_recall_at_{k}_bandbits{bb}"] = round(
+            len(brute & lsh) / max(len(brute), 1), 4)
     return out
 
 

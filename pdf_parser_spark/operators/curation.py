@@ -199,6 +199,69 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 500) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LM fluency coverage (CCNet-style, exact-integer formulation)
+# ---------------------------------------------------------------------------
+
+CLEAN_MOD = 7     # doc_id % CLEAN_MOD == 0 rows stand in for the clean corpus
+VOCAB_SIZE = 256
+
+
+def fit_vocab(documents: DataFrame, mod: int = CLEAN_MOD, size: int = VOCAB_SIZE) -> DataFrame:
+    """(token, rank) — the top `size` lowercase whitespace tokens of the
+    clean reference subset, ranked by (count desc, token asc).  The model-fit
+    pass of CCNet-style LM filtering (a unigram frequency model instead of a
+    KenLM — log-prob floats don't survive cross-engine hash comparison, so
+    the scoring below uses exact integer ranks).
+
+    The global row_number window runs on the aggregated vocab table —
+    vocab-sized (≤ distinct tokens of the clean subset), never corpus-sized,
+    so the single-partition sort is a dim-table operation by construction."""
+    toks = documents.where(F.col("doc_id") % mod == 0).select(
+        F.explode(F.transform(words(F.col("text")), F.lower)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.select("token", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= size)
+    )
+
+
+def lm_coverage(documents: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_in_vocab, coverage_bp, sum_rank) — per-doc
+    fluency proxy against the fitted vocab: coverage in basis points
+    (integer floor of in-vocab fraction × 10000) and the summed frequency
+    ranks of matched tokens (lower rank = more common).  All exact BIGINT
+    arithmetic — hash-stable across engines.
+
+    Scale design: the vocab is a broadcast dim (≤ VOCAB_SIZE rows); the
+    token explode is narrow; the single shuffle is the groupBy(doc_id)
+    rollup with map-side partial aggregation."""
+    ex = documents.select(
+        "doc_id", F.explode(F.transform(words(F.col("text")), F.lower)).alias("token")
+    )
+    joined = ex.join(F.broadcast(vocab), "token", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count("rank").alias("n_in_vocab"),
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("sum_rank"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            F.floor(F.col("n_in_vocab") * 10000 / F.col("n_tokens"))
+            .cast("long")
+            .alias("coverage_bp"),
+            "sum_rank",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup against an existing corpus index
 # ---------------------------------------------------------------------------
 

@@ -192,7 +192,12 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 LSH_PLANES = 16
-LSH_BAND_BITS = 8
+# 4 bands x 4 bits: measured recall@3 on the sf0.1 embeddings is 0.53 vs
+# 0.03 at 2x8 (too selective: P[8-bit band match] ~ p^8 dies for moderate
+# cosine) and 0.93 at 8x2 (too permissive: 4 buckets/band makes the
+# candidate set ~the corpus — brute force in disguise).  band_bits is the
+# standard LSH recall/cost knob; bench.py reports the measured sweep.
+LSH_BAND_BITS = 4
 LSH_ROUND_DP = 6
 
 

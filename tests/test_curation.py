@@ -93,3 +93,24 @@ def test_incremental_dedup_verdicts(spark):
     assert out[1] == "dup_exact"
     assert out[2] == "near_dup"
     assert out[3] == "novel"
+
+
+def test_lm_coverage_vocab_rank_and_integer_coverage(spark):
+    # doc 0 (clean subset: 0 % 7 == 0) defines the vocab: 'aa' x3 rank 1,
+    # 'bb' x2 rank 2, 'cc' x1 rank 3 (count desc, token asc tie-break)
+    docs = _docs(spark, [
+        (0, "aa aa aa bb bb cc", "en", "s", 1),
+        (1, "aa bb cc cc", "en", "s", 1),      # all in vocab
+        (2, "aa zz zz zz", "en", "s", 1),      # 1 of 4 in vocab
+        (3, "qq rr ss", "en", "s", 1),         # nothing in vocab
+    ])
+    vocab = {r["token"]: r["rank"] for r in curation.fit_vocab(docs).collect()}
+    assert vocab == {"aa": 1, "bb": 2, "cc": 3}
+    out = {r["doc_id"]: r for r in curation.lm_coverage(docs, curation.fit_vocab(docs)).collect()}
+    assert out[1]["coverage_bp"] == 10000 and out[1]["sum_rank"] == 1 + 2 + 3 + 3
+    assert out[2]["n_in_vocab"] == 1 and out[2]["coverage_bp"] == 2500
+    assert out[3]["n_in_vocab"] == 0 and out[3]["sum_rank"] == 0 and out[3]["coverage_bp"] == 0
+    # tie-break: equal counts rank by token asc
+    docs2 = _docs(spark, [(0, "zz aa zz aa", "en", "s", 1)])
+    v2 = {r["token"]: r["rank"] for r in curation.fit_vocab(docs2).collect()}
+    assert v2 == {"aa": 1, "zz": 2}

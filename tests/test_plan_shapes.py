@@ -205,3 +205,30 @@ def test_q16_not_in_is_anti_join(spark):
     p = plan(q16_supplier_diversity(spark, SF001))
     assert "LeftAnti" in p, p
     assert "distinct" in p.lower(), p
+
+
+def test_curation_plans_broadcast_dims_and_no_cartesian(spark):
+    """Decontamination must broadcast the benchmark shingles; stratified
+    sampling must broadcast the rate dim; LM coverage must broadcast the
+    vocab; incremental dedup must contain no cartesian product anywhere —
+    its index joins are key joins at corpus scale."""
+    from pdf_parser_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+
+    p = plan(curation.decontaminate(docs, curation.benchmark_snippets(docs)))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(curation.stratified_sample(docs))
+    assert "BroadcastHashJoin" in p, p
+
+    p = plan(curation.lm_coverage(docs, curation.fit_vocab(docs)))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(curation.incremental_dedup(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # the exact-fp and band membership checks must be semi joins (key-only
+    # build sides), not inner joins carrying payload columns
+    assert "LeftSemi" in p, p
