@@ -295,6 +295,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "c_pack_shards": lambda s, d: curation.pack_shards(_docs(s, d)),
         "d_incremental": lambda s, d: curation.incremental_dedup(_docs(s, d)),
+        # --- link graph (crawl-frontier ops) ---
+        "u_outlinks": lambda s, d: __import__(
+            "pdf_parser_spark.operators.linkgraph", fromlist=["x"]
+        ).extract_outlinks(
+            __import__(
+                "pdf_parser_spark.operators.linkgraph", fromlist=["x"]
+            ).with_synthetic_html(_docs(s, d))
+        ),
+        "g_pagerank": lambda s, d: (lambda lg: lg.pagerank(
+            _docs(s, d), lg.synthetic_edges(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
         "extract_pipeline": extract_pipeline,
     }
@@ -355,6 +366,33 @@ def oracle_sql() -> dict[str, str]:
     # curation constants shared with the Spark side (regex literals, rate
     # table, mods) — imported so the oracle can never drift from the engine
     from pdf_parser_spark.operators import curation as C
+    from pdf_parser_spark.operators import linkgraph as LG
+
+    # synthetic link graph: same (m, a) ring formulas as the Spark side
+    _edges_sql = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {m} + {a}) % "
+        f"(SELECT count(*) FROM documents) AS dst FROM documents"
+        for m, a in LG.LINK_PARAMS
+    )
+    # exact-integer PageRank, iterations unrolled as chained CTEs (aggregates
+    # are not allowed in a recursive term, and unrolling keeps the SQL the
+    # literal twin of the Spark driver loop)
+    _pr_cte = (
+        f"pr0 AS (SELECT doc_id, CAST({LG.UNIT} AS BIGINT) AS rank FROM documents)"
+    )
+    for _i in range(5):
+        _pr_cte += f""",
+        pr{_i + 1} AS (
+            SELECT d.doc_id,
+                   CAST({LG.BASE} + ({LG.DAMP_NUM} * coalesce(m.s, 0))
+                        // {LG.DAMP_DEN} AS BIGINT) AS rank
+            FROM documents d LEFT JOIN (
+                SELECT e.dst AS doc_id,
+                       CAST(sum(p.rank // dg.outdeg) AS BIGINT) AS s
+                FROM pr{_i} p JOIN edges e ON p.doc_id = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst
+            ) m USING (doc_id))"""
 
     # shingles of the first-8-word benchmark snippet: the _SHINGLES macro
     # with its token array sliced to [1:8] (rejoin+resplit on the Spark side
@@ -1512,6 +1550,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5('smpl:' || doc_id), 1, 8)) AS BIGINT)
                   % 10000 < CASE lang {_rate_cases} ELSE -1 END
             ORDER BY doc_id
+        """,
+        # link graph: anchors synthesized from doc_id ring formulas; the
+        # Spark side runs the full html-assembly + regexp href extraction
+        "u_outlinks": f"""
+            WITH edges AS ({_edges_sql})
+            SELECT src,
+                   'https://node' || dst || '.example.com/doc/' || dst AS href,
+                   dst
+            FROM edges ORDER BY src, href
+        """,
+        "g_pagerank": f"""
+            WITH edges AS ({_edges_sql}),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+            {_pr_cte}
+            SELECT doc_id, rank FROM pr5 ORDER BY doc_id
         """,
         # CCNet-style fluency proxy: unigram vocab (top-256 by count desc,
         # token asc) fitted on the doc_id%7==0 clean subset; per-doc integer

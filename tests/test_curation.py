@@ -114,3 +114,28 @@ def test_lm_coverage_vocab_rank_and_integer_coverage(spark):
     docs2 = _docs(spark, [(0, "zz aa zz aa", "en", "s", 1)])
     v2 = {r["token"]: r["rank"] for r in curation.fit_vocab(docs2).collect()}
     assert v2 == {"aa": 1, "zz": 2}
+
+
+def test_linkgraph_extraction_and_pagerank(spark):
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    # href extraction: anchors + an off-site link (dst NULL)
+    pages = spark.createDataFrame(
+        [(1, '<a href="https://nodeX/doc/7">x</a><a href="https://other.org/page">y</a>')],
+        "doc_id long, html string",
+    )
+    links = lg.extract_outlinks(pages).collect()
+    assert [(r["src"], r["dst"]) for r in links] == [(1, 7), (1, None)]  # ordered by href
+
+    # star graph: everyone links to node 0 (and 0 links to 1) -> 0 ranks highest;
+    # nodes with no inlinks sit at exactly BASE after the first iteration
+    docs = _docs(spark, [(i, "t", "en", "s", 1) for i in range(4)])
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long"
+    )
+    ranks = {r["doc_id"]: r["rank"] for r in lg.pagerank(docs, edges, iterations=3).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert ranks[2] == lg.BASE and ranks[3] == lg.BASE  # no inlinks
+    # exact-integer determinism: re-run is identical
+    again = {r["doc_id"]: r["rank"] for r in lg.pagerank(docs, edges, iterations=3).collect()}
+    assert again == ranks
