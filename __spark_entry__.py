@@ -272,6 +272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_blocklist": lambda s, d: weburl.blocklist_filter(
             weburl.with_synthetic_urls(_docs(s, d)), BLOCKED_DOMAINS
         ).select("doc_id", "reg_domain").orderBy("doc_id"),
+        # robots.txt politeness: disallow-prefix filter + per-host
+        # crawl-delay schedule over the canonicalized corpus
+        "u_robots": lambda s, d: weburl.robots_filter(
+            weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
+        ),
         # WARC connector round-trip: docs -> archive files -> parsed back;
         # md5(body) pins byte-exact payload fidelity against the oracle
         "u_warc_roundtrip": lambda s, d: __import__(
@@ -1463,6 +1468,34 @@ def oracle_sql() -> dict[str, str]:
             FROM canon c JOIN reg r USING (host)
             WHERE r.reg_domain NOT IN ({", ".join(f"'{b}'" for b in BLOCKED_DOMAINS)})
             ORDER BY c.doc_id
+        """,
+        # robots politeness: rules derived from distinct hosts (len-mod
+        # formulas standing in for fetched robots.txt), disallow-prefix
+        # filter on the canonical path, per-host (k-1)*delay schedule
+        "u_robots": f"""
+            WITH {_url_cte},
+            cpath AS (
+                SELECT doc_id, host,
+                       regexp_extract(canonical_url, '{WU.CANON_PATH_RE}', 1) AS path
+                FROM canon
+            ),
+            rules AS (
+                SELECT host,
+                       CASE WHEN len(host) % 3 = 0 THEN '/docs/'
+                            WHEN len(host) % 3 = 1 THEN '/a/' END AS disallow_prefix,
+                       CAST((len(host) % 5) * 100 AS BIGINT) AS crawl_delay_ms
+                FROM (SELECT DISTINCT host FROM canon)
+            ),
+            alw AS (
+                SELECT c.doc_id, c.host, c.path, r.crawl_delay_ms
+                FROM cpath c JOIN rules r USING (host)
+                WHERE r.disallow_prefix IS NULL
+                   OR NOT starts_with(c.path, r.disallow_prefix)
+            )
+            SELECT doc_id, host, path, crawl_delay_ms,
+                   CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+                        * crawl_delay_ms AS BIGINT) AS fetch_offset_ms
+            FROM alw ORDER BY doc_id
         """,
         # WARC round-trip: every parsed column is recomputable from the
         # documents table alone; body_md5 = md5(text) is the byte-fidelity pin

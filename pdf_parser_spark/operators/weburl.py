@@ -258,3 +258,63 @@ URL_SYNTH_SQL = """
              ELSE '' END)
     || (CASE WHEN doc_id % 5 = 2 THEN '#s' || (doc_id % 9) ELSE '' END)
 """
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness: per-host disallow rules + crawl-delay scheduling
+# ---------------------------------------------------------------------------
+
+CANON_PATH_RE = r"^[a-z]+://[^/]+(/[^?]*)"
+
+
+def robots_rules(canon: DataFrame) -> DataFrame:
+    """(host, disallow_prefix, crawl_delay_ms) — deterministic per-host
+    robots dim derived from the corpus's distinct hosts (stands in for the
+    fetched robots.txt parses a crawler materializes): hosts with
+    len(host)%3==0 disallow '/docs/', ==1 disallow '/a/', else no rule;
+    crawl delay = (len(host)%5)*100 ms.  Host-count-sized — a broadcast dim
+    at any corpus scale."""
+    hosts = canon.select("host").distinct()
+    n = F.length("host")
+    prefix = (
+        F.when(n % 3 == 0, F.lit("/docs/"))
+        .when(n % 3 == 1, F.lit("/a/"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return hosts.select(
+        "host",
+        prefix.alias("disallow_prefix"),
+        ((n % 5) * 100).cast("long").alias("crawl_delay_ms"),
+    )
+
+
+def robots_filter(canon: DataFrame, rules: DataFrame | None = None) -> DataFrame:
+    """(doc_id, host, path, crawl_delay_ms, fetch_offset_ms) — pages whose
+    canonical path survives their host's disallow prefix, scheduled
+    politely: the k-th surviving page of a host fetches at k*delay.
+
+    One broadcast join on host; the schedule window partitions BY HOST so
+    it parallelizes across hosts (the per-host sequential order is the
+    point — politeness is a per-host constraint)."""
+    from pyspark.sql import Window
+
+    if rules is None:
+        rules = robots_rules(canon)
+    path = F.regexp_extract("canonical_url", CANON_PATH_RE, 1)
+    joined = (
+        canon.select("doc_id", "host", path.alias("path"))
+        .join(F.broadcast(rules), "host")
+    )
+    allowed = joined.where(
+        F.col("disallow_prefix").isNull()
+        | ~F.col("path").startswith(F.col("disallow_prefix"))
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        allowed.select(
+            "doc_id", "host", "path", "crawl_delay_ms",
+            ((F.row_number().over(w) - 1) * F.col("crawl_delay_ms"))
+            .cast("long").alias("fetch_offset_ms"),
+        )
+        .orderBy("doc_id")
+    )

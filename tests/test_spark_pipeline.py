@@ -767,3 +767,24 @@ def test_jsonl_roundtrip_preserves_binary_bytes(spark, tmp_path):
     assert bytes(back["u1"]["html"]) == payload
     assert back["u1"]["text"] == "text one"
     assert bytes(back["u2"]["html"] or b"") == b"" and back["u2"]["lang"] == "de"
+
+
+def test_robots_filter_disallow_and_schedule(spark):
+    from pdf_parser_spark.operators import weburl
+
+    # len('abc.com')=7 -> 7%3=1 disallows '/a/', delay (7%5)*100=200ms
+    # len('abcd.com')=8 -> 8%3=2 no rule, delay 300ms
+    rows = [
+        (1, "https://abc.com/a/secret"),   # disallowed
+        (2, "https://abc.com/docs/ok"),    # allowed, slot 0
+        (3, "https://abc.com/open"),       # allowed, slot 1 -> 200ms
+        (4, "https://abcd.com/a/fine"),    # no rule on this host
+    ]
+    canon = weburl.canonicalize(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    )
+    out = {r["doc_id"]: r for r in weburl.robots_filter(canon).collect()}
+    assert 1 not in out
+    assert out[2]["fetch_offset_ms"] == 0 and out[2]["crawl_delay_ms"] == 200
+    assert out[3]["fetch_offset_ms"] == 200
+    assert out[4]["fetch_offset_ms"] == 0 and out[4]["crawl_delay_ms"] == 300
