@@ -277,6 +277,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_robots": lambda s, d: weburl.robots_filter(
             weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
         ),
+        # per-site quota: at most 5 docs per registered domain
+        "u_domain_quota": lambda s, d: weburl.domain_quota(
+            weburl.with_synthetic_urls(_docs(s, d))
+        ),
+        # crawl snapshot diff: added/removed/changed/unchanged by fingerprint
+        "u_snapshot_diff": lambda s, d: (lambda sn: sn.snapshot_diff(
+            *sn.demo_snapshots(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.snapshot", fromlist=["x"])),
+        # the spark.sql surface: ONE ANSI string executed by both engines
+        "q1_pricing_sql": lambda s, d: __import__(
+            "pdf_parser_spark.plans.sqlapi", fromlist=["x"]
+        ).q1_pricing_sql(s, d),
         # WARC connector round-trip: docs -> archive files -> parsed back;
         # md5(body) pins byte-exact payload fidelity against the oracle
         "u_warc_roundtrip": lambda s, d: __import__(
@@ -372,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
     # table, mods) — imported so the oracle can never drift from the engine
     from pdf_parser_spark.operators import curation as C
     from pdf_parser_spark.operators import linkgraph as LG
+    from pdf_parser_spark.plans import sqlapi as _SQLAPI
 
     # synthetic link graph: same (m, a) ring formulas as the Spark side
     _edges_sql = " UNION ALL ".join(
@@ -1497,6 +1510,39 @@ def oracle_sql() -> dict[str, str]:
                         * crawl_delay_ms AS BIGINT) AS fetch_offset_ms
             FROM alw ORDER BY doc_id
         """,
+        # per-site quota: rank within registered domain, keep <= 5
+        "u_domain_quota": f"""
+            WITH {_url_cte},
+            ranked AS (
+                SELECT c.doc_id, r.reg_domain,
+                       CAST(row_number() OVER (PARTITION BY r.reg_domain
+                                               ORDER BY c.doc_id) AS BIGINT)
+                           AS quota_rank
+                FROM canon c JOIN reg r USING (host)
+            )
+            SELECT doc_id, reg_domain, quota_rank FROM ranked
+            WHERE quota_rank <= 5 ORDER BY doc_id
+        """,
+        # snapshot diff: old = even doc_ids, new = doc_id%5 != 4 with a
+        # ' [rev]' edit on doc_id%11 == 0 — full outer fingerprint compare
+        "u_snapshot_diff": """
+            WITH old AS (
+                SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+            ), new AS (
+                SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0
+                                        THEN text || ' [rev]' ELSE text END) AS fp
+                FROM documents WHERE doc_id % 5 <> 4
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'removed'
+                        WHEN o.fp <> n.fp THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            ORDER BY doc_id
+        """,
+        # the spark.sql surface: the oracle executes the IDENTICAL text
+        "q1_pricing_sql": _SQLAPI.Q1_SQL,
         # WARC round-trip: every parsed column is recomputable from the
         # documents table alone; body_md5 = md5(text) is the byte-fidelity pin
         "u_warc_roundtrip": """

@@ -318,3 +318,28 @@ def robots_filter(canon: DataFrame, rules: DataFrame | None = None) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+def domain_quota(
+    df: DataFrame, per_domain: int = 5, url_col: str = "url"
+) -> DataFrame:
+    """(doc_id, reg_domain, quota_rank) — keep at most `per_domain` docs per
+    registered domain (smallest doc_id first): the per-site quota every
+    training-data pipeline applies so one giant host can't dominate the mix.
+
+    One shuffle on reg_domain for the rank window; rank<=N prunes before
+    anything downstream touches the fat columns.  A domain with 10^9 pages
+    is exactly the skew case — the window still works (single key ordered
+    scan) but at that scale the pre-filter is a per-partition top-N
+    (groupBy + min_by array) before the global window; noted, not needed at
+    quota sizes like 5."""
+    from pyspark.sql import Window
+
+    canon = registered_domain(canonicalize(df, url_col))
+    w = Window.partitionBy("reg_domain").orderBy("doc_id")
+    return (
+        canon.select("doc_id", "reg_domain")
+        .withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("quota_rank") <= per_domain)
+        .orderBy("doc_id")
+    )

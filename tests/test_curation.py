@@ -139,3 +139,31 @@ def test_linkgraph_extraction_and_pagerank(spark):
     # exact-integer determinism: re-run is identical
     again = {r["doc_id"]: r["rank"] for r in lg.pagerank(docs, edges, iterations=3).collect()}
     assert again == ranks
+
+
+def test_snapshot_diff_four_verdicts(spark):
+    from pdf_parser_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, fp string"
+    )
+    out = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_domain_quota_caps_per_registered_domain(spark):
+    from pdf_parser_spark.operators import weburl
+
+    rows = [(i, f"https://sub{i % 2}.big.example.com/p/{i}") for i in range(8)]
+    rows += [(100, "https://small.org/x")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = weburl.domain_quota(df, per_domain=3).collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r["reg_domain"], []).append(r["doc_id"])
+    # both sub0/sub1 hosts share the big.example.com registered domain
+    assert sorted(by_dom["big.example.com"]) == [0, 1, 2]  # capped at 3, smallest ids
+    assert by_dom["small.org"] == [100]
