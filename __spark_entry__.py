@@ -217,6 +217,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_count_bpe": lambda s, d: textstats.bpe_token_count(_docs(s, d)),
         "t_quality_gate": lambda s, d: textstats.quality_gate(_docs(s, d)),
         "t_repetition": lambda s, d: textstats.repetition_stats(_docs(s, d)),
+        # corpus vocabulary report: top-10 terms per language
+        "t_top_terms": lambda s, d: textstats.top_terms(_docs(s, d)),
+        # curriculum tiers: exact decile binning via the 4dp value histogram
+        # (no global-sort ntile window)
+        "c_quality_tiers": lambda s, d: curation.quality_tiers(
+            textstats.quality_score(_docs(s, d)).select("doc_id", "quality")
+        ),
         "st_dedup": lambda s, d: __import__(
             "pdf_parser_spark.streaming.dedup", fromlist=["dedup_via_stream"]
         ).dedup_via_stream(s, d),
@@ -258,6 +265,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("n_channels", F.lit(-1)).alias("n_channels"),
             F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
             F.coalesce("duration_ms", F.lit(-1).cast("long")).alias("duration_ms"),
+        ).orderBy("doc_id"),
+        # real transform kernels over real container bytes: nearest-neighbor
+        # image resize + 2x audio decimation; data_sum is the exact integer
+        # byte-sum of the TRANSFORMED raster/PCM, recomputed by the oracle
+        # from the synthesis formulas (payload column dropped — the integer
+        # evidence is the cross-engine face; the bytes round-trip in pytest)
+        "m_transform": lambda s, d: multimodal.transform_media(
+            multimodal.synthetic_media(_docs(s, d))
+        ).select(
+            "doc_id", "media_type", "out_w", "out_h", "out_rate",
+            "n_units", "data_sum", "out_len",
         ).orderBy("doc_id"),
         "d_simhash_pairs": lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=16),
         # --- URL / domain operators (deterministic synthetic url column;
@@ -323,6 +341,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank": lambda s, d: (lambda lg: lg.pagerank(
             _docs(s, d), lg.synthetic_edges(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # crawl-frontier assembly: robots ∩ quota ∩ pagerank, per-host queues
+        "g_frontier": lambda s, d: (lambda lg: lg.frontier_schedule(
+            _docs(s, d)
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # inverted anchor-text index per link target (sorted-distinct texts)
+        "u_anchor_text": lambda s, d: (lambda lg: lg.anchor_text_index(
+            lg.with_synthetic_html(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # corpus-level line dedup: drop lines shared by >=2 docs (CCNet);
+        # clean_md5 pins the byte-exact surviving text per doc
+        "c_line_dedup": lambda s, d: curation.line_dedup(
+            curation.with_synthetic_lines(_docs(s, d))
+        ),
+        # head-metadata extraction: five fields, one codegen'd regex pass
+        "u_head_meta": lambda s, d: (lambda hm: hm.head_meta(
+            hm.with_head_html(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.htmlmeta", fromlist=["x"])),
+        # SCD2 recrawl history: per-url validity intervals over 4 cycles
+        "u_scd2_history": lambda s, d: (lambda sn: sn.scd2_history(
+            sn.snapshot_series(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.snapshot", fromlist=["x"])),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
         "extract_pipeline": extract_pipeline,
     }
@@ -383,8 +422,44 @@ def oracle_sql() -> dict[str, str]:
     # curation constants shared with the Spark side (regex literals, rate
     # table, mods) — imported so the oracle can never drift from the engine
     from pdf_parser_spark.operators import curation as C
+    from pdf_parser_spark.operators import htmlmeta as HM
     from pdf_parser_spark.operators import linkgraph as LG
+    from pdf_parser_spark.operators import snapshot as SN
     from pdf_parser_spark.plans import sqlapi as _SQLAPI
+
+    # synthetic multi-line text, the literal twin of curation.with_synthetic_lines
+    # NB: array_to_string over an empty slice is NULL in DuckDB (Spark's
+    # concat_ws over an empty array is '') — coalesce every slice-join
+    _lines_sql = (
+        "list_filter(["
+        "CASE WHEN doc_id % 2 = 0 THEN 'Home | About | Contact' ELSE '' END, "
+        f"coalesce(array_to_string(({_TOKS})[1:12], ' '), ''), "
+        f"coalesce(array_to_string(({_TOKS})[13:24], ' '), ''), "
+        "CASE WHEN doc_id % 3 <> 2 THEN 'Subscribe to our newsletter' ELSE '' END, "
+        "'(c) ' || source || ' media group'"
+        "], x -> x <> '')"
+    )
+    # synthetic <head>, the literal twin of htmlmeta.with_head_html
+    _title_sql = f"coalesce(array_to_string(({_TOKS})[1:5], ' '), '')"
+    _head_html_sql = f"""
+        '<html><head><meta charset="'
+        || (CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'UTF-8'
+                 WHEN 2 THEN 'iso-8859-1' ELSE 'windows-1252' END)
+        || '"><title>' || {_title_sql} || '</title>'
+        || (CASE WHEN doc_id % 4 <> 1
+                 THEN '<meta name="description" content="'
+                      || coalesce(array_to_string(({_TOKS})[1:8], ' '), '') || '">'
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 3 <> 0
+                 THEN '<link rel="canonical" href="https://' || source
+                      || '.example.com/doc/' || doc_id || '">'
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 5 < 2
+                 THEN '<meta property="og:title" content="'
+                      || upper({_title_sql}) || '">'
+                 ELSE '' END)
+        || '</head><body><p>' || substr(text, 1, 60) || '</p></body></html>'
+    """
 
     # synthetic link graph: same (m, a) ring formulas as the Spark side
     _edges_sql = " UNION ALL ".join(
@@ -1710,5 +1785,229 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nr ON f.doc_id = nr.doc_id
             WHERE f.doc_id % {C.INDEX_MOD} <> 0
             ORDER BY f.doc_id
+        """,
+        # transformed-media evidence recomputed from the synthesis formulas:
+        # the resized raster picks source pixel (x2*W//W2, r2*H//H2) whose
+        # byte value is arithmetic in its index; decimated PCM keeps every
+        # 2nd frame.  A wrong stride, padding, channel order, or floor map
+        # in the REAL kernel shifts the integer sum and fails the hash.
+        "m_transform": """
+            WITH p AS (
+                SELECT doc_id, doc_id % 3 AS kind,
+                       8 + doc_id % 32 AS bw, 8 + (doc_id // 3) % 24 AS bh,
+                       1 + doc_id % 2 AS c, 8000 * (1 + doc_id % 3) AS r,
+                       200 + doc_id % 100 AS ns,
+                       4 + doc_id % 16 AS pw, 4 + (doc_id // 5) % 16 AS ph
+                FROM documents
+            ), q AS (
+                SELECT *, ((bw*3+3)//4)*4 AS bs, bw//2 AS bw2, bh//2 AS bh2,
+                       (ns+1)//2 AS nout, pw//2 AS pw2, ph//2 AS ph2
+                FROM p
+            )
+            SELECT doc_id,
+                   CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+                        ELSE 'image/ppm' END AS media_type,
+                   CAST(CASE kind WHEN 0 THEN bw2 WHEN 2 THEN pw2 ELSE -1 END AS INT) AS out_w,
+                   CAST(CASE kind WHEN 0 THEN bh2 WHEN 2 THEN ph2 ELSE -1 END AS INT) AS out_h,
+                   CAST(CASE kind WHEN 1 THEN r // 2 ELSE -1 END AS INT) AS out_rate,
+                   CAST(CASE kind WHEN 0 THEN bw2*bh2 WHEN 1 THEN nout
+                        ELSE pw2*ph2 END AS BIGINT) AS n_units,
+                   CAST(CASE kind
+                        WHEN 0 THEN list_sum(list_transform(range(0, bh2*bw2*3), j ->
+                            ((bs*((j//(bw2*3))*bh//bh2)
+                              + 3*(((j%(bw2*3))//3)*bw//bw2)
+                              + ((j%(bw2*3))%3))*7 + bw) % 256))
+                        WHEN 1 THEN list_sum(list_transform(range(0, nout*2*c), j ->
+                            ((2*(j//(2*c))*2*c + (j%(2*c)))*13 + c) % 256))
+                        ELSE list_sum(list_transform(range(0, ph2*pw2*3), j ->
+                            ((3*pw*((j//(pw2*3))*ph//ph2)
+                              + 3*(((j%(pw2*3))//3)*pw//pw2)
+                              + ((j%(pw2*3))%3))*11 + ph) % 256))
+                        END AS BIGINT) AS data_sum,
+                   CAST(CASE kind
+                        WHEN 0 THEN 54 + ((bw2*3+3)//4)*4*bh2
+                        WHEN 1 THEN 44 + nout*2*c
+                        ELSE 9 + length(CAST(pw2 AS VARCHAR))
+                             + length(CAST(ph2 AS VARCHAR)) + 3*pw2*ph2
+                        END AS BIGINT) AS out_len
+            FROM q ORDER BY doc_id
+        """,
+        # top-k terms per language, (count desc, term asc) tie-break; the
+        # min_count=2 floor matches the Spark pre-filter
+        "t_top_terms": f"""
+            WITH ex AS (
+                SELECT lang, unnest(list_transform({_TOKS}, t -> lower(t))) AS term
+                FROM documents
+            ), counts AS (
+                SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+                FROM ex GROUP BY lang, term HAVING count(*) >= 2
+            ), ranked AS (
+                SELECT lang, term, cnt,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang ORDER BY cnt DESC, term
+                       ) AS BIGINT) AS rank
+                FROM counts
+            )
+            SELECT lang, term, cnt, rank FROM ranked WHERE rank <= 10
+            ORDER BY lang, rank
+        """,
+        # exact decile tiers from the 4dp quality-value histogram: every
+        # distinct value maps to ONE tier (value-quantile semantics), so no
+        # global per-row sort exists in either engine
+        "c_quality_tiers": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       round(0.5 * ({_hits(_EN)} / 10.0)
+                           + 0.3 * (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOKS}) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+                           + 0.2 * least(len({_TOKS}) / 100.0, 1.0), 4) AS quality
+                FROM documents
+            ), hist AS (
+                SELECT quality, count(*) AS cnt FROM scored GROUP BY quality
+            ), cum AS (
+                SELECT quality, cnt,
+                       sum(cnt) OVER (ORDER BY quality DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - cnt AS cum_before,
+                       sum(cnt) OVER () AS total
+                FROM hist
+            ), tiers AS (
+                SELECT quality,
+                       CAST(least({C.N_TIERS} - 1,
+                            ({C.N_TIERS} * cum_before) // total) AS BIGINT) AS tier
+                FROM cum
+            )
+            SELECT s.doc_id, s.quality, t.tier
+            FROM scored s JOIN tiers t USING (quality)
+            ORDER BY s.doc_id
+        """,
+        # corpus-level line dedup: lines shared by >= LINE_MIN_DF docs are
+        # boilerplate; clean_md5 re-joins survivors in original order so a
+        # reassembly/ordering bug (not just a count bug) fails the hash
+        "c_line_dedup": f"""
+            WITH multi AS (
+                SELECT doc_id, {_lines_sql} AS ls FROM documents
+            ), lines AS (
+                SELECT doc_id, unnest(ls) AS line,
+                       unnest(range(1, len(ls) + 1)) AS pos
+                FROM multi
+            ), hot AS (
+                SELECT md5(line) AS fp FROM lines
+                GROUP BY 1 HAVING count(DISTINCT doc_id) >= {C.LINE_MIN_DF}
+            ), kept AS (
+                SELECT * FROM lines WHERE md5(line) NOT IN (SELECT fp FROM hot)
+            ), agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+                FROM kept GROUP BY doc_id
+            )
+            SELECT m.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(a.clean_md5, md5('')) AS clean_md5
+            FROM multi m LEFT JOIN agg a USING (doc_id)
+            ORDER BY m.doc_id
+        """,
+        # inverted anchor-text index: same ring formulas as u_outlinks plus
+        # the per-(src,dst) anchor-text formula; sorted-distinct text set
+        "u_anchor_text": f"""
+            WITH edges AS ({_edges_sql}),
+            at AS (
+                SELECT src, dst, 'ref' || (src % 3) || '-' || dst AS atext
+                FROM edges
+            )
+            SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks,
+                   CAST(count(DISTINCT src) AS BIGINT) AS n_srcs,
+                   array_to_string(list_sort(list_distinct(list(atext))), '|') AS texts
+            FROM at GROUP BY dst ORDER BY dst
+        """,
+        # head metadata: oracle rebuilds the identical <head> bytes, then
+        # runs the byte-identical regexes (RE2/Java-compatible; Spark's
+        # no-match '' matched via coalesce)
+        "u_head_meta": f"""
+            WITH pages AS (
+                SELECT doc_id, {_head_html_sql} AS html FROM documents
+            )
+            SELECT doc_id,
+                   coalesce(regexp_extract(html, '{HM.TITLE_RE}', 1), '') AS title,
+                   coalesce(regexp_extract(html, '{HM.CHARSET_RE}', 1), '') AS charset,
+                   coalesce(regexp_extract(html, '{HM.DESC_RE}', 1), '') AS description,
+                   coalesce(regexp_extract(html, '{HM.CANON_RE}', 1), '') AS canonical,
+                   coalesce(regexp_extract(html, '{HM.OG_TITLE_RE}', 1), '') AS og_title
+            FROM pages ORDER BY doc_id
+        """,
+        # crawl-frontier assembly — the composed twin of u_robots (allowed
+        # pages + delays) ∩ u_domain_quota (cap 5/reg-domain) ∩ g_pagerank
+        # (priority), so drift in ANY stage fails this hash too
+        "g_frontier": f"""
+            WITH {_url_cte},
+            cpath AS (
+                SELECT doc_id, host,
+                       regexp_extract(canonical_url, '{WU.CANON_PATH_RE}', 1) AS path
+                FROM canon
+            ),
+            rules AS (
+                SELECT host,
+                       CASE WHEN len(host) % 3 = 0 THEN '/docs/'
+                            WHEN len(host) % 3 = 1 THEN '/a/' END AS disallow_prefix,
+                       CAST((len(host) % 5) * 100 AS BIGINT) AS crawl_delay_ms
+                FROM (SELECT DISTINCT host FROM canon)
+            ),
+            alw AS (
+                SELECT c.doc_id, c.host, r.crawl_delay_ms
+                FROM cpath c JOIN rules r USING (host)
+                WHERE r.disallow_prefix IS NULL
+                   OR NOT starts_with(c.path, r.disallow_prefix)
+            ),
+            quota AS (
+                SELECT doc_id, reg_domain FROM (
+                    SELECT c.doc_id, r.reg_domain,
+                           row_number() OVER (PARTITION BY r.reg_domain
+                                              ORDER BY c.doc_id) AS qr
+                    FROM canon c JOIN reg r USING (host)
+                ) t WHERE qr <= 5
+            ),
+            edges AS ({_edges_sql}),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+            {_pr_cte},
+            fr AS (
+                SELECT a.doc_id, a.host, a.crawl_delay_ms, q.reg_domain, p.rank
+                FROM alw a JOIN quota q USING (doc_id) JOIN pr5 p USING (doc_id)
+            )
+            SELECT doc_id, host, reg_domain, rank,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY rank DESC, doc_id) AS BIGINT) AS fetch_slot,
+                   CAST((row_number() OVER (PARTITION BY host
+                        ORDER BY rank DESC, doc_id) - 1) * crawl_delay_ms
+                        AS BIGINT) AS fetch_at_ms
+            FROM fr ORDER BY doc_id
+        """,
+        # SCD2 recrawl history: presence/revision formulas re-derived per
+        # (doc_id, ts); segment break on fp change OR presence gap
+        "u_scd2_history": f"""
+            WITH snaps AS (
+                SELECT d.doc_id, ts.snap_ts,
+                       md5(d.text || '#' ||
+                           ((ts.snap_ts * (d.doc_id % 3)) // 2)) AS fp
+                FROM documents d,
+                     (SELECT unnest(range(0, {SN.N_SNAPSHOTS})) AS snap_ts) ts
+                WHERE (d.doc_id + ts.snap_ts) % 7 <> 0
+            ), brks AS (
+                SELECT doc_id, snap_ts, fp,
+                       CASE WHEN lag(fp) OVER w IS NULL
+                                 OR fp <> lag(fp) OVER w
+                                 OR snap_ts <> lag(snap_ts) OVER w + 1
+                            THEN 1 ELSE 0 END AS brk
+                FROM snaps WINDOW w AS (PARTITION BY doc_id ORDER BY snap_ts)
+            ), segs AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY doc_id ORDER BY snap_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+                FROM brks
+            )
+            SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+                   CAST(min(snap_ts) AS BIGINT) AS valid_from,
+                   CAST(max(snap_ts) AS BIGINT) AS valid_to,
+                   min(fp) AS fp,
+                   max(snap_ts) = {SN.N_SNAPSHOTS - 1} AS is_current
+            FROM segs GROUP BY doc_id, seg ORDER BY doc_id, seg
         """,
     }

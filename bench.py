@@ -95,7 +95,9 @@ def extraction_throughput(spark, n_docs: int) -> tuple[float, int]:
 
 def relational_queries(spark, sf_dir: str) -> dict[str, float]:
     """Headline relational queries, each timed to full materialization."""
-    from pdf_parser_spark.operators import curation, dedup, similarity, textstats
+    from pdf_parser_spark.operators import (
+        curation, dedup, multimodal, similarity, textstats,
+    )
     from pdf_parser_spark.plans import relational as R
 
     # the sf tables are single small parquet files -> 1 scan partition;
@@ -119,9 +121,16 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         "c_decontaminate": lambda: curation.decontaminate(
             docs, curation.benchmark_snippets(docs)
         ),
+        "c_line_dedup": lambda: curation.line_dedup(
+            curation.with_synthetic_lines(docs)
+        ),
         "d_simhash": lambda: dedup.simhash(docs),
         "s_ann_brute": lambda: similarity.brute_force_topk(emb),
         "t_quality_score": lambda: textstats.quality_score(docs),
+        # the two Python-stage media hops: synth + real resize/decimate
+        "m_transform": lambda: multimodal.transform_media(
+            multimodal.synthetic_media(docs)
+        ),
     }
     times: dict[str, float] = {}
     for name, build in suite.items():

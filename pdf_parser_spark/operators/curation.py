@@ -316,3 +316,149 @@ def incremental_dedup(documents: DataFrame, index_mod: int = INDEX_MOD) -> DataF
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line deduplication (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+LINE_MIN_DF = 2  # a line repeated in >= this many docs is boilerplate
+
+
+def with_synthetic_lines(documents: DataFrame) -> DataFrame:
+    """Add a ``text_multi`` column: the doc rebuilt as newline-separated
+    lines — nav/subscribe/footer boilerplate shared across docs plus two
+    body lines sliced from the real text.  (documents.text itself is
+    single-line at every SF, so line-level ops would be degenerate on it;
+    every piece here is a pure function of (doc_id, source, text) so the
+    DuckDB oracle re-derives the identical multi-line text.)"""
+    toks = words(F.col("text"))
+    lines = F.array(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Home | About | Contact"))
+        .otherwise(F.lit("")),
+        F.concat_ws(" ", F.slice(toks, 1, 12)),
+        F.concat_ws(" ", F.slice(toks, 13, 12)),
+        F.when(F.col("doc_id") % 3 != 2, F.lit("Subscribe to our newsletter"))
+        .otherwise(F.lit("")),
+        F.concat(F.lit("(c) "), F.col("source"), F.lit(" media group")),
+    )
+    multi = F.concat_ws("\n", F.filter(lines, lambda x: x != ""))
+    return documents.withColumn("text_multi", multi)
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text_multi",
+    min_df: int = LINE_MIN_DF,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Remove lines that appear in >= min_df documents corpus-wide (the
+    CCNet paragraph-hash dedup: nav bars, cookie banners, subscribe blocks
+    dominate crawl text and repeat across millions of pages).
+
+    Returns (doc_id, n_lines, n_kept, clean_md5) — clean_md5 pins the
+    byte-exact surviving text (lines re-joined in original order), so the
+    oracle catches any ordering or off-by-one slip, not just counts.
+
+    Plan: posexplode (narrow) -> groupBy(md5(line)) document-frequency
+    count (shuffle 1, map-side combined) -> heavy-line anti-join ->
+    groupBy(doc_id) reassembly (shuffle 2).  With broadcast_hot=True the
+    anti-join broadcasts the post-filter heavy set — right when min_df is
+    high enough that the set is genuinely small (top boilerplate).  At
+    CCNet's min_df=2 over 100 TB the duplicated-line set is itself
+    corpus-scale: set broadcast_hot=False and the anti-join becomes a
+    shuffle join on the line hash (one extra shuffle of the exploded
+    lines, each partition bounded) — the knob IS the scale decision.
+    """
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("fp", F.md5("line"))
+    hot = (
+        lines.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("dfreq"))
+        .where(F.col("dfreq") >= min_df)
+        .select("fp")
+    )
+    kept = lines.join(
+        F.broadcast(hot) if broadcast_hot else hot, "fp", "left_anti"
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.line,
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    totals = df.select(
+        "doc_id", F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines")
+    )
+    return (
+        totals.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-tier binning (curriculum buckets) without a global sort
+# ---------------------------------------------------------------------------
+
+N_TIERS = 10
+
+
+def quality_tiers(scored: DataFrame, n_tiers: int = N_TIERS) -> DataFrame:
+    """Assign each doc a quality tier 0..n_tiers-1 (0 = best) for curriculum
+    sampling — exactly, WITHOUT the single-partition global-ORDER-BY window
+    a naive ntile costs at corpus scale.
+
+    quality is rounded to 4dp upstream, so it has <= 10001 distinct values:
+    the value histogram (one bounded groupBy) + a running sum over that tiny
+    dim gives each VALUE its exact cumulative rank, and
+    tier = min(n_tiers-1, n_tiers * cum_before // total) maps every doc via
+    a broadcast join — all-integer math, no per-row ordering.  Docs sharing
+    a score share a tier (value-quantile semantics: saner than ntile's
+    arbitrary intra-value splits, and the rule the oracle re-derives).
+
+    Input: (doc_id, quality) from textstats.quality_score.
+    Output: (doc_id, quality, tier).
+    """
+    from pyspark.sql import Window
+
+    hist = scored.groupBy("quality").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # single-partition window over <= 10001 histogram rows — bounded by the
+    # 4dp value domain, not the corpus
+    tiers = hist.select(
+        "quality",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    ).select(
+        "quality",
+        F.least(
+            F.lit(n_tiers - 1),
+            F.expr(f"({n_tiers} * cum_before) div total"),
+        ).cast("long").alias("tier"),
+    )
+    return (
+        scored.select("doc_id", "quality")
+        .join(F.broadcast(tiers), "quality")
+        .select("doc_id", "quality", "tier")
+        .orderBy("doc_id")
+    )

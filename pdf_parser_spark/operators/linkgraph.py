@@ -43,7 +43,14 @@ def with_synthetic_html(documents: DataFrame) -> DataFrame:
             (F.col("doc_id") * m + a) % n,
             F.lit('.example.com/doc/'),
             (F.col("doc_id") * m + a) % n,
-            F.lit('">link</a>'),
+            # anchor text varies by source doc (src%3) AND target, so the
+            # per-target anchor-text index below aggregates a non-trivial
+            # distinct set; the oracle re-derives it from the same formula
+            F.lit('">ref'),
+            F.col("doc_id") % 3,
+            F.lit("-"),
+            (F.col("doc_id") * m + a) % n,
+            F.lit("</a>"),
         )
         for m, a in LINK_PARAMS
     ]
@@ -68,6 +75,51 @@ def extract_outlinks(pages: DataFrame) -> DataFrame:
             ).cast("long"),
         )
         .orderBy("src", "href")
+    )
+
+
+def anchor_text_index(pages: DataFrame) -> DataFrame:
+    """Per-target anchor-text index: (dst, n_inlinks, n_srcs, texts).
+
+    The inverted anchor-text table is the classic search-signal a crawl
+    pipeline derives from the link graph (anchor text describes the TARGET
+    page better than its own body — Brin & Page '98).  One JVM pass pulls
+    whole ``<a ...>...</a>`` tags (regexp_extract_all, group 0), a second
+    projection splits href/text per element, then a single groupBy(dst)
+    aggregates.  ``texts`` is the '|'-joined sorted-distinct anchor-text
+    set — collect_set is unordered, so array_sort makes it deterministic
+    (and therefore oracle-hashable).
+
+    Scale: the explode is narrow; the only shuffle is groupBy(dst) with
+    map-side partial aggregation.  Anchor-text sets for mega-targets
+    (a homepage with 10^9 inlinks) would overflow collect_set — in
+    production cap per-target texts with a count-limited window or sketch
+    top-k; here the ring graph bounds in-degree by construction.
+    """
+    tags = F.regexp_extract_all(
+        F.col("html"), F.lit(r'<a href="[^"]*">[^<]*</a>'), F.lit(0)
+    )
+    links = pages.select(
+        F.col("doc_id").alias("src"), F.explode(tags).alias("tag")
+    ).select(
+        "src",
+        F.regexp_extract("tag", r'href="([^"]*)"', 1).alias("href"),
+        F.regexp_extract("tag", r">([^<]*)<", 1).alias("atext"),
+    ).withColumn(
+        "dst",
+        F.nullif(
+            F.regexp_extract("href", r"/doc/([0-9]+)$", 1), F.lit("")
+        ).cast("long"),
+    )
+    return (
+        links.where(F.col("dst").isNotNull())
+        .groupBy("dst")
+        .agg(
+            F.count("*").cast("long").alias("n_inlinks"),
+            F.countDistinct("src").cast("long").alias("n_srcs"),
+            F.array_join(F.array_sort(F.collect_set("atext")), "|").alias("texts"),
+        )
+        .orderBy("dst")
     )
 
 
@@ -115,3 +167,49 @@ def pagerank(
     # evaluation — an eager unpersist here would silently drop the cache
     # before the final action and recompute the edge join every iteration)
     return ranks.orderBy("doc_id")
+
+
+def frontier_schedule(
+    documents: DataFrame, per_domain: int = 5, iterations: int = 5
+) -> DataFrame:
+    """Assemble the crawl frontier end-to-end: robots-allowed pages, capped
+    at `per_domain` per registered domain, prioritized by PageRank into
+    per-host politeness queues.
+
+    Output: (doc_id, host, reg_domain, rank, fetch_slot, fetch_at_ms) —
+    fetch_slot is the page's position in its host's queue (best rank
+    first), fetch_at_ms = (slot-1) * the host's crawl delay.
+
+    This is the composition a production crawler runs every cycle; each
+    stage is the already-oracle-checked operator (weburl.robots_filter,
+    weburl.domain_quota, pagerank) and the composition itself is held to a
+    composed DuckDB oracle — so a semantics drift in ANY stage fails the
+    frontier hash too.
+
+    Scale: the three doc_id joins are fact-fact — co-located when the
+    corpus tables are bucketed by doc_id/url-hash (sources/pages layout);
+    the slot window partitions by host, parallel across hosts.  The skew
+    case (one giant host) is pre-bounded by the quota cap."""
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.operators import weburl
+
+    canon = weburl.canonicalize(weburl.with_synthetic_urls(documents))
+    allowed = weburl.robots_filter(canon)
+    quota = weburl.domain_quota(
+        weburl.with_synthetic_urls(documents), per_domain
+    )
+    ranks = pagerank(documents, synthetic_edges(documents), iterations)
+    w = Window.partitionBy("host").orderBy(F.col("rank").desc(), "doc_id")
+    slot = F.row_number().over(w).cast("long")
+    return (
+        allowed.select("doc_id", "host", "crawl_delay_ms")
+        .join(quota.select("doc_id", "reg_domain"), "doc_id")
+        .join(ranks, "doc_id")
+        .select(
+            "doc_id", "host", "reg_domain", "rank",
+            slot.alias("fetch_slot"),
+            ((slot - 1) * F.col("crawl_delay_ms")).cast("long").alias("fetch_at_ms"),
+        )
+        .orderBy("doc_id")
+    )

@@ -50,3 +50,74 @@ def demo_snapshots(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
     old = documents.where(d % OLD_MOD == 0).select("doc_id", fp_old.alias("fp"))
     new = documents.where(d % NEW_MOD != NEW_MOD - 1).select("doc_id", fp_new.alias("fp"))
     return old, new
+
+
+# ---------------------------------------------------------------------------
+# SCD2 url-history collapse over a series of crawl snapshots
+# ---------------------------------------------------------------------------
+
+N_SNAPSHOTS = 4  # demo series length; formulas below are per (doc_id, ts)
+
+
+def snapshot_series(documents: DataFrame, k: int = N_SNAPSHOTS) -> DataFrame:
+    """(doc_id, snap_ts, fp) presence rows for k consecutive crawl cycles,
+    derived from doc_id alone so the oracle re-builds the series in SQL:
+    a doc is absent from cycle ts when (doc_id+ts)%7==0 (gaps, including
+    remove-then-reappear), and its content revision is
+    rev = (ts * (doc_id%3)) // 2 — doc_id%3==0 never changes, ==1 changes
+    once mid-series, ==2 changes every cycle."""
+    d = F.col("doc_id")
+    ts = F.col("snap_ts")
+    rev = F.expr("(snap_ts * (doc_id % 3)) div 2")
+    return (
+        documents.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("snap_ts"),
+        )
+        .where((d + ts) % 7 != 0)
+        .select(
+            "doc_id",
+            ts.cast("long").alias("snap_ts"),
+            F.md5(F.concat(F.col("text"), F.lit("#"), rev.cast("string"))).alias("fp"),
+        )
+    )
+
+
+def scd2_history(snaps: DataFrame, k: int = N_SNAPSHOTS) -> DataFrame:
+    """Collapse per-cycle presence rows into SCD2 validity intervals:
+    (doc_id, seg, valid_from, valid_to, fp, is_current).
+
+    A new segment opens when the fingerprint changes OR the url was absent
+    from the previous cycle (a gap tombstones the old interval even if the
+    content returns unchanged — standard recrawl-history semantics).
+    is_current marks intervals still live at the final cycle k-1.
+
+    Plan: one lag window + one running-sum window (same partitioning, so
+    ONE shuffle on doc_id serves both) + a groupBy(doc_id, seg) that AQE
+    coalesces into the same exchange.  At 10^12 urls the history table is
+    what incremental extraction diffs against; partitioning/bucketing by
+    url-hash keeps every cycle's merge co-located (cf. snapshot_diff)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("snap_ts")
+    brk = (
+        F.lag("fp").over(w).isNull()
+        | (F.col("fp") != F.lag("fp").over(w))
+        | (F.col("snap_ts") != F.lag("snap_ts").over(w) + 1)
+    )
+    seg = F.sum(brk.cast("long")).over(
+        Window.partitionBy("doc_id")
+        .orderBy("snap_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        snaps.withColumn("seg", seg)
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.min("snap_ts").cast("long").alias("valid_from"),
+            F.max("snap_ts").cast("long").alias("valid_to"),
+            F.min("fp").alias("fp"),
+            (F.max("snap_ts") == k - 1).alias("is_current"),
+        )
+        .orderBy("doc_id", "seg")
+    )

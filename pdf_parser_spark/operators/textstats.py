@@ -314,3 +314,39 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         "top2_count", "top2_chars", "nws_chars",
         passed.alias("rep_passed"),
     ).orderBy("doc_id")
+
+
+TOP_TERMS_K = 10
+
+
+def top_terms(documents: DataFrame, k: int = TOP_TERMS_K, min_count: int = 2) -> DataFrame:
+    """Top-k tokens per language by corpus frequency: (lang, term, cnt, rank)
+    with the deterministic (count desc, token asc) tie-break — the corpus
+    vocabulary report every curation run ships next to its language mix.
+
+    Plan: explode (narrow) -> groupBy(lang, token) with map-side partial
+    aggregation (shuffle 1) -> min_count pre-filter -> per-lang rank window
+    (shuffle 2, but only over tokens that survived the floor).  The window
+    partitions by lang, so at 10^12 docs one reducer would see a whole
+    language's distinct-token table; the min_count floor bounds that input
+    (any true top-k term at corpus scale dwarfs any fixed floor), and the
+    fully skew-proof variant is two-phase top-k: per-partition partial
+    top-k (aggregate within mapPartitions-sized groups) unioned, then the
+    same tiny final window."""
+    from pyspark.sql import Window
+
+    ex = documents.select(
+        "lang", F.explode(words(F.lower(F.col("text")))).alias("term")
+    )
+    counts = (
+        ex.groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("lang", "term", F.col("cnt").cast("long").alias("cnt"), "rank")
+        .orderBy("lang", "rank")
+    )

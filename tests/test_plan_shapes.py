@@ -232,3 +232,64 @@ def test_curation_plans_broadcast_dims_and_no_cartesian(spark):
     # the exact-fp and band membership checks must be semi joins (key-only
     # build sides), not inner joins carrying payload columns
     assert "LeftSemi" in p, p
+
+
+def test_line_dedup_broadcast_vs_shuffle_knob(spark):
+    """broadcast_hot=True must broadcast the heavy-line set into the
+    anti-join; False must NOT (shuffle join is the corpus-scale path where
+    the duplicated-line set is itself corpus-sized).  Neither may build a
+    cartesian product."""
+    from pdf_parser_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    ml = curation.with_synthetic_lines(docs)
+
+    p = plan(curation.line_dedup(ml))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(curation.line_dedup(ml, broadcast_hot=False))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_quality_tiers_histogram_join_is_broadcast_not_global_sort(spark):
+    """The tier map is a <=10001-row histogram dim -> must broadcast back;
+    the per-row side must NOT pass through a single-partition global sort
+    (the whole point vs ntile)."""
+    from pdf_parser_spark.operators import curation, textstats
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    scored = textstats.quality_score(docs).select("doc_id", "quality")
+    p = plan(curation.quality_tiers(scored))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_head_meta_is_single_projection_no_exchange(spark):
+    """Five regex fields must come out of one codegen'd projection: no
+    shuffle exchange anywhere before the (presentation-only) sort."""
+    from pdf_parser_spark.operators import htmlmeta
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    p = plan(htmlmeta.head_meta(htmlmeta.with_head_html(docs)))
+    # the only exchange allowed is the final orderBy's rangepartitioning
+    assert "hashpartitioning" not in p, p
+    assert "rangepartitioning" in p, p
+    # narrow pipeline: scan -> synth projection -> extract projection
+    assert p.count("Project") >= 2 and "Scan parquet" in p, p
+
+
+def test_scd2_single_doc_id_shuffle_serves_windows_and_groupby(spark):
+    """lag window, running-sum window, and the interval groupBy all key on
+    doc_id — exactly one hashpartitioning(doc_id) exchange may appear."""
+    from pdf_parser_spark.operators import snapshot
+
+    # repartition round-robin so the single-file scan doesn't trivially
+    # satisfy the clustering requirement (a 1-partition input needs no
+    # exchange at all — not the shape that matters at scale)
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").repartition(8)
+    p = plan(snapshot.scd2_history(snapshot.snapshot_series(docs)))
+    n = p.count("hashpartitioning(doc_id")
+    assert n == 1, f"expected 1 doc_id exchange, saw {n}\n{p}"

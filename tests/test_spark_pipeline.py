@@ -788,3 +788,91 @@ def test_robots_filter_disallow_and_schedule(spark):
     assert out[2]["fetch_offset_ms"] == 0 and out[2]["crawl_delay_ms"] == 200
     assert out[3]["fetch_offset_ms"] == 200
     assert out[4]["fetch_offset_ms"] == 0 and out[4]["crawl_delay_ms"] == 300
+
+
+def test_transform_kernels_unit():
+    """Real resize/decimate kernels: handcrafted pixels prove the
+    nearest-neighbor map and frame decimation, and outputs re-decode as
+    valid containers (no Spark needed)."""
+    import struct as st
+
+    import numpy as np
+
+    from pdf_parser_spark.operators.multimodal import (
+        _decode_bmp, _decode_ppm, _decode_wav, decimate_wav,
+        make_bmp, make_wav, resize_bmp, resize_ppm,
+    )
+
+    # 2x2 BMP with distinct pixels -> 1x1 picks source (0,0) of the stored
+    # grid (floor map 0*2//1 = 0)
+    w, h = 2, 2
+    stride = 8  # 2*3 padded to 8
+    pixels = bytes(range(stride * h))
+    header = b"BM" + st.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+    info = st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                   2835, 2835, 0, 0)
+    out = resize_bmp(header + info + pixels, 1, 1)
+    meta = _decode_bmp(out)
+    assert (meta["width"], meta["height"]) == (1, 1)
+    assert out[54:57] == pixels[0:3]  # first stored pixel, BGR intact
+
+    # synthetic BMP halves and re-decodes; raster bytes follow the
+    # nearest-neighbor formula
+    src = make_bmp(10, 6)
+    rz = resize_bmp(src, 5, 3)
+    m2 = _decode_bmp(rz)
+    assert (m2["width"], m2["height"]) == (5, 3)
+    s_in, s_out = ((10 * 3 + 3) // 4) * 4, ((5 * 3 + 3) // 4) * 4
+    got = np.frombuffer(rz, np.uint8, count=s_out * 3, offset=54)
+    for r2 in range(3):
+        for x2 in range(5):
+            for ch in range(3):
+                src_i = s_in * (r2 * 6 // 3) + 3 * (x2 * 10 // 5) + ch
+                assert got[s_out * r2 + 3 * x2 + ch] == (src_i * 7 + 10) % 256
+
+    # PPM resize keeps magic/maxval and the formula raster
+    rp = resize_ppm(b"P6\n4 4\n255\n" + bytes(range(48)), 2, 2)
+    pm = _decode_ppm(rp)
+    assert (pm["width"], pm["height"]) == (2, 2)
+    assert rp.startswith(b"P6\n2 2\n255\n")
+    raster = rp[len(b"P6\n2 2\n255\n"):]
+    # row 0 -> src row 0 cols 0,2 ; row 1 -> src row 2
+    assert raster == bytes([0, 1, 2, 6, 7, 8, 24, 25, 26, 30, 31, 32])
+
+    # WAV decimation: every 2nd frame kept, rate halved, duration preserved
+    src_wav = make_wav(2, 8000, 101)
+    dec = decimate_wav(src_wav, 2)
+    dm = _decode_wav(dec)
+    assert dm["sample_rate"] == 4000 and dm["n_channels"] == 2
+    n_out = (101 + 1) // 2
+    assert len(dec) == 44 + n_out * 4
+    # frame g of the output is source frame 2g
+    for g in (0, 1, 7, n_out - 1):
+        assert dec[44 + g * 4: 44 + g * 4 + 4] == \
+            src_wav[44 + 2 * g * 4: 44 + 2 * g * 4 + 4]
+
+
+def test_transform_media_spark_stage(spark):
+    from pdf_parser_spark.operators.multimodal import (
+        synthetic_media, transform_media,
+    )
+
+    docs = spark.range(0, 9).withColumnRenamed("id", "doc_id")
+    rows = {r["doc_id"]: r for r in
+            transform_media(synthetic_media(docs)).collect()}
+    assert len(rows) == 9
+    for d, r in rows.items():
+        if d % 3 == 0:  # BMP
+            w, h = 8 + d % 32, 8 + (d // 3) % 24
+            assert (r["media_type"], r["out_w"], r["out_h"]) == \
+                ("image/bmp", w // 2, h // 2)
+            assert r["out_len"] == 54 + (((w // 2) * 3 + 3) // 4) * 4 * (h // 2)
+        elif d % 3 == 1:  # WAV
+            assert r["media_type"] == "audio/wav"
+            assert r["out_rate"] == 8000 * (1 + d % 3) // 2
+            assert r["n_units"] == (200 + d % 100 + 1) // 2
+        else:  # PPM
+            w, h = 4 + d % 16, 4 + (d // 5) % 16
+            assert (r["media_type"], r["out_w"], r["out_h"]) == \
+                ("image/ppm", w // 2, h // 2)
+        assert r["data_sum"] >= 0 and r["payload"] is not None
