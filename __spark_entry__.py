@@ -277,6 +277,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "media_type", "out_w", "out_h", "out_rate",
             "n_units", "data_sum", "out_len",
         ).orderBy("doc_id"),
+        # real frame sampling over concatenated-P6 streams (ffmpeg
+        # image2pipe wire format): every 2nd frame re-emitted standalone
+        "m_frame_sample": lambda s, d: multimodal.sample_ppm_frames(
+            multimodal.synthetic_video(_docs(s, d))
+        ).select(
+            "doc_id", "frame_index", "n_frames", "width", "height",
+            "data_sum", "frame_len",
+        ).orderBy("doc_id", "frame_index"),
         "d_simhash_pairs": lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=16),
         # --- URL / domain operators (deterministic synthetic url column;
         # the oracle re-derives it from the same doc_id/source formula) ---
@@ -1831,6 +1839,26 @@ def oracle_sql() -> dict[str, str]:
                              + length(CAST(ph2 AS VARCHAR)) + 3*pw2*ph2
                         END AS BIGINT) AS out_len
             FROM q ORDER BY doc_id
+        """,
+        # sampled frames recomputed from the stream-synthesis formulas:
+        # frame f of doc d has raster byte i = (i*11 + d + f) % 256 and
+        # dims (4+d%8, 4+(d//7)%8); sampling keeps frames 0,2,4,...
+        "m_frame_sample": """
+            WITH p AS (
+                SELECT doc_id, 4 + doc_id % 8 AS w, 4 + (doc_id // 7) % 8 AS h,
+                       3 + doc_id % 4 AS nf
+                FROM documents
+            ), fr AS (
+                SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS fi FROM p
+            )
+            SELECT doc_id, CAST(fi AS BIGINT) AS frame_index,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(list_sum(list_transform(range(0, 3*w*h), i ->
+                        (i*11 + doc_id + fi) % 256)) AS BIGINT) AS data_sum,
+                   CAST(9 + length(CAST(w AS VARCHAR))
+                        + length(CAST(h AS VARCHAR)) + 3*w*h AS BIGINT) AS frame_len
+            FROM fr ORDER BY doc_id, frame_index
         """,
         # top-k terms per language, (count desc, term asc) tie-break; the
         # min_count=2 floor matches the Spark pre-filter

@@ -526,3 +526,101 @@ def transform_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("doc_id", payload_col).mapInPandas(
         fn, schema=TRANSFORM_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Real frame sampling (r2): concatenated binary-PPM streams — the actual
+# wire format of `ffmpeg -f image2pipe -c:v ppm` — parsed frame-by-frame;
+# every k-th frame re-emitted as a standalone valid P6 image.
+# ---------------------------------------------------------------------------
+
+def make_ppm_seeded(width: int, height: int, seed: int) -> bytes:
+    """A P6 frame whose raster byte i is (i*11 + seed) % 256 — per-frame
+    seeds let a SQL oracle distinguish (and checksum) individual frames."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + bytes((i * 11 + seed) % 256 for i in range(3 * width * height))
+
+
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Parse a concatenated-P6 stream into its frames (REAL parsing: each
+    header is read, each raster skipped by its computed size)."""
+    frames: list[bytes] = []
+    i, n = 0, len(payload)
+    while i < n:
+        hd = _ppm_header(payload[i:])
+        if hd is None:
+            break
+        w, h, _, off = hd
+        ch = 3 if payload[i:i + 2] == b"P6" else 1
+        end = i + off + ch * w * h
+        if end > n:
+            break
+        frames.append(payload[i:end])
+        i = end
+    return frames
+
+
+def synthetic_video_payload(doc_id: int) -> bytes:
+    """doc_id -> a 3..6-frame P6 stream; frame f uses seed doc_id+f and
+    dims (4 + doc_id%8, 4 + (doc_id//7)%8) — all oracle-recomputable."""
+    w, h = 4 + doc_id % 8, 4 + (doc_id // 7) % 8
+    n_frames = 3 + doc_id % 4
+    return b"".join(make_ppm_seeded(w, h, doc_id + f) for f in range(n_frames))
+
+
+def synthetic_video(df: DataFrame) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synthetic_video_payload(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return df.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+SAMPLE_SCHEMA = (
+    "doc_id long, frame_index long, n_frames long, width int, height int, "
+    "data_sum long, frame_len long, payload binary"
+)
+
+
+def sample_ppm_frames(
+    df: DataFrame, every: int = 2, max_frames: int = 8,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas frame-sampling over REAL P6 streams: one input row fans
+    out to ceil(n_frames/every) rows (capped at max_frames), each carrying
+    the standalone sampled frame plus integer evidence (data_sum = exact
+    raster byte sum) the m_frame_sample oracle recomputes per frame.
+
+    Scale: the fan-out happens inside the Arrow batch — no explode shuffle;
+    video rows are fat, so session.py's small Arrow batch size is what
+    bounds executor memory, same as the extraction stage."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                frames = split_ppm_stream(raw)
+                for idx in range(0, len(frames), every):
+                    if idx // every >= max_frames:
+                        break
+                    fb = frames[idx]
+                    hd = _ppm_header(fb)
+                    w, h, _, off = hd
+                    raster = np.frombuffer(fb, np.uint8, offset=off)
+                    recs.append({
+                        "doc_id": doc_id, "frame_index": idx,
+                        "n_frames": len(frames), "width": w, "height": h,
+                        "data_sum": int(raster.sum()), "frame_len": len(fb),
+                        "payload": fb,
+                    })
+            yield pd.DataFrame.from_records(recs, columns=[
+                "doc_id", "frame_index", "n_frames", "width", "height",
+                "data_sum", "frame_len", "payload",
+            ])
+
+    return df.select("doc_id", payload_col).mapInPandas(fn, schema=SAMPLE_SCHEMA)

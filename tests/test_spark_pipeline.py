@@ -876,3 +876,35 @@ def test_transform_media_spark_stage(spark):
             assert (r["media_type"], r["out_w"], r["out_h"]) == \
                 ("image/ppm", w // 2, h // 2)
         assert r["data_sum"] >= 0 and r["payload"] is not None
+
+
+def test_ppm_stream_frame_sampling(spark):
+    from pdf_parser_spark.operators.multimodal import (
+        _ppm_header, make_ppm_seeded, sample_ppm_frames, split_ppm_stream,
+        synthetic_video, synthetic_video_payload,
+    )
+
+    # stream parsing: 3 frames round-trip exactly, trailing garbage ignored
+    frames = [make_ppm_seeded(3, 2, s) for s in (10, 11, 12)]
+    stream = b"".join(frames) + b"junk"
+    assert split_ppm_stream(stream) == frames
+
+    # Spark stage: every 2nd frame, standalone valid P6, formula data_sum
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    rows = sample_ppm_frames(synthetic_video(docs)).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        nf = 3 + d % 4
+        w, h = 4 + d % 8, 4 + (d // 7) % 8
+        assert [r["frame_index"] for r in rs] == list(range(0, nf, 2))
+        for r in rs:
+            assert (r["n_frames"], r["width"], r["height"]) == (nf, w, h)
+            hd = _ppm_header(bytes(r["payload"]))
+            assert hd[:2] == (w, h)  # sampled frame is a valid P6
+            expect = sum((i * 11 + d + r["frame_index"]) % 256
+                         for i in range(3 * w * h))
+            assert r["data_sum"] == expect
+    # the whole stream for doc 5 re-splits to its n_frames frames
+    assert len(split_ppm_stream(synthetic_video_payload(5))) == 3 + 5 % 4
