@@ -186,7 +186,9 @@ def make_bmp(width: int, height: int) -> bytes:
     header = b"BM" + struct.pack("<IHHI", 54 + pixel_bytes, 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                        pixel_bytes, 2835, 2835, 0, 0)
-    pixels = bytes((i * 7 + width) % 256 for i in range(pixel_bytes))
+    import numpy as np
+
+    pixels = ((np.arange(pixel_bytes) * 7 + width) % 256).astype(np.uint8).tobytes()
     return header + info + pixels
 
 
@@ -194,15 +196,20 @@ def make_wav(channels: int, rate: int, n_samples: int) -> bytes:
     data_size = n_samples * channels * 2  # 16-bit PCM
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
                       channels * 2, 16)
-    data = bytes((i * 13 + channels) % 256 for i in range(data_size))
+    import numpy as np
+
+    data = ((np.arange(data_size) * 13 + channels) % 256).astype(np.uint8).tobytes()
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
         + b"data" + struct.pack("<I", data_size) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def make_ppm(width: int, height: int) -> bytes:
+    import numpy as np
+
     header = f"P6\n{width} {height}\n255\n".encode()
-    return header + bytes((i * 11 + height) % 256 for i in range(3 * width * height))
+    return header + ((np.arange(3 * width * height) * 11 + height) % 256).astype(
+        np.uint8).tobytes()
 
 
 def synthetic_media_payload(doc_id: int) -> bytes:
@@ -537,8 +544,11 @@ def transform_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 def make_ppm_seeded(width: int, height: int, seed: int) -> bytes:
     """A P6 frame whose raster byte i is (i*11 + seed) % 256 — per-frame
     seeds let a SQL oracle distinguish (and checksum) individual frames."""
+    import numpy as np
+
     header = f"P6\n{width} {height}\n255\n".encode()
-    return header + bytes((i * 11 + seed) % 256 for i in range(3 * width * height))
+    return header + ((np.arange(3 * width * height) * 11 + seed) % 256).astype(
+        np.uint8).tobytes()
 
 
 def split_ppm_stream(payload: bytes) -> list[bytes]:
