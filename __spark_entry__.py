@@ -230,6 +230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_window_counts": lambda s, d: __import__(
             "pdf_parser_spark.streaming.windowed", fromlist=["window_counts_via_stream"]
         ).window_counts_via_stream(s, d),
+        # streaming crawl change-feed: one micro-batch per recrawl cycle,
+        # last-seen fingerprint in keyed state; held to the batch lag() oracle
+        "st_change_feed": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.changefeed", fromlist=["change_feed_via_stream"]
+        ).change_feed_via_stream(s, d),
         # --- dedup ---
         "d_exact": lambda s, d: dedup.exact_dedup_groups(_docs(s, d)),
         "d_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.2),
@@ -2007,6 +2012,26 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY rank DESC, doc_id) - 1) * crawl_delay_ms
                         AS BIGINT) AS fetch_at_ms
             FROM fr ORDER BY doc_id
+        """,
+        # streaming change-feed: baseline is the PREVIOUS OBSERVATION
+        # (state persists through gaps) -> plain lag() over presence rows;
+        # the stream feeds one cycle per micro-batch, so a hash match means
+        # the cross-batch state path computed every verdict correctly
+        "st_change_feed": f"""
+            WITH snaps AS (
+                SELECT d.doc_id, ts.snap_ts,
+                       md5(d.text || '#' ||
+                           ((ts.snap_ts * (d.doc_id % 3)) // 2)) AS fp
+                FROM documents d,
+                     (SELECT unnest(range(0, {SN.N_SNAPSHOTS})) AS snap_ts) ts
+                WHERE (d.doc_id + ts.snap_ts) % 7 <> 0
+            )
+            SELECT doc_id, CAST(snap_ts AS BIGINT) AS snap_ts,
+                   CASE WHEN lag(fp) OVER w IS NULL THEN 'added'
+                        WHEN fp <> lag(fp) OVER w THEN 'changed'
+                        ELSE 'unchanged' END AS verdict
+            FROM snaps WINDOW w AS (PARTITION BY doc_id ORDER BY snap_ts)
+            ORDER BY doc_id, snap_ts
         """,
         # SCD2 recrawl history: presence/revision formulas re-derived per
         # (doc_id, ts); segment break on fp change OR presence gap

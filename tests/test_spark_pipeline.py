@@ -908,3 +908,41 @@ def test_ppm_stream_frame_sampling(spark):
             assert r["data_sum"] == expect
     # the whole stream for doc 5 re-splits to its n_frames frames
     assert len(split_ppm_stream(synthetic_video_payload(5))) == 3 + 5 % 4
+
+
+def test_streaming_change_feed_state_across_batches(spark, tmp_path):
+    """Cross-batch verdicts: change detected, gap + unchanged reappearance
+    stays 'unchanged' (state persists through absence), late first-seen is
+    'added' — each cycle its own micro-batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming.changefeed import stream_change_feed
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    name = "feedtest"
+    cycles = [
+        [(1, 0, "A"), (2, 0, "X")],          # both first seen
+        [(1, 1, "B")],                        # 1 changed; 2 absent
+        [(2, 2, "X"), (3, 2, "N")],          # 2 reappears unchanged; 3 added
+    ]
+    q = None
+    for t, rows in enumerate(cycles):
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "snap_ts": pa.array([r[1] for r in rows], pa.int64()),
+            "fp": pa.array([r[2] for r in rows], pa.string()),
+        })
+        pq.write_table(tbl, str(in_dir / f"c{t}.parquet"))
+        if q is None:
+            q = stream_change_feed(spark, str(in_dir), str(tmp_path / "ck"), name)
+        q.processAllAvailable()
+    q.stop()
+    out = {(r["doc_id"], r["snap_ts"]): r["verdict"]
+           for r in spark.table(name).collect()}
+    assert out == {
+        (1, 0): "added", (2, 0): "added",
+        (1, 1): "changed",
+        (2, 2): "unchanged", (3, 2): "added",
+    }
