@@ -320,6 +320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_sql": lambda s, d: __import__(
             "pdf_parser_spark.plans.sqlapi", fromlist=["x"]
         ).q1_pricing_sql(s, d),
+        # same gate for the window family (row_number rank + join)
+        "q_top_orders_sql": lambda s, d: __import__(
+            "pdf_parser_spark.plans.sqlapi", fromlist=["x"]
+        ).top_orders_sql(s, d),
         # WARC connector round-trip: docs -> archive files -> parsed back;
         # md5(body) pins byte-exact payload fidelity against the oracle
         "u_warc_roundtrip": lambda s, d: __import__(
@@ -1631,6 +1635,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the spark.sql surface: the oracle executes the IDENTICAL text
         "q1_pricing_sql": _SQLAPI.Q1_SQL,
+        "q_top_orders_sql": _SQLAPI.TOP_ORDERS_SQL,
         # WARC round-trip: every parsed column is recomputable from the
         # documents table alone; body_md5 = md5(text) is the byte-fidelity pin
         "u_warc_roundtrip": """

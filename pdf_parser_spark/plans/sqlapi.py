@@ -48,3 +48,30 @@ Q1_SQL = """
 def q1_pricing_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     return spark.sql(Q1_SQL)
+
+
+# Window-function family through the same one-string-two-engines gate:
+# row_number + partitioned rank + join, valid verbatim in Spark SQL and
+# DuckDB.  (Q1_SQL proves the aggregate family; this proves windows.)
+TOP_ORDERS_SQL = """
+    WITH rev AS (
+        SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, o.o_orderkey
+    ), ranked AS (
+        SELECT custkey, orderkey, revenue,
+               row_number() OVER (
+                   PARTITION BY custkey ORDER BY revenue DESC, orderkey
+               ) AS rk
+        FROM rev
+    )
+    SELECT custkey, orderkey, revenue, rk
+    FROM ranked WHERE rk <= 2
+    ORDER BY custkey, rk
+"""
+
+
+def top_orders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(TOP_ORDERS_SQL)
