@@ -149,6 +149,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _emb(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    def _table_time_travel(spark, sf_dir):
+        """Three appends into the snapshot/manifest table format, then a
+        time-travel read AT version 2: exactly the first two snapshots'
+        rows come back, regardless of the third append or any orphaned
+        files (the manifest — not a directory glob — defines the table)."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        work = tempfile.mkdtemp(prefix="tbl_")
+        try:
+            for k in range(3):
+                tf.append_snapshot(
+                    _docs(spark, sf_dir).where(F.col("doc_id") % 3 == k), work
+                )
+            out = (
+                tf.read_table(spark, work, version=2)
+                .select("doc_id", "lang", "source")
+                .orderBy("doc_id")
+                .persist()
+            )
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def extract_pipeline(spark, sf_dir):
         extracted = extract_stage(
             _docs_as_pages(spark, sf_dir), run_ts=RUN_TS
@@ -324,6 +351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_orders_sql": lambda s, d: __import__(
             "pdf_parser_spark.plans.sqlapi", fromlist=["x"]
         ).top_orders_sql(s, d),
+        # snapshot/manifest table format: 3 appends, read AT version 2 —
+        # time travel returns exactly the first two snapshots' rows
+        "u_table_time_travel": _table_time_travel,
         # WARC connector round-trip: docs -> archive files -> parsed back;
         # md5(body) pins byte-exact payload fidelity against the oracle
         "u_warc_roundtrip": lambda s, d: __import__(
@@ -1636,6 +1666,11 @@ def oracle_sql() -> dict[str, str]:
         # the spark.sql surface: the oracle executes the IDENTICAL text
         "q1_pricing_sql": _SQLAPI.Q1_SQL,
         "q_top_orders_sql": _SQLAPI.TOP_ORDERS_SQL,
+        # time-travel read at version 2 = snapshots 1+2 = doc_id%3 in (0,1)
+        "u_table_time_travel": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id % 3 < 2 ORDER BY doc_id
+        """,
         # WARC round-trip: every parsed column is recomputable from the
         # documents table alone; body_md5 = md5(text) is the byte-fidelity pin
         "u_warc_roundtrip": """

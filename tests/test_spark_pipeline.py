@@ -946,3 +946,39 @@ def test_streaming_change_feed_state_across_batches(spark, tmp_path):
         (1, 1): "changed",
         (2, 2): "unchanged", (3, 2): "added",
     }
+
+
+def test_tableformat_snapshots_time_travel_rollback(spark, tmp_path):
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b = spark.createDataFrame([(3, "c")], "id long, v string")
+    c = spark.createDataFrame([(4, "d")], "id long, v string")
+    assert tf.append_snapshot(a, path) == 1
+    assert tf.append_snapshot(b, path) == 2
+    assert tf.append_snapshot(c, path) == 3
+    # latest sees everything; time travel sees each snapshot's world
+    assert tf.read_table(spark, path).count() == 4
+    assert sorted(r["id"] for r in tf.read_table(spark, path, version=2).collect()) \
+        == [1, 2, 3]
+    assert tf.read_table(spark, path, version=1).count() == 2
+    # manifest-only reads: an orphaned data file (failed commit) is invisible
+    import shutil
+    orphan = str(tmp_path / "tbl" / "data" / "orphan")
+    shutil.copytree(str(tmp_path / "tbl" / "data" / tf.snapshots(path)[0]["snapshot_id"]), orphan)
+    assert tf.read_table(spark, path).count() == 4
+    # commit race: a pre-existing v4 forces the committer to retry as v5
+    import json, os
+    racer_files = tf.snapshots(path)[-1]["all_files"]
+    v4 = os.path.join(path, "metadata", "v4.json")
+    with open(v4, "w") as f:
+        json.dump({"version": 4, "snapshot_id": "racer", "parent_version": 3,
+                   "added_files": [], "added_rows": 0,
+                   "all_files": racer_files}, f)
+    assert tf.append_snapshot(b, path) == 5
+    assert tf.read_table(spark, path).count() == 5  # 4 + replayed b
+    # rollback drops newer versions; current state = requested snapshot
+    tf.rollback(path, 2)
+    assert tf.current_version(path) == 2
+    assert tf.read_table(spark, path).count() == 3
