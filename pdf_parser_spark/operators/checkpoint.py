@@ -80,3 +80,46 @@ def pending_urls(spark: SparkSession, pages: DataFrame, out_dir: str) -> DataFra
     except Exception:
         return pages  # nothing checkpointed yet
     return pages.join(done, on="url", how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Versioned checkpoint sink (snapshot/manifest table format)
+# ---------------------------------------------------------------------------
+
+def write_checkpoint_versioned(
+    extracted: DataFrame, out_dir: str, run_id: str
+) -> DataFrame:
+    """write_checkpoint through sources/tableformat: each run commits as ONE
+    atomic snapshot of the extracted table (then its lineage snapshot).
+
+    Why it matters for resume: with a plain parquet append, a run that dies
+    mid-write can leave committed part-files that ``pending_urls`` would
+    count as done — silently skipping those urls on resume.  A manifest
+    table flips the failure mode: nothing is visible until the version file
+    links into place, so a crashed run leaves only invisible orphans and
+    resume recomputes exactly its pending set.  (This is Iceberg's core
+    reader/writer isolation property, per the public spec.)"""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    spark = extracted.sparkSession
+    v = tf.append_snapshot(
+        extracted.withColumn("run_id", F.lit(run_id)), f"{out_dir}/extracted_tbl"
+    )
+    materialized = tf.read_table(spark, f"{out_dir}/extracted_tbl", version=v)
+    written = materialized.where(F.col("run_id") == run_id).select("url", "status")
+    tf.append_snapshot(lineage_rows(written, run_id), f"{out_dir}/lineage_tbl")
+    return materialized
+
+
+def pending_urls_versioned(
+    spark: SparkSession, pages: DataFrame, out_dir: str
+) -> DataFrame:
+    """Resume against the COMMITTED manifest only — orphan part-files from
+    a crashed run are invisible, so their urls correctly stay pending."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    try:
+        done = tf.read_table(spark, f"{out_dir}/extracted_tbl").select("url")
+    except FileNotFoundError:
+        return pages
+    return pages.join(done, on="url", how="left_anti")

@@ -79,7 +79,9 @@ def append_snapshot(df: DataFrame, path: str) -> int:
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    n_rows = df.count()
+    # count from the WRITTEN files' footers — counting `df` again would
+    # re-execute its whole plan (2x an Arrow extraction subtree's cost)
+    n_rows = df.sparkSession.read.parquet(*files).count() if files else 0
     while True:
         vs = _versions(path)
         base = vs[-1] if vs else 0

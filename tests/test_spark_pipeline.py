@@ -982,3 +982,38 @@ def test_tableformat_snapshots_time_travel_rollback(spark, tmp_path):
     tf.rollback(path, 2)
     assert tf.current_version(path) == 2
     assert tf.read_table(spark, path).count() == 3
+
+
+def test_versioned_checkpoint_crashed_run_invisible(spark, tmp_path):
+    """The resume property the manifest buys: a crashed run's orphan data
+    files do NOT mark urls done; a committed run's do."""
+    import shutil
+
+    from pdf_parser_spark.operators.checkpoint import (
+        pending_urls_versioned, write_checkpoint_versioned,
+    )
+    from pdf_parser_spark.operators.extract import extract_stage
+    from pdf_parser_spark.sources import tableformat as tf
+    from pdf_parser_spark.sources.pages import synthetic_pages
+
+    out = str(tmp_path / "out")
+    pages = synthetic_pages(spark, n_docs=12)
+    first = pages.where("xxhash64(url) % 2 = 0")
+    ext = extract_stage(first, run_ts="t")
+    mat = write_checkpoint_versioned(ext, out, "run1")
+    n_first = mat.count()
+    assert n_first == first.count()
+    # committed run's urls are no longer pending
+    pend = pending_urls_versioned(spark, pages, out)
+    assert pend.count() == 12 - n_first
+    # simulate a CRASHED second run: data files land, no version commit
+    committed = tf.snapshots(f"{out}/extracted_tbl")[-1]
+    orphan_dir = f"{out}/extracted_tbl/data/crashed"
+    shutil.copytree(
+        committed["added_files"][0].rsplit("/", 1)[0], orphan_dir
+    )
+    pend2 = pending_urls_versioned(spark, pages, out)
+    assert pend2.count() == 12 - n_first  # orphans invisible, urls still pending
+    # lineage snapshot committed alongside
+    lin = tf.read_table(spark, f"{out}/lineage_tbl")
+    assert lin.where("run_id = 'run1'").count() >= 1
