@@ -335,6 +335,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_robots": lambda s, d: weburl.robots_filter(
             weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
         ),
+        # robots.txt PARSED from raw bytes (RFC 9309 group semantics); the
+        # synthesized text reproduces the formula rules, so the parse is
+        # hash-held to the same dim robots_filter consumes
+        "u_robots_parsed": lambda s, d: weburl.parse_robots(
+            weburl.with_robots_txt(
+                weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
+                .select("host").distinct()
+            )
+        ).select(
+            "host",
+            F.coalesce("disallow_prefix", F.lit("")).alias("disallow_prefix"),
+            "crawl_delay_ms",
+        ).orderBy("host"),
         # per-site quota: at most 5 docs per registered domain
         "u_domain_quota": lambda s, d: weburl.domain_quota(
             weburl.with_synthetic_urls(_docs(s, d))
@@ -1631,6 +1644,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
                         * crawl_delay_ms AS BIGINT) AS fetch_offset_ms
             FROM alw ORDER BY doc_id
+        """,
+        # the parsed robots dim must equal the len(host) formula dim the
+        # text synthesis encodes (Spark does text->RFC-9309-parse; the
+        # oracle derives the rules directly — a parser bug breaks the hash)
+        "u_robots_parsed": f"""
+            WITH {_url_cte}
+            SELECT host,
+                   coalesce(CASE WHEN len(host) % 3 = 0 THEN '/docs/'
+                                 WHEN len(host) % 3 = 1 THEN '/a/' END,
+                            '') AS disallow_prefix,
+                   CAST((len(host) % 5) * 100 AS BIGINT) AS crawl_delay_ms
+            FROM (SELECT DISTINCT host FROM canon) h ORDER BY host
         """,
         # per-site quota: rank within registered domain, keep <= 5
         "u_domain_quota": f"""

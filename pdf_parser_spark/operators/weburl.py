@@ -343,3 +343,100 @@ def domain_quota(
         .where(F.col("quota_rank") <= per_domain)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt PARSER (RFC 9309): from raw robots bytes to the rules dim
+# ---------------------------------------------------------------------------
+
+ROBOTS_AGENT_RE = r"(?i)^user-agent:\s*(\S+)"
+ROBOTS_DISALLOW_RE = r"(?i)^disallow:\s*(\S*)"
+ROBOTS_DELAY_RE = r"(?i)^crawl-delay:\s*([0-9.]+)"
+
+
+def with_robots_txt(hosts: DataFrame) -> DataFrame:
+    """(host, robots_txt): deterministic robots.txt BYTES per host.  Even-
+    length hosts carry a FooBot-specific group before the '*' group (the
+    parser must skip it); the '*' group reproduces robots_rules' formulas
+    — len%3 selects the disallow ('' = allow-all per the RFC, which the
+    parser must treat as no rule), len%5 the delay in fractional seconds —
+    so the parsed dim is byte-comparable to the formula dim."""
+    n = F.length("host")
+    specific = F.when(
+        n % 2 == 0,
+        F.lit("User-agent: FooBot\nDisallow: /private/\n\n"),
+    ).otherwise(F.lit(""))
+    dis = (
+        F.when(n % 3 == 0, F.lit("Disallow: /docs/\n"))
+        .when(n % 3 == 1, F.lit("Disallow: /a/\n"))
+        .otherwise(F.lit("Disallow:\n"))
+    )
+    delay = F.concat(
+        F.lit("Crawl-delay: "),
+        F.when(n % 5 == 0, F.lit("0")).otherwise(
+            F.concat(F.lit("0."), (n % 5).cast("string"))
+        ),
+        F.lit("\n"),
+    )
+    txt = F.concat(
+        F.lit("# synthetic robots\n"), specific,
+        F.lit("User-agent: *\n"), dis, delay,
+    )
+    return hosts.withColumn("robots_txt", txt)
+
+
+def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """Parse raw robots.txt into the (host, disallow_prefix,
+    crawl_delay_ms) rules dim — real RFC 9309 group semantics:
+
+    - a GROUP is a maximal run of User-agent lines plus the rules below it
+      (so "User-agent: a\\nUser-agent: *\\nDisallow: /x" is ONE group that
+      applies to both agents);
+    - field names are case-insensitive; an empty Disallow means allow-all
+      (dropped); Crawl-delay takes fractional seconds -> ms.
+
+    Plan: posexplode lines (narrow), one host-partitioned window for the
+    group counter, a per-group agent-match semi-join, one groupBy(host).
+    robots tables are host-count-sized — everything here is dim-scale and
+    the result broadcasts, same as the formula dim it replaces."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        "host", F.posexplode(F.split("robots_txt", "\n")).alias("pos", "line")
+    ).withColumn("line", F.trim("line"))
+    is_agent = F.regexp_extract("line", ROBOTS_AGENT_RE, 1) != ""
+    w = Window.partitionBy("host").orderBy("pos")
+    grp = F.sum(
+        (is_agent & ~F.coalesce(F.lag(is_agent.cast("boolean")).over(w), F.lit(False)))
+        .cast("long")
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lines = lines.select(
+        "host", "pos", "line", grp.alias("grp"),
+        F.regexp_extract("line", ROBOTS_AGENT_RE, 1).alias("agent_line"),
+    )
+    matched = (
+        lines.where(F.col("agent_line") == agent)
+        .select("host", "grp").distinct()
+    )
+    body = lines.join(matched, ["host", "grp"], "left_semi")
+    rules = body.groupBy("host").agg(
+        F.min(
+            F.nullif(F.regexp_extract("line", ROBOTS_DISALLOW_RE, 1), F.lit(""))
+        ).alias("disallow_prefix"),
+        F.coalesce(
+            F.round(
+                F.max(
+                    F.nullif(F.regexp_extract("line", ROBOTS_DELAY_RE, 1), F.lit(""))
+                ).cast("double") * 1000
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("crawl_delay_ms"),
+    )
+    return (
+        robots.select("host")
+        .join(rules, "host", "left")
+        .select(
+            "host", "disallow_prefix",
+            F.coalesce("crawl_delay_ms", F.lit(0).cast("long")).alias("crawl_delay_ms"),
+        )
+    )

@@ -333,3 +333,37 @@ def test_frontier_schedule_invariants(spark):
         ordered = sorted(hr, key=lambda x: (-x["rank"], x["doc_id"]))
         assert [x["fetch_slot"] for x in ordered] == list(range(1, len(hr) + 1))
     assert all(len(v) <= 3 for v in by_dom.values())  # quota respected
+
+
+def test_parse_robots_rfc_group_semantics(spark):
+    from pdf_parser_spark.operators import weburl
+
+    txt1 = ("# comment\n"
+            "User-agent: FooBot\n"
+            "Disallow: /private/\n"
+            "\n"
+            "user-agent: a\n"
+            "USER-AGENT: *\n"          # multi-agent run = ONE group
+            "disallow: /x/\n"
+            "Crawl-delay: 0.3\n")
+    txt2 = ("User-agent: FooBot\nDisallow: /all/\n")   # no '*' group
+    txt3 = ("User-agent: *\nDisallow:\n")              # empty = allow-all
+    robots = spark.createDataFrame(
+        [("h1", txt1), ("h2", txt2), ("h3", txt3)], "host string, robots_txt string"
+    )
+    out = {r["host"]: r for r in weburl.parse_robots(robots).collect()}
+    assert out["h1"]["disallow_prefix"] == "/x/"        # FooBot group skipped
+    assert out["h1"]["crawl_delay_ms"] == 300           # fractional secs -> ms
+    assert out["h2"]["disallow_prefix"] is None and out["h2"]["crawl_delay_ms"] == 0
+    assert out["h3"]["disallow_prefix"] is None         # empty Disallow dropped
+    # parsed synthetic dim == formula dim robots_filter consumes
+    hosts = spark.createDataFrame(
+        [(h,) for h in ("ab.example.com", "news.xyz.io", "x.co")], "host string"
+    )
+    parsed = {r["host"]: r for r in weburl.parse_robots(
+        weburl.with_robots_txt(hosts)).collect()}
+    formula = {r["host"]: r for r in weburl.robots_rules(
+        hosts.withColumn("canonical_url", F.lit(""))).collect()}
+    for h in parsed:
+        assert parsed[h]["disallow_prefix"] == formula[h]["disallow_prefix"], h
+        assert parsed[h]["crawl_delay_ms"] == formula[h]["crawl_delay_ms"], h
