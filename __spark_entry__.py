@@ -348,6 +348,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("disallow_prefix", F.lit("")).alias("disallow_prefix"),
             "crawl_delay_ms",
         ).orderBy("host"),
+        # sitemap.xml ingestion: loc/lastmod pairs + freshest-first rank
+        "u_sitemap": lambda s, d: weburl.parse_sitemap(
+            weburl.with_sitemaps(
+                weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
+                .select("host").distinct()
+            )
+        ),
         # per-site quota: at most 5 docs per registered domain
         "u_domain_quota": lambda s, d: weburl.domain_quota(
             weburl.with_synthetic_urls(_docs(s, d))
@@ -1656,6 +1663,25 @@ def oracle_sql() -> dict[str, str]:
                             '') AS disallow_prefix,
                    CAST((len(host) % 5) * 100 AS BIGINT) AS crawl_delay_ms
             FROM (SELECT DISTINCT host FROM canon) h ORDER BY host
+        """,
+        # sitemap entries re-derived from the per-host formulas; rank order
+        # (lastmod desc, loc asc) must survive the zip + explode
+        "u_sitemap": f"""
+            WITH {_url_cte},
+            hosts AS (SELECT DISTINCT host FROM canon),
+            en AS (
+                SELECT host, unnest(range(0, len(host) % 4 + 2)) AS i FROM hosts
+            ),
+            pairs AS (
+                SELECT host,
+                       'https://' || host || '/page/' || i AS loc,
+                       '2024-0' || ((i % 9) + 1) || '-01' AS lastmod
+                FROM en
+            )
+            SELECT host, loc, lastmod,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY lastmod DESC, loc) AS BIGINT) AS recrawl_rank
+            FROM pairs ORDER BY host, recrawl_rank
         """,
         # per-site quota: rank within registered domain, keep <= 5
         "u_domain_quota": f"""

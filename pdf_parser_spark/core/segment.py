@@ -123,13 +123,25 @@ _TOC_FINANCIAL = re.compile(
 )
 
 
+def _count_reaches(lines: list[str], pat: re.Pattern[str], k: int) -> bool:
+    """True iff >= k lines match — stops scanning at the k-th hit (the
+    count is only ever compared against the threshold)."""
+    hits = 0
+    for ln in lines:
+        if pat.search(ln):
+            hits += 1
+            if hits >= k:
+                return True
+    return False
+
+
 def _has_toc_entries(text: str) -> bool:
     """>=3 trailing-page-number lines, or >=5 leading-page-number lines
     (two-column TOC layout) — ref section_split.py:226-242."""
     lines = text.split("\n")
-    if sum(1 for ln in lines if _TRAILING_PAGE_NUM.search(ln)) >= 3:
+    if _count_reaches(lines, _TRAILING_PAGE_NUM, 3):
         return True
-    return sum(1 for ln in lines if _LEADING_PAGE_NUM.search(ln)) >= 5
+    return _count_reaches(lines, _LEADING_PAGE_NUM, 5)
 
 
 def is_toc_page(text: str) -> bool:
@@ -146,7 +158,7 @@ def is_toc_page(text: str) -> bool:
             return False  # financial page with a running TOC header
         if not header_area and has_financial:
             return False
-        if sum(1 for ln in lines if _DOTTED_LEADER.search(ln)) >= 2:
+        if _count_reaches(lines, _DOTTED_LEADER, 2):
             return True
         return True  # header-area TOC without financial data, or buried TOC
     # fallback: a page matching >=4 section patterns is likely a TOC

@@ -440,3 +440,53 @@ def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
             F.coalesce("crawl_delay_ms", F.lit(0).cast("long")).alias("crawl_delay_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemap.xml ingestion (crawl discovery beside robots + outlinks)
+# ---------------------------------------------------------------------------
+
+def with_sitemaps(hosts: DataFrame) -> DataFrame:
+    """(host, sitemap_xml): deterministic sitemap per host — len(host)%4+2
+    url entries, loc/lastmod from index formulas the oracle re-derives."""
+    n = F.length("host")
+    entries = F.transform(
+        F.sequence(F.lit(0), n % 4 + 1),
+        lambda i: F.concat(
+            F.lit("<url><loc>https://"), F.col("host"), F.lit("/page/"), i,
+            F.lit("</loc><lastmod>2024-0"), (i % 9) + 1,
+            F.lit("-01</lastmod></url>"),
+        ),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.concat_ws("", entries),
+        F.lit("</urlset>"),
+    )
+    return hosts.withColumn("sitemap_xml", xml)
+
+
+def parse_sitemap(sitemaps: DataFrame) -> DataFrame:
+    """(host, loc, lastmod, recrawl_rank) from sitemap XML — one JVM pass
+    per field (regexp_extract_all), arrays_zip keeps loc/lastmod pairs
+    aligned through the explode, and recrawl_rank orders each host's urls
+    freshest-lastmod-first (the recrawl scheduler's priority).
+
+    Scale: sitemap tables are host-count-sized; the explode fans out to the
+    url count (the real frontier input) and the rank window partitions by
+    host — the same politeness-queue partitioning as robots_filter."""
+    from pyspark.sql import Window
+
+    locs = F.regexp_extract_all("sitemap_xml", F.lit(r"<loc>([^<]*)</loc>"), F.lit(1))
+    mods = F.regexp_extract_all(
+        "sitemap_xml", F.lit(r"<lastmod>([^<]*)</lastmod>"), F.lit(1)
+    )
+    pairs = (
+        sitemaps.select("host", locs.alias("locs"), mods.alias("mods"))
+        .select("host", F.explode(F.arrays_zip("locs", "mods")).alias("e"))
+        .select("host", F.col("e.locs").alias("loc"), F.col("e.mods").alias("lastmod"))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("lastmod").desc(), "loc")
+    return pairs.withColumn(
+        "recrawl_rank", F.row_number().over(w).cast("long")
+    ).orderBy("host", "recrawl_rank")

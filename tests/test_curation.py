@@ -367,3 +367,22 @@ def test_parse_robots_rfc_group_semantics(spark):
     for h in parsed:
         assert parsed[h]["disallow_prefix"] == formula[h]["disallow_prefix"], h
         assert parsed[h]["crawl_delay_ms"] == formula[h]["crawl_delay_ms"], h
+
+
+def test_parse_sitemap_pairs_and_rank(spark):
+    from pdf_parser_spark.operators import weburl
+
+    xml = ('<?xml version="1.0"?><urlset>'
+           '<url><loc>https://h/a</loc><lastmod>2024-01-01</lastmod></url>'
+           '<url><loc>https://h/b</loc><lastmod>2024-03-01</lastmod></url>'
+           '<url><loc>https://h/c</loc><lastmod>2024-03-01</lastmod></url>'
+           '</urlset>')
+    sm = spark.createDataFrame([("h", xml)], "host string, sitemap_xml string")
+    out = [(r["loc"], r["lastmod"], r["recrawl_rank"])
+           for r in weburl.parse_sitemap(sm).collect()]
+    # freshest first; lastmod tie broken by loc asc; stale page last
+    assert out == [
+        ("https://h/b", "2024-03-01", 1),
+        ("https://h/c", "2024-03-01", 2),
+        ("https://h/a", "2024-01-01", 3),
+    ]
