@@ -131,6 +131,15 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         "m_transform": lambda: multimodal.transform_media(
             multimodal.synthetic_media(docs)
         ),
+        "u_scd2_history": lambda: __import__(
+            "pdf_parser_spark.operators.snapshot", fromlist=["x"]
+        ).scd2_history(__import__(
+            "pdf_parser_spark.operators.snapshot", fromlist=["x"]
+        ).snapshot_series(docs)),
+        # the composed crawl-frontier (robots + quota + 5-iteration pagerank)
+        "g_frontier": lambda: __import__(
+            "pdf_parser_spark.operators.linkgraph", fromlist=["x"]
+        ).frontier_schedule(docs),
     }
     times: dict[str, float] = {}
     for name, build in suite.items():

@@ -293,3 +293,15 @@ def test_scd2_single_doc_id_shuffle_serves_windows_and_groupby(spark):
     p = plan(snapshot.scd2_history(snapshot.snapshot_series(docs)))
     n = p.count("hashpartitioning(doc_id")
     assert n == 1, f"expected 1 doc_id exchange, saw {n}\n{p}"
+
+
+def test_frontier_broadcasts_dims_no_cartesian(spark):
+    """The frontier composition must broadcast the host-sized robots rules
+    and suffix dims and contain no cartesian product; the doc_id fact
+    joins stay hash joins."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    p = plan(lg.frontier_schedule(docs, iterations=1))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
