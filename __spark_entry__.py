@@ -176,6 +176,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_pruned_scan(spark, sf_dir):
+        """Zone-map scan over the manifest table: three appends with
+        disjoint doc_id ranges, then a doc_id >= 334 scan that must
+        eliminate the first two snapshots' files from METADATA alone
+        (asserted — a planner regression fails the driver run, not just
+        a timing)."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        work = tempfile.mkdtemp(prefix="tblscan_")
+        try:
+            d = F.col("doc_id")
+            for lo, hi in ((0, 167), (167, 334), (334, 1 << 40)):
+                tf.append_snapshot(
+                    _docs(spark, sf_dir).where((d >= lo) & (d < hi)), work
+                )
+            df, n_read, n_total = tf.scan_table(
+                spark, work, predicates=[("doc_id", ">=", 334)]
+            )
+            assert n_read < n_total, (n_read, n_total)
+            out = df.select("doc_id", "lang").orderBy("doc_id").persist()
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def extract_pipeline(spark, sf_dir):
         extracted = extract_stage(
             _docs_as_pages(spark, sf_dir), run_ts=RUN_TS
@@ -374,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot/manifest table format: 3 appends, read AT version 2 —
         # time travel returns exactly the first two snapshots' rows
         "u_table_time_travel": _table_time_travel,
+        # zone-map file skipping: manifest min/max stats eliminate files
+        "u_table_pruned_scan": _table_pruned_scan,
         # WARC connector round-trip: docs -> archive files -> parsed back;
         # md5(body) pins byte-exact payload fidelity against the oracle
         "u_warc_roundtrip": lambda s, d: __import__(
@@ -1717,6 +1747,13 @@ def oracle_sql() -> dict[str, str]:
         # the spark.sql surface: the oracle executes the IDENTICAL text
         "q1_pricing_sql": _SQLAPI.Q1_SQL,
         "q_top_orders_sql": _SQLAPI.TOP_ORDERS_SQL,
+        # pruned scan result must equal the plain predicate (pruning is an
+        # optimization, never the correctness path — and the query itself
+        # asserts files WERE eliminated)
+        "u_table_pruned_scan": """
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id >= 334 ORDER BY doc_id
+        """,
         # time-travel read at version 2 = snapshots 1+2 = doc_id%3 in (0,1)
         "u_table_time_travel": """
             SELECT doc_id, lang, source FROM documents

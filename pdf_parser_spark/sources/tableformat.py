@@ -82,10 +82,15 @@ def append_snapshot(df: DataFrame, path: str) -> int:
     # count from the WRITTEN files' footers — counting `df` again would
     # re-execute its whole plan (2x an Arrow extraction subtree's cost)
     n_rows = df.sparkSession.read.parquet(*files).count() if files else 0
+    # zone maps from the same footers: per-file min/max per column, carried
+    # in the manifest so scan_table can eliminate files from metadata alone
+    stats = {f: _file_stats(f) for f in files}
     while True:
         vs = _versions(path)
         base = vs[-1] if vs else 0
-        parent = _read_version(path, base) if vs else {"all_files": []}
+        parent = (
+            _read_version(path, base) if vs else {"all_files": [], "file_stats": {}}
+        )
         version = {
             "version": base + 1,
             "snapshot_id": snap_id,
@@ -93,6 +98,7 @@ def append_snapshot(df: DataFrame, path: str) -> int:
             "added_files": files,
             "added_rows": n_rows,
             "all_files": parent["all_files"] + files,
+            "file_stats": {**parent.get("file_stats", {}), **stats},
         }
         tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -130,3 +136,96 @@ def rollback(path: str, version: int) -> None:
     for n in _versions(path):
         if n > version:
             os.unlink(os.path.join(_meta_dir(path), f"v{n}.json"))
+
+
+# ---------------------------------------------------------------------------
+# Zone-map file skipping (manifest column stats -> partition elimination)
+# ---------------------------------------------------------------------------
+# Per-file min/max column stats are read from the parquet FOOTERS at commit
+# time and stored in the manifest, so scan planning can eliminate whole
+# files before Spark lists or opens them — Iceberg's manifest-stats pruning,
+# and the mechanism of "Global Range Encoding for Efficient Partition
+# Elimination" (EDBT 2018, PAPERS.md): a range summary per storage unit
+# turns a predicate into a membership test over metadata.
+
+def _file_stats(path: str) -> dict:
+    """{col: {"min": v, "max": v}} from the parquet footer (no data read).
+    Columns with absent/unusable statistics are simply omitted — an omitted
+    column can never prune, which is the safe direction."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(path)
+    out: dict = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str)):
+                continue
+            name = col.path_in_schema
+            if name in out:
+                out[name]["min"] = min(out[name]["min"], lo)
+                out[name]["max"] = max(out[name]["max"], hi)
+            else:
+                out[name] = {"min": lo, "max": hi}
+    return out
+
+
+def _may_match(stats: dict, col: str, op: str, value) -> bool:
+    """Can a file whose column range is [min,max] contain a matching row?
+    Unknown column/stats -> True (never wrongly prune)."""
+    s = stats.get(col)
+    if not s:
+        return True
+    lo, hi = s["min"], s["max"]
+    if op == "=":
+        return lo <= value <= hi
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    return True
+
+
+def scan_table(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple] | None = None,
+    version: int | None = None,
+):
+    """Planned scan: eliminate files by manifest zone maps, then read the
+    survivors and apply the predicates as Spark filters (pruning is an
+    optimization, never the correctness path).  Returns (df, n_files_read,
+    n_files_total) so callers/tests can observe the elimination."""
+    from pyspark.sql import functions as F
+
+    v = current_version(path) if version is None else version
+    meta = _read_version(path, v)
+    all_files = meta["all_files"]
+    stats = meta.get("file_stats", {})
+    preds = predicates or []
+    keep = [
+        f for f in all_files
+        if all(_may_match(stats.get(f, {}), c, op, val) for c, op, val in preds)
+    ]
+    if not keep:  # a scan of zero files still needs the schema
+        df = spark.read.parquet(*all_files).limit(0)
+    else:
+        df = spark.read.parquet(*keep)
+    ops = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+    for c, op, val in preds:
+        df = df.where(F.expr(f"{c} {ops[op]} {val!r}"))
+    return df, len(keep), len(all_files)

@@ -1017,3 +1017,28 @@ def test_versioned_checkpoint_crashed_run_invisible(spark, tmp_path):
     # lineage snapshot committed alongside
     lin = tf.read_table(spark, f"{out}/lineage_tbl")
     assert lin.where("run_id = 'run1'").count() >= 1
+
+
+def test_scan_table_zone_map_pruning(spark, tmp_path):
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    lowdf = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string")
+    highdf = spark.createDataFrame([(i, f"v{i}") for i in range(100, 110)], "id long, v string")
+    tf.append_snapshot(lowdf.coalesce(1), path)
+    tf.append_snapshot(highdf.coalesce(1), path)
+    # range predicate eliminates the non-overlapping file from metadata
+    df, n_read, n_total = tf.scan_table(spark, path, [("id", ">=", 100)])
+    assert (n_read, n_total) == (1, 2)
+    assert sorted(r["id"] for r in df.collect()) == list(range(100, 110))
+    # equality inside a range: only the containing file read
+    df, n_read, _ = tf.scan_table(spark, path, [("id", "=", 5)])
+    assert n_read == 1 and df.count() == 1
+    # string footstats prune too: 'v5' is outside [v100, v109]
+    df, n_read, _ = tf.scan_table(spark, path, [("v", "=", "v5")])
+    assert n_read == 1 and df.count() == 1
+    # a column with no stats never prunes (safe direction)
+    assert tf._may_match({}, "absent", "=", 7) is True
+    df, n_read, _ = tf.scan_table(spark, path, [("id", "<", 0)])
+    assert n_read == 0 and df.count() == 0  # zero files, schema intact
+    assert df.columns == ["id", "v"]
