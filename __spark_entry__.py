@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_sessionize": R.w4_sessionize,
         "st_sessionize": _st_sessionize,
         "f_regex_extract": R.f_regex_extract,
+        # GeoAlign-style aggregate alignment across unaligned time grids
+        "a_align_rollup": R.a_align_rollup,
         # --- joins / set ops / rollup ---
         "j_asof_latest_order": R.j_asof_latest_order,
         "u_setops": R.u_setops,
@@ -1743,6 +1745,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS change
             FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
             ORDER BY doc_id
+        """,
+        # 45-min counts redistributed onto the 60-min grid by overlap
+        # seconds; weighted_num = sum(cnt*overlap) keeps it exact-integer
+        "a_align_rollup": """
+            WITH src AS (
+                SELECT CAST(floor(epoch(ts) / 2700) AS BIGINT) AS sb,
+                       count(*) AS cnt
+                FROM events GROUP BY sb
+            ), cand AS (
+                SELECT sb, cnt, (sb * 2700) // 3600 + k AS db
+                FROM src, (SELECT unnest([0, 1]) AS k) ks
+            ), ov AS (
+                SELECT db, cnt,
+                       least(sb * 2700 + 2700, db * 3600 + 3600)
+                       - greatest(sb * 2700, db * 3600) AS ovs
+                FROM cand
+            )
+            SELECT CAST(db * 3600 AS BIGINT) AS window_start,
+                   CAST(sum(cnt * ovs) AS BIGINT) AS weighted_num
+            FROM ov WHERE ovs > 0 GROUP BY db ORDER BY window_start
         """,
         # the spark.sql surface: the oracle executes the IDENTICAL text
         "q1_pricing_sql": _SQLAPI.Q1_SQL,

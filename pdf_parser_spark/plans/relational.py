@@ -754,3 +754,44 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+def a_align_rollup(spark, sf_dir: str) -> DataFrame:
+    """Aggregate alignment across unaligned partition grids (cf. "GeoAlign:
+    Interpolating Aggregates over Unaligned Partitions", EDBT 2018,
+    PAPERS.md): per-45-min event counts re-distributed onto the 60-min grid
+    by overlap fraction, assuming uniformity within a source bucket.
+
+    Exact-integer formulation: the interpolated count for destination
+    bucket D is sum(count(S) * overlap_seconds(S,D)) / 2700 — we emit the
+    NUMERATOR (weighted_num) as a BIGINT, so the result is order-independent
+    and cross-engine hashable (the division is presentation, not data).
+
+    Scale: one groupBy onto the source grid (map-side combined), a 2-way
+    candidate explode (a 2700 s bucket overlaps at most two 3600 s buckets
+    — the candidate set is enumerated, never a range join), one groupBy
+    onto the destination grid.  Both grids are time-bounded dims relative
+    to the event volume."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    src = (
+        ev.select(F.floor(epoch / 2700).cast("long").alias("sb"))
+        .groupBy("sb")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cand = src.select(
+        "sb", "cnt", F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+    ).withColumn("db", (F.expr("(sb * 2700) div 3600") + F.col("k")).cast("long"))
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("sb") * 2700 + 2700, F.col("db") * 3600 + 3600)
+        - F.greatest(F.col("sb") * 2700, F.col("db") * 3600),
+    )
+    return (
+        cand.withColumn("ov", overlap)
+        .where(F.col("ov") > 0)
+        .groupBy("db")
+        .agg(F.sum(F.col("cnt") * F.col("ov")).cast("long").alias("weighted_num"))
+        .select((F.col("db") * 3600).alias("window_start"), "weighted_num")
+        .orderBy("window_start")
+    )

@@ -386,3 +386,29 @@ def test_parse_sitemap_pairs_and_rank(spark):
         ("https://h/c", "2024-03-01", 2),
         ("https://h/a", "2024-01-01", 3),
     ]
+
+
+def test_align_rollup_overlap_weights(spark, tmp_path, monkeypatch):
+    """GeoAlign redistribution: a 45-min bucket straddling two hours splits
+    its count by overlap seconds (900/1800 for source bucket [2700,5400))."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.plans.relational import a_align_rollup
+
+    # 2 events in src bucket 1 = [2700, 5400): overlaps hour 0 by 900 s and
+    # hour 1 by 1800 s -> weighted 2*900 / 2*1800
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ts = [3000 * 1_000_000, 5000 * 1_000_000]  # epoch us
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["a", "a"], pa.string()),
+        "value": pa.array([0.0, 0.0], pa.float64()),
+        "props": pa.array([None, None], pa.string()),
+    }), str(sf / "events.parquet"))
+    out = {r["window_start"]: r["weighted_num"]
+           for r in a_align_rollup(spark, str(sf)).collect()}
+    assert out == {0: 2 * 900, 3600: 2 * 1800}
