@@ -9,6 +9,10 @@ never a stage failure.
 Skew handling (north_rule): upstream of the stage, rows are repartitioned by
 ``xxhash64(url, salt)`` where the salt spreads documents of heavy hosts across
 partitions; Arrow batch size is bounded in session.py because rows are fat.
+(Salting redistributes the skewed units BEFORE the stage — the static
+counterpart of DS2's runtime data stealing, ICDE 2021, PAPERS.md; the
+batch-at-a-time Arrow transfer is the vectorized-UDF execution model of
+"Accelerating Python UDFs in Vectorized Query Execution", CIDR 2022.)
 """
 
 from __future__ import annotations

@@ -229,3 +229,38 @@ def scan_table(
     for c, op, val in preds:
         df = df.where(F.expr(f"{c} {ops[op]} {val!r}"))
     return df, len(keep), len(all_files)
+
+
+def expire_snapshots(path: str, keep_from: int) -> list[str]:
+    """GC: drop version files BELOW `keep_from` and delete data files no
+    longer reachable from any remaining version — Iceberg's
+    expire_snapshots + orphan cleanup.  Returns the deleted data files.
+
+    Safety order matters: metadata first, then files — a crash between the
+    two leaves unreachable-but-present files (re-collectable later), never
+    a reachable-but-deleted one."""
+    import shutil
+
+    vs = _versions(path)
+    keep = [n for n in vs if n >= keep_from]
+    if not keep:
+        raise ValueError(f"keep_from={keep_from} would drop every version")
+    for n in vs:
+        if n < keep_from:
+            os.unlink(os.path.join(_meta_dir(path), f"v{n}.json"))
+    reachable = set()
+    for n in keep:
+        reachable.update(_read_version(path, n)["all_files"])
+    deleted = []
+    data_root = os.path.join(path, "data")
+    for snap in os.listdir(data_root) if os.path.isdir(data_root) else []:
+        snap_dir = os.path.join(data_root, snap)
+        files = [
+            os.path.join(snap_dir, f)
+            for f in os.listdir(snap_dir)
+            if f.endswith(".parquet")
+        ]
+        if files and not any(f in reachable for f in files):
+            deleted.extend(files)
+            shutil.rmtree(snap_dir)
+    return deleted

@@ -1042,3 +1042,25 @@ def test_scan_table_zone_map_pruning(spark, tmp_path):
     df, n_read, _ = tf.scan_table(spark, path, [("id", "<", 0)])
     assert n_read == 0 and df.count() == 0  # zero files, schema intact
     assert df.columns == ["id", "v"]
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """Expire keeps reachable data intact and removes ONLY data files no
+    remaining version references (incl. rollback-orphaned snapshots)."""
+    import os
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        df = spark.createDataFrame([(i, "x")], "id long, v string")
+        tf.append_snapshot(df.coalesce(1), path)
+    tf.rollback(path, 2)  # v3's snapshot becomes unreachable
+    # expiring below v2 drops v1's metadata; v1's DATA remains reachable
+    # through v2's cumulative manifest, so only v3's files are orphans
+    deleted = tf.expire_snapshots(path, keep_from=2)
+    assert all("data" in d for d in deleted) and len(deleted) >= 1
+    assert tf.read_table(spark, path).count() == 2  # v2 = snapshots 1+2
+    assert not os.path.exists(os.path.join(path, "metadata", "v1.json"))
+    for f in tf.snapshots(path)[-1]["all_files"]:
+        assert os.path.exists(f)  # nothing reachable was deleted
