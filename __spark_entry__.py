@@ -149,6 +149,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _emb(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    def _st_extract(spark, sf_dir):
+        """Streaming extraction held to the SAME frozen per-doc tuples as
+        the batch flagship: pages stream in 4 micro-batches (one file per
+        trigger) through streaming/pipeline.stream_extract into a parquet
+        sink; the per-doc outputs must be byte-identical to the core path
+        regardless of batch boundaries (the stage is stateless per row —
+        that's the claim this hash-checks)."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.streaming.pipeline import stream_extract
+
+        work = tempfile.mkdtemp(prefix="stextract_")
+        in_dir, out_dir, ckpt = (
+            f"{work}/in", f"{work}/out", f"{work}/ckpt"
+        )
+        try:
+            _docs_as_pages(spark, sf_dir).repartition(4).write.parquet(in_dir)
+            q = stream_extract(
+                spark, in_dir, out_dir, ckpt, run_ts=RUN_TS,
+                max_files_per_trigger=1,
+            )
+            q.processAllAvailable()
+            q.stop()
+            out = (
+                spark.read.parquet(out_dir)
+                .select(
+                    "url", "status", "report_type",
+                    F.col("n_pages").cast("long").alias("n_pages"),
+                    F.col("n_sections").cast("long").alias("n_sections"),
+                )
+                .orderBy("url")
+                .persist()
+            )
+            out.count()  # materialize before the temp dirs are deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _table_time_travel(spark, sf_dir):
         """Three appends into the snapshot/manifest table format, then a
         time-travel read AT version 2: exactly the first two snapshots'
@@ -287,6 +326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_window_counts": lambda s, d: __import__(
             "pdf_parser_spark.streaming.windowed", fromlist=["window_counts_via_stream"]
         ).window_counts_via_stream(s, d),
+        # streaming extraction replay: per-doc outputs must equal the
+        # frozen core-path tuples whatever the micro-batch boundaries
+        "st_extract": _st_extract,
         # streaming crawl change-feed: one micro-batch per recrawl cycle,
         # last-seen fingerprint in keyed state; held to the batch lag() oracle
         "st_change_feed": lambda s, d: __import__(
@@ -1472,6 +1514,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                    md5(text) AS checksum
             FROM documents ORDER BY doc_id
+        """,
+        # streaming extraction: the same frozen core-path tuples, no W1
+        # window (the streaming stage is stateless per row)
+        "st_extract": f"""
+            SELECT url, status, report_type, n_pages, n_sections
+            FROM {extract_cte} ORDER BY url
         """,
         # Flagship pipeline: per-doc tuples frozen from the CORE path
         # (tools/gen_expected.py); the SQL recomputes company_key + the W1
