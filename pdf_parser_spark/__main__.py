@@ -40,6 +40,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="collapse byte-identical pages (min-url keeper) "
                         "before extraction — crawl mirrors never reach the "
                         "Python stage")
+    p.add_argument("--versioned", action="store_true",
+                   help="commit the extracted/lineage sinks through the "
+                        "snapshot/manifest table format: one atomic version "
+                        "per run; resume sees only committed work")
     p.add_argument("--xbrl-dim", default=None, metavar="PATH|synth",
                    help="XBRL facts dimension: parquet path, or 'synth' for "
                         "the corpus-issuer synthetic dim; enables the V8 "
@@ -75,13 +79,18 @@ def main(argv: list[str] | None = None) -> int:
         final = run_batch(
             pages, args.output, run_ts=args.run_ts,
             run_id=args.run_id, resume=args.resume, xbrl_facts=xbrl_facts,
-            dedup=args.dedup,
+            dedup=args.dedup, versioned=args.versioned,
         )
         n = final.count()
 
         from pdf_parser_spark.operators.metrics import status_summary
 
-        extracted = spark.read.parquet(f"{args.output}/extracted")
+        if args.versioned:
+            from pdf_parser_spark.sources.tableformat import read_table
+
+            extracted = read_table(spark, f"{args.output}/extracted_tbl")
+        else:
+            extracted = spark.read.parquet(f"{args.output}/extracted")
         print(f"== batch complete: {n} documents -> {args.output}")
         for row in status_summary(extracted).collect():
             print(f"   {row['status']:>10}: {row['n_docs']}")

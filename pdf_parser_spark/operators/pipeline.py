@@ -69,6 +69,7 @@ def run_batch(
     resume: bool = False,
     xbrl_facts: DataFrame | None = None,
     dedup: bool = False,
+    versioned: bool = False,
 ) -> DataFrame:
     """Full batch run. Writes ``{out_dir}/extracted`` (+ ``lineage``) and
     ``{out_dir}/consistency``; returns the final consistency DataFrame.
@@ -87,15 +88,29 @@ def run_batch(
     With ``dedup=True``, byte-identical pages (html+text fingerprint) are
     collapsed to their min-url representative BEFORE extraction — the mirror
     fraction of a web crawl never reaches the Python stage.
+
+    With ``versioned=True``, the extracted/lineage sinks commit through the
+    snapshot/manifest table format (checkpoint.write_checkpoint_versioned):
+    each run is one atomic snapshot, and resume sees only COMMITTED work —
+    a crashed run's partial files stay invisible instead of silently
+    marking urls done.
     """
+    from pdf_parser_spark.operators.checkpoint import (
+        pending_urls_versioned, write_checkpoint_versioned,
+    )
+
     spark = pages.sparkSession
-    todo = pending_urls(spark, pages, out_dir) if resume else pages
+    pend = pending_urls_versioned if versioned else pending_urls
+    todo = pend(spark, pages, out_dir) if resume else pages
     if dedup:
         todo = dedup_pages(todo)
     extracted = extract_stage(todo, run_ts=run_ts)
     # Relational stages read the materialized, column-pruned sink returned by
     # the checkpoint writer (single listing/schema-inference pass).
-    materialized = write_checkpoint(extracted, out_dir, run_id=run_id)
+    if versioned:
+        materialized = write_checkpoint_versioned(extracted, out_dir, run_id=run_id)
+    else:
+        materialized = write_checkpoint(extracted, out_dir, run_id=run_id)
     if xbrl_facts is not None:
         from pdf_parser_spark.operators.xbrl import fleet_cross_validate
 

@@ -1064,3 +1064,28 @@ def test_expire_snapshots_gc(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "metadata", "v1.json"))
     for f in tf.snapshots(path)[-1]["all_files"]:
         assert os.path.exists(f)  # nothing reachable was deleted
+
+
+def test_run_batch_versioned_and_resume(spark, tmp_path):
+    """run_batch(versioned=True): extracted/lineage commit as manifest
+    snapshots; a resumed run extracts only the pending half and the final
+    consistency output covers the full corpus."""
+    from pdf_parser_spark.operators.pipeline import run_batch
+    from pdf_parser_spark.sources import tableformat as tf
+
+    out = str(tmp_path / "vout")
+    pages = synthetic_pages(spark, 12)
+    half = pages.where("xxhash64(url) % 2 = 0")
+    run_batch(half, out, run_ts=RUN_TS, run_id="r1", versioned=True)
+    v1 = tf.current_version(f"{out}/extracted_tbl")
+    n_half = tf.read_table(spark, f"{out}/extracted_tbl").count()
+    assert n_half == half.count()
+    final = run_batch(
+        pages, out, run_ts=RUN_TS, run_id="r2", resume=True, versioned=True
+    )
+    assert final.count() == 12
+    # second run appended exactly the pending half as a NEW snapshot
+    assert tf.current_version(f"{out}/extracted_tbl") == v1 + 1
+    added = tf.snapshots(f"{out}/extracted_tbl")[-1]["added_rows"]
+    assert added == 12 - n_half
+    assert tf.read_table(spark, f"{out}/extracted_tbl").count() == 12
