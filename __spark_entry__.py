@@ -188,6 +188,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _incremental_extract(spark, sf_dir):
+        """The incremental-crawl composition: snapshot_diff picks the
+        added/changed docs of the demo recrawl, and ONLY those cross the
+        Arrow extraction stage — the driver hash then checks the extracted
+        tuples against the frozen core-path expectations restricted to the
+        same formula-defined set.  (diff -> re-extract is what the
+        checkpoint/changefeed machinery exists to feed.)"""
+        from pdf_parser_spark.operators.extract import extract_stage
+        from pdf_parser_spark.operators.snapshot import demo_snapshots, snapshot_diff
+
+        docs = _docs(spark, sf_dir)
+        todo = (
+            snapshot_diff(*demo_snapshots(docs))
+            .where(F.col("change").isin("added", "changed"))
+            .select("doc_id")
+        )
+        pages = _docs_as_pages(spark, sf_dir).withColumn(
+            "doc_id",
+            F.regexp_extract("url", r"/([0-9]+)$", 1).cast("long"),
+        ).join(todo, "doc_id").drop("doc_id")
+        return extract_stage(pages, run_ts=RUN_TS).select(
+            "url", "status", "report_type",
+            F.col("n_pages").cast("long").alias("n_pages"),
+            F.col("n_sections").cast("long").alias("n_sections"),
+        ).orderBy("url")
+
     def _table_time_travel(spark, sf_dir):
         """Three appends into the snapshot/manifest table format, then a
         time-travel read AT version 2: exactly the first two snapshots'
@@ -446,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot/manifest table format: 3 appends, read AT version 2 —
         # time travel returns exactly the first two snapshots' rows
         "u_table_time_travel": _table_time_travel,
+        # incremental re-extraction of the diff-selected set only
+        "p_incremental_extract": _incremental_extract,
         # zone-map file skipping: manifest min/max stats eliminate files
         "u_table_pruned_scan": _table_pruned_scan,
         # WARC connector round-trip: docs -> archive files -> parsed back;
@@ -1520,6 +1548,20 @@ def oracle_sql() -> dict[str, str]:
         "st_extract": f"""
             SELECT url, status, report_type, n_pages, n_sections
             FROM {extract_cte} ORDER BY url
+        """,
+        # incremental re-extraction: added = in-new-not-old (odd doc_ids in
+        # the %5!=4 snapshot), changed = both + the %11 revision — the
+        # frozen tuples restricted to exactly that formula set
+        "p_incremental_extract": f"""
+            WITH exp AS (SELECT * FROM {extract_cte}),
+            sel AS (
+                SELECT 'doc://' || source || '/' || doc_id AS url
+                FROM documents
+                WHERE doc_id % 5 <> 4
+                  AND (doc_id % 2 <> 0 OR doc_id % 11 = 0)
+            )
+            SELECT e.url, e.status, e.report_type, e.n_pages, e.n_sections
+            FROM exp e JOIN sel USING (url) ORDER BY e.url
         """,
         # Flagship pipeline: per-doc tuples frozen from the CORE path
         # (tools/gen_expected.py); the SQL recomputes company_key + the W1
