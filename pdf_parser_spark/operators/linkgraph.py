@@ -163,10 +163,15 @@ def pagerank(
                 + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0L)) div {DAMP_DEN}")
             ).cast("long").alias("rank"),
         )
-    # NOTE: ed stays cached until the returned plan is evaluated (lazy
-    # evaluation — an eager unpersist here would silently drop the cache
-    # before the final action and recompute the edge join every iteration)
-    return ranks.orderBy("doc_id")
+    # Materialize the final ranks (small: doc_id + rank) so the edge cache
+    # can be released NOW — returning the lazy plan and unpersisting would
+    # recompute the edge join per iteration at evaluation time, and never
+    # unpersisting would leak one cached edge table per invocation into
+    # executor storage for the session lifetime.
+    out = ranks.orderBy("doc_id").persist()
+    out.count()
+    ed.unpersist()
+    return out
 
 
 def frontier_schedule(

@@ -334,12 +334,13 @@ def binary_stats(documents: DataFrame) -> DataFrame:
 # integer checksum of the TRANSFORMED data without parsing bytes.
 # ---------------------------------------------------------------------------
 
-def _ppm_header(payload: bytes):
-    """(width, height, maxval, data_offset) for P6/P5, else None."""
-    if payload[:2] not in (b"P6", b"P5"):
+def _ppm_header(payload: bytes, start: int = 0):
+    """(width, height, maxval, data_offset) for the P6/P5 header at
+    ``start`` (offsets are absolute), else None."""
+    if payload[start:start + 2] not in (b"P6", b"P5"):
         return None
     fields: list[int] = []
-    i, n = 2, len(payload)
+    i, n = start + 2, len(payload)
     while i < n and len(fields) < 3:
         c = payload[i:i + 1]
         if c == b"#":
@@ -371,7 +372,14 @@ def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes | None:
         return None
     w = struct.unpack_from("<i", payload, 18)[0]
     h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
     w, h = abs(w), abs(h)
+    # this kernel is 24bpp-uncompressed only: any other layout would be
+    # reinterpreted with the wrong stride/pixel size and emit structurally
+    # valid but scrambled output — fail soft instead
+    if bpp != 24 or compression != 0:
+        return None
     stride = ((w * 3 + 3) // 4) * 4
     if len(payload) < 54 + stride * h:
         return None
@@ -437,7 +445,12 @@ def decimate_wav(payload: bytes, factor: int = 2) -> bytes | None:
     if channels is None or data_off is None or not rate or not bits:
         return None
     frame_bytes = channels * (bits // 8)
-    n_frames = data_size // frame_bytes
+    if frame_bytes == 0:
+        return None  # bits < 8: not PCM we can frame
+    # clamp to the bytes actually present — a truncated fetch may declare a
+    # data size larger than the payload, and frombuffer would raise
+    avail = max(len(payload) - data_off, 0)
+    n_frames = min(data_size, avail) // frame_bytes
     data = np.frombuffer(payload, dtype=np.uint8, count=n_frames * frame_bytes,
                          offset=data_off).reshape(n_frames, frame_bytes)
     out = data[::factor]
@@ -553,16 +566,18 @@ def make_ppm_seeded(width: int, height: int, seed: int) -> bytes:
 
 def split_ppm_stream(payload: bytes) -> list[bytes]:
     """Parse a concatenated-P6 stream into its frames (REAL parsing: each
-    header is read, each raster skipped by its computed size)."""
+    header is read in place via an absolute offset — no per-frame tail
+    copies, so a many-frame stream parses in O(stream) not O(frames x
+    stream) — and each raster is skipped by its computed size)."""
     frames: list[bytes] = []
     i, n = 0, len(payload)
     while i < n:
-        hd = _ppm_header(payload[i:])
+        hd = _ppm_header(payload, i)
         if hd is None:
             break
         w, h, _, off = hd
         ch = 3 if payload[i:i + 2] == b"P6" else 1
-        end = i + off + ch * w * h
+        end = off + ch * w * h
         if end > n:
             break
         frames.append(payload[i:end])

@@ -39,14 +39,18 @@ def dedup_pages(pages):
     expensive Python work, not just sink space.  One shuffle on the md5 of
     (html, text); deterministic keeper (min url) so retries are stable.
     The fingerprint hashes the raw BINARY html (md5 accepts binary directly;
-    a cast to string would mangle non-UTF-8 crawl bytes) with a length prefix
-    as an unambiguous field separator."""
+    a cast to string would mangle non-UTF-8 crawl bytes).  Every field is
+    length-or-flag prefixed so no in-band value can collide: html by its
+    length (-1 = NULL), text by an explicit 0/1 null flag plus its length —
+    a text of literal '\\x00' and a NULL text hash differently."""
     fp = F.md5(F.concat(
         F.encode(
             F.concat_ws(
                 "|",
                 F.coalesce(F.length(F.col("html")), F.lit(-1)).cast("string"),
-                F.coalesce(F.col("text"), F.lit("\x00")),
+                F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.lit(1)).cast("string"),
+                F.coalesce(F.length(F.col("text")), F.lit(0)).cast("string"),
+                F.coalesce(F.col("text"), F.lit("")),
             ),
             "UTF-8",
         ),

@@ -248,7 +248,12 @@ def lsh_topk(
     pairs colliding in >=1 band, re-ranked by exact cosine.  Queries with no
     collision in any band are absent (recall < 1 by design; bench.py reports
     measured recall@k vs brute)."""
-    dim = len(embeddings.select("embedding").first()["embedding"])
+    first = embeddings.select("embedding").first()
+    if first is None:  # empty table: empty result, same shape as brute
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    dim = len(first["embedding"])
     planes = lsh_planes(dim, n_planes)
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1

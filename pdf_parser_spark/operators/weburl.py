@@ -414,22 +414,36 @@ def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
         "host", "pos", "line", grp.alias("grp"),
         F.regexp_extract("line", ROBOTS_AGENT_RE, 1).alias("agent_line"),
     )
-    matched = (
+    # RFC fallback: a crawler obeys its own named group if one exists,
+    # else the '*' group — resolved per host, not per file
+    matched_agent = (
         lines.where(F.col("agent_line") == agent)
         .select("host", "grp").distinct()
     )
+    if agent != "*":
+        star = (
+            lines.where(F.col("agent_line") == "*")
+            .select("host", "grp").distinct()
+            .join(matched_agent.select("host").distinct(), "host", "left_anti")
+        )
+        matched = matched_agent.unionByName(star)
+    else:
+        matched = matched_agent
     body = lines.join(matched, ["host", "grp"], "left_semi")
+    dis = F.nullif(F.regexp_extract("line", ROBOTS_DISALLOW_RE, 1), F.lit(""))
+    # delay compared NUMERICALLY (string max would rank '9' over '10')
+    delay = F.nullif(
+        F.regexp_extract("line", ROBOTS_DELAY_RE, 1), F.lit("")
+    ).cast("double")
     rules = body.groupBy("host").agg(
-        F.min(
-            F.nullif(F.regexp_extract("line", ROBOTS_DISALLOW_RE, 1), F.lit(""))
-        ).alias("disallow_prefix"),
+        F.min(dis).alias("disallow_prefix"),
+        # ALL matched Disallow rules apply (RFC 9309): sorted '|'-join;
+        # disallow_prefix keeps the single-rule dim shape for robots_filter
+        F.array_join(
+            F.array_sort(F.collect_set(dis)), "|"
+        ).alias("disallow_all"),
         F.coalesce(
-            F.round(
-                F.max(
-                    F.nullif(F.regexp_extract("line", ROBOTS_DELAY_RE, 1), F.lit(""))
-                ).cast("double") * 1000
-            ).cast("long"),
-            F.lit(0).cast("long"),
+            F.round(F.max(delay) * 1000).cast("long"), F.lit(0).cast("long")
         ).alias("crawl_delay_ms"),
     )
     return (
@@ -437,6 +451,7 @@ def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
         .join(rules, "host", "left")
         .select(
             "host", "disallow_prefix",
+            F.coalesce("disallow_all", F.lit("")).alias("disallow_all"),
             F.coalesce("crawl_delay_ms", F.lit(0).cast("long")).alias("crawl_delay_ms"),
         )
     )

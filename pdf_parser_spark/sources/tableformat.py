@@ -150,28 +150,39 @@ def rollback(path: str, version: int) -> None:
 
 def _file_stats(path: str) -> dict:
     """{col: {"min": v, "max": v}} from the parquet footer (no data read).
-    Columns with absent/unusable statistics are simply omitted — an omitted
-    column can never prune, which is the safe direction."""
+
+    A column is emitted ONLY if every row group carries usable min/max for
+    it — a partially-covered column must be dropped for the WHOLE file,
+    because a range built from some row groups could wrongly prune a file
+    whose uncovered row group holds the matching rows.  Omitted columns
+    never prune, which is the safe direction."""
     import pyarrow.parquet as pq
 
     meta = pq.read_metadata(path)
     out: dict = {}
+    bad: set = set()
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
-            lo, hi = st.min, st.max
-            if isinstance(lo, bytes):
-                try:
-                    lo, hi = lo.decode(), hi.decode()
-                except UnicodeDecodeError:
-                    continue
-            if not isinstance(lo, (int, float, str)):
-                continue
             name = col.path_in_schema
+            if name in bad:
+                continue
+            st = col.statistics
+            lo = hi = None
+            if st is not None and st.has_min_max:
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        lo = None
+                if lo is not None and not isinstance(lo, (int, float, str)):
+                    lo = None
+            if lo is None:
+                bad.add(name)
+                out.pop(name, None)
+                continue
             if name in out:
                 out[name]["min"] = min(out[name]["min"], lo)
                 out[name]["max"] = max(out[name]["max"], hi)
@@ -231,15 +242,23 @@ def scan_table(
     return df, len(keep), len(all_files)
 
 
-def expire_snapshots(path: str, keep_from: int) -> list[str]:
+def expire_snapshots(
+    path: str, keep_from: int, min_age_s: float = 86400.0
+) -> list[str]:
     """GC: drop version files BELOW `keep_from` and delete data files no
     longer reachable from any remaining version — Iceberg's
     expire_snapshots + orphan cleanup.  Returns the deleted data files.
 
-    Safety order matters: metadata first, then files — a crash between the
-    two leaves unreachable-but-present files (re-collectable later), never
-    a reachable-but-deleted one."""
+    Safety order matters twice: metadata first, then files — a crash
+    between the two leaves unreachable-but-present files (re-collectable
+    later), never a reachable-but-deleted one.  And ``min_age_s`` protects
+    IN-FLIGHT appends: a concurrent committer's data files exist before
+    its version file links into place, and would look orphaned to a
+    naively-timed GC — only snapshot dirs older than the cutoff are
+    collected (Iceberg's orphan-file age guard; pass 0 only when no writer
+    can be active)."""
     import shutil
+    import time
 
     vs = _versions(path)
     keep = [n for n in vs if n >= keep_from]
@@ -252,9 +271,12 @@ def expire_snapshots(path: str, keep_from: int) -> list[str]:
     for n in keep:
         reachable.update(_read_version(path, n)["all_files"])
     deleted = []
+    cutoff = time.time() - min_age_s
     data_root = os.path.join(path, "data")
     for snap in os.listdir(data_root) if os.path.isdir(data_root) else []:
         snap_dir = os.path.join(data_root, snap)
+        if os.path.getmtime(snap_dir) > cutoff:
+            continue  # possibly an in-flight append's not-yet-committed data
         files = [
             os.path.join(snap_dir, f)
             for f in os.listdir(snap_dir)

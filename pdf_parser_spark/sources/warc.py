@@ -66,7 +66,15 @@ def warc_records(documents: DataFrame) -> DataFrame:
 def write_warc(documents: DataFrame, out_dir: str, n_files: int = 4) -> str:
     """Write records as ``part-NNNNN.warc`` files, one per task, records
     range-partitioned and sorted by doc_id so output bytes are deterministic.
-    Executor-side writes (foreachPartition) — no driver collect."""
+    Executor-side writes (foreachPartition) — no driver collect.
+
+    The directory is CLEARED first (overwrite semantics, like the jsonl
+    connector's .mode("overwrite")): stale part files from a previous or
+    crashed run would otherwise be globbed back in by read_warc as phantom
+    records."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     recs = (
         warc_records(documents)

@@ -1058,7 +1058,9 @@ def test_expire_snapshots_gc(spark, tmp_path):
     tf.rollback(path, 2)  # v3's snapshot becomes unreachable
     # expiring below v2 drops v1's metadata; v1's DATA remains reachable
     # through v2's cumulative manifest, so only v3's files are orphans
-    deleted = tf.expire_snapshots(path, keep_from=2)
+    # min_age_s=0: no concurrent writer in the test (the default 24h guard
+    # protects in-flight appends whose version file hasn't linked yet)
+    deleted = tf.expire_snapshots(path, keep_from=2, min_age_s=0)
     assert all("data" in d for d in deleted) and len(deleted) >= 1
     assert tf.read_table(spark, path).count() == 2  # v2 = snapshots 1+2
     assert not os.path.exists(os.path.join(path, "metadata", "v1.json"))
@@ -1089,3 +1091,70 @@ def test_run_batch_versioned_and_resume(spark, tmp_path):
     added = tf.snapshots(f"{out}/extracted_tbl")[-1]["added_rows"]
     assert added == 12 - n_half
     assert tf.read_table(spark, f"{out}/extracted_tbl").count() == 12
+
+
+def test_review_fixes_media_robustness():
+    """Truncated/foreign containers fail SOFT in the transform kernels."""
+    import struct as st
+
+    from pdf_parser_spark.operators.multimodal import (
+        decimate_wav, make_wav, resize_bmp,
+    )
+
+    # truncated WAV: declared data size exceeds payload -> clamped, no raise
+    full = make_wav(2, 8000, 100)
+    cut = full[: 44 + 50 * 4]  # half the frames
+    out = decimate_wav(cut, 2)
+    assert out is not None and len(out) == 44 + 25 * 4
+    # bits<8 (frame_bytes would be 0) -> None, not ZeroDivisionError
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 0, 4)
+    weird = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+             + b"fmt " + st.pack("<I", len(fmt)) + fmt
+             + b"data" + st.pack("<I", 0))
+    assert decimate_wav(weird, 2) is None
+    # 32bpp BMP: wrong layout for the 24bpp kernel -> None (fail soft),
+    # never a scrambled-but-valid output
+    w = h = 4
+    info32 = st.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, w * 4 * h,
+                     2835, 2835, 0, 0)
+    bmp32 = (b"BM" + st.pack("<IHHI", 54 + w * 4 * h, 0, 0, 54)
+             + info32 + bytes(w * 4 * h))
+    assert resize_bmp(bmp32, 2, 2) is None
+
+
+def test_review_fixes_dedup_null_vs_nul_text(spark):
+    """NULL text and a literal '\\x00' text must NOT share a fingerprint."""
+    from pdf_parser_spark.operators.pipeline import dedup_pages
+
+    html = b"<p>x</p>"
+    rows = [("http://null", html, None, "en"), ("http://nul", html, "\x00", "en")]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.current_timestamp())
+    assert dedup_pages(df).count() == 2
+
+
+def test_review_fixes_lsh_empty_and_robots_rfc(spark):
+    from pdf_parser_spark.operators import weburl
+    from pdf_parser_spark.operators.similarity import lsh_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert lsh_topk(empty).count() == 0
+
+    txt = ("User-agent: *\n"
+           "Disallow: /private/\n"
+           "Disallow: /admin/\n"
+           "Crawl-delay: 10\n"
+           "Crawl-delay: 9\n")
+    robots = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    r = weburl.parse_robots(robots).collect()[0]
+    assert r["crawl_delay_ms"] == 10000          # numeric max, not string max
+    assert r["disallow_all"] == "/admin/|/private/"  # ALL rules retained
+    # named agent without its own group falls back to the '*' group
+    r2 = weburl.parse_robots(robots, agent="FooBot").collect()[0]
+    assert r2["disallow_all"] == "/admin/|/private/"
+    # named agent WITH its own group ignores '*'
+    txt2 = ("User-agent: FooBot\nDisallow: /fb/\n\nUser-agent: *\nDisallow: /x/\n")
+    robots2 = spark.createDataFrame([("h", txt2)], "host string, robots_txt string")
+    r3 = weburl.parse_robots(robots2, agent="FooBot").collect()[0]
+    assert r3["disallow_all"] == "/fb/"
