@@ -372,6 +372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.minhash_lsh_pairs(_docs(s, d))
         ),
         "d_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        # asymmetric containment: excerpts/syndication that Jaccard misses
+        "d_containment": lambda s, d: dedup.containment_pairs(
+            dedup.with_syndicated(_docs(s, d))
+        ),
         "d_embedding_neardup": lambda s, d: dedup.embedding_neardup_pairs(_emb(s, d), threshold=0.3),
         # --- similarity search ---
         "s_ann_brute": lambda s, d: similarity.brute_force_topk(_emb(s, d)),
@@ -591,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
     # curation constants shared with the Spark side (regex literals, rate
     # table, mods) — imported so the oracle can never drift from the engine
     from pdf_parser_spark.operators import curation as C
+    from pdf_parser_spark.operators import dedup as D
     from pdf_parser_spark.operators import htmlmeta as HM
     from pdf_parser_spark.operators import linkgraph as LG
     from pdf_parser_spark.operators import snapshot as SN
@@ -2152,6 +2157,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.quality, t.tier
             FROM scored s JOIN tiers t USING (quality)
             ORDER BY s.doc_id
+        """,
+        # asymmetric containment over the corpus + formula-derived excerpts:
+        # (inter*10000) div |shA| in exact basis points
+        "d_containment": f"""
+            WITH uni AS (
+                SELECT doc_id, source, text FROM documents
+                UNION ALL
+                SELECT doc_id + {D.SYNDICATED_OFFSET}, source,
+                       'via feed ' ||
+                       coalesce(array_to_string(({_TOKS})[1:20], ' '), '')
+                FROM documents WHERE doc_id % {D.SYNDICATED_MOD} = 0
+            ), sh AS (
+                SELECT doc_id, source, list_distinct({_SHINGLES}) AS s FROM uni
+            )
+            SELECT doc_a, doc_b, containment_bp FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST((len(list_intersect(a.s, b.s)) * 10000)
+                            // len(a.s) AS BIGINT) AS containment_bp
+                FROM sh a JOIN sh b
+                  ON a.source = b.source AND a.doc_id <> b.doc_id
+            ) t WHERE containment_bp >= 8000
+            ORDER BY doc_a, doc_b
         """,
         # corpus-level line dedup: lines shared by >= LINE_MIN_DF docs are
         # boilerplate; clean_md5 re-joins survivors in original order so a

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from pdf_parser_spark.functions import portable_hash32, word_shingles
+from pdf_parser_spark.functions import portable_hash32, word_shingles, words
 
 # (a, b) parameters of k=8 affine minhash permutations over the 32-bit
 # portable hash space.  a < 2^20 keeps a*h < 2^52: exact in int64 arithmetic
@@ -301,4 +301,72 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+SYNDICATED_MOD = 9
+SYNDICATED_OFFSET = 100_000
+
+
+def with_syndicated(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, text) = the corpus plus a syndicated EXCERPT of
+    every doc_id%9==0 document ('via feed ' + its first 20 words, doc_id
+    offset by 100000, same source) — the partial-mirror shape containment
+    detection exists for; the oracle re-derives the union from the same
+    formula."""
+    ex = documents.where(F.col("doc_id") % SYNDICATED_MOD == 0).select(
+        (F.col("doc_id") + SYNDICATED_OFFSET).alias("doc_id"),
+        "source",
+        F.concat(
+            F.lit("via feed "),
+            F.concat_ws(" ", F.slice(words(F.col("text")), 1, 20)),
+        ).alias("text"),
+    )
+    return documents.select("doc_id", "source", "text").unionByName(ex)
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold_bp: int = 8000,
+    block_col: str = "source",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — catches excerpts, quotes
+    and syndicated copies that Jaccard misses (a 20-word excerpt of a
+    500-word page has tiny Jaccard but ~1.0 containment; cf. Broder's
+    resemblance-vs-containment distinction).
+
+    (doc_a, doc_b, containment_bp) for ordered pairs a != b in the same
+    block with containment >= threshold_bp — exact integer basis points
+    ((inter*10000) div |shA|), no float in the hashed column.
+
+    Scale: same story as ngram_jaccard_pairs — the block key bounds the
+    candidate pairs; at 100 TB the block is an LSH band (minhash_lsh_pairs)
+    with the SMALL side's bands used for lookup, since containment is
+    asymmetric."""
+    with_sh = documents.select(
+        "doc_id",
+        F.col(block_col).alias("block"),
+        F.array_distinct(word_shingles(F.col("text"), n)).alias("sh"),
+    )
+    a = with_sh.alias("a")
+    b = with_sh.alias("b")
+    pairs = a.join(
+        b,
+        on=(F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias("inter"),
+        F.size(F.col("a.sh")).alias("size_a"),
+    )
+    return (
+        pairs.withColumn(
+            "containment_bp", F.expr("(inter * 10000) div size_a").cast("long")
+        )
+        .where(F.col("containment_bp") >= threshold_bp)
+        .select("doc_a", "doc_b", "containment_bp")
+        .orderBy("doc_a", "doc_b")
     )

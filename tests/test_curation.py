@@ -412,3 +412,21 @@ def test_align_rollup_overlap_weights(spark, tmp_path, monkeypatch):
     out = {r["window_start"]: r["weighted_num"]
            for r in a_align_rollup(spark, str(sf)).collect()}
     assert out == {0: 2 * 900, 3600: 2 * 1800}
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from pdf_parser_spark.operators import dedup
+
+    body = " ".join(f"w{i}" for i in range(60))
+    excerpt = "quoted: " + " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, "s", body), (2, "s", excerpt), (3, "s", "totally different text here")],
+        "doc_id long, source string, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["containment_bp"]
+             for r in dedup.containment_pairs(docs, threshold_bp=8000).collect()}
+    # excerpt contained in body (18 of 19 shingles shared -> 9473bp)...
+    assert pairs == {(2, 1): 9473}
+    # ...while Jaccard on the same pair is far below any useful threshold
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []
