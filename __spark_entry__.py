@@ -514,6 +514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank": lambda s, d: (lambda lg: lg.pagerank(
             _docs(s, d), lg.synthetic_edges(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # exact-integer HITS (hubs/authorities) over the same ring graph
+        "g_hits": lambda s, d: (lambda lg: lg.hits(
+            _docs(s, d), lg.synthetic_edges(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # crawl-frontier assembly: robots ∩ quota ∩ pagerank, per-host queues
         "g_frontier": lambda s, d: (lambda lg: lg.frontier_schedule(
             _docs(s, d)
@@ -641,6 +645,23 @@ def oracle_sql() -> dict[str, str]:
         f"(SELECT count(*) FROM documents) AS dst FROM documents"
         for m, a in LG.LINK_PARAMS
     )
+    # exact-integer HITS, iterations unrolled the same way as PageRank's
+    _hits_cte = "h0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS h FROM documents)"
+    for _i in range(LG.HITS_ITERATIONS):
+        _hits_cte += f""",
+        a{_i + 1} AS (
+            SELECT d.doc_id, CAST(coalesce(x.s, 0) AS BIGINT) AS a
+            FROM documents d LEFT JOIN (
+                SELECT e.dst AS doc_id, sum(h.h) AS s
+                FROM edges e JOIN h{_i} h ON h.doc_id = e.src GROUP BY e.dst
+            ) x USING (doc_id)),
+        h{_i + 1} AS (
+            SELECT d.doc_id, CAST(coalesce(x.s, 0) AS BIGINT) AS h
+            FROM documents d LEFT JOIN (
+                SELECT e.src AS doc_id, sum(a.a) AS s
+                FROM edges e JOIN a{_i + 1} a ON a.doc_id = e.dst GROUP BY e.src
+            ) x USING (doc_id))"""
+    _K = LG.HITS_ITERATIONS
     # exact-integer PageRank, iterations unrolled as chained CTEs (aggregates
     # are not allowed in a recursive term, and unrolling keeps the SQL the
     # literal twin of the Spark driver loop)
@@ -1977,6 +1998,15 @@ def oracle_sql() -> dict[str, str]:
             deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
             {_pr_cte}
             SELECT doc_id, rank FROM pr5 ORDER BY doc_id
+        """,
+        # un-normalized HITS: a' = sum h over in-edges, h' = sum a' over
+        # out-edges; BIGINT sums are order-independent, the ranking is
+        # the consumable (normalization is presentation)
+        "g_hits": f"""
+            WITH edges AS ({_edges_sql}),
+            {_hits_cte}
+            SELECT h{_K}.doc_id, h{_K}.h AS hub, a{_K}.a AS authority
+            FROM h{_K} JOIN a{_K} USING (doc_id) ORDER BY doc_id
         """,
         # CCNet-style fluency proxy: unigram vocab (top-256 by count desc,
         # token asc) fitted on the doc_id%7==0 clean subset; per-doc integer

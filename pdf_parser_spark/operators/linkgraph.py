@@ -218,3 +218,51 @@ def frontier_schedule(
         )
         .orderBy("doc_id")
     )
+
+
+HITS_ITERATIONS = 3
+
+
+def hits(
+    documents: DataFrame, edges: DataFrame, iterations: int = HITS_ITERATIONS
+) -> DataFrame:
+    """(doc_id, hub, authority) after `iterations` un-normalized HITS
+    updates (Kleinberg '99): a' = sum of h over in-edges, h' = sum of a'
+    over out-edges, both from h0 = a0 = 1.
+
+    Exact-integer formulation: skipping the per-round L2 normalization
+    keeps every update a BIGINT sum — order-independent, cross-engine
+    hashable — at the cost of magnitude growth ~ (max degree)^iterations,
+    fine for small fixed k (the RANKING is what the crawler consumes;
+    normalization is presentation).  Same dataflow as pagerank: K bounded
+    join+groupBy passes over the cached edge table, no driver-side data."""
+    nodes = documents.select("doc_id")
+    ed = edges.select("src", "dst").persist()
+    ed.count()
+    hubs = nodes.select("doc_id", F.lit(1).cast("long").alias("h"))
+    auths = None
+    for _ in range(iterations):
+        auths = (
+            ed.join(hubs, ed.src == hubs.doc_id)
+            .groupBy("dst").agg(F.sum("h").alias("a"))
+        )
+        auths = nodes.join(
+            auths, nodes.doc_id == auths.dst, "left"
+        ).select("doc_id", F.coalesce("a", F.lit(0)).cast("long").alias("a"))
+        hubs = (
+            ed.join(auths, ed.dst == auths.doc_id)
+            .groupBy("src").agg(F.sum("a").alias("h"))
+        )
+        hubs = nodes.join(
+            hubs, nodes.doc_id == hubs.src, "left"
+        ).select("doc_id", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+    out = (
+        hubs.join(auths.withColumnRenamed("doc_id", "d"),
+                  hubs.doc_id == F.col("d"))
+        .select("doc_id", F.col("h").alias("hub"), F.col("a").alias("authority"))
+        .orderBy("doc_id")
+        .persist()
+    )
+    out.count()
+    ed.unpersist()
+    return out

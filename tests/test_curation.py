@@ -430,3 +430,23 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     # ...while Jaccard on the same pair is far below any useful threshold
     jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert jac == []
+
+
+def test_hits_star_graph(spark):
+    """Star graph: everyone links to node 0 -> node 0 is the authority,
+    the pointers are the hubs; deterministic integer re-run."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    docs = _docs(spark, [(i, "t", "en", "s", 1) for i in range(4)])
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long"
+    )
+    out = {r["doc_id"]: (r["hub"], r["authority"])
+           for r in lg.hits(docs, edges, iterations=2).collect()}
+    assert out[0][1] == max(a for _, a in out.values())   # top authority
+    assert out[0][0] == 0                                  # no out-edges
+    assert out[1] == out[2] == out[3]                      # symmetric hubs
+    assert out[1][0] > 0 and out[1][1] == 0
+    again = {r["doc_id"]: (r["hub"], r["authority"])
+             for r in lg.hits(docs, edges, iterations=2).collect()}
+    assert again == out
