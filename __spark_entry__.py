@@ -518,6 +518,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_hits": lambda s, d: (lambda lg: lg.hits(
             _docs(s, d), lg.synthetic_edges(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # co-citation pairs (shared citing sources) + one-row graph audit
+        "g_cocitation": lambda s, d: (lambda lg: lg.cocitation_pairs(
+            lg.synthetic_edges(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        "g_graph_stats": lambda s, d: (lambda lg: lg.graph_stats(
+            lg.synthetic_edges(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # crawl-frontier assembly: robots ∩ quota ∩ pagerank, per-host queues
         "g_frontier": lambda s, d: (lambda lg: lg.frontier_schedule(
             _docs(s, d)
@@ -1998,6 +2005,34 @@ def oracle_sql() -> dict[str, str]:
             deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
             {_pr_cte}
             SELECT doc_id, rank FROM pr5 ORDER BY doc_id
+        """,
+        # co-citation: self-join on the citing source, ordered pair count
+        "g_cocitation": f"""
+            WITH edges AS ({_edges_sql})
+            SELECT a.dst AS dst_a, b.dst AS dst_b,
+                   CAST(count(*) AS BIGINT) AS n_cociting
+            FROM edges a JOIN edges b
+              ON a.src = b.src AND a.dst < b.dst
+            GROUP BY dst_a, dst_b HAVING count(*) >= 2
+            ORDER BY dst_a, dst_b
+        """,
+        # one-row graph audit; n_reciprocal counts edges (incl. duplicate
+        # edges) whose reverse exists — EXISTS = the left_semi twin
+        "g_graph_stats": f"""
+            WITH edges AS ({_edges_sql})
+            SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(DISTINCT src) FROM edges) AS BIGINT) AS n_srcs,
+                   CAST((SELECT count(DISTINCT dst) FROM edges) AS BIGINT) AS n_dsts,
+                   CAST((SELECT max(c) FROM (
+                        SELECT count(*) AS c FROM edges GROUP BY src) t)
+                        AS BIGINT) AS max_outdeg,
+                   CAST((SELECT max(c) FROM (
+                        SELECT count(*) AS c FROM edges GROUP BY dst) t)
+                        AS BIGINT) AS max_indeg,
+                   CAST((SELECT count(*) FROM edges e WHERE EXISTS (
+                        SELECT 1 FROM edges r
+                        WHERE r.src = e.dst AND r.dst = e.src))
+                        AS BIGINT) AS n_reciprocal
         """,
         # un-normalized HITS: a' = sum h over in-edges, h' = sum a' over
         # out-edges; BIGINT sums are order-independent, the ranking is

@@ -266,3 +266,53 @@ def hits(
     out.count()
     ed.unpersist()
     return out
+
+
+def cocitation_pairs(edges: DataFrame, min_count: int = 2) -> DataFrame:
+    """(dst_a, dst_b, n_cociting) — pages cited TOGETHER by >= min_count
+    sources (co-citation, Small '73): the link-graph similarity signal
+    that needs no content at all.  Self-join on the citing src with
+    dst_a < dst_b; per-source pair fan-out is C(outdeg, 2), so the
+    per-site outlink cap every crawler applies (or a pre-filter dropping
+    mega-out-degree hub pages) bounds the blow-up — the same
+    candidate-bounding discipline as the LSH band joins."""
+    a = edges.select(F.col("src").alias("s"), F.col("dst").alias("dst_a"))
+    b = edges.select(F.col("src").alias("s"), F.col("dst").alias("dst_b"))
+    return (
+        a.join(b, "s")
+        .where(F.col("dst_a") < F.col("dst_b"))
+        .groupBy("dst_a", "dst_b")
+        .agg(F.count("*").cast("long").alias("n_cociting"))
+        .where(F.col("n_cociting") >= min_count)
+        .orderBy("dst_a", "dst_b")
+    )
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """One-row audit of the crawl graph: edge count, distinct srcs/dsts,
+    max in/out degree, and reciprocated-edge count (a<->b both present —
+    the left_semi against the reversed edge list carries keys only).
+    Every aggregate is an exact BIGINT; the audit runs per crawl cycle
+    next to the frontier build."""
+    deg_out = edges.groupBy("src").agg(F.count("*").alias("d"))
+    deg_in = edges.groupBy("dst").agg(F.count("*").alias("d"))
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    n_recip = edges.join(rev, ["src", "dst"], "left_semi").count()
+    row = edges.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.countDistinct("src").cast("long").alias("n_srcs"),
+        F.countDistinct("dst").cast("long").alias("n_dsts"),
+    ).collect()[0]
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(
+            row["n_edges"], row["n_srcs"], row["n_dsts"],
+            deg_out.agg(F.max("d")).collect()[0][0],
+            deg_in.agg(F.max("d")).collect()[0][0],
+            n_recip,
+        )],
+        "n_edges long, n_srcs long, n_dsts long, "
+        "max_outdeg long, max_indeg long, n_reciprocal long",
+    )

@@ -450,3 +450,20 @@ def test_hits_star_graph(spark):
     again = {r["doc_id"]: (r["hub"], r["authority"])
              for r in lg.hits(docs, edges, iterations=2).collect()}
     assert again == out
+
+
+def test_cocitation_and_graph_stats(spark):
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    # src 1 and 2 both cite {10, 11}; src 3 cites 10 only; 10<->11 reciprocal
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (10, 11), (11, 10)],
+        "src long, dst long",
+    )
+    cc = {(r["dst_a"], r["dst_b"]): r["n_cociting"]
+          for r in lg.cocitation_pairs(edges, min_count=2).collect()}
+    assert cc == {(10, 11): 2}  # only the pair co-cited by >= 2 sources
+    st = lg.graph_stats(edges).collect()[0]
+    assert (st["n_edges"], st["n_srcs"], st["n_dsts"]) == (7, 5, 2)
+    assert (st["max_outdeg"], st["max_indeg"]) == (2, 4)
+    assert st["n_reciprocal"] == 2  # 10->11 and 11->10
