@@ -2010,10 +2010,10 @@ def oracle_sql() -> dict[str, str]:
         "g_cocitation": f"""
             WITH edges AS ({_edges_sql})
             SELECT a.dst AS dst_a, b.dst AS dst_b,
-                   CAST(count(*) AS BIGINT) AS n_cociting
+                   CAST(count(DISTINCT a.src) AS BIGINT) AS n_cociting
             FROM edges a JOIN edges b
               ON a.src = b.src AND a.dst < b.dst
-            GROUP BY dst_a, dst_b HAVING count(*) >= 2
+            GROUP BY dst_a, dst_b HAVING count(DISTINCT a.src) >= 2
             ORDER BY dst_a, dst_b
         """,
         # one-row graph audit; n_reciprocal counts edges (incl. duplicate
@@ -2229,7 +2229,7 @@ def oracle_sql() -> dict[str, str]:
             WITH uni AS (
                 SELECT doc_id, source, text FROM documents
                 UNION ALL
-                SELECT doc_id + {D.SYNDICATED_OFFSET}, source,
+                SELECT -(doc_id) - 1, source,
                        'via feed ' ||
                        coalesce(array_to_string(({_TOKS})[1:20], ' '), '')
                 FROM documents WHERE doc_id % {D.SYNDICATED_MOD} = 0

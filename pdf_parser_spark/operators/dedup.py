@@ -305,17 +305,18 @@ def embedding_neardup_pairs(
 
 
 SYNDICATED_MOD = 9
-SYNDICATED_OFFSET = 100_000
 
 
 def with_syndicated(documents: DataFrame) -> DataFrame:
     """(doc_id, source, text) = the corpus plus a syndicated EXCERPT of
-    every doc_id%9==0 document ('via feed ' + its first 20 words, doc_id
-    offset by 100000, same source) — the partial-mirror shape containment
-    detection exists for; the oracle re-derives the union from the same
-    formula."""
+    every doc_id%9==0 document ('via feed ' + its first 20 words, same
+    source).  Excerpt ids live in the NEGATIVE range (-(doc_id)-1): a
+    fixed positive offset would silently collide with real ids once the
+    corpus outgrows it, mis-pairing excerpts with unrelated documents —
+    the negative namespace cannot collide at any corpus size.  The oracle
+    re-derives the union from the same formula."""
     ex = documents.where(F.col("doc_id") % SYNDICATED_MOD == 0).select(
-        (F.col("doc_id") + SYNDICATED_OFFSET).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         "source",
         F.concat(
             F.lit("via feed "),

@@ -165,11 +165,12 @@ def pagerank(
         )
     # Materialize the final ranks (small: doc_id + rank) so the edge cache
     # can be released NOW — returning the lazy plan and unpersisting would
-    # recompute the edge join per iteration at evaluation time, and never
-    # unpersisting would leak one cached edge table per invocation into
-    # executor storage for the session lifetime.
-    out = ranks.orderBy("doc_id").persist()
-    out.count()
+    # recompute the edge join per iteration at evaluation time.  Eager
+    # localCheckpoint (not persist): checkpoint blocks are released by the
+    # ContextCleaner when the DataFrame is garbage-collected, so repeated
+    # invocations don't accumulate session-lifetime cache entries.  NB the
+    # call therefore executes at construction time, not first action.
+    out = ranks.orderBy("doc_id").localCheckpoint(eager=True)
     ed.unpersist()
     return out
 
@@ -236,6 +237,8 @@ def hits(
     fine for small fixed k (the RANKING is what the crawler consumes;
     normalization is presentation).  Same dataflow as pagerank: K bounded
     join+groupBy passes over the cached edge table, no driver-side data."""
+    if iterations < 1:
+        raise ValueError("hits requires iterations >= 1")
     nodes = documents.select("doc_id")
     ed = edges.select("src", "dst").persist()
     ed.count()
@@ -261,9 +264,8 @@ def hits(
                   hubs.doc_id == F.col("d"))
         .select("doc_id", F.col("h").alias("hub"), F.col("a").alias("authority"))
         .orderBy("doc_id")
-        .persist()
+        .localCheckpoint(eager=True)  # see pagerank: GC-cleaned, frees ed now
     )
-    out.count()
     ed.unpersist()
     return out
 
@@ -282,7 +284,11 @@ def cocitation_pairs(edges: DataFrame, min_count: int = 2) -> DataFrame:
         a.join(b, "s")
         .where(F.col("dst_a") < F.col("dst_b"))
         .groupBy("dst_a", "dst_b")
-        .agg(F.count("*").cast("long").alias("n_cociting"))
+        # distinct SOURCES, not edge-pair combinations: duplicate (src,dst)
+        # edges (routine in crawl graphs, and possible in the ring synth
+        # when two formulas collide mod n) must not let one source fake
+        # "cited together by >= k sources"
+        .agg(F.countDistinct("s").cast("long").alias("n_cociting"))
         .where(F.col("n_cociting") >= min_count)
         .orderBy("dst_a", "dst_b")
     )
@@ -294,25 +300,27 @@ def graph_stats(edges: DataFrame) -> DataFrame:
     the left_semi against the reversed edge list carries keys only).
     Every aggregate is an exact BIGINT; the audit runs per crawl cycle
     next to the frontier build."""
-    deg_out = edges.groupBy("src").agg(F.count("*").alias("d"))
-    deg_in = edges.groupBy("dst").agg(F.count("*").alias("d"))
-    rev = edges.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    )
-    n_recip = edges.join(rev, ["src", "dst"], "left_semi").count()
-    row = edges.agg(
-        F.count("*").cast("long").alias("n_edges"),
-        F.countDistinct("src").cast("long").alias("n_srcs"),
-        F.countDistinct("dst").cast("long").alias("n_dsts"),
-    ).collect()[0]
-    spark = edges.sparkSession
-    return spark.createDataFrame(
-        [(
+    e = edges.select("src", "dst").persist()  # 4 actions share ONE derivation
+    try:
+        deg_out = e.groupBy("src").agg(F.count("*").alias("d"))
+        deg_in = e.groupBy("dst").agg(F.count("*").alias("d"))
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        n_recip = e.join(rev, ["src", "dst"], "left_semi").count()
+        row = e.agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.countDistinct("src").cast("long").alias("n_srcs"),
+            F.countDistinct("dst").cast("long").alias("n_dsts"),
+        ).collect()[0]
+        result = (
             row["n_edges"], row["n_srcs"], row["n_dsts"],
             deg_out.agg(F.max("d")).collect()[0][0],
             deg_in.agg(F.max("d")).collect()[0][0],
             n_recip,
-        )],
+        )
+    finally:
+        e.unpersist()
+    return edges.sparkSession.createDataFrame(
+        [result],
         "n_edges long, n_srcs long, n_dsts long, "
         "max_outdeg long, max_indeg long, n_reciprocal long",
     )

@@ -415,9 +415,10 @@ def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
         F.regexp_extract("line", ROBOTS_AGENT_RE, 1).alias("agent_line"),
     )
     # RFC fallback: a crawler obeys its own named group if one exists,
-    # else the '*' group — resolved per host, not per file
+    # else the '*' group — resolved per host, not per file; product-token
+    # matching is case-insensitive (RFC 9309 §2.2.1)
     matched_agent = (
-        lines.where(F.col("agent_line") == agent)
+        lines.where(F.lower(F.col("agent_line")) == agent.lower())
         .select("host", "grp").distinct()
     )
     if agent != "*":

@@ -467,3 +467,42 @@ def test_cocitation_and_graph_stats(spark):
     assert (st["n_edges"], st["n_srcs"], st["n_dsts"]) == (7, 5, 2)
     assert (st["max_outdeg"], st["max_indeg"]) == (2, 4)
     assert st["n_reciprocal"] == 2  # 10->11 and 11->10
+
+
+def test_review2_fix_regressions(spark):
+    """Second-review fixes: duplicate edges can't fake co-citation counts;
+    named-agent robots matching is case-insensitive; hits rejects
+    iterations<1; syndicated excerpt ids can't collide with real ids."""
+    import pytest as _pytest
+
+    from pdf_parser_spark.operators import dedup, linkgraph as lg, weburl
+
+    # one source citing 10 twice + 11 once must NOT reach min_count=2
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11)], "src long, dst long"
+    )
+    assert lg.cocitation_pairs(edges, min_count=2).count() == 0
+    # ...but two distinct sources do
+    edges2 = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11)], "src long, dst long"
+    )
+    assert lg.cocitation_pairs(edges2, min_count=2).count() == 1
+
+    txt = "User-agent: foobot\nDisallow: /private/\n\nUser-agent: *\nDisallow: /x/\n"
+    robots = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    r = weburl.parse_robots(robots, agent="FooBot").collect()[0]
+    assert r["disallow_all"] == "/private/"  # case-insensitive token match
+
+    docs = _docs(spark, [(0, "t", "en", "s", 1)])
+    with _pytest.raises(ValueError):
+        lg.hits(docs, spark.createDataFrame([], "src long, dst long"), iterations=0)
+
+    # excerpt ids are negative: no collision at any corpus size
+    uni = dedup.with_syndicated(
+        spark.createDataFrame(
+            [(0, "s", "a b c"), (9, "s", "d e f")],
+            "doc_id long, source string, text string",
+        )
+    )
+    ids = sorted(r["doc_id"] for r in uni.collect())
+    assert ids == [-10, -1, 0, 9]
