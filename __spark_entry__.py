@@ -514,6 +514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank": lambda s, d: (lambda lg: lg.pagerank(
             _docs(s, d), lg.synthetic_edges(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # TrustRank: teleport mass lands only on the vetted seed set
+        "g_trustrank": lambda s, d: (lambda lg: lg.trustrank(
+            _docs(s, d), lg.synthetic_edges(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # exact-integer HITS (hubs/authorities) over the same ring graph
         "g_hits": lambda s, d: (lambda lg: lg.hits(
             _docs(s, d), lg.synthetic_edges(_docs(s, d))
@@ -652,6 +656,28 @@ def oracle_sql() -> dict[str, str]:
         f"(SELECT count(*) FROM documents) AS dst FROM documents"
         for m, a in LG.LINK_PARAMS
     )
+    # TrustRank: same unrolling as PageRank with the seeded teleport term
+    _seed_base = (
+        f"CASE WHEN d.doc_id % {LG.TRUST_SEED_MOD} = 0 THEN {LG.BASE} ELSE 0 END"
+    )
+    _tr_cte = (
+        f"tr0 AS (SELECT doc_id, CAST(CASE WHEN doc_id % {LG.TRUST_SEED_MOD} = 0 "
+        f"THEN {LG.BASE} ELSE 0 END AS BIGINT) AS trust FROM documents)"
+    )
+    for _i in range(5):
+        _tr_cte += f""",
+        tr{_i + 1} AS (
+            SELECT d.doc_id,
+                   CAST({_seed_base}
+                        + ({LG.DAMP_NUM} * coalesce(m.s, 0))
+                        // {LG.DAMP_DEN} AS BIGINT) AS trust
+            FROM documents d LEFT JOIN (
+                SELECT e.dst AS doc_id,
+                       CAST(sum(p.trust // dg.outdeg) AS BIGINT) AS s
+                FROM tr{_i} p JOIN edges e ON p.doc_id = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst
+            ) m USING (doc_id))"""
     # exact-integer HITS, iterations unrolled the same way as PageRank's
     _hits_cte = "h0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS h FROM documents)"
     for _i in range(LG.HITS_ITERATIONS):
@@ -2033,6 +2059,13 @@ def oracle_sql() -> dict[str, str]:
                         SELECT 1 FROM edges r
                         WHERE r.src = e.dst AND r.dst = e.src))
                         AS BIGINT) AS n_reciprocal
+        """,
+        # TrustRank: seeded teleport — non-seed pages hold only flowed trust
+        "g_trustrank": f"""
+            WITH edges AS ({_edges_sql}),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+            {_tr_cte}
+            SELECT doc_id, trust FROM tr5 ORDER BY doc_id
         """,
         # un-normalized HITS: a' = sum h over in-edges, h' = sum a' over
         # out-edges; BIGINT sums are order-independent, the ranking is

@@ -324,3 +324,49 @@ def graph_stats(edges: DataFrame) -> DataFrame:
         "n_edges long, n_srcs long, n_dsts long, "
         "max_outdeg long, max_indeg long, n_reciprocal long",
     )
+
+
+TRUST_SEED_MOD = 17  # doc_id % 17 == 0 stands in for the vetted seed list
+
+
+def trustrank(
+    documents: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    seed_mod: int = TRUST_SEED_MOD,
+) -> DataFrame:
+    """(doc_id, trust) — TrustRank (Gyöngyi et al., VLDB '04): PageRank
+    whose teleport mass lands ONLY on a vetted seed set, so trust flows
+    out from known-good pages and spam neighborhoods that no good page
+    links to starve to zero — the crawl-frontier's spam-demotion signal
+    next to plain PageRank's popularity.
+
+    Same exact-integer dataflow as pagerank (BIGINT micro-units, floor
+    divisions, K cached join+groupBy passes); the only change is the
+    teleport term: seeds get BASE, everyone else 0.  The demo seed set is
+    doc_id%17==0 (in production: the curated allowlist dim, broadcast)."""
+    nodes = documents.select("doc_id")
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(deg, "src").persist()
+    ed.count()
+    seed_base = F.when(
+        F.col("doc_id") % seed_mod == 0, F.lit(BASE)
+    ).otherwise(F.lit(0)).cast("long")
+    ranks = nodes.select("doc_id", seed_base.alias("trust"))
+    for _ in range(iterations):
+        inflow = (
+            ed.join(ranks, ed.src == ranks.doc_id)
+            .select("dst", F.expr("trust div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, nodes.doc_id == inflow.dst, "left").select(
+            "doc_id",
+            (
+                seed_base
+                + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0L)) div {DAMP_DEN}")
+            ).cast("long").alias("trust"),
+        )
+    out = ranks.orderBy("doc_id").localCheckpoint(eager=True)
+    ed.unpersist()
+    return out

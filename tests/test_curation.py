@@ -506,3 +506,24 @@ def test_review2_fix_regressions(spark):
     )
     ids = sorted(r["doc_id"] for r in uni.collect())
     assert ids == [-10, -1, 0, 9]
+
+
+def test_trustrank_flows_from_seeds_only(spark):
+    """Seed 0 trusts its outlink chain; a disconnected spam pair that no
+    seed reaches holds exactly zero trust (PageRank would give it BASE)."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    docs = _docs(spark, [(i, "t", "en", "s", 1) for i in range(5)])
+    # seed 0 -> 1 -> 2 chain; 3 <-> 4 isolated spam farm
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 3)], "src long, dst long"
+    )
+    out = {r["doc_id"]: r["trust"]
+           for r in lg.trustrank(docs, edges, iterations=3, seed_mod=17).collect()}
+    assert out[0] == lg.BASE                 # seed holds teleport mass
+    assert out[1] > out[2] > 0               # trust decays along the chain
+    assert out[3] == 0 and out[4] == 0       # unreachable from any seed
+    # contrast: plain pagerank gives the spam pair the BASE floor
+    pr = {r["doc_id"]: r["rank"]
+          for r in lg.pagerank(docs, edges, iterations=3).collect()}
+    assert pr[3] > 0 and pr[4] > 0
