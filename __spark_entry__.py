@@ -656,28 +656,40 @@ def oracle_sql() -> dict[str, str]:
         f"(SELECT count(*) FROM documents) AS dst FROM documents"
         for m, a in LG.LINK_PARAMS
     )
-    # TrustRank: same unrolling as PageRank with the seeded teleport term
-    _seed_base = (
-        f"CASE WHEN d.doc_id % {LG.TRUST_SEED_MOD} = 0 THEN {LG.BASE} ELSE 0 END"
-    )
-    _tr_cte = (
-        f"tr0 AS (SELECT doc_id, CAST(CASE WHEN doc_id % {LG.TRUST_SEED_MOD} = 0 "
-        f"THEN {LG.BASE} ELSE 0 END AS BIGINT) AS trust FROM documents)"
-    )
-    for _i in range(5):
-        _tr_cte += f""",
-        tr{_i + 1} AS (
+    # ONE unrolled-CTE builder for the PageRank family (aggregates are not
+    # allowed in a recursive term; unrolling keeps the SQL the literal twin
+    # of the Spark _power_iterate loop) — init/base are the only degrees of
+    # freedom, same as the Spark side, so the twins cannot drift apart.
+    def _rank_cte(prefix: str, col: str, init_sql: str, base_sql: str,
+                  k: int = 5) -> str:
+        cte = (
+            f"{prefix}0 AS (SELECT doc_id, CAST({init_sql} AS BIGINT) "
+            f"AS {col} FROM documents)"
+        )
+        for i in range(k):
+            cte += f""",
+        {prefix}{i + 1} AS (
             SELECT d.doc_id,
-                   CAST({_seed_base}
+                   CAST({base_sql}
                         + ({LG.DAMP_NUM} * coalesce(m.s, 0))
-                        // {LG.DAMP_DEN} AS BIGINT) AS trust
+                        // {LG.DAMP_DEN} AS BIGINT) AS {col}
             FROM documents d LEFT JOIN (
                 SELECT e.dst AS doc_id,
-                       CAST(sum(p.trust // dg.outdeg) AS BIGINT) AS s
-                FROM tr{_i} p JOIN edges e ON p.doc_id = e.src
+                       CAST(sum(p.{col} // dg.outdeg) AS BIGINT) AS s
+                FROM {prefix}{i} p JOIN edges e ON p.doc_id = e.src
                 JOIN deg dg ON dg.src = e.src
                 GROUP BY e.dst
             ) m USING (doc_id))"""
+        return cte
+
+    _seed_base = (
+        f"CASE WHEN d.doc_id % {LG.TRUST_SEED_MOD} = 0 THEN {LG.BASE} ELSE 0 END"
+    )
+    _tr_cte = _rank_cte(
+        "tr", "trust",
+        f"CASE WHEN doc_id % {LG.TRUST_SEED_MOD} = 0 THEN {LG.BASE} ELSE 0 END",
+        _seed_base,
+    )
     # exact-integer HITS, iterations unrolled the same way as PageRank's
     _hits_cte = "h0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS h FROM documents)"
     for _i in range(LG.HITS_ITERATIONS):
@@ -698,22 +710,7 @@ def oracle_sql() -> dict[str, str]:
     # exact-integer PageRank, iterations unrolled as chained CTEs (aggregates
     # are not allowed in a recursive term, and unrolling keeps the SQL the
     # literal twin of the Spark driver loop)
-    _pr_cte = (
-        f"pr0 AS (SELECT doc_id, CAST({LG.UNIT} AS BIGINT) AS rank FROM documents)"
-    )
-    for _i in range(5):
-        _pr_cte += f""",
-        pr{_i + 1} AS (
-            SELECT d.doc_id,
-                   CAST({LG.BASE} + ({LG.DAMP_NUM} * coalesce(m.s, 0))
-                        // {LG.DAMP_DEN} AS BIGINT) AS rank
-            FROM documents d LEFT JOIN (
-                SELECT e.dst AS doc_id,
-                       CAST(sum(p.rank // dg.outdeg) AS BIGINT) AS s
-                FROM pr{_i} p JOIN edges e ON p.doc_id = e.src
-                JOIN deg dg ON dg.src = e.src
-                GROUP BY e.dst
-            ) m USING (doc_id))"""
+    _pr_cte = _rank_cte("pr", "rank", str(LG.UNIT), str(LG.BASE))
 
     # shingles of the first-8-word benchmark snippet: the _SHINGLES macro
     # with its token array sliced to [1:8] (rejoin+resplit on the Spark side

@@ -133,46 +133,67 @@ def synthetic_edges(documents: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(
-    documents: DataFrame, edges: DataFrame, iterations: int = 5
+def _power_iterate(
+    documents: DataFrame,
+    edges: DataFrame,
+    iterations: int,
+    init_col,
+    base_col,
+    out_name: str,
 ) -> DataFrame:
-    """(doc_id, rank) after `iterations` exact-integer PageRank updates.
+    """Shared PageRank-family dataflow: score' = base + (85 * sum(score
+    div outdeg over in-edges)) div 100, iterated K times over a cached
+    edge+outdeg table.  ``init_col``/``base_col`` are the only degrees of
+    freedom (uniform for PageRank, seed-indicator for TrustRank) — one
+    dataflow, so a fix to the join/cache/overflow shape can never diverge
+    the rankings.
 
-    Per iteration: contribs = rank div outdeg per edge, summed per dst
-    (join on src + groupBy dst = 2 shuffles); rank' = BASE +
-    (85 * inflow) div 100.  The edge+outdeg table is computed once and
-    cached; nodes without inlinks fall back to BASE via the left join.
-    At 10^12 edges each iteration is the same shuffle a groupBy costs —
-    K iterations = K bounded passes, no driver-side data movement."""
+    Per iteration: join on src + groupBy dst = 2 shuffles; at 10^12 edges
+    each is the same shuffle a groupBy costs — K bounded passes, no
+    driver-side data movement.  The result materializes via eager
+    localCheckpoint (not persist): checkpoint blocks are released by the
+    ContextCleaner when the frame is GC'd, so repeated invocations don't
+    accumulate session-lifetime cache entries; the edge cache is freed
+    before returning.  NB the call therefore executes at construction
+    time, not first action."""
     nodes = documents.select("doc_id")
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     ed = edges.join(deg, "src").persist()
     ed.count()
-    ranks = nodes.select("doc_id", F.lit(UNIT).cast("long").alias("rank"))
+    ranks = nodes.select("doc_id", init_col.cast("long").alias("r"))
     for _ in range(iterations):
         inflow = (
             ed.join(ranks, ed.src == ranks.doc_id)
-            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .select("dst", F.expr("r div outdeg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))
         )
         ranks = nodes.join(inflow, nodes.doc_id == inflow.dst, "left").select(
             "doc_id",
             (
-                F.lit(BASE)
+                base_col
                 + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0L)) div {DAMP_DEN}")
-            ).cast("long").alias("rank"),
+            ).cast("long").alias("r"),
         )
-    # Materialize the final ranks (small: doc_id + rank) so the edge cache
-    # can be released NOW — returning the lazy plan and unpersisting would
-    # recompute the edge join per iteration at evaluation time.  Eager
-    # localCheckpoint (not persist): checkpoint blocks are released by the
-    # ContextCleaner when the DataFrame is garbage-collected, so repeated
-    # invocations don't accumulate session-lifetime cache entries.  NB the
-    # call therefore executes at construction time, not first action.
-    out = ranks.orderBy("doc_id").localCheckpoint(eager=True)
+    out = (
+        ranks.select("doc_id", F.col("r").alias(out_name))
+        .orderBy("doc_id")
+        .localCheckpoint(eager=True)
+    )
     ed.unpersist()
     return out
+
+
+def pagerank(
+    documents: DataFrame, edges: DataFrame, iterations: int = 5
+) -> DataFrame:
+    """(doc_id, rank) after `iterations` exact-integer PageRank updates:
+    uniform init (UNIT) and uniform teleport (BASE); nodes without inlinks
+    fall back to BASE via the left join.  See _power_iterate."""
+    return _power_iterate(
+        documents, edges, iterations,
+        init_col=F.lit(UNIT), base_col=F.lit(BASE), out_name="rank",
+    )
 
 
 def frontier_schedule(
@@ -341,32 +362,15 @@ def trustrank(
     links to starve to zero — the crawl-frontier's spam-demotion signal
     next to plain PageRank's popularity.
 
-    Same exact-integer dataflow as pagerank (BIGINT micro-units, floor
-    divisions, K cached join+groupBy passes); the only change is the
-    teleport term: seeds get BASE, everyone else 0.  The demo seed set is
-    doc_id%17==0 (in production: the curated allowlist dim, broadcast)."""
-    nodes = documents.select("doc_id")
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ed = edges.join(deg, "src").persist()
-    ed.count()
+    Same exact-integer dataflow as pagerank (_power_iterate; BIGINT
+    micro-units, floor divisions, K cached join+groupBy passes); the only
+    change is the teleport term: seeds get BASE, everyone else 0.  The
+    demo seed set is doc_id%17==0 (in production: the curated allowlist
+    dim, broadcast)."""
     seed_base = F.when(
         F.col("doc_id") % seed_mod == 0, F.lit(BASE)
     ).otherwise(F.lit(0)).cast("long")
-    ranks = nodes.select("doc_id", seed_base.alias("trust"))
-    for _ in range(iterations):
-        inflow = (
-            ed.join(ranks, ed.src == ranks.doc_id)
-            .select("dst", F.expr("trust div outdeg").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("inflow"))
-        )
-        ranks = nodes.join(inflow, nodes.doc_id == inflow.dst, "left").select(
-            "doc_id",
-            (
-                seed_base
-                + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0L)) div {DAMP_DEN}")
-            ).cast("long").alias("trust"),
-        )
-    out = ranks.orderBy("doc_id").localCheckpoint(eager=True)
-    ed.unpersist()
-    return out
+    return _power_iterate(
+        documents, edges, iterations,
+        init_col=seed_base, base_col=seed_base, out_name="trust",
+    )
