@@ -502,6 +502,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), curation.fit_vocab(_docs(s, d))
         ),
         "c_pack_shards": lambda s, d: curation.pack_shards(_docs(s, d)),
+        # mojibake repair: double-encoded injections repaired JVM-side;
+        # the oracle predicts the repaired bytes from the injection formula
+        "c_mojibake": lambda s, d: curation.repair_mojibake(
+            curation.with_mojibake(_docs(s, d))
+        ),
         "d_incremental": lambda s, d: curation.incremental_dedup(_docs(s, d)),
         # --- link graph (crawl-frontier ops) ---
         "u_outlinks": lambda s, d: __import__(
@@ -2006,6 +2011,18 @@ def oracle_sql() -> dict[str, str]:
                        '""" + C.IP_RE + """', '<IP>', 'g'),
                        '""" + C.PHONE_RE + """', '<PHONE>', 'g')) AS clean_md5
             FROM pii ORDER BY doc_id
+        """,
+        # mojibake repair: the engine decodes real double-encoded bytes;
+        # the oracle knows what the repair MUST produce (injection formula
+        # in proper UTF-8) — a wrong charset hop breaks the md5
+        "c_mojibake": f"""
+            SELECT doc_id,
+                   doc_id % {C.MOJIBAKE_MOD} IN (0, 3) AS had_mojibake,
+                   md5(text || CASE
+                       WHEN doc_id % {C.MOJIBAKE_MOD} = 0 THEN ' summer café menu'
+                       WHEN doc_id % {C.MOJIBAKE_MOD} = 3 THEN ' naïve résumé attached'
+                       ELSE '' END) AS repaired_md5
+            FROM documents ORDER BY doc_id
         """,
         # hash-deterministic per-language sampling (rates in bp of 10000)
         "c_stratified_sample": f"""

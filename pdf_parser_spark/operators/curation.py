@@ -462,3 +462,50 @@ def quality_tiers(scored: DataFrame, n_tiers: int = N_TIERS) -> DataFrame:
         .select("doc_id", "quality", "tier")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (UTF-8 bytes mis-read as Latin-1, the classic crawl bug)
+# ---------------------------------------------------------------------------
+
+MOJIBAKE_MOD = 6
+# telltale: A-tilde followed by a Latin-1 char in the UTF-8 continuation
+# range (written with regex escapes -- U+0080..U+009F are control chars)
+MOJIBAKE_RE = "Ã[\x80-\xbf]"
+
+
+def with_mojibake(documents: DataFrame) -> DataFrame:
+    """Append deterministic double-encoded suffixes ('café' stored as
+    'cafÃ©' etc.) to doc_id%6 in {0,3} -- the corpus text is pure
+    ASCII at every SF (verified), so the telltale appears ONLY where
+    injected and the oracle can predict the repaired bytes exactly."""
+    d = F.col("doc_id")
+    suffix = (
+        F.when(d % MOJIBAKE_MOD == 0, F.lit(" summer cafÃ© menu"))
+        .when(d % MOJIBAKE_MOD == 3,
+              F.lit(" naÃ¯ve rÃ©sumÃ© attached"))
+        .otherwise(F.lit(""))
+    )
+    return documents.withColumn("text", F.concat(F.col("text"), suffix))
+
+
+def repair_mojibake(df: DataFrame) -> DataFrame:
+    """(doc_id, had_mojibake, repaired_md5) -- repair UTF-8-read-as-Latin-1
+    double encoding: re-encode the text as ISO-8859-1 (recovering the
+    original UTF-8 bytes) and decode as UTF-8, gated on the telltale so
+    clean text is never touched.  Pure JVM column ops (encode/decode), one
+    codegen'd pass, no Python.
+
+    Production caveat: the re-interpreted bytes can be INVALID UTF-8 when
+    the telltale fires on genuinely-Latin-1 text -- the pair telltale used
+    here (A-tilde + continuation-range char) is the standard heuristic;
+    keep the original when a strict decode rejects the reinterpretation."""
+    flag = F.col("text").rlike(MOJIBAKE_RE)
+    repaired = F.when(
+        flag, F.decode(F.encode(F.col("text"), "ISO-8859-1"), "UTF-8")
+    ).otherwise(F.col("text"))
+    return df.select(
+        "doc_id",
+        flag.alias("had_mojibake"),
+        F.md5(repaired).alias("repaired_md5"),
+    ).orderBy("doc_id")

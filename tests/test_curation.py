@@ -527,3 +527,26 @@ def test_trustrank_flows_from_seeds_only(spark):
     pr = {r["doc_id"]: r["rank"]
           for r in lg.pagerank(docs, edges, iterations=3).collect()}
     assert pr[3] > 0 and pr[4] > 0
+
+
+def test_mojibake_repair_roundtrip(spark):
+    from pdf_parser_spark.operators import curation
+
+    moji = "price 10\u00e2\u0082\u00ac caf\u00c3\u00a9"
+    clean = "nothing wrong here"
+    latin1ish = "s\u00e9ance plain latin-1 accents stay"  # e-acute, no telltale pair
+    df = spark.createDataFrame(
+        [(1, moji), (2, clean), (3, latin1ish)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in curation.repair_mojibake(df).collect()}
+    import hashlib
+    # a-circumflex+0x82+not-sign collapses to the euro sign; the
+    # telltale pair still fires via caf\u00c3\u00a9
+    assert out[1]["had_mojibake"] is True
+    assert out[1]["repaired_md5"] == hashlib.md5(
+        "price 10\u20ac caf\u00e9".encode()).hexdigest()
+    # untouched docs keep their exact bytes
+    assert out[2]["had_mojibake"] is False
+    assert out[2]["repaired_md5"] == hashlib.md5(clean.encode()).hexdigest()
+    assert out[3]["had_mojibake"] is False  # bare accents never trigger
+    assert out[3]["repaired_md5"] == hashlib.md5(latin1ish.encode()).hexdigest()
