@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": lambda s, d: textstats.repetition_stats(_docs(s, d)),
         # corpus vocabulary report: top-10 terms per language
         "t_top_terms": lambda s, d: textstats.top_terms(_docs(s, d)),
+        # the release datasheet: per-(source, lang) docs/tokens/dup rollup
+        "t_datasheet": lambda s, d: textstats.corpus_datasheet(_docs(s, d)),
         # curriculum tiers: exact decile binning via the 4dp value histogram
         # (no global-sort ntile window)
         "c_quality_tiers": lambda s, d: curation.quality_tiers(
@@ -2221,6 +2223,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(9 + length(CAST(w AS VARCHAR))
                         + length(CAST(h AS VARCHAR)) + 3*w*h AS BIGINT) AS frame_len
             FROM fr ORDER BY doc_id, frame_index
+        """,
+        # per-(source, lang) datasheet: exact BIGINT rollups incl. the
+        # whitespace-normalized distinct-content count and dup basis points
+        "t_datasheet": f"""
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+                   CAST(sum(len({_TOKS})) // count(*) AS BIGINT) AS mean_tokens,
+                   CAST(count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS BIGINT) AS n_distinct,
+                   CAST(((count(*) - count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))) * 10000) // count(*) AS BIGINT) AS dup_bp
+            FROM documents GROUP BY source, lang ORDER BY source, lang
         """,
         # top-k terms per language, (count desc, term asc) tie-break; the
         # min_count=2 floor matches the Spark pre-filter

@@ -350,3 +350,32 @@ def top_terms(documents: DataFrame, k: int = TOP_TERMS_K, min_count: int = 2) ->
         .select("lang", "term", F.col("cnt").cast("long").alias("cnt"), "rank")
         .orderBy("lang", "rank")
     )
+
+
+def corpus_datasheet(documents: DataFrame) -> DataFrame:
+    """The release datasheet: per (source, lang) — docs, exact token sum,
+    mean tokens (integer floor), distinct-content count, and duplicate
+    fraction in basis points.  Every corpus release ships this table
+    (cf. "Datasheets for Datasets"); one groupBy with map-side combine,
+    all exact BIGINTs.
+
+    Scale: count(DISTINCT md5) is the one expensive aggregate — exact
+    distinct inside a group needs a per-group shuffle of the fingerprints.
+    At 10^12 docs swap in approx_count_distinct (HLL) and accept the
+    documented ~2% rsd — approx sketches are engine-specific, so the
+    exact form is what the cross-engine oracle checks."""
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    n_toks = F.size(words(F.col("text"))).cast("long")
+    return (
+        documents.select("source", "lang", fp.alias("fp"), n_toks.alias("t"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+            F.expr("sum(t) div count(*)").cast("long").alias("mean_tokens"),
+            F.countDistinct("fp").cast("long").alias("n_distinct"),
+            F.expr("((count(*) - count(DISTINCT fp)) * 10000) div count(*)")
+            .cast("long").alias("dup_bp"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -550,3 +550,21 @@ def test_mojibake_repair_roundtrip(spark):
     assert out[2]["repaired_md5"] == hashlib.md5(clean.encode()).hexdigest()
     assert out[3]["had_mojibake"] is False  # bare accents never trigger
     assert out[3]["repaired_md5"] == hashlib.md5(latin1ish.encode()).hexdigest()
+
+
+def test_corpus_datasheet_dup_accounting(spark):
+    from pdf_parser_spark.operators import textstats
+
+    docs = _docs(spark, [
+        (1, "a b c", "en", "s1", 1),
+        (2, "a  b   c", "en", "s1", 1),   # whitespace-normalized duplicate
+        (3, "x y", "en", "s1", 1),
+        (4, "zz", "de", "s1", 1),
+    ])
+    out = {(r["source"], r["lang"]): r
+           for r in textstats.corpus_datasheet(docs).collect()}
+    en = out[("s1", "en")]
+    assert (en["n_docs"], en["n_distinct"]) == (3, 2)
+    assert en["dup_bp"] == (3 - 2) * 10000 // 3  # 3333
+    assert en["n_tokens"] == 3 + 3 + 2 and en["mean_tokens"] == 2
+    assert out[("s1", "de")]["dup_bp"] == 0
