@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_top_terms": lambda s, d: textstats.top_terms(_docs(s, d)),
         # the release datasheet: per-(source, lang) docs/tokens/dup rollup
         "t_datasheet": lambda s, d: textstats.corpus_datasheet(_docs(s, d)),
+        # per-doc keywords: all-integer TF-IDF ordering (df asc, tf desc)
+        "t_keywords": lambda s, d: textstats.doc_keywords(_docs(s, d)),
         # curriculum tiers: exact decile binning via the 4dp value histogram
         # (no global-sort ntile window)
         "c_quality_tiers": lambda s, d: curation.quality_tiers(
@@ -2223,6 +2225,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(9 + length(CAST(w AS VARCHAR))
                         + length(CAST(h AS VARCHAR)) + 3*w*h AS BIGINT) AS frame_len
             FROM fr ORDER BY doc_id, frame_index
+        """,
+        # per-doc keywords: rank-based tf-idf (ordering identical for any
+        # monotone idf; integer keys survive the hash)
+        "t_keywords": f"""
+            WITH tf AS (
+                SELECT doc_id, unnest(list_transform({_TOKS}, t -> lower(t))) AS term
+                FROM documents
+            ), tfc AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tf GROUP BY doc_id, term
+            ), dfc AS (
+                SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tfc GROUP BY term
+            )
+            SELECT doc_id, term, tf, df, kw_rank FROM (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       CAST(row_number() OVER (
+                           PARTITION BY t.doc_id
+                           ORDER BY d.df ASC, t.tf DESC, t.term ASC
+                       ) AS BIGINT) AS kw_rank
+                FROM tfc t JOIN dfc d USING (term)
+            ) x WHERE kw_rank <= 3
+            ORDER BY doc_id, kw_rank
         """,
         # per-(source, lang) datasheet: exact BIGINT rollups incl. the
         # whitespace-normalized distinct-content count and dup basis points

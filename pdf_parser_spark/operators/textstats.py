@@ -379,3 +379,43 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+KEYWORDS_K = 3
+
+
+def doc_keywords(documents: DataFrame, k: int = KEYWORDS_K) -> DataFrame:
+    """Per-document keyword extraction: the k most DISTINCTIVE terms by the
+    all-integer TF-IDF ordering (corpus document-frequency ASC — rarer is
+    more distinctive — then term frequency DESC, then term ASC).  Rank-based
+    rarity replaces the float idf log: the ORDERING is identical for any
+    monotone idf, and integer keys are what survives the cross-engine hash.
+
+    Output: (doc_id, term, tf, df, kw_rank) — the search-index side of the
+    corpus (cf. anchor_text_index for the link side).
+
+    Plan: one explode -> per-(doc, term) count (shuffle 1, map-side
+    combined) -> per-term document frequency (shuffle 2, on the term key)
+    -> join back on term (vocabulary-sized right side; a shuffle join —
+    vocabularies outgrow broadcast at corpus scale) -> per-doc top-k window
+    (shuffle 3 on doc_id).  Every stage keys on a bounded-skew column."""
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select(
+            "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("kw_rank") <= k)
+        .select("doc_id", "term", "tf", "df", "kw_rank")
+        .orderBy("doc_id", "kw_rank")
+    )

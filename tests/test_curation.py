@@ -568,3 +568,20 @@ def test_corpus_datasheet_dup_accounting(spark):
     assert en["dup_bp"] == (3 - 2) * 10000 // 3  # 3333
     assert en["n_tokens"] == 3 + 3 + 2 and en["mean_tokens"] == 2
     assert out[("s1", "de")]["dup_bp"] == 0
+
+
+def test_doc_keywords_rank_tfidf_ordering(spark):
+    from pdf_parser_spark.operators import textstats
+
+    docs = _docs(spark, [
+        (1, "the the rare common", "en", "s", 1),
+        (2, "the common common", "en", "s", 1),
+    ])
+    out = {(r["doc_id"], r["kw_rank"]): (r["term"], r["tf"], r["df"])
+           for r in textstats.doc_keywords(docs, k=2).collect()}
+    # doc 1: 'rare' (df=1) beats 'the'/'common' (df=2) despite tf=2 for 'the'
+    assert out[(1, 1)] == ("rare", 1, 1)
+    assert out[(1, 2)] == ("the", 2, 2)   # df tie -> tf desc
+    # doc 2: only shared terms; 'common' (tf=2) beats 'the' (tf=1)
+    assert out[(2, 1)] == ("common", 2, 2)
+    assert out[(2, 2)] == ("the", 1, 2)
