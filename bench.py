@@ -205,9 +205,13 @@ def run_once(master: str, n_docs: int, with_queries: bool = True, repeats: int =
             elapsed = min(elapsed, elapsed2)
         if with_queries:
             relational_queries(spark, "/root/testdata/sf0.001")  # warmup pass
-            t1 = relational_queries(spark, SF_DIR)
-            t2 = relational_queries(spark, SF_DIR)
-            qtimes = {k: min(t1[k], t2[k]) for k in t1}
+            # best-of-3: r2 showed a contended driver host can inflate a
+            # single query 10-50x (m_transform 31s recorded vs 0.6s quiet,
+            # q5 7.2s vs 1.0s — reproduced + root-caused in BASELINE.md);
+            # three passes + the host-control brackets in main() make any
+            # residual contention visible in the artifact itself.
+            passes = [relational_queries(spark, SF_DIR) for _ in range(3)]
+            qtimes = {k: min(p[k] for p in passes) for k in passes[0]}
             qtimes.update(ann_recall(spark, SF_DIR))
         else:
             qtimes = {}
@@ -336,7 +340,16 @@ def main() -> None:
         }))
         return
 
+    # Host-contention evidence bracketing the whole run: loadavg at start
+    # (non-zero 1-min load before we launch anything = concurrent tenant)
+    # and the same md5 host-control used by the scaling mode, before and
+    # after.  r2's driver bench recorded m_transform=31s / q5=7.2s that
+    # reproduce at 0.6s / 1.0s on a quiet host — with these fields the
+    # artifact itself shows whether a number was measured under steal.
+    load_start = os.getloadavg()[0]
+    hc_before = host_control(8, iters=300_000)
     elapsed, n, qtimes = run_once(f"local[{CPUS}]", N_DOCS)
+    hc_after = host_control(8, iters=300_000)
     docs_per_sec = n / elapsed
     print(json.dumps({
         "metric": "extraction_docs_per_sec",
@@ -346,6 +359,11 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "n_docs": n,
         "cores": CPUS,
+        "host": {
+            "loadavg_1m_at_start": round(load_start, 2),
+            "md5_control_chunks_per_sec_before": round(hc_before, 2),
+            "md5_control_chunks_per_sec_after": round(hc_after, 2),
+        },
     }))
 
 
