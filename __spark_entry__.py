@@ -542,6 +542,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_frontier": lambda s, d: (lambda lg: lg.frontier_schedule(
             _docs(s, d)
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # the REAL crawl cycle: REAL Arrow extraction picks the ok docs,
+        # the quality gate picks the crawl-worthy ones, then outlinks ->
+        # PageRank -> robots ∩ quota over the surviving subgraph only
+        "g_corpus_frontier": lambda s, d: (lambda lg: lg.corpus_frontier(
+            _docs(s, d), _docs_as_pages(s, d), run_ts=RUN_TS
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # inverted anchor-text index per link target (sorted-distinct texts)
         "u_anchor_text": lambda s, d: (lambda lg: lg.anchor_text_index(
             lg.with_synthetic_html(_docs(s, d))
@@ -670,10 +676,10 @@ def oracle_sql() -> dict[str, str]:
     # of the Spark _power_iterate loop) — init/base are the only degrees of
     # freedom, same as the Spark side, so the twins cannot drift apart.
     def _rank_cte(prefix: str, col: str, init_sql: str, base_sql: str,
-                  k: int = 5) -> str:
+                  k: int = 5, nodes: str = "documents") -> str:
         cte = (
             f"{prefix}0 AS (SELECT doc_id, CAST({init_sql} AS BIGINT) "
-            f"AS {col} FROM documents)"
+            f"AS {col} FROM {nodes})"
         )
         for i in range(k):
             cte += f""",
@@ -682,7 +688,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST({base_sql}
                         + ({LG.DAMP_NUM} * coalesce(m.s, 0))
                         // {LG.DAMP_DEN} AS BIGINT) AS {col}
-            FROM documents d LEFT JOIN (
+            FROM {nodes} d LEFT JOIN (
                 SELECT e.dst AS doc_id,
                        CAST(sum(p.{col} // dg.outdeg) AS BIGINT) AS s
                 FROM {prefix}{i} p JOIN edges e ON p.doc_id = e.src
@@ -796,9 +802,11 @@ def oracle_sql() -> dict[str, str]:
 
     _track = ", ".join(f"'{k}'" for k in WU.TRACKING_KEYS)
     _sfx = ", ".join(f"'{sx}'" for sx in WU.PUBLIC_SUFFIXES)
-    _url_cte = f"""
+
+    def _url_cte_for(tbl: str) -> str:
+        return f"""
         u AS (SELECT doc_id, lang, text, source, {WU.URL_SYNTH_SQL} AS url
-              FROM documents),
+              FROM {tbl}),
         p AS (
             SELECT u.*,
                    lower(regexp_extract(url, '{WU.URL_RE}', 1)) AS scheme,
@@ -850,6 +858,54 @@ def oracle_sql() -> dict[str, str]:
             FROM hll JOIN best USING (host)
         )
     """
+
+    _url_cte = _url_cte_for("documents")
+
+    # per-host robots dim: ONE definition (weburl.ROBOTS_*_SQL) shared by
+    # every oracle that re-derives it
+    _rules_cte = f"""
+            rules AS (
+                SELECT host,
+                       {WU.ROBOTS_DISALLOW_SQL} AS disallow_prefix,
+                       {WU.ROBOTS_DELAY_SQL} AS crawl_delay_ms
+                FROM (SELECT DISTINCT host FROM canon)
+            )"""
+
+    # C4/Gopher hard-gate signals + verdict (twin of textstats.quality_gate,
+    # thresholds interpolated from the module so they cannot drift) over any
+    # docs-shaped CTE/table
+    from pdf_parser_spark.operators import textstats as TS
+
+    def _gate_cte_for(tbl: str) -> str:
+        return f"""
+            gsig AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                       length(regexp_replace(text, '\\s+', '', 'g'))
+                           / len({_TOKS}) AS mean_wl,
+                       {_hits(_EN)} AS stop_hits,
+                       (length(text) - length(replace(text, '#', '')))
+                           / len({_TOKS}) AS hash_ratio,
+                       len(list_filter(regexp_split_to_array(text, '\\n'),
+                           l -> ends_with(l, '...')))
+                           / len(regexp_split_to_array(text, '\\n')) AS ellipsis_ratio,
+                       len(list_filter(regexp_split_to_array(text, '\\n'),
+                           l -> starts_with(ltrim(l), '- ')
+                             OR starts_with(ltrim(l), '* ')))
+                           / len(regexp_split_to_array(text, '\\n')) AS bullet_ratio
+                FROM {tbl}
+            ), gated AS (
+                SELECT doc_id, concat_ws(';',
+                    CASE WHEN n_tokens < {TS.GATE_MIN_TOKENS} THEN 'too_few_tokens' END,
+                    CASE WHEN n_tokens > {TS.GATE_MAX_TOKENS} THEN 'too_many_tokens' END,
+                    CASE WHEN mean_wl < {TS.GATE_MEAN_WL_LO}
+                           OR mean_wl > {TS.GATE_MEAN_WL_HI} THEN 'word_len' END,
+                    CASE WHEN stop_hits < {TS.GATE_MIN_STOPWORD_HITS} THEN 'no_stopwords' END,
+                    CASE WHEN hash_ratio > {TS.GATE_MAX_HASH_RATIO} THEN 'hash_symbols' END,
+                    CASE WHEN ellipsis_ratio > {TS.GATE_MAX_ELLIPSIS_LINE_RATIO} THEN 'ellipsis_lines' END,
+                    CASE WHEN bullet_ratio > {TS.GATE_MAX_BULLET_LINE_RATIO} THEN 'bullet_lines' END
+                ) AS reasons
+                FROM gsig)"""
 
     return {
         "w1_event_sequence": """
@@ -1304,33 +1360,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "t_quality_gate": f"""
-            WITH sig AS (
-                SELECT doc_id,
-                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-                       length(regexp_replace(text, '\\s+', '', 'g'))
-                           / len({_TOKS}) AS mean_wl,
-                       {_hits(_EN)} AS stop_hits,
-                       (length(text) - length(replace(text, '#', '')))
-                           / len({_TOKS}) AS hash_ratio,
-                       len(list_filter(regexp_split_to_array(text, '\\n'),
-                           l -> ends_with(l, '...')))
-                           / len(regexp_split_to_array(text, '\\n')) AS ellipsis_ratio,
-                       len(list_filter(regexp_split_to_array(text, '\\n'),
-                           l -> starts_with(ltrim(l), '- ')
-                             OR starts_with(ltrim(l), '* ')))
-                           / len(regexp_split_to_array(text, '\\n')) AS bullet_ratio
-                FROM documents
-            ), gated AS (
-                SELECT doc_id, concat_ws(';',
-                    CASE WHEN n_tokens < 50 THEN 'too_few_tokens' END,
-                    CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
-                    CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 'word_len' END,
-                    CASE WHEN stop_hits < 2 THEN 'no_stopwords' END,
-                    CASE WHEN hash_ratio > 0.1 THEN 'hash_symbols' END,
-                    CASE WHEN ellipsis_ratio > 0.3 THEN 'ellipsis_lines' END,
-                    CASE WHEN bullet_ratio > 0.9 THEN 'bullet_lines' END
-                ) AS reasons
-                FROM sig)
+            WITH {_gate_cte_for("documents")}
             SELECT doc_id, (reasons = '') AS passed, reasons
             FROM gated ORDER BY doc_id
         """,
@@ -1404,11 +1434,11 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN ps ON base.doc_id = ps.doc_id
                 LEFT JOIN top2 ON base.doc_id = top2.doc_id
             )
-            SELECT *, (n_dup_lines * 100 <= n_lines * 30
-                   AND dup_lines_chars * 100 <= lines_chars * 20
-                   AND n_dup_paras * 100 <= n_paras * 30
-                   AND dup_paras_chars * 100 <= paras_chars * 20
-                   AND top2_chars * 100 <= nws_chars * 20) AS rep_passed
+            SELECT *, (n_dup_lines * 100 <= n_lines * {TS.REP_MAX_DUP_LINE_PCT}
+                   AND dup_lines_chars * 100 <= lines_chars * {TS.REP_MAX_DUP_LINE_CHAR_PCT}
+                   AND n_dup_paras * 100 <= n_paras * {TS.REP_MAX_DUP_PARA_PCT}
+                   AND dup_paras_chars * 100 <= paras_chars * {TS.REP_MAX_DUP_PARA_CHAR_PCT}
+                   AND top2_chars * 100 <= nws_chars * {TS.REP_MAX_TOP2GRAM_CHAR_PCT}) AS rep_passed
             FROM joined ORDER BY doc_id
         """,
         # streaming exact dedup held to the batch DISTINCT oracle: the
@@ -1821,13 +1851,7 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract(canonical_url, '{WU.CANON_PATH_RE}', 1) AS path
                 FROM canon
             ),
-            rules AS (
-                SELECT host,
-                       CASE WHEN len(host) % 3 = 0 THEN '/docs/'
-                            WHEN len(host) % 3 = 1 THEN '/a/' END AS disallow_prefix,
-                       CAST((len(host) % 5) * 100 AS BIGINT) AS crawl_delay_ms
-                FROM (SELECT DISTINCT host FROM canon)
-            ),
+{_rules_cte},
             alw AS (
                 SELECT c.doc_id, c.host, c.path, r.crawl_delay_ms
                 FROM cpath c JOIN rules r USING (host)
@@ -1845,10 +1869,8 @@ def oracle_sql() -> dict[str, str]:
         "u_robots_parsed": f"""
             WITH {_url_cte}
             SELECT host,
-                   coalesce(CASE WHEN len(host) % 3 = 0 THEN '/docs/'
-                                 WHEN len(host) % 3 = 1 THEN '/a/' END,
-                            '') AS disallow_prefix,
-                   CAST((len(host) % 5) * 100 AS BIGINT) AS crawl_delay_ms
+                   coalesce({WU.ROBOTS_DISALLOW_SQL}, '') AS disallow_prefix,
+                   {WU.ROBOTS_DELAY_SQL} AS crawl_delay_ms
             FROM (SELECT DISTINCT host FROM canon) h ORDER BY host
         """,
         # sitemap entries re-derived from the per-host formulas; rank order
@@ -2357,7 +2379,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY m.doc_id
         """,
         # inverted anchor-text index: same ring formulas as u_outlinks plus
-        # the per-(src,dst) anchor-text formula; sorted-distinct text set
+        # the per-(src,dst) anchor-text formula; sorted-distinct text set,
+        # sliced to the same per-target cap the engine applies (the k
+        # lexicographically-smallest distinct texts = the first k of the
+        # sorted distinct list), so a cap change can't silently diverge
         "u_anchor_text": f"""
             WITH edges AS ({_edges_sql}),
             at AS (
@@ -2366,7 +2391,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks,
                    CAST(count(DISTINCT src) AS BIGINT) AS n_srcs,
-                   array_to_string(list_sort(list_distinct(list(atext))), '|') AS texts
+                   coalesce(array_to_string(
+                       list_sort(list_distinct(list(atext)))
+                           [1:{LG.ANCHOR_MAX_TEXTS}], '|'), '') AS texts
             FROM at GROUP BY dst ORDER BY dst
         """,
         # head metadata: oracle rebuilds the identical <head> bytes, then
@@ -2394,13 +2421,7 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract(canonical_url, '{WU.CANON_PATH_RE}', 1) AS path
                 FROM canon
             ),
-            rules AS (
-                SELECT host,
-                       CASE WHEN len(host) % 3 = 0 THEN '/docs/'
-                            WHEN len(host) % 3 = 1 THEN '/a/' END AS disallow_prefix,
-                       CAST((len(host) % 5) * 100 AS BIGINT) AS crawl_delay_ms
-                FROM (SELECT DISTINCT host FROM canon)
-            ),
+{_rules_cte},
             alw AS (
                 SELECT c.doc_id, c.host, r.crawl_delay_ms
                 FROM cpath c JOIN rules r USING (host)
@@ -2418,6 +2439,66 @@ def oracle_sql() -> dict[str, str]:
             edges AS ({_edges_sql}),
             deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
             {_pr_cte},
+            fr AS (
+                SELECT a.doc_id, a.host, a.crawl_delay_ms, q.reg_domain, p.rank
+                FROM alw a JOIN quota q USING (doc_id) JOIN pr5 p USING (doc_id)
+            )
+            SELECT doc_id, host, reg_domain, rank,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY rank DESC, doc_id) AS BIGINT) AS fetch_slot,
+                   CAST((row_number() OVER (PARTITION BY host
+                        ORDER BY rank DESC, doc_id) - 1) * crawl_delay_ms
+                        AS BIGINT) AS fetch_at_ms
+            FROM fr ORDER BY doc_id
+        """,
+        # the REAL crawl cycle (r2 verdict item 2): frontier fed from the
+        # extraction funnel — frozen core-path extraction statuses pick the
+        # 'ok' docs, the quality-gate twin picks the crawl-worthy ones, and
+        # robots/quota/PageRank run over the surviving subgraph only; a
+        # drift in extraction, gate, link extraction, ranking, robots, or
+        # quota all fail this one hash
+        "g_corpus_frontier": f"""
+            WITH exp AS (SELECT * FROM {extract_cte}),
+            ok AS (
+                SELECT CAST(regexp_extract(url, '/([0-9]+)$', 1) AS BIGINT) AS doc_id
+                FROM exp WHERE status = 'ok'
+            ),
+            {_gate_cte_for("documents")},
+            crawlable AS (
+                SELECT d.* FROM documents d
+                JOIN gated g USING (doc_id)
+                WHERE g.reasons = ''
+                  AND d.doc_id IN (SELECT doc_id FROM ok)
+            ),
+            {_url_cte_for("crawlable")},
+            cpath AS (
+                SELECT doc_id, host,
+                       regexp_extract(canonical_url, '{WU.CANON_PATH_RE}', 1) AS path
+                FROM canon
+            ),
+{_rules_cte},
+            alw AS (
+                SELECT c.doc_id, c.host, r.crawl_delay_ms
+                FROM cpath c JOIN rules r USING (host)
+                WHERE r.disallow_prefix IS NULL
+                   OR NOT starts_with(c.path, r.disallow_prefix)
+            ),
+            quota AS (
+                SELECT doc_id, reg_domain FROM (
+                    SELECT c.doc_id, r.reg_domain,
+                           row_number() OVER (PARTITION BY r.reg_domain
+                                              ORDER BY c.doc_id) AS qr
+                    FROM canon c JOIN reg r USING (host)
+                ) t WHERE qr <= 5
+            ),
+            edges_all AS ({_edges_sql}),
+            edges AS (
+                SELECT src, dst FROM edges_all
+                WHERE src IN (SELECT doc_id FROM crawlable)
+                  AND dst IN (SELECT doc_id FROM crawlable)
+            ),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+            {_rank_cte("pr", "rank", str(LG.UNIT), str(LG.BASE), nodes="crawlable")},
             fr AS (
                 SELECT a.doc_id, a.host, a.crawl_delay_ms, q.reg_domain, p.rank
                 FROM alw a JOIN quota q USING (doc_id) JOIN pr5 p USING (doc_id)

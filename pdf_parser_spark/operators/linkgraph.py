@@ -78,24 +78,35 @@ def extract_outlinks(pages: DataFrame) -> DataFrame:
     )
 
 
-def anchor_text_index(pages: DataFrame) -> DataFrame:
+ANCHOR_MAX_TEXTS = 64  # per-target distinct-text cap (mega-target guard)
+
+
+def anchor_text_index(
+    pages: DataFrame, max_texts: int = ANCHOR_MAX_TEXTS
+) -> DataFrame:
     """Per-target anchor-text index: (dst, n_inlinks, n_srcs, texts).
 
     The inverted anchor-text table is the classic search-signal a crawl
     pipeline derives from the link graph (anchor text describes the TARGET
     page better than its own body — Brin & Page '98).  One JVM pass pulls
     whole ``<a ...>...</a>`` tags (regexp_extract_all, group 0), a second
-    projection splits href/text per element, then a single groupBy(dst)
-    aggregates.  ``texts`` is the '|'-joined sorted-distinct anchor-text
-    set — collect_set is unordered, so array_sort makes it deterministic
-    (and therefore oracle-hashable).
+    projection splits href/text per element, then a groupBy(dst) counts
+    ALL inlinks/sources while the text payload aggregates separately under
+    a per-target cap.
 
-    Scale: the explode is narrow; the only shuffle is groupBy(dst) with
-    map-side partial aggregation.  Anchor-text sets for mega-targets
-    (a homepage with 10^9 inlinks) would overflow collect_set — in
-    production cap per-target texts with a count-limited window or sketch
-    top-k; here the ring graph bounds in-degree by construction.
+    Mega-target guard: a homepage with 10^9 inlinks would overflow an
+    uncapped collect_set, so ``texts`` keeps only the `max_texts`
+    lexicographically-smallest DISTINCT anchor texts per target (distinct
+    -> row_number window over (dst, atext asc) -> collect_list ->
+    array_sort) — deterministic under the cap, bounded memory per key.
+    The inlink/source COUNTS are never capped; only the text payload is.
+
+    Scale: the explode is narrow; the shuffles are groupBy/window on dst
+    with map-side partial aggregation, and the capped text column bounds
+    every per-key buffer regardless of in-degree skew.
     """
+    from pyspark.sql import Window
+
     tags = F.regexp_extract_all(
         F.col("html"), F.lit(r'<a href="[^"]*">[^<]*</a>'), F.lit(0)
     )
@@ -110,15 +121,27 @@ def anchor_text_index(pages: DataFrame) -> DataFrame:
         F.nullif(
             F.regexp_extract("href", r"/doc/([0-9]+)$", 1), F.lit("")
         ).cast("long"),
-    )
-    return (
-        links.where(F.col("dst").isNotNull())
+    ).where(F.col("dst").isNotNull())
+    kept = (
+        links.select("dst", "atext").distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("dst").orderBy("atext")),
+        )
+        .where(F.col("rn") <= max_texts)
         .groupBy("dst")
         .agg(
-            F.count("*").cast("long").alias("n_inlinks"),
-            F.countDistinct("src").cast("long").alias("n_srcs"),
-            F.array_join(F.array_sort(F.collect_set("atext")), "|").alias("texts"),
+            F.array_join(F.array_sort(F.collect_list("atext")), "|")
+            .alias("texts")
         )
+    )
+    counts = links.groupBy("dst").agg(
+        F.count("*").cast("long").alias("n_inlinks"),
+        F.countDistinct("src").cast("long").alias("n_srcs"),
+    )
+    return (
+        counts.join(kept, "dst")
+        .select("dst", "n_inlinks", "n_srcs", "texts")
         .orderBy("dst")
     )
 
@@ -140,6 +163,7 @@ def _power_iterate(
     init_col,
     base_col,
     out_name: str,
+    until_converged: bool = False,
 ) -> DataFrame:
     """Shared PageRank-family dataflow: score' = base + (85 * sum(score
     div outdeg over in-edges)) div 100, iterated K times over a cached
@@ -155,7 +179,16 @@ def _power_iterate(
     ContextCleaner when the frame is GC'd, so repeated invocations don't
     accumulate session-lifetime cache entries; the edge cache is freed
     before returning.  NB the call therefore executes at construction
-    time, not first action."""
+    time, not first action.
+
+    ``until_converged=True`` adds the production early-stop: after each
+    update, count rows whose exact-integer rank CHANGED (a doc_id join of
+    consecutive iterates — integer ranks make "max delta == 0" a clean
+    equality, no epsilon) and stop when none did.  Each check costs one
+    extra join+count action, repaid whenever the graph converges before
+    the fixed budget; `iterations` becomes the upper bound.  Fixed-k
+    (default) stays the oracle-checked mode — the unrolled-CTE SQL twin
+    is a k-step formula, so the driver hash always pins the fixed-k path."""
     nodes = documents.select("doc_id")
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     ed = edges.join(deg, "src").persist()
@@ -168,13 +201,25 @@ def _power_iterate(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = nodes.join(inflow, nodes.doc_id == inflow.dst, "left").select(
+        new_ranks = nodes.join(inflow, nodes.doc_id == inflow.dst, "left").select(
             "doc_id",
             (
                 base_col
                 + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0L)) div {DAMP_DEN}")
             ).cast("long").alias("r"),
         )
+        if until_converged:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            n_changed = (
+                new_ranks.alias("n")
+                .join(ranks.alias("p"), "doc_id")
+                .where(F.col("n.r") != F.col("p.r"))
+                .count()
+            )
+            if n_changed == 0:
+                ranks = new_ranks
+                break
+        ranks = new_ranks
     out = (
         ranks.select("doc_id", F.col("r").alias(out_name))
         .orderBy("doc_id")
@@ -185,33 +230,35 @@ def _power_iterate(
 
 
 def pagerank(
-    documents: DataFrame, edges: DataFrame, iterations: int = 5
+    documents: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    until_converged: bool = False,
 ) -> DataFrame:
     """(doc_id, rank) after `iterations` exact-integer PageRank updates:
     uniform init (UNIT) and uniform teleport (BASE); nodes without inlinks
-    fall back to BASE via the left join.  See _power_iterate."""
+    fall back to BASE via the left join.  `until_converged` turns the
+    fixed budget into an upper bound (see _power_iterate)."""
     return _power_iterate(
         documents, edges, iterations,
         init_col=F.lit(UNIT), base_col=F.lit(BASE), out_name="rank",
+        until_converged=until_converged,
     )
 
 
-def frontier_schedule(
-    documents: DataFrame, per_domain: int = 5, iterations: int = 5
+def _schedule(
+    documents: DataFrame,
+    edges: DataFrame,
+    per_domain: int,
+    iterations: int,
 ) -> DataFrame:
-    """Assemble the crawl frontier end-to-end: robots-allowed pages, capped
-    at `per_domain` per registered domain, prioritized by PageRank into
-    per-host politeness queues.
+    """Shared frontier assembly over an explicit (node set, edge list):
+    robots-allowed pages, capped at `per_domain` per registered domain,
+    prioritized by PageRank into per-host politeness queues.
 
     Output: (doc_id, host, reg_domain, rank, fetch_slot, fetch_at_ms) —
     fetch_slot is the page's position in its host's queue (best rank
     first), fetch_at_ms = (slot-1) * the host's crawl delay.
-
-    This is the composition a production crawler runs every cycle; each
-    stage is the already-oracle-checked operator (weburl.robots_filter,
-    weburl.domain_quota, pagerank) and the composition itself is held to a
-    composed DuckDB oracle — so a semantics drift in ANY stage fails the
-    frontier hash too.
 
     Scale: the three doc_id joins are fact-fact — co-located when the
     corpus tables are bucketed by doc_id/url-hash (sources/pages layout);
@@ -226,7 +273,7 @@ def frontier_schedule(
     quota = weburl.domain_quota(
         weburl.with_synthetic_urls(documents), per_domain
     )
-    ranks = pagerank(documents, synthetic_edges(documents), iterations)
+    ranks = pagerank(documents, edges, iterations)
     w = Window.partitionBy("host").orderBy(F.col("rank").desc(), "doc_id")
     slot = F.row_number().over(w).cast("long")
     return (
@@ -240,6 +287,87 @@ def frontier_schedule(
         )
         .orderBy("doc_id")
     )
+
+
+def frontier_schedule(
+    documents: DataFrame, per_domain: int = 5, iterations: int = 5
+) -> DataFrame:
+    """Assemble the crawl frontier end-to-end over the whole corpus graph.
+
+    This is the composition a production crawler runs every cycle; each
+    stage is the already-oracle-checked operator (weburl.robots_filter,
+    weburl.domain_quota, pagerank) and the composition itself is held to a
+    composed DuckDB oracle — so a semantics drift in ANY stage fails the
+    frontier hash too.  See _schedule for the output contract and the
+    scale shape."""
+    return _schedule(
+        documents, synthetic_edges(documents), per_domain, iterations
+    )
+
+
+def corpus_frontier(
+    documents: DataFrame,
+    pages: DataFrame,
+    per_domain: int = 5,
+    iterations: int = 5,
+    run_ts: str = "",
+    url_id_re: str = r"/([0-9]+)$",
+) -> DataFrame:
+    """The full crawl CYCLE, frontier fed from the real extraction funnel —
+    the crawl-scale analog of the reference's per-filing lifecycle
+    (``sec_parser/cli.py:102-124``: parse, then decide what to fetch next)
+    rather than the formula-only graph of ``frontier_schedule``:
+
+      1. REAL extraction (the Arrow mapInPandas stage) over the pages
+         table; only status='ok' docs continue — fail-soft rejects
+         (scanned docs, empty payloads) drop out of this cycle.
+      2. C4/Gopher quality gate (textstats.quality_gate) over the corpus
+         text; only passing docs are crawl-worthy link sources/targets.
+      3. Outlinks from the surviving pages' html (JVM regex extraction),
+         both endpoints restricted to the crawlable set — a link into a
+         rejected or gated-out page is not scheduled this cycle.
+      4. Exact-integer PageRank over the surviving subgraph only.
+      5. robots ∩ per-domain quota ∩ rank -> per-host politeness queues.
+
+    Each stage is oracle-checked standalone; the composition is held to ONE
+    composed DuckDB oracle (extraction outputs enter it as the frozen
+    core-path expected table), so drift in ANY stage fails this hash.
+
+    Scale: extraction is the narrow salted-repartition Arrow stage; the
+    ok/gated reductions are key-only left_semi joins on doc_id (same
+    shuffle class as the dedup keeper anti-join); PageRank/robots/quota run
+    on the surviving subset, so a 90%-rejection crawl cycle costs 10% of
+    the full-graph frontier, not 100%."""
+    from pdf_parser_spark.operators.extract import extract_stage
+    from pdf_parser_spark.operators.textstats import quality_gate
+
+    ok_ids = (
+        extract_stage(pages, run_ts=run_ts)
+        .where(F.col("status") == "ok")
+        .select(
+            F.regexp_extract("url", url_id_re, 1).cast("long").alias("doc_id")
+        )
+    )
+    gated_ids = (
+        quality_gate(documents).where(F.col("passed")).select("doc_id")
+    )
+    crawlable = (
+        documents.join(ok_ids, "doc_id", "left_semi")
+        .join(gated_ids, "doc_id", "left_semi")
+    )
+    # ring edges derive from the FULL corpus html (every page's anchors
+    # exist before the funnel verdicts); the funnel then restricts both
+    # endpoints to the crawlable subset
+    edges = (
+        synthetic_edges(documents)
+        .join(
+            crawlable.select(F.col("doc_id").alias("src")), "src", "left_semi"
+        )
+        .join(
+            crawlable.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+        )
+    )
+    return _schedule(crawlable, edges, per_domain, iterations)
 
 
 HITS_ITERATIONS = 3
@@ -320,31 +448,40 @@ def graph_stats(edges: DataFrame) -> DataFrame:
     max in/out degree, and reciprocated-edge count (a<->b both present —
     the left_semi against the reversed edge list carries keys only).
     Every aggregate is an exact BIGINT; the audit runs per crawl cycle
-    next to the frontier build."""
-    e = edges.select("src", "dst").persist()  # 4 actions share ONE derivation
+    next to the frontier build.
+
+    ONE action over the persisted edge frame: the out-degree cube folds
+    edge count + distinct srcs + max outdeg into a single groupBy(src)
+    re-aggregation, the in-degree cube does dsts/indeg, and the semi-join
+    reciprocal count rides the same plan via 1-row crossJoins (the
+    documented 1-row-broadcast exception to the crossJoin ban) — the r2
+    shape ran 5 separate actions over the same cache."""
+    e = edges.select("src", "dst").persist()
     try:
-        deg_out = e.groupBy("src").agg(F.count("*").alias("d"))
-        deg_in = e.groupBy("dst").agg(F.count("*").alias("d"))
+        out_cube = e.groupBy("src").agg(F.count("*").alias("d")).agg(
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_edges"),
+            F.count("*").cast("long").alias("n_srcs"),
+            F.max("d").cast("long").alias("max_outdeg"),
+        )
+        in_cube = e.groupBy("dst").agg(F.count("*").alias("d")).agg(
+            F.count("*").cast("long").alias("n_dsts"),
+            F.max("d").cast("long").alias("max_indeg"),
+        )
         rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        n_recip = e.join(rev, ["src", "dst"], "left_semi").count()
-        row = e.agg(
-            F.count("*").cast("long").alias("n_edges"),
-            F.countDistinct("src").cast("long").alias("n_srcs"),
-            F.countDistinct("dst").cast("long").alias("n_dsts"),
-        ).collect()[0]
-        result = (
-            row["n_edges"], row["n_srcs"], row["n_dsts"],
-            deg_out.agg(F.max("d")).collect()[0][0],
-            deg_in.agg(F.max("d")).collect()[0][0],
-            n_recip,
+        recip = e.join(rev, ["src", "dst"], "left_semi").agg(
+            F.count("*").cast("long").alias("n_reciprocal")
+        )
+        out = (
+            out_cube.crossJoin(in_cube).crossJoin(recip)
+            .select(
+                "n_edges", "n_srcs", "n_dsts",
+                "max_outdeg", "max_indeg", "n_reciprocal",
+            )
+            .localCheckpoint(eager=True)  # the single action
         )
     finally:
         e.unpersist()
-    return edges.sparkSession.createDataFrame(
-        [result],
-        "n_edges long, n_srcs long, n_dsts long, "
-        "max_outdeg long, max_indeg long, n_reciprocal long",
-    )
+    return out
 
 
 TRUST_SEED_MOD = 17  # doc_id % 17 == 0 stands in for the vetted seed list

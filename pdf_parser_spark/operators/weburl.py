@@ -266,6 +266,17 @@ URL_SYNTH_SQL = """
 
 CANON_PATH_RE = r"^[a-z]+://[^/]+(/[^?]*)"
 
+# SQL twins of the robots_rules formulas (DuckDB dialect), interpolated into
+# every oracle that re-derives the per-host robots dim — one definition
+# point, so an engine-side rule change surfaces as an immediate oracle-build
+# mismatch instead of a late hash failure (anti-drift doctrine, cf.
+# URL_SYNTH_SQL / LG.LINK_PARAMS)
+ROBOTS_DISALLOW_SQL = (
+    "CASE WHEN len(host) % 3 = 0 THEN '/docs/' "
+    "WHEN len(host) % 3 = 1 THEN '/a/' END"
+)
+ROBOTS_DELAY_SQL = "CAST((len(host) % 5) * 100 AS BIGINT)"
+
 
 def robots_rules(canon: DataFrame) -> DataFrame:
     """(host, disallow_prefix, crawl_delay_ms) — deterministic per-host

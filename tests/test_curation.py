@@ -585,3 +585,64 @@ def test_doc_keywords_rank_tfidf_ordering(spark):
     # doc 2: only shared terms; 'common' (tf=2) beats 'the' (tf=1)
     assert out[(2, 1)] == ("common", 2, 2)
     assert out[(2, 2)] == ("the", 1, 2)
+
+
+def test_anchor_text_cap_binds_on_mega_target(spark):
+    # r2 verdict item 4: a high-in-degree target keeps only the max_texts
+    # lexicographically-smallest DISTINCT texts, while the counts stay exact
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    pages = spark.createDataFrame(
+        [(src, f'<a href="https://n/doc/7">t{src:02d}</a>') for src in range(5)]
+        + [(9, '<a href="https://n/doc/8">solo</a>')],
+        "doc_id long, html string",
+    )
+    out = {r["dst"]: r for r in
+           lg.anchor_text_index(pages, max_texts=3).collect()}
+    assert (out[7]["n_inlinks"], out[7]["n_srcs"]) == (5, 5)  # counts uncapped
+    assert out[7]["texts"] == "t00|t01|t02"  # 3 smallest of 5 distinct
+    assert out[8]["texts"] == "solo"  # cap never binds below k
+
+
+def test_pagerank_early_stop_equals_fixed_k(spark):
+    # r2 verdict item 8: on a converged graph (2-cycle is an exact integer
+    # fixed point after one update) the early-stop result equals fixed-k
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    docs = _docs(spark, [(i, "t", "en", "s", 1) for i in range(2)])
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    fixed = {r["doc_id"]: r["rank"]
+             for r in lg.pagerank(docs, edges, iterations=5).collect()}
+    early = {r["doc_id"]: r["rank"]
+             for r in lg.pagerank(docs, edges, iterations=5,
+                                  until_converged=True).collect()}
+    assert early == fixed
+    assert fixed == {0: lg.UNIT, 1: lg.UNIT}  # the exact fixed point
+
+
+def test_corpus_frontier_funnel_excludes_rejected_and_gated(spark):
+    # r2 verdict item 2: the composed crawl cycle schedules ONLY docs that
+    # pass BOTH the real extraction (fail-soft scanned rejection) and the
+    # quality gate
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    good = ("the quick brown fox jumps over the lazy dog and runs on " * 6).strip()
+    rows = [(i, good, "en", f"s{i % 3}", 1) for i in range(8)]
+    # doc 8: passes the gate (>=50 tokens) but extraction rejects it —
+    # 9 of its 10 form-feed pages are sparse (<50 chars) => scanned
+    rows.append((8, good + "\fx" * 9, "en", "s0", 1))
+    # doc 9: extraction ok (one dense page) but gate-fails (<50 tokens)
+    rows.append((9, "a short page with a few plain words over fifty characters", "en", "s1", 1))
+    docs = _docs(spark, rows)
+    pages = docs.select(
+        F.concat(F.lit("doc://"), "source", F.lit("/"), "doc_id").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text", "lang",
+    )
+    scheduled = {r["doc_id"]
+                 for r in lg.corpus_frontier(docs, pages, per_domain=9).collect()}
+    assert scheduled  # the surviving subgraph is non-empty
+    assert 8 not in scheduled  # extraction-rejected despite passing the gate
+    assert 9 not in scheduled  # gate-failed despite extraction ok
+    assert scheduled <= set(range(8))
