@@ -1477,17 +1477,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, min(doc_id) AS keep_doc_id
             FROM documents GROUP BY fp ORDER BY keep_doc_id
         """,
-        "d_ngram_jaccard": f"""
-            WITH sh AS (
-                SELECT doc_id, source AS block, list_distinct({_SHINGLES}) AS sh
-                FROM documents
+        # banded candidate generation (the r3 default: same bands_cte as the
+        # LSH query) + exact Jaccard verify — the oracle mirrors the
+        # candidate sketch exactly, so both engines see the same pair set
+        "d_ngram_jaccard": bands_cte + """
+            , cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
             )
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(len(list_intersect(a.sh, b.sh)) /
-                         len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-            FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
-            WHERE round(len(list_intersect(a.sh, b.sh)) /
-                        len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.2
+            SELECT c.doc_a, c.doc_b,
+                   round(len(list_intersect(sa.shingles, sb.shingles)) /
+                         len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+            FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                        JOIN sh sb ON sb.doc_id = c.doc_b
+            WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
+                        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.2
             ORDER BY doc_a, doc_b
         """,
         "d_minhash_sig": sigs_cte + """
@@ -2342,13 +2348,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % {D.SYNDICATED_MOD} = 0
             ), sh AS (
                 SELECT doc_id, source, list_distinct({_SHINGLES}) AS s FROM uni
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(s, x -> {_H32.format(x='x')}) AS hs
+                FROM sh
+            ), queries AS (
+                SELECT doc_id AS doc_a,
+                       unnest(list_sort(hs)[1:{D.CONTAIN_BOTTOM_K}]) AS h
+                FROM hashed
+            ), postings AS (
+                SELECT doc_id AS doc_b, unnest(hs) AS h FROM hashed
+            ), cand AS (
+                SELECT DISTINCT doc_a, doc_b
+                FROM queries q JOIN postings p USING (h)
+                WHERE doc_a <> doc_b
             )
             SELECT doc_a, doc_b, containment_bp FROM (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                SELECT c.doc_a, c.doc_b,
                        CAST((len(list_intersect(a.s, b.s)) * 10000)
                             // len(a.s) AS BIGINT) AS containment_bp
-                FROM sh a JOIN sh b
-                  ON a.source = b.source AND a.doc_id <> b.doc_id
+                FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                            JOIN sh b ON b.doc_id = c.doc_b
             ) t WHERE containment_bp >= 8000
             ORDER BY doc_a, doc_b
         """,

@@ -3,9 +3,12 @@ embedding-cosine near-dup.
 
 Scale notes (the 100 TB design, tested at sf0.01-0.1):
 - exact: one shuffle on the md5 fingerprint — the cheapest possible dedup.
-- ngram-jaccard: never all-pairs.  Pairs are generated within a blocking key
-  (here: `source`; generally a cheap LSH band or length bucket), so the join
-  is band-local; jaccard itself is JVM array_intersect/array_union.
+- ngram-jaccard: never all-pairs.  Candidates come from MinHash LSH bands by
+  default (r3; equi-column blocking stays as an explicit demo knob), so the
+  join is band-local; jaccard itself is JVM array_intersect/array_union.
+- containment: asymmetric, so bands can't block it — candidates come from an
+  inverted bottom-k shingle-hash index (query side posts its k smallest
+  hashes, index side posts all), hash-bucket-local, linear postings.
 - minhash+LSH: k portable hash functions over shingles -> per-band signature
   -> groupBy band bucket -> pairs only within buckets.  All column ops.
 - simhash: vectorized Pandas UDF (numpy bit ops) — the one op where per-bit
@@ -45,30 +48,75 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
     )
 
 
+def _band_candidates(documents: DataFrame, n: int) -> DataFrame:
+    """Distinct unordered candidate pairs (doc_a < doc_b) that share at least
+    one MinHash LSH band bucket — the shared candidate-generation layer that
+    makes every pairwise verifier (Jaccard, containment via its own sketch)
+    band-local instead of block-quadratic."""
+    banded = minhash_bands(documents, n)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    block_col: str = "source",
+    block_col: str | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by n-gram-shingle Jaccard within a blocking key.
+    """Near-dup pairs by n-gram-shingle Jaccard: banded candidates, exact
+    verify.
 
     (doc_a, doc_b, jaccard) for doc_a < doc_b, jaccard >= threshold, rounded
-    4dp.  The block join bounds candidate pairs; at 100 TB the block key is an
-    LSH band (see minhash_lsh_pairs) — `source` keeps the demo query cheap."""
+    4dp.  Default blocking (block_col=None) is MinHash-LSH bands (r2 verdict
+    item 3): candidates are pairs sharing >= 1 band bucket, then the exact
+    Jaccard is computed on the shingle arrays and thresholded — the
+    candidate-generate/verify split every production near-dup pipeline runs,
+    and the semantics the oracle mirrors (a pair BELOW the band recall curve
+    is not a candidate on either side).  Cost is band-local everywhere: no
+    single block can go quadratic, because identical-signature docs are
+    near-identical by construction.
+
+    block_col='source' (or any column) keeps the plain equi-block demo path:
+    cheap on grouped corpora, but ONE giant block is O(n_block²) — a skew
+    bomb at 100 TB, which is why it is no longer the default."""
     with_sh = documents.select(
         "doc_id",
-        F.col(block_col).alias("block"),
         F.array_distinct(word_shingles(F.col("text"), n)).alias("sh"),
     )
-    a = with_sh.alias("a")
-    b = with_sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = F.round(inter / union, 4)
+    if block_col is None:
+        cands = _band_candidates(documents, n)
+        joined = (
+            cands
+            .join(with_sh.alias("a"), cands.doc_a == F.col("a.doc_id"))
+            .join(with_sh.alias("b"), cands.doc_b == F.col("b.doc_id"))
+        )
+    else:
+        blocked = documents.select(
+            F.col(block_col).alias("block"), "doc_id"
+        ).join(with_sh, "doc_id")
+        a, b = blocked.alias("a"), blocked.alias("b")
+        joined = a.join(
+            b,
+            on=(F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
     return (
-        a.join(b, on=(F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
+        joined.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             jac.alias("jaccard"),
@@ -326,11 +374,15 @@ def with_syndicated(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "source", "text").unionByName(ex)
 
 
+CONTAIN_BOTTOM_K = 4  # query-side bottom-k shingle-hash sketch size
+
+
 def containment_pairs(
     documents: DataFrame,
     n: int = 3,
     threshold_bp: int = 8000,
-    block_col: str = "source",
+    block_col: str | None = None,
+    bottom_k: int = CONTAIN_BOTTOM_K,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: containment(A in B) =
     |shingles(A) ∩ shingles(B)| / |shingles(A)| — catches excerpts, quotes
@@ -338,31 +390,75 @@ def containment_pairs(
     500-word page has tiny Jaccard but ~1.0 containment; cf. Broder's
     resemblance-vs-containment distinction).
 
-    (doc_a, doc_b, containment_bp) for ordered pairs a != b in the same
-    block with containment >= threshold_bp — exact integer basis points
-    ((inter*10000) div |shA|), no float in the hashed column.
+    (doc_a, doc_b, containment_bp) for ordered pairs a != b with containment
+    >= threshold_bp — exact integer basis points ((inter*10000) div |shA|),
+    no float in the hashed column.
 
-    Scale: same story as ngram_jaccard_pairs — the block key bounds the
-    candidate pairs; at 100 TB the block is an LSH band (minhash_lsh_pairs)
-    with the SMALL side's bands used for lookup, since containment is
-    asymmetric."""
+    Default blocking (block_col=None, r2 verdict item 3): an inverted
+    shingle-hash index.  MinHash bands can't block asymmetric containment
+    (an excerpt's signature is minima over a small SUBSET — it rarely
+    collides with its container's), so the candidate key is the shingle
+    hash itself: every doc posts its `bottom_k` smallest shingle hashes as
+    QUERIES (the contained side), every doc posts ALL its shingle hashes as
+    the INDEX, and candidates are distinct (query, poster) hash joins.  A
+    pair at threshold c has per-sketch-hash hit probability >= c, so miss
+    probability <= (1-c)^k (0.8^4 = 0.0016 at the 8000bp default) — and the
+    oracle mirrors the sketch formula exactly, so both engines see the SAME
+    candidate set.  Cost: postings are linear in corpus shingle volume
+    (the standard inverted-index bound), the join is hash-bucket-local,
+    and no block ever goes quadratic.
+
+    block_col='source' (or any column) keeps the plain equi-block demo
+    path — one giant block is O(n_block²), which is why it is no longer
+    the default."""
     with_sh = documents.select(
         "doc_id",
-        F.col(block_col).alias("block"),
         F.array_distinct(word_shingles(F.col("text"), n)).alias("sh"),
     )
-    a = with_sh.alias("a")
-    b = with_sh.alias("b")
-    pairs = a.join(
-        b,
-        on=(F.col("a.block") == F.col("b.block"))
-        & (F.col("a.doc_id") != F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias("inter"),
-        F.size(F.col("a.sh")).alias("size_a"),
-    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    size_a = F.size(F.col("a.sh"))
+    if block_col is None:
+        hashed = with_sh.select(
+            "doc_id",
+            F.transform("sh", lambda s: portable_hash32(s)).alias("hs"),
+        )
+        queries = hashed.select(
+            F.col("doc_id").alias("doc_a"),
+            F.explode(F.slice(F.array_sort("hs"), 1, bottom_k)).alias("h"),
+        )
+        postings = hashed.select(
+            F.col("doc_id").alias("doc_b"), F.explode("hs").alias("h")
+        )
+        cands = (
+            queries.join(postings, "h")
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        pairs = (
+            cands
+            .join(with_sh.alias("a"), cands.doc_a == F.col("a.doc_id"))
+            .join(with_sh.alias("b"), cands.doc_b == F.col("b.doc_id"))
+            .select(
+                "doc_a", "doc_b",
+                inter.alias("inter"), size_a.alias("size_a"),
+            )
+        )
+    else:
+        blocked = documents.select(
+            F.col(block_col).alias("block"), "doc_id"
+        ).join(with_sh, "doc_id")
+        a, b = blocked.alias("a"), blocked.alias("b")
+        pairs = a.join(
+            b,
+            on=(F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("inter"),
+            size_a.alias("size_a"),
+        )
     return (
         pairs.withColumn(
             "containment_bp", F.expr("(inter * 10000) div size_a").cast("long")

@@ -646,3 +646,27 @@ def test_corpus_frontier_funnel_excludes_rejected_and_gated(spark):
     assert 8 not in scheduled  # extraction-rejected despite passing the gate
     assert 9 not in scheduled  # gate-failed despite extraction ok
     assert scheduled <= set(range(8))
+
+
+def test_banded_blocking_defuses_single_source_quadratic(spark):
+    # r2 verdict item 3: one giant source must NOT produce O(n^2) candidate
+    # pairs under the new default blocking, while true near-dups in that
+    # same source are still caught
+    from pdf_parser_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, "onesource", " ".join(f"u{i}w{j}" for j in range(30)))
+            for i in range(40)]                      # pairwise-disjoint vocab
+    rows += [(100, "onesource", base), (101, "onesource", base + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # banded candidates: only the engineered near-dup pair survives — the 40
+    # dissimilar same-source docs contribute ZERO candidates (source-blocking
+    # would have generated C(42,2) = 861)
+    cands = dedup._band_candidates(docs, 3).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in cands] == [(100, 101)]
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(100, 101)]
+    # containment's inverted bottom-k index: same property (candidates are
+    # hash-co-occurrence only, never block-quadratic)
+    cpairs = dedup.containment_pairs(docs, threshold_bp=8000).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in cpairs} == {(100, 101), (101, 100)}
