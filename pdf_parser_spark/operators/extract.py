@@ -89,11 +89,19 @@ def _extract_batches(run_ts: str):
 def salted_repartition(
     pages: DataFrame, num_partitions: int | None = None, salt_buckets: int = 8
 ) -> DataFrame:
-    """Repartition by xxhash64(url) + a per-row salt derived from the url tail.
+    """Repartition by xxhash64(url) + a content-derived per-row salt.
 
-    Pure hash partitioning already spreads urls, but a pathological heavy host
-    with near-identical urls can still skew map work at 10^12 scale; the salt
-    term breaks residual clustering.  Cheap column ops — no Python.
+    xxhash64 already spreads DISTINCT urls uniformly (avalanche), so the
+    skew that actually survives url hashing at 10^12 scale is the SAME url
+    appearing many times — recrawls, mirror fetches, redirect duplicates: a
+    heavy host's front page recrawled 10^6 times all lands on one task.
+    The salt therefore mixes in what distinguishes those rows — the content
+    columns' length and first bytes (one JVM hash over a 64-byte prefix, not
+    a full-payload rehash of the corpus) — spreading recrawl copies across
+    `salt_buckets` tasks.  Byte-identical duplicates are irreducible by ANY
+    deterministic salt and are removed upstream by dedup_pages
+    (operators/pipeline.py), which hashes the full payload anyway.  Cheap
+    column ops — no Python; placement-only, so results never depend on it.
 
     Partition count defaults to 12 tasks per core: per-document cost varies
     ~10x with document family, so coarse tasks leave cores idle in the last
@@ -106,8 +114,15 @@ def salted_repartition(
         DEFAULT_SHUFFLE_PARTITIONS,
         12 * pages.sparkSession.sparkContext.defaultParallelism,
     )
+    salt_inputs = [F.col("url"), F.lit("salt")]
+    for c in ("text", "html"):
+        if c in pages.columns:
+            salt_inputs += [
+                F.length(F.col(c)),
+                F.expr(f"substring({c}, 1, 64)"),
+            ]
     salted = F.xxhash64(F.col("url")) + F.pmod(
-        F.xxhash64(F.col("url"), F.lit("salt")), F.lit(salt_buckets)
+        F.xxhash64(*salt_inputs), F.lit(salt_buckets)
     )
     return pages.repartition(n, salted)
 

@@ -305,3 +305,31 @@ def test_frontier_broadcasts_dims_no_cartesian(spark):
     p = plan(lg.frontier_schedule(docs, iterations=1))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_salt_spreads_recrawl_duplicates_vs_unsalted(spark):
+    """The with/without-salt evidence the north rule's 'salted repartition
+    for skewed hosts' names (r2 verdict item 5): a heavy host's front page
+    recrawled 200x (content drifting per fetch) lands on ONE task under
+    pure xxhash64(url) — the content-derived salt spreads it across the
+    salt buckets, flattening per-task input-row counts."""
+    from pdf_parser_spark.operators.extract import salted_repartition
+
+    rows = [("https://heavy.example.com/", f"fetch {i} of the front page body")
+            for i in range(200)]
+    rows += [(f"https://ok{i}.example.com/p", f"doc body {i}") for i in range(100)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+
+    def heavy_spread(df):
+        return (
+            df.where(F.col("url") == "https://heavy.example.com/")
+            .select(F.spark_partition_id().alias("p"))
+            .groupBy("p").count().collect()
+        )
+
+    unsalted = heavy_spread(pages.repartition(16, F.xxhash64("url")))
+    assert len(unsalted) == 1 and unsalted[0]["count"] == 200  # the straggler
+
+    salted = heavy_spread(salted_repartition(pages, num_partitions=16))
+    assert len(salted) >= 5, salted  # spread across the salt buckets...
+    assert max(r["count"] for r in salted) <= 60, salted  # ...and flattened
