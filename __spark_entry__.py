@@ -343,6 +343,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_top_terms": lambda s, d: textstats.top_terms(_docs(s, d)),
         # the release datasheet: per-(source, lang) docs/tokens/dup rollup
         "t_datasheet": lambda s, d: textstats.corpus_datasheet(_docs(s, d)),
+        # 10^12 face: HLL distinct instead of the exact fingerprint shuffle.
+        # No oracle ON PURPOSE (rows-only): HLL++ register layouts are
+        # engine-specific, so cross-engine equality is undefined — pytest
+        # holds it to a DATASHEET_HLL_RSD band against the exact form
+        "t_datasheet_approx": lambda s, d: textstats.corpus_datasheet_approx(
+            _docs(s, d)
+        ),
         # per-doc keywords: all-integer TF-IDF ordering (df asc, tf desc)
         "t_keywords": lambda s, d: textstats.doc_keywords(_docs(s, d)),
         # curriculum tiers: exact decile binning via the 4dp value histogram
@@ -384,6 +391,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "s_ann_brute": lambda s, d: similarity.brute_force_topk(_emb(s, d)),
         "s_ann_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d)),
+        # fit-on-sample mode: Lloyd rounds touch only the md5-deterministic
+        # 25% sample; the oracle's frozen numpy twin applies the same filter
+        "s_ann_ivf_samplefit": lambda s, d: similarity.ivf_topk(
+            _emb(s, d),
+            centroids=similarity.kmeans_fit(
+                _emb(s, d), sample_bp=similarity.KMEANS_SAMPLE_BP
+            ),
+        ),
         "s_ann_lsh": lambda s, d: similarity.lsh_topk(_emb(s, d)),
         # --- multimodal plumbing (oracle-checked byte stats face) ---
         "m_binary_stats": lambda s, d: multimodal.binary_stats(_docs(s, d)),
@@ -793,11 +808,63 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") AS c(cl, cv))"
     )
+    sample_cents_cte = (
+        "(SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {c}::DOUBLE[])"
+            for i, c in enumerate(E.KMEANS_SAMPLE_CENTROIDS)
+        )
+        + ") AS c(cl, cv))"
+    )
+
+    # IVF oracle, parameterized by the quantizer CTE: assignment + nprobe=2
+    # probing from the frozen centroid literals; squared distances via the
+    # same elementwise (x-y)^2 left-fold shape as the Spark column expression.
+    # The Spark query fits its OWN centroids via distributed Lloyd (full or
+    # md5-sample), so a fit divergence hash-mismatches here.
+    def _ivf_sql(cte: str) -> str:
+        return f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (SELECT * FROM {cte}),
+            dists AS (
+                SELECT e.vec_id, c.cl,
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+                FROM emb e CROSS JOIN cents c
+            ), assign AS (
+                SELECT vec_id, cl AS cell FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cl ASC) AS rn
+                    FROM dists) WHERE rn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, cl AS probe FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cl ASC) AS rn
+                    FROM dists WHERE vec_id < 10) WHERE rn <= 2
+            ), scored AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       round(list_dot_product(q.v, n.v) /
+                             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 4) AS cos_sim
+                FROM probes p
+                JOIN assign a ON a.cell = p.probe
+                JOIN emb q ON q.vec_id = p.query_id
+                JOIN emb n ON n.vec_id = a.vec_id
+                WHERE a.vec_id != p.query_id
+            )
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """
 
     # shared URL CTEs: synthesize the deterministic url column, parse with
     # the same URL_RE six-group regex, canonicalize under the same rules,
     # and resolve registered domains on the distinct-host dim exactly as
     # weburl.registered_domain does (longest matching suffix, <= 3 labels)
+    from pdf_parser_spark.operators import multimodal as MM
     from pdf_parser_spark.operators import weburl as WU
 
     _track = ", ".join(f"'{k}'" for k in WU.TRACKING_KEYS)
@@ -1556,45 +1623,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             WHERE rank <= 3 ORDER BY query_id, rank
         """,
-        # IVF with the FITTED quantizer: assignment + nprobe=2 probing from
-        # the frozen centroid literals; squared distances via the same
-        # elementwise (x-y)^2 left-fold shape as the Spark column expression
-        "s_ann_ivf": f"""
-            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cents AS (SELECT * FROM {cents_cte}),
-            dists AS (
-                SELECT e.vec_id, c.cl,
-                       list_sum(list_transform(range(1, len(e.v) + 1),
-                                i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
-                FROM emb e CROSS JOIN cents c
-            ), assign AS (
-                SELECT vec_id, cl AS cell FROM (
-                    SELECT *, row_number() OVER (PARTITION BY vec_id
-                             ORDER BY d2 ASC, cl ASC) AS rn
-                    FROM dists) WHERE rn = 1
-            ), probes AS (
-                SELECT vec_id AS query_id, cl AS probe FROM (
-                    SELECT *, row_number() OVER (PARTITION BY vec_id
-                             ORDER BY d2 ASC, cl ASC) AS rn
-                    FROM dists WHERE vec_id < 10) WHERE rn <= 2
-            ), scored AS (
-                SELECT p.query_id, a.vec_id AS neighbor_id,
-                       round(list_dot_product(q.v, n.v) /
-                             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 4) AS cos_sim
-                FROM probes p
-                JOIN assign a ON a.cell = p.probe
-                JOIN emb q ON q.vec_id = p.query_id
-                JOIN emb n ON n.vec_id = a.vec_id
-                WHERE a.vec_id != p.query_id
-            )
-            SELECT query_id, neighbor_id, cos_sim,
-                   CAST(rank AS INT) AS rank
-            FROM (
-                SELECT *, row_number() OVER (PARTITION BY query_id
-                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-                FROM scored)
-            WHERE rank <= 3 ORDER BY query_id, rank
-        """,
+        "s_ann_ivf": _ivf_sql(cents_cte),
+        # fit-on-sample IVF: Spark fits Lloyd on the md5-deterministic 25%
+        # sample (similarity.KMEANS_SAMPLE_BP); the oracle probes from the
+        # numpy sample-twin literals
+        "s_ann_ivf_samplefit": _ivf_sql(sample_cents_cte),
         # Random-hyperplane LSH: the oracle RE-DERIVES the md5 planes in SQL
         # (no frozen literals), rebuilds the packed sign signature with the
         # same 6dp projection rounding, bands it, and re-ranks collided
@@ -2237,13 +2270,20 @@ def oracle_sql() -> dict[str, str]:
         # sampled frames recomputed from the stream-synthesis formulas:
         # frame f of doc d has raster byte i = (i*11 + d + f) % 256 and
         # dims (4+d%8, 4+(d//7)%8); sampling keeps frames 0,2,4,...
-        "m_frame_sample": """
+        "m_frame_sample": f"""
             WITH p AS (
                 SELECT doc_id, 4 + doc_id % 8 AS w, 4 + (doc_id // 7) % 8 AS h,
                        3 + doc_id % 4 AS nf
                 FROM documents
             ), fr AS (
-                SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS fi FROM p
+                -- every Nth frame, capped at max_frames kept frames — the
+                -- knobs interpolate from multimodal so the cap can't drift
+                SELECT doc_id, w, h, nf,
+                       unnest(range(0,
+                           least(nf, {MM.SAMPLE_EVERY_DEFAULT}
+                                     * {MM.MAX_FRAMES_DEFAULT}),
+                           {MM.SAMPLE_EVERY_DEFAULT})) AS fi
+                FROM p
             )
             SELECT doc_id, CAST(fi AS BIGINT) AS frame_index,
                    CAST(nf AS BIGINT) AS n_frames,

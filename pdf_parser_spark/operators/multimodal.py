@@ -282,8 +282,16 @@ def resize_images(
     return df.select("doc_id", payload_col).mapInPandas(fn, schema=RESIZE_SCHEMA)
 
 
+# frame-sampling knobs, shared with the m_frame_sample oracle (anti-drift:
+# the SQL twin interpolates these so a knob change can never silently
+# diverge engine vs oracle — ADVICE r2)
+SAMPLE_EVERY_DEFAULT = 2
+MAX_FRAMES_DEFAULT = 8
+
+
 def sample_frames(
-    df: DataFrame, every_ms: int = 1000, max_frames: int = 8, payload_col: str = "payload"
+    df: DataFrame, every_ms: int = 1000,
+    max_frames: int = MAX_FRAMES_DEFAULT, payload_col: str = "payload"
 ) -> DataFrame:
     """mapInPandas frame-sampling stage for video-like payloads: one input row
     fans out to <= max_frames rows (doc_id, frame_index, frame_ts_ms, payload).
@@ -611,7 +619,8 @@ SAMPLE_SCHEMA = (
 
 
 def sample_ppm_frames(
-    df: DataFrame, every: int = 2, max_frames: int = 8,
+    df: DataFrame, every: int = SAMPLE_EVERY_DEFAULT,
+    max_frames: int = MAX_FRAMES_DEFAULT,
     payload_col: str = "payload",
 ) -> DataFrame:
     """mapInPandas frame-sampling over REAL P6 streams: one input row fans

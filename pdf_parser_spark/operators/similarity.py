@@ -70,6 +70,18 @@ def brute_force_topk(
 KMEANS_K = 8
 KMEANS_ITERS = 5
 KMEANS_ROUND_DP = 6
+# sample-fit basis points: fit the quantizer on the md5-deterministic 25%
+# of vectors (the fit-on-sample mode the 10^12 story requires — Lloyd rounds
+# touch the sample, assignment touches the corpus once)
+KMEANS_SAMPLE_BP = 2500
+
+
+def _sample_pred(bp: int):
+    """Deterministic portable row sample: md5(vec_id) % 10000 < bp.  md5 is
+    bit-identical across Spark, DuckDB, and Python (portable-hash doctrine),
+    so the oracle's numpy twin selects the exact same rows."""
+    h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+    return (h.cast("long") % 10000) < bp
 
 
 def _sq_dist(v, centroid: list[float]):
@@ -91,14 +103,29 @@ def kmeans_fit(
     k: int = KMEANS_K,
     max_iter: int = KMEANS_ITERS,
     dp: int = KMEANS_ROUND_DP,
+    sample_bp: int | None = None,
 ) -> list[list[float]]:
     """Lloyd iterations: assign (JVM column ops) -> mean per (cluster, dim)
     (posexplode + one partial-agg groupBy) -> round -> repeat.  Converged or
-    max_iter.  Empty clusters keep their previous centroid."""
+    max_iter.  Empty clusters keep their previous centroid.
+
+    ``sample_bp`` switches on fit-on-sample: every Lloyd round touches only
+    the md5-deterministic ``sample_bp``/10000 fraction of vectors.  Seeds
+    stay the k lowest vec_ids of the FULL table — fetching k known rows is
+    an O(k) pushed-down lookup, not a corpus pass, and keeping the seed set
+    identical to the full fit means the sample changes only the means, not
+    the basin each centroid starts in (measured recall@3 at sf0.1 matches
+    the full fit; sample-seeded fits lose whole clusters when two low
+    sampled ids share a basin).  At 10^12 rows this is the only viable fit —
+    the corpus is touched once, at assignment time inside ivf_topk, never
+    during the iterations.  Persist the result with save_centroids so later
+    queries skip the fit entirely."""
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     seeds = emb.orderBy("vec_id").limit(k).collect()
+    if sample_bp is not None:
+        emb = emb.where(_sample_pred(sample_bp))
     centroids = [[round(float(x), dp) for x in r["v"]] for r in seeds]
     dim = len(centroids[0])
     for _ in range(max_iter):
@@ -116,6 +143,23 @@ def kmeans_fit(
             break
         centroids = new
     return centroids
+
+
+def save_centroids(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist a fitted quantizer as a (cluster, centroid) parquet table so
+    the fit cost is paid once and amortized over every later ivf_topk call
+    (the docstring's 10^12 amortization, now a real mode).  k x dim doubles:
+    one file, broadcast-sized forever."""
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    """Read back a save_centroids table in cluster order."""
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    return [[float(x) for x in r["centroid"]] for r in rows]
 
 
 def ivf_topk(

@@ -381,6 +381,38 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
     )
 
 
+# HLL relative standard deviation for the approx datasheet: 0.02 needs
+# 2^~12 registers — a fixed few-KiB sketch per group vs an exact-distinct
+# shuffle of every fingerprint (the 10^12 swap corpus_datasheet documents)
+DATASHEET_HLL_RSD = 0.02
+
+
+def corpus_datasheet_approx(documents: DataFrame) -> DataFrame:
+    """The 10^12-scale face of corpus_datasheet: identical group keys and
+    exact counters, but distinct-content counting via HyperLogLog++
+    (approx_count_distinct at DATASHEET_HLL_RSD) instead of an exact
+    per-group fingerprint shuffle.  An HLL sketch is a fixed-size register
+    array with a map-side-combinable merge, so the distinct count costs the
+    same one partial-agg groupBy as the plain counters — no second shuffle
+    keyed on the fingerprint.  Sketch internals are engine-specific, so this
+    face is held to a tolerance band against the exact form in pytest (and
+    rows-only by the driver); the exact form stays the cross-engine oracle."""
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    n_toks = F.size(words(F.col("text"))).cast("long")
+    return (
+        documents.select("source", "lang", fp.alias("fp"), n_toks.alias("t"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+            F.expr("sum(t) div count(*)").cast("long").alias("mean_tokens"),
+            F.approx_count_distinct("fp", DATASHEET_HLL_RSD)
+            .cast("long").alias("n_distinct_approx"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 KEYWORDS_K = 3
 
 

@@ -193,11 +193,21 @@ def _file_stats(path: str) -> dict:
 
 def _may_match(stats: dict, col: str, op: str, value) -> bool:
     """Can a file whose column range is [min,max] contain a matching row?
-    Unknown column/stats -> True (never wrongly prune)."""
+    Unknown column/stats -> True (never wrongly prune).  Same rule for a
+    predicate value whose type can't be compared with the stored footer
+    stat (int vs decoded-string min/max): pruning is an optimization, so
+    an incomparable pair falls back to reading the file — never a raise,
+    never a wrong prune (ADVICE r2)."""
     s = stats.get(col)
     if not s:
         return True
     lo, hi = s["min"], s["max"]
+    num = (int, float)
+    comparable = (
+        isinstance(value, num) and isinstance(lo, num) and isinstance(hi, num)
+    ) or (isinstance(value, str) and isinstance(lo, str) and isinstance(hi, str))
+    if not comparable:
+        return True
     if op == "=":
         return lo <= value <= hi
     if op == "<":
@@ -236,9 +246,18 @@ def scan_table(
         df = spark.read.parquet(*all_files).limit(0)
     else:
         df = spark.read.parquet(*keep)
-    ops = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+    # Column-op filters, not string interpolation: Python repr quoting is
+    # not Spark SQL quoting (backslashes / embedded quotes mis-parse), and
+    # F.lit carries the value's type straight through (ADVICE r2)
+    ops = {
+        "=": lambda c, v: F.col(c) == F.lit(v),
+        "<": lambda c, v: F.col(c) < F.lit(v),
+        "<=": lambda c, v: F.col(c) <= F.lit(v),
+        ">": lambda c, v: F.col(c) > F.lit(v),
+        ">=": lambda c, v: F.col(c) >= F.lit(v),
+    }
     for c, op, val in preds:
-        df = df.where(F.expr(f"{c} {ops[op]} {val!r}"))
+        df = df.where(ops[op](c, val))
     return df, len(keep), len(all_files)
 
 

@@ -16,8 +16,10 @@ payload are carved out with ``split(limit=3)``/``regexp_extract`` column
 ops — zero Python in the parse.
 
 Write path (the synthesizer for tests/benchmarks) renders each record as
-one string column and appends per-partition ``.warc`` files from the
-executors — the standard one-file-per-task archive sink shape.
+one string column and writes through Spark's text sink with the record
+terminator as ``lineSep`` — one file per task via the Hadoop FileSystem
+API (task-temp + commit), so the sink works on distributed filesystems,
+not just a driver-shared local disk.
 """
 
 from __future__ import annotations
@@ -64,34 +66,30 @@ def warc_records(documents: DataFrame) -> DataFrame:
 
 
 def write_warc(documents: DataFrame, out_dir: str, n_files: int = 4) -> str:
-    """Write records as ``part-NNNNN.warc`` files, one per task, records
-    range-partitioned and sorted by doc_id so output bytes are deterministic.
-    Executor-side writes (foreachPartition) — no driver collect.
+    """Write records as one part file per task, records range-partitioned
+    and sorted by doc_id so output bytes are deterministic.
 
-    The directory is CLEARED first (overwrite semantics, like the jsonl
-    connector's .mode("overwrite")): stale part files from a previous or
-    crashed run would otherwise be globbed back in by read_warc as phantom
-    records."""
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
-    recs = (
+    The sink is Spark's own distributed text writer: each row is a full
+    record WITHOUT its two-CRLF terminator, and ``lineSep='\\r\\n\\r\\n'``
+    supplies the terminator after every record (including the last), so the
+    bytes are spec-identical to hand-concatenated records.  Going through
+    ``df.write`` (not ``open()`` inside foreachPartition — the r2 ADVICE
+    bug) means executors write via the Hadoop FileSystem API with task-temp
+    + commit: the sink works on HDFS/S3A/any cluster FS, crashed tasks
+    leave no partial files, and ``mode('overwrite')`` clears stale parts
+    from a previous run that read_warc would otherwise glob back in as
+    phantom records."""
+    (
         warc_records(documents)
         .repartitionByRange(n_files, "doc_id")
         .sortWithinPartitions("doc_id")
+        .select(
+            F.regexp_replace("record", r"\r\n\r\n$", "").alias("value")
+        )
+        .write.mode("overwrite")
+        .option("lineSep", "\r\n\r\n")
+        .text(out_dir)
     )
-
-    def _write(it):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}.warc")
-        with open(path, "w", encoding="utf-8", newline="") as f:
-            for row in it:
-                f.write(row["record"])
-
-    recs.foreachPartition(_write)
     return out_dir
 
 

@@ -570,6 +570,30 @@ def test_corpus_datasheet_dup_accounting(spark):
     assert out[("s1", "de")]["dup_bp"] == 0
 
 
+def test_corpus_datasheet_approx_within_hll_band(spark):
+    """The HLL face (VERDICT r2 item 7): identical exact counters, and
+    n_distinct_approx within a few rsd of the exact distinct count per
+    group at sf0.001 — the tolerance the 10^12 swap is allowed to cost."""
+    from pdf_parser_spark.operators import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {(r["source"], r["lang"]): r
+             for r in textstats.corpus_datasheet(docs).collect()}
+    approx = {(r["source"], r["lang"]): r
+              for r in textstats.corpus_datasheet_approx(docs).collect()}
+    assert set(exact) == set(approx)
+    for key, e in exact.items():
+        a = approx[key]
+        # the exact columns must be bit-identical between the two faces
+        assert (a["n_docs"], a["n_tokens"], a["mean_tokens"]) == (
+            e["n_docs"], e["n_tokens"], e["mean_tokens"])
+        # HLL++ error is ~rsd; allow 5x the configured band (plus the
+        # integer floor at tiny groups) so the test pins magnitude, not luck
+        tol = max(2.0, 5 * textstats.DATASHEET_HLL_RSD * e["n_distinct"])
+        assert abs(a["n_distinct_approx"] - e["n_distinct"]) <= tol, (
+            key, a["n_distinct_approx"], e["n_distinct"])
+
+
 def test_doc_keywords_rank_tfidf_ordering(spark):
     from pdf_parser_spark.operators import textstats
 

@@ -670,6 +670,71 @@ def test_lsh_topk_identical_and_opposite_vectors(spark):
     assert not any(q == 2 and n in (0, 1) for (q, _), (n, _s) in got.items())
 
 
+def test_kmeans_sample_fit_and_persisted_centroids(spark, tmp_path):
+    """Fit-on-sample (VERDICT r2 item 6): (a) the md5-deterministic sample
+    fit matches its numpy twin exactly (same seeds-within-sample, same
+    rounding), (b) recall@3 of sample-fit IVF is within 0.05 of the full
+    fit, (c) save/load round-trips the quantizer so ivf_topk(loaded) is
+    byte-identical to ivf_topk(fitted) — the amortized-fit mode."""
+    import hashlib
+
+    import numpy as np
+
+    from pdf_parser_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.kmeans_fit(emb, sample_bp=S.KMEANS_SAMPLE_BP)
+
+    # (a) numpy twin: full-table seeds, md5-sample Lloyd rounds
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    Xall = np.asarray([v for _, v in rows], dtype=np.float64)
+    twin = np.round(Xall[:S.KMEANS_K].copy(), S.KMEANS_ROUND_DP)
+    X = np.asarray(
+        [v for i, v in rows
+         if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+         < S.KMEANS_SAMPLE_BP],
+        dtype=np.float64,
+    )
+    assert 0 < len(X) < len(rows)  # the sample filter actually bites
+    for _ in range(S.KMEANS_ITERS):
+        d2 = ((X[:, None, :] - twin[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        new = twin.copy()
+        for c in range(S.KMEANS_K):
+            if (assign == c).any():
+                new[c] = X[assign == c].mean(0)
+        new = np.round(new, S.KMEANS_ROUND_DP)
+        if (new == twin).all():
+            break
+        twin = new
+    assert cents == [[float(x) for x in row] for row in twin]
+
+    # (b) recall@3 within 0.05 of the full fit — at sf0.1 (the VERDICT
+    # criterion's scale; 10-query recall at smaller sf is seed-noise)
+    emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb1).collect()}
+    full = S.kmeans_fit(emb1)
+    samp = S.kmeans_fit(emb1, sample_bp=S.KMEANS_SAMPLE_BP)
+    r_full = len(brute & {(r["query_id"], r["neighbor_id"])
+                          for r in S.ivf_topk(emb1, centroids=full).collect()})
+    r_samp = len(brute & {(r["query_id"], r["neighbor_id"])
+                          for r in S.ivf_topk(emb1, centroids=samp).collect()})
+    assert r_samp >= r_full - 0.05 * len(brute)
+
+    # (c) persisted quantizer round-trip -> identical IVF output
+    path = str(tmp_path / "centroids")
+    S.save_centroids(spark, cents, path)
+    loaded = S.load_centroids(spark, path)
+    assert loaded == cents
+    a = sorted(map(tuple, S.ivf_topk(emb, centroids=loaded).collect()))
+    b = sorted(map(tuple, S.ivf_topk(emb, centroids=cents).collect()))
+    assert a == b
+
+
 def test_warc_read_carves_blocks_and_keeps_blank_lines_in_body(spark, tmp_path):
     """split(limit=3) must keep CRLFCRLF sequences inside the payload;
     status/content-type/length parse per record; trailing record CRLFs are
@@ -1042,6 +1107,17 @@ def test_scan_table_zone_map_pruning(spark, tmp_path):
     df, n_read, _ = tf.scan_table(spark, path, [("id", "<", 0)])
     assert n_read == 0 and df.count() == 0  # zero files, schema intact
     assert df.columns == ["id", "v"]
+    # ADVICE r2: predicate values with SQL-hostile characters filter via
+    # Column ops (repr-interpolation would mis-parse the quote/backslash)
+    hostile = spark.createDataFrame(
+        [(200, "it's"), (201, 'a"b'), (202, "c\\d")], "id long, v string")
+    tf.append_snapshot(hostile.coalesce(1), path)
+    for val in ("it's", 'a"b', "c\\d"):
+        df, _, _ = tf.scan_table(spark, path, [("v", "=", val)])
+        assert [r["v"] for r in df.collect()] == [val]
+    # type-mismatched predicate vs stored stat: never raises, never prunes
+    assert tf._may_match({"v": {"min": "a", "max": "z"}}, "v", "=", 7) is True
+    assert tf._may_match({"id": {"min": 0, "max": 9}}, "id", ">", "5") is True
 
 
 def test_expire_snapshots_gc(spark, tmp_path):

@@ -9,10 +9,11 @@ Prints progress every 50k cases and exits non-zero on the first divergence.
 
 from __future__ import annotations
 
+import os
 import random
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pdf_parser_spark.core import html_extract as H  # noqa: E402
 

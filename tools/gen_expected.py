@@ -16,13 +16,17 @@ Usage: python tools/gen_expected.py          (writes the module, prints counts)
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 RUN_TS = "2026-08-16T00:00:00Z"  # must match __spark_entry__.RUN_TS
-SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-gate scale
-OUT = "/root/repo/pdf_parser_spark/sources/expected.py"
+# the driver's correctness-gate scale (override for other checkouts)
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+OUT = (sys.argv[1] if len(sys.argv) > 1
+       else os.path.join(REPO, "pdf_parser_spark", "sources", "expected.py"))
 
 
 def _driver_doc_rows() -> list[tuple]:
@@ -85,11 +89,14 @@ def _fleet_pdf_rows() -> list[tuple]:
     return sorted(rows)
 
 
-def _kmeans_centroids() -> list[list[float]]:
+def _kmeans_centroids(sample_bp: int | None = None) -> list[list[float]]:
     """Numpy twin of similarity.kmeans_fit over sf0.01 embeddings: same
     seeds (k lowest vec_ids), same argmin-first tie-break, same per-round
     KMEANS_ROUND_DP rounding (the determinism guard that makes the Spark fit
-    and this twin land on identical centroid literals)."""
+    and this twin land on identical centroid literals).  ``sample_bp``
+    mirrors kmeans_fit's md5-deterministic fit-on-sample filter."""
+    import hashlib
+
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -99,9 +106,18 @@ def _kmeans_centroids() -> list[list[float]]:
 
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
-    order = np.argsort(np.asarray(t["vec_id"].to_pylist()))
+    ids = np.asarray(t["vec_id"].to_pylist())
+    order = np.argsort(ids)
     X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    # seeds come from the FULL table (k lowest vec_ids) even in sample mode
     cents = np.round(X[:KMEANS_K].copy(), KMEANS_ROUND_DP)
+    if sample_bp is not None:
+        keep = np.asarray([
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % 10000
+            < sample_bp
+            for i in ids[order]
+        ])
+        X = X[keep]
     for _ in range(KMEANS_ITERS):
         d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
         assign = d2.argmin(1)  # first-min tie-break, matching array_position
@@ -118,10 +134,13 @@ def _kmeans_centroids() -> list[list[float]]:
 
 
 def main() -> None:
+    from pdf_parser_spark.operators.similarity import KMEANS_SAMPLE_BP
+
     extract_rows = _driver_doc_rows()
     qc_rows = _qc_rows()
     fleet_rows = _fleet_pdf_rows()
     centroids = _kmeans_centroids()
+    sample_centroids = _kmeans_centroids(sample_bp=KMEANS_SAMPLE_BP)
 
     def render(rows: list[tuple]) -> str:
         body = ",\n    ".join(repr(r) for r in rows)
@@ -153,6 +172,10 @@ FLEET_PDF_ROWS = {render(fleet_rows)}
 # kmeans coarse-quantizer centroids over sf0.01 embeddings (numpy twin of
 # similarity.kmeans_fit; k={len(centroids)}, dim={len(centroids[0])})
 KMEANS_CENTROIDS = {render(centroids)}
+
+# fit-on-sample twin: same Lloyd twin restricted to the md5-deterministic
+# {KMEANS_SAMPLE_BP}bp sample (similarity.KMEANS_SAMPLE_BP)
+KMEANS_SAMPLE_CENTROIDS = {render(sample_centroids)}
 '''
     with open(OUT, "w") as f:
         f.write(src)
