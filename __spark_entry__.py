@@ -521,6 +521,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), curation.fit_vocab(_docs(s, d))
         ),
         "c_pack_shards": lambda s, d: curation.pack_shards(_docs(s, d)),
+        # fixed-context-window chunking: in-scan explode, no shuffle
+        "c_chunk_windows": lambda s, d: curation.chunk_windows(_docs(s, d)),
+        # epoch-weighted data mixing: per-source token-count dim -> integer
+        # epochs + hash-fractional extra copy, in-scan copy fan-out
+        "c_mixture_resample": lambda s, d: curation.mixture_resample(_docs(s, d)),
         # mojibake repair: double-encoded injections repaired JVM-side;
         # the oracle predicts the repaired bytes from the injection formula
         "c_mojibake": lambda s, d: curation.repair_mojibake(
@@ -2191,6 +2196,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
                                - n_tokens) / 500) AS BIGINT) AS shard_id
             FROM t ORDER BY doc_id
+        """,
+        # sliding fixed-size token windows (BERT-style striding); the size/
+        # stride knobs interpolate from curation so they can never drift
+        "c_chunk_windows": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+                WHERE trim(text) <> ''
+            ), n AS (
+                SELECT doc_id, toks, len(toks) AS n FROM t
+            ), st AS (
+                SELECT doc_id, toks, n,
+                       unnest(range(0, n, {C.CHUNK_STRIDE})) AS start_tok
+                FROM n
+            )
+            SELECT doc_id,
+                   CAST(start_tok // {C.CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(least({C.CHUNK_SIZE}, n - start_tok) AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(
+                       list_slice(toks, start_tok + 1,
+                                  least(start_tok + {C.CHUNK_SIZE}, n)), ' ')
+                       AS chunk_text
+            FROM st ORDER BY doc_id, chunk_id
+        """,
+        # epoch-weighted mixture: integer epochs in bp + md5-fractional
+        # extra copy; budget defaults to the weighted sources' token total
+        "c_mixture_resample": f"""
+            WITH wt AS (SELECT * FROM (VALUES {", ".join(
+                f"('{s}', {w})" for s, w in sorted(C.MIXTURE_WEIGHTS.items())
+            )}) w(source, weight_bp)),
+            t AS (
+                SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), tot AS (
+                SELECT source, weight_bp, sum(n_tokens) AS src_tokens
+                FROM t JOIN wt USING (source) GROUP BY source, weight_bp
+            ), bud AS (SELECT sum(src_tokens) AS budget_tokens FROM tot),
+            rates AS (
+                SELECT source,
+                       (budget_tokens * weight_bp) // src_tokens AS e_bp
+                FROM tot, bud
+            ), docs AS (
+                SELECT t.doc_id, t.source, t.n_tokens,
+                       CAST(e_bp // 10000
+                       + CASE WHEN CAST(('0x' || substr(md5('mix:' || t.doc_id), 1, 8))
+                                   AS BIGINT) % 10000 < e_bp % 10000
+                              THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+                FROM t JOIN rates USING (source)
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(n_copies AS BIGINT) AS n_copies,
+                   CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_id
+            FROM docs WHERE n_copies > 0 ORDER BY doc_id, copy_id
         """,
         # incremental dedup of the doc_id%5!=0 batch against the %5==0 index:
         # exact = fingerprint already indexed; near = shares an LSH band

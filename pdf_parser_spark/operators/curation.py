@@ -199,6 +199,125 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 500) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-chunk windowing (the fixed-context-window split every LM trainer
+# runs between curation and tokenizer packing)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 16    # tokens per chunk (sf-sized; production: the model ctx)
+CHUNK_STRIDE = 12  # overlap = CHUNK_SIZE - CHUNK_STRIDE tokens
+
+
+def chunk_windows(
+    documents: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding fixed-size token windows per document: chunk k covers tokens
+    [k*stride, k*stride + size), for every start < n_tokens (BERT-style
+    striding — the final window may be short, and may add no new tokens when
+    n lands inside the previous window's tail; both are emitted, as trainers
+    expect a deterministic chunk count from n alone).
+    (doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_text).
+
+    Scale: pure per-row fan-out — explode over an arithmetic sequence, no
+    shuffle anywhere; output row count is sum(ceil(n_i/stride)), bounded by
+    corpus tokens / stride.  The fan-out happens inside the scan stage, so
+    a downstream .write streams chunks without materializing documents."""
+    # whitespace-only docs emit nothing (words('') is [''] — one empty
+    # token — under the shared splitter, so the guard is on the text)
+    t = (
+        documents.where(F.trim(F.col("text")) != "")
+        .select("doc_id", words(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        t.withColumn("start_tok", F.explode(starts))
+        .select(
+            "doc_id",
+            F.expr(f"start_tok div {stride}").cast("long").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(F.lit(size), F.col("n") - F.col("start_tok"))
+            .cast("long").alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(size)), " "
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture resampling (epoch-weighted data mixing: hit target per-source
+# token proportions by integer repetition + hash-fractional keep)
+# ---------------------------------------------------------------------------
+
+# target mixture in basis points of the output budget; sources absent from
+# the plan are dropped (inner join), like stratified_sample's rate dim
+MIXTURE_WEIGHTS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
+
+
+def mixture_resample(
+    documents: DataFrame,
+    weights: dict[str, int] | None = None,
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """Deterministic epoch mixing (the Pile/DoReMi-style static mixture):
+    each source's documents are repeated so its token share of the output
+    matches ``weights`` (bp).  Per-source epochs in basis points:
+    e_bp = budget * weight_bp div src_tokens — every doc gets e_bp div 10000
+    full copies plus one extra iff md5('mix:'||doc_id) % 10000 < e_bp %
+    10000, so over-weighted sources upsample (epochs > 1) and under-weighted
+    ones downsample, with no RNG state and byte-identical output at any
+    cluster size.  ``budget_tokens`` defaults to the weighted sources' total
+    token count.  (doc_id, source, n_tokens, n_copies, copy_id).
+
+    Scale: one map-side-combined groupBy builds the per-source token-count
+    dim (rows = #sources), the epoch rates join back as a broadcast dim, and
+    the copy fan-out is an in-scan explode over sequence(1, n_copies) — no
+    shuffle on the corpus itself."""
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    dim = documents.sparkSession.createDataFrame(
+        sorted(weights.items()), "source string, weight_bp long"
+    )
+    toks = documents.select(
+        "doc_id", "source", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    tot = (
+        toks.join(F.broadcast(dim), "source")
+        .groupBy("source", "weight_bp")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+    )
+    if budget_tokens is None:
+        budget = tot.agg(F.sum("src_tokens").alias("budget_tokens"))
+        rates = tot.crossJoin(F.broadcast(budget))
+    else:
+        rates = tot.withColumn("budget_tokens", F.lit(int(budget_tokens)))
+    rates = rates.select(
+        "source",
+        F.expr("budget_tokens * weight_bp div src_tokens").alias("e_bp"),
+    )
+    h = portable_hash32(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    ) % 10000
+    n_copies = (
+        F.expr("e_bp div 10000") + (h < F.col("e_bp") % 10000).cast("long")
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(rates), "source")
+        .withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id", "source", "n_tokens", "n_copies",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("copy_id"),
+        )
+        .orderBy("doc_id", "copy_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LM fluency coverage (CCNet-style, exact-integer formulation)
 # ---------------------------------------------------------------------------
 

@@ -594,6 +594,56 @@ def test_corpus_datasheet_approx_within_hll_band(spark):
             key, a["n_distinct_approx"], e["n_distinct"])
 
 
+def test_chunk_windows_striding_and_edges(spark):
+    """Chunk k covers tokens [k*stride, k*stride+size); the final window may
+    be short or even fully contained in the previous one (BERT striding);
+    empty docs emit nothing."""
+    toks = [f"w{i}" for i in range(17)]
+    docs = _docs(spark, [
+        (1, " ".join(toks), "en", "s1", 1),
+        (2, "a b", "en", "s1", 1),       # single short chunk
+        (3, "", "en", "s1", 0),           # empty: no chunks
+    ])
+    out = [r.asDict() for r in
+           curation.chunk_windows(docs, size=8, stride=6).collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    c1 = by_doc[1]
+    assert [(r["chunk_id"], r["start_tok"], r["n_chunk_tokens"]) for r in c1] \
+        == [(0, 0, 8), (1, 6, 8), (2, 12, 5)]
+    assert c1[0]["chunk_text"] == " ".join(toks[0:8])
+    assert c1[2]["chunk_text"] == " ".join(toks[12:17])  # short tail
+    assert by_doc[2] == [{
+        "doc_id": 2, "chunk_id": 0, "start_tok": 0,
+        "n_chunk_tokens": 2, "chunk_text": "a b",
+    }]
+
+
+def test_mixture_resample_epoch_math(spark):
+    """Over-weighted source upsamples (1 full copy + md5-fractional extra),
+    under-weighted downsamples (fractional keep only); exact epochs in bp
+    against the hand-computed formula, per-doc copies against the md5."""
+    rows = [(i, "t " * 10, "en", "A", 1) for i in range(10)]
+    rows += [(100 + i, "t " * 10, "en", "B", 1) for i in range(10)]
+    docs = _docs(spark, [(i, t.strip(), l, s, n) for i, t, l, s, n in rows])
+    out = {(r["doc_id"], r["copy_id"]): r for r in curation.mixture_resample(
+        docs, weights={"A": 7500, "B": 2500}).collect()}
+    # budget = 200 tokens; e_A = 200*7500 div 100 = 15000bp -> 1 + frac 5000
+    # e_B = 200*2500 div 100 = 5000bp -> 0 + frac 5000
+    for i in range(10):
+        frac = int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:8], 16) % 10000 < 5000
+        copies_a = [k for k in out if k[0] == i]
+        assert len(copies_a) == 1 + frac
+        frac_b = int(hashlib.md5(f"mix:{100+i}".encode()).hexdigest()[:8], 16) % 10000 < 5000
+        copies_b = [k for k in out if k[0] == 100 + i]
+        assert len(copies_b) == (1 if frac_b else 0)
+    # every emitted row carries the right copy_id sequence and n_tokens
+    assert all(r["n_tokens"] == 10 for r in out.values())
+    assert all(k[1] <= r["n_copies"] for k, r in out.items())
+
+
 def test_doc_keywords_rank_tfidf_ordering(spark):
     from pdf_parser_spark.operators import textstats
 
