@@ -1423,12 +1423,14 @@ def oracle_sql() -> dict[str, str]:
                        + 0.2 * least(len({_TOKS}) / 100.0, 1.0), 4) AS quality
             FROM documents ORDER BY doc_id
         """,
-        "t_token_count_bpe": """
+        # the pre-token regex and its three alternation legs interpolate
+        # from textstats.BPE_PRETOKEN_RE (anti-drift)
+        "t_token_count_bpe": f"""
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_runs,
-                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_runs,
-                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_symbol_runs
+                   CAST(len(regexp_extract_all(text, '{TS.BPE_PRETOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(len(regexp_extract_all(text, '{TS.BPE_PRETOKEN_RE.split("|")[0]}')) AS BIGINT) AS n_word_runs,
+                   CAST(len(regexp_extract_all(text, '{TS.BPE_PRETOKEN_RE.split("|")[1]}')) AS BIGINT) AS n_number_runs,
+                   CAST(len(regexp_extract_all(text, '{TS.BPE_PRETOKEN_RE.split("|")[2]}')) AS BIGINT) AS n_symbol_runs
             FROM documents ORDER BY doc_id
         """,
         "t_quality_gate": f"""
