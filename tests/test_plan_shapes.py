@@ -333,3 +333,31 @@ def test_salt_spreads_recrawl_duplicates_vs_unsalted(spark):
     salted = heavy_spread(salted_repartition(pages, num_partitions=16))
     assert len(salted) >= 5, salted  # spread across the salt buckets...
     assert max(r["count"] for r in salted) <= 60, salted  # ...and flattened
+
+
+def test_chunk_windows_zero_dataflow_exchange_and_mixture_shapes(spark):
+    """chunk_windows must never shuffle the corpus: its ONLY Exchange is the
+    rangepartitioning of the final presentation orderBy — the fan-out itself
+    is an in-scan Generate.  mixture_resample's corpus-side joins are
+    broadcasts of the rate dim; its groupBy shuffles only the map-side
+    partially-aggregated #sources rows; the copy fan-out is an explode,
+    never a cartesian."""
+    from pdf_parser_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+
+    p = plan(curation.chunk_windows(docs))
+    assert "Generate" in p, p                       # the explode fan-out
+    assert "CartesianProduct" not in p, p
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln
+                 and "Reused" not in ln]
+    assert len(exchanges) == 1 and "rangepartitioning" in exchanges[0], p
+
+    p = plan(curation.mixture_resample(docs))
+    assert "BroadcastHashJoin" in p, p              # rates dim joins broadcast
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Generate" in p, p                       # sequence-explode copies
+    # the dim-building agg must combine map-side (a partial aggregate
+    # upstream of its exchange), so the source-key shuffle moves
+    # #sources x #tasks rows, not the corpus
+    assert "partial_sum" in p or "partial" in p.lower(), p
