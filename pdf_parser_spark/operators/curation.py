@@ -289,8 +289,11 @@ def mixture_resample(
         .agg(F.sum("n_tokens").alias("src_tokens"))
     )
     if budget_tokens is None:
-        budget = tot.agg(F.sum("src_tokens").alias("budget_tokens"))
-        rates = tot.crossJoin(F.broadcast(budget))
+        # default budget = the weighted sources' total: a global window over
+        # the #sources-row dim (tiny by construction — never the corpus)
+        rates = tot.withColumn(
+            "budget_tokens", F.sum("src_tokens").over(Window.partitionBy())
+        )
     else:
         rates = tot.withColumn("budget_tokens", F.lit(int(budget_tokens)))
     rates = rates.select(

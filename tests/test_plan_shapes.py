@@ -349,9 +349,10 @@ def test_chunk_windows_zero_dataflow_exchange_and_mixture_shapes(spark):
     p = plan(curation.chunk_windows(docs))
     assert "Generate" in p, p                       # the explode fan-out
     assert "CartesianProduct" not in p, p
-    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln
-                 and "Reused" not in ln]
-    assert len(exchanges) == 1 and "rangepartitioning" in exchanges[0], p
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "rangepartitioning" in p and "hashpartitioning" not in p, p
 
     p = plan(curation.mixture_resample(docs))
     assert "BroadcastHashJoin" in p, p              # rates dim joins broadcast
