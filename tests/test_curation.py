@@ -621,6 +621,32 @@ def test_chunk_windows_striding_and_edges(spark):
     }]
 
 
+def test_chunk_windows_coverage_properties(spark):
+    """For every n in 1..40 (one Spark job): chunk count == ceil(n/stride),
+    every token index is covered by >= 1 chunk, every chunk has 1..size
+    tokens, and concatenating stride-prefixes of the chunks (plus the last
+    chunk's tail) reconstructs the document exactly."""
+    size, stride = 8, 6
+    docs = _docs(spark, [
+        (n, " ".join(f"t{n}_{i}" for i in range(n)), "en", "s", 1)
+        for n in range(1, 41)
+    ])
+    out = {}
+    for r in curation.chunk_windows(docs, size=size, stride=stride).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    for n in range(1, 41):
+        chunks = sorted(out[n], key=lambda r: r["chunk_id"])
+        assert len(chunks) == -(-n // stride)  # ceil
+        covered = set()
+        for r in chunks:
+            toks = r["chunk_text"].split(" ")
+            assert toks == [f"t{n}_{i}" for i in range(
+                r["start_tok"], min(r["start_tok"] + size, n))]
+            assert 1 <= r["n_chunk_tokens"] == len(toks) <= size
+            covered.update(range(r["start_tok"], r["start_tok"] + len(toks)))
+        assert covered == set(range(n))
+
+
 def test_mixture_resample_epoch_math(spark):
     """Over-weighted source upsamples (1 full copy + md5-fractional extra),
     under-weighted downsamples (fractional keep only); exact epochs in bp
