@@ -439,6 +439,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "data_sum", "frame_len",
         ).orderBy("doc_id", "frame_index"),
         "d_simhash_pairs": lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=16),
+        # sub-document exact duplicate-span detection (Lee et al. ACL 2022
+        # suffix-array dedup re-expressed as n-gram fingerprint islands);
+        # the shared passage is injected by the SPAN_MOD formula so the
+        # oracle re-derives the identical token lists
+        "d_dup_spans": lambda s, d: dedup.dup_spans(
+            dedup.with_shared_passage(_docs(s, d))
+        ),
         # --- URL / domain operators (deterministic synthetic url column;
         # the oracle re-derives it from the same doc_id/source formula) ---
         "u_canonicalize": lambda s, d: weburl.registered_domain(
@@ -650,6 +657,11 @@ def oracle_sql() -> dict[str, str]:
     from pdf_parser_spark.operators import linkgraph as LG
     from pdf_parser_spark.operators import snapshot as SN
     from pdf_parser_spark.plans import sqlapi as _SQLAPI
+
+    # shared duplicated passage, the literal twin of dedup.with_shared_passage
+    _span_passage_sql = (
+        "[" + ", ".join(f"'{w}'" for w in D.SPAN_PASSAGE.split()) + "]"
+    )
 
     # synthetic multi-line text, the literal twin of curation.with_synthetic_lines
     # NB: array_to_string over an empty slice is NULL in DuckDB (Spark's
@@ -2472,6 +2484,61 @@ def oracle_sql() -> dict[str, str]:
                             JOIN sh b ON b.doc_id = c.doc_b
             ) t WHERE containment_bp >= 8000
             ORDER BY doc_a, doc_b
+        """,
+        # sub-document duplicate spans: the oracle re-derives the spliced
+        # token lists from the SPAN_* formulas, fingerprints every SPAN_N
+        # window, and merges duplicated windows with the same
+        # gaps-and-islands arithmetic — span boundaries, lengths, and
+        # window counts must all match exactly
+        "d_dup_spans": f"""
+            WITH base AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), sp AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % {D.SPAN_MOD} = 0
+                            THEN t[1:{D.SPAN_SPLICE_AT}]
+                                 || {_span_passage_sql}
+                                 || t[{D.SPAN_SPLICE_AT} + 1:len(t)]
+                            ELSE t END AS t
+                FROM base
+            ), widx AS (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) >= {D.SPAN_N}
+                            THEN range(0, len(t) - {D.SPAN_N} + 1)
+                            ELSE [] END AS idx
+                FROM sp
+            ), wins AS (
+                SELECT doc_id, unnest(idx) AS pos,
+                       unnest(list_transform(idx,
+                           i -> md5(array_to_string(t[i + 1:i + {D.SPAN_N}], ' '))))
+                           AS fp
+                FROM widx
+            ), hot AS (
+                SELECT fp FROM wins
+                GROUP BY fp HAVING count(DISTINCT doc_id) >= {D.SPAN_MIN_DF}
+            ), dup AS (
+                SELECT doc_id, pos FROM wins WHERE fp IN (SELECT fp FROM hot)
+            ), marked AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                                 IS NULL
+                              OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                                      ORDER BY pos) > {D.SPAN_N}
+                            THEN 1 ELSE 0 END AS brk
+                FROM dup
+            ), isl AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+                FROM marked
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + {D.SPAN_N} - 1 AS BIGINT) AS span_end,
+                   CAST(max(pos) - min(pos) + {D.SPAN_N} AS BIGINT) AS span_len,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, grp
+            ORDER BY doc_id, span_start
         """,
         # corpus-level line dedup: lines shared by >= LINE_MIN_DF docs are
         # boilerplate; clean_md5 re-joins survivors in original order so a

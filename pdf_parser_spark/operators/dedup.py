@@ -467,3 +467,122 @@ def containment_pairs(
         .select("doc_a", "doc_b", "containment_bp")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-SPAN detection (sub-document dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8        # tokens per fingerprint window (production: 50, Lee et al.)
+SPAN_MIN_DF = 2   # a window duplicated when it occurs in >= this many docs
+SPAN_MOD = 4      # doc_id % MOD == 0 docs receive the injected shared passage
+SPAN_SPLICE_AT = 5  # the passage is spliced in after this many tokens
+
+# 12 tokens disjoint from the synthetic corpus vocabulary, so the only
+# cross-document duplicated windows are the engineered ones (natural
+# collisions would still agree with the oracle — this just keeps the
+# fixture readable).
+SPAN_PASSAGE = (
+    "orbital cadence lattice ember quartz meadow cipher velvet "
+    "harbor juniper tide signal"
+)
+
+
+def with_shared_passage(
+    documents: DataFrame, mod: int = SPAN_MOD, at: int = SPAN_SPLICE_AT
+) -> DataFrame:
+    """Add a ``toks_sp`` token-array column: for doc_id % mod == 0 the doc's
+    tokens with SPAN_PASSAGE spliced in after token ``at`` (a deterministic
+    stand-in for syndicated/quoted passages; every piece is a pure function
+    of (doc_id, text) so the DuckDB oracle re-derives the identical list)."""
+    toks = words(F.col("text"))
+    passage = F.split(F.lit(SPAN_PASSAGE), " ")
+    spliced = F.concat(
+        F.slice(toks, 1, at),
+        passage,
+        F.when(F.size(toks) > at, F.slice(toks, at + 1, F.size(toks) - at))
+        .otherwise(F.array().cast("array<string>")),
+    )
+    return documents.withColumn(
+        "toks_sp",
+        F.when(F.col("doc_id") % mod == 0, spliced).otherwise(toks),
+    )
+
+
+def dup_spans(
+    df: DataFrame,
+    n: int = SPAN_N,
+    min_df: int = SPAN_MIN_DF,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans — the Spark-native form
+    of Lee et al. 2022's suffix-array exact-substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", ACL 2022).
+
+    A suffix array is a single-machine structure; the distributed
+    re-expression fingerprints every n-token window, keeps windows whose
+    fingerprint occurs in >= min_df distinct documents, and merges
+    overlapping/adjacent duplicated windows per document into maximal spans
+    (gaps-and-islands over the window position).  Any duplicated run of
+    length >= n tokens is recovered exactly; runs shorter than n are below
+    the dedup threshold by construction (the paper uses n=50).
+
+    Input must carry a ``toks_sp`` array<string> column (see
+    with_shared_passage; production feeds the real token column).
+
+    Returns (doc_id, span_start, span_end, span_len, n_windows) — token
+    indices 0-based inclusive, ordered by (doc_id, span_start).
+
+    Scale design: the window table is O(total corpus tokens) and never
+    leaves the scan until the ONE map-side-combinable groupBy on the 128-bit
+    fingerprint; the duplicated-fingerprint set joins back broadcast when
+    min_df/n make it small (boilerplate passages), or as a shuffle join on
+    fp with broadcast_hot=False when the duplicated set is itself
+    corpus-scale — the same knob as line_dedup.  The islands pass shuffles
+    only the surviving duplicated windows, partitioned by doc_id.  No
+    suffix array, no global sort, no driver state.
+    """
+    toks = F.col("toks_sp")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))).alias("fp"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.pos", "w.fp")
+    hot = (
+        wins.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("dfreq"))
+        .where(F.col("dfreq") >= min_df)
+        .select("fp")
+    )
+    dup = wins.join(F.broadcast(hot) if broadcast_hot else hot, "fp", "left_semi")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)
+    return (
+        dup.withColumn("grp", F.sum(brk).over(run))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            (F.max("pos") - F.min("pos") + n).alias("span_len"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )

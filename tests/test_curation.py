@@ -770,3 +770,63 @@ def test_banded_blocking_defuses_single_source_quadratic(spark):
     # hash-co-occurrence only, never block-quadratic)
     cpairs = dedup.containment_pairs(docs, threshold_bp=8000).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in cpairs} == {(100, 101), (101, 100)}
+
+
+def test_dup_spans_exact_boundaries_and_merging(spark):
+    """Two docs share a 12-token run spliced mid-text; a third is clean.
+    With n=4 the duplicated windows must merge into ONE maximal span per
+    doc covering exactly the shared run (window resolution = n)."""
+    from pdf_parser_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    a = "p1 p2 p3 " + shared + " s1 s2"
+    b = "q1 q2 " + shared + " t1 t2 t3"
+    c = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    df = _docs(
+        spark,
+        [(1, a, "en", "s", 0), (2, b, "en", "s", 0), (3, c, "en", "s", 0)],
+    ).withColumn("toks_sp", F.split(F.trim(F.col("text")), r"\s+"))
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.dup_spans(df, n=4, min_df=2).collect()
+    }
+    assert 3 not in rows and len(rows) == 2
+    # doc 1: shared run occupies token indices 3..14 (0-based)
+    assert (rows[1]["span_start"], rows[1]["span_end"]) == (3, 14)
+    assert rows[1]["span_len"] == 12
+    assert rows[1]["n_windows"] == 12 - 4 + 1
+    # doc 2: run occupies 2..13
+    assert (rows[2]["span_start"], rows[2]["span_end"]) == (2, 13)
+
+
+def test_dup_spans_distinct_runs_stay_separate(spark):
+    """Two shared runs separated by a > n doc-specific gap must come out as
+    two islands, not one."""
+    from pdf_parser_spark.operators import dedup
+
+    r1 = "a1 a2 a3 a4 a5"
+    r2 = "b1 b2 b3 b4 b5"
+    gap_x = "x1 x2 x3 x4 x5 x6"
+    gap_y = "y1 y2 y3 y4 y5 y6"
+    df = _docs(
+        spark,
+        [
+            (1, f"{r1} {gap_x} {r2}", "en", "s", 0),
+            (2, f"{r1} {gap_y} {r2}", "en", "s", 0),
+        ],
+    ).withColumn("toks_sp", F.split(F.trim(F.col("text")), r"\s+"))
+    out = dedup.dup_spans(df, n=3, min_df=2).collect()
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in out
+    )
+    assert spans == [(1, 0, 4), (1, 11, 15), (2, 0, 4), (2, 11, 15)]
+
+
+def test_dup_spans_short_docs_produce_no_windows(spark):
+    from pyspark.sql import functions as F2
+    from pdf_parser_spark.operators import dedup
+
+    df = _docs(
+        spark, [(1, "one two", "en", "s", 0), (2, "one two", "en", "s", 0)]
+    ).withColumn("toks_sp", F2.split(F2.trim(F2.col("text")), r"\s+"))
+    assert dedup.dup_spans(df, n=8, min_df=2).count() == 0
