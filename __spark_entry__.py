@@ -538,6 +538,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_mojibake": lambda s, d: curation.repair_mojibake(
             curation.with_mojibake(_docs(s, d))
         ),
+        # DSIR importance selection: hashed-bigram count-ratio scores vs a
+        # target subset, deterministic threshold at the corpus prior
+        "c_dsir_select": lambda s, d: curation.dsir_select(_docs(s, d)),
+        # Dolma-style paragraph attribute taggers + mixer verdict over the
+        # synthetic multi-line text (pure in-scan posexplode, no shuffle)
+        "c_paragraph_tags": lambda s, d: curation.paragraph_tags(
+            curation.with_synthetic_lines(_docs(s, d))
+        ),
         "d_incremental": lambda s, d: curation.incremental_dedup(_docs(s, d)),
         # --- link graph (crawl-frontier ops) ---
         "u_outlinks": lambda s, d: __import__(
@@ -2484,6 +2492,68 @@ def oracle_sql() -> dict[str, str]:
                             JOIN sh b ON b.doc_id = c.doc_b
             ) t WHERE containment_bp >= 8000
             ORDER BY doc_a, doc_b
+        """,
+        # DSIR importance selection: the oracle rebuilds the hashed-bigram
+        # feature stream, the one-pass (raw, target) bucket dim, and the
+        # integer ratio/threshold arithmetic — all BIGINT end to end
+        "c_dsir_select": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) < 2
+                                   THEN [array_to_string(t, ' ')]
+                                   ELSE list_transform(range(1, len(t)),
+                                        i -> array_to_string(t[i:i+1], ' '))
+                              END) AS g
+                FROM toks
+            ), hashed AS (
+                SELECT doc_id, {_H32.format(x='g')} % {C.DSIR_BUCKETS} AS b
+                FROM grams
+            ), dim AS (
+                SELECT b, count(*) AS raw_n,
+                       sum(CASE WHEN doc_id % {C.DSIR_TARGET_MOD} = 0
+                                THEN 1 ELSE 0 END) AS tgt_n
+                FROM hashed GROUP BY b
+            ), sc AS (
+                SELECT h.doc_id, count(*) AS n_grams,
+                       sum((d.tgt_n * {C.DSIR_SCALE}) // d.raw_n) AS s
+                FROM hashed h JOIN dim d USING (b) GROUP BY h.doc_id
+            )
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(s // n_grams AS BIGINT) AS score_bp,
+                   (s // n_grams) >= {C.DSIR_SCALE // C.DSIR_TARGET_MOD}
+                       AS selected
+            FROM sc ORDER BY doc_id
+        """,
+        # Dolma paragraph taggers: same synthetic lines as c_line_dedup,
+        # attribute formulas (token count, alpha share, punct/nav cues,
+        # mixer keep rule) re-derived literally
+        "c_paragraph_tags": f"""
+            WITH multi AS (
+                SELECT doc_id, {_lines_sql} AS ls FROM documents
+            ), paras AS (
+                SELECT doc_id,
+                       unnest(range(0, len(ls))) AS para_idx,
+                       unnest(ls) AS para
+                FROM multi
+            ), tagged AS (
+                SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(trim(para), '\\s+'),
+                           w -> w <> '')) AS BIGINT) AS n_tokens,
+                       CAST((length(regexp_replace(para, '[^A-Za-z]', '', 'g'))
+                             * 10000) // greatest(length(para), 1) AS BIGINT)
+                           AS alpha_bp,
+                       regexp_matches(para, '[.!?\"]\\s*$') AS ends_punct,
+                       contains(para, '|') AS is_nav
+                FROM paras
+            )
+            SELECT doc_id, para_idx, n_tokens, alpha_bp, ends_punct, is_nav,
+                   (n_tokens >= {C.PARA_MIN_TOKENS}
+                    AND alpha_bp >= {C.PARA_MIN_ALPHA_BP}
+                    AND NOT is_nav) AS keep
+            FROM tagged ORDER BY doc_id, para_idx
         """,
         # sub-document duplicate spans: the oracle re-derives the spliced
         # token lists from the SPAN_* formulas, fingerprints every SPAN_N

@@ -631,3 +631,136 @@ def repair_mojibake(df: DataFrame) -> DataFrame:
         flag.alias("had_mojibake"),
         F.md5(repaired).alias("repaired_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096    # hashed feature space (production: 2^16+)
+DSIR_TARGET_MOD = 9    # doc_id % MOD == 0 rows stand in for the target corpus
+DSIR_SCALE = 10000     # basis points
+
+
+def dsir_select(
+    documents: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    target_mod: int = DSIR_TARGET_MOD,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    score every raw document by how much its hashed-bigram distribution
+    looks like a small high-quality target corpus, then select documents
+    whose importance exceeds the corpus prior.
+
+    Cross-engine-exact reformulation: DSIR's per-feature log(p_target/p_raw)
+    is replaced by the unsmoothed integer count ratio (tgt_n*SCALE div
+    raw_n) in basis points — well-defined because the dim only contains
+    observed buckets (raw_n >= 1), and centered at the prior SCALE/mod so
+    the threshold is meaningful (+1 smoothing inflates every rare bucket
+    far above the prior and degenerates the selection) — and its
+    Gumbel-top-k sampling by the deterministic threshold score >= SCALE div
+    target_mod (a doc is selected when its average target/raw ratio beats
+    the target corpus' own share).  Monotonicity per feature is preserved;
+    everything is BIGINT on both engines.
+
+    Returns (doc_id, n_grams, score_bp, selected) ordered by doc_id.
+
+    Scale design: ONE corpus pass builds the feature dim — groupBy on the
+    hashed bucket with a conditional sum for the target counts, map-side
+    combined, output bounded by ``buckets`` rows — which then broadcasts
+    back onto the gram stream for the per-doc aggregation (second pass,
+    combiner-friendly groupBy(doc_id)).  No all-pairs, no skew: bucket
+    cardinality is fixed by construction, and hot buckets are handled by
+    the partial aggregate, not the join.
+    """
+    grams = documents.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("g")
+    ).withColumn("b", F.pmod(portable_hash32(F.col("g")), F.lit(buckets)))
+    dim = (
+        grams.groupBy("b")
+        .agg(
+            F.count("*").alias("raw_n"),
+            F.sum(
+                F.when(F.col("doc_id") % target_mod == 0, 1).otherwise(0)
+            ).alias("tgt_n"),
+        )
+        .withColumn(
+            "ratio_bp",
+            F.expr(f"(tgt_n * {DSIR_SCALE}) div raw_n").cast("long"),
+        )
+        .select("b", "ratio_bp")
+    )
+    scored = (
+        grams.join(F.broadcast(dim), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("ratio_bp").alias("s"),
+        )
+    )
+    thr = DSIR_SCALE // target_mod
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        F.expr("s div n_grams").cast("long").alias("score_bp"),
+        (F.expr("s div n_grams") >= thr).alias("selected"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dolma-style paragraph attribute tagging
+# ---------------------------------------------------------------------------
+
+PARA_MIN_TOKENS = 3     # keep-rule floor (Dolma/Gopher short-line cue)
+PARA_MIN_ALPHA_BP = 6000  # >= 60% alphabetic chars (C4 symbol/boilerplate cue)
+
+
+def paragraph_tags(df: DataFrame, text_col: str = "text_multi") -> DataFrame:
+    """Per-paragraph attribute taggers in the Dolma architecture (Soldaini
+    et al., ACL 2024): taggers emit typed attributes per paragraph span, a
+    downstream mixer applies the keep rule — here both stages fused, all
+    JVM column ops.
+
+    Attributes: token count, alphabetic-character share (basis points),
+    terminal-punctuation flag (C4's line filter cue), nav-separator flag.
+    ``keep`` is the mixer verdict: >= PARA_MIN_TOKENS tokens, alphabetic
+    share >= PARA_MIN_ALPHA_BP, and not a nav row.
+
+    Returns (doc_id, para_idx, n_tokens, alpha_bp, ends_punct, is_nav,
+    keep), para_idx 0-based in document order.
+
+    Scale design: a pure in-scan posexplode — paragraphs never shuffle at
+    all (the fan-out is narrow and every attribute is computed from the
+    paragraph string alone).  At 10^12 docs this is exactly as expensive
+    as reading the text once.
+    """
+    paras = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("para_idx", "para"),
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col("para")), r"\s+"), lambda w: w != ""
+    )
+    n_tokens = F.size(toks).cast("long")
+    alpha_bp = F.expr(
+        f"(length(regexp_replace(para, '[^A-Za-z]', '')) * {10000}) "
+        "div greatest(length(para), 1)"
+    ).cast("long")
+    ends_punct = F.col("para").rlike(r'[.!?"]\s*$')
+    is_nav = F.col("para").contains("|")
+    return (
+        paras.select(
+            "doc_id",
+            F.col("para_idx").cast("long").alias("para_idx"),
+            n_tokens.alias("n_tokens"),
+            alpha_bp.alias("alpha_bp"),
+            ends_punct.alias("ends_punct"),
+            is_nav.alias("is_nav"),
+            (
+                (n_tokens >= PARA_MIN_TOKENS)
+                & (alpha_bp >= PARA_MIN_ALPHA_BP)
+                & ~is_nav
+            ).alias("keep"),
+        )
+        .orderBy("doc_id", "para_idx")
+    )

@@ -830,3 +830,42 @@ def test_dup_spans_short_docs_produce_no_windows(spark):
         spark, [(1, "one two", "en", "s", 0), (2, "one two", "en", "s", 0)]
     ).withColumn("toks_sp", F2.split(F2.trim(F2.col("text")), r"\s+"))
     assert dedup.dup_spans(df, n=8, min_df=2).count() == 0
+
+
+def test_dsir_select_exact_ratio_math(spark):
+    """Hand-computed hashed-bigram importance: doc 0 is the target; doc 1
+    shares its bigram (ratio tgt*10000//raw = 5000 >= prior 1111 ->
+    selected), doc 2's bigram never occurs in the target (ratio 0 ->
+    dropped)."""
+    df = _docs(
+        spark,
+        [
+            (0, "a b", "en", "s", 0),
+            (1, "a b", "en", "s", 0),
+            (2, "x y", "en", "s", 0),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in curation.dsir_select(df).collect()}
+    assert rows[0]["score_bp"] == 5000 and rows[0]["selected"]
+    assert rows[1]["score_bp"] == 5000 and rows[1]["selected"]
+    assert rows[2]["score_bp"] == 0 and not rows[2]["selected"]
+    assert all(r["n_grams"] == 1 for r in rows.values())
+
+
+def test_paragraph_tags_attributes_and_mixer(spark):
+    """Dolma-tagger attributes on an engineered 4-line doc: nav row dropped
+    by the mixer, short row dropped, symbol-heavy row dropped, prose row
+    kept; alpha_bp is the exact integer share."""
+    df = _docs(spark, [(1, "unused", "en", "s", 0)]).withColumn(
+        "text_multi",
+        F.lit("Home | About | Contact\nhi.\n1234 5678 9012\nThis is clean prose text"),
+    )
+    rows = curation.paragraph_tags(df).collect()
+    assert [r["para_idx"] for r in rows] == [0, 1, 2, 3]
+    nav, short, nums, prose = rows
+    assert nav["is_nav"] and not nav["keep"]
+    assert short["n_tokens"] == 1 and short["ends_punct"] and not short["keep"]
+    # "1234 5678 9012": zero alpha chars of 14 -> 0 bp, dropped
+    assert nums["alpha_bp"] == 0 and not nums["keep"]
+    # "This is clean prose text": 20 alpha of 24 chars -> 8333 bp
+    assert prose["alpha_bp"] == 8333 and prose["n_tokens"] == 5 and prose["keep"]
