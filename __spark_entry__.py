@@ -335,6 +335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         "t_quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+        # crawl-cycle drift monitor: hashed-token share deltas between the
+        # two deterministic snapshots, top movers by |delta| in bp
+        "t_token_drift": lambda s, d: textstats.token_drift(
+            *textstats.drift_snapshots(_docs(s, d))
+        ),
         "t_winnow_fp": lambda s, d: textstats.winnow_fingerprint(_docs(s, d)),
         "t_token_count_bpe": lambda s, d: textstats.bpe_token_count(_docs(s, d)),
         "t_quality_gate": lambda s, d: textstats.quality_gate(_docs(s, d)),
@@ -1544,6 +1549,50 @@ def oracle_sql() -> dict[str, str]:
         "t_fingerprint": """
             SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id
+        """,
+        # snapshot token-distribution drift: membership/revision formulas
+        # interpolated from operators/snapshot.py, bucket/scale/top-k from
+        # textstats — integer shares per side, top movers by |delta|
+        "t_token_drift": f"""
+            WITH old_docs AS (
+                SELECT text FROM documents WHERE doc_id % {SN.OLD_MOD} = 0
+            ), new_docs AS (
+                SELECT CASE WHEN doc_id % {SN.REV_MOD} = 0
+                            THEN text || ' [rev]' ELSE text END AS text
+                FROM documents WHERE doc_id % {SN.NEW_MOD} <> {SN.NEW_MOD - 1}
+            ), toks AS (
+                SELECT 'old' AS side, unnest(list_filter(
+                    regexp_split_to_array(trim(text), '\\s+'), w -> w <> ''))
+                    AS w FROM old_docs
+                UNION ALL
+                SELECT 'new', unnest(list_filter(
+                    regexp_split_to_array(trim(text), '\\s+'), w -> w <> ''))
+                FROM new_docs
+            ), dim AS (
+                SELECT {_H32.format(x='w')} % {TS.DRIFT_BUCKETS} AS bucket,
+                       sum(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS old_n,
+                       sum(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS new_n
+                FROM toks GROUP BY 1
+            ), shares AS (
+                SELECT bucket, old_n, new_n,
+                       (old_n * {TS.DRIFT_SCALE}) // sum(old_n) OVER () AS old_bp,
+                       (new_n * {TS.DRIFT_SCALE}) // sum(new_n) OVER () AS new_bp
+                FROM dim
+            ), ranked AS (
+                SELECT bucket, old_n, new_n, old_bp, new_bp,
+                       new_bp - old_bp AS delta_bp,
+                       row_number() OVER (ORDER BY abs(new_bp - old_bp) DESC,
+                                          bucket ASC) AS mover_rank
+                FROM shares
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(old_n AS BIGINT) AS old_n,
+                   CAST(new_n AS BIGINT) AS new_n,
+                   CAST(old_bp AS BIGINT) AS old_bp,
+                   CAST(new_bp AS BIGINT) AS new_bp,
+                   CAST(delta_bp AS BIGINT) AS delta_bp
+            FROM ranked WHERE mover_rank <= {TS.DRIFT_TOP_K}
+            ORDER BY abs(delta_bp) DESC, bucket
         """,
         "t_winnow_fp": f"""
             WITH sh AS (

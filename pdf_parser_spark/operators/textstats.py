@@ -451,3 +451,87 @@ def doc_keywords(documents: DataFrame, k: int = KEYWORDS_K) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "kw_rank")
         .orderBy("doc_id", "kw_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitoring (crawl-snapshot token-distribution shift)
+# ---------------------------------------------------------------------------
+
+DRIFT_BUCKETS = 1024  # hashed token space (production: 2^16+)
+DRIFT_TOP_K = 20      # movers reported
+DRIFT_SCALE = 10000   # shares in basis points
+
+
+def drift_snapshots(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic corpus snapshots for drift monitoring, reusing the
+    snapshot_diff membership/revision formulas (operators/snapshot.py
+    OLD/NEW/REV_MOD) so the oracle re-derives identical text: old = even
+    doc_ids, new = doc_id % 5 != 4 with ' [rev]' appended when
+    doc_id % 11 == 0."""
+    from pdf_parser_spark.operators.snapshot import NEW_MOD, OLD_MOD, REV_MOD
+
+    d = F.col("doc_id")
+    old = documents.where(d % OLD_MOD == 0).select("text")
+    new = documents.where(d % NEW_MOD != NEW_MOD - 1).select(
+        F.when(d % REV_MOD == 0, F.concat(F.col("text"), F.lit(" [rev]")))
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return old, new
+
+
+def token_drift(
+    old: DataFrame,
+    new: DataFrame,
+    buckets: int = DRIFT_BUCKETS,
+    top_k: int = DRIFT_TOP_K,
+) -> DataFrame:
+    """Token-distribution shift between two corpus snapshots — the data-
+    quality monitor a continuous crawl pipeline runs per cycle (did the new
+    snapshot's language/boilerplate/spam mix move?).
+
+    Tokens hash into a fixed bucket space; each side's bucket share is an
+    exact integer in basis points of that side's total; the report is the
+    top_k movers by absolute share delta (ties: bucket asc).  Returns
+    (bucket, old_n, new_n, old_bp, new_bp, delta_bp).
+
+    Scale design: both token streams union into ONE map-side-combined
+    groupBy (conditional sums per side) whose output is bounded by
+    ``buckets`` rows; every window after that (side totals, mover rank)
+    runs on the bounded dim, never the corpus.  The same shape at 10^12
+    tokens: one shuffle of <= buckets*tasks partial rows.
+    """
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.explode(F.filter(words(F.col("text")), lambda w: w != "")).alias("w")
+        ).select(
+            F.pmod(portable_hash32(F.col("w")), F.lit(buckets)).alias("bucket"),
+            F.lit(tag).alias("side"),
+        )
+
+    t = side(old, "old").unionByName(side(new, "new"))
+    dim = t.groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == "old", 1).otherwise(0)).alias("old_n"),
+        F.sum(F.when(F.col("side") == "new", 1).otherwise(0)).alias("new_n"),
+    )
+    tot = Window.partitionBy()  # over the <= buckets-row dim, never the corpus
+    dim = (
+        dim.withColumn("old_tot", F.sum("old_n").over(tot))
+        .withColumn("new_tot", F.sum("new_n").over(tot))
+        .withColumn(
+            "old_bp", F.expr(f"(old_n * {DRIFT_SCALE}) div old_tot").cast("long")
+        )
+        .withColumn(
+            "new_bp", F.expr(f"(new_n * {DRIFT_SCALE}) div new_tot").cast("long")
+        )
+        .withColumn("delta_bp", (F.col("new_bp") - F.col("old_bp")).cast("long"))
+    )
+    rank = Window.orderBy(F.abs(F.col("delta_bp")).desc(), F.col("bucket").asc())
+    return (
+        dim.withColumn("mover_rank", F.row_number().over(rank))
+        .where(F.col("mover_rank") <= top_k)
+        .select("bucket", "old_n", "new_n", "old_bp", "new_bp", "delta_bp")
+        .orderBy(F.abs(F.col("delta_bp")).desc(), "bucket")
+    )

@@ -869,3 +869,22 @@ def test_paragraph_tags_attributes_and_mixer(spark):
     assert nums["alpha_bp"] == 0 and not nums["keep"]
     # "This is clean prose text": 20 alpha of 24 chars -> 8333 bp
     assert prose["alpha_bp"] == 8333 and prose["n_tokens"] == 5 and prose["keep"]
+
+
+def test_token_drift_exact_shares_and_tiebreak(spark):
+    """Engineered drift: old corpus 3:1 a/b, new corpus 1:3 -> deltas are
+    exactly -+5000 bp; top_k=1 must keep the lexicographically-smaller
+    bucket of the tied pair."""
+    from pdf_parser_spark.operators import textstats
+
+    old = spark.createDataFrame([("a a a b",)], "text string")
+    new = spark.createDataFrame([("a b b b",)], "text string")
+    rows = textstats.token_drift(old, new).collect()
+    ba = int(hashlib.md5(b"a").hexdigest()[:8], 16) % textstats.DRIFT_BUCKETS
+    bb = int(hashlib.md5(b"b").hexdigest()[:8], 16) % textstats.DRIFT_BUCKETS
+    got = {r["bucket"]: r for r in rows}
+    assert set(got) == {ba, bb}
+    assert got[ba]["old_bp"] == 7500 and got[ba]["new_bp"] == 2500
+    assert got[ba]["delta_bp"] == -5000 and got[bb]["delta_bp"] == 5000
+    top1 = textstats.token_drift(old, new, top_k=1).collect()
+    assert len(top1) == 1 and top1[0]["bucket"] == min(ba, bb)

@@ -362,3 +362,35 @@ def test_chunk_windows_zero_dataflow_exchange_and_mixture_shapes(spark):
     # upstream of its exchange), so the source-key shuffle moves
     # #sources x #tasks rows, not the corpus
     assert "partial_sum" in p or "partial" in p.lower(), p
+
+
+def test_dup_spans_dsir_paragraph_tag_shapes(spark):
+    """dup_spans: the window fan-out is an in-scan Generate (never a
+    shuffle); its dataflow shuffles are the fp groupBy and the per-doc
+    islands window/agg — and the hot-fp membership check must be a
+    broadcast semi join (key-only), with no cartesian anywhere.  dsir's
+    bucket dim must come back as a BroadcastHashJoin with a partial
+    (map-side) aggregate under the dim's exchange.  paragraph_tags must be
+    a pure in-scan Generate: its only Exchange is the presentation
+    orderBy's rangepartitioning."""
+    import re as _re
+
+    from pdf_parser_spark.operators import curation, dedup
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+
+    p = plan(dedup.dup_spans(dedup.with_shared_passage(docs)))
+    assert "Generate" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "LeftSemi" in p, p
+    assert "BroadcastExchange" in p, p  # hot-fp set broadcast by default
+
+    p = plan(curation.dsir_select(docs))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "partial" in p.lower(), p  # map-side combine under the dim agg
+
+    p = plan(curation.paragraph_tags(curation.with_synthetic_lines(docs)))
+    assert "Generate" in p, p
+    assert len(_re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "rangepartitioning" in p and "hashpartitioning" not in p, p
