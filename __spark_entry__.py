@@ -451,6 +451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dup_spans": lambda s, d: dedup.dup_spans(
             dedup.with_shared_passage(_docs(s, d))
         ),
+        # the apply side: duplicated spans cut from every doc (remove-all
+        # policy), surviving bytes md5-pinned
+        "d_strip_spans": lambda s, d: dedup.strip_dup_spans(
+            dedup.with_shared_passage(_docs(s, d))
+        ),
         # --- URL / domain operators (deterministic synthetic url column;
         # the oracle re-derives it from the same doc_id/source formula) ---
         "u_canonicalize": lambda s, d: weburl.registered_domain(
@@ -675,6 +680,58 @@ def oracle_sql() -> dict[str, str]:
     _span_passage_sql = (
         "[" + ", ".join(f"'{w}'" for w in D.SPAN_PASSAGE.split()) + "]"
     )
+
+    # the full dup-span derivation (spliced tokens -> windows -> hot fps ->
+    # gaps-and-islands -> maximal spans), shared by d_dup_spans and
+    # d_strip_spans so the detect and apply oracles can never diverge
+    _span_cte = f"""base AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), sp AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % {D.SPAN_MOD} = 0
+                            THEN t[1:{D.SPAN_SPLICE_AT}]
+                                 || {_span_passage_sql}
+                                 || t[{D.SPAN_SPLICE_AT} + 1:len(t)]
+                            ELSE t END AS t
+                FROM base
+            ), widx AS (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) >= {D.SPAN_N}
+                            THEN range(0, len(t) - {D.SPAN_N} + 1)
+                            ELSE [] END AS idx
+                FROM sp
+            ), wins AS (
+                SELECT doc_id, unnest(idx) AS pos,
+                       unnest(list_transform(idx,
+                           i -> md5(array_to_string(t[i + 1:i + {D.SPAN_N}], ' '))))
+                           AS fp
+                FROM widx
+            ), hot AS (
+                SELECT fp FROM wins
+                GROUP BY fp HAVING count(DISTINCT doc_id) >= {D.SPAN_MIN_DF}
+            ), dup AS (
+                SELECT doc_id, pos FROM wins WHERE fp IN (SELECT fp FROM hot)
+            ), marked AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                                 IS NULL
+                              OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                                      ORDER BY pos) > {D.SPAN_N}
+                            THEN 1 ELSE 0 END AS brk
+                FROM dup
+            ), isl AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+                FROM marked
+            ), spans AS (
+                SELECT doc_id,
+                       CAST(min(pos) AS BIGINT) AS span_start,
+                       CAST(max(pos) + {D.SPAN_N} - 1 AS BIGINT) AS span_end,
+                       CAST(max(pos) - min(pos) + {D.SPAN_N} AS BIGINT) AS span_len,
+                       CAST(count(*) AS BIGINT) AS n_windows
+                FROM isl GROUP BY doc_id, grp
+            )"""
 
     # synthetic multi-line text, the literal twin of curation.with_synthetic_lines
     # NB: array_to_string over an empty slice is NULL in DuckDB (Spark's
@@ -2610,54 +2667,35 @@ def oracle_sql() -> dict[str, str]:
         # gaps-and-islands arithmetic — span boundaries, lengths, and
         # window counts must all match exactly
         "d_dup_spans": f"""
-            WITH base AS (
-                SELECT doc_id, {_TOKS} AS t FROM documents
-            ), sp AS (
-                SELECT doc_id,
-                       CASE WHEN doc_id % {D.SPAN_MOD} = 0
-                            THEN t[1:{D.SPAN_SPLICE_AT}]
-                                 || {_span_passage_sql}
-                                 || t[{D.SPAN_SPLICE_AT} + 1:len(t)]
-                            ELSE t END AS t
-                FROM base
-            ), widx AS (
-                SELECT doc_id, t,
-                       CASE WHEN len(t) >= {D.SPAN_N}
-                            THEN range(0, len(t) - {D.SPAN_N} + 1)
-                            ELSE [] END AS idx
+            WITH {_span_cte}
+            SELECT doc_id, span_start, span_end, span_len, n_windows
+            FROM spans ORDER BY doc_id, span_start
+        """,
+        # span REMOVAL (the apply side): kept tokens re-joined in order and
+        # md5-pinned, remove-all policy — shares the span CTE chain above
+        "d_strip_spans": f"""
+            WITH {_span_cte},
+            toks AS (
+                SELECT doc_id, unnest(t) AS tok,
+                       unnest(range(0, len(t))) AS pos
                 FROM sp
-            ), wins AS (
-                SELECT doc_id, unnest(idx) AS pos,
-                       unnest(list_transform(idx,
-                           i -> md5(array_to_string(t[i + 1:i + {D.SPAN_N}], ' '))))
-                           AS fp
-                FROM widx
-            ), hot AS (
-                SELECT fp FROM wins
-                GROUP BY fp HAVING count(DISTINCT doc_id) >= {D.SPAN_MIN_DF}
-            ), dup AS (
-                SELECT doc_id, pos FROM wins WHERE fp IN (SELECT fp FROM hot)
-            ), marked AS (
-                SELECT doc_id, pos,
-                       CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                                 IS NULL
-                              OR pos - lag(pos) OVER (PARTITION BY doc_id
-                                                      ORDER BY pos) > {D.SPAN_N}
-                            THEN 1 ELSE 0 END AS brk
-                FROM dup
-            ), isl AS (
-                SELECT doc_id, pos,
-                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                                      ROWS UNBOUNDED PRECEDING) AS grp
-                FROM marked
+            ), kept AS (
+                SELECT k.doc_id, k.pos, k.tok FROM toks k
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans s
+                    WHERE s.doc_id = k.doc_id
+                      AND k.pos BETWEEN s.span_start AND s.span_end)
+            ), agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+                FROM kept GROUP BY doc_id
             )
-            SELECT doc_id,
-                   CAST(min(pos) AS BIGINT) AS span_start,
-                   CAST(max(pos) + {D.SPAN_N} - 1 AS BIGINT) AS span_end,
-                   CAST(max(pos) - min(pos) + {D.SPAN_N} AS BIGINT) AS span_len,
-                   CAST(count(*) AS BIGINT) AS n_windows
-            FROM isl GROUP BY doc_id, grp
-            ORDER BY doc_id, span_start
+            SELECT s2.doc_id, CAST(len(s2.t) AS BIGINT) AS n_tokens,
+                   CAST(len(s2.t) - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS n_dup_tokens,
+                   coalesce(a.clean_md5, md5('')) AS clean_md5
+            FROM sp s2 LEFT JOIN agg a USING (doc_id)
+            ORDER BY s2.doc_id
         """,
         # corpus-level line dedup: lines shared by >= LINE_MIN_DF docs are
         # boilerplate; clean_md5 re-joins survivors in original order so a

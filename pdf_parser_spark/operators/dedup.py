@@ -586,3 +586,69 @@ def dup_spans(
         .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
         .orderBy("doc_id", "span_start")
     )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    n: int = SPAN_N,
+    min_df: int = SPAN_MIN_DF,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Apply-side of dup_spans: cut every duplicated span from every
+    document and pin the surviving bytes.
+
+    Removal policy: ALL occurrences are removed (the ExactSubstr default in
+    Lee et al.'s released pipeline) — a keep-one policy would make output
+    depend on a cross-document election, whereas remove-all is a pure
+    function of (doc, duplicated-window set) and therefore byte-identical
+    at any cluster size or resume point.
+
+    Returns (doc_id, n_tokens, n_dup_tokens, clean_md5) — clean_md5 is the
+    md5 of the kept tokens re-joined in order, so an off-by-one in span
+    arithmetic fails the hash, not just a count.
+
+    Scale: dup_spans' dataflow plus one groupBy(doc_id) packing the (few)
+    spans per doc into an array and one key join back; the coverage test is
+    a JVM higher-order exists() over that small array — no token-level
+    range join, no second shuffle of the corpus tokens.
+    """
+    spans = dup_spans(df, n=n, min_df=min_df, broadcast_hot=broadcast_hot)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks = F.col("toks_sp")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("spans"),
+        lambda s: (i >= s.span_start) & (i <= s.span_end),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.element_at(toks, i + 1).alias("tok"),
+            ),
+        ),
+        lambda st: ~covered(st.pos),
+    )
+    return (
+        df.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "spans",
+            F.coalesce(
+                F.col("spans"),
+                F.expr(
+                    "CAST(array() AS array<struct<span_start:bigint,span_end:bigint>>)"
+                ),
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_dup_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.transform(kept, lambda st: st.tok))
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

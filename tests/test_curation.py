@@ -888,3 +888,39 @@ def test_token_drift_exact_shares_and_tiebreak(spark):
     assert got[ba]["delta_bp"] == -5000 and got[bb]["delta_bp"] == 5000
     top1 = textstats.token_drift(old, new, top_k=1).collect()
     assert len(top1) == 1 and top1[0]["bucket"] == min(ba, bb)
+
+
+def test_strip_dup_spans_removes_all_and_pins_bytes(spark):
+    """Apply-side of dup_spans: the shared run disappears from BOTH docs
+    (remove-all policy) and the surviving bytes hash exactly; a clean doc
+    passes through byte-identical with zero dup tokens."""
+    from pdf_parser_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = _docs(
+        spark,
+        [
+            (1, "p1 p2 " + shared + " s1", "en", "s", 0),
+            (2, shared + " t1 t2", "en", "s", 0),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "s", 0),
+        ],
+    ).withColumn("toks_sp", F.split(F.trim(F.col("text")), r"\s+"))
+    rows = {r["doc_id"]: r for r in dedup.strip_dup_spans(df, n=4, min_df=2).collect()}
+    assert rows[1]["n_dup_tokens"] == 8
+    assert rows[1]["clean_md5"] == hashlib.md5(b"p1 p2 s1").hexdigest()
+    assert rows[2]["n_dup_tokens"] == 8
+    assert rows[2]["clean_md5"] == hashlib.md5(b"t1 t2").hexdigest()
+    assert rows[3]["n_dup_tokens"] == 0
+    assert rows[3]["clean_md5"] == hashlib.md5(b"u1 u2 u3 u4 u5 u6 u7 u8 u9").hexdigest()
+
+
+def test_strip_dup_spans_full_removal_yields_empty_hash(spark):
+    from pdf_parser_spark.operators import dedup
+
+    df = _docs(
+        spark,
+        [(1, "a b c d", "en", "s", 0), (2, "a b c d", "en", "s", 0)],
+    ).withColumn("toks_sp", F.split(F.trim(F.col("text")), r"\s+"))
+    rows = dedup.strip_dup_spans(df, n=4, min_df=2).collect()
+    assert all(r["n_dup_tokens"] == 4 for r in rows)
+    assert all(r["clean_md5"] == hashlib.md5(b"").hexdigest() for r in rows)
