@@ -365,6 +365,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": lambda s, d: __import__(
             "pdf_parser_spark.streaming.dedup", fromlist=["dedup_via_stream"]
         ).dedup_via_stream(s, d),
+        # watermark late-DROP semantics: 4-batch replay with a re-delivered
+        # early batch that must be dropped (and a trap batch that would
+        # re-emit duplicates if it were merged instead)
+        "st_late_events": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.late", fromlist=["x"]
+        ).late_events_via_stream(s, d),
         "st_window_counts": lambda s, d: __import__(
             "pdf_parser_spark.streaming.windowed", fromlist=["window_counts_via_stream"]
         ).window_counts_via_stream(s, d),
@@ -675,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_parser_spark.operators import linkgraph as LG
     from pdf_parser_spark.operators import snapshot as SN
     from pdf_parser_spark.plans import sqlapi as _SQLAPI
+    from pdf_parser_spark.streaming import late as LT
 
     # shared duplicated passage, the literal twin of dedup.with_shared_passage
     _span_passage_sql = (
@@ -2144,6 +2151,37 @@ def oracle_sql() -> dict[str, str]:
         # streaming tumbling-window rollup (complete-mode bounded replay)
         # must equal the batch GROUP BY hour-bucket; epoch-seconds window
         # start avoids tz/repr ambiguity in the hash compare
+        # watermark late-drop: Structured Streaming's late filter uses the
+        # PREVIOUS batch's eviction watermark (one-batch lag), so the
+        # re-delivered early batch is dropped exactly for windows already
+        # emitted (end <= wm1 = max(batch0 ts) - delay) and legitimately
+        # MERGES into the still-open boundary window (end > wm1) — its
+        # count doubles.  Emitted set = windows whose end clears the final
+        # watermark.  A drop-path regression shows up as doubled counts or
+        # duplicate append rows; a merge-path regression as a missing
+        # double on the boundary window.
+        "st_late_events": f"""
+            WITH wm AS (
+                SELECT max(ts) - INTERVAL 30 MINUTE AS wmf,
+                       max(CASE WHEN ts < TIMESTAMP '{LT.SPLIT1}' THEN ts END)
+                           - INTERVAL 30 MINUTE AS wm1
+                FROM events
+            )
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                       AS window_start,
+                   event_type,
+                   CAST(count(*) + CASE
+                        WHEN date_trunc('hour', min(ts)) + INTERVAL 1 HOUR > wm1
+                        THEN count(CASE WHEN ts < TIMESTAMP '{LT.SPLIT1}'
+                                        THEN 1 END)
+                        ELSE 0 END AS BIGINT) AS n_events,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id
+            FROM events, wm
+            GROUP BY window_start, event_type, wmf, wm1
+            HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= wmf
+            ORDER BY window_start, event_type
+        """,
         "st_window_counts": """
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
                    event_type,

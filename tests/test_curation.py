@@ -9,6 +9,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from pdf_parser_spark.operators import curation
+from tests.conftest import SF001
 
 
 def _docs(spark, rows):
@@ -924,3 +925,21 @@ def test_strip_dup_spans_full_removal_yields_empty_hash(spark):
     rows = dedup.strip_dup_spans(df, n=4, min_df=2).collect()
     assert all(r["n_dup_tokens"] == 4 for r in rows)
     assert all(r["clean_md5"] == hashlib.md5(b"").hexdigest() for r in rows)
+
+
+def test_late_replay_drops_redelivered_rows(spark):
+    """The 4-batch watermark replay: the re-delivery batch must report
+    rows dropped by the watermark, emit nothing by itself beyond the
+    boundary eviction, and the final append output must contain no
+    duplicate (window, event_type) keys."""
+    from pdf_parser_spark.streaming.late import late_replay
+
+    out, prog = late_replay(spark, SF001)
+    by_batch = {p["batchId"]: p for p in prog}
+    redelivery = by_batch[2]
+    dropped = redelivery["stateOperators"][0]["numRowsDroppedByWatermark"]
+    assert dropped > 0
+    rows = out.collect()
+    keys = [(r["window_start"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys))  # append-mode exactly-once per window
+    out.unpersist()
