@@ -335,6 +335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         "t_quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+        # exact per-source token-length quantiles (rank-based, portable)
+        "t_length_quantiles": lambda s, d: textstats.length_quantiles(
+            _docs(s, d)
+        ),
         # crawl-cycle drift monitor: hashed-token share deltas between the
         # two deterministic snapshots, top movers by |delta| in bp
         "t_token_drift": lambda s, d: textstats.token_drift(
@@ -1613,6 +1617,30 @@ def oracle_sql() -> dict[str, str]:
         "t_fingerprint": """
             SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id
+        """,
+        # exact per-source length quantiles: identical rank arithmetic
+        # (ceil via (p*n+99)//100 — non-negative, so DuckDB floor division
+        # and Spark truncating div agree)
+        "t_length_quantiles": f"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                            AS BIGINT) AS v
+                FROM documents
+            ), ranked AS (
+                SELECT source, v,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY v, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n_docs
+                FROM toks
+            )
+            SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+                   {", ".join(
+                       f"CAST(max(CASE WHEN rn = ({p} * n_docs + 99) // 100 "
+                       f"THEN v END) AS BIGINT) AS p{p}"
+                       for p in TS.QUANTILE_PCTS
+                   )}
+            FROM ranked GROUP BY source ORDER BY source
         """,
         # snapshot token-distribution drift: membership/revision formulas
         # interpolated from operators/snapshot.py, bucket/scale/top-k from

@@ -535,3 +535,54 @@ def token_drift(
         .select("bucket", "old_n", "new_n", "old_bp", "new_bp", "delta_bp")
         .orderBy(F.abs(F.col("delta_bp")).desc(), "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-source length quantiles (corpus datasheet extension)
+# ---------------------------------------------------------------------------
+
+QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+def length_quantiles(documents: DataFrame) -> DataFrame:
+    """Exact token-length quantiles per source — the release-datasheet
+    companion of corpus_datasheet (means hide the shape; shard sizing and
+    packing need the tails).
+
+    Quantile definition is rank-based and engine-portable: the value at
+    row ceil(p*n/100) of the (n_tokens asc, doc_id asc) order — the lower
+    quantile with a deterministic tie-break, identical arithmetic in the
+    DuckDB twin (ceil as (p*n + 99) div 100: both engines' integer
+    division agree on non-negative operands; a negated-floor ceil would
+    diverge, Spark div truncates while DuckDB // floors).
+
+    Returns (source, n_docs, p25, p50, p75, p90, p99).
+
+    Scale: ONE shuffle — the per-source window sort; exact quantiles
+    parallelize across sources, which is the real sharding dimension of a
+    crawl corpus.  For a single 10^12-row source the exact sort is the
+    cost of a global sort: swap to approx_percentile (engine-specific
+    sketch, so the exact form is what the cross-engine oracle checks) —
+    the same exact/approx split as corpus_datasheet vs _approx.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id",
+        "source",
+        F.size(words(F.col("text"))).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("source").orderBy("v", "doc_id")
+    cnt = Window.partitionBy("source")
+    ranked = toks.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_docs", F.count("*").over(cnt)
+    )
+    aggs = [F.max("n_docs").cast("long").alias("n_docs")]
+    for p in QUANTILE_PCTS:
+        target = F.expr(f"({p} * n_docs + 99) div 100")
+        aggs.append(
+            F.max(F.when(F.col("rn") == target, F.col("v")))
+            .cast("long")
+            .alias(f"p{p}")
+        )
+    return ranked.groupBy("source").agg(*aggs).orderBy("source")

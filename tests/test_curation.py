@@ -943,3 +943,17 @@ def test_late_replay_drops_redelivered_rows(spark):
     keys = [(r["window_start"], r["event_type"]) for r in rows]
     assert len(keys) == len(set(keys))  # append-mode exactly-once per window
     out.unpersist()
+
+
+def test_length_quantiles_exact_rank_math(spark):
+    """Hand-computed quantiles over 4 docs of lengths 1,2,3,4 in one
+    source: ceil-rank targets are p25->1, p50->2, p75->3, p90->4, p99->4."""
+    from pdf_parser_spark.operators import textstats
+
+    rows = [(i, " ".join(["w"] * i), "en", "A", 0) for i in (1, 2, 3, 4)]
+    out = textstats.length_quantiles(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_docs"], r["p25"], r["p50"], r["p75"], r["p90"], r["p99"]) == (
+        4, 1, 2, 3, 4, 4,
+    )
