@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_length_quantiles": lambda s, d: textstats.length_quantiles(
             _docs(s, d)
         ),
+        # capped inverted index: per-term df + top-k postings by tf
+        "t_inverted_index": lambda s, d: textstats.inverted_index(
+            _docs(s, d)
+        ),
         # crawl-cycle drift monitor: hashed-token share deltas between the
         # two deterministic snapshots, top movers by |delta| in bp
         "t_token_drift": lambda s, d: textstats.token_drift(
@@ -1617,6 +1621,33 @@ def oracle_sql() -> dict[str, str]:
         "t_fingerprint": """
             SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id
+        """,
+        # capped inverted index: tf per (term, doc), df filter, per-term
+        # top-k postings with the (tf desc, doc asc) tie-break, postings
+        # string re-built in rank order
+        "t_inverted_index": f"""
+            WITH tf AS (
+                SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(
+                               regexp_split_to_array(trim(text), '\\s+'),
+                               w -> w <> '')) AS term
+                    FROM documents
+                ) GROUP BY term, doc_id
+            ), ranked AS (
+                SELECT term, doc_id, tf,
+                       count(*) OVER (PARTITION BY term) AS dfreq,
+                       row_number() OVER (PARTITION BY term
+                                          ORDER BY tf DESC, doc_id ASC) AS rn
+                FROM tf
+            )
+            SELECT term, CAST(dfreq AS BIGINT) AS dfreq,
+                   string_agg(doc_id || ':' || tf, '|' ORDER BY rn)
+                       AS postings
+            FROM ranked
+            WHERE dfreq >= {TS.INDEX_MIN_DF} AND rn <= {TS.INDEX_POSTINGS_K}
+            GROUP BY term, dfreq ORDER BY term
         """,
         # exact per-source length quantiles: identical rank arithmetic
         # (ceil via (p*n+99)//100 — non-negative, so DuckDB floor division

@@ -586,3 +586,72 @@ def length_quantiles(documents: DataFrame) -> DataFrame:
             .alias(f"p{p}")
         )
     return ranked.groupBy("source").agg(*aggs).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (capped posting lists)
+# ---------------------------------------------------------------------------
+
+INDEX_MIN_DF = 3       # terms in fewer docs are tail noise for the index
+INDEX_POSTINGS_K = 5   # postings kept per term (production: ~10^3-10^4)
+
+
+def inverted_index(
+    documents: DataFrame,
+    min_df: int = INDEX_MIN_DF,
+    k: int = INDEX_POSTINGS_K,
+) -> DataFrame:
+    """Capped inverted index over the corpus: per term, document frequency
+    and the top-k postings by (tf desc, doc_id asc) — the transposed
+    complement of per-doc keyword extraction, and the search/retrieval
+    artifact a curated corpus ships for audit ("which docs dominate this
+    term?").
+
+    Returns (term, dfreq, postings) where postings is 'doc:tf|doc:tf|...'
+    in rank order.
+
+    Scale design: explode (narrow) -> ONE map-side-combined groupBy
+    (term, doc_id) for tf -> df window + rank window per term.  The
+    per-term cap is applied BEFORE collecting postings, so no mega-term
+    posting list ever materializes (the same bound as the anchor-text
+    mega-target cap in linkgraph); min_df prunes the long tail where rank
+    windows would dominate.  Per-term windows parallelize across the
+    vocabulary — there is no global sort.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select(
+            "doc_id", F.explode(words(F.col("text"))).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    per_term = Window.partitionBy("term")
+    rank_w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        tf.withColumn("dfreq", F.count("*").over(per_term).cast("long"))
+        .where(F.col("dfreq") >= min_df)
+        .withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= k)
+    )
+    return (
+        ranked.groupBy("term", "dfreq")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "doc_id", "tf"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s.doc_id.cast("string"), s.tf.cast("string")
+                    ),
+                ),
+            ).alias("postings")
+        )
+        .orderBy("term")
+    )

@@ -957,3 +957,28 @@ def test_length_quantiles_exact_rank_math(spark):
     assert (r["n_docs"], r["p25"], r["p50"], r["p75"], r["p90"], r["p99"]) == (
         4, 1, 2, 3, 4, 4,
     )
+
+
+def test_inverted_index_rank_cap_and_df_floor(spark):
+    """Engineered corpus: term 'aa' in 3 docs (df floor met) with tfs
+    3,1,2 -> postings ranked tf desc, doc asc and capped; 'bb' in 2 docs
+    -> pruned by min_df; tf tie broken by doc_id."""
+    from pdf_parser_spark.operators import textstats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "aa aa aa bb", "en", "s", 0),
+            (2, "aa bb", "en", "s", 0),
+            (3, "aa aa cc", "en", "s", 0),
+            (4, "cc cc", "en", "s", 0),
+            (5, "cc", "en", "s", 0),
+        ],
+    )
+    out = {r["term"]: r for r in
+           textstats.inverted_index(docs, min_df=3, k=2).collect()}
+    assert set(out) == {"aa", "cc"}  # 'bb' df=2 pruned
+    assert out["aa"]["dfreq"] == 3
+    assert out["aa"]["postings"] == "1:3|3:2"  # capped at 2 of 3
+    # 'cc': tfs 1,2,1 -> 4:2 first, then tie (3:1 vs 5:1) -> doc asc
+    assert out["cc"]["postings"] == "4:2|3:1"
