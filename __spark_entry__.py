@@ -570,6 +570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_paragraph_tags": lambda s, d: curation.paragraph_tags(
             curation.with_synthetic_lines(_docs(s, d))
         ),
+        # the mixer's apply face: kept paragraphs reassembled, bytes pinned
+        "c_paragraph_mix": lambda s, d: curation.paragraph_mixer_apply(
+            curation.with_synthetic_lines(_docs(s, d))
+        ),
         "d_incremental": lambda s, d: curation.incremental_dedup(_docs(s, d)),
         # --- link graph (crawl-frontier ops) ---
         "u_outlinks": lambda s, d: __import__(
@@ -2757,6 +2761,29 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_bp >= {C.PARA_MIN_ALPHA_BP}
                     AND NOT is_nav) AS keep
             FROM tagged ORDER BY doc_id, para_idx
+        """,
+        # mixer apply: same attribute formulas as c_paragraph_tags, kept
+        # paragraphs re-joined in order and md5-pinned
+        "c_paragraph_mix": f"""
+            WITH multi AS (
+                SELECT doc_id, {_lines_sql} AS ls FROM documents
+            ), kept AS (
+                SELECT doc_id, ls,
+                       list_filter(ls, para ->
+                           len(list_filter(
+                               regexp_split_to_array(trim(para), '\\s+'),
+                               w -> w <> '')) >= {C.PARA_MIN_TOKENS}
+                           AND length(regexp_replace(para, '[^A-Za-z]', '', 'g'))
+                               * 10000
+                               >= {C.PARA_MIN_ALPHA_BP}
+                                  * greatest(length(para), 1)
+                           AND NOT contains(para, '|')) AS kp
+                FROM multi
+            )
+            SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_paras,
+                   CAST(len(kp) AS BIGINT) AS n_kept,
+                   md5(coalesce(array_to_string(kp, chr(10)), '')) AS clean_md5
+            FROM kept ORDER BY doc_id
         """,
         # sub-document duplicate spans: the oracle re-derives the spliced
         # token lists from the SPAN_* formulas, fingerprints every SPAN_N

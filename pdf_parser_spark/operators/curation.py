@@ -764,3 +764,40 @@ def paragraph_tags(df: DataFrame, text_col: str = "text_multi") -> DataFrame:
         )
         .orderBy("doc_id", "para_idx")
     )
+
+
+def paragraph_mixer_apply(df: DataFrame, text_col: str = "text_multi") -> DataFrame:
+    """The Dolma mixer's APPLY face: drop paragraphs failing the
+    paragraph_tags keep rule and pin the reassembled document bytes.
+
+    Returns (doc_id, n_paras, n_kept, clean_md5) — clean_md5 is the md5 of
+    kept paragraphs re-joined with newlines in original order, so span
+    bookkeeping errors fail the hash, not just counts.
+
+    Scale: same zero-shuffle in-scan shape as paragraph_tags — the whole
+    tag-and-reassemble pipeline is higher-order array functions on the
+    paragraph list inside one projection; nothing ever leaves the scan
+    (contrast line_dedup, which must shuffle because its verdict is
+    corpus-wide; the mixer verdict is per-paragraph-local)."""
+    paras = F.split(F.col(text_col), "\n")
+    n_tok = lambda p: F.size(  # noqa: E731
+        F.filter(F.split(F.trim(p), r"\s+"), lambda w: w != "")
+    )
+    # alpha share >= threshold, in multiply form: (a*10000) div L >= T is
+    # equivalent to a*10000 >= T*L for integer T (floor-div monotonicity),
+    # and the multiply form works inside a lambda where expr() can't bind
+    keep = lambda p: (  # noqa: E731
+        (n_tok(p) >= PARA_MIN_TOKENS)
+        & (
+            F.length(F.regexp_replace(p, "[^A-Za-z]", "")) * 10000
+            >= PARA_MIN_ALPHA_BP * F.greatest(F.length(p), F.lit(1))
+        )
+        & ~p.contains("|")
+    )
+    kept = F.filter(paras, keep)
+    return df.select(
+        "doc_id",
+        F.size(paras).cast("long").alias("n_paras"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws("\n", kept)).alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -982,3 +982,18 @@ def test_inverted_index_rank_cap_and_df_floor(spark):
     assert out["aa"]["postings"] == "1:3|3:2"  # capped at 2 of 3
     # 'cc': tfs 1,2,1 -> 4:2 first, then tie (3:1 vs 5:1) -> doc asc
     assert out["cc"]["postings"] == "4:2|3:1"
+
+
+def test_paragraph_mixer_apply_matches_tags_and_pins_bytes(spark):
+    """Mixer apply must agree row-for-row with the tags' keep verdicts and
+    reassemble surviving paragraphs byte-exactly."""
+    df = _docs(spark, [(1, "unused", "en", "s", 0)]).withColumn(
+        "text_multi",
+        F.lit("Home | About\nhi.\nThis is clean prose text\nAnother good plain line"),
+    )
+    tags = curation.paragraph_tags(df).collect()
+    mix = curation.paragraph_mixer_apply(df).collect()[0]
+    assert mix["n_paras"] == 4
+    assert mix["n_kept"] == sum(1 for t in tags if t["keep"]) == 2
+    expect = "This is clean prose text\nAnother good plain line"
+    assert mix["clean_md5"] == hashlib.md5(expect.encode()).hexdigest()
