@@ -144,9 +144,16 @@ def _has_toc_entries(text: str) -> bool:
     return _count_reaches(lines, _LEADING_PAGE_NUM, 5)
 
 
-def is_toc_page(text: str) -> bool:
-    """Rich TOC predicate with running-header and financial-data rescue
-    (ref section_split.py:245-299)."""
+def _toc_verdict(
+    text: str, assume_hint: bool = False
+) -> tuple[bool, frozenset[str] | None]:
+    """(is_toc, fallback_hits) — the is_toc half is exactly the reference
+    predicate (ref section_split.py:245-299); fallback_hits is the set of
+    SECTION_PATTERNS keys with >= 1 search hit, FREE when the fallback
+    branch scanned to completion (a non-TOC page scans all patterns
+    anyway), letting _find_starts skip finditer on the patterns that
+    provably cannot match.  None when the fallback never completed a full
+    scan (heading branch decided, or the >=4-hit early exit fired)."""
     has_heading = bool(_TOC_HEADING.search(text))
     if has_heading and _has_toc_entries(text):
         lines = text.strip().splitlines()
@@ -155,22 +162,29 @@ def is_toc_page(text: str) -> bool:
         )
         has_financial = bool(_TOC_FINANCIAL.search(text))
         if header_area and has_financial:
-            return False  # financial page with a running TOC header
+            return False, None  # financial page with a running TOC header
         if not header_area and has_financial:
-            return False
+            return False, None
         if _count_reaches(lines, _DOTTED_LEADER, 2):
-            return True
-        return True  # header-area TOC without financial data, or buried TOC
+            return True, None
+        return True, None  # header-area TOC w/o financial data, or buried TOC
     # fallback: a page matching >=4 section patterns is likely a TOC
-    if not _SECTION_HINT.search(text):
-        return False  # no pattern can match (hint is a required-literal superset)
-    hits = 0
-    for _k, pat in SECTION_PATTERNS:
+    if not assume_hint and not _SECTION_HINT.search(text):
+        return False, frozenset()  # no pattern can match (hint is a
+        # required-literal superset)
+    hits: list[str] = []
+    for k, pat in SECTION_PATTERNS:
         if pat.search(text):
-            hits += 1
-            if hits >= 4:
-                return True
-    return False
+            hits.append(k)
+            if len(hits) >= 4:
+                return True, None
+    return False, frozenset(hits)
+
+
+def is_toc_page(text: str) -> bool:
+    """Rich TOC predicate with running-header and financial-data rescue
+    (ref section_split.py:245-299)."""
+    return _toc_verdict(text)[0]
 
 
 # --- heading validation (ref section_split.py:163-223) ----------------------
@@ -229,11 +243,14 @@ def _find_starts(pages: Sequence[Page]) -> list[tuple[str, int]]:
         if not _SECTION_HINT.search(page.text):
             continue  # no heading pattern can match; skips TOC check too
             # (a TOC page always carries section hints, so nothing is lost)
-        if is_toc_page(page.text):
+        is_toc, hits = _toc_verdict(page.text, assume_hint=True)
+        if is_toc:
             continue  # the reference's "partition pruning" analog
         for key, pattern in SECTION_PATTERNS:
             if key in seen:
                 continue
+            if hits is not None and key not in hits:
+                continue  # search already proved no match; finditer is a no-op
             for m in pattern.finditer(page.text):
                 if is_heading_match(page.text, m):
                     found.append((key, page.page_number))

@@ -6,6 +6,7 @@ Arrow extraction stage, applied to page text and every table cell.
 
 from __future__ import annotations
 
+import math
 import re
 from functools import lru_cache
 
@@ -13,6 +14,9 @@ from functools import lru_cache
 _MIN_FACTOR, _MAX_FACTOR = 2, 15
 _ACCEPT_GROUP_RATIO = 0.7  # ref pdf_extract.py:128
 _MIN_GROUPS = 3
+# necessary multi-run floor implied by the two gates below (integer count
+# >= ratio * MIN regardless of the group total)
+_MIN_MULTI = math.ceil(_ACCEPT_GROUP_RATIO * _MIN_GROUPS)
 
 # run-length gate regexes: a "group" is a maximal run of one non-space char
 _RUN_RE = re.compile(r"([^ ])\1*")
@@ -86,12 +90,17 @@ def collapse_repeated_line(line: str) -> str:
     collapse — i.e., virtually all normal text skips the factor loop."""
     if len(line) < 6:
         return line
-    # C-level gate: count non-space runs / multi-char runs with the regex
-    # engine before any Python char walk (counts equal _char_runs' tallies)
+    # C-level gate: count multi-char runs FIRST — acceptance needs
+    # multi >= ratio*groups with groups >= _MIN_GROUPS, so multi >=
+    # ceil(ratio*_MIN_GROUPS) is necessary regardless of groups, and
+    # normal text (0-2 doubled letters per line) exits after ONE regex
+    # pass instead of two (counts equal _char_runs' tallies)
+    multi = len(_MULTI_RUN_RE.findall(line))
+    if multi < _MIN_MULTI:
+        return line
     groups = len(_RUN_RE.findall(line))
     if groups < _MIN_GROUPS:
         return line
-    multi = len(_MULTI_RUN_RE.findall(line))
     if multi / groups < _ACCEPT_GROUP_RATIO:
         return line
     runs = _char_runs(line)
