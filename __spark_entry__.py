@@ -575,6 +575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             curation.with_synthetic_lines(_docs(s, d))
         ),
         "d_incremental": lambda s, d: curation.incremental_dedup(_docs(s, d)),
+        # the composed training-corpus build: gate -> exact dedup ->
+        # decontaminate -> stratified sample -> shard pack, one hash over
+        # the whole chain (the curation analog of g_corpus_frontier)
+        "c_corpus_build": lambda s, d: curation.corpus_build(_docs(s, d)),
         # --- link graph (crawl-frontier ops) ---
         "u_outlinks": lambda s, d: __import__(
             "pdf_parser_spark.operators.linkgraph", fromlist=["x"]
@@ -2761,6 +2765,49 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_bp >= {C.PARA_MIN_ALPHA_BP}
                     AND NOT is_nav) AS keep
             FROM tagged ORDER BY doc_id, para_idx
+        """,
+        # the composed corpus build: every stage's twin chained over the
+        # previous stage's survivor set — gate reasons, exact-dedup keeper,
+        # contaminated shingle set, sampling hash, and packing prefix-sum
+        # must ALL agree for the final hash to match
+        "c_corpus_build": f"""
+            WITH {_gate_cte_for("documents")},
+            s1 AS (
+                SELECT d.* FROM documents d
+                JOIN gated g USING (doc_id) WHERE g.reasons = ''
+            ), keepers AS (
+                SELECT min(doc_id) AS doc_id FROM (
+                    SELECT doc_id,
+                           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+                    FROM s1
+                ) GROUP BY fp
+            ), s2 AS (
+                SELECT s1.* FROM s1 JOIN keepers USING (doc_id)
+            ), bench AS (
+                SELECT DISTINCT unnest(list_distinct({_SNIP_SHINGLES})) AS s
+                FROM documents WHERE doc_id % {C.BENCH_MOD} = 0
+            ), conts AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
+                    FROM s2
+                ) x JOIN bench USING (s)
+            ), s3 AS (
+                SELECT * FROM s2
+                WHERE doc_id NOT IN (SELECT doc_id FROM conts)
+            ), s4 AS (
+                SELECT * FROM s3
+                WHERE CAST(('0x' || substr(md5('smpl:' || doc_id), 1, 8)) AS BIGINT)
+                      % 10000 < CASE lang {_rate_cases} ELSE -1 END
+            ), t AS (
+                SELECT doc_id, source, lang,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM s4
+            )
+            SELECT doc_id, source, lang, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                                                   ORDER BY doc_id)
+                               - n_tokens) / 500) AS BIGINT) AS shard_id
+            FROM t ORDER BY doc_id
         """,
         # mixer apply: same attribute formulas as c_paragraph_tags, kept
         # paragraphs re-joined in order and md5-pinned

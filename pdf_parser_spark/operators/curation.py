@@ -801,3 +801,52 @@ def paragraph_mixer_apply(df: DataFrame, text_col: str = "text_multi") -> DataFr
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.concat_ws("\n", kept)).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# The composed corpus build (one hash over the whole training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def corpus_build(documents: DataFrame) -> DataFrame:
+    """The full training-corpus build as ONE dataflow — the curation analog
+    of linkgraph.corpus_frontier: hard quality gate -> exact dedup (min-id
+    keeper) -> benchmark decontamination -> hash-deterministic stratified
+    sampling -> per-source token-budget shard packing.  Every stage
+    consumes the previous stage's survivor set, so the composed driver
+    oracle catches drift in ANY stage, not just the stage each standalone
+    query covers.
+
+    Returns (doc_id, source, lang, n_tokens, shard_id) for the packed
+    survivors, ordered by doc_id.
+
+    Scale: the stages keep their individual plans (semi joins on doc_id
+    between them — key-only build sides, AQE-broadcast once each filter
+    has cut the set); nothing new shuffles beyond the component designs.
+    The benchmark set is built from the FULL corpus (eval prompts exist
+    regardless of what the gate drops).
+    """
+    from pdf_parser_spark.operators import dedup as _dedup
+    from pdf_parser_spark.operators import textstats as _ts
+
+    gate_ids = _ts.quality_gate(documents).where(F.col("passed")).select("doc_id")
+    gated = documents.join(gate_ids, "doc_id", "left_semi")
+
+    keeper_ids = _dedup.exact_dedup_groups(gated).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    deduped = gated.join(keeper_ids, "doc_id", "left_semi")
+
+    cont = decontaminate(deduped, benchmark_snippets(documents))
+    clean_ids = cont.where(~F.col("contaminated")).select("doc_id")
+    clean = deduped.join(clean_ids, "doc_id", "left_semi")
+
+    sampled_ids = stratified_sample(clean).select("doc_id")
+    sampled = clean.join(sampled_ids, "doc_id", "left_semi")
+
+    packed = pack_shards(sampled)
+    return (
+        packed.join(documents.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "source", "lang", "n_tokens", "shard_id")
+        .orderBy("doc_id")
+    )

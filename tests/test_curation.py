@@ -997,3 +997,34 @@ def test_paragraph_mixer_apply_matches_tags_and_pins_bytes(spark):
     assert mix["n_kept"] == sum(1 for t in tags if t["keep"]) == 2
     expect = "This is clean prose text\nAnother good plain line"
     assert mix["clean_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_corpus_build_composes_exact_stage_chain(spark):
+    """corpus_build over sf0.001 must equal running the five stages by
+    hand, and every stage must actually cut the set (a stage that never
+    fires would make the composed oracle vacuous)."""
+    from pdf_parser_spark.operators import dedup, textstats
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    gate_ids = {r["doc_id"] for r in
+                textstats.quality_gate(docs).where("passed").collect()}
+    gated = docs.where(F.col("doc_id").isin(list(gate_ids)))
+    keep = {r["keep_doc_id"] for r in dedup.exact_dedup_groups(gated).collect()}
+    kept = gated.where(F.col("doc_id").isin(list(keep)))
+    cont = {r["doc_id"] for r in
+            curation.decontaminate(kept, curation.benchmark_snippets(docs))
+            .where("contaminated").collect()}
+    clean = kept.where(~F.col("doc_id").isin(list(cont)))
+    samp = {r["doc_id"] for r in curation.stratified_sample(clean).collect()}
+    expected = {r["doc_id"]: r["shard_id"] for r in
+                curation.pack_shards(
+                    clean.where(F.col("doc_id").isin(list(samp)))
+                ).collect()}
+    got = {r["doc_id"]: r["shard_id"] for r in
+           curation.corpus_build(docs).collect()}
+    assert got == expected and len(got) > 0
+    n_docs = docs.count()
+    # each stage genuinely cuts at this sf
+    assert len(gate_ids) < n_docs
+    assert len(cont) > 0
+    assert len(samp) < clean.count()

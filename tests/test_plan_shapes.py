@@ -394,3 +394,14 @@ def test_dup_spans_dsir_paragraph_tag_shapes(spark):
     assert "Generate" in p, p
     assert len(_re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert "rangepartitioning" in p and "hashpartitioning" not in p, p
+
+
+def test_corpus_build_semi_join_chain_no_cartesian(spark):
+    """The composed build must chain key-only semi joins between stages
+    and contain no cartesian/nested-loop join anywhere."""
+    from pdf_parser_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    p = plan(curation.corpus_build(docs))
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
