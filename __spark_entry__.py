@@ -632,6 +632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_scd2_history": lambda s, d: (lambda sn: sn.scd2_history(
             sn.snapshot_series(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.snapshot", fromlist=["x"])),
+        # adaptive recrawl scheduling: exponential backoff for stable urls
+        "u_recrawl_schedule": lambda s, d: (lambda sn: sn.recrawl_schedule(
+            sn.snapshot_series(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.snapshot", fromlist=["x"])),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
         "extract_pipeline": extract_pipeline,
     }
@@ -3049,6 +3053,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SCD2 recrawl history: presence/revision formulas re-derived per
         # (doc_id, ts); segment break on fp change OR presence gap
+        # adaptive recrawl: same snapshot-series twin, pair/change counters
+        # and the capped power-of-2 backoff (constants interpolate from
+        # operators/snapshot.py)
+        "u_recrawl_schedule": f"""
+            WITH snaps AS (
+                SELECT d.doc_id, ts.snap_ts,
+                       md5(d.text || '#' ||
+                           ((ts.snap_ts * (d.doc_id % 3)) // 2)) AS fp
+                FROM documents d,
+                     (SELECT unnest(range(0, {SN.N_SNAPSHOTS})) AS snap_ts) ts
+                WHERE (d.doc_id + ts.snap_ts) % 7 <> 0
+            ), lagged AS (
+                SELECT doc_id, snap_ts, fp,
+                       lag(fp) OVER w AS prev_fp,
+                       lag(snap_ts) OVER w AS prev_ts
+                FROM snaps WINDOW w AS (PARTITION BY doc_id ORDER BY snap_ts)
+            ), per_doc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_obs,
+                       CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                                      AND snap_ts = prev_ts + 1
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+                       CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                                      AND snap_ts = prev_ts + 1
+                                      AND fp <> prev_fp
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                       CAST(max(snap_ts) AS BIGINT) AS last_ts
+                FROM lagged GROUP BY doc_id
+            )
+            SELECT doc_id, n_obs, n_pairs, n_changes,
+                   CAST({SN.RECRAWL_BASE_HOURS} * power(2,
+                        least(n_pairs - n_changes,
+                              {SN.RECRAWL_MAX_DOUBLINGS})) AS BIGINT)
+                       AS interval_hours,
+                   CAST(last_ts * 24
+                        + {SN.RECRAWL_BASE_HOURS} * power(2,
+                          least(n_pairs - n_changes,
+                                {SN.RECRAWL_MAX_DOUBLINGS})) AS BIGINT)
+                       AS next_fetch_ts
+            FROM per_doc ORDER BY doc_id
+        """,
         "u_scd2_history": f"""
             WITH snaps AS (
                 SELECT d.doc_id, ts.snap_ts,

@@ -121,3 +121,69 @@ def scd2_history(snaps: DataFrame, k: int = N_SNAPSHOTS) -> DataFrame:
         )
         .orderBy("doc_id", "seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive recrawl scheduling (change-frequency-driven revisit intervals)
+# ---------------------------------------------------------------------------
+
+RECRAWL_BASE_HOURS = 6   # interval for a page that changed every cycle
+RECRAWL_MAX_DOUBLINGS = 4  # never back off beyond BASE << MAX
+
+
+def recrawl_schedule(snaps: DataFrame, k: int = N_SNAPSHOTS) -> DataFrame:
+    """Adaptive revisit scheduling from observed change history (Cho &
+    Garcia-Molina, TODS 2003: revisit frequency proportional to observed
+    change frequency): per url, count fingerprint changes across the
+    consecutive snapshot pairs it was present for, then back off
+    exponentially for stable pages —
+
+        interval_hours = RECRAWL_BASE_HOURS << min(stable_pairs,
+                                                   RECRAWL_MAX_DOUBLINGS)
+
+    where stable_pairs = observed consecutive pairs with NO change.  A page
+    seen changing every cycle recrawls at BASE; one never seen changing
+    backs off geometrically, capped.  Urls observed in < 2 cycles have no
+    pair evidence and recrawl at BASE (explore-before-exploit).
+
+    Returns (doc_id, n_obs, n_pairs, n_changes, interval_hours,
+    next_fetch_ts) — next_fetch_ts = last snapshot index * 24 +
+    interval_hours, all exact BIGINTs.
+
+    Plan: one lag window over the (doc_id, snap_ts) series + one groupBy —
+    the same single-shuffle shape as scd2_history; at 10^12 urls this IS
+    the frontier-priority input, co-located with the history table by
+    url-hash bucketing.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("snap_ts")
+    prev_fp = F.lag("fp").over(w)
+    prev_ts = F.lag("snap_ts").over(w)
+    is_pair = prev_ts.isNotNull() & (F.col("snap_ts") == prev_ts + 1)
+    changed = is_pair & (F.col("fp") != prev_fp)
+    per_doc = (
+        snaps.withColumn("is_pair", is_pair.cast("long"))
+        .withColumn("chg", changed.cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum("is_pair").cast("long").alias("n_pairs"),
+            F.sum("chg").cast("long").alias("n_changes"),
+            F.max("snap_ts").cast("long").alias("last_ts"),
+        )
+    )
+    stable = F.col("n_pairs") - F.col("n_changes")
+    doublings = F.least(stable, F.lit(RECRAWL_MAX_DOUBLINGS))
+    interval = (
+        F.lit(RECRAWL_BASE_HOURS)
+        * F.pow(F.lit(2), doublings).cast("long")
+    ).cast("long")
+    return per_doc.select(
+        "doc_id",
+        "n_obs",
+        "n_pairs",
+        "n_changes",
+        interval.alias("interval_hours"),
+        (F.col("last_ts") * 24 + interval).alias("next_fetch_ts"),
+    ).orderBy("doc_id")

@@ -1028,3 +1028,31 @@ def test_corpus_build_composes_exact_stage_chain(spark):
     assert len(gate_ids) < n_docs
     assert len(cont) > 0
     assert len(samp) < clean.count()
+
+
+def test_recrawl_schedule_backoff_math(spark):
+    """Hand-built series: a never-changing url backs off 2^pairs (capped),
+    an always-changing url stays at BASE, a gap breaks the pair chain,
+    and a single-observation url gets the explore default."""
+    from pdf_parser_spark.operators import snapshot as sn
+
+    rows = [
+        # doc 1: present 0-3, never changes -> 3 stable pairs -> 6h<<3=48
+        *[(1, t, "same") for t in range(4)],
+        # doc 2: present 0-3, changes every cycle -> 3 pairs 3 changes -> 6h
+        *[(2, t, f"v{t}") for t in range(4)],
+        # doc 3: present 0,1,3 (gap at 2): pairs = (0,1) only -> 1 stable
+        (3, 0, "x"), (3, 1, "x"), (3, 3, "x"),
+        # doc 4: seen once -> 0 pairs -> BASE
+        (4, 2, "y"),
+        # doc 5: 6 stable pairs would exceed the cap -> capped at 2^4
+        *[(5, t, "s") for t in range(7)],
+    ]
+    snaps = spark.createDataFrame(rows, "doc_id long, snap_ts long, fp string")
+    out = {r["doc_id"]: r for r in sn.recrawl_schedule(snaps).collect()}
+    assert out[1]["interval_hours"] == 6 << 3 and out[1]["n_changes"] == 0
+    assert out[2]["interval_hours"] == 6 and out[2]["n_changes"] == 3
+    assert out[3]["n_pairs"] == 1 and out[3]["interval_hours"] == 12
+    assert out[4]["n_pairs"] == 0 and out[4]["interval_hours"] == 6
+    assert out[5]["interval_hours"] == 6 << 4  # capped
+    assert out[1]["next_fetch_ts"] == 3 * 24 + 48
