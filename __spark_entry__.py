@@ -428,6 +428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NULL: a nullable int column widens to float64+NaN through the
         # driver's pandas fetch and can never hash-match (same doctrine as
         # the ISO-string dates elsewhere)
+        # perceptual image near-dup: aHash over decoded BMP rasters, group
+        # sizes via one window on the 64-bit fingerprint
+        "m_image_ahash": lambda s, d: multimodal.image_ahash(
+            multimodal.synthetic_media(_docs(s, d))
+        ),
         "m_media_features": lambda s, d: multimodal.media_features(
             multimodal.synthetic_media(_docs(s, d))
         ).select(
@@ -2522,6 +2527,44 @@ def oracle_sql() -> dict[str, str]:
         # byte value is arithmetic in its index; decimated PCM keeps every
         # 2nd frame.  A wrong stride, padding, channel order, or floor map
         # in the REAL kernel shifts the integer sum and fails the hash.
+        # aHash: the oracle recomputes the 8x8 grid cells straight from the
+        # BMP pixel formula (byte j of pixel data = (j*7+bw)%256), same
+        # stored-row indexing and src = dst*dim//grid sampling as the
+        # engine's decoder; mean threshold strict '>'
+        "m_image_ahash": f"""
+            WITH p AS (
+                SELECT doc_id, 8 + doc_id % 32 AS bw,
+                       8 + (doc_id // 3) % 24 AS bh
+                FROM documents WHERE doc_id % 3 = 0
+            ), q AS (
+                SELECT doc_id, bw, bh, ((bw*3+3)//4)*4 AS bs FROM p
+            ), cells AS (
+                SELECT doc_id,
+                       list_transform(range(0, {MM.AHASH_GRID ** 2}), i ->
+                           ( ((bs*((i//{MM.AHASH_GRID})*bh//{MM.AHASH_GRID})
+                               + 3*((i%{MM.AHASH_GRID})*bw//{MM.AHASH_GRID}))*7
+                              + bw) % 256
+                           + ((bs*((i//{MM.AHASH_GRID})*bh//{MM.AHASH_GRID})
+                               + 3*((i%{MM.AHASH_GRID})*bw//{MM.AHASH_GRID})
+                               + 1)*7 + bw) % 256
+                           + ((bs*((i//{MM.AHASH_GRID})*bh//{MM.AHASH_GRID})
+                               + 3*((i%{MM.AHASH_GRID})*bw//{MM.AHASH_GRID})
+                               + 2)*7 + bw) % 256 ) // 3) AS grays
+                FROM q
+            ), m AS (
+                SELECT doc_id, grays,
+                       list_sum(grays) // {MM.AHASH_GRID ** 2} AS mn
+                FROM cells
+            ), hx AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(grays, v ->
+                           CASE WHEN v > mn THEN '1' ELSE '0' END), '') AS ahash
+                FROM m
+            )
+            SELECT doc_id, ahash,
+                   CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
+            FROM hx ORDER BY doc_id
+        """,
         "m_transform": """
             WITH p AS (
                 SELECT doc_id, doc_id % 3 AS kind,

@@ -658,3 +658,77 @@ def sample_ppm_frames(
             ])
 
     return df.select("doc_id", payload_col).mapInPandas(fn, schema=SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (average hash) over decoded BMP rasters
+# ---------------------------------------------------------------------------
+
+AHASH_GRID = 8  # 8x8 = 64-bit fingerprint (the classic aHash layout)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Average-hash perceptual fingerprints over BMP payloads — the
+    image-side near-dup signal (re-encoded/re-scaled copies of one image
+    hash identically, unlike byte-level md5): grayscale the raster,
+    nearest-neighbor-sample an 8x8 grid, threshold each cell against the
+    grid mean.
+
+    Returns (doc_id, ahash, n_same) for decodable 24bpp BMPs — ahash as
+    the 64-char bit string (portable across engines; a BIGINT encoding
+    would fight sign conventions), n_same = docs sharing the hash (the
+    dedup group size).  Non-BMP payloads are skipped by magic-number
+    sniff, not by id formula — production media columns are mixed.
+
+    Grid sampling uses the same src = dst*dim//grid mapping as resize_bmp,
+    rows indexed in STORED order (BMP bottom-up) — orientation is
+    irrelevant for dedup as long as both engines agree, and the DuckDB
+    oracle recomputes the identical cells from the pixel formula.
+
+    Scale: hashing is in-scan (Arrow batches, 64 samples per image
+    regardless of resolution); the only shuffle is the group-size window
+    on the 64-bit hash — the same single-shuffle shape as exact_dedup.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = AHASH_GRID
+        for pdf in batches:
+            ids: list[int] = []
+            hashes: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if b[:2] != b"BM" or len(b) < 54:
+                    continue
+                w = int.from_bytes(b[18:22], "little", signed=True)
+                h = int.from_bytes(b[22:26], "little", signed=True)
+                bpp = int.from_bytes(b[28:30], "little")
+                if bpp != 24 or w <= 0 or h <= 0:
+                    continue
+                off = int.from_bytes(b[10:14], "little")
+                bs = ((w * 3 + 3) // 4) * 4
+                if len(b) < off + bs * h:
+                    continue
+                grays: list[int] = []
+                for i in range(g * g):
+                    sx = (i % g) * w // g
+                    sy = (i // g) * h // g
+                    o = off + bs * sy + 3 * sx
+                    grays.append((b[o] + b[o + 1] + b[o + 2]) // 3)
+                mean = sum(grays) // (g * g)
+                ids.append(int(doc_id))
+                hashes.append("".join("1" if v > mean else "0" for v in grays))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    from pyspark.sql import Window
+
+    hashed = media.select("doc_id", "payload").mapInPandas(
+        fn, "doc_id long, ahash string"
+    )
+    return (
+        hashed.withColumn(
+            "n_same", F.count("*").over(Window.partitionBy("ahash")).cast("long")
+        )
+        .orderBy("doc_id")
+    )

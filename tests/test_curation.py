@@ -1056,3 +1056,24 @@ def test_recrawl_schedule_backoff_math(spark):
     assert out[4]["n_pairs"] == 0 and out[4]["interval_hours"] == 6
     assert out[5]["interval_hours"] == 6 << 4  # capped
     assert out[1]["next_fetch_ts"] == 3 * 24 + 48
+
+
+def test_image_ahash_groups_identical_rasters(spark):
+    """Docs 0 and 288 synthesize byte-identical BMPs (dims repeat mod
+    3*lcm(32,24)) -> same ahash, n_same >= 2; a doc with different dims
+    hashes differently; non-BMP payloads (kind 1/2) are skipped by magic
+    sniff."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    docs = _docs(
+        spark,
+        [(i, "t", "en", "s", 0) for i in (0, 288, 3, 1, 2)],
+    )
+    out = {r["doc_id"]: r for r in
+           mm.image_ahash(mm.synthetic_media(docs)).collect()}
+    assert set(out) == {0, 288, 3}  # kind-1/2 skipped
+    assert out[0]["ahash"] == out[288]["ahash"]
+    assert out[0]["n_same"] == 2 and out[288]["n_same"] == 2
+    assert out[3]["ahash"] != out[0]["ahash"] and out[3]["n_same"] == 1
+    assert len(out[0]["ahash"]) == mm.AHASH_GRID ** 2
+    assert set(out[0]["ahash"]) <= {"0", "1"}
