@@ -343,6 +343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_inverted_index": lambda s, d: textstats.inverted_index(
             _docs(s, d)
         ),
+        # BPE merge induction over the word-frequency dict (fit-small
+        # argmax per iteration, JVM aggregate() fold for the merge)
+        "t_bpe_merges": lambda s, d: textstats.bpe_merges(_docs(s, d)),
         # crawl-cycle drift monitor: hashed-token share deltas between the
         # two deterministic snapshots, top movers by |delta| in bp
         "t_token_drift": lambda s, d: textstats.token_drift(
@@ -764,6 +767,55 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) AS BIGINT) AS n_windows
                 FROM isl GROUP BY doc_id, grp
             )"""
+
+    from pdf_parser_spark.operators import textstats as TS
+
+    # BPE merge induction: K unrolled stages (like the PageRank CTE chain).
+    # Symbol sequences ride in a '|sym||sym|' wrapped string: replace() is
+    # left-to-right non-overlapping — exactly BPE's greedy merge scan — and
+    # the per-symbol '|...|' wrapping keeps adjacent matches from sharing
+    # boundary characters ('|a||a||a||a|' merges to '|aa||aa|', not
+    # '|aa||a||a|').  Corpus tokens are \\S+ runs, so '|' cannot occur
+    # inside a symbol.
+    _bpe_stages = []
+    for _k in range(1, TS.BPE_MERGES + 1):
+        _bpe_stages.append(f"""
+            p{_k} AS (
+                SELECT p.l AS l, p.r AS r, sum(freq) AS cnt FROM (
+                    SELECT freq,
+                           unnest(list_transform(range(1, len(syms)),
+                               i -> {{'l': syms[i], 'r': syms[i+1]}})) AS p
+                    FROM (
+                        SELECT freq,
+                               string_split(substr(seq, 2, length(seq) - 2),
+                                            '||') AS syms
+                        FROM v{_k - 1}
+                    )
+                ) GROUP BY p.l, p.r
+            ), b{_k} AS (
+                SELECT l, r, cnt FROM p{_k}
+                ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+            ), v{_k} AS (
+                SELECT replace(seq,
+                           (SELECT '|' || l || '||' || r || '|' FROM b{_k}),
+                           (SELECT '|' || l || r || '|' FROM b{_k})) AS seq,
+                       freq
+                FROM v{_k - 1}
+            )""")
+    _bpe_cte = f"""
+        WITH bvocab AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents
+            ) GROUP BY w
+        ), v0 AS (
+            SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                       i -> '|' || w[i:i] || '|'), '') AS seq, freq
+            FROM bvocab
+        ),{",".join(_bpe_stages)}
+    """
 
     # synthetic multi-line text, the literal twin of curation.with_synthetic_lines
     # NB: array_to_string over an empty slice is NULL in DuckDB (Spark's
@@ -1639,6 +1691,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id
         """,
+        # BPE merges: the K argmax/merge stages unrolled; rank, the merged
+        # pair, and its weighted count must all match
+        "t_bpe_merges": _bpe_cte + " ".join(
+            ("SELECT CAST(%d AS BIGINT) AS rank, l AS \"left\", "
+             "r AS \"right\", CAST(cnt AS BIGINT) AS pair_count FROM b%d"
+             % (_k, _k))
+            + (" UNION ALL" if _k < TS.BPE_MERGES else " ORDER BY rank")
+            for _k in range(1, TS.BPE_MERGES + 1)
+        ),
         # capped inverted index: tf per (term, doc), df filter, per-term
         # top-k postings with the (tf desc, doc asc) tie-break, postings
         # string re-built in rank order

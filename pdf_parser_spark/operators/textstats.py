@@ -655,3 +655,91 @@ def inverted_index(
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (tokenizer training on the corpus)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 4  # merges learned in the demo query (production: 10^4-10^5)
+
+
+def bpe_merges(documents: DataFrame, k: int = BPE_MERGES) -> DataFrame:
+    """Learn the first k byte-pair-encoding merges from the corpus
+    (Sennrich et al., ACL 2016): repeatedly count adjacent symbol pairs
+    over the word-frequency dictionary and merge the most frequent pair,
+    ties broken (count desc, left asc, right asc).
+
+    Returns (rank, left, right, pair_count) — the learned merge table, the
+    artifact a tokenizer trainer ships.
+
+    Scale design: BPE training operates on the AGGREGATED word-frequency
+    dict, not the corpus — one corpus-scale groupBy builds it (map-side
+    combined, output = vocabulary-sized), and every merge iteration is a
+    vocab-sized explode + groupBy; the argmax row is a driver scalar per
+    iteration (the fit-small pattern, same as kmeans centroids).  The
+    merge itself is a JVM aggregate() fold over each word's symbol array —
+    the accumulator merge (join out[-1] with the incoming symbol when they
+    form the pair) is exactly the left-to-right greedy scan because a
+    just-merged symbol l||r can never equal l (r is non-empty).
+    """
+    from pyspark.sql import Row
+
+    vocab = (
+        documents.select(F.explode(words(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+        .select("syms", "freq")
+        .localCheckpoint()  # vocab-sized; truncates the corpus lineage
+    )
+    spark = documents.sparkSession
+    out: list[Row] = []
+    for rank in range(1, k + 1):
+        idx = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(0), F.size("syms") - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = vocab.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i + 1).alias("l"),
+                        F.element_at(F.col("syms"), i + 2).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+            F.col("freq"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        out.append(
+            Row(rank=rank, left=b["l"], right=b["r"], pair_count=int(b["cnt"]))
+        )
+        l_lit, r_lit = F.lit(b["l"]), F.lit(b["r"])
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == l_lit)
+                & (x == r_lit),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(l_lit, r_lit)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select(merged.alias("syms"), "freq").localCheckpoint()
+    return spark.createDataFrame(
+        out, "rank long, left string, right string, pair_count long"
+    ).orderBy("rank")

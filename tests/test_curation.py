@@ -1077,3 +1077,40 @@ def test_image_ahash_groups_identical_rasters(spark):
     assert out[3]["ahash"] != out[0]["ahash"] and out[3]["n_same"] == 1
     assert len(out[0]["ahash"]) == mm.AHASH_GRID ** 2
     assert set(out[0]["ahash"]) <= {"0", "1"}
+
+
+def test_bpe_merges_textbook_example(spark):
+    """Sennrich's classic: 'low'x3 + 'lower' + 'newest'x2 learns (l,o),
+    (lo,w) first; count-2 ties then break lexicographically (e,s) ->
+    (e,w) -> (es,t); greedy left-to-right merge is exact."""
+    from pdf_parser_spark.operators import textstats
+
+    docs = _docs(
+        spark, [(1, "low low low lower newest newest", "en", "s", 0)]
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in textstats.bpe_merges(docs, k=5).collect()
+    ]
+    assert got == [
+        (1, "l", "o", 4),
+        (2, "lo", "w", 4),
+        (3, "e", "s", 2),
+        (4, "e", "w", 2),
+        (5, "es", "t", 2),
+    ]
+
+
+def test_bpe_merges_greedy_nonoverlap(spark):
+    """'aaaa' with pair (a,a): greedy left-to-right yields 2 merges per
+    word occurrence, and the next round merges (aa,aa)."""
+    from pdf_parser_spark.operators import textstats
+
+    docs = _docs(spark, [(1, "aaaa aaaa aaaa", "en", "s", 0)])
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in textstats.bpe_merges(docs, k=2).collect()
+    ]
+    # round 1: 3 adjacent (a,a) pairs per word x3 words = 9
+    # round 2: symbols [aa, aa] -> one (aa,aa) pair per word = 3
+    assert got == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
