@@ -286,13 +286,23 @@ def main() -> None:
         rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
         results: dict[int, tuple[float, float]] = {}
         controls: dict[int, float] = {}
+        # Thread-footprint control: the bracketing control above runs `cores`
+        # worker processes, but the JOB at `cores` drives ~2x that many hw
+        # threads (JVM task thread + Arrow Python worker per core).  Measuring
+        # the md5 control at 2*cores in the SAME run keeps the footprint
+        # section from ever being dropped by a rewrite of this file (it
+        # happened twice: the r2 and r3 hand-added sections were lost on the
+        # next --scaling run because the writer overwrote BENCH/BASELINE.md).
+        foot_controls: dict[int, float] = {}
         for _ in range(rounds):
             for cores in legs:
                 ctl = host_control(cores)
+                fctl = host_control(2 * cores)
                 elapsed, n, _ = run_once(
                     f"local[{cores}]", scaling_docs, with_queries=False, repeats=1
                 )
                 controls[cores] = max(controls.get(cores, 0.0), ctl)
+                foot_controls[cores] = max(foot_controls.get(cores, 0.0), fctl)
                 prev = results.get(cores)
                 if prev is None or elapsed < prev[1]:
                     results[cores] = (n / elapsed, elapsed)
@@ -302,6 +312,9 @@ def main() -> None:
 
         def ctl_eff(lo: int, hi: int) -> float:
             return (controls[hi] / controls[lo]) / (hi / lo)
+
+        def foot_eff(lo: int, hi: int) -> float:
+            return (foot_controls[hi] / foot_controls[lo]) / (hi / lo)
 
         pairs = [(legs[i], legs[j]) for i, j in
                  [(0, 1), (1, 3), (0, 3)] if j < len(legs)] \
@@ -344,6 +357,32 @@ def main() -> None:
             "parallelism.  The 4 -> 16 step runs ~32 hardware threads (JVM +",
             "Python workers), so its control captures the saturation/steal",
             "regime the per-round local[16] bench lives in.",
+            "",
+            "## Thread-footprint control (measured in the same run)",
+            "",
+            "The bracketing controls above run `cores` worker processes, but the JOB",
+            "at `cores` drives ~2x that many hardware threads (JVM task thread +",
+            "Arrow Python worker per core).  The md5 control re-measured at the",
+            "job's actual thread footprint, same interleaved windows:",
+            "",
+            "| workers (≈ job hw threads) | chunks/sec |",
+            "|---|---|",
+        ] + [
+            f"| {2 * c} (job @ {c} core{'s' if c > 1 else ''}) "
+            f"| {foot_controls[c]:.2f} |"
+            for c in legs
+        ] + [
+            "",
+            "Footprint-matched ceilings: " + ", ".join(
+                f"{2 * lo} -> {2 * hi} threads = **{foot_eff(lo, hi):.3f}**"
+                for lo, hi in pairs
+            ) + ".",
+            "Read against the job table: a job step at/above its footprint",
+            "ceiling is scaling as well as a zero-Spark, zero-shuffle CPU burn",
+            "did in the same windows.  On a real cluster (executors on separate",
+            "machines, no SMT double-booking of JVM + Python workers) the",
+            "low-core N -> 4N step is the representative figure for the",
+            ">= 0.8 north rule.",
         ]
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
