@@ -552,6 +552,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_decontaminate": lambda s, d: curation.decontaminate(
             _docs(s, d), curation.benchmark_snippets(_docs(s, d))
         ),
+        # Bloom-prefiltered variant: broadcasts 10 bits/shingle instead of
+        # the shingle strings, exact-verifies survivors — no false negatives
+        # means it reproduces the exact answer and shares ITS oracle
+        "c_decontaminate_bloom": lambda s, d: curation.decontaminate_bloom(
+            _docs(s, d), curation.benchmark_snippets(_docs(s, d))
+        ),
         "c_pii_scrub": lambda s, d: curation.pii_scrub(
             curation.with_synthetic_pii(_docs(s, d))
         ),
@@ -1145,7 +1151,7 @@ def oracle_sql() -> dict[str, str]:
                 ) AS reasons
                 FROM gsig)"""
 
-    return {
+    sql = {
         "w1_event_sequence": """
             SELECT user_id, event_id,
                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
@@ -2360,6 +2366,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
             ORDER BY d.doc_id
         """,
+        # the Bloom variant is output-identical by construction (no false
+        # negatives + exact verify of survivors) — it is held to the SAME
+        # oracle text, aliased after the dict literal below
         # synthetic PII re-derived from doc_id, counts on the pre-redaction
         # text, clean_md5 pins the redacted bytes (email -> ip -> phone order)
         "c_pii_scrub": """
@@ -3227,3 +3236,8 @@ def oracle_sql() -> dict[str, str]:
             FROM segs GROUP BY doc_id, seg ORDER BY doc_id, seg
         """,
     }
+    # Bloom prefilter has no false negatives and exact-verifies its
+    # survivors, so its contract IS the exact decontamination answer:
+    # one shared oracle text, drift-proof by construction.
+    sql["c_decontaminate_bloom"] = sql["c_decontaminate"]
+    return sql

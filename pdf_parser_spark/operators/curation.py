@@ -20,6 +20,7 @@ Scale notes are per-operator; the shared principles:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,6 +64,107 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame, n: int = 3) -> Dat
     )
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = documents.select(
+        "doc_id",
+        F.size(F.array_distinct(word_shingles(F.col("text"), n)))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Bloom prefilter sizing: ~10 bits/key at k=7 probes ≈ 0.8% false-positive
+# rate — false positives only cost a row in the exact-verify semi join, so
+# the OUTPUT is unaffected by the rate; only the prune factor is.
+BLOOM_BITS_PER_KEY = 10
+BLOOM_K = 7
+_BLOOM_MIX = 0x9E3779B97F4A7C15  # splitmix64 increment (public constant)
+
+
+def _bloom_bit_positions(h, m: int):
+    """k bit positions for 64-bit hashes `h` (numpy uint64 array), shape
+    (k, n).  Kirsch–Mitzenmacher double hashing: pos_i = h1 + i*h2 mod m,
+    with h2 an odd splitmix-style remix of h so the probe sequence cycles.
+    ONE function serves build and probe — they cannot diverge."""
+    import numpy as np
+
+    h = h.astype(np.uint64, copy=False)
+    h2 = (h ^ (h >> np.uint64(31))) * np.uint64(_BLOOM_MIX) | np.uint64(1)
+    i = np.arange(BLOOM_K, dtype=np.uint64)[:, None]
+    return ((h[None, :] + i * h2[None, :]) % np.uint64(m)).astype(np.int64)
+
+
+def _bloom_build(hashes, m: int):
+    """uint8 bitmap of m bits with every key's BLOOM_K positions set."""
+    import numpy as np
+
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if len(hashes):
+        pos = _bloom_bit_positions(np.asarray(hashes), m).ravel()
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits
+
+
+def decontaminate_bloom(
+    documents: DataFrame, benchmark: DataFrame, n: int = 3
+) -> DataFrame:
+    """`decontaminate` with a Bloom prefilter — byte-identical output (same
+    oracle), different broadcast economics.
+
+    The exact path broadcasts the benchmark shingle STRINGS (10^8 shingles
+    × ~40 bytes ≈ multi-GB — past the comfortable broadcast ceiling for a
+    large benchmark/holdout union).  This variant broadcasts 10 BITS per
+    shingle (~125 MB at 10^8): benchmark shingles are hashed JVM-side with
+    xxhash64, the driver folds the hashes into a Bloom bitmap (the one
+    driver-side step, O(benchmark) — the small side by contract, same
+    fit-small split as kmeans), and a vectorized Arrow pandas UDF probes
+    the broadcast bitmap over the corpus shingle stream.  Bloom filters
+    have NO false negatives, so exact-verifying only the surviving ~1%
+    against the real shingle set reproduces the exact answer bit-for-bit;
+    false positives cost a discarded semi-join row, never a wrong output.
+    At 10^12 docs the corpus-side work is one narrow scan + the same
+    post-filter joins as `decontaminate`, on ~1% of the shingle volume.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = documents.sparkSession
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(F.col("snippet"), n))).alias("s")
+        ).distinct()
+    )
+    hvals = [r.h for r in bench_sh.select(F.xxhash64("s").alias("h")).collect()]
+    m = max(64, -(-(BLOOM_BITS_PER_KEY * len(hvals)) // 8) * 8)
+    bits_bc = spark.sparkContext.broadcast(_bloom_build(hvals, m))
+
+    @pandas_udf("boolean")
+    def might_contain(h: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bits = bits_bc.value
+        pos = _bloom_bit_positions(h.to_numpy(dtype=np.int64), m)
+        hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return pd.Series(hit.all(axis=0))
+
+    doc_sh = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("s"),
+    )
+    candidates = doc_sh.where(might_contain(F.xxhash64("s")))
+    hits = (
+        candidates.join(F.broadcast(bench_sh), "s", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )

@@ -35,6 +35,72 @@ def test_decontaminate_flags_shared_trigram_only(spark):
     assert not out[3]["contaminated"]
 
 
+def test_decontaminate_bloom_equals_exact_path(spark):
+    # 80 docs, doc 0 and 37 seed the benchmark; a few docs quote snippet
+    # trigrams, most don't — the bloom variant must reproduce the exact
+    # answer row-for-row (no false negatives + exact verify of survivors)
+    rows = []
+    for i in range(80):
+        base = f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h tail{i} more{i}"
+        if i % 7 == 3:  # quote words 3..5 of doc 0's snippet
+            base += " w0c w0d w0e"
+        rows.append((i, base, "en", "s", 1))
+    docs = _docs(spark, rows)
+    bench = curation.benchmark_snippets(docs)
+    exact = curation.decontaminate(docs, bench).collect()
+    bloom = curation.decontaminate_bloom(docs, bench).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in bloom]
+    assert any(r["contaminated"] and r["doc_id"] % 7 == 3 for r in exact)
+
+
+def test_decontaminate_bloom_prunes_before_exact_verify(spark):
+    # the prefilter's reason to exist: on a mostly-clean corpus, far fewer
+    # shingles reach the exact semi join than the corpus emits
+    import numpy as np
+
+    rows = [(i, f"a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i} i{i} j{i}",
+             "en", "s", 1) for i in range(1, 300)]  # no doc_id%37==0 quoters
+    rows.append((0, "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9", "en", "s", 1))  # seeds bench
+    docs = _docs(spark, rows)
+    bench_sh = (
+        curation.benchmark_snippets(docs)
+        .select(F.explode(F.array_distinct(
+            curation.word_shingles(F.col("snippet"), 3))).alias("s"))
+        .distinct()
+    )
+    hvals = np.array([r.h for r in bench_sh.select(F.xxhash64("s").alias("h")).collect()])
+    m = max(64, -(-(curation.BLOOM_BITS_PER_KEY * len(hvals)) // 8) * 8)
+    bits = curation._bloom_build(hvals, m)
+    # no false negatives: every benchmark hash must probe positive
+    pos = curation._bloom_bit_positions(hvals, m)
+    assert bool(((bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0)
+                .all())
+    # corpus-side: of ~2400 distinct clean shingles only doc 0's 8 (plus
+    # rare fp) may pass — assert the prune is at least 10x
+    doc_sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            curation.word_shingles(F.col("text"), 3))).alias("s"),
+    ).withColumn("h", F.xxhash64("s"))
+    hs = doc_sh.select("h").toPandas()["h"].to_numpy()
+    p = curation._bloom_bit_positions(hs, m)
+    passed = int(((bits[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0)
+                 .all(axis=0).sum())
+    assert passed < len(hs) / 10, (passed, len(hs))
+    # and the full operator still agrees with the exact path on this corpus
+    assert (curation.decontaminate_bloom(docs, curation.benchmark_snippets(docs))
+            .where("contaminated").count()
+            == curation.decontaminate(docs, curation.benchmark_snippets(docs))
+            .where("contaminated").count())
+
+
+def test_decontaminate_bloom_empty_benchmark(spark):
+    docs = _docs(spark, [(1, "some plain text here", "en", "s", 1)])  # no %37 rows
+    out = curation.decontaminate_bloom(
+        docs, curation.benchmark_snippets(docs)).collect()
+    assert len(out) == 1 and not out[0]["contaminated"] and out[0]["n_hits"] == 0
+
+
 def test_pii_scrub_counts_and_redacts_byte_exactly(spark):
     text = ("Reach a.b+c@x.co or DUP a.b+c@x.co at 192.168.1.1 "
             "or call +1-555-0199; version 1.2.3.4 too")
