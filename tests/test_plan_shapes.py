@@ -234,6 +234,28 @@ def test_curation_plans_broadcast_dims_and_no_cartesian(spark):
     assert "LeftSemi" in p, p
 
 
+def test_decontaminate_bloom_prefilter_adds_no_shuffle(spark):
+    """The Bloom prefilter is a narrow stage: vs the exact path it may add
+    ONLY an ArrowEvalPython probe inside the scan stage — identical
+    Exchange count, still broadcast semi-join verify, never a cartesian.
+    (The whole point is cutting broadcast/join volume, not adding passes.)"""
+    import re as _re
+
+    from pdf_parser_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    bench = curation.benchmark_snippets(docs)
+    p_exact = plan(curation.decontaminate(docs, bench))
+    p_bloom = plan(curation.decontaminate_bloom(docs, bench))
+    n_ex = len(_re.findall(r"\(\d+\) Exchange", p_exact))
+    n_bl = len(_re.findall(r"\(\d+\) Exchange", p_bloom))
+    assert n_bl == n_ex, (n_bl, n_ex, p_bloom)
+    assert "ArrowEvalPython" in p_bloom, p_bloom
+    assert "ArrowEvalPython" not in p_exact, p_exact
+    assert "BroadcastHashJoin" in p_bloom or "BroadcastExchange" in p_bloom, p_bloom
+    assert "CartesianProduct" not in p_bloom, p_bloom
+
+
 def test_line_dedup_broadcast_vs_shuffle_knob(spark):
     """broadcast_hot=True must broadcast the heavy-line set into the
     anti-join; False must NOT (shuffle join is the corpus-scale path where
