@@ -650,6 +650,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_recrawl_schedule": lambda s, d: (lambda sn: sn.recrawl_schedule(
             sn.snapshot_series(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.snapshot", fromlist=["x"])),
+        # redirect-chain resolution: terminal url per source in O(log L)
+        # pointer-doubling shuffles; oracle walks the same chains with a
+        # recursive CTE (the synthesized graph is acyclic by construction;
+        # the cycle guard is pytest-pinned engine-side)
+        "u_redirect_resolve": lambda s, d: weburl.resolve_redirects(
+            weburl.with_synthetic_redirects(_docs(s, d))
+        ),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
         "extract_pipeline": extract_pipeline,
     }
@@ -3206,6 +3213,31 @@ def oracle_sql() -> dict[str, str]:
                                 {SN.RECRAWL_MAX_DOUBLINGS})) AS BIGINT)
                        AS next_fetch_ts
             FROM per_doc ORDER BY doc_id
+        """,
+        # redirect resolution: the oracle walks the formula-derived chains
+        # one hop at a time with a recursive CTE (terminates — the synthetic
+        # graph is acyclic by construction) and keeps each source's deepest
+        # reach; the engine's pointer doubling must land on the same
+        # terminal and exact hop count.  Url formula interpolates from
+        # operators/weburl.py (anti-drift).
+        "u_redirect_resolve": f"""
+            WITH RECURSIVE redirects AS (
+                SELECT {WU.REDIR_URL_SQL.format(d="doc_id")} AS src,
+                       {WU.REDIR_URL_SQL.format(d="doc_id - 1")} AS dst
+                FROM documents WHERE doc_id % {WU.REDIR_CHAIN_MOD} <> 0
+            ), walk AS (
+                SELECT src, dst AS cur, 1 AS hops FROM redirects
+                UNION ALL
+                SELECT w.src, r.dst, w.hops + 1
+                FROM walk w JOIN redirects r ON r.src = w.cur
+            )
+            SELECT src AS url, cur AS final_url,
+                   CAST(hops AS BIGINT) AS n_hops, false AS unresolved
+            FROM (SELECT src, cur, hops,
+                         row_number() OVER (PARTITION BY src
+                                            ORDER BY hops DESC) AS rn
+                  FROM walk) WHERE rn = 1
+            ORDER BY url
         """,
         "u_scd2_history": f"""
             WITH snaps AS (

@@ -517,3 +517,77 @@ def parse_sitemap(sitemaps: DataFrame) -> DataFrame:
     return pairs.withColumn(
         "recrawl_rank", F.row_number().over(w).cast("long")
     ).orderBy("host", "recrawl_rank")
+
+
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution
+# ---------------------------------------------------------------------------
+
+# doc_id % REDIR_CHAIN_MOD == 0 urls are terminal; every other url
+# 301-redirects one id down, so chains run 1..REDIR_CHAIN_MOD-1 hops and end
+# at the group's canonical url.  Formula-derived (like with_synthetic_urls)
+# so the oracle re-derives the whole redirect graph.
+REDIR_CHAIN_MOD = 5
+# the same url formula as one SQL expression (anti-drift: oracle interpolates
+# this, never re-types it); {d} is the doc_id expression
+REDIR_URL_SQL = (
+    "'https://host' || CAST(({d}) % 10 AS VARCHAR)"
+    " || '.example.com/page/' || CAST(({d}) AS VARCHAR)"
+)
+
+
+def _redir_url(d):
+    return F.concat(
+        F.lit("https://host"), d % 10, F.lit(".example.com/page/"), d
+    )
+
+
+def with_synthetic_redirects(documents: DataFrame) -> DataFrame:
+    """(src, dst) redirect edges from the doc_id formula above."""
+    d = F.col("doc_id")
+    return documents.where(d % REDIR_CHAIN_MOD != 0).select(
+        _redir_url(d).alias("src"), _redir_url(d - 1).alias("dst")
+    )
+
+
+def resolve_redirects(edges: DataFrame, max_doubling: int = 6) -> DataFrame:
+    """Resolve every redirect source to its terminal url: (url, final_url,
+    n_hops, unresolved) — the step every crawler runs before canonical
+    dedup, since content keyed by a mid-chain url double-counts.
+
+    Scale design — pointer doubling (path halving), not step-by-step
+    walking: each round self-joins the current mapping on dst=src, so after
+    K rounds every chain up to 2^K hops is fully resolved in K shuffles
+    (step-walking needs L shuffles for an L-hop chain; real redirect chains
+    are short, browsers cap ~20, so K=6 covers 64 hops with 6 equi-joins).
+    n_hops accumulates exactly (the two spliced segments' lengths add), the
+    mapping stays one row per src throughout (redirects are functional),
+    and localCheckpoint truncates lineage each round like _power_iterate.
+    Cycles (a->b->a) never reach a terminal: rather than inferring from a
+    hop cap (which would mis-flag a chain of exactly 2^K hops), the final
+    dst is tested for membership in the src set — still a redirect source
+    means unresolved, final_url NULL.  The check is a key-only left join.
+    """
+    cur = edges.select("src", "dst", F.lit(1).cast("long").alias("hops"))
+    for _ in range(max_doubling):
+        a, b = cur.alias("a"), cur.alias("b")
+        cur = a.join(b, F.col("a.dst") == F.col("b.src"), "left").select(
+            F.col("a.src").alias("src"),
+            F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
+            (F.col("a.hops") + F.coalesce(F.col("b.hops"), F.lit(0))).alias("hops"),
+        ).localCheckpoint(eager=True)
+    still_open = (
+        edges.select(F.col("src").alias("dst")).distinct()
+        .withColumn("open", F.lit(True))
+    )
+    return (
+        cur.join(still_open, "dst", "left")
+        .select(
+            F.col("src").alias("url"),
+            F.when(F.col("open").isNotNull(), F.lit(None).cast("string"))
+            .otherwise(F.col("dst")).alias("final_url"),
+            F.col("hops").alias("n_hops"),
+            F.coalesce(F.col("open"), F.lit(False)).alias("unresolved"),
+        )
+        .orderBy("url")
+    )

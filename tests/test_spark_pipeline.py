@@ -1234,3 +1234,57 @@ def test_review_fixes_lsh_empty_and_robots_rfc(spark):
     robots2 = spark.createDataFrame([("h", txt2)], "host string, robots_txt string")
     r3 = weburl.parse_robots(robots2, agent="FooBot").collect()[0]
     assert r3["disallow_all"] == "/fb/"
+
+
+def test_redirect_resolution_chains_cycles_and_doubling(spark):
+    from pdf_parser_spark.operators import weburl
+
+    # chain a->b->c->T, a 2-cycle x<->y, and an isolated edge z->T2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "T"),
+         ("x", "y"), ("y", "x"), ("z", "T2")],
+        "src string, dst string",
+    )
+    out = {r["url"]: r for r in weburl.resolve_redirects(edges).collect()}
+    assert out["a"]["final_url"] == "T" and out["a"]["n_hops"] == 3
+    assert out["b"]["final_url"] == "T" and out["b"]["n_hops"] == 2
+    assert out["c"]["final_url"] == "T" and out["c"]["n_hops"] == 1
+    assert out["z"]["final_url"] == "T2" and out["z"]["n_hops"] == 1
+    # cycle members never reach a terminal: flagged, NULL final — decided
+    # by src-set membership, not a hop cap (no 2^K-hop false positive)
+    assert out["x"]["unresolved"] and out["x"]["final_url"] is None
+    assert out["y"]["unresolved"] and out["y"]["final_url"] is None
+    assert not any(out[u]["unresolved"] for u in "abcz")
+
+    # pointer doubling: a 10-hop chain resolves within 4 rounds (2^4 >= 10),
+    # NOT 10 step-walk rounds — and the hop count is still exact
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(10)], "src string, dst string"
+    )
+    deep = {r["url"]: r for r in
+            weburl.resolve_redirects(chain, max_doubling=4).collect()}
+    assert deep["n0"]["final_url"] == "n10" and deep["n0"]["n_hops"] == 10
+    assert not deep["n0"]["unresolved"]
+    # under-provisioned doubling (2^2 < 10): mid-chain reach is flagged
+    # unresolved because the reached url is still a redirect source
+    shallow = {r["url"]: r for r in
+               weburl.resolve_redirects(chain, max_doubling=2).collect()}
+    assert shallow["n0"]["unresolved"] and shallow["n0"]["final_url"] is None
+
+
+def test_synthetic_redirects_match_formula(spark):
+    from pdf_parser_spark.operators import weburl
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["url"]: r for r in weburl.resolve_redirects(
+        weburl.with_synthetic_redirects(docs)).collect()}
+    # doc 7 (7%5=2): two hops down to doc 5's terminal url
+    u7 = "https://host7.example.com/page/7"
+    assert out[u7]["final_url"] == "https://host5.example.com/page/5"
+    assert out[u7]["n_hops"] == 2 and not out[u7]["unresolved"]
+    # terminals (doc_id%5==0) emit no edge, so they are not sources
+    assert "https://host0.example.com/page/0" not in out
+    assert len(out) == 12 - 3  # 0, 5, 10 are terminal
