@@ -550,7 +550,9 @@ def with_synthetic_redirects(documents: DataFrame) -> DataFrame:
     )
 
 
-def resolve_redirects(edges: DataFrame, max_doubling: int = 6) -> DataFrame:
+def resolve_redirects(
+    edges: DataFrame, max_doubling: int = 6, stats: dict | None = None
+) -> DataFrame:
     """Resolve every redirect source to its terminal url: (url, final_url,
     n_hops, unresolved) — the step every crawler runs before canonical
     dedup, since content keyed by a mid-chain url double-counts.
@@ -567,7 +569,18 @@ def resolve_redirects(edges: DataFrame, max_doubling: int = 6) -> DataFrame:
     hop cap (which would mis-flag a chain of exactly 2^K hops), the final
     dst is tested for membership in the src set — still a redirect source
     means unresolved, final_url NULL.  The check is a key-only left join.
+
+    Early stop (exact, like _power_iterate's converged mode): once no
+    reached dst is still a redirect source, further rounds are identity
+    joins — stop at ceil(log2(longest chain)) rounds instead of burning
+    the fixed K shuffles.  The per-round check is a semi join against the
+    (already materialized) src dim on the just-checkpointed frame — one
+    cheap action buying a skipped corpus-wide shuffle round.  A graph with
+    a cycle never drains, so it runs all K rounds and flags the cycle.
+    `stats`, if given, records the executed round count.
     """
+    src_keys = edges.select(F.col("src").alias("dst")).distinct()
+    rounds = 0
     cur = edges.select("src", "dst", F.lit(1).cast("long").alias("hops"))
     for _ in range(max_doubling):
         a, b = cur.alias("a"), cur.alias("b")
@@ -576,10 +589,12 @@ def resolve_redirects(edges: DataFrame, max_doubling: int = 6) -> DataFrame:
             F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
             (F.col("a.hops") + F.coalesce(F.col("b.hops"), F.lit(0))).alias("hops"),
         ).localCheckpoint(eager=True)
-    still_open = (
-        edges.select(F.col("src").alias("dst")).distinct()
-        .withColumn("open", F.lit(True))
-    )
+        rounds += 1
+        if cur.join(src_keys, "dst", "left_semi").isEmpty():
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    still_open = src_keys.withColumn("open", F.lit(True))
     return (
         cur.join(still_open, "dst", "left")
         .select(

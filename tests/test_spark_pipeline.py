@@ -1272,6 +1272,30 @@ def test_redirect_resolution_chains_cycles_and_doubling(spark):
     assert shallow["n0"]["unresolved"] and shallow["n0"]["final_url"] is None
 
 
+def test_redirect_resolution_early_stop_is_exact(spark):
+    from pdf_parser_spark.operators import weburl
+
+    # 3-hop chain: round 1 covers 2 hops, round 2 covers 4 — drained after
+    # round 2, so rounds 3..6 must be skipped and the output unchanged
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "T")], "src string, dst string"
+    )
+    st: dict = {}
+    out = {r["url"]: tuple(r) for r in
+           weburl.resolve_redirects(chain, max_doubling=6, stats=st).collect()}
+    assert st["rounds"] == 2, st
+    full = {r["url"]: tuple(r) for r in
+            weburl.resolve_redirects(chain, max_doubling=2).collect()}
+    assert out == full
+    # a cycle never drains: all K rounds execute, members stay flagged
+    cyc = spark.createDataFrame([("x", "y"), ("y", "x")],
+                                "src string, dst string")
+    st2: dict = {}
+    res = {r["url"]: r for r in
+           weburl.resolve_redirects(cyc, max_doubling=3, stats=st2).collect()}
+    assert st2["rounds"] == 3 and res["x"]["unresolved"]
+
+
 def test_synthetic_redirects_match_formula(spark):
     from pdf_parser_spark.operators import weburl
 
