@@ -657,6 +657,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_redirect_resolve": lambda s, d: weburl.resolve_redirects(
             weburl.with_synthetic_redirects(_docs(s, d))
         ),
+        # the consumer: alias-group accounting — every doc keyed by the
+        # terminal url its own url resolves to, min-doc_id keeper election
+        "u_redirect_groups": lambda s, d: weburl.canonical_url_groups(
+            _docs(s, d)
+        ),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
         "extract_pipeline": extract_pipeline,
     }
@@ -3238,6 +3243,38 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY hops DESC) AS rn
                   FROM walk) WHERE rn = 1
             ORDER BY url
+        """,
+        # alias groups: same recursive walk, then every doc mapped to its
+        # terminal (non-source docs keep their own url) and grouped
+        "u_redirect_groups": f"""
+            WITH RECURSIVE redirects AS (
+                SELECT {WU.REDIR_URL_SQL.format(d="doc_id")} AS src,
+                       {WU.REDIR_URL_SQL.format(d="doc_id - 1")} AS dst
+                FROM documents WHERE doc_id % {WU.REDIR_CHAIN_MOD} <> 0
+            ), walk AS (
+                SELECT src, dst AS cur, 1 AS hops FROM redirects
+                UNION ALL
+                SELECT w.src, r.dst, w.hops + 1
+                FROM walk w JOIN redirects r ON r.src = w.cur
+            ), resolved AS (
+                SELECT src, cur AS final_url
+                FROM (SELECT src, cur,
+                             row_number() OVER (PARTITION BY src
+                                                ORDER BY hops DESC) AS rn
+                      FROM walk) WHERE rn = 1
+            ), mapped AS (
+                SELECT d.doc_id,
+                       coalesce(r.final_url,
+                                {WU.REDIR_URL_SQL.format(d="doc_id")})
+                           AS canonical_url
+                FROM documents d
+                LEFT JOIN resolved r
+                  ON r.src = {WU.REDIR_URL_SQL.format(d="doc_id")}
+            )
+            SELECT canonical_url,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+            FROM mapped GROUP BY canonical_url ORDER BY canonical_url
         """,
         "u_scd2_history": f"""
             WITH snaps AS (

@@ -606,3 +606,33 @@ def resolve_redirects(
         )
         .orderBy("url")
     )
+
+
+def canonical_url_groups(documents: DataFrame) -> DataFrame:
+    """Alias-group accounting under redirects: every document keyed by the
+    TERMINAL url its own url resolves to — (canonical_url, n_docs,
+    keeper_doc_id).  This is the consumer resolve_redirects exists for:
+    content fetched via a mid-chain url must collapse onto the terminal's
+    group before canonical dedup, or the corpus double-counts it.
+
+    Dataflow: resolve once (O(log L) shuffles), left-join the per-doc url
+    onto the resolved mapping (terminals miss and keep their own url), one
+    groupBy on the canonical key.  Keeper election is min(doc_id) — a pure
+    order-independent aggregate, byte-identical at any cluster size (the
+    same determinism argument as dedup.exact_dedup's keeper)."""
+    d = F.col("doc_id")
+    resolved = resolve_redirects(with_synthetic_redirects(documents))
+    doc_urls = documents.select("doc_id", _redir_url(d).alias("url"))
+    mapped = doc_urls.join(
+        resolved.select("url", "final_url"), "url", "left"
+    ).select(
+        "doc_id", F.coalesce("final_url", F.col("url")).alias("canonical_url")
+    )
+    return (
+        mapped.groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -1296,6 +1296,27 @@ def test_redirect_resolution_early_stop_is_exact(spark):
     assert st2["rounds"] == 3 and res["x"]["unresolved"]
 
 
+def test_canonical_url_groups_collapse_chains(spark):
+    from pdf_parser_spark.operators import weburl
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["canonical_url"]: r for r in
+           weburl.canonical_url_groups(docs).collect()}
+    # docs 0..4 all collapse onto doc 0's terminal url; keeper = min doc_id
+    g0 = out["https://host0.example.com/page/0"]
+    assert g0["n_docs"] == 5 and g0["keeper_doc_id"] == 0
+    g5 = out["https://host5.example.com/page/5"]
+    assert g5["n_docs"] == 5 and g5["keeper_doc_id"] == 5
+    # the 10-group is truncated at doc 11
+    g10 = out["https://host0.example.com/page/10"]
+    assert g10["n_docs"] == 2 and g10["keeper_doc_id"] == 10
+    # every doc lands in exactly one group
+    assert sum(r["n_docs"] for r in out.values()) == 12 and len(out) == 3
+
+
 def test_synthetic_redirects_match_formula(spark):
     from pdf_parser_spark.operators import weburl
 
