@@ -234,6 +234,21 @@ def test_curation_plans_broadcast_dims_and_no_cartesian(spark):
     assert "LeftSemi" in p, p
 
 
+def test_redirect_resolution_plans_are_key_joins(spark):
+    """resolve_redirects / canonical_url_groups: every join is an equi join
+    on a url key (pointer doubling, terminal-ness membership, per-doc
+    mapping) — no cartesian or nested-loop anywhere, and the group rollup
+    partial-aggregates map-side."""
+    from pdf_parser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    p = plan(weburl.resolve_redirects(weburl.with_synthetic_redirects(docs)))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    p = plan(weburl.canonical_url_groups(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "partial_count" in p or "HashAggregate" in p, p
+
+
 def test_decontaminate_bloom_prefilter_adds_no_shuffle(spark):
     """The Bloom prefilter is a narrow stage: vs the exact path it may add
     ONLY an ArrowEvalPython probe inside the scan stage — identical
