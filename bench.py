@@ -123,6 +123,12 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         "c_decontaminate": lambda: curation.decontaminate(
             docs, curation.benchmark_snippets(docs)
         ),
+        # the bloom A/B: same answer, bitmap broadcast + Arrow probe +
+        # exact verify of survivors (timing includes the driver-side
+        # bitmap build — it is part of the op's real cost)
+        "c_decontaminate_bloom": lambda: curation.decontaminate_bloom(
+            docs, curation.benchmark_snippets(docs)
+        ),
         "c_line_dedup": lambda: curation.line_dedup(
             curation.with_synthetic_lines(docs)
         ),
@@ -142,6 +148,10 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         "g_frontier": lambda: __import__(
             "pdf_parser_spark.operators.linkgraph", fromlist=["x"]
         ).frontier_schedule(docs),
+        # redirect resolve (pointer doubling, early-stopped) + alias groups
+        "u_redirect_groups": lambda: __import__(
+            "pdf_parser_spark.operators.weburl", fromlist=["x"]
+        ).canonical_url_groups(docs),
     }
     times: dict[str, float] = {}
     for name, build in suite.items():
