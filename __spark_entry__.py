@@ -662,6 +662,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_redirect_groups": lambda s, d: weburl.canonical_url_groups(
             _docs(s, d)
         ),
+        # content-level redirects: meta-refresh tags parsed from the html
+        # (the regexp itself is oracle-checked — DuckDB runs the same
+        # pattern over the same reconstructed pages), then chains collapse
+        # through the same pointer-doubling resolver
+        "u_meta_redirects": lambda s, d: weburl.resolve_redirects(
+            weburl.extract_meta_redirects(
+                weburl.with_meta_refresh_html(_docs(s, d))
+            )
+        ),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
         "extract_pipeline": extract_pipeline,
     }
@@ -3275,6 +3284,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
             FROM mapped GROUP BY canonical_url ORDER BY canonical_url
+        """,
+        # meta-refresh: DuckDB rebuilds the same pages and runs the SAME
+        # (?i) pattern, so the extraction regexp is itself hash-checked;
+        # then the usual recursive walk (chains %4==1 -> %4==2 -> terminal)
+        "u_meta_redirects": f"""
+            WITH RECURSIVE pages AS (
+                SELECT {WU.REDIR_URL_SQL.format(d="doc_id")} AS src,
+                       '<html><head>' || CASE
+                         WHEN doc_id % 4 = 1 THEN
+                           '<META HTTP-EQUIV="Refresh" CONTENT="0; url='
+                           || {WU.REDIR_URL_SQL.format(d="doc_id + 1")} || '">'
+                         WHEN doc_id % 4 = 2 THEN
+                           '<meta http-equiv="refresh" content="5;url='
+                           || {WU.REDIR_URL_SQL.format(d="doc_id + 1")} || '">'
+                         ELSE '' END
+                       || '</head><body>' || substr(text, 1, 40)
+                       || '</body></html>' AS html
+                FROM documents
+            ), redirects AS (
+                SELECT src,
+                       regexp_extract(html, '{WU.META_REFRESH_RE}', 1) AS dst
+                FROM pages
+                WHERE regexp_extract(html, '{WU.META_REFRESH_RE}', 1) <> ''
+            ), walk AS (
+                SELECT src, dst AS cur, 1 AS hops FROM redirects
+                UNION ALL
+                SELECT w.src, r.dst, w.hops + 1
+                FROM walk w JOIN redirects r ON r.src = w.cur
+            )
+            SELECT src AS url, cur AS final_url,
+                   CAST(hops AS BIGINT) AS n_hops, false AS unresolved
+            FROM (SELECT src, cur, hops,
+                         row_number() OVER (PARTITION BY src
+                                            ORDER BY hops DESC) AS rn
+                  FROM walk) WHERE rn = 1
+            ORDER BY url
         """,
         "u_scd2_history": f"""
             WITH snaps AS (

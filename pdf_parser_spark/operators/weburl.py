@@ -636,3 +636,54 @@ def canonical_url_groups(documents: DataFrame) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# Meta-refresh redirects: the CONTENT-level alias channel (HTTP 3xx never
+# fires — the page body declares the hop), so a crawler that only follows
+# header redirects double-counts these.  The (?i) pattern lives in the
+# RE2/Java common subset; the oracle runs the SAME pattern over the SAME
+# reconstructed html, so the extraction regexp itself is hash-checked.
+META_REFRESH_RE = (
+    r'(?i)<meta\s+http-equiv="refresh"\s+content="[0-9]+;\s*url=([^"]+)"'
+)
+
+
+def with_meta_refresh_html(documents: DataFrame) -> DataFrame:
+    """Synthesis: doc_id%4==1 pages carry an UPPERCASE meta refresh,
+    %4==2 a lowercase no-space variant (both to url(doc_id+1), so hops
+    chain %4==1 -> %4==2 -> %4==3 terminal), others no tag."""
+    d = F.col("doc_id")
+    tag = (
+        F.when(
+            d % 4 == 1,
+            F.concat(
+                F.lit('<META HTTP-EQUIV="Refresh" CONTENT="0; url='),
+                _redir_url(d + 1), F.lit('">'),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="5;url='),
+                _redir_url(d + 1), F.lit('">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), tag, F.lit("</head><body>"),
+        F.substring("text", 1, 40), F.lit("</body></html>"),
+    )
+    return documents.withColumn("url", _redir_url(d)).withColumn("html", html)
+
+
+def extract_meta_redirects(pages: DataFrame) -> DataFrame:
+    """(src, dst) edges from meta-refresh tags — one JVM regexp_extract in
+    the scan (narrow, no shuffle, same shape as linkgraph.extract_outlinks);
+    pages without a tag drop out.  Feed the result to resolve_redirects to
+    collapse refresh chains exactly like header-redirect chains."""
+    dst = F.regexp_extract("html", META_REFRESH_RE, 1)
+    return (
+        pages.select(F.col("url").alias("src"), dst.alias("dst"))
+        .where(F.col("dst") != "")
+    )

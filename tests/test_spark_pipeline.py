@@ -1317,6 +1317,44 @@ def test_canonical_url_groups_collapse_chains(spark):
     assert sum(r["n_docs"] for r in out.values()) == 12 and len(out) == 3
 
 
+def test_meta_refresh_extraction_and_chain(spark):
+    from pdf_parser_spark.operators import weburl
+
+    # handcrafted pages: uppercase variant, lowercase no-space variant,
+    # a page with no tag, and a decoy mention outside a meta tag
+    pages = spark.createDataFrame(
+        [("u1", '<html><head><META HTTP-EQUIV="Refresh" CONTENT="0; url=u2">'
+                "</head><body>x</body></html>"),
+         ("u2", '<html><head><meta http-equiv="refresh" content="5;url=u3">'
+                "</head><body>x</body></html>"),
+         ("u3", "<html><head></head><body>plain</body></html>"),
+         ("u4", '<html><body>says url=u9 and content="0; url=u9"</body>'
+                "</html>")],
+        "url string, html string",
+    )
+    edges = {(r["src"], r["dst"]) for r in
+             weburl.extract_meta_redirects(pages).collect()}
+    assert edges == {("u1", "u2"), ("u2", "u3")}
+    out = {r["url"]: r for r in
+           weburl.resolve_redirects(weburl.extract_meta_redirects(pages))
+           .collect()}
+    assert out["u1"]["final_url"] == "u3" and out["u1"]["n_hops"] == 2
+    assert out["u2"]["final_url"] == "u3" and out["u2"]["n_hops"] == 1
+
+    # the synthesis chains %4==1 -> %4==2 -> %4==3 terminal
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    res = {r["url"]: r for r in weburl.resolve_redirects(
+        weburl.extract_meta_redirects(
+            weburl.with_meta_refresh_html(docs))).collect()}
+    u1 = "https://host1.example.com/page/1"
+    assert res[u1]["final_url"] == "https://host3.example.com/page/3"
+    assert res[u1]["n_hops"] == 2 and not res[u1]["unresolved"]
+    assert len(res) == 4  # docs 1,2,5,6 carry tags; 0,3,4,7 don't
+
+
 def test_synthetic_redirects_match_formula(spark):
     from pdf_parser_spark.operators import weburl
 
