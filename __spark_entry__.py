@@ -573,6 +573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_mixture_resample": lambda s, d: curation.mixture_resample(_docs(s, d)),
         # mojibake repair: double-encoded injections repaired JVM-side;
         # the oracle predicts the repaired bytes from the injection formula
+        # charset sniffing at ingest: BOM/UTF-8-validity detection + decode,
+        # entirely JVM (binary substring + is_valid_utf8 + per-branch decode)
+        "c_charset_sniff": lambda s, d: curation.sniff_decode(
+            curation.with_mixed_encodings(_docs(s, d))
+        ),
         "c_mojibake": lambda s, d: curation.repair_mojibake(
             curation.with_mojibake(_docs(s, d))
         ),
@@ -2414,6 +2419,22 @@ def oracle_sql() -> dict[str, str]:
                        '""" + C.IP_RE + """', '<IP>', 'g'),
                        '""" + C.PHONE_RE + """', '<PHONE>', 'g')) AS clean_md5
             FROM pii ORDER BY doc_id
+        """,
+        # charset sniff: the engine detects BOMs / validates UTF-8 / decodes
+        # REAL re-encoded bytes (incl. UTF-16, which DuckDB cannot decode);
+        # the oracle predicts label + decoded-text md5 from the synthesis
+        # formula — same contract as mojibake, labels interpolated
+        "c_charset_sniff": f"""
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 1 THEN '{C.CHARSET_UTF8_BOM}'
+                     WHEN 2 THEN '{C.CHARSET_UTF16_LE}'
+                     WHEN 3 THEN '{C.CHARSET_UTF16_BE}'
+                     WHEN 4 THEN '{C.CHARSET_LATIN1}'
+                     ELSE '{C.CHARSET_UTF8}' END AS charset,
+                   CASE WHEN doc_id % 5 = 4 THEN md5(text || 'é.')
+                        ELSE md5(text) END AS text_md5
+            FROM documents ORDER BY doc_id
         """,
         # mojibake repair: the engine decodes real double-encoded bytes;
         # the oracle knows what the repair MUST produce (injection formula

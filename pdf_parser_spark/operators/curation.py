@@ -952,3 +952,75 @@ def corpus_build(documents: DataFrame) -> DataFrame:
         .select("doc_id", "source", "lang", "n_tokens", "shard_id")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Charset sniffing at ingest (mojibake's upstream sibling: detect the
+# encoding BEFORE the bytes are ever mis-decoded)
+# ---------------------------------------------------------------------------
+
+CHARSET_UTF8 = "utf-8"
+CHARSET_UTF8_BOM = "utf-8-bom"
+CHARSET_UTF16_LE = "utf-16-le"
+CHARSET_UTF16_BE = "utf-16-be"
+CHARSET_LATIN1 = "latin-1"
+
+
+def with_mixed_encodings(documents: DataFrame) -> DataFrame:
+    """Synthesis: re-encode each doc's text per the doc_id%5 formula —
+    plain UTF-8 / UTF-8+BOM / UTF-16LE+BOM / UTF-16BE+BOM / Latin-1 with a
+    trailing 'é.' (0xE9 then '.', guaranteed-invalid UTF-8) — all with JVM
+    encode(), so the raw bytes never touch Python."""
+    d, t = F.col("doc_id"), F.col("text")
+    html = (
+        F.when(d % 5 == 1, F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(t, "UTF-8")))
+        .when(d % 5 == 2, F.concat(F.lit(b"\xff\xfe"), F.encode(t, "UTF-16LE")))
+        .when(d % 5 == 3, F.concat(F.lit(b"\xfe\xff"), F.encode(t, "UTF-16BE")))
+        .when(d % 5 == 4, F.encode(F.concat(t, F.lit("é.")), "ISO-8859-1"))
+        .otherwise(F.encode(t, "UTF-8"))
+    )
+    return documents.withColumn("html", html)
+
+
+def sniff_decode(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Detect each page's charset from its raw bytes and decode it —
+    (doc_id, charset, text_md5).  Entirely JVM column expressions
+    (binary substring + Spark 4's is_valid_utf8 + per-branch decode with
+    literal charsets): zero Python, zero shuffle, whole-stage codegen —
+    at 10^12 docs this is free inside the ingest scan.
+
+    Detection order: UTF-8 BOM, UTF-16LE/BE BOM, UTF-8 validity, Latin-1
+    fallback (Latin-1 maps every byte, so the fallback never fails —
+    exactly the order real sniffers use before statistical heuristics).
+    BOM-less UTF-16 is NOT claimed: its ASCII-range bytes interleave NULs
+    that are VALID UTF-8, so only a frequency heuristic could catch it —
+    out of scope here, as in WHATWG's BOM-first algorithm.
+
+    The oracle cannot decode UTF-16 (DuckDB is UTF-8-only), so it predicts
+    what the decode MUST produce from the synthesis formula — the same
+    contract as mojibake: the engine does the real byte work, the SQL
+    knows the answer."""
+    h = F.col(html_col)
+    p3 = F.expr(f"substring({html_col}, 1, 3)")
+    p2 = F.expr(f"substring({html_col}, 1, 2)")
+    rest3 = F.expr(f"substring({html_col}, 4, 2147483647)")
+    rest2 = F.expr(f"substring({html_col}, 3, 2147483647)")
+    charset = (
+        F.when(p3 == F.lit(b"\xef\xbb\xbf"), CHARSET_UTF8_BOM)
+        .when(p2 == F.lit(b"\xff\xfe"), CHARSET_UTF16_LE)
+        .when(p2 == F.lit(b"\xfe\xff"), CHARSET_UTF16_BE)
+        .when(F.is_valid_utf8(h), CHARSET_UTF8)
+        .otherwise(F.lit(CHARSET_LATIN1))
+    )
+    text = (
+        F.when(charset == CHARSET_UTF8_BOM, F.decode(rest3, "UTF-8"))
+        .when(charset == CHARSET_UTF16_LE, F.decode(rest2, "UTF-16LE"))
+        .when(charset == CHARSET_UTF16_BE, F.decode(rest2, "UTF-16BE"))
+        .when(charset == CHARSET_UTF8, F.decode(h, "UTF-8"))
+        .otherwise(F.decode(h, "ISO-8859-1"))
+    )
+    return pages.select(
+        "doc_id",
+        charset.alias("charset"),
+        F.md5(F.encode(text, "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")

@@ -101,6 +101,49 @@ def test_decontaminate_bloom_empty_benchmark(spark):
     assert len(out) == 1 and not out[0]["contaminated"] and out[0]["n_hits"] == 0
 
 
+def test_charset_sniff_detects_and_decodes(spark):
+    from pdf_parser_spark.operators import curation
+
+    text = "snakk om vær: grønn æøå"
+    rows = [
+        (0, text.encode("utf-8")),
+        (1, b"\xef\xbb\xbf" + text.encode("utf-8")),
+        (2, b"\xff\xfe" + text.encode("utf-16-le")),
+        (3, b"\xfe\xff" + text.encode("utf-16-be")),
+        (4, text.encode("latin-1")),          # æøå bytes are invalid UTF-8
+        (5, b""),                              # empty: trivially valid UTF-8
+        # documented limitation: BOM-less ASCII UTF-16 interleaves NULs,
+        # which ARE valid UTF-8 — classified utf-8 (WHATWG BOM-first)
+        (6, "ascii".encode("utf-16-le")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    out = {r["doc_id"]: r for r in curation.sniff_decode(df).collect()}
+    want_md5 = hashlib.md5(text.encode("utf-8")).hexdigest()
+    assert out[0]["charset"] == "utf-8" and out[0]["text_md5"] == want_md5
+    assert out[1]["charset"] == "utf-8-bom" and out[1]["text_md5"] == want_md5
+    assert out[2]["charset"] == "utf-16-le" and out[2]["text_md5"] == want_md5
+    assert out[3]["charset"] == "utf-16-be" and out[3]["text_md5"] == want_md5
+    assert out[4]["charset"] == "latin-1" and out[4]["text_md5"] == want_md5
+    assert out[5]["charset"] == "utf-8"
+    assert out[5]["text_md5"] == hashlib.md5(b"").hexdigest()
+    assert out[6]["charset"] == "utf-8"
+
+
+def test_with_mixed_encodings_round_trips(spark):
+    from pdf_parser_spark.operators import curation
+
+    docs = _docs(spark, [(i, f"text number {i}", "en", "s", 1)
+                         for i in range(10)])
+    out = {r["doc_id"]: r for r in
+           curation.sniff_decode(curation.with_mixed_encodings(docs))
+           .collect()}
+    for i in range(10):
+        exp = f"text number {i}" + ("é." if i % 5 == 4 else "")
+        assert out[i]["text_md5"] == hashlib.md5(exp.encode("utf-8")).hexdigest()
+    assert [out[i]["charset"] for i in range(5)] == [
+        "utf-8", "utf-8-bom", "utf-16-le", "utf-16-be", "latin-1"]
+
+
 def test_pii_scrub_counts_and_redacts_byte_exactly(spark):
     text = ("Reach a.b+c@x.co or DUP a.b+c@x.co at 192.168.1.1 "
             "or call +1-555-0199; version 1.2.3.4 too")
