@@ -578,6 +578,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_charset_sniff": lambda s, d: curation.sniff_decode(
             curation.with_mixed_encodings(_docs(s, d))
         ),
+        # NFC normalization: a REAL cross-engine check — DuckDB's
+        # nfc_normalize computes the canonical bytes independently and both
+        # engines must agree on every md5
+        "c_nfc_normalize": lambda s, d: curation.nfc_normalize_docs(
+            curation.with_denormalized(_docs(s, d))
+        ),
         "c_mojibake": lambda s, d: curation.repair_mojibake(
             curation.with_mojibake(_docs(s, d))
         ),
@@ -2435,6 +2441,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 5 = 4 THEN md5(text || 'é.')
                         ELSE md5(text) END AS text_md5
             FROM documents ORDER BY doc_id
+        """,
+        # NFC normalization: unlike the formula-prediction oracles, DuckDB
+        # computes nfc_normalize ITSELF (ICU) and must byte-agree with
+        # Python's unicodedata on every canonical form; injection suffixes
+        # interpolate from the operator module
+        "c_nfc_normalize": f"""
+            WITH inj AS (
+                SELECT doc_id, CASE
+                    WHEN doc_id % 3 = 0 THEN text || '{C.NFC_DECOMP_SUFFIX}'
+                    WHEN doc_id % 3 = 1 THEN text || '{C.NFC_COMP_SUFFIX}'
+                    ELSE text END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   t <> nfc_normalize(t) AS changed,
+                   md5(nfc_normalize(t)) AS text_md5
+            FROM inj ORDER BY doc_id
         """,
         # mojibake repair: the engine decodes real double-encoded bytes;
         # the oracle knows what the repair MUST produce (injection formula

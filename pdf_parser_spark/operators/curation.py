@@ -1024,3 +1024,52 @@ def sniff_decode(pages: DataFrame, html_col: str = "html") -> DataFrame:
         charset.alias("charset"),
         F.md5(F.encode(text, "UTF-8")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (ingest hygiene: decomposed sequences — e +
+# U+0301 vs é — break exact dedup, shingle hashing, and benchmark
+# decontamination, since every downstream fingerprint is byte-keyed)
+# ---------------------------------------------------------------------------
+
+# injection suffixes (interpolated into the oracle SQL so the formulas
+# cannot drift): %3==0 gets a DECOMPOSED e+combining-acute, %3==1 the
+# composed form — NFC maps the first onto the second
+NFC_DECOMP_SUFFIX = " café"
+NFC_COMP_SUFFIX = " café"
+
+
+def with_denormalized(documents: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    return documents.withColumn(
+        "text",
+        F.when(d % 3 == 0, F.concat("text", F.lit(NFC_DECOMP_SUFFIX)))
+        .when(d % 3 == 1, F.concat("text", F.lit(NFC_COMP_SUFFIX)))
+        .otherwise(F.col("text")),
+    )
+
+
+def nfc_normalize_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, changed, text_md5) — NFC-normalize every document and pin
+    the canonical bytes.  The normalize itself is a vectorized Arrow
+    pandas UDF over unicodedata.normalize (a C-implemented table lookup;
+    no JVM NFC function exists) — one narrow stage, no shuffle, the same
+    Arrow-batch shape as the extraction kernel.  This is a REAL
+    cross-engine check, not a formula prediction: DuckDB computes
+    nfc_normalize independently and both engines must agree on every
+    canonical byte (ICU vs Python unicodedata implementing the same
+    Unicode spec)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    nfc = _nfc(F.col("text"))
+    return documents.select(
+        "doc_id",
+        (F.col("text") != nfc).alias("changed"),
+        F.md5(F.encode(nfc, "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")

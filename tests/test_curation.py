@@ -144,6 +144,37 @@ def test_with_mixed_encodings_round_trips(spark):
         "utf-8", "utf-8-bom", "utf-16-le", "utf-16-be", "latin-1"]
 
 
+def test_nfc_normalize_canonicalizes_decomposed_forms(spark):
+    import unicodedata
+
+    from pdf_parser_spark.operators import curation
+
+    docs = _docs(spark, [
+        (0, "plain ascii", "en", "s", 1),
+        (1, "café", "en", "s", 1),           # decomposed e+acute
+        (2, "caf\u00e9", "en", "s", 1),      # precomposed
+        (3, "Ångström", "en", "s", 1),    # ANGSTROM SIGN -> Å
+        (4, "ḍ̇", "en", "s", 1),          # multi-mark reorder case
+    ])
+    out = {r["doc_id"]: r for r in curation.nfc_normalize_docs(docs).collect()}
+    assert not out[0]["changed"]
+    assert out[1]["changed"] and not out[2]["changed"]
+    # decomposed and precomposed collapse to the SAME canonical bytes —
+    # the reason exact dedup needs this step
+    assert out[1]["text_md5"] == out[2]["text_md5"]
+    assert out[3]["changed"]  # U+212B normalizes to U+00C5
+    for i, s in [(3, "Ångström"), (4, "ḍ̇")]:
+        exp = unicodedata.normalize("NFC", s).encode("utf-8")
+        assert out[i]["text_md5"] == hashlib.md5(exp).hexdigest()
+    # injection synthesis: %3==0 decomposed suffix flips changed, %3==1
+    # composed suffix does not
+    docs2 = _docs(spark, [(i, "x", "en", "s", 1) for i in range(6)])
+    out2 = {r["doc_id"]: r["changed"] for r in
+            curation.nfc_normalize_docs(
+                curation.with_denormalized(docs2)).collect()}
+    assert out2 == {0: True, 1: False, 2: False, 3: True, 4: False, 5: False}
+
+
 def test_pii_scrub_counts_and_redacts_byte_exactly(spark):
     text = ("Reach a.b+c@x.co or DUP a.b+c@x.co at 192.168.1.1 "
             "or call +1-555-0199; version 1.2.3.4 too")
