@@ -333,6 +333,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis ---
         "t_token_count": lambda s, d: textstats.token_count(_docs(s, d)),
         "t_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
+        # declared-vs-detected confusion audit (zero-join: prediction is
+        # the same in-scan Column lang_id uses)
+        "t_lang_mismatch": lambda s, d: textstats.lang_mismatch_audit(
+            _docs(s, d)
+        ),
         "t_quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         # exact per-source token-length quantiles (rank-based, portable)
@@ -712,6 +717,16 @@ def _hits(words: str) -> str:
     return (
         f"CAST(len(list_intersect(list_distinct(list_transform({_TOKS}, w -> lower(w))), {words})) AS BIGINT)"
     )
+
+
+# the lang-id argmax CASE, shared by t_lang_id and t_lang_mismatch so the
+# per-doc prediction and the audit rollup can never diverge (mirrors
+# textstats.predicted_lang_col on the Spark side)
+_PRED_LANG_CASE = f"""CASE
+                     WHEN {_hits(_ES)} > {_hits(_EN)} AND {_hits(_ES)} >= {_hits(_FR)} AND {_hits(_ES)} >= {_hits(_DE)} THEN 'es'
+                     WHEN {_hits(_FR)} > {_hits(_EN)} AND {_hits(_FR)} > {_hits(_ES)} AND {_hits(_FR)} >= {_hits(_DE)} THEN 'fr'
+                     WHEN {_hits(_DE)} > {_hits(_EN)} AND {_hits(_DE)} > {_hits(_ES)} AND {_hits(_DE)} > {_hits(_FR)} THEN 'de'
+                     ELSE 'en' END"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1610,12 +1625,22 @@ def oracle_sql() -> dict[str, str]:
                    {_hits(_ES)} AS es_hits,
                    {_hits(_FR)} AS fr_hits,
                    {_hits(_DE)} AS de_hits,
-                   CASE
-                     WHEN {_hits(_ES)} > {_hits(_EN)} AND {_hits(_ES)} >= {_hits(_FR)} AND {_hits(_ES)} >= {_hits(_DE)} THEN 'es'
-                     WHEN {_hits(_FR)} > {_hits(_EN)} AND {_hits(_FR)} > {_hits(_ES)} AND {_hits(_FR)} >= {_hits(_DE)} THEN 'fr'
-                     WHEN {_hits(_DE)} > {_hits(_EN)} AND {_hits(_DE)} > {_hits(_ES)} AND {_hits(_DE)} > {_hits(_FR)} THEN 'de'
-                     ELSE 'en' END AS predicted_lang
+                   {_PRED_LANG_CASE} AS predicted_lang
             FROM documents ORDER BY doc_id
+        """,
+        # declared-vs-detected confusion audit: same prediction CASE, one
+        # groupBy onto the |langs|^2 dim
+        "t_lang_mismatch": f"""
+            WITH m AS (
+                SELECT lang AS declared_lang,
+                       {_PRED_LANG_CASE} AS predicted_lang
+                FROM documents
+            )
+            SELECT declared_lang, predicted_lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   declared_lang <> predicted_lang AS mismatch
+            FROM m GROUP BY declared_lang, predicted_lang
+            ORDER BY declared_lang, predicted_lang
         """,
         "t_quality_score": f"""
             SELECT doc_id,

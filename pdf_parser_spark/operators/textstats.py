@@ -36,6 +36,23 @@ def _stopword_hits(language_words: tuple[str, ...]):
     return F.size(F.array_intersect(F.transform(toks, F.lower), arr)).cast("long")
 
 
+def predicted_lang_col():
+    """The lang-id argmax as a plain Column — shared by lang_id and the
+    declared-vs-detected audit so the two can never disagree."""
+    en, es, fr, de = (
+        _stopword_hits(EN_STOPWORDS),
+        _stopword_hits(ES_STOPWORDS),
+        _stopword_hits(FR_STOPWORDS),
+        _stopword_hits(DE_STOPWORDS),
+    )
+    return (
+        F.when((es > en) & (es >= fr) & (es >= de), F.lit("es"))
+        .when((fr > en) & (fr > es) & (fr >= de), F.lit("fr"))
+        .when((de > en) & (de > es) & (de > fr), F.lit("de"))
+        .otherwise(F.lit("en"))
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """(doc_id, en_hits, es_hits, fr_hits, de_hits, predicted_lang) — distinct
     stopword hits per language; argmax with 'en' fallback on all-zero/tie.
@@ -47,12 +64,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
         _stopword_hits(FR_STOPWORDS),
         _stopword_hits(DE_STOPWORDS),
     )
-    pred = (
-        F.when((es > en) & (es >= fr) & (es >= de), F.lit("es"))
-        .when((fr > en) & (fr > es) & (fr >= de), F.lit("fr"))
-        .when((de > en) & (de > es) & (de > fr), F.lit("de"))
-        .otherwise(F.lit("en"))
-    )
+    pred = predicted_lang_col()
     return documents.select(
         "doc_id",
         en.alias("en_hits"),
@@ -743,3 +755,28 @@ def bpe_merges(documents: DataFrame, k: int = BPE_MERGES) -> DataFrame:
     return spark.createDataFrame(
         out, "rank long, left string, right string, pair_count long"
     ).orderBy("rank")
+
+
+def lang_mismatch_audit(documents: DataFrame) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — (declared_lang,
+    predicted_lang, n_docs, mismatch).  Crawl metadata lies (server headers
+    and <html lang> routinely disagree with the content); this is the
+    release-audit artifact that quantifies it before the lang column is
+    trusted by stratified sampling or mixture weights.
+
+    Zero joins: the prediction is the same in-scan Column lang_id uses
+    (shared via predicted_lang_col, so audit and per-doc op cannot
+    diverge), and the only shuffle is a map-side-combined groupBy onto a
+    |langs|^2-bounded dim — at 10^12 docs this is one pass."""
+    return (
+        documents.select(
+            F.col("lang").alias("declared_lang"),
+            predicted_lang_col().alias("predicted_lang"),
+        )
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn(
+            "mismatch", F.col("declared_lang") != F.col("predicted_lang")
+        )
+        .orderBy("declared_lang", "predicted_lang")
+    )

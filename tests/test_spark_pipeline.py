@@ -1371,3 +1371,27 @@ def test_synthetic_redirects_match_formula(spark):
     # terminals (doc_id%5==0) emit no edge, so they are not sources
     assert "https://host0.example.com/page/0" not in out
     assert len(out) == 12 - 3  # 0, 5, 10 are terminal
+
+
+def test_lang_mismatch_audit_matches_per_doc_predictions(spark):
+    from pdf_parser_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat with a hat", "en", "s", 1),
+         (1, "el perro y la casa que en un día", "en", "s", 1),   # declared en, looks es
+         (2, "le chien et les maisons pour une fête", "fr", "s", 1),
+         (3, "zzz qqq xxx", "de", "s", 1)],                        # no stopwords -> en fallback
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    audit = {(r["declared_lang"], r["predicted_lang"]): r
+             for r in textstats.lang_mismatch_audit(docs).collect()}
+    assert audit[("en", "en")]["n_docs"] == 1 and not audit[("en", "en")]["mismatch"]
+    assert audit[("en", "es")]["n_docs"] == 1 and audit[("en", "es")]["mismatch"]
+    assert audit[("fr", "fr")]["n_docs"] == 1
+    assert audit[("de", "en")]["mismatch"]  # fallback counts as a mismatch
+    # the audit must be exactly the groupBy of lang_id's per-doc column
+    per_doc = {r["doc_id"]: r["predicted_lang"]
+               for r in textstats.lang_id(docs).collect()}
+    from collections import Counter
+    want = Counter((r["lang"], per_doc[r["doc_id"]]) for r in docs.collect())
+    assert {k: v["n_docs"] for k, v in audit.items()} == dict(want)
