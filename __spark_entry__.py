@@ -338,6 +338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lang_mismatch": lambda s, d: textstats.lang_mismatch_audit(
             _docs(s, d)
         ),
+        # unicode-script distribution over injected multilingual samples
+        "t_script_stats": lambda s, d: textstats.script_stats(
+            textstats.with_script_mix(_docs(s, d))
+        ),
         "t_quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         # exact per-source token-length quantiles (rank-based, portable)
@@ -1627,6 +1631,37 @@ def oracle_sql() -> dict[str, str]:
                    {_hits(_DE)} AS de_hits,
                    {_PRED_LANG_CASE} AS predicted_lang
             FROM documents ORDER BY doc_id
+        """,
+        # script distribution: identical literal-range patterns (shared
+        # SCRIPT_RANGES constants) over the same injected samples; the
+        # dominant-script CASE mirrors the Spark comparisons exactly
+        "t_script_stats": f"""
+            WITH inj AS (
+                SELECT doc_id, CASE doc_id % 5
+                    WHEN 1 THEN text || ' {TS.SCRIPT_SAMPLES["cyrillic"]}'
+                    WHEN 2 THEN text || ' {TS.SCRIPT_SAMPLES["arabic"]}'
+                    WHEN 3 THEN text || ' {TS.SCRIPT_SAMPLES["cjk"]}'
+                    WHEN 4 THEN text || ' {TS.SCRIPT_SAMPLES["hangul"]}'
+                    ELSE text END AS t
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                    CAST(len(regexp_extract_all(t, '{TS.SCRIPT_RANGES["latin"]}')) AS BIGINT) AS la,
+                    CAST(len(regexp_extract_all(t, '{TS.SCRIPT_RANGES["cyrillic"]}')) AS BIGINT) AS cy,
+                    CAST(len(regexp_extract_all(t, '{TS.SCRIPT_RANGES["arabic"]}')) AS BIGINT) AS ar,
+                    CAST(len(regexp_extract_all(t, '{TS.SCRIPT_RANGES["cjk"]}')) AS BIGINT) AS cj,
+                    CAST(len(regexp_extract_all(t, '{TS.SCRIPT_RANGES["hangul"]}')) AS BIGINT) AS ha
+                FROM inj
+            )
+            SELECT doc_id, la AS latin_chars, cy AS cyrillic_chars,
+                   ar AS arabic_chars, cj AS cjk_chars, ha AS hangul_chars,
+                   CASE
+                     WHEN cy > la AND cy >= ar AND cy >= cj AND cy >= ha THEN 'cyrillic'
+                     WHEN ar > la AND ar > cy AND ar >= cj AND ar >= ha THEN 'arabic'
+                     WHEN cj > la AND cj > cy AND cj > ar AND cj >= ha THEN 'cjk'
+                     WHEN ha > la AND ha > cy AND ha > ar AND ha > cj THEN 'hangul'
+                     ELSE 'latin' END AS dominant_script
+            FROM c ORDER BY doc_id
         """,
         # declared-vs-detected confusion audit: same prediction CASE, one
         # groupBy onto the |langs|^2 dim

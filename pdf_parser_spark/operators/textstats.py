@@ -780,3 +780,78 @@ def lang_mismatch_audit(documents: DataFrame) -> DataFrame:
         )
         .orderBy("declared_lang", "predicted_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script distribution (the multilingual release audit lang-id can't
+# give: stopword lists only cover Latin-alphabet languages, so script
+# counting is the first signal for ru/ar/zh/ko content)
+# ---------------------------------------------------------------------------
+
+# Literal char-class ranges built from codepoints so ONE constant feeds both
+# engines verbatim (Java regex wants \uXXXX, RE2 wants \x{....} — actual
+# UTF-8 range endpoints are the portable common subset).  BMP blocks only;
+# supplementary-plane CJK is rare enough to fold into 'other' here.
+SCRIPT_RANGES = {
+    "latin": f"[A-Za-z{chr(0x00C0)}-{chr(0x024F)}]",
+    "cyrillic": f"[{chr(0x0400)}-{chr(0x04FF)}]",
+    "arabic": f"[{chr(0x0600)}-{chr(0x06FF)}]",
+    "cjk": f"[{chr(0x4E00)}-{chr(0x9FFF)}{chr(0x3040)}-{chr(0x30FF)}]",
+    "hangul": f"[{chr(0xAC00)}-{chr(0xD7AF)}]",
+}
+# injection samples per script (interpolated into the oracle's synthesis)
+SCRIPT_SAMPLES = {
+    "cyrillic": "привет мир",
+    "arabic": "مرحبا بالعالم",
+    "cjk": "你好世界 こんにちは",
+    "hangul": "안녕하세요 세계",
+}
+
+
+def with_script_mix(documents: DataFrame) -> DataFrame:
+    """Synthesis: doc_id%5==1..4 appends one non-Latin sample (cyrillic /
+    arabic / cjk / hangul in that order); %5==0 stays Latin-only."""
+    d = F.col("doc_id")
+    keys = list(SCRIPT_SAMPLES)
+    expr = F.col("text")
+    out = (
+        F.when(d % 5 == 1, F.concat(expr, F.lit(" " + SCRIPT_SAMPLES[keys[0]])))
+        .when(d % 5 == 2, F.concat(expr, F.lit(" " + SCRIPT_SAMPLES[keys[1]])))
+        .when(d % 5 == 3, F.concat(expr, F.lit(" " + SCRIPT_SAMPLES[keys[2]])))
+        .when(d % 5 == 4, F.concat(expr, F.lit(" " + SCRIPT_SAMPLES[keys[3]])))
+        .otherwise(expr)
+    )
+    return documents.withColumn("text", out)
+
+
+def script_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, latin_chars, cyrillic_chars, arabic_chars, cjk_chars,
+    hangul_chars, dominant_script) — per-script char counts (one JVM regexp
+    pass per class, whole-stage codegen, zero Python/zero shuffle) and the
+    argmax with 'latin' fallback; strictly-greater comparisons in the
+    fixed order cyrillic > arabic > cjk > hangul make ties deterministic.
+    The oracle runs the IDENTICAL range patterns (shared constants)."""
+    counts = {
+        k: F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0))
+        ).cast("long")
+        for k, p in SCRIPT_RANGES.items()
+    }
+    la, cy, ar, cj, ha = (counts[k] for k in
+                          ("latin", "cyrillic", "arabic", "cjk", "hangul"))
+    dominant = (
+        F.when((cy > la) & (cy >= ar) & (cy >= cj) & (cy >= ha), "cyrillic")
+        .when((ar > la) & (ar > cy) & (ar >= cj) & (ar >= ha), "arabic")
+        .when((cj > la) & (cj > cy) & (cj > ar) & (cj >= ha), "cjk")
+        .when((ha > la) & (ha > cy) & (ha > ar) & (ha > cj), "hangul")
+        .otherwise(F.lit("latin"))
+    )
+    return documents.select(
+        "doc_id",
+        counts["latin"].alias("latin_chars"),
+        counts["cyrillic"].alias("cyrillic_chars"),
+        counts["arabic"].alias("arabic_chars"),
+        counts["cjk"].alias("cjk_chars"),
+        counts["hangul"].alias("hangul_chars"),
+        dominant.alias("dominant_script"),
+    ).orderBy("doc_id")

@@ -1395,3 +1395,32 @@ def test_lang_mismatch_audit_matches_per_doc_predictions(spark):
     from collections import Counter
     want = Counter((r["lang"], per_doc[r["doc_id"]]) for r in docs.collect())
     assert {k: v["n_docs"] for k, v in audit.items()} == dict(want)
+
+
+def test_script_stats_counts_and_dominance(spark):
+    from pdf_parser_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "pure ascii text", "en", "s", 1),
+         (1, "привет", "ru", "s", 1),   # привет
+         (2, "ab 你好世界あ", "zh", "s", 1),      # 2 latin, 5 cjk
+         (3, "안녕", "ko", "s", 1),                            # hangul
+         (4, "café Ā", "fr", "s", 1)],   # accented latin counts as latin
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in textstats.script_stats(docs).collect()}
+    assert out[0]["dominant_script"] == "latin" and out[0]["latin_chars"] == 13
+    assert out[1]["dominant_script"] == "cyrillic" and out[1]["cyrillic_chars"] == 6
+    assert out[2]["dominant_script"] == "cjk"
+    assert out[2]["cjk_chars"] == 5 and out[2]["latin_chars"] == 2
+    assert out[3]["dominant_script"] == "hangul" and out[3]["hangul_chars"] == 2
+    assert out[4]["dominant_script"] == "latin" and out[4]["latin_chars"] == 5
+    # synthesis: each %5 bucket flips dominance iff the sample outweighs
+    # the short latin base
+    mix = spark.createDataFrame(
+        [(i, "ab", "en", "s", 1) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    dom = {r["doc_id"]: r["dominant_script"] for r in
+           textstats.script_stats(textstats.with_script_mix(mix)).collect()}
+    assert dom == {0: "latin", 1: "cyrillic", 2: "arabic", 3: "cjk", 4: "hangul"}
