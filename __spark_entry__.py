@@ -342,6 +342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_script_stats": lambda s, d: textstats.script_stats(
             textstats.with_script_mix(_docs(s, d))
         ),
+        # per-domain quality prior (CCNet/RefinedWeb): exact integer bp
+        # mean of the shared soft-quality formula, min-docs trust gate
+        "u_domain_quality": lambda s, d: weburl.domain_quality_prior(
+            _docs(s, d)
+        ),
         "t_quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         # exact per-source token-length quantiles (rank-based, portable)
@@ -721,6 +726,22 @@ def _hits(words: str) -> str:
     return (
         f"CAST(len(list_intersect(list_distinct(list_transform({_TOKS}, w -> lower(w))), {words})) AS BIGINT)"
     )
+
+
+# the soft quality score, shared by t_quality_score and u_domain_quality so
+# the per-doc score and the domain prior can never diverge
+_QUALITY_SQL = (
+    f"round(0.5 * ({{h}} / 10.0)"
+    f" + 0.3 * (CASE WHEN length(regexp_replace({{t}}, '\\s+', '', 'g'))"
+    f" / len({{toks}}) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)"
+    f" + 0.2 * least(len({{toks}}) / 100.0, 1.0), 4)"
+)
+
+
+def _quality_sql(text_col: str = "text") -> str:
+    toks = _TOKS.replace("text", text_col) if text_col != "text" else _TOKS
+    h = _hits(_EN).replace(_TOKS, toks)
+    return _QUALITY_SQL.format(h=h, t=text_col, toks=toks)
 
 
 # the lang-id argmax CASE, shared by t_lang_id and t_lang_mismatch so the
@@ -1682,9 +1703,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
                    round(length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOKS}), 4) AS mean_word_len,
                    round({_hits(_EN)} / 10.0, 4) AS stopword_ratio,
-                   round(0.5 * ({_hits(_EN)} / 10.0)
-                       + 0.3 * (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOKS}) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
-                       + 0.2 * least(len({_TOKS}) / 100.0, 1.0), 4) AS quality
+                   {_quality_sql()} AS quality
             FROM documents ORDER BY doc_id
         """,
         # the pre-token regex and its three alternation legs interpolate
@@ -2246,6 +2265,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(c.text)) AS BIGINT) AS total_chars,
                    CAST(count(DISTINCT c.lang) AS BIGINT) AS n_langs
             FROM canon c JOIN reg r USING (host)
+            GROUP BY r.reg_domain ORDER BY r.reg_domain
+        """,
+        # domain quality prior: the SAME _quality_sql fragment as
+        # t_quality_score (x 10^4 into exact integer bp), the same url/reg
+        # CTEs as u_domain_rollup, one group rollup with an integer-div
+        # mean and the min-docs trust gate (constant interpolated)
+        "u_domain_quality": f"""
+            WITH {_url_cte},
+            q AS (
+                SELECT doc_id,
+                       CAST(round({_quality_sql()} * 10000) AS BIGINT) AS bp
+                FROM documents
+            )
+            SELECT r.reg_domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(q.bp) // count(*) AS BIGINT) AS mean_quality_bp,
+                   count(*) >= {WU.DOMAIN_PRIOR_MIN_DOCS} AS prior_trusted
+            FROM canon c JOIN reg r USING (host) JOIN q USING (doc_id)
             GROUP BY r.reg_domain ORDER BY r.reg_domain
         """,
         "u_blocklist": f"""

@@ -687,3 +687,47 @@ def extract_meta_redirects(pages: DataFrame) -> DataFrame:
         pages.select(F.col("url").alias("src"), dst.alias("dst"))
         .where(F.col("dst") != "")
     )
+
+
+# per-domain quality prior: trust the prior only once a domain has enough
+# scored documents (interpolated into the oracle)
+DOMAIN_PRIOR_MIN_DOCS = 3
+
+
+def domain_quality_prior(documents: DataFrame) -> DataFrame:
+    """Per-registered-domain quality prior — (reg_domain, n_docs,
+    mean_quality_bp, prior_trusted).  The CCNet/RefinedWeb move: a domain's
+    aggregate document quality is the crawl-priority / sampling prior for
+    its UNSEEN pages, so it must be computed corpus-wide before the next
+    crawl cycle.
+
+    Dataflow: per-doc soft quality (textstats.quality_score — the shared
+    formula, so score and prior cannot diverge) joined on doc_id to the
+    distinct-host registered-domain map, then ONE groupBy on reg_domain.
+    The mean lands as exact integer basis points (sum of 4dp-rounded
+    scores x 10^4, integer-divided by the count) — float means are the
+    classic cross-engine hash hazard, integer bp are not.  prior_trusted
+    gates the prior on >= DOMAIN_PRIOR_MIN_DOCS scored docs (a 1-doc
+    domain's prior is noise).  Per-domain skew: count/sum are algebraic,
+    AQE handles a mega-domain."""
+    from pdf_parser_spark.operators import textstats
+
+    q = textstats.quality_score(documents).select("doc_id", "quality")
+    canon = registered_domain(canonicalize(with_synthetic_urls(documents)))
+    joined = canon.select("doc_id", "reg_domain").join(q, "doc_id")
+    bp = F.round(F.col("quality") * 10000).cast("long")
+    return (
+        joined.select("reg_domain", bp.alias("bp"))
+        .groupBy("reg_domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("bp").alias("_sum_bp"),
+        )
+        .select(
+            "reg_domain",
+            "n_docs",
+            F.expr("_sum_bp div n_docs").alias("mean_quality_bp"),
+            (F.col("n_docs") >= DOMAIN_PRIOR_MIN_DOCS).alias("prior_trusted"),
+        )
+        .orderBy("reg_domain")
+    )

@@ -1424,3 +1424,39 @@ def test_script_stats_counts_and_dominance(spark):
     dom = {r["doc_id"]: r["dominant_script"] for r in
            textstats.script_stats(textstats.with_script_mix(mix)).collect()}
     assert dom == {0: "latin", 1: "cyrillic", 2: "arabic", 3: "cjk", 4: "hangul"}
+
+
+def test_domain_quality_prior_bp_math_and_trust_gate(spark):
+    from pdf_parser_spark.operators import textstats, weburl
+
+    # sources map to reg_domains via with_synthetic_urls; 'a' docs are
+    # high-quality prose, the lone 'b' doc is junk and below the trust gate
+    good = ("the cat sat on the mat with a dog and the bird "
+            "for fun in the sun on a log with the frog ") * 3
+    docs = spark.createDataFrame(
+        [(5, good, "en", "a", 1), (10, good + "extra words here", "en", "a", 1),
+         (15, good, "en", "a", 1), (20, "zz qq", "en", "b", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["reg_domain"]: r for r in
+           weburl.domain_quality_prior(docs).collect()}
+    q = {r["doc_id"]: r["quality"] for r in
+         textstats.quality_score(docs).collect()}
+    reg = {r["doc_id"]: r["reg_domain"] for r in weburl.registered_domain(
+        weburl.canonicalize(weburl.with_synthetic_urls(docs))
+    ).select("doc_id", "reg_domain").collect()}
+    from collections import defaultdict
+    bp_sum, n = defaultdict(int), defaultdict(int)
+    for d in q:
+        bp_sum[reg[d]] += round(q[d] * 10000)
+        n[reg[d]] += 1
+    for dom, r in out.items():
+        assert r["n_docs"] == n[dom]
+        assert r["mean_quality_bp"] == bp_sum[dom] // n[dom]
+        assert r["prior_trusted"] == (n[dom] >= weburl.DOMAIN_PRIOR_MIN_DOCS)
+    # the junk domain exists, is untrusted, and scores far below the good one
+    trusted = [r for r in out.values() if r["prior_trusted"]]
+    untrusted = [r for r in out.values() if not r["prior_trusted"]]
+    assert trusted and untrusted
+    assert max(u["mean_quality_bp"] for u in untrusted) < min(
+        t["mean_quality_bp"] for t in trusted)
