@@ -347,6 +347,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_domain_quality": lambda s, d: weburl.domain_quality_prior(
             _docs(s, d)
         ),
+        # crawler-trap url audit (depth / repeated segment / runaway
+        # pagination / session id) — all-JVM scan rules
+        "u_trap_urls": lambda s, d: weburl.trap_url_audit(
+            weburl.with_trap_urls(_docs(s, d))
+        ),
         "t_quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         # exact per-source token-length quantiles (rank-based, portable)
@@ -2266,6 +2271,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT c.lang) AS BIGINT) AS n_langs
             FROM canon c JOIN reg r USING (host)
             GROUP BY r.reg_domain ORDER BY r.reg_domain
+        """,
+        # trap-url audit: formula-synthesized urls, the SAME regex/threshold
+        # constants, and list-lambda adjacency for the repeated-segment rule
+        # (RE2 has no backreferences — mirrors the Spark array lambdas)
+        "u_trap_urls": f"""
+            WITH syn AS (
+                SELECT doc_id,
+                    'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                    || '.example.com' || CASE doc_id % 7
+                      WHEN 1 THEN '/a/b/c/d/e/f/g/h/i/j/' || doc_id
+                      WHEN 2 THEN '/cal/2026/2026/2026/' || doc_id
+                      WHEN 3 THEN '/list?page=' || (doc_id + 50000)
+                      WHEN 4 THEN '/item?sid=' || md5(CAST(doc_id AS VARCHAR))
+                      ELSE '/docs/' || doc_id END AS url
+                FROM documents
+            ), parsed AS (
+                SELECT doc_id, url,
+                       list_filter(regexp_split_to_array(
+                           regexp_extract(url, '{WU.URL_RE}', 4), '/'),
+                           s -> s <> '') AS segs,
+                       TRY_CAST(nullif(regexp_extract(
+                           url, '{WU.TRAP_PAGE_RE}', 1), '') AS BIGINT) AS pg,
+                       regexp_extract(url, '{WU.TRAP_HEX_ID_RE}', 0) <> ''
+                           AS hexid
+                FROM syn
+            ), flags AS (
+                SELECT doc_id, url,
+                       concat_ws(';',
+                         CASE WHEN len(segs) > {WU.TRAP_MAX_DEPTH}
+                              THEN 'deep_path' END,
+                         CASE WHEN len(segs) >= 2 AND len(list_filter(
+                                  range(1, len(segs)),
+                                  i -> segs[i] = segs[i+1])) > 0
+                              THEN 'repeated_segment' END,
+                         CASE WHEN coalesce(pg, 0) > {WU.TRAP_MAX_PAGE}
+                              THEN 'runaway_pagination' END,
+                         CASE WHEN hexid THEN 'session_id' END
+                       ) AS trap_reasons
+                FROM parsed
+            )
+            SELECT doc_id, url, trap_reasons,
+                   trap_reasons <> '' AS is_trap
+            FROM flags ORDER BY doc_id
         """,
         # domain quality prior: the SAME _quality_sql fragment as
         # t_quality_score (x 10^4 into exact integer bp), the same url/reg

@@ -731,3 +731,77 @@ def domain_quality_prior(documents: DataFrame) -> DataFrame:
         )
         .orderBy("reg_domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawler-trap URL detection (infinite calendars, session-id explosions,
+# runaway pagination, recursive path loops — the URL-shaped spider traps
+# that burn crawl budget without yielding new content)
+# ---------------------------------------------------------------------------
+
+TRAP_MAX_DEPTH = 8          # path segments beyond this smell generated
+TRAP_MAX_PAGE = 1000        # ?page= beyond this is runaway pagination
+TRAP_HEX_ID_LEN = 16        # a >=16-hex query value is a session/tracking id
+# RE2/Java-common patterns (no backreferences — RE2 has none, so the
+# repeated-segment rule uses list ops instead)
+TRAP_PAGE_RE = r"[?&]page=([0-9]+)"
+TRAP_HEX_ID_RE = r"[?&][A-Za-z_]+=[0-9a-f]{" + str(TRAP_HEX_ID_LEN) + r",}"
+
+
+def with_trap_urls(documents: DataFrame) -> DataFrame:
+    """Synthesis: doc_id%7 picks the trap flavor — 1 deep path, 2 repeated
+    adjacent segment, 3 runaway pagination, 4 hex session id (md5 of the
+    doc_id, re-derivable in SQL); everything else is a clean /docs/ url."""
+    d = F.col("doc_id")
+    base = F.concat(F.lit("https://site"), d % 10, F.lit(".example.com"))
+    url = (
+        F.when(d % 7 == 1, F.concat(base, F.lit("/a/b/c/d/e/f/g/h/i/j"),
+                                    F.lit("/"), d))
+        .when(d % 7 == 2, F.concat(base, F.lit("/cal/2026/2026/2026/"), d))
+        .when(d % 7 == 3, F.concat(base, F.lit("/list?page="), d + 50_000))
+        .when(d % 7 == 4, F.concat(base, F.lit("/item?sid="),
+                                   F.md5(d.cast("string"))))
+        .otherwise(F.concat(base, F.lit("/docs/"), d))
+    )
+    return documents.withColumn("url", url)
+
+
+def trap_url_audit(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(doc_id, url, trap_reasons, is_trap) — URL-shape spider-trap rules:
+    path depth > TRAP_MAX_DEPTH, a repeated ADJACENT path segment
+    (recursive link loops render as /x/x/...; detected with array lambdas
+    because RE2 — the oracle's engine — has no backreferences), ?page=
+    beyond TRAP_MAX_PAGE, and a >=16-hex query value (session ids make
+    every visit a 'new' url).  All JVM column expressions in the scan —
+    zero Python, zero shuffle; at crawl scale this runs in the frontier's
+    url stream before any fetch is scheduled.  Reasons use the
+    quality_gate convention (';'-joined in rule order, '' when clean)."""
+    u = F.col(url_col)
+    path = F.regexp_extract(u, URL_RE, 4)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth = F.size(segs)
+    # sequence(1, depth-1) counts DOWN when depth==1 (Spark sequences are
+    # bidirectional), so floor the stop at 1 and use try_element_at — the
+    # out-of-range probe returns NULL, NULL==NULL is NULL, and the coalesce
+    # turns the whole exists into false for single-segment paths
+    rep = (depth >= 2) & F.coalesce(
+        F.exists(
+            F.sequence(F.lit(1), F.greatest(depth - 1, F.lit(1))),
+            lambda i: F.try_element_at(segs, i) == F.try_element_at(segs, i + 1),
+        ),
+        F.lit(False),
+    )
+    page = F.nullif(F.regexp_extract(u, TRAP_PAGE_RE, 1), F.lit("")).cast("long")
+    hexid = F.regexp_extract(u, TRAP_HEX_ID_RE, 0) != ""
+    rules = [
+        (depth > TRAP_MAX_DEPTH, "deep_path"),
+        (rep, "repeated_segment"),
+        (F.coalesce(page, F.lit(0)) > TRAP_MAX_PAGE, "runaway_pagination"),
+        (hexid, "session_id"),
+    ]
+    reasons = F.concat_ws(";", *[F.when(c, F.lit(n)) for c, n in rules])
+    return df.select(
+        "doc_id", u.alias("url"),
+        reasons.alias("trap_reasons"),
+        (reasons != "").alias("is_trap"),
+    ).orderBy("doc_id")

@@ -1460,3 +1460,43 @@ def test_domain_quality_prior_bp_math_and_trust_gate(spark):
     assert trusted and untrusted
     assert max(u["mean_quality_bp"] for u in untrusted) < min(
         t["mean_quality_bp"] for t in trusted)
+
+
+def test_trap_url_audit_rules(spark):
+    from pdf_parser_spark.operators import weburl
+
+    df = spark.createDataFrame(
+        [(0, "https://a.com/docs/1"),                       # clean
+         (1, "https://a.com/a/b/c/d/e/f/g/h/i"),            # depth 9 > 8
+         (2, "https://a.com/cal/2026/2026/x"),              # adjacent repeat
+         (3, "https://a.com/list?page=99999"),              # runaway page
+         (4, "https://a.com/list?page=3"),                  # sane page
+         (5, "https://a.com/i?sid=0123456789abcdef"),       # 16-hex session id
+         (6, "https://a.com/i?sid=abc"),                    # short id: fine
+         (7, "https://a.com/x/y/x/z"),                      # repeat NOT adjacent
+         (8, "https://a.com/"),                             # single empty path
+         (9, "https://a.com/cal/2026/deep/2026/2026/x?page=5000")],  # two rules
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in weburl.trap_url_audit(df).collect()}
+    assert not out[0]["is_trap"] and out[0]["trap_reasons"] == ""
+    assert out[1]["trap_reasons"] == "deep_path"
+    assert out[2]["trap_reasons"] == "repeated_segment"
+    assert out[3]["trap_reasons"] == "runaway_pagination"
+    assert not out[4]["is_trap"]
+    assert out[5]["trap_reasons"] == "session_id"
+    assert not out[6]["is_trap"]
+    assert not out[7]["is_trap"]  # adjacency matters: /x/y/x is legitimate
+    assert not out[8]["is_trap"]
+    assert out[9]["trap_reasons"] == "repeated_segment;runaway_pagination"
+
+    # synthesis buckets map to their intended single rule
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(7, 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    syn = {r["doc_id"] % 7: r["trap_reasons"] for r in
+           weburl.trap_url_audit(weburl.with_trap_urls(docs)).collect()}
+    assert syn[0] == "" and syn[5] == "" and syn[6] == ""
+    assert syn[1] == "deep_path" and syn[2] == "repeated_segment"
+    assert syn[3] == "runaway_pagination" and syn[4] == "session_id"
