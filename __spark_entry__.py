@@ -352,6 +352,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_trap_urls": lambda s, d: weburl.trap_url_audit(
             weburl.with_trap_urls(_docs(s, d))
         ),
+        # sitemap discovery: Sitemap: lines parsed out of REAL robots bytes
+        # (RFC 9309 §2.3), one multiline regexp on the per-host dim
+        "u_sitemap_discovery": lambda s, d: weburl.discover_sitemaps(
+            weburl.with_robots_sitemaps(
+                weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
+                .select("host").distinct()
+            )
+        ),
         "t_quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         # exact per-source token-length quantiles (rank-based, portable)
@@ -2271,6 +2279,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT c.lang) AS BIGINT) AS n_langs
             FROM canon c JOIN reg r USING (host)
             GROUP BY r.reg_domain ORDER BY r.reg_domain
+        """,
+        # sitemap discovery: the engine regexp-parses real robots bytes;
+        # the oracle predicts the declared urls from the injection formula
+        # (every host /sitemap.xml; even-length hosts add the news sitemap)
+        "u_sitemap_discovery": f"""
+            WITH {_url_cte},
+            h AS (SELECT DISTINCT host FROM canon),
+            sm AS (
+                SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url
+                FROM h
+                UNION ALL
+                SELECT host, 'https://' || host || '/news-sitemap.xml'
+                FROM h WHERE len(host) % 2 = 0
+            )
+            SELECT host, sitemap_url FROM sm ORDER BY host, sitemap_url
         """,
         # trap-url audit: formula-synthesized urls, the SAME regex/threshold
         # constants, and list-lambda adjacency for the repeated-segment rule

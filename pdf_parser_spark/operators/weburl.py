@@ -805,3 +805,39 @@ def trap_url_audit(df: DataFrame, url_col: str = "url") -> DataFrame:
         reasons.alias("trap_reasons"),
         (reasons != "").alias("is_trap"),
     ).orderBy("doc_id")
+
+
+# RFC 9309 §2.3: Sitemap is a non-group directive, valid anywhere in the
+# file; (?m) anchors are the RE2/Java-common multiline subset
+SITEMAP_LINE_RE = r"(?m)^Sitemap:\s*(\S+)"
+
+
+def with_robots_sitemaps(hosts: DataFrame) -> DataFrame:
+    """with_robots_txt + appended Sitemap declarations (every host declares
+    /sitemap.xml; even-length hosts add a news sitemap) — a separate
+    synthesis so the byte-pinned u_robots_parsed corpus stays untouched."""
+    base = with_robots_txt(hosts)
+    n = F.length("host")
+    sm = F.concat(
+        F.lit("Sitemap: https://"), F.col("host"), F.lit("/sitemap.xml\n"),
+        F.when(
+            n % 2 == 0,
+            F.concat(F.lit("Sitemap: https://"), F.col("host"),
+                     F.lit("/news-sitemap.xml\n")),
+        ).otherwise(F.lit("")),
+    )
+    return base.withColumn("robots_txt", F.concat("robots_txt", sm))
+
+
+def discover_sitemaps(robots: DataFrame) -> DataFrame:
+    """(host, sitemap_url) — how crawlers actually FIND sitemaps: the
+    Sitemap: lines of robots.txt (RFC 9309 §2.3; any position in the file,
+    outside all groups).  One JVM multiline regexp over the per-host
+    robots dim (host-count-sized — the same bounded dim every robots op
+    runs on), exploded to one row per declared sitemap.  Feeds
+    parse_sitemap/recrawl ranking downstream."""
+    urls = F.regexp_extract_all("robots_txt", F.lit(SITEMAP_LINE_RE), F.lit(1))
+    return (
+        robots.select("host", F.explode(urls).alias("sitemap_url"))
+        .orderBy("host", "sitemap_url")
+    )

@@ -1500,3 +1500,45 @@ def test_trap_url_audit_rules(spark):
     assert syn[0] == "" and syn[5] == "" and syn[6] == ""
     assert syn[1] == "deep_path" and syn[2] == "repeated_segment"
     assert syn[3] == "runaway_pagination" and syn[4] == "session_id"
+
+
+def test_sitemap_discovery_from_robots_bytes(spark):
+    from pdf_parser_spark.operators import weburl
+
+    # hand-built robots: sitemap lines anywhere in the file (RFC 9309
+    # §2.3 non-group directive), mid-group and trailing; decoys that are
+    # not line-anchored must NOT match
+    robots = spark.createDataFrame(
+        [("h1.com", "User-agent: *\nDisallow: /a/\n"
+                    "Sitemap: https://h1.com/sitemap.xml\n"),
+         ("h2.com", "Sitemap: https://h2.com/a.xml\nUser-agent: *\n"
+                    "Disallow:\nSitemap: https://h2.com/b.xml\n"),
+         ("h3.com", "User-agent: *\n# see Sitemap: https://decoy/x.xml\n"
+                    "Disallow: /\n")],
+        "host string, robots_txt string",
+    )
+    out = [(r["host"], r["sitemap_url"]) for r in
+           weburl.discover_sitemaps(robots).collect()]
+    assert out == [("h1.com", "https://h1.com/sitemap.xml"),
+                   ("h2.com", "https://h2.com/a.xml"),
+                   ("h2.com", "https://h2.com/b.xml")]
+
+    # synthesis: every host declares the main sitemap; even-length hosts
+    # add the news one — and the robots bytes the OTHER ops parse still
+    # parse identically after the append
+    hosts = spark.createDataFrame([("ab.com",), ("abc.com",)], "host string")
+    disc = [(r["host"], r["sitemap_url"]) for r in weburl.discover_sitemaps(
+        weburl.with_robots_sitemaps(hosts)).collect()]
+    assert ("ab.com", "https://ab.com/sitemap.xml") in disc
+    assert ("ab.com", "https://ab.com/news-sitemap.xml") in disc  # len 6 even
+    assert ("abc.com", "https://abc.com/sitemap.xml") in disc
+    assert ("abc.com", "https://abc.com/news-sitemap.xml") not in disc
+    base = {r["host"]: (r["disallow_prefix"], r["crawl_delay_ms"]) for r in
+            weburl.parse_robots(weburl.with_robots_txt(hosts)).select(
+                "host", F.coalesce("disallow_prefix", F.lit("")).alias("disallow_prefix"),
+                "crawl_delay_ms").collect()}
+    aug = {r["host"]: (r["disallow_prefix"], r["crawl_delay_ms"]) for r in
+           weburl.parse_robots(weburl.with_robots_sitemaps(hosts)).select(
+               "host", F.coalesce("disallow_prefix", F.lit("")).alias("disallow_prefix"),
+               "crawl_delay_ms").collect()}
+    assert base == aug
