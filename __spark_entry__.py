@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE merge induction over the word-frequency dict (fit-small
         # argmax per iteration, JVM aggregate() fold for the merge)
         "t_bpe_merges": lambda s, d: textstats.bpe_merges(_docs(s, d)),
+        # tokenizer apply: per-doc symbol counts under the learned merges
+        "t_bpe_apply": lambda s, d: textstats.bpe_apply(_docs(s, d)),
         # crawl-cycle drift monitor: hashed-token share deltas between the
         # two deterministic snapshots, top movers by |delta| in bp
         "t_token_drift": lambda s, d: textstats.token_drift(
@@ -906,6 +908,39 @@ def oracle_sql() -> dict[str, str]:
                        i -> '|' || w[i:i] || '|'), '') AS seq, freq
             FROM bvocab
         ),{",".join(_bpe_stages)}
+    """
+    # apply face: a parallel word-carrying chain driven by the SAME b{k}
+    # merge selections, so train and apply share every merge decision
+    _aw_stages = "".join(
+        f""", aw{_k} AS (
+                SELECT w, replace(seq,
+                    (SELECT '|' || l || '||' || r || '|' FROM b{_k}),
+                    (SELECT '|' || l || r || '|' FROM b{_k})) AS seq
+                FROM aw{_k - 1}
+            )"""
+        for _k in range(1, TS.BPE_MERGES + 1)
+    )
+    _bpe_apply_sql = _bpe_cte + f""", aw0 AS (
+            SELECT w, array_to_string(list_transform(range(1, length(w) + 1),
+                       i -> '|' || w[i:i] || '|'), '') AS seq
+            FROM bvocab
+        ){_aw_stages}, wmap AS (
+            SELECT w,
+                   CAST(len(string_split(substr(seq, 2, length(seq) - 2),
+                                         '||')) AS BIGINT) AS n_syms,
+                   CAST(length(w) AS BIGINT) AS n_ch
+            FROM aw{TS.BPE_MERGES}
+        ), dw AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(trim(text), '\\s+'),
+                x -> x <> '')) AS w
+            FROM documents
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(m.n_ch) AS BIGINT) AS n_chars,
+               CAST(sum(m.n_syms) AS BIGINT) AS n_bpe_symbols
+        FROM dw JOIN wmap m USING (w)
+        GROUP BY doc_id ORDER BY doc_id
     """
 
     # synthetic multi-line text, the literal twin of curation.with_synthetic_lines
@@ -1830,6 +1865,9 @@ def oracle_sql() -> dict[str, str]:
             + (" UNION ALL" if _k < TS.BPE_MERGES else " ORDER BY rank")
             for _k in range(1, TS.BPE_MERGES + 1)
         ),
+        # apply face: train's b{k} selections drive a word-carrying twin
+        # chain; per-doc symbol counts via the vocab map join
+        "t_bpe_apply": _bpe_apply_sql,
         # capped inverted index: tf per (term, doc), df filter, per-term
         # top-k postings with the (tf desc, doc asc) tie-break, postings
         # string re-built in rank order

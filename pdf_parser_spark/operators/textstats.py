@@ -695,6 +695,15 @@ def bpe_merges(documents: DataFrame, k: int = BPE_MERGES) -> DataFrame:
     form the pair) is exactly the left-to-right greedy scan because a
     just-merged symbol l||r can never equal l (r is non-empty).
     """
+    rows, _ = _bpe_train(documents, k)
+    return documents.sparkSession.createDataFrame(
+        rows, "rank long, left string, right string, pair_count long"
+    ).orderBy("rank")
+
+
+def _bpe_train(documents: DataFrame, k: int):
+    """Shared trainer: returns (merge rows, final vocab frame with the
+    word key retained) so bpe_merges and bpe_apply run the SAME fold."""
     from pyspark.sql import Row
 
     vocab = (
@@ -703,10 +712,9 @@ def bpe_merges(documents: DataFrame, k: int = BPE_MERGES) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
         .withColumn("syms", F.split(F.col("w"), ""))
-        .select("syms", "freq")
+        .select("w", "syms", "freq")
         .localCheckpoint()  # vocab-sized; truncates the corpus lineage
     )
-    spark = documents.sparkSession
     out: list[Row] = []
     for rank in range(1, k + 1):
         idx = F.when(
@@ -751,10 +759,44 @@ def bpe_merges(documents: DataFrame, k: int = BPE_MERGES) -> DataFrame:
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        vocab = vocab.select(merged.alias("syms"), "freq").localCheckpoint()
-    return spark.createDataFrame(
-        out, "rank long, left string, right string, pair_count long"
-    ).orderBy("rank")
+        vocab = vocab.select("w", merged.alias("syms"), "freq").localCheckpoint()
+    return out, vocab
+
+
+def bpe_apply(documents: DataFrame, k: int = BPE_MERGES) -> DataFrame:
+    """The APPLY face of bpe_merges — tokenize the corpus with the learned
+    merges: (doc_id, n_words, n_chars, n_bpe_symbols).  n_bpe_symbols is
+    the sequence length a downstream LM would see; n_chars / n_bpe_symbols
+    is the tokenizer's compression ratio, THE metric a tokenizer train run
+    reports.
+
+    Scale design: training already produced the merged form of every
+    vocabulary word (the same _bpe_train fold — train and apply literally
+    share the loop, so they cannot disagree); apply is then one
+    vocab-sized map (w -> symbol count) shuffle-joined onto the exploded
+    word stream (vocabularies outgrow broadcast at corpus scale — same
+    join shape as keyword_extract's df dim) and one map-side-combined
+    groupBy(doc_id).  No per-doc fold ever touches the corpus.
+    Whitespace-only docs have no words and drop out (both engines)."""
+    _, vocab = _bpe_train(documents, k)
+    wmap = vocab.select(
+        "w",
+        F.size("syms").cast("long").alias("n_syms"),
+        F.length("w").cast("long").alias("n_ch"),
+    )
+    dw = documents.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        dw.join(wmap, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_ch").cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_bpe_symbols"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def lang_mismatch_audit(documents: DataFrame) -> DataFrame:

@@ -1254,3 +1254,27 @@ def test_bpe_merges_greedy_nonoverlap(spark):
     # round 1: 3 adjacent (a,a) pairs per word x3 words = 9
     # round 2: symbols [aa, aa] -> one (aa,aa) pair per word = 3
     assert got == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
+
+
+def test_bpe_apply_textbook_compression(spark):
+    """Apply the learned merges back to the corpus: after (l,o), (lo,w),
+    'low' is ONE symbol; with k=2 'lower' is low+e+r = 3, 'newest' stays
+    6 chars.  Counts are exact and n_chars always equals raw letters."""
+    from pdf_parser_spark.operators import textstats
+
+    docs = _docs(spark, [
+        (1, "low low low lower newest newest", "en", "s", 0),
+        (2, "low", "en", "s", 0),
+        (3, "   ", "en", "s", 0),   # whitespace-only: no words, drops out
+    ])
+    out = {r["doc_id"]: r for r in textstats.bpe_apply(docs, k=2).collect()}
+    # doc 1: words 6; chars 3*3 + 5 + 6*2 = 26;
+    # symbols: low=1 (x3) + lower=3 + newest=6 (x2) = 18
+    assert out[1]["n_words"] == 6 and out[1]["n_chars"] == 26
+    assert out[1]["n_bpe_symbols"] == 18
+    # doc 2 shares the corpus-learned merges: 'low' -> 1 symbol
+    assert out[2]["n_bpe_symbols"] == 1 and out[2]["n_chars"] == 3
+    assert 3 not in out
+    # zero merges = character tokenizer: symbols == chars everywhere
+    base = {r["doc_id"]: r for r in textstats.bpe_apply(docs, k=0).collect()}
+    assert all(base[d]["n_bpe_symbols"] == base[d]["n_chars"] for d in base)
