@@ -613,6 +613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_nfc_normalize": lambda s, d: curation.nfc_normalize_docs(
             curation.with_denormalized(_docs(s, d))
         ),
+        # the composed ingest chain under one hash: charset decode -> NFC
+        # -> hard quality gate, drift in any stage fails the one hash
+        "c_ingest_pipeline": lambda s, d: curation.ingest_pipeline(
+            curation.with_mixed_encodings(_docs(s, d))
+        ),
         "c_mojibake": lambda s, d: curation.repair_mojibake(
             curation.with_mojibake(_docs(s, d))
         ),
@@ -2664,6 +2669,33 @@ def oracle_sql() -> dict[str, str]:
                    t <> nfc_normalize(t) AS changed,
                    md5(nfc_normalize(t)) AS text_md5
             FROM inj ORDER BY doc_id
+        """,
+        # composed ingest chain: decoded text predicted from the synthesis
+        # formula, NFC computed INDEPENDENTLY by DuckDB's ICU, gate via the
+        # shared _gate_cte_for fragment on the normalized text — one hash
+        # over the whole chain (corpus_build doctrine)
+        "c_ingest_pipeline": f"""
+            WITH dec AS (
+                SELECT doc_id,
+                       CASE doc_id % 5
+                         WHEN 1 THEN '{C.CHARSET_UTF8_BOM}'
+                         WHEN 2 THEN '{C.CHARSET_UTF16_LE}'
+                         WHEN 3 THEN '{C.CHARSET_UTF16_BE}'
+                         WHEN 4 THEN '{C.CHARSET_LATIN1}'
+                         ELSE '{C.CHARSET_UTF8}' END AS charset,
+                       CASE WHEN doc_id % 5 = 4 THEN text || 'é.'
+                            ELSE text END AS raw
+                FROM documents
+            ), norm AS (
+                SELECT doc_id, charset,
+                       raw <> nfc_normalize(raw) AS nfc_changed,
+                       nfc_normalize(raw) AS text
+                FROM dec
+            ), {_gate_cte_for("norm")}
+            SELECT n.doc_id, n.charset, n.nfc_changed,
+                   (g.reasons = '') AS passed, md5(n.text) AS text_md5
+            FROM norm n JOIN gated g USING (doc_id)
+            ORDER BY n.doc_id
         """,
         # mojibake repair: the engine decodes real double-encoded bytes;
         # the oracle knows what the repair MUST produce (injection formula

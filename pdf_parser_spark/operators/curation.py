@@ -982,24 +982,9 @@ def with_mixed_encodings(documents: DataFrame) -> DataFrame:
     return documents.withColumn("html", html)
 
 
-def sniff_decode(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """Detect each page's charset from its raw bytes and decode it —
-    (doc_id, charset, text_md5).  Entirely JVM column expressions
-    (binary substring + Spark 4's is_valid_utf8 + per-branch decode with
-    literal charsets): zero Python, zero shuffle, whole-stage codegen —
-    at 10^12 docs this is free inside the ingest scan.
-
-    Detection order: UTF-8 BOM, UTF-16LE/BE BOM, UTF-8 validity, Latin-1
-    fallback (Latin-1 maps every byte, so the fallback never fails —
-    exactly the order real sniffers use before statistical heuristics).
-    BOM-less UTF-16 is NOT claimed: its ASCII-range bytes interleave NULs
-    that are VALID UTF-8, so only a frequency heuristic could catch it —
-    out of scope here, as in WHATWG's BOM-first algorithm.
-
-    The oracle cannot decode UTF-16 (DuckDB is UTF-8-only), so it predicts
-    what the decode MUST produce from the synthesis formula — the same
-    contract as mojibake: the engine does the real byte work, the SQL
-    knows the answer."""
+def _sniff_exprs(html_col: str):
+    """(charset, decoded_text) Columns — shared by sniff_decode and the
+    composed ingest_pipeline so detection and decode cannot diverge."""
     h = F.col(html_col)
     p3 = F.expr(f"substring({html_col}, 1, 3)")
     p2 = F.expr(f"substring({html_col}, 1, 2)")
@@ -1019,6 +1004,28 @@ def sniff_decode(pages: DataFrame, html_col: str = "html") -> DataFrame:
         .when(charset == CHARSET_UTF8, F.decode(h, "UTF-8"))
         .otherwise(F.decode(h, "ISO-8859-1"))
     )
+    return charset, text
+
+
+def sniff_decode(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Detect each page's charset from its raw bytes and decode it —
+    (doc_id, charset, text_md5).  Entirely JVM column expressions
+    (binary substring + Spark 4's is_valid_utf8 + per-branch decode with
+    literal charsets): zero Python, zero shuffle, whole-stage codegen —
+    at 10^12 docs this is free inside the ingest scan.
+
+    Detection order: UTF-8 BOM, UTF-16LE/BE BOM, UTF-8 validity, Latin-1
+    fallback (Latin-1 maps every byte, so the fallback never fails —
+    exactly the order real sniffers use before statistical heuristics).
+    BOM-less UTF-16 is NOT claimed: its ASCII-range bytes interleave NULs
+    that are VALID UTF-8, so only a frequency heuristic could catch it —
+    out of scope here, as in WHATWG's BOM-first algorithm.
+
+    The oracle cannot decode UTF-16 (DuckDB is UTF-8-only), so it predicts
+    what the decode MUST produce from the synthesis formula — the same
+    contract as mojibake: the engine does the real byte work, the SQL
+    knows the answer."""
+    charset, text = _sniff_exprs(html_col)
     return pages.select(
         "doc_id",
         charset.alias("charset"),
@@ -1073,3 +1080,40 @@ def nfc_normalize_docs(documents: DataFrame) -> DataFrame:
         (F.col("text") != nfc).alias("changed"),
         F.md5(F.encode(nfc, "UTF-8")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+def ingest_pipeline(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """The composed ingest chain under ONE result — charset detect+decode
+    (shared _sniff_exprs) -> NFC normalize (one Arrow UDF call) -> C4/
+    Gopher hard gate (textstats.quality_gate on the NORMALIZED text):
+    (doc_id, charset, nfc_changed, passed, text_md5).  Drift in any stage
+    fails the one composed hash, the same doctrine as corpus_build.
+    All corpus-scale work is narrow (decode and normalize live in the
+    scan); the only join is gate-verdict-by-doc_id."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    from pdf_parser_spark.operators import textstats
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    charset, text = _sniff_exprs(html_col)
+    pre = pages.select("doc_id", charset.alias("charset"), text.alias("_raw"))
+    mid = pre.select(
+        "doc_id", "charset", "_raw", _nfc(F.col("_raw")).alias("text")
+    ).select(
+        "doc_id", "charset",
+        (F.col("_raw") != F.col("text")).alias("nfc_changed"), "text",
+    )
+    gate = textstats.quality_gate(mid).select("doc_id", "passed")
+    return (
+        mid.join(gate, "doc_id")
+        .select(
+            "doc_id", "charset", "nfc_changed", "passed",
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )

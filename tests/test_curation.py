@@ -1278,3 +1278,40 @@ def test_bpe_apply_textbook_compression(spark):
     # zero merges = character tokenizer: symbols == chars everywhere
     base = {r["doc_id"]: r for r in textstats.bpe_apply(docs, k=0).collect()}
     assert all(base[d]["n_bpe_symbols"] == base[d]["n_chars"] for d in base)
+
+
+def test_ingest_pipeline_composes_stage_by_stage(spark):
+    """The composed chain must equal running decode -> NFC -> gate by
+    hand, and each stage must actually matter on an engineered corpus."""
+    import unicodedata
+
+    from pdf_parser_spark.operators import curation, textstats
+
+    passing = ("the quick brown foxes jumped over the lazy sleeping "
+               "hounds in the warm golden light with many other small "
+               "birds for fun ") * 3
+    rows = [
+        (0, passing),                      # utf-8, clean, passes gate
+        (4, passing),                      # latin-1 branch (+é. suffix)
+        (2, passing),                      # utf-16-le branch
+        (5, "zz qq"),                      # utf-8 but fails the gate
+    ]
+    docs = _docs(spark, [(i, t, "en", "s", 1) for i, t in rows])
+    out = {r["doc_id"]: r for r in curation.ingest_pipeline(
+        curation.with_mixed_encodings(docs)).collect()}
+    # hand-composed expectation per doc
+    for i, t in rows:
+        exp_text = unicodedata.normalize(
+            "NFC", t + ("é." if i % 5 == 4 else ""))
+        assert out[i]["text_md5"] == hashlib.md5(
+            exp_text.encode("utf-8")).hexdigest()
+    assert out[0]["charset"] == "utf-8" and out[0]["passed"]
+    assert out[4]["charset"] == "latin-1" and out[4]["passed"]
+    assert out[2]["charset"] == "utf-16-le" and out[2]["passed"]
+    assert out[5]["charset"] == "utf-8" and not out[5]["passed"]
+    # gate verdicts equal the standalone gate run on the decoded text
+    gate = {r["doc_id"]: r["passed"] for r in textstats.quality_gate(
+        docs.withColumn("text", F.when(F.col("doc_id") % 5 == 4,
+                                       F.concat("text", F.lit("é.")))
+                        .otherwise(F.col("text")))).collect()}
+    assert all(out[i]["passed"] == gate[i] for i, _ in rows)
