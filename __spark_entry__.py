@@ -352,6 +352,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_trap_urls": lambda s, d: weburl.trap_url_audit(
             weburl.with_trap_urls(_docs(s, d))
         ),
+        # RFC 9309 §2.2.2 longest-match Allow/Disallow decisions: rules
+        # parsed from real bytes (shared group resolution), one struct-max
+        # per url
+        "u_robots_allow": lambda s, d: (lambda canon: weburl.robots_decision(
+            canon,
+            weburl.parse_robots_rules(
+                weburl.with_robots_allow(canon.select("host").distinct())
+            ),
+        ))(weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))),
         # sitemap discovery: Sitemap: lines parsed out of REAL robots bytes
         # (RFC 9309 §2.3), one multiline regexp on the per-host dim
         "u_sitemap_discovery": lambda s, d: weburl.discover_sitemaps(
@@ -2322,6 +2331,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT c.lang) AS BIGINT) AS n_langs
             FROM canon c JOIN reg r USING (host)
             GROUP BY r.reg_domain ORDER BY r.reg_domain
+        """,
+        # robots Allow decision: rules predicted from the injection formula
+        # (the engine parses real bytes through the shared group resolver);
+        # longest-match with the allow tie-break as a window rank
+        "u_robots_allow": f"""
+            WITH {_url_cte},
+            hr AS (SELECT DISTINCT host FROM canon),
+            rules AS (
+                SELECT host, 'disallow' AS kind, '/docs/' AS prefix FROM hr
+                UNION ALL
+                SELECT host, 'allow', '/docs/1' FROM hr WHERE len(host) % 2 = 0
+                UNION ALL
+                SELECT host, 'disallow', '/a/' FROM hr WHERE len(host) % 3 = 0
+            ), up AS (
+                SELECT doc_id, host,
+                       regexp_extract(canonical_url, '{WU.URL_RE}', 4) AS p
+                FROM canon
+            ), m AS (
+                SELECT doc_id, kind, length(prefix) AS l,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY length(prefix) DESC,
+                                    CASE WHEN kind = 'allow' THEN 0 ELSE 1 END)
+                           AS rn
+                FROM up JOIN rules USING (host)
+                WHERE starts_with(p, prefix)
+            )
+            SELECT u.doc_id,
+                   CASE WHEN m.kind IS NULL OR m.kind = 'allow'
+                        THEN true ELSE false END AS allowed,
+                   coalesce(m.kind, '') AS match_kind,
+                   CAST(coalesce(m.l, 0) AS BIGINT) AS match_len
+            FROM (SELECT DISTINCT doc_id FROM up) u
+            LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+            ORDER BY u.doc_id
         """,
         # sitemap discovery: the engine regexp-parses real robots bytes;
         # the oracle predicts the declared urls from the injection formula

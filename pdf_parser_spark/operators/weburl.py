@@ -396,20 +396,12 @@ def with_robots_txt(hosts: DataFrame) -> DataFrame:
     return hosts.withColumn("robots_txt", txt)
 
 
-def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
-    """Parse raw robots.txt into the (host, disallow_prefix,
-    crawl_delay_ms) rules dim — real RFC 9309 group semantics:
-
-    - a GROUP is a maximal run of User-agent lines plus the rules below it
-      (so "User-agent: a\\nUser-agent: *\\nDisallow: /x" is ONE group that
-      applies to both agents);
-    - field names are case-insensitive; an empty Disallow means allow-all
-      (dropped); Crawl-delay takes fractional seconds -> ms.
-
-    Plan: posexplode lines (narrow), one host-partitioned window for the
-    group counter, a per-group agent-match semi-join, one groupBy(host).
-    robots tables are host-count-sized — everything here is dim-scale and
-    the result broadcasts, same as the formula dim it replaces."""
+def _robots_matched_body(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, pos, line) — the lines of each host's APPLICABLE groups under
+    RFC 9309 group semantics (maximal User-agent runs form one group,
+    named group preferred over '*', case-insensitive product tokens).
+    Factored out of parse_robots so every robots consumer (collapsed dim,
+    rule lists) resolves groups identically."""
     from pyspark.sql import Window
 
     lines = robots.select(
@@ -441,7 +433,24 @@ def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
         matched = matched_agent.unionByName(star)
     else:
         matched = matched_agent
-    body = lines.join(matched, ["host", "grp"], "left_semi")
+    return lines.join(matched, ["host", "grp"], "left_semi")
+
+
+def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """Parse raw robots.txt into the (host, disallow_prefix,
+    crawl_delay_ms) rules dim — real RFC 9309 group semantics:
+
+    - a GROUP is a maximal run of User-agent lines plus the rules below it
+      (so "User-agent: a\\nUser-agent: *\\nDisallow: /x" is ONE group that
+      applies to both agents);
+    - field names are case-insensitive; an empty Disallow means allow-all
+      (dropped); Crawl-delay takes fractional seconds -> ms.
+
+    Plan: posexplode lines (narrow), one host-partitioned window for the
+    group counter, a per-group agent-match semi-join, one groupBy(host).
+    robots tables are host-count-sized — everything here is dim-scale and
+    the result broadcasts, same as the formula dim it replaces."""
+    body = _robots_matched_body(robots, agent)
     dis = F.nullif(F.regexp_extract("line", ROBOTS_DISALLOW_RE, 1), F.lit(""))
     # delay compared NUMERICALLY (string max would rank '9' over '10')
     delay = F.nullif(
@@ -840,4 +849,89 @@ def discover_sitemaps(robots: DataFrame) -> DataFrame:
     return (
         robots.select("host", F.explode(urls).alias("sitemap_url"))
         .orderBy("host", "sitemap_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 §2.2.2 Allow/Disallow longest-match decisions
+# ---------------------------------------------------------------------------
+
+ROBOTS_ALLOW_RE = r"(?i)^allow:\s*(\S*)"
+
+
+def with_robots_allow(hosts: DataFrame) -> DataFrame:
+    """Synthesis for the Allow semantics: every host disallows /docs/;
+    even-length hosts carve out Allow: /docs/1 — LONGER than the disallow,
+    so the RFC longest-match override re-admits every /docs/1* page on
+    those hosts; len%3==0 hosts also disallow /a/.  Separate corpus so the
+    byte-pinned with_robots_txt fixtures stay untouched."""
+    n = F.length("host")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /docs/\n"),
+        F.when(n % 2 == 0, F.lit("Allow: /docs/1\n")).otherwise(F.lit("")),
+        F.when(n % 3 == 0, F.lit("Disallow: /a/\n")).otherwise(F.lit("")),
+    )
+    return hosts.withColumn("robots_txt", txt)
+
+
+def parse_robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, kind, prefix) rule LISTS from the applicable groups — the
+    input the longest-match decision needs (parse_robots collapses to one
+    prefix; RFC 9309 §2.2.2 requires ranking ALL rules by match length).
+    Empty patterns match nothing (RFC) and are dropped.  Same group
+    resolution as parse_robots via the shared _robots_matched_body."""
+    body = _robots_matched_body(robots, agent)
+    allow = F.nullif(F.regexp_extract("line", ROBOTS_ALLOW_RE, 1), F.lit(""))
+    dis = F.nullif(F.regexp_extract("line", ROBOTS_DISALLOW_RE, 1), F.lit(""))
+    rule = (
+        F.when(allow.isNotNull(), F.struct(F.lit("allow").alias("kind"),
+                                           allow.alias("prefix")))
+        .when(dis.isNotNull(), F.struct(F.lit("disallow").alias("kind"),
+                                        dis.alias("prefix")))
+    )
+    return (
+        body.select("host", rule.alias("r"))
+        .where(F.col("r").isNotNull())
+        .select("host", F.col("r.kind").alias("kind"),
+                F.col("r.prefix").alias("prefix"))
+        .distinct()
+    )
+
+
+def robots_decision(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """(doc_id, allowed, match_kind, match_len) — the RFC 9309 §2.2.2
+    decision per url: among the host's rules whose prefix starts the
+    path, the LONGEST wins; at equal length Allow wins (the RFC's
+    least-restrictive tie-break); no match = allowed.
+
+    Dataflow: urls join the host-keyed rule dim (host-count-sized →
+    broadcast at any corpus scale), prefix-match filter, then ONE max of a
+    (len, allow-priority) struct per doc — struct max IS the lexicographic
+    (longest, then allow) ranking, an algebraic aggregate with map-side
+    combine, so the fan-out never survives the shuffle."""
+    with_path = urls.select(
+        "doc_id", "host", F.regexp_extract("canonical_url", URL_RE, 4).alias("p")
+    )
+    cand = (
+        with_path.join(F.broadcast(rules), "host", "left")
+        .where(F.col("prefix").isNull() | F.col("p").startswith(F.col("prefix")))
+    )
+    best = (
+        cand.groupBy("doc_id")
+        .agg(F.max(F.when(F.col("prefix").isNotNull(), F.struct(
+            F.length("prefix").alias("l"),
+            (F.col("kind") == "allow").cast("int").alias("a"),
+            F.col("kind").alias("kind"),
+        ))).alias("m"))
+    )
+    return (
+        with_path.select("doc_id").distinct()
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("m").isNull() | (F.col("m.kind") == "allow")).alias("allowed"),
+            F.coalesce(F.col("m.kind"), F.lit("")).alias("match_kind"),
+            F.coalesce(F.col("m.l").cast("long"), F.lit(0)).alias("match_len"),
+        )
+        .orderBy("doc_id")
     )

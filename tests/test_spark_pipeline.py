@@ -1542,3 +1542,50 @@ def test_sitemap_discovery_from_robots_bytes(spark):
                "host", F.coalesce("disallow_prefix", F.lit("")).alias("disallow_prefix"),
                "crawl_delay_ms").collect()}
     assert base == aug
+
+
+def test_robots_allow_longest_match_decisions(spark):
+    from pdf_parser_spark.operators import weburl
+
+    # handcrafted rules incl. an EQUAL-LENGTH allow/disallow tie
+    rules = spark.createDataFrame(
+        [("h", "disallow", "/docs/"),
+         ("h", "allow", "/docs/pub/"),
+         ("h", "allow", "/x/"),      # same length as the next
+         ("h", "disallow", "/y/")],
+        "host string, kind string, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [(0, "h", "https://h/free"),           # no match -> allowed
+         (1, "h", "https://h/docs/a"),         # disallow /docs/
+         (2, "h", "https://h/docs/pub/a"),     # longer allow overrides
+         (3, "h", "https://h/x/a"),            # allow
+         (4, "h", "https://h/y/a")],           # disallow
+        "doc_id long, host string, canonical_url string",
+    )
+    out = {r["doc_id"]: r for r in
+           weburl.robots_decision(urls, rules).collect()}
+    assert out[0]["allowed"] and out[0]["match_kind"] == ""
+    assert not out[1]["allowed"] and out[1]["match_len"] == 6
+    assert out[2]["allowed"] and out[2]["match_len"] == 10
+    assert out[3]["allowed"] and not out[4]["allowed"]
+
+    # equal-length tie: RFC's least-restrictive rule — allow wins
+    tie = spark.createDataFrame(
+        [("h", "allow", "/t/"), ("h", "disallow", "/t/")],
+        "host string, kind string, prefix string",
+    )
+    turl = spark.createDataFrame([(9, "h", "https://h/t/page")],
+                                 "doc_id long, host string, canonical_url string")
+    r = weburl.robots_decision(turl, tie).collect()[0]
+    assert r["allowed"] and r["match_kind"] == "allow"
+
+    # rules parsed from REAL bytes through the shared group resolver
+    hosts = spark.createDataFrame([("ab.com",), ("abcde.org",)], "host string")
+    parsed = {(r["host"], r["kind"], r["prefix"]) for r in
+              weburl.parse_robots_rules(
+                  weburl.with_robots_allow(hosts)).collect()}
+    assert ("ab.com", "allow", "/docs/1") in parsed     # len 6: even
+    assert ("ab.com", "disallow", "/a/") in parsed      # len 6: %3==0
+    assert ("abcde.org", "disallow", "/docs/") in parsed
+    assert ("abcde.org", "allow", "/docs/1") not in parsed  # len 9: odd
