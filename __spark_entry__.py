@@ -347,6 +347,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_domain_quality": lambda s, d: weburl.domain_quality_prior(
             _docs(s, d)
         ),
+        # global fetch budget apportioned across trusted domains by prior
+        # weight — Hamilton largest-remainder, exact-sum invariant
+        "u_crawl_budget": lambda s, d: weburl.crawl_budget(
+            weburl.domain_quality_prior(_docs(s, d))
+        ),
         # crawler-trap url audit (depth / repeated segment / runaway
         # pagination / session id) — all-JVM scan rules
         "u_trap_urls": lambda s, d: weburl.trap_url_audit(
@@ -2441,6 +2446,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*) >= {WU.DOMAIN_PRIOR_MIN_DOCS} AS prior_trusted
             FROM canon c JOIN reg r USING (host) JOIN q USING (doc_id)
             GROUP BY r.reg_domain ORDER BY r.reg_domain
+        """,
+        # crawl-budget apportionment: the SAME prior chain as
+        # u_domain_quality (shared _quality_sql / _url_cte fragments,
+        # min-docs gate interpolated) feeding Hamilton largest-remainder —
+        # base = total*w div W, leftover seats to the largest remainders
+        # (rem desc, reg_domain asc).  All-BIGINT, so the exact-sum
+        # invariant holds in both engines or the hash fails.
+        "u_crawl_budget": f"""
+            WITH {_url_cte},
+            q AS (
+                SELECT doc_id,
+                       CAST(round({_quality_sql()} * 10000) AS BIGINT) AS bp
+                FROM documents
+            ),
+            pri AS (
+                SELECT r.reg_domain,
+                       CAST(sum(q.bp) // count(*) AS BIGINT) AS w
+                FROM canon c JOIN reg r USING (host) JOIN q USING (doc_id)
+                GROUP BY r.reg_domain
+                HAVING count(*) >= {WU.DOMAIN_PRIOR_MIN_DOCS}
+            ),
+            t AS (
+                SELECT reg_domain, w,
+                       ({WU.CRAWL_BUDGET_TOTAL} * w)
+                           // (SELECT sum(w) FROM pri) AS base,
+                       ({WU.CRAWL_BUDGET_TOTAL} * w)
+                           % (SELECT sum(w) FROM pri) AS rem
+                FROM pri
+            ),
+            rk AS (
+                SELECT reg_domain, w, base,
+                       row_number() OVER (ORDER BY rem DESC, reg_domain ASC)
+                           AS rn,
+                       {WU.CRAWL_BUDGET_TOTAL} - (SELECT sum(base) FROM t)
+                           AS leftover
+                FROM t
+            )
+            SELECT reg_domain,
+                   CAST(w AS BIGINT) AS weight_bp,
+                   CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS budget
+            FROM rk ORDER BY reg_domain
         """,
         "u_blocklist": f"""
             WITH {_url_cte}

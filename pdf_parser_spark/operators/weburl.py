@@ -935,3 +935,53 @@ def robots_decision(urls: DataFrame, rules: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# global per-cycle fetch budget apportioned across trusted domains
+CRAWL_BUDGET_TOTAL = 100_000
+
+
+def crawl_budget(priors: DataFrame, total: int = CRAWL_BUDGET_TOTAL) -> DataFrame:
+    """Apportion a global fetch budget across TRUSTED domains in proportion
+    to their quality prior — (reg_domain, weight_bp, budget) with the
+    exact-sum invariant sum(budget) == total.
+
+    Hamilton / largest-remainder apportionment: base = total*w div W,
+    then the leftover seats go to the largest remainders (total*w mod W,
+    ties broken reg_domain asc).  Every step is exact BIGINT arithmetic —
+    a float-share allocator drifts across engines AND can over/under-spend
+    the budget; largest-remainder is the standard deterministic fix.
+
+    Scale: the input is the domain dim (bounded, ~10^7 at web scale) — the
+    global windows here never touch the corpus, the same dim-window
+    pattern as mixture_resample's default budget."""
+    from pyspark.sql import Window
+
+    t = priors.where(F.col("prior_trusted")).select(
+        "reg_domain", F.col("mean_quality_bp").alias("w")
+    )
+    g = Window.partitionBy()
+    # NB: Spark resolves column names case-insensitively, so the weight sum
+    # must NOT be named "W" — withColumn("W", ...) would replace "w".
+    t = t.withColumn("wsum", F.sum("w").over(g))
+    t = t.select(
+        "reg_domain", "w",
+        F.expr(f"({total} * w) div wsum").alias("base"),
+        F.expr(f"({total} * w) % wsum").alias("rem"),
+    )
+    leftover = (F.lit(total) - F.sum("base").over(g)).cast("long")
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("rem").desc(), F.col("reg_domain").asc())
+    )
+    return (
+        t.withColumn("leftover", leftover)
+        .withColumn("rk", rank)
+        .select(
+            "reg_domain",
+            F.col("w").alias("weight_bp"),
+            (F.col("base")
+             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+            .cast("long").alias("budget"),
+        )
+        .orderBy("reg_domain")
+    )

@@ -1462,6 +1462,47 @@ def test_domain_quality_prior_bp_math_and_trust_gate(spark):
         t["mean_quality_bp"] for t in trusted)
 
 
+def test_crawl_budget_hamilton_apportionment(spark):
+    from pdf_parser_spark.operators import weburl
+
+    def run(rows, total):
+        priors = spark.createDataFrame(
+            rows, "reg_domain string, n_docs long, mean_quality_bp long, "
+                  "prior_trusted boolean")
+        return {r["reg_domain"]: r["budget"] for r in
+                weburl.crawl_budget(priors, total=total).collect()}
+
+    # all-equal remainders: the leftover seat goes to reg_domain asc
+    out = run([("a", 5, 1, True), ("b", 5, 1, True), ("c", 5, 1, True)], 10)
+    assert out == {"a": 4, "b": 3, "c": 3}
+    assert sum(out.values()) == 10
+    # largest remainders win: base (1,2,5), rem (3,6,5) -> b and c get +1
+    out = run([("a", 5, 1, True), ("b", 5, 2, True), ("c", 5, 4, True)], 10)
+    assert out == {"a": 1, "b": 3, "c": 6}
+    assert sum(out.values()) == 10
+    # exact division: no leftover, pure proportional shares
+    out = run([("a", 5, 2, True), ("b", 5, 3, True), ("c", 5, 5, True)], 100)
+    assert out == {"a": 20, "b": 30, "c": 50}
+    # untrusted domains get NOTHING and don't dilute the trusted shares
+    out = run([("a", 5, 1, True), ("b", 5, 1, True),
+               ("junk", 1, 9999, False)], 10)
+    assert out == {"a": 5, "b": 5}
+    # composed with the real prior: the sum invariant holds corpus-wide
+    good = ("the cat sat on the mat with a dog and the bird for fun ") * 4
+    # doc_id % 5 == 0 pins the TLD variant, so each source is ONE
+    # reg_domain with 6 docs — both clear the min-docs trust gate
+    docs = spark.createDataFrame(
+        [(i * 5, good + "x" * (i % 3), "en", f"s{i % 2}", 1)
+         for i in range(12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    comp = weburl.crawl_budget(
+        weburl.domain_quality_prior(docs), total=1000).collect()
+    assert len(comp) == 2
+    assert sum(r["budget"] for r in comp) == 1000
+    assert all(r["budget"] > 0 for r in comp)
+
+
 def test_trap_url_audit_rules(spark):
     from pdf_parser_spark.operators import weburl
 
