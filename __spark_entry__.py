@@ -447,6 +447,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_components": lambda s, d: dedup.connected_components(
             dedup.minhash_lsh_pairs(_docs(s, d))
         ),
+        # quality-aware keeper election: the cluster keeps its BEST copy
+        # (shared soft-quality formula, exact-bp struct-max argmax)
+        "d_keeper_election": lambda s, d: dedup.keeper_election(
+            dedup.connected_components(dedup.minhash_lsh_pairs(_docs(s, d))),
+            textstats.quality_score(_docs(s, d)).select("doc_id", "quality"),
+        ),
         "d_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         # asymmetric containment: excerpts/syndication that Jaccard misses
         "d_containment": lambda s, d: dedup.containment_pairs(
@@ -2059,6 +2065,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, min(r) AS component,
                (node = min(r)) AS is_keeper
         FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        # quality-aware keeper: the d_components closure joined to the
+        # SAME _quality_sql bp formula, argmax per component with the
+        # (quality desc, doc_id asc) tie — row_number is the SQL twin of
+        # the Spark struct-max
+        "d_keeper_election": "WITH RECURSIVE"
+        + bands_cte.removeprefix("\n        WITH").rstrip()
+        + """
+        , prs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM prs
+            UNION
+            SELECT doc_b, doc_a FROM prs
+        ), reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.r FROM reach r JOIN edges e ON e.b = r.node
+        ), comp AS (
+            SELECT node AS doc_id, min(r) AS component
+            FROM reach GROUP BY node
+        ), q AS (
+            SELECT doc_id, CAST(round(("""
+        + _quality_sql()
+        + """) * 10000) AS BIGINT) AS quality_bp
+            FROM documents
+        ), rk AS (
+            SELECT c.doc_id, c.component, q.quality_bp,
+                   row_number() OVER (PARTITION BY c.component
+                       ORDER BY q.quality_bp DESC, c.doc_id ASC) AS rn
+            FROM comp c JOIN q USING (doc_id)
+        )
+        SELECT doc_id, component, quality_bp, rn = 1 AS is_keeper
+        FROM rk ORDER BY doc_id
         """,
         "d_embedding_neardup": """
             WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -323,6 +323,55 @@ def connected_components(
     ).orderBy("doc_id")
 
 
+def keeper_election(components: DataFrame, scored: DataFrame) -> DataFrame:
+    """Quality-aware keeper election per near-dup cluster — production
+    dedup keeps the BEST copy, not an arbitrary one: connected_components'
+    min-doc_id keeper is a placeholder; the real decision ranks cluster
+    members by document quality (a syndicated excerpt with ads should lose
+    to the clean original even when its id is smaller).
+
+    components: (doc_id, component, ...) from connected_components;
+    scored: (doc_id, quality) from textstats.quality_score — the SHARED
+    soft-quality formula, so dedup and curation cannot rank differently.
+
+    Returns (doc_id, component, quality_bp, is_keeper) with keeper =
+    argmax(quality_bp desc, doc_id asc) per component.  Quality lands as
+    exact integer basis points (float scores are the classic cross-engine
+    hash hazard).
+
+    Scale design: ONE struct-max groupBy per component — algebraic, map-
+    side combined, no per-cluster window sort over the corpus; the argmax
+    encodes the doc_id asc tie-break as a negated id inside the struct.
+    The keeper map is cluster-count-sized (far below the corpus), so the
+    join back is AQE-broadcast at any scale."""
+    bp = F.round(F.col("quality") * 10000).cast("long")
+    j = components.select("doc_id", "component").join(
+        scored.select("doc_id", bp.alias("quality_bp")), "doc_id"
+    )
+    best = (
+        j.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_bp").alias("q"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("m")
+        )
+        .select("component", (-F.col("m.neg_id")).alias("keeper_id"))
+    )
+    return (
+        j.join(best, "component")
+        .select(
+            "doc_id",
+            "component",
+            "quality_bp",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

@@ -264,6 +264,36 @@ def test_connected_components_transitive_chain(spark):
     assert keepers == {1, 10, 20}
 
 
+def test_keeper_election_quality_over_min_id(spark):
+    """The cluster keeps its BEST copy: highest quality_bp wins even when a
+    junk member has the smaller doc_id (where min-id election goes wrong);
+    quality ties break doc_id asc; exactly one keeper per component."""
+    from pdf_parser_spark.operators.dedup import keeper_election
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),          # cluster 1: junk low-id member
+         (10, 10), (11, 10),              # cluster 10: quality tie
+         (20, 20)],                       # singleton
+        "doc_id long, component long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.1234), (2, 0.9), (3, 0.9001),
+         (10, 0.5), (11, 0.5), (20, 0.0)],
+        "doc_id long, quality double",
+    )
+    rows = {r["doc_id"]: r for r in keeper_election(comps, scored).collect()}
+    keepers = {n for n, r in rows.items() if r["is_keeper"]}
+    # 3 beats 2 beats 1 despite ids; 10 wins the tie; singleton keeps itself
+    assert keepers == {3, 10, 20}
+    # min-id election would have kept 1 — the junk copy
+    assert not rows[1]["is_keeper"] and rows[1]["quality_bp"] == 1234
+    # exactly one keeper per component, every member labeled
+    from collections import Counter
+    per_comp = Counter(r["component"] for r in rows.values() if r["is_keeper"])
+    assert all(v == 1 for v in per_comp.values())
+    assert set(per_comp) == {1, 10, 20}
+
+
 def test_metrics_rollups(spark, extracted):
     statuses = {r["status"]: r["n_docs"] for r in status_summary(extracted).collect()}
     assert statuses.get("ok", 0) >= N_DOCS - 4
