@@ -400,6 +400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": lambda s, d: textstats.repetition_stats(_docs(s, d)),
         # corpus vocabulary report: top-10 terms per language
         "t_top_terms": lambda s, d: textstats.top_terms(_docs(s, d)),
+        # PMI collocations: bound pairs raw frequency buries — exact
+        # integer ppm ranking, no floats/logs anywhere
+        "t_collocations": lambda s, d: textstats.pmi_collocations(_docs(s, d)),
         # the release datasheet: per-(source, lang) docs/tokens/dup rollup
         "t_datasheet": lambda s, d: textstats.corpus_datasheet(_docs(s, d)),
         # 10^12 face: HLL distinct instead of the exact fingerprint shuffle.
@@ -3191,6 +3194,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, term, cnt, rank FROM ranked WHERE rank <= 10
             ORDER BY lang, rank
+        """,
+        # PMI collocations: the same token stream as t_top_terms, bigrams
+        # from 1-based index windows (range is end-exclusive, so i and i+1
+        # stay in bounds), the SAME exact-ppm formula with interpolated
+        # floor/k constants; // is DuckDB's floor-div twin of Spark's div
+        # (all terms positive, so floor == truncate)
+        "t_collocations": f"""
+            WITH ex AS (
+                SELECT list_transform({_TOKS}, t -> lower(t)) AS w
+                FROM documents
+            ), ucnt AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(w) AS term FROM ex) GROUP BY term
+            ), n AS (
+                SELECT CAST(sum(c) AS BIGINT) AS n_total FROM ucnt
+            ), bi AS (
+                SELECT unnest(list_transform(range(1, len(w)),
+                    i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+                FROM ex WHERE len(w) >= 2
+            ), bcnt AS (
+                SELECT p.w1 AS w1, p.w2 AS w2,
+                       CAST(count(*) AS BIGINT) AS c_xy
+                FROM bi GROUP BY 1, 2
+                HAVING count(*) >= {TS.COLLOC_MIN_COUNT}
+            ), scored AS (
+                SELECT b.w1, b.w2, b.c_xy,
+                       CAST((1000000 * b.c_xy * (SELECT n_total FROM n))
+                            // (x.c * y.c) AS BIGINT) AS pmi_ppm
+                FROM bcnt b
+                JOIN ucnt x ON b.w1 = x.term
+                JOIN ucnt y ON b.w2 = y.term
+            )
+            SELECT w1, w2, c_xy, pmi_ppm,
+                   CAST(row_number() OVER (
+                       ORDER BY pmi_ppm DESC, w1, w2) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= {TS.COLLOC_K}
+            ORDER BY rank
         """,
         # exact decile tiers from the 4dp quality-value histogram: every
         # distinct value maps to ONE tier (value-quantile semantics), so no

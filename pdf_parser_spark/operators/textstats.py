@@ -364,6 +364,79 @@ def top_terms(documents: DataFrame, k: int = TOP_TERMS_K, min_count: int = 2) ->
     )
 
 
+COLLOC_MIN_COUNT = 3   # bigram count floor before PMI ranking
+COLLOC_K = 20          # collocations reported
+
+
+def pmi_collocations(
+    documents: DataFrame, min_count: int = COLLOC_MIN_COUNT, k: int = COLLOC_K
+) -> DataFrame:
+    """Top-k corpus collocations by pointwise mutual information — the
+    corpus-analysis face next to top_terms: PMI surfaces BOUND pairs
+    ("los angeles") that raw frequency buries under stopword bigrams, the
+    standard first look at multi-word units in a new crawl slice.
+
+    (w1, w2, c_xy, pmi_ppm, rank): pmi_ppm = (10^6 * c_xy * N) div
+    (c_x * c_y) with N = total tokens — exp(PMI) in exact integer parts-
+    per-million, monotone in PMI, so the ranking never touches a float or
+    a log (the classic cross-engine hash hazards).  BIGINT headroom: the
+    product needs c_xy * N < 9.2e12; at 10^12 tokens widen the two
+    multiplications to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — one
+    cast, same semantics.  min_count floors the noise (PMI of a
+    count-1 pair is pure variance).
+
+    Plan: bigrams via one JVM transform over index windows (narrow; the
+    size<2 guard matters — sequence(0, -1) generates a DESCENDING range),
+    one map-side-combined groupBy each for bigram and unigram counts, the
+    vocab-sized unigram dim shuffle-joined twice (vocabularies outgrow
+    broadcast — the keywords/BPE doctrine), N crossJoined from a 1-row
+    agg, and the global top-k as orderBy+limit = TakeOrdered (distributed
+    partial top-k per partition, never a corpus-wide single-reducer
+    window); the rank window runs on the k-row result only."""
+    from pyspark.sql import Window
+
+    toks = words(F.lower(F.col("text")))
+    pair = F.when(F.size(toks) < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        )
+    )
+    bcnt = (
+        documents.select(F.explode(pair).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    ucnt = (
+        documents.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_total = ucnt.agg(F.sum("c").cast("long").alias("n_total"))
+    scored = (
+        bcnt.join(ucnt.select(F.col("term").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(ucnt.select(F.col("term").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(n_total)
+        .select(
+            "w1", "w2", "c_xy",
+            F.expr("(1000000 * c_xy * n_total) div (c_x * c_y)")
+            .cast("long").alias("pmi_ppm"),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("pmi_ppm").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)
+    w = Window.partitionBy().orderBy(F.col("pmi_ppm").desc(), "w1", "w2")
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).orderBy("rank")
+
+
 def corpus_datasheet(documents: DataFrame) -> DataFrame:
     """The release datasheet: per (source, lang) — docs, exact token sum,
     mean tokens (integer floor), distinct-content count, and duplicate

@@ -453,6 +453,36 @@ def test_top_terms_rank_tiebreak_and_floor(spark):
     assert out2 == [("aa", 1), ("zz", 2)]
 
 
+def test_pmi_collocations_exact_ppm_and_gates(spark):
+    from pdf_parser_spark.operators import textstats
+
+    docs = _docs(spark, [
+        (1, "los angeles is big", "en", "s", 1),
+        (2, "los angeles is big", "en", "s", 1),
+        (3, "los angeles is big", "en", "s", 1),
+        (4, "the the the the the the", "en", "s", 1),
+        (5, "solo", "en", "s", 1),                 # no bigram, 1 token in N
+        (6, "rare pair rare pair", "en", "s", 1),  # count 2 < min_count 3
+    ])
+    out = [(r["w1"], r["w2"], r["c_xy"], r["pmi_ppm"], r["rank"])
+           for r in textstats.pmi_collocations(docs).collect()]
+    # N = 23 tokens; the bound pairs: ppm = 10^6 * 3 * 23 / (3*3) = 7666666
+    # (exact floor); (the,the): 10^6 * 5 * 23 / 36 = 3194444.
+    # The 3 equal-ppm pairs tie-break w1 asc.
+    assert out == [
+        ("angeles", "is", 3, 7666666, 1),
+        ("is", "big", 3, 7666666, 2),
+        ("los", "angeles", 3, 7666666, 3),
+        ("the", "the", 5, 3194444, 4),
+    ]
+    # PMI ranks the bound pair ABOVE the more frequent stopword bigram
+    assert out[0][3] > out[3][3] and out[3][2] > out[0][2]
+    # k truncates: the top row is stable under a smaller k
+    top1 = textstats.pmi_collocations(docs, k=1).collect()
+    assert [(r["w1"], r["w2"], r["rank"]) for r in top1] == [
+        ("angeles", "is", 1)]
+
+
 def test_frontier_schedule_invariants(spark):
     from pdf_parser_spark.operators import linkgraph as lg
 
