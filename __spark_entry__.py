@@ -357,6 +357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_trap_urls": lambda s, d: weburl.trap_url_audit(
             weburl.with_trap_urls(_docs(s, d))
         ),
+        # per-host URL templates ({h}/{d} slot mining + explosion gate):
+        # the template-level face of the trap problem
+        "u_url_templates": lambda s, d: weburl.url_templates(
+            weburl.with_trap_urls(_docs(s, d))
+        ),
         # RFC 9309 §2.2.2 longest-match Allow/Disallow decisions: rules
         # parsed from real bytes (shared group resolution), one struct-max
         # per url
@@ -2435,6 +2440,38 @@ def oracle_sql() -> dict[str, str]:
         # trap-url audit: formula-synthesized urls, the SAME regex/threshold
         # constants, and list-lambda adjacency for the repeated-segment rule
         # (RE2 has no backreferences — mirrors the Spark array lambdas)
+        # url templates: the SAME trap synthesis, hex-then-digit slot
+        # collapse with the shared patterns ('g' = DuckDB's global-replace
+        # flag; Spark's regexp_replace is global by default), one group
+        # rollup with the interpolated explosion gate
+        "u_url_templates": f"""
+            WITH syn AS (
+                SELECT doc_id,
+                    'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                    || '.example.com' || CASE doc_id % 7
+                      WHEN 1 THEN '/a/b/c/d/e/f/g/h/i/j/' || doc_id
+                      WHEN 2 THEN '/cal/2026/2026/2026/' || doc_id
+                      WHEN 3 THEN '/list?page=' || (doc_id + 50000)
+                      WHEN 4 THEN '/item?sid=' || md5(CAST(doc_id AS VARCHAR))
+                      ELSE '/docs/' || doc_id END AS url
+                FROM documents
+            ), tpl AS (
+                SELECT regexp_extract(url, '{WU.URL_RE}', 2) AS host,
+                       regexp_replace(regexp_replace(
+                           regexp_extract(url, '{WU.URL_RE}', 4)
+                               || coalesce(regexp_extract(url, '{WU.URL_RE}', 5), ''),
+                           '{WU.TEMPLATE_HEX_RE}', '{{h}}', 'g'),
+                           '{WU.TEMPLATE_DIGIT_RE}', '{{d}}', 'g') AS template,
+                       url
+                FROM syn
+            )
+            SELECT host, template,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_distinct,
+                   count(DISTINCT url) >= {WU.TEMPLATE_EXPLOSION_MIN}
+                       AS explosive
+            FROM tpl GROUP BY host, template ORDER BY host, template
+        """,
         "u_trap_urls": f"""
             WITH syn AS (
                 SELECT doc_id,

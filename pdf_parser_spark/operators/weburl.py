@@ -816,6 +816,54 @@ def trap_url_audit(df: DataFrame, url_col: str = "url") -> DataFrame:
     ).orderBy("doc_id")
 
 
+# URL template mining: hex runs first (a digit-only prefix of a session id
+# must not split the {h} slot), then any digit run
+TEMPLATE_HEX_RE = r"[0-9a-f]{16,}"
+TEMPLATE_DIGIT_RE = r"[0-9]+"
+TEMPLATE_EXPLOSION_MIN = 10  # distinct urls per template before it smells generated
+
+
+def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Mine URL templates per host — collapse every >=16-hex run to {h} and
+    every digit run to {d} in path+query, then count urls per (host,
+    template).  The crawl-analysis step after trap detection: a template
+    with a huge distinct-url population (/cal/{d}/{d}/{d} with millions of
+    instances) is a GENERATED space, the per-template face of the same
+    budget problem with_trap_urls flags per-url — and the input to
+    template-level crawl caps.
+
+    (host, template, n_urls, n_distinct, explosive): n_distinct counts
+    DISTINCT urls (recrawls of one url must not fake an explosion),
+    explosive gates at TEMPLATE_EXPLOSION_MIN.
+
+    Scale: two JVM regexp_replaces in the scan (zero Python), one groupBy
+    on (host, template) — count is algebraic; the exact distinct needs the
+    per-group shuffle of urls, which is what template explosion measures
+    anyway.  Template count is bounded by real site structure, so the
+    output is a dim."""
+    u = F.col(url_col)
+    host = F.regexp_extract(u, URL_RE, 2)
+    pq = F.concat(
+        F.regexp_extract(u, URL_RE, 4), F.regexp_extract(u, URL_RE, 5)
+    )
+    tpl = F.regexp_replace(
+        F.regexp_replace(pq, TEMPLATE_HEX_RE, "{h}"),
+        TEMPLATE_DIGIT_RE, "{d}",
+    )
+    return (
+        df.select(host.alias("host"), tpl.alias("template"), u.alias("u"))
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("u").cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "explosive", F.col("n_distinct") >= TEMPLATE_EXPLOSION_MIN
+        )
+        .orderBy("host", "template")
+    )
+
+
 # RFC 9309 §2.3: Sitemap is a non-group directive, valid anywhere in the
 # file; (?m) anchors are the RE2/Java-common multiline subset
 SITEMAP_LINE_RE = r"(?m)^Sitemap:\s*(\S+)"

@@ -1533,6 +1533,29 @@ def test_crawl_budget_hamilton_apportionment(spark):
     assert all(r["budget"] > 0 for r in comp)
 
 
+def test_url_templates_slots_and_explosion_gate(spark):
+    from pdf_parser_spark.operators import weburl
+
+    sid = "0123456789abcdef00"  # 18 hex chars: ONE {h} slot, not {d} splits
+    rows = ([(i, f"https://a.com/cal/2026/7/{i}") for i in range(10)]
+            + [(100, f"https://a.com/item?sid={sid}"),
+               (101, "https://a.com/item?sid=" + sid),   # recrawl of 100
+               (102, "https://b.com/docs/intro")])
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {(r["host"], r["template"]): r for r in
+           weburl.url_templates(df).collect()}
+    cal = out[("a.com", "/cal/{d}/{d}/{d}")]
+    # 10 distinct urls hit the explosion gate; digit runs all collapse
+    assert cal["n_urls"] == 10 and cal["n_distinct"] == 10 and cal["explosive"]
+    # the hex run is one {h} slot (hex-first ordering), the query value
+    # is templated, and the RECRAWL inflates n_urls but not n_distinct
+    item = out[("a.com", "/item?sid={h}")]
+    assert item["n_urls"] == 2 and item["n_distinct"] == 1
+    assert not item["explosive"]
+    # a slot-free path survives verbatim on its own host
+    assert out[("b.com", "/docs/intro")]["n_urls"] == 1
+
+
 def test_trap_url_audit_rules(spark):
     from pdf_parser_spark.operators import weburl
 
