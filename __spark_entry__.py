@@ -405,6 +405,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": lambda s, d: textstats.repetition_stats(_docs(s, d)),
         # corpus vocabulary report: top-10 terms per language
         "t_top_terms": lambda s, d: textstats.top_terms(_docs(s, d)),
+        # skew-proof two-phase top-k: salted candidate windows AFTER the
+        # global count — exact by construction, same oracle as t_top_terms
+        "t_top_terms_2p": lambda s, d: textstats.top_terms_two_phase(
+            _docs(s, d)
+        ),
         # PMI collocations: bound pairs raw frequency buries — exact
         # integer ppm ranking, no floats/logs anywhere
         "t_collocations": lambda s, d: textstats.pmi_collocations(_docs(s, d)),
@@ -3847,4 +3852,7 @@ def oracle_sql() -> dict[str, str]:
     # survivors, so its contract IS the exact decontamination answer:
     # one shared oracle text, drift-proof by construction.
     sql["c_decontaminate_bloom"] = sql["c_decontaminate"]
+    # the two-phase top-k is output-identical by construction — hold it to
+    # the same oracle so any divergence (tie-break, salt leakage) fails
+    sql["t_top_terms_2p"] = sql["t_top_terms"]
     return sql

@@ -342,9 +342,8 @@ def top_terms(documents: DataFrame, k: int = TOP_TERMS_K, min_count: int = 2) ->
     partitions by lang, so at 10^12 docs one reducer would see a whole
     language's distinct-token table; the min_count floor bounds that input
     (any true top-k term at corpus scale dwarfs any fixed floor), and the
-    fully skew-proof variant is two-phase top-k: per-partition partial
-    top-k (aggregate within mapPartitions-sized groups) unioned, then the
-    same tiny final window."""
+    fully skew-proof variant is top_terms_two_phase below — identical
+    output, salted candidate windows, held to the same oracle."""
     from pyspark.sql import Window
 
     ex = documents.select(
@@ -358,6 +357,56 @@ def top_terms(documents: DataFrame, k: int = TOP_TERMS_K, min_count: int = 2) ->
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("lang", "term", F.col("cnt").cast("long").alias("cnt"), "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+TOP_TERMS_SALT = 16  # candidate splits in the two-phase top-k
+
+
+def top_terms_two_phase(
+    documents: DataFrame,
+    k: int = TOP_TERMS_K,
+    min_count: int = 2,
+    n_salt: int = TOP_TERMS_SALT,
+) -> DataFrame:
+    """The fully skew-proof variant top_terms documents: identical output
+    (held to the SAME t_top_terms oracle — the c_decontaminate_bloom
+    doctrine), but no reducer ever sees a whole language's distinct-token
+    table.
+
+    Exactness argument: the candidate split runs AFTER the (lang, term)
+    aggregation, so every row already carries its GLOBAL count — the
+    global top-k of a union is the top-k of the per-split top-ks, no
+    partial-count leakage possible (this is why the salt goes on the
+    counted table, not the token stream).  Phase 1 ranks within
+    (lang, salt-of-term) — n_salt-way parallel windows over disjoint term
+    shards; phase 2 ranks the <= n_salt*k survivors per lang — a dim.
+    Both phases share the (cnt desc, term asc) tie-break, so the winner
+    set is deterministic."""
+    from pyspark.sql import Window
+
+    ex = documents.select(
+        "lang", F.explode(words(F.lower(F.col("text")))).alias("term")
+    )
+    counts = (
+        ex.groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .withColumn("salt", F.pmod(F.xxhash64("term"), F.lit(n_salt)))
+    )
+    order = [F.col("cnt").desc(), F.col("term")]
+    w1 = Window.partitionBy("lang", "salt").orderBy(*order)
+    cands = (
+        counts.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= k)
+        .drop("salt", "r1")
+    )
+    w2 = Window.partitionBy("lang").orderBy(*order)
+    return (
+        cands.withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= k)
         .select("lang", "term", F.col("cnt").cast("long").alias("cnt"), "rank")
         .orderBy("lang", "rank")

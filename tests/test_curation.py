@@ -453,6 +453,34 @@ def test_top_terms_rank_tiebreak_and_floor(spark):
     assert out2 == [("aa", 1), ("zz", 2)]
 
 
+def test_top_terms_two_phase_equals_single_window(spark):
+    from pdf_parser_spark.operators import textstats
+
+    # tie-heavy boundary: 40 en terms all count 2 — the k=10 cut runs
+    # entirely on the alphabetical tie-break, where salt leakage or a
+    # phase-order bug would pick a different (still count-2) winner set
+    terms = [f"t{i:02d}" for i in range(40)]
+    docs = _docs(spark, [
+        (i, " ".join(terms), "en", "s", 1) for i in range(2)
+    ] + [(100, "aa bb aa bb cc", "de", "s", 1),
+         (101, "aa cc", "de", "s", 1)])
+    one = [(r["lang"], r["term"], r["cnt"], r["rank"])
+           for r in textstats.top_terms(docs).collect()]
+    two = [(r["lang"], r["term"], r["cnt"], r["rank"])
+           for r in textstats.top_terms_two_phase(docs).collect()]
+    assert one == two
+    assert [t for l, t, c, r in two if l == "en"] == terms[:10]
+    # and on the real table, including a degenerate 1-way salt
+    real = spark.read.parquet(f"{SF001}/documents.parquet")
+    base = [(r["lang"], r["term"], r["cnt"], r["rank"])
+            for r in textstats.top_terms(real).collect()]
+    for n_salt in (1, 16):
+        got = [(r["lang"], r["term"], r["cnt"], r["rank"])
+               for r in textstats.top_terms_two_phase(
+                   real, n_salt=n_salt).collect()]
+        assert got == base
+
+
 def test_pmi_collocations_exact_ppm_and_gates(spark):
     from pdf_parser_spark.operators import textstats
 
