@@ -697,6 +697,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_graph_stats": lambda s, d: (lambda lg: lg.graph_stats(
             lg.synthetic_edges(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # host-graph compression: one host map on BOTH endpoints, intra-host
+        # self-loops dropped, distinct linking pages counted
+        "g_host_graph": lambda s, d: (lambda lg, docs: lg.host_graph(
+            lg.synthetic_edges(docs),
+            weburl.canonicalize(weburl.with_synthetic_urls(docs))
+            .select("doc_id", "host"),
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
+           _docs(s, d)),
         # crawl-frontier assembly: robots ∩ quota ∩ pagerank, per-host queues
         "g_frontier": lambda s, d: (lambda lg: lg.frontier_schedule(
             _docs(s, d)
@@ -2936,6 +2944,24 @@ def oracle_sql() -> dict[str, str]:
                         SELECT 1 FROM edges r
                         WHERE r.src = e.dst AND r.dst = e.src))
                         AS BIGINT) AS n_reciprocal
+        """,
+        # host-graph compression: the ring edges mapped through the SAME
+        # canon host map on both endpoints, self-loops dropped, distinct
+        # linking pages counted (the cocitation distinct-citer doctrine)
+        "g_host_graph": f"""
+            WITH {_url_cte},
+            edges AS ({_edges_sql}),
+            j AS (
+                SELECT cs.host AS src_host, cd.host AS dst_host, e.src
+                FROM edges e
+                JOIN canon cs ON cs.doc_id = e.src
+                JOIN canon cd ON cd.doc_id = e.dst
+                WHERE cs.host <> cd.host
+            )
+            SELECT src_host, dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages
+            FROM j GROUP BY src_host, dst_host ORDER BY src_host, dst_host
         """,
         # TrustRank: seeded teleport — non-seed pages hold only flowed trust
         "g_trustrank": f"""

@@ -484,6 +484,43 @@ def graph_stats(edges: DataFrame) -> DataFrame:
     return out
 
 
+def host_graph(edges: DataFrame, urls: DataFrame) -> DataFrame:
+    """Collapse the page graph to a host graph — the standard web-graph
+    compression (Common Crawl ships exactly this artifact next to the page
+    graph): hosts number ~10^7-10^8 where pages number 10^12, so host-level
+    analytics (spam neighborhoods, TrustRank seed selection, crawl
+    politeness planning) run on a graph 4-5 orders smaller.
+
+    edges: (src, dst) doc-id pairs; urls: (doc_id, host) — ONE host map
+    applied to both endpoints, so intra-host navigation collapses to
+    self-loops and is dropped (a host's internal link structure is not
+    inter-host evidence).
+
+    (src_host, dst_host, n_links, n_src_pages): n_links = page-edge
+    multiplicity, n_src_pages = DISTINCT linking pages (one hub page with
+    1000 copies of the link must not look like 1000 endorsing pages — the
+    same reason cocitation counts distinct citers).
+
+    Scale: two doc_id equi joins (corpus-sized but key-only, AQE-planned)
+    then one groupBy on (src_host, dst_host) — count is algebraic; the
+    exact distinct-src shuffle is bounded by the page pairs actually
+    linking the host pair, which is the quantity being measured."""
+    h_src = urls.select(F.col("doc_id").alias("src"),
+                        F.col("host").alias("src_host"))
+    h_dst = urls.select(F.col("doc_id").alias("dst"),
+                        F.col("host").alias("dst_host"))
+    return (
+        edges.join(h_src, "src").join(h_dst, "dst")
+        .where(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.countDistinct("src").cast("long").alias("n_src_pages"),
+        )
+        .orderBy("src_host", "dst_host")
+    )
+
+
 TRUST_SEED_MOD = 17  # doc_id % 17 == 0 stands in for the vetted seed list
 
 

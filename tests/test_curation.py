@@ -668,6 +668,32 @@ def test_cocitation_and_graph_stats(spark):
     assert st["n_reciprocal"] == 2  # 10->11 and 11->10
 
 
+def test_host_graph_compression_semantics(spark):
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    # docs 1,2,3 live on host A; 10,11 on B; 20 on C
+    urls = spark.createDataFrame(
+        [(1, "a.com"), (2, "a.com"), (3, "a.com"),
+         (10, "b.com"), (11, "b.com"), (20, "c.com")],
+        "doc_id long, host string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11),   # hub page 1: duplicate link to 10
+         (2, 10),                     # second distinct A-page linking B
+         (1, 2), (3, 3),              # intra-host + true self-loop: dropped
+         (10, 20)],
+        "src long, dst long",
+    )
+    out = {(r["src_host"], r["dst_host"]): r for r in
+           lg.host_graph(edges, urls).collect()}
+    assert set(out) == {("a.com", "b.com"), ("b.com", "c.com")}
+    ab = out[("a.com", "b.com")]
+    # 4 page edges but only 2 DISTINCT linking pages — the hub page's
+    # duplicate link cannot fake a third endorser
+    assert ab["n_links"] == 4 and ab["n_src_pages"] == 2
+    assert out[("b.com", "c.com")]["n_links"] == 1
+
+
 def test_review2_fix_regressions(spark):
     """Second-review fixes: duplicate edges can't fake co-citation counts;
     named-agent robots matching is case-insensitive; hits rejects
