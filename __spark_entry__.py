@@ -697,6 +697,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_graph_stats": lambda s, d: (lambda lg: lg.graph_stats(
             lg.synthetic_edges(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # BFS crawl depth from the vetted seed set (fetch waves to reach
+        # each page; absent = outside the horizon)
+        "g_seed_depth": lambda s, d: (lambda lg: lg.seed_distance(
+            _docs(s, d), lg.synthetic_edges(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # host-graph compression: one host map on BOTH endpoints, intra-host
         # self-loops dropped, distinct linking pages counted
         "g_host_graph": lambda s, d: (lambda lg, docs: lg.host_graph(
@@ -2944,6 +2949,22 @@ def oracle_sql() -> dict[str, str]:
                         SELECT 1 FROM edges r
                         WHERE r.src = e.dst AND r.dst = e.src))
                         AS BIGINT) AS n_reciprocal
+        """,
+        # BFS seed depth: depth-bounded recursive walk, min(d) per node —
+        # the CTE twin of the iterative min-depth propagation (seed mod
+        # and horizon interpolated)
+        "g_seed_depth": f"""
+            WITH RECURSIVE edges AS ({_edges_sql}),
+            walk(node, d) AS (
+                SELECT doc_id, 0 FROM documents
+                WHERE doc_id % {LG.TRUST_SEED_MOD} = 0
+                UNION
+                SELECT e.dst, w.d + 1
+                FROM walk w JOIN edges e ON e.src = w.node
+                WHERE w.d < {LG.SEED_DEPTH_HOPS}
+            )
+            SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS depth
+            FROM walk GROUP BY node ORDER BY doc_id
         """,
         # host-graph compression: the ring edges mapped through the SAME
         # canon host map on both endpoints, self-loops dropped, distinct

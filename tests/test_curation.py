@@ -668,6 +668,35 @@ def test_cocitation_and_graph_stats(spark):
     assert st["n_reciprocal"] == 2  # 10->11 and 11->10
 
 
+def test_seed_distance_bfs_depths(spark):
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    # seeds are doc_id % 17 == 0 -> {0, 17}; chain 0->1->2->3; 17->3 gives
+    # 3 a SHORTER path (1) than via the chain (3); 4..10 a deep tail
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 17, 99)],
+        "doc_id long",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (17, 3)]
+        + [(i, i + 1) for i in range(3, 10)],  # 3->4->...->10
+        "src long, dst long",
+    )
+    out = {r["doc_id"]: r["depth"] for r in
+           lg.seed_distance(docs, edges).collect()}
+    # min over paths: 3 via the seed 17 shortcut, not the 3-hop chain
+    assert out[0] == 0 and out[17] == 0
+    assert out[1] == 1 and out[2] == 2 and out[3] == 1
+    # the tail walks 3(d1)->4(d2)->...->8(d6); 9 needs 7 hops: outside
+    # the max_hops=6 horizon, like the isolated 99
+    assert out[8] == 6
+    assert 9 not in out and 10 not in out and 99 not in out
+    # widening the horizon reaches the tail end
+    out9 = {r["doc_id"]: r["depth"] for r in
+            lg.seed_distance(docs, edges, max_hops=8).collect()}
+    assert out9[9] == 7 and out9[10] == 8
+
+
 def test_host_graph_compression_semantics(spark):
     from pdf_parser_spark.operators import linkgraph as lg
 
