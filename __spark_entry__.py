@@ -667,6 +667,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             curation.with_synthetic_lines(_docs(s, d))
         ),
         "d_incremental": lambda s, d: curation.incremental_dedup(_docs(s, d)),
+        # hyphen line-wrap repair (PDF/OCR artifact): real-bytes oracle,
+        # lowercase-both-sides join rule
+        "c_dehyphenate": lambda s, d: curation.dehyphenate(
+            curation.with_hyphen_wraps(_docs(s, d))
+        ),
         # the composed training-corpus build: gate -> exact dedup ->
         # decontaminate -> stratified sample -> shard pack, one hash over
         # the whole chain (the curation analog of g_corpus_frontier)
@@ -2860,6 +2865,30 @@ def oracle_sql() -> dict[str, str]:
                    t <> nfc_normalize(t) AS changed,
                    md5(nfc_normalize(t)) AS text_md5
             FROM inj ORDER BY doc_id
+        """,
+        # dehyphenation: DuckDB regexp_replaces the SAME constructed bytes
+        # with the shared pattern ('g' = Spark's global default, '\\1' =
+        # Java's '$1') — real-bytes agreement, not a formula prediction
+        "c_dehyphenate": f"""
+            WITH inj AS (
+                SELECT doc_id, CASE doc_id % 4
+                    WHEN 1 THEN text || ' broad-' || chr(10) ||
+                                'casting net-' || chr(10) || 'works'
+                    WHEN 2 THEN text || ' Wi-' || chr(10) ||
+                                'Fi upper-' || chr(10) || 'Case'
+                    WHEN 3 THEN text || ' self-' || chr(10) || 'service'
+                    ELSE text END AS t
+                FROM documents
+            ), fx AS (
+                SELECT doc_id, t,
+                       regexp_replace(t, '{C.DEHYPHEN_RE}', '\\1\\2', 'g')
+                           AS fixed
+                FROM inj
+            )
+            SELECT doc_id,
+                   CAST((length(t) - length(fixed)) / 2 AS BIGINT) AS n_joins,
+                   md5(fixed) AS text_md5
+            FROM fx ORDER BY doc_id
         """,
         # composed ingest chain: decoded text predicted from the synthesis
         # formula, NFC computed INDEPENDENTLY by DuckDB's ICU, gate via the

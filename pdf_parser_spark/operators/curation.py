@@ -1082,6 +1082,51 @@ def nfc_normalize_docs(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# lowercase-to-lowercase only: 'Wi-\nFi' style capital continuations stay
+# broken (likely a true compound or a heading artifact, not a line wrap);
+# ASCII classes are the Java-regex/RE2 portable subset
+DEHYPHEN_RE = r"([a-z])-\n([a-z])"
+
+
+def with_hyphen_wraps(documents: DataFrame) -> DataFrame:
+    """Synthesis: doc_id%4 appends deterministic line-wrap suffixes —
+    1 = two joinable wraps, 2 = an uppercase continuation that must NOT
+    join, 3 = one joinable wrap; the oracle rebuilds the same bytes."""
+    d = F.col("doc_id")
+    return documents.withColumn(
+        "text",
+        F.when(d % 4 == 1, F.concat("text", F.lit(" broad-\ncasting net-\nworks")))
+        .when(d % 4 == 2, F.concat("text", F.lit(" Wi-\nFi upper-\nCase")))
+        .when(d % 4 == 3, F.concat("text", F.lit(" self-\nservice")))
+        .otherwise(F.col("text")),
+    )
+
+
+def dehyphenate(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_joins, text_md5) — repair hyphen line wraps ('compa-\\n
+    ny' -> 'company'), the classic PDF/OCR extraction artifact every
+    ingest pipeline fixes before tokenization (a wrapped word is TWO
+    out-of-vocabulary tokens plus a phantom hyphen in every n-gram that
+    crosses it).  Join rule: letter '-' newline letter, lowercase on BOTH
+    sides — capital continuations are likelier true compounds or heading
+    artifacts and stay broken.  Matches apply left-to-right non-
+    overlapping in both engines, so a chain 'a-\\nb-\\nc' joins at
+    alternating wraps per pass (one pass is the standard treatment).
+
+    One JVM regexp_replace in the scan — zero Python, zero shuffle;
+    n_joins falls out of the length delta exactly (each join removes the
+    2-char '-\\n').  Cross-engine check is REAL bytes, not a formula:
+    DuckDB runs its own regexp_replace over the same constructed text
+    ('g' flag = Spark's global default; '\\1' = Java's '$1') and both
+    engines must agree on every repaired byte."""
+    fixed = F.regexp_replace(F.col("text"), DEHYPHEN_RE, "$1$2")
+    return documents.select(
+        "doc_id",
+        ((F.length("text") - F.length(fixed)) / 2).cast("long").alias("n_joins"),
+        F.md5(F.encode(fixed, "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
 def ingest_pipeline(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """The composed ingest chain under ONE result — charset detect+decode
     (shared _sniff_exprs) -> NFC normalize (one Arrow UDF call) -> C4/

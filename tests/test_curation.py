@@ -453,6 +453,38 @@ def test_top_terms_rank_tiebreak_and_floor(spark):
     assert out2 == [("aa", 1), ("zz", 2)]
 
 
+def test_dehyphenate_join_rule_and_count(spark):
+    import hashlib as _h
+
+    docs = _docs(spark, [
+        (0, "a compa-\nny and broad-\ncasting", "en", "s", 1),  # two joins
+        (1, "Wi-\nFi stays", "en", "s", 1),       # capital after wrap: keep
+        (2, "pre-\n existing", "en", "s", 1),     # space after \n: keep
+        (3, "x-\ny-\nz", "en", "s", 1),           # chain: left-to-right pass
+        (4, "clean text", "en", "s", 1),
+    ])
+    out = {r["doc_id"]: r for r in curation.dehyphenate(docs).collect()}
+    exp = {
+        0: ("a company and broadcasting", 2),
+        1: ("Wi-\nFi stays", 0),
+        2: ("pre-\n existing", 0),
+        # non-overlapping scan joins x-\ny, then resumes AFTER y: the
+        # second wrap survives the single pass
+        3: ("xy-\nz", 1),
+        4: ("clean text", 0),
+    }
+    for d, (txt, n) in exp.items():
+        assert out[d]["n_joins"] == n, d
+        assert out[d]["text_md5"] == _h.md5(txt.encode()).hexdigest(), d
+    # synthesis buckets: %4==1 two joins, %4==2 is the pure negative
+    # control (both wraps continue uppercase), %4==3 one join
+    wrapped = curation.with_hyphen_wraps(_docs(spark, [
+        (i, "base", "en", "s", 1) for i in (1, 2, 3, 4)]))
+    n = {r["doc_id"]: r["n_joins"] for r in
+         curation.dehyphenate(wrapped).collect()}
+    assert n == {1: 2, 2: 0, 3: 1, 4: 0}
+
+
 def test_top_terms_two_phase_equals_single_window(spark):
     from pdf_parser_spark.operators import textstats
 
