@@ -152,6 +152,13 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         "u_redirect_groups": lambda: __import__(
             "pdf_parser_spark.operators.weburl", fromlist=["x"]
         ).canonical_url_groups(docs),
+        # corpus-wide bigram explode + double vocab join (the heaviest
+        # new r3 textstats pass)
+        "t_collocations": lambda: textstats.pmi_collocations(docs),
+        # BFS min-depth propagation (iterative join+groupBy, early stop)
+        "g_seed_depth": lambda: (lambda lg: lg.seed_distance(
+            docs, lg.synthetic_edges(docs)
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
     }
     times: dict[str, float] = {}
     for name, build in suite.items():
