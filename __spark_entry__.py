@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_script_stats": lambda s, d: textstats.script_stats(
             textstats.with_script_mix(_docs(s, d))
         ),
+        # unigram-LM surprisal + CCNet head/middle/tail value-terciles
+        # (exact integer bits via bin()-length, no log/float anywhere)
+        "t_surprisal": lambda s, d: textstats.lm_surprisal(_docs(s, d)),
         # per-domain quality prior (CCNet/RefinedWeb): exact integer bp
         # mean of the shared soft-quality formula, min-docs trust gate
         "u_domain_quality": lambda s, d: weburl.domain_quality_prior(
@@ -1787,6 +1790,65 @@ def oracle_sql() -> dict[str, str]:
                      WHEN ha > la AND ha > cy AND ha > ar AND ha > cj THEN 'hangul'
                      ELSE 'latin' END AS dominant_script
             FROM c ORDER BY doc_id
+        """,
+        # unigram-LM surprisal: Laplace-smoothed integer quotient, bits =
+        # length(bin(q)) - 1 (bin() exists in both engines, so the floored
+        # log2 is byte-identical), terciles via the quality_tiers value
+        # histogram; // is DuckDB's floor-div twin of Spark's div (all
+        # terms positive)
+        "t_surprisal": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_transform({_TOKS}, t -> lower(t))) AS term
+                FROM documents
+            ), ucnt AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS c
+                FROM toks WHERE doc_id % {TS.SURPRISAL_REF_MOD} = 0
+                GROUP BY term
+            ), model AS (
+                SELECT CAST(sum(c) AS BIGINT) AS n_model,
+                       CAST(count(*) AS BIGINT) AS v_model
+                FROM ucnt
+            ), scored_tok AS (
+                SELECT t.doc_id,
+                       CAST(length(bin(greatest(
+                           (m.n_model + m.v_model) // (coalesce(u.c, 0) + 1),
+                           1))) - 1 AS BIGINT) AS b,
+                       CASE WHEN u.c IS NULL THEN 1 ELSE 0 END AS oov
+                FROM toks t
+                LEFT JOIN ucnt u USING (term)
+                CROSS JOIN model m
+            ), per_doc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_toks,
+                       CAST(sum(oov) AS BIGINT) AS n_oov,
+                       CAST(sum(b) AS BIGINT) AS bits_sum
+                FROM scored_tok GROUP BY doc_id
+            ), sc AS (
+                SELECT doc_id, n_toks, n_oov, bits_sum,
+                       CAST((100 * bits_sum) // n_toks AS BIGINT) AS mean_cb
+                FROM per_doc
+            ), hist AS (
+                SELECT mean_cb, count(*) AS cnt FROM sc GROUP BY mean_cb
+            ), tiers AS (
+                SELECT mean_cb,
+                       sum(cnt) OVER (ORDER BY mean_cb ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - cnt AS cum_before,
+                       sum(cnt) OVER () AS total
+                FROM hist
+            ), tmap AS (
+                SELECT mean_cb,
+                       least({TS.SURPRISAL_TIERS} - 1,
+                             CAST(({TS.SURPRISAL_TIERS} * cum_before) // total
+                                  AS BIGINT)) AS tier
+                FROM tiers
+            )
+            SELECT s.doc_id, s.n_toks, s.n_oov, s.bits_sum, s.mean_cb,
+                   CASE t.tier WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc s JOIN tmap t USING (mean_cb)
+            ORDER BY s.doc_id
         """,
         # declared-vs-detected confusion audit: same prediction CASE, one
         # groupBy onto the |langs|^2 dim

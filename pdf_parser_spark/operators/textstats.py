@@ -1019,3 +1019,115 @@ def script_stats(documents: DataFrame) -> DataFrame:
         counts["hangul"].alias("hangul_chars"),
         dominant.alias("dominant_script"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring (the CCNet perplexity-filter analog)
+# ---------------------------------------------------------------------------
+
+SURPRISAL_REF_MOD = 5   # doc_id % mod == 0 -> the "clean reference" slice
+SURPRISAL_TIERS = 3     # CCNet's head / middle / tail
+
+
+def lm_surprisal(
+    documents: DataFrame, ref_mod: int = SURPRISAL_REF_MOD
+) -> DataFrame:
+    """Per-document unigram-LM surprisal and the CCNet head/middle/tail
+    bucket — the perplexity filter (Wenzek et al., CCNet): train a small LM
+    on a clean reference corpus, score every crawl document, keep the
+    low-perplexity head for training.  The reference slice here is the
+    deterministic doc_id % ref_mod == 0 subset (the Wikipedia stand-in);
+    production swaps in a curated table, the plan is identical.
+
+    Exact-integer surprisal — no log, no float, no cross-engine hash hazard:
+    per-token bits = floor(log2((N + V) div (c_t + 1))) computed as
+    length(bin(q)) - 1 over the Laplace-smoothed integer quotient
+    (c_t = reference count, 0 for OOV; N = reference tokens, V = reference
+    vocab).  Monotone in the real -log p up to integer floors, applied
+    identically in DuckDB (bin() exists in both engines).  Per-doc mean is
+    integer centibits: mean_cb = (100 * bits_sum) div n_toks.
+
+    Buckets are value-terciles of mean_cb via the quality_tiers histogram
+    doctrine (mean_cb has a bounded integer domain, so the cumulative
+    window runs over a tiny value dim, never a corpus-wide ORDER BY);
+    head = lowest surprisal = most reference-like.
+
+    Plan: vocab-sized reference count dim (one map-side-combined groupBy)
+    -> per-term bits in the dim (1-row model crossJoin onto the VOCAB, not
+    the token stream) -> token stream LEFT-joins the dim (OOV rows keep
+    null) -> per-doc groupBy folds known bits + OOV count -> the 1-row
+    model crossJoins the DOC-level aggregate to price OOV tokens at the
+    constant OOV bits.  Shuffles: ref groupBy, stream-dim join, doc
+    groupBy, histogram — all keyed, none corpus-ordered.
+    """
+    from pyspark.sql import Window
+
+    toks = words(F.lower(F.col("text")))
+    ucnt = (
+        documents.where(F.col("doc_id") % ref_mod == 0)
+        .select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    model = ucnt.agg(
+        F.sum("c").cast("long").alias("n_model"),
+        F.count("*").cast("long").alias("v_model"),
+    )
+    term_bits = ucnt.crossJoin(model).select(
+        "term",
+        (F.length(F.bin(F.expr(
+            "greatest((n_model + v_model) div (c + 1), 1)"
+        ))) - 1).cast("long").alias("bits"),
+    )
+    stream = documents.select("doc_id", F.explode(toks).alias("term"))
+    per_doc = (
+        stream.join(term_bits, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.coalesce(F.sum("bits"), F.lit(0)).cast("long").alias("known_sum"),
+            F.sum(F.when(F.col("bits").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+        )
+        .crossJoin(model)
+        .select(
+            "doc_id", "n_toks", "n_oov",
+            (F.col("known_sum") + F.col("n_oov") * (
+                F.length(F.bin(F.expr(
+                    "greatest(n_model + v_model, 1)"
+                ))) - 1
+            )).cast("long").alias("bits_sum"),
+        )
+        .withColumn(
+            "mean_cb", F.expr("(100 * bits_sum) div n_toks").cast("long")
+        )
+    )
+    hist = per_doc.groupBy("mean_cb").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("mean_cb").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tiers = hist.select(
+        "mean_cb",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    ).select(
+        "mean_cb",
+        F.least(
+            F.lit(SURPRISAL_TIERS - 1),
+            F.expr(f"({SURPRISAL_TIERS} * cum_before) div total"),
+        ).cast("long").alias("tier"),
+    )
+    return (
+        per_doc.join(F.broadcast(tiers), "mean_cb")
+        .select(
+            "doc_id", "n_toks", "n_oov", "bits_sum", "mean_cb",
+            F.when(F.col("tier") == 0, "head")
+            .when(F.col("tier") == 1, "middle")
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1460,3 +1460,37 @@ def test_ingest_pipeline_composes_stage_by_stage(spark):
                                        F.concat("text", F.lit("é.")))
                         .otherwise(F.col("text")))).collect()}
     assert all(out[i]["passed"] == gate[i] for i, _ in rows)
+
+
+def test_lm_surprisal_exact_bits_oov_and_terciles(spark):
+    """Pin the integer LM math: reference slice = doc_id % 5 == 0 only,
+    Laplace bits = len(bin((N+V) div (c+1))) - 1, OOV priced at the
+    floor(log2(N+V)) constant, head/middle/tail are value-terciles of
+    mean_cb (head = most reference-like)."""
+    from pdf_parser_spark.operators import textstats
+
+    docs = _docs(spark, [
+        (0, "aa aa bb", "en", "s", 1),      # ref slice
+        (5, "aa cc", "en", "s", 1),         # ref slice
+        (1, "AA aa aa aa", "en", "s", 1),   # lowercased -> all aa
+        (2, "zz zz", "en", "s", 1),         # all OOV
+        (3, "aa bb cc zz", "en", "s", 1),   # mixed
+    ])
+    out = {r["doc_id"]: r for r in textstats.lm_surprisal(docs).collect()}
+    # ref counts: aa:3 bb:1 cc:1 -> N=5 V=3 N+V=8
+    # bits: aa -> 8 div 4 = 2 -> 1; bb/cc -> 4 -> 2; OOV -> 8 -> 3
+    assert (out[1]["bits_sum"], out[1]["n_oov"], out[1]["mean_cb"]) == (4, 0, 100)
+    assert (out[0]["bits_sum"], out[0]["mean_cb"]) == (4, 133)      # 1+1+2
+    assert (out[5]["bits_sum"], out[5]["mean_cb"]) == (3, 150)      # 1+2
+    assert (out[3]["bits_sum"], out[3]["n_oov"], out[3]["mean_cb"]) == (8, 1, 200)
+    assert (out[2]["bits_sum"], out[2]["n_oov"], out[2]["mean_cb"]) == (6, 2, 300)
+    # value-terciles over mean_cb {100,133,150,200,300}: tier =
+    # (3*cum_before) div 5 -> head,head,middle,middle,tail
+    assert [out[i]["bucket"] for i in (1, 0, 5, 3, 2)] == [
+        "head", "head", "middle", "middle", "tail"]
+    # widening the reference to every doc changes the model: zz is now
+    # in-vocab, so doc 2 stops paying the OOV constant
+    allref = {r["doc_id"]: r
+              for r in textstats.lm_surprisal(docs, ref_mod=1).collect()}
+    assert allref[2]["n_oov"] == 0
+    assert allref[2]["bits_sum"] < out[2]["bits_sum"]
