@@ -487,6 +487,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ),
         "s_ann_lsh": lambda s, d: similarity.lsh_topk(_emb(s, d)),
+        # product quantization: corpus stored as M subspace codes, queries
+        # score by asymmetric distance (ADC) — the compressed-scan path; the
+        # Spark query fits its OWN per-subspace Lloyd codebooks, the oracle
+        # uses the frozen numpy twins (E.PQ_CODEBOOKS)
+        "s_ann_pq": lambda s, d: similarity.pq_topk(_emb(s, d)),
+        # ADC+R: the ADC scan shortlists PQ_RERANK candidates, only those
+        # fetch full-precision vectors (key equi join) for exact re-rank —
+        # the production second stage that confines recall loss to
+        # shortlist misses
+        "s_ann_pq_rerank": lambda s, d: similarity.pq_topk(
+            _emb(s, d), rerank=similarity.PQ_RERANK
+        ),
         # --- multimodal plumbing (oracle-checked byte stats face) ---
         "m_binary_stats": lambda s, d: multimodal.binary_stats(_docs(s, d)),
         # real container decode over deterministic BMP/WAV/PPM payloads keyed
@@ -1172,6 +1184,44 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") AS c(cl, cv))"
     )
+    # PQ codebooks: frozen numpy twins of similarity.pq_fit (per-subspace
+    # Lloyd over the sliced embeddings) — the Spark query fits its own
+    pq_books_cte = (
+        "(SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({s}, {i}, {c}::DOUBLE[])"
+            for s, book in enumerate(E.PQ_CODEBOOKS)
+            for i, c in enumerate(book)
+        )
+        + ") AS b(sub, cl, cv))"
+    )
+    pq_subdim = len(E.PQ_CODEBOOKS[0][0])
+    from pdf_parser_spark.operators.similarity import PQ_RERANK as similarity_PQ_RERANK
+    from pdf_parser_spark.operators.similarity import PQ_ROUND_DP
+    # shared PQ/ADC CTE chain: codes = per-(vector, subspace) argmin over
+    # the frozen codebook twins; dists doubles as the query-side distance
+    # table, so the codes join IS the ADC lookup
+    _pq_adc_ctes = f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            books AS (SELECT * FROM {pq_books_cte}),
+            dists AS (
+                SELECT e.vec_id, b.sub, b.cl,
+                       list_sum(list_transform(range(1, {pq_subdim} + 1),
+                                i -> (e.v[b.sub * {pq_subdim} + i] - b.cv[i])
+                                   * (e.v[b.sub * {pq_subdim} + i] - b.cv[i]))) AS d2
+                FROM emb e CROSS JOIN books b
+            ), codes AS (
+                SELECT vec_id, sub, cl AS code FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d2 ASC, cl ASC) AS rn
+                    FROM dists) WHERE rn = 1
+            ), adc AS (
+                SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(sum(d.d2), {PQ_ROUND_DP}) AS adc_dist
+                FROM dists d
+                JOIN codes c ON c.sub = d.sub AND c.code = d.cl
+                WHERE d.vec_id < 10 AND c.vec_id != d.vec_id
+                GROUP BY d.vec_id, c.vec_id
+            )"""
 
     # IVF oracle, parameterized by the quantizer CTE: assignment + nprobe=2
     # probing from the frozen centroid literals; squared distances via the
@@ -2228,6 +2278,46 @@ def oracle_sql() -> dict[str, str]:
         # sample (similarity.KMEANS_SAMPLE_BP); the oracle probes from the
         # numpy sample-twin literals
         "s_ann_ivf_samplefit": _ivf_sql(sample_cents_cte),
+        # PQ/ADC: codes = per-(vector, subspace) argmin over the frozen
+        # codebook twins; the dists CTE doubles as the query-side distance
+        # table, so the codes join IS the ADC lookup.  The Spark query fits
+        # its own per-subspace Lloyd codebooks — a fit divergence in any
+        # subspace mismatches here.
+        "s_ann_pq": f"""
+            WITH {_pq_adc_ctes}
+            SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+                FROM adc)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        # ADC+R: shortlist PQ_RERANK by (adc_dist, neighbor_id), exact-cosine
+        # re-rank — the same brute-force output shape, loss confined to
+        # shortlist misses
+        "s_ann_pq_rerank": f"""
+            WITH {_pq_adc_ctes},
+            shortlist AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+                    FROM adc)
+                WHERE rn <= {similarity_PQ_RERANK}
+            ), exact AS (
+                SELECT s.query_id, s.neighbor_id,
+                       round(list_dot_product(q.v, n.v) /
+                             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 4) AS cos_sim
+                FROM shortlist s
+                JOIN emb q ON q.vec_id = s.query_id
+                JOIN emb n ON n.vec_id = s.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM exact)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
         # Random-hyperplane LSH: the oracle RE-DERIVES the md5 planes in SQL
         # (no frozen literals), rebuilds the packed sign signature with the
         # same 6dp projection rounding, bands it, and re-ranks collided

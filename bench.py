@@ -184,6 +184,20 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     similarity.lsh_topk(emb).write.format("noop").mode("overwrite").save()
     times["s_ann_lsh"] = round(time.perf_counter() - t0, 3)
+    # PQ decomposed like IVF: per-subspace Lloyd fit (one-off, amortized)
+    # vs the ADC scan over M-byte codes (the compressed-scan path)
+    t0 = time.perf_counter()
+    books = similarity.pq_fit(emb)
+    times["s_ann_pq_fit"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    similarity.pq_topk(emb, codebooks=books).write.format("noop").mode(
+        "overwrite").save()
+    times["s_ann_pq"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    similarity.pq_topk(
+        emb, codebooks=books, rerank=similarity.PQ_RERANK
+    ).write.format("noop").mode("overwrite").save()
+    times["s_ann_pq_rerank"] = round(time.perf_counter() - t0, 3)
     return times
 
 
@@ -219,6 +233,21 @@ def ann_recall(spark, sf_dir: str, k: int = 3) -> dict[str, float]:
                for r in similarity.lsh_topk(emb, k=k, band_bits=bb).collect()}
         out[f"s_ann_lsh_recall_at_{k}_bandbits{bb}"] = round(
             len(brute & lsh) / max(len(brute), 1), 4)
+    # PQ/ADC recall vs brute: quantization error is the only loss (the scan
+    # itself is exhaustive over codes), so this measures the M x KSUB
+    # codebook's resolution at this corpus size
+    books = similarity.pq_fit(emb)
+    pq = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.pq_topk(emb, k=k, codebooks=books).collect()}
+    out[f"s_ann_pq_recall_at_{k}"] = round(
+        len(brute & pq) / max(len(brute), 1), 4)
+    # ADC+R second stage: shortlist width is the recall/cost knob
+    for rr in (16, 32, 64):
+        pqr = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.pq_topk(
+                   emb, k=k, codebooks=books, rerank=rr).collect()}
+        out[f"s_ann_pq_recall_at_{k}_rerank{rr}"] = round(
+            len(brute & pqr) / max(len(brute), 1), 4)
     return out
 
 

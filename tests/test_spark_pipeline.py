@@ -765,6 +765,89 @@ def test_kmeans_sample_fit_and_persisted_centroids(spark, tmp_path):
     assert a == b
 
 
+def test_pq_adc_is_exact_when_corpus_lies_on_the_codebook(spark):
+    """Semantics pin for product quantization: with explicit codebooks and a
+    corpus drawn FROM the codebook cross product, every vector quantizes to
+    itself (encode d2 = 0), so the ADC distance IS the exact squared
+    distance and PQ's ranking must equal the exact ranking."""
+    import numpy as np
+
+    from pdf_parser_spark.operators import similarity as S
+
+    books = [
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 2.0]],   # subspace 0 (dims 0-1)
+        [[0.0, 1.0], [3.0, 0.0], [0.5, 0.5]],   # subspace 1 (dims 2-3)
+        # (no combination is the all-zero vector: cosine re-rank and
+        # brute_force_topk both ANSI-fail on zero-norm rows by design)
+    ]
+    corpus = [(i * 3 + j, books[0][i] + books[1][j])
+              for i in range(3) for j in range(3)]
+    emb = spark.createDataFrame(
+        [(vid, [float(x) for x in v]) for vid, v in corpus],
+        "vec_id long, embedding array<float>",
+    )
+    # codes must be the construction indices (exact-centroid argmin)
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in S.pq_encode(emb, books).collect()}
+    assert codes == {i * 3 + j: [i, j] for i in range(3) for j in range(3)}
+
+    out = S.pq_topk(emb, n_queries=1, k=8, codebooks=books).collect()
+    got = [(r["rank"], r["neighbor_id"], r["adc_dist"]) for r in out]
+    q = np.asarray(corpus[0][1])
+    exact = sorted(
+        (round(float(((np.asarray(v) - q) ** 2).sum()), S.PQ_ROUND_DP), vid)
+        for vid, v in corpus[1:]
+    )
+    assert got == [(r + 1, vid, d) for r, (d, vid) in enumerate(exact)]
+
+    # ADC+R face: with a full-width shortlist the re-rank must reproduce
+    # brute-force exactly (shortlist misses are the ONLY loss channel)
+    rr = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in S.pq_topk(emb, n_queries=1, k=3, codebooks=books,
+                             rerank=8).collect()}
+    bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in S.brute_force_topk(emb, n_queries=1, k=3).collect()}
+    assert rr == bf
+
+
+def test_pq_fit_matches_numpy_twin_and_guards_divisibility(spark):
+    """pq_fit = the shared Lloyd loop per subvector slice: codebooks over
+    sf0.001 embeddings equal an independent numpy twin (same seeds, ties,
+    rounding); non-divisible dim raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pdf_parser_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = S.pq_fit(emb)
+
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    X = np.asarray([v for _, v in rows], dtype=np.float64)
+    sub = X.shape[1] // S.PQ_M
+    for s in range(S.PQ_M):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        twin = np.round(Xs[:S.PQ_KSUB].copy(), S.KMEANS_ROUND_DP)
+        for _ in range(S.KMEANS_ITERS):
+            assign = ((Xs[:, None, :] - twin[None, :, :]) ** 2).sum(-1).argmin(1)
+            new = twin.copy()
+            for c in range(S.PQ_KSUB):
+                if (assign == c).any():
+                    new[c] = Xs[assign == c].mean(0)
+            new = np.round(new, S.KMEANS_ROUND_DP)
+            if (new == twin).all():
+                break
+            twin = new
+        assert books[s] == [[float(x) for x in row] for row in twin]
+
+    bad = emb.select("vec_id", F.slice("embedding", 1, 63).alias("embedding"))
+    with _pytest.raises(ValueError):
+        S.pq_fit(bad)  # 63 % 4 != 0
+
+
 def test_warc_read_carves_blocks_and_keeps_blank_lines_in_body(spark, tmp_path):
     """split(limit=3) must keep CRLFCRLF sequences inside the payload;
     status/content-type/length parse per record; trailing record CRLFs are

@@ -133,6 +133,46 @@ def _kmeans_centroids(sample_bp: int | None = None) -> list[list[float]]:
     return [[float(x) for x in row] for row in cents]
 
 
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Numpy twin of similarity.pq_fit over sf0.01 embeddings: the SAME
+    Lloyd twin as _kmeans_centroids run independently on each of the PQ_M
+    subvector slices with k=PQ_KSUB (seeds = the PQ_KSUB lowest vec_ids'
+    sliced subvectors, first-min ties, KMEANS_ROUND_DP per-round rounding).
+    The Spark query fits its OWN codebooks, so a fit divergence in any
+    subspace hash-mismatches the s_ann_pq oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.operators.similarity import (
+        KMEANS_ITERS, KMEANS_ROUND_DP, PQ_KSUB, PQ_M,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    order = np.argsort(ids)
+    X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    sub = X.shape[1] // PQ_M
+    books = []
+    for s in range(PQ_M):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        cents = np.round(Xs[:PQ_KSUB].copy(), KMEANS_ROUND_DP)
+        for _ in range(KMEANS_ITERS):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            new = cents.copy()
+            for c in range(PQ_KSUB):
+                mask = assign == c
+                if mask.any():
+                    new[c] = Xs[mask].mean(0)
+            new = np.round(new, KMEANS_ROUND_DP)
+            if (new == cents).all():
+                break
+            cents = new
+        books.append([[float(x) for x in row] for row in cents])
+    return books
+
+
 def main() -> None:
     from pdf_parser_spark.operators.similarity import KMEANS_SAMPLE_BP
 
@@ -141,6 +181,7 @@ def main() -> None:
     fleet_rows = _fleet_pdf_rows()
     centroids = _kmeans_centroids()
     sample_centroids = _kmeans_centroids(sample_bp=KMEANS_SAMPLE_BP)
+    pq_books = _pq_codebooks()
 
     def render(rows: list[tuple]) -> str:
         body = ",\n    ".join(repr(r) for r in rows)
@@ -176,6 +217,11 @@ KMEANS_CENTROIDS = {render(centroids)}
 # fit-on-sample twin: same Lloyd twin restricted to the md5-deterministic
 # {KMEANS_SAMPLE_BP}bp sample (similarity.KMEANS_SAMPLE_BP)
 KMEANS_SAMPLE_CENTROIDS = {render(sample_centroids)}
+
+# product-quantization codebooks (numpy twin of similarity.pq_fit;
+# m={len(pq_books)} subspaces x k={len(pq_books[0])} centroids x
+# {len(pq_books[0][0])} dims each)
+PQ_CODEBOOKS = {render(pq_books)}
 '''
     with open(OUT, "w") as f:
         f.write(src)
