@@ -730,6 +730,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "host"),
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
            _docs(s, d)),
+        # weighted label propagation over the compressed host graph: the
+        # community face next to PageRank popularity / TrustRank spam —
+        # fixed synchronous rounds, neighbor-only votes, (weight desc,
+        # label asc) argmax as one struct-min groupBy per round
+        "g_communities": lambda s, d: (lambda lg, docs: lg.host_communities(
+            lg.synthetic_edges(docs),
+            weburl.canonicalize(weburl.with_synthetic_urls(docs))
+            .select("doc_id", "host"),
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
+           _docs(s, d)),
         # crawl-frontier assembly: robots ∩ quota ∩ pagerank, per-host queues
         "g_frontier": lambda s, d: (lambda lg: lg.frontier_schedule(
             _docs(s, d)
@@ -1333,6 +1343,29 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _url_cte = _url_cte_for("documents")
+
+    # unrolled label-propagation rounds (aggregates are not allowed in a
+    # recursive term — same doctrine as _rank_cte): round r relabels every
+    # connected host with the (weight desc, label asc) argmax over round
+    # r-1 neighbor labels; isolated hosts coalesce back to their own label
+    _lpa_rounds_sql = ""
+    _lpa_prev = "lab0"
+    for _r in range(1, LG.LPA_ROUNDS + 1):
+        _lpa_rounds_sql += f""",
+            v{_r} AS (
+                SELECT e.a AS host, l.label, sum(e.w) AS wt
+                FROM ue e JOIN {_lpa_prev} l ON l.host = e.b
+                GROUP BY e.a, l.label
+            ), p{_r} AS (
+                SELECT host, label FROM (
+                    SELECT *, row_number() OVER (PARTITION BY host
+                             ORDER BY wt DESC, label ASC) AS rn
+                    FROM v{_r}) WHERE rn = 1
+            ), lab{_r} AS (
+                SELECT n.host, coalesce(p.label, n.host) AS label
+                FROM nodes n LEFT JOIN p{_r} p USING (host)
+            )"""
+        _lpa_prev = f"lab{_r}"
 
     # per-host robots dim: ONE definition (weburl.ROBOTS_*_SQL) shared by
     # every oracle that re-derives it
@@ -3164,6 +3197,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_links,
                    CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages
             FROM j GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+        """,
+        # weighted LPA over the host graph: undirected weight = summed
+        # bidirectional n_links (exact BIGINT); K unrolled synchronous
+        # rounds, neighbor-only votes, isolated hosts self-labeled
+        "g_communities": f"""
+            WITH {_url_cte},
+            edges AS ({_edges_sql}),
+            hg AS (
+                SELECT cs.host AS a, cd.host AS b, count(*) AS nl
+                FROM edges e
+                JOIN canon cs ON cs.doc_id = e.src
+                JOIN canon cd ON cd.doc_id = e.dst
+                WHERE cs.host <> cd.host GROUP BY 1, 2
+            ),
+            ue AS (
+                SELECT a, b, CAST(sum(nl) AS BIGINT) AS w FROM (
+                    SELECT a, b, nl FROM hg
+                    UNION ALL SELECT b AS a, a AS b, nl FROM hg)
+                GROUP BY a, b
+            ),
+            nodes AS (SELECT DISTINCT host FROM canon),
+            lab0 AS (SELECT host, host AS label FROM nodes){_lpa_rounds_sql},
+            sizes AS (
+                SELECT label, CAST(count(*) AS BIGINT) AS community_size
+                FROM {_lpa_prev} GROUP BY label
+            )
+            SELECT l.host, l.label AS community, s.community_size
+            FROM {_lpa_prev} l JOIN sizes s USING (label)
+            ORDER BY l.host
         """,
         # TrustRank: seeded teleport — non-seed pages hold only flowed trust
         "g_trustrank": f"""

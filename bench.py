@@ -159,6 +159,13 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         "g_seed_depth": lambda: (lambda lg: lg.seed_distance(
             docs, lg.synthetic_edges(docs)
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # host-graph compression + 3 weighted-LPA rounds (community face)
+        "g_communities": lambda: (lambda lg, wu: lg.host_communities(
+            lg.synthetic_edges(docs),
+            wu.canonicalize(wu.with_synthetic_urls(docs))
+            .select("doc_id", "host"),
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
+           __import__("pdf_parser_spark.operators.weburl", fromlist=["x"])),
     }
     times: dict[str, float] = {}
     for name, build in suite.items():

@@ -608,3 +608,88 @@ def trustrank(
         documents, edges, iterations,
         init_col=seed_base, base_col=seed_base, out_name="trust",
     )
+
+
+LPA_ROUNDS = 3  # synchronous label-propagation rounds (fixed-k, oracle-pinned)
+
+
+def host_communities(
+    edges: DataFrame, urls: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Weighted label propagation (Raghavan et al. 2007) over the COMPRESSED
+    host graph — the community face of the web graph next to PageRank's
+    popularity and TrustRank's spam axis: link farms, mirror constellations,
+    and topic clusters surface as hosts that converge onto one label, and
+    the crawl scheduler treats a community (not a host) as the budget unit
+    when one operator runs hundreds of domains.
+
+    Semantics (pinned, both engines): every host starts labeled with
+    itself; each synchronous round relabels every CONNECTED host with the
+    neighbor-label carrying the largest total edge weight (w = summed
+    undirected n_links, exact BIGINT), ties broken label-asc; isolated
+    hosts keep their own label.  A node's own current label does not vote
+    (classic LPA), so a connected node's round-r label is a pure function
+    of round-(r-1) neighbor labels — which is what makes the fixed-k
+    unrolled-CTE oracle exact.  Fixed rounds rather than
+    run-to-convergence: synchronous LPA can 2-cycle on bipartite shapes,
+    so production runs bounded rounds anyway (3 settles the sf0.01 graph).
+
+    Scale: the iteration runs ENTIRELY on the host graph — 10^7-10^8 nodes
+    where pages are 10^12 (the host_graph compression is the admission
+    ticket); per round one equi join on the neighbor key + two groupBys
+    ((host, label) weight sum, then per-host struct-min argmax — algebraic,
+    map-side combined, never a per-host window over a sorted corpus).
+    Lineage truncated per round via eager localCheckpoint exactly like
+    _power_iterate.
+
+    Returns (host, community, community_size) ordered by host.
+
+    Ref analog: the reference buckets filings per company before
+    cross-filing checks (sec_parser/pipeline.py company grouping); a web
+    corpus has no company registry, so the community assignment IS the
+    grouping key discovery."""
+    hg = host_graph(edges, urls)
+    und = (
+        hg.select(F.col("src_host").alias("a"), F.col("dst_host").alias("b"),
+                  "n_links")
+        .unionByName(
+            hg.select(F.col("dst_host").alias("a"),
+                      F.col("src_host").alias("b"), "n_links"))
+        .groupBy("a", "b")
+        .agg(F.sum("n_links").cast("long").alias("w"))
+        .persist()
+    )
+    und.count()
+    nodes = urls.select("host").distinct()
+    labels = nodes.select("host", F.col("host").alias("label"))
+    for _ in range(rounds):
+        votes = (
+            und.join(labels.select(F.col("host").alias("b"), "label"), "b")
+            .groupBy("a", "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        # argmax by (wt desc, label asc) as ONE struct-min per host: negate
+        # the exact-integer weight so min orders weight-desc, and the string
+        # label rides along for the natural asc tie (keeper-election doctrine
+        # — no per-host window sort)
+        pick = (
+            votes.groupBy("a")
+            .agg(F.min(F.struct((-F.col("wt")).alias("nw"),
+                                F.col("label").alias("l"))).alias("s"))
+            .select(F.col("a").alias("host"), F.col("s.l").alias("label"))
+        )
+        # connected hosts always get a pick; isolated hosts never do and
+        # coalesce back to their own label (== their unchanged initial label)
+        labels = nodes.join(pick, "host", "left").select(
+            "host", F.coalesce("label", F.col("host")).alias("label")
+        ).localCheckpoint(eager=True)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("community_size"))
+    out = (
+        labels.join(sizes, "label")
+        .select("host", F.col("label").alias("community"), "community_size")
+        .orderBy("host")
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out

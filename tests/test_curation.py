@@ -755,6 +755,44 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_host_communities_weighted_lpa(spark):
+    """LPA semantics pins: two 3-host cliques joined by one weak edge
+    resolve to two communities (the w=1 bridge never outvotes the w=3
+    clique edges); the community label is the (weight desc, label asc)
+    argmax chain's fixed point; an isolated host keeps itself; and a
+    rounds=1 run proves weight beats label-asc in the vote (q < r but the
+    w=3 edge to r wins)."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    urls = spark.createDataFrame(
+        [(0, "a1"), (1, "a2"), (2, "a3"),
+         (3, "b1"), (4, "b2"), (5, "b3"), (6, "iso")],
+        "doc_id long, host string",
+    )
+    # page-level multiplicity builds the weights: 3 parallel page edges
+    # per intra-clique host pair, one bridge edge a3->b1
+    intra = [(s, d) for (s, d) in [(0, 1), (1, 2), (0, 2),
+                                   (3, 4), (4, 5), (3, 5)] for _ in range(3)]
+    edges = spark.createDataFrame(intra + [(2, 3)], "src long, dst long")
+    out = {r["host"]: (r["community"], r["community_size"])
+           for r in lg.host_communities(edges, urls).collect()}
+    assert out == {
+        "a1": ("a1", 3), "a2": ("a1", 3), "a3": ("a1", 3),
+        "b1": ("b1", 3), "b2": ("b1", 3), "b3": ("b1", 3),
+        "iso": ("iso", 1),
+    }
+
+    # weighted vote: p--q at w=1, p--r at w=3; after ONE round p carries
+    # r's label (weight dominates the q<r label-asc tie rule)
+    urls2 = spark.createDataFrame(
+        [(0, "p"), (1, "q"), (2, "r")], "doc_id long, host string")
+    edges2 = spark.createDataFrame(
+        [(0, 1)] + [(0, 2)] * 3, "src long, dst long")
+    one = {r["host"]: r["community"]
+           for r in lg.host_communities(edges2, urls2, rounds=1).collect()}
+    assert one == {"p": "r", "q": "p", "r": "p"}
+
+
 def test_review2_fix_regressions(spark):
     """Second-review fixes: duplicate edges can't fake co-citation counts;
     named-agent robots matching is case-insensitive; hits rejects
