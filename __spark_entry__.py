@@ -513,6 +513,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_image_ahash": lambda s, d: multimodal.image_ahash(
             multimodal.synthetic_media(_docs(s, d))
         ),
+        # windowed PCM energy / silence segmentation (the VAD primitive):
+        # engine walks REAL RIFF chunks and square-sums int16 windows in
+        # numpy; exact-BIGINT energies, integer silence compare
+        "m_audio_energy": lambda s, d: multimodal.audio_energy(
+            multimodal.synthetic_media(_docs(s, d))
+        ),
         "m_media_features": lambda s, d: multimodal.media_features(
             multimodal.synthetic_media(_docs(s, d))
         ).select(
@@ -2555,6 +2561,40 @@ def oracle_sql() -> dict[str, str]:
         # from doc_id; the oracle re-derives every header field from the
         # same doc_id arithmetic (multimodal.synthetic_media_payload), so
         # the decode path is what the hash actually verifies
+        # windowed PCM energy: the oracle rebuilds every int16 from the WAV
+        # synthesis formula (data byte i = (i*13 + ch) % 256, sample j =
+        # little-endian signed pair at 2j/2j+1) and square-sums the same
+        # AE_WIN-sample windows — a chunk-walk or endianness bug in the
+        # engine's real-bytes parse mismatches every energy
+        "m_audio_energy": f"""
+            WITH w AS (
+                SELECT doc_id, 1 + doc_id % 2 AS ch,
+                       (200 + doc_id % 100) * (1 + doc_id % 2) AS total
+                FROM documents WHERE doc_id % 3 = 1
+            ), wins AS (
+                SELECT doc_id, ch, total,
+                       unnest(range(0, (total + {MM.AE_WIN} - 1) // {MM.AE_WIN})) AS win_idx
+                FROM w
+            ), en AS (
+                SELECT doc_id, win_idx,
+                       least(total - win_idx * {MM.AE_WIN}, {MM.AE_WIN}) AS n_samps,
+                       list_sum(list_transform(
+                           list_transform(
+                               range(win_idx * {MM.AE_WIN},
+                                     least(total, win_idx * {MM.AE_WIN} + {MM.AE_WIN})),
+                               j -> ((2 * j * 13 + ch) % 256)
+                                  + 256 * (((2 * j + 1) * 13 + ch) % 256)),
+                           r -> CASE WHEN r >= 32768
+                                     THEN (r - 65536) * (r - 65536)
+                                     ELSE r * r END)) AS energy
+                FROM wins
+            )
+            SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+                   CAST(n_samps AS INT) AS n_samps,
+                   CAST(energy AS BIGINT) AS energy,
+                   energy < {MM.AE_SIL_MEANSQ} * n_samps AS is_silence
+            FROM en ORDER BY doc_id, win_idx
+        """,
         "m_media_features": """
             WITH m AS (
                 SELECT doc_id, doc_id % 3 AS kind,

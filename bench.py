@@ -139,6 +139,10 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         "m_transform": lambda: multimodal.transform_media(
             multimodal.synthetic_media(docs)
         ),
+        # windowed PCM energy (VAD primitive): synth + one Arrow stage
+        "m_audio_energy": lambda: multimodal.audio_energy(
+            multimodal.synthetic_media(docs)
+        ),
         "u_scd2_history": lambda: __import__(
             "pdf_parser_spark.operators.snapshot", fromlist=["x"]
         ).scd2_history(__import__(

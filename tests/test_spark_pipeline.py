@@ -1030,6 +1030,45 @@ def test_transform_kernels_unit():
             src_wav[44 + 2 * g * 4: 44 + 2 * g * 4 + 4]
 
 
+def test_audio_energy_windows_and_silence(spark):
+    """Windowed PCM energy pins: window split at AE_WIN with a partial
+    tail, exact integer energies, silence STRICTLY below thresh*n (the
+    boundary window is NOT silent), odd trailing data byte dropped by the
+    int16 floor, non-WAV payloads skipped by magic sniff."""
+    import struct
+
+    import numpy as np
+
+    from pdf_parser_spark.operators import multimodal as M
+
+    def wav_of(samples, extra=b""):
+        data = np.asarray(samples, "<i2").tobytes() + extra
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    w = M.AE_WIN
+    # window 0: meansq exactly AT the threshold (energy == thresh*n) ->
+    # NOT silent; window 1: one notch below -> silent; window 2: partial
+    # tail of 2 loud samples + an odd dangling byte that must be dropped
+    a = int(M.AE_SIL_MEANSQ ** 0.5)          # a*a == AE_SIL_MEANSQ (10^4)
+    samples = [a] * w + [a - 1] * w + [0, 32767]
+    payload = wav_of(samples, extra=b"\x7f")
+    df = spark.createDataFrame(
+        [(0, bytearray(payload)), (1, bytearray(b"P6 not a wav"))],
+        "doc_id long, payload binary",
+    )
+    rows = [(r["win_idx"], r["n_samps"], r["energy"], r["is_silence"])
+            for r in M.audio_energy(df).collect()]
+    assert rows == [
+        (0, w, w * M.AE_SIL_MEANSQ, False),          # == thresh: not silent
+        (1, w, w * (a - 1) * (a - 1), True),
+        (2, 2, 32767 * 32767, False),
+    ]
+    assert a * a == M.AE_SIL_MEANSQ  # the boundary case really is exact
+
+
 def test_transform_media_spark_stage(spark):
     from pdf_parser_spark.operators.multimodal import (
         synthetic_media, transform_media,
