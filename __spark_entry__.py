@@ -570,6 +570,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_domain_rollup": lambda s, d: weburl.domain_rollup(
             weburl.with_synthetic_urls(_docs(s, d))
         ),
+        # SURT keys (Common Crawl / CDX sort order): reversed comma-joined
+        # host labels, one leading www. folded, non-default port kept
+        "u_surt": lambda s, d: weburl.surt_key(
+            weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
+        ).select("doc_id", "canonical_url", "surt").orderBy("doc_id"),
+        # the cluster-index face: authority-prefix rollup proving one
+        # authority = one contiguous SURT range
+        "u_cdx_index": lambda s, d: weburl.cdx_authority_index(_docs(s, d)),
         "u_blocklist": lambda s, d: weburl.blocklist_filter(
             weburl.with_synthetic_urls(_docs(s, d)), BLOCKED_DOMAINS
         ).select("doc_id", "reg_domain").orderBy("doc_id"),
@@ -1349,6 +1357,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _url_cte = _url_cte_for("documents")
+
+    # SURT key as one SQL fragment over canon.canonical_url (shared by
+    # u_surt and u_cdx_index so the two faces cannot drift)
+    _surt_hostport = "regexp_extract(canonical_url, '^[a-z]+://([^/]+)', 1)"
+    _surt_sql = (
+        "array_to_string(list_reverse(string_split(regexp_replace("
+        f"regexp_extract({_surt_hostport}, '^([^:]*)', 1), "
+        "'^www\\.', ''), '.')), ',')"
+        f" || regexp_extract({_surt_hostport}, '(:[0-9]+)$', 1)"
+        " || ')' || regexp_extract(canonical_url, '^[a-z]+://[^/]+(.*)$', 1)"
+    )
 
     # unrolled label-propagation rounds (aggregates are not allowed in a
     # recursive term — same doctrine as _rank_cte): round r relabels every
@@ -2625,6 +2644,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.url, c.canonical_url, c.host, r.reg_domain
             FROM canon c JOIN reg r USING (host)
             ORDER BY c.doc_id
+        """,
+        # SURT: reversed comma-joined host labels (one leading www. folded),
+        # non-default port kept, ')' + path+query — recomputed from the
+        # shared canon CTE's canonical_url with the same regex splits
+        "u_surt": f"""
+            WITH {_url_cte}
+            SELECT doc_id, canonical_url, {_surt_sql} AS surt
+            FROM canon ORDER BY doc_id
+        """,
+        # authority rollup: one authority = one contiguous SURT range
+        "u_cdx_index": f"""
+            WITH {_url_cte},
+            s AS (SELECT doc_id, canonical_url, {_surt_sql} AS surt FROM canon)
+            SELECT regexp_extract(surt, '^([^)]*)', 1) AS authority,
+                   CAST(count(*) AS BIGINT) AS n_captures,
+                   CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+                   min(surt) AS min_surt, max(surt) AS max_surt
+            FROM s GROUP BY 1 ORDER BY 1
         """,
         "u_domain_rollup": f"""
             WITH {_url_cte}

@@ -1033,3 +1033,62 @@ def crawl_budget(priors: DataFrame, total: int = CRAWL_BUDGET_TOTAL) -> DataFram
         )
         .orderBy("reg_domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# SURT keys + CDX-style authority index: the wire format of web-archive
+# lookups.  Common Crawl's URL index (and OpenWayback/pywb's CDX(J)) keys
+# every capture by the Sort-friendly URI Reordering Transform — host labels
+# reversed and comma-joined so one authority's captures are CONTIGUOUS in
+# sort order ("com,example)/..." groups all of example.com), which is what
+# makes a 10^12-capture index binary-searchable from a tiny cluster.idx of
+# range boundaries.  Spark-side, the same property means
+# repartitionByRange(surt) gives authority-local shards for free.
+# ---------------------------------------------------------------------------
+
+
+def surt_key(canon: DataFrame) -> DataFrame:
+    """Add ``surt``: from ``canonical_url`` (canonicalize output — scheme
+    already dropped by the transform, tracking params gone, params sorted),
+    reverse the dot-labels of the host (one leading ``www.`` stripped —
+    the conventional alias fold), comma-join, keep a non-default port,
+    then ``)`` + path+query.  ``https://www.news.example.co.uk:8080/a?b=1``
+    -> ``uk,co,example,news:8080)/a?b=1``.  Pure JVM regex/array column
+    ops in the scan — zero Python, zero shuffle."""
+    hostport = F.regexp_extract("canonical_url", r"^[a-z]+://([^/]+)", 1)
+    rest = F.regexp_extract("canonical_url", r"^[a-z]+://[^/]+(.*)$", 1)
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r"(:[0-9]+)$", 1)
+    bare = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(bare, r"\.")), ",")
+    return canon.withColumn("surt", F.concat(rev, port, F.lit(")"), rest))
+
+
+def cdx_authority_index(documents: DataFrame) -> DataFrame:
+    """The cluster-index face: roll the per-capture SURT table up to its
+    authority prefix (everything before ``)`` — reversed host + port).
+    Returns (authority, n_captures, n_urls, min_surt, max_surt) ordered by
+    authority: the row set a range-partitioned CDX write materializes as
+    shard boundaries, and the contiguity proof that SURT keying makes one
+    authority one index range.
+
+    Scale: surt is computed in the scan; ONE map-side-combinable groupBy
+    on the authority key (authorities are a host-scale dim, 4-5 orders
+    below captures); min/max are algebraic.  No sort of the capture table
+    happens here — the global sort is the CDX *write* path
+    (repartitionByRange(surt) + sortWithinPartitions), whose boundaries
+    this rollup audits."""
+    canon = canonicalize(with_synthetic_urls(documents))
+    s = surt_key(canon)
+    auth = F.regexp_extract("surt", r"^([^)]*)", 1)
+    return (
+        s.select(auth.alias("authority"), "surt", "canonical_url")
+        .groupBy("authority")
+        .agg(
+            F.count("*").cast("long").alias("n_captures"),
+            F.countDistinct("canonical_url").cast("long").alias("n_urls"),
+            F.min("surt").alias("min_surt"),
+            F.max("surt").alias("max_surt"),
+        )
+        .orderBy("authority")
+    )

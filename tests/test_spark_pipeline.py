@@ -676,6 +676,52 @@ def test_weburl_canonicalize_and_domains(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4, 5]
 
 
+def test_surt_keys_and_cdx_contiguity(spark):
+    """SURT pins: label reversal with comma joins, exactly ONE leading
+    www. folded (an interior or host-named www survives), non-default port
+    kept inside the authority, params already canonical-sorted; and the
+    index property the transform exists for — lexicographically sorting
+    SURT keys makes every authority a contiguous run."""
+    from pdf_parser_spark.operators.weburl import (
+        canonicalize, cdx_authority_index, surt_key, with_synthetic_urls,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.news.Example.CO.UK:8080/a/b?z=2&a=1#f"),
+        (2, "http://www.ex.org/docs/2"),
+        (3, "http://www.com/x"),            # host IS www.com: www label folds
+        (4, "https://sub.www.ex.io/y"),     # interior www survives
+        (5, "http://ex.org:443/p"),         # non-default :443 on http kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["surt"] for r in surt_key(canonicalize(df)).collect()}
+    assert out[1] == "uk,co,example,news:8080)/a/b?a=1&z=2"
+    assert out[2] == "org,ex)/docs/2"
+    assert out[3] == "com)/x"
+    assert out[4] == "io,ex,www,sub)/y"
+    assert out[5] == "org,ex:443)/p"
+
+    # contiguity: over the synthetic corpus, sort all surts globally —
+    # each authority's captures must form one unbroken run
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    surts = sorted(
+        r["surt"] for r in
+        surt_key(canonicalize(with_synthetic_urls(docs))).collect()
+    )
+    auths = [s.split(")")[0] for s in surts]
+    seen, prev = set(), None
+    for a in auths:
+        if a != prev:
+            assert a not in seen  # a second run of this authority = broken
+            seen.add(a)
+            prev = a
+    idx = {r["authority"]: r for r in cdx_authority_index(docs).collect()}
+    assert sum(r["n_captures"] for r in idx.values()) == docs.count()
+    for a, r in idx.items():
+        assert r["min_surt"].startswith(a + ")") or r["min_surt"].startswith(a)
+        assert r["min_surt"] <= r["max_surt"]
+
+
 def test_lsh_topk_identical_and_opposite_vectors(spark):
     """Identical vectors share every plane sign -> must collide and rank
     first with cos 1.0; an exactly opposite vector flips every decided bit
