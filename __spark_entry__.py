@@ -444,6 +444,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_window_counts": lambda s, d: __import__(
             "pdf_parser_spark.streaming.windowed", fromlist=["window_counts_via_stream"]
         ).window_counts_via_stream(s, d),
+        # stream-stream interval join (view->click attribution): watermarks
+        # on BOTH legs + the time-range condition bound the join state to
+        # the attribution horizon — the only way a 10^12-event firehose
+        # join is runnable at all
+        "st_stream_join": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.join", fromlist=["x"]
+        ).attribution_join_via_stream(s, d),
         # streaming extraction replay: per-doc outputs must equal the
         # frozen core-path tuples whatever the micro-batch boundaries
         "st_extract": _st_extract,
@@ -1220,6 +1227,8 @@ def oracle_sql() -> dict[str, str]:
         + ") AS b(sub, cl, cv))"
     )
     pq_subdim = len(E.PQ_CODEBOOKS[0][0])
+    from pdf_parser_spark.streaming.join import ATTR_HOURS as ST_ATTR_HOURS
+
     from pdf_parser_spark.operators.similarity import PQ_RERANK as similarity_PQ_RERANK
     from pdf_parser_spark.operators.similarity import PQ_ROUND_DP
     # shared PQ/ADC CTE chain: codes = per-(vector, subspace) argmin over
@@ -3025,6 +3034,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY window_start, event_type, wmf, wm1
             HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= wmf
             ORDER BY window_start, event_type
+        """,
+        # stream-stream attribution join: the batch twin is the plain
+        # interval join — the streaming machinery (watermarks, state
+        # eviction) must be output-invisible on a bounded replay
+        "st_stream_join": f"""
+            WITH v AS (
+                SELECT event_id AS view_id, user_id, ts AS view_ts
+                FROM events WHERE event_type = 'view'
+            ), c AS (
+                SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT v.user_id, view_id, click_id,
+                   CAST(floor(epoch(view_ts)) AS BIGINT) AS view_ts_s,
+                   CAST(floor(epoch(click_ts)) AS BIGINT) AS click_ts_s
+            FROM v JOIN c ON v.user_id = c.user_id
+                AND c.click_ts >= v.view_ts
+                AND c.click_ts <= v.view_ts + INTERVAL {ST_ATTR_HOURS} HOURS
+            ORDER BY v.user_id, view_id, click_id
         """,
         "st_window_counts": """
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,

@@ -978,6 +978,67 @@ def test_streaming_window_watermark_drops_late_rows(spark, tmp_path):
     assert 20 not in rows         # tail window still open -> never emitted
 
 
+def test_stream_stream_join_bounds_and_batch_invariance(spark, tmp_path):
+    """Attribution-join pins: inclusive bounds at BOTH ends (click at
+    view_ts and at view_ts + exactly ATTR_HOURS join; 1s either side does
+    not), user-key isolation, and micro-batch invariance — the same events
+    split across two batches join identically to one batch (the st_extract
+    doctrine applied to stream-stream state)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming.join import (
+        ATTR_HOURS, stream_attribution_join,
+    )
+
+    utc = dt.timezone.utc
+    t0 = dt.datetime(2026, 8, 10, 12, 0, 0, tzinfo=utc)
+
+    def ev(eid, typ, uid, ts):
+        return (eid, typ, uid, ts)
+
+    rows = [
+        ev(100, "view", 1, t0),
+        ev(200, "click", 1, t0),                                  # == start
+        ev(201, "click", 1, t0 + dt.timedelta(hours=ATTR_HOURS)),  # == end
+        ev(202, "click", 1, t0 + dt.timedelta(hours=ATTR_HOURS, seconds=1)),
+        ev(203, "click", 1, t0 - dt.timedelta(seconds=1)),
+        ev(204, "click", 2, t0 + dt.timedelta(hours=1)),           # other user
+        ev(300, "view", 2, t0 + dt.timedelta(hours=1)),
+    ]
+
+    def _write(path, rs):
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rs], pa.int64()),
+            "ts": pa.array([r[3] for r in rs], pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([r[2] for r in rs], pa.int64()),
+            "event_type": pa.array([r[1] for r in rs]),
+            "value": pa.array([1.0] * len(rs)),
+            "props": pa.array(["{}"] * len(rs)),
+        }), path)
+
+    expected = {(1, 100, 200), (1, 100, 201), (2, 300, 204)}
+    results = []
+    for mode, batches in (("one", [rows]), ("split", [rows[:3], rows[3:]])):
+        in_dir = tmp_path / f"in_{mode}"
+        in_dir.mkdir()
+        name = f"ssj_{mode}_{tmp_path.name}"
+        q = stream_attribution_join(
+            spark, str(in_dir), str(tmp_path / f"ckpt_{mode}"), name)
+        try:
+            for i, b in enumerate(batches):
+                _write(str(in_dir / f"b{i}.parquet"), b)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        results.append({(r["user_id"], r["view_id"], r["click_id"])
+                        for r in spark.table(name).collect()})
+    assert results[0] == expected
+    assert results[1] == expected  # batch boundaries are output-invisible
+
+
 def test_jsonl_roundtrip_preserves_binary_bytes(spark, tmp_path):
     from pdf_parser_spark.sources.jsonl import read_jsonl, write_jsonl
 
