@@ -332,6 +332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fleet_cross_validate": _x_fleet,
         # --- text analysis ---
         "t_token_count": lambda s, d: textstats.token_count(_docs(s, d)),
+        # Heaps-law vocabulary growth: distinct types per ingest prefix —
+        # one vocab-key min-groupBy, then K-row ladder histograms + cumsums
+        "t_vocab_growth": lambda s, d: textstats.vocab_growth(_docs(s, d)),
         "t_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         # declared-vs-detected confusion audit (zero-join: prediction is
         # the same in-scan Column lang_id uses)
@@ -1867,6 +1870,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_measured
             FROM documents ORDER BY doc_id
+        """,
+        # Heaps-law growth: prefix i = docs with doc_id*K < i*N (pure
+        # integer rule, N = max+1); per-term min(doc_id) bucketed into the
+        # K-row ladder, cumulative sums over the ladder only
+        "t_vocab_growth": f"""
+            WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+            ladder AS (SELECT CAST(unnest(range(1, {TS.VG_CHECKPOINTS} + 1)) AS INT) AS ckpt),
+            pd AS (
+                SELECT (doc_id * {TS.VG_CHECKPOINTS}) // nn + 1 AS b,
+                       count(*) AS nd, sum(len({_TOKS})) AS nt
+                FROM documents, n GROUP BY 1
+            ),
+            fs AS (
+                SELECT term, min(doc_id) AS fsd FROM (
+                    SELECT doc_id,
+                           unnest(list_transform({_TOKS}, t -> lower(t))) AS term
+                    FROM documents)
+                GROUP BY term
+            ),
+            vb AS (
+                SELECT (fsd * {TS.VG_CHECKPOINTS}) // nn + 1 AS b,
+                       count(*) AS nv
+                FROM fs, n GROUP BY 1
+            )
+            SELECT ckpt,
+                   CAST(sum(coalesce(nd, 0)) OVER (ORDER BY ckpt) AS BIGINT) AS n_docs,
+                   CAST(sum(coalesce(nt, 0)) OVER (ORDER BY ckpt) AS BIGINT) AS n_tokens,
+                   CAST(sum(coalesce(nv, 0)) OVER (ORDER BY ckpt) AS BIGINT) AS vocab
+            FROM ladder
+            LEFT JOIN pd ON pd.b = ladder.ckpt
+            LEFT JOIN vb ON vb.b = ladder.ckpt
+            ORDER BY ckpt
         """,
         "t_lang_id": f"""
             SELECT doc_id,

@@ -1131,3 +1131,69 @@ def lm_surprisal(
         )
         .orderBy("doc_id")
     )
+
+
+VG_CHECKPOINTS = 8  # prefix ladder: prefix i = docs with doc_id*K < i*N
+
+
+def vocab_growth(documents: DataFrame, n_checkpoints: int = VG_CHECKPOINTS) -> DataFrame:
+    """Heaps/Herdan vocabulary-growth curve: distinct-type count after each
+    ingest prefix of the corpus — the release-audit table behind "is this
+    crawl slice adding NEW vocabulary or re-crawling the same text?" (a
+    flattening curve says the source is exhausted; Heaps' law V ~ K*n^beta
+    says a healthy one keeps a power-law slope).  Consumers fit beta from
+    the exact (n_tokens, vocab) pairs; no float ever computed here.
+
+    Prefix rule (pinned, both engines, pure integers): prefix i holds docs
+    with doc_id * K < i * N where N = max(doc_id)+1 — exactly the first
+    i/K-th of a dense id space, approximate under id gaps, and free of the
+    floor-vs-ceil boundary mismatch a precomputed-quantile ladder invites.
+
+    Plan: per-term min(doc_id) is ONE map-side-combinable groupBy on the
+    vocab key (the only corpus-scale shuffle — first-seen is an algebraic
+    min, never a sort); both the doc and vocab histograms then bucket into
+    the K-row ladder and cumulative-sum over it (quality_tiers histogram
+    doctrine: windows only ever run on the bounded ladder dim, never the
+    corpus).  The ladder is generated (spark.range) so empty buckets
+    survive as zero rows.
+
+    Returns (ckpt, n_docs, n_tokens, vocab) — all exact BIGINTs, one row
+    per ladder step, ordered by ckpt."""
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    k = int(n_checkpoints)
+    n = documents.agg(F.max("doc_id")).first()[0]
+    if n is None:
+        return spark.createDataFrame(
+            [], "ckpt int, n_docs long, n_tokens long, vocab long")
+    big_n = int(n) + 1
+    ladder = spark.range(1, k + 1).select(F.col("id").cast("int").alias("ckpt"))
+    w = Window.orderBy("ckpt").rowsBetween(Window.unboundedPreceding, 0)
+
+    # integer div, never float-divide-then-truncate (exactness doctrine)
+    bucket = F.expr(f"(doc_id * {k}) div {big_n}") + 1
+    per_doc = documents.select(
+        bucket.alias("b"),
+        F.size(words(F.col("text"))).cast("long").alias("n_toks"),
+    ).groupBy("b").agg(
+        F.count("*").alias("nd"), F.sum("n_toks").alias("nt"))
+    first_seen = (
+        documents.select(
+            "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term").agg(F.min("doc_id").alias("fs"))
+        .select((F.expr(f"(fs * {k}) div {big_n}") + 1).alias("b"))
+        .groupBy("b").agg(F.count("*").alias("nv"))
+    )
+    return (
+        ladder
+        .join(per_doc, ladder.ckpt == per_doc.b, "left").drop("b")
+        .join(first_seen, ladder.ckpt == first_seen.b, "left").drop("b")
+        .select(
+            "ckpt",
+            F.sum(F.coalesce("nd", F.lit(0))).over(w).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("nt", F.lit(0))).over(w).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(w).cast("long").alias("vocab"),
+        )
+        .orderBy("ckpt")
+    )

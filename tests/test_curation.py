@@ -435,6 +435,40 @@ def test_quality_tiers_value_quantile_binning(spark):
     assert out2 == {i: 9 - i for i in range(10)}
 
 
+def test_vocab_growth_heaps_curve(spark):
+    """Exact hand curve at K=4 over dense ids (bucket = doc_id + 1): token
+    cumsum counts case-sensitively-split tokens, vocabulary counts
+    LOWERCASED first-seen types (the 'B' in d2 is not a new type), an
+    empty bucket rides through as a flat step, and on the real corpus the
+    curve is monotone with exact endpoints."""
+    from pdf_parser_spark.operators import textstats as T
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"), (2, "b B b"), (3, "a d d")],
+        "doc_id long, text string",
+    )
+    got = [(r["ckpt"], r["n_docs"], r["n_tokens"], r["vocab"])
+           for r in T.vocab_growth(docs, n_checkpoints=4).collect()]
+    assert got == [(1, 1, 3, 2), (2, 2, 5, 3), (3, 3, 8, 3), (4, 4, 11, 4)]
+
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    curve = T.vocab_growth(real).collect()
+    assert len(curve) == T.VG_CHECKPOINTS
+    for a, b in zip(curve, curve[1:]):
+        assert (a["n_docs"] <= b["n_docs"] and a["n_tokens"] <= b["n_tokens"]
+                and a["vocab"] <= b["vocab"])
+    # exact endpoints: the last step IS the corpus
+    from pyspark.sql import functions as F  # noqa: N812
+    from pdf_parser_spark.functions import words
+    last = curve[-1]
+    assert last["n_docs"] == real.count()
+    totals = real.select(
+        F.explode(words(F.lower(F.col("text")))).alias("t")).agg(
+        F.count("*").alias("nt"), F.countDistinct("t").alias("nv")).first()
+    assert last["n_tokens"] == totals["nt"]
+    assert last["vocab"] == totals["nv"]
+
+
 def test_top_terms_rank_tiebreak_and_floor(spark):
     from pdf_parser_spark.operators import textstats
 
