@@ -764,6 +764,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "host"),
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
            _docs(s, d)),
+        # Broder bow-tie decomposition of the host graph: core/in/out/other
+        # relative to the min-host pivot's SCC, two bounded reachability
+        # sweeps on the compressed graph
+        "g_bowtie": lambda s, d: (lambda lg, docs: lg.bowtie(
+            lg.synthetic_edges(docs),
+            weburl.canonicalize(weburl.with_synthetic_urls(docs))
+            .select("doc_id", "host"),
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
+           _docs(s, d)),
         # crawl-frontier assembly: robots ∩ quota ∩ pagerank, per-host queues
         "g_frontier": lambda s, d: (lambda lg: lg.frontier_schedule(
             _docs(s, d)
@@ -3366,6 +3375,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.label AS community, s.community_size
             FROM {_lpa_prev} l JOIN sizes s USING (label)
             ORDER BY l.host
+        """,
+        # bow-tie: fwd/bwd depth-bounded recursive reachability from the
+        # min-host pivot over the distinct host edges; region = flag CASE
+        "g_bowtie": f"""
+            WITH RECURSIVE {_url_cte},
+            edges AS ({_edges_sql}),
+            hg AS (
+                SELECT DISTINCT cs.host AS s, cd.host AS d
+                FROM edges e
+                JOIN canon cs ON cs.doc_id = e.src
+                JOIN canon cd ON cd.doc_id = e.dst
+                WHERE cs.host <> cd.host
+            ),
+            piv AS (SELECT min(h) AS p FROM
+                    (SELECT s AS h FROM hg UNION SELECT d FROM hg)),
+            fw(host, dep) AS (
+                SELECT p, 0 FROM piv
+                UNION
+                SELECT hg.d, dep + 1 FROM fw JOIN hg ON hg.s = fw.host
+                WHERE dep < {LG.BOWTIE_HOPS}
+            ),
+            bw(host, dep) AS (
+                SELECT p, 0 FROM piv
+                UNION
+                SELECT hg.s, dep + 1 FROM bw JOIN hg ON hg.d = bw.host
+                WHERE dep < {LG.BOWTIE_HOPS}
+            ),
+            f AS (SELECT DISTINCT host FROM fw),
+            b AS (SELECT DISTINCT host FROM bw),
+            nodes AS (SELECT DISTINCT host FROM canon)
+            SELECT n.host,
+                   CASE WHEN f.host IS NOT NULL AND b.host IS NOT NULL THEN 'core'
+                        WHEN b.host IS NOT NULL THEN 'in'
+                        WHEN f.host IS NOT NULL THEN 'out'
+                        ELSE 'other' END AS region
+            FROM nodes n
+            LEFT JOIN f ON f.host = n.host
+            LEFT JOIN b ON b.host = n.host
+            ORDER BY n.host
         """,
         # TrustRank: seeded teleport — non-seed pages hold only flowed trust
         "g_trustrank": f"""

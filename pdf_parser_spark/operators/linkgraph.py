@@ -693,3 +693,86 @@ def host_communities(
     )
     und.unpersist()
     return out
+
+
+BOWTIE_HOPS = 8  # reachability horizon (shared by engine and oracle twin)
+
+
+def _reach(start: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
+    """Distinct nodes reachable from ``start`` (inclusive) following
+    (src -> dst) within max_hops: per round one equi join + one distinct
+    union, lineage truncated, exact early stop when the frontier count
+    stops growing (reachability is monotone, so an unchanged count IS the
+    fixpoint — no per-row diff needed)."""
+    reached = start.select("node").distinct().localCheckpoint()
+    n = reached.count()
+    for _ in range(max_hops):
+        nxt = (
+            edges.join(reached, edges["src"] == reached["node"])
+            .select(edges["dst"].alias("node"))
+        )
+        reached = reached.unionByName(nxt).distinct().localCheckpoint()
+        m = reached.count()
+        if m == n:
+            break
+        n = m
+    return reached
+
+
+def bowtie(edges: DataFrame, urls: DataFrame, max_hops: int = BOWTIE_HOPS) -> DataFrame:
+    """Bow-tie decomposition of the host graph (Broder et al., WWW 2000 —
+    THE web-structure result: the web is a strongly connected CORE with an
+    IN set that reaches it, an OUT set it reaches, and tendrils/islands):
+    (host, region) with region in core/in/out/other, regions defined
+    relative to the SCC of a deterministic pivot (the lexicographically
+    smallest host appearing on any inter-host edge; Broder's giant-SCC
+    framing needs an SCC enumeration — pivot-relative is the
+    deterministic, oracle-checkable form, and on a web-shaped graph the
+    min-host pivot lands in the giant SCC with overwhelming probability).
+
+    core = fwd-reach(pivot) ∩ bwd-reach(pivot); in = bwd \\ core;
+    out = fwd \\ core; other = tendrils + disconnected (incl. hosts with
+    no inter-host edges at all).
+
+    Scale: both reachability sweeps run on the COMPRESSED host graph
+    (host_graph doctrine), each round one key equi join + distinct — the
+    connected_components shape; horizon-bounded with exact early stop.
+    The final region tag is two left-join flags over the host dim."""
+    hg = host_graph(edges, urls).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    ).distinct().persist()
+    hg.count()
+    verts = hg.select(F.col("src").alias("h")).unionByName(
+        hg.select(F.col("dst").alias("h"))).distinct()
+    pivot_row = verts.agg(F.min("h")).first()
+    nodes = urls.select("host").distinct()
+    if pivot_row[0] is None:  # no inter-host edges: everything is 'other'
+        hg.unpersist()
+        return nodes.select(
+            "host", F.lit("other").alias("region")).orderBy("host")
+    pivot = nodes.sparkSession.createDataFrame(
+        [(pivot_row[0],)], "node string")
+    fwd = _reach(pivot, hg, max_hops)
+    bwd = _reach(
+        pivot,
+        hg.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        max_hops,
+    )
+    out = (
+        nodes
+        .join(fwd.select(F.col("node").alias("host"), F.lit(True).alias("f")),
+              "host", "left")
+        .join(bwd.select(F.col("node").alias("host"), F.lit(True).alias("b")),
+              "host", "left")
+        .select(
+            "host",
+            F.when(F.col("f") & F.col("b"), "core")
+            .when(F.col("b"), "in")
+            .when(F.col("f"), "out")
+            .otherwise("other").alias("region"),
+        )
+        .orderBy("host")
+        .localCheckpoint(eager=True)
+    )
+    hg.unpersist()
+    return out

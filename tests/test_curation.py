@@ -789,6 +789,37 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_bowtie_regions_on_engineered_graph(spark):
+    """Broder bow-tie pins on a hand graph: a 2-host cycle is the core
+    (pivot = min host a1 sits in it), a host linking INTO the cycle is
+    'in', a host the cycle links to is 'out', a tendril hanging off the
+    IN set and an isolated host are both 'other'."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    urls = spark.createDataFrame(
+        [(0, "a1"), (1, "a2"), (2, "i1"), (3, "o1"), (4, "t1"), (5, "z")],
+        "doc_id long, host string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0),   # core cycle a1 <-> a2
+         (2, 0),           # i1 -> a1   (IN)
+         (1, 3),           # a2 -> o1   (OUT)
+         (2, 4)],          # i1 -> t1   (tendril off IN: 'other')
+        "src long, dst long",
+    )
+    got = {r["host"]: r["region"] for r in lg.bowtie(edges, urls).collect()}
+    assert got == {"a1": "core", "a2": "core", "i1": "in",
+                   "o1": "out", "t1": "other", "z": "other"}
+
+    # no inter-host edges at all -> every host is 'other'
+    lonely = spark.createDataFrame([(0, 3)], "src long, dst long")
+    one_host = spark.createDataFrame(
+        [(0, "only"), (3, "only")], "doc_id long, host string")
+    got2 = {r["host"]: r["region"]
+            for r in lg.bowtie(lonely, one_host).collect()}
+    assert got2 == {"only": "other"}
+
+
 def test_host_communities_weighted_lpa(spark):
     """LPA semantics pins: two 3-host cliques joined by one weak edge
     resolve to two communities (the w=1 bridge never outvotes the w=3
