@@ -552,6 +552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id"),
         # real frame sampling over concatenated-P6 streams (ffmpeg
         # image2pipe wire format): every 2nd frame re-emitted standalone
+        # shot-boundary detection: per consecutive-frame SAD over real P6
+        # streams, exact-integer verdicts (audio_energy doctrine on video)
+        "m_shot_detect": lambda s, d: multimodal.shot_boundaries(
+            multimodal.synthetic_video(_docs(s, d))
+        ),
         "m_frame_sample": lambda s, d: multimodal.sample_ppm_frames(
             multimodal.synthetic_video(_docs(s, d))
         ).select(
@@ -3638,6 +3643,29 @@ def oracle_sql() -> dict[str, str]:
         # sampled frames recomputed from the stream-synthesis formulas:
         # frame f of doc d has raster byte i = (i*11 + d + f) % 256 and
         # dims (4+d%8, 4+(d//7)%8); sampling keeps frames 0,2,4,...
+        # shot detection: the synthesis shifts every raster byte by +1 per
+        # frame, so |diff| is 1 except at the 255->0 wrap — sad = n_px +
+        # 254 * wrap_count, recomputed exactly from the seed formula; a
+        # parse/pairing bug in the engine's real-bytes walk mismatches
+        "m_shot_detect": f"""
+            WITH p AS (
+                SELECT doc_id, 4 + doc_id % 8 AS w, 4 + (doc_id // 7) % 8 AS h,
+                       3 + doc_id % 4 AS nf
+                FROM documents
+            ), fr AS (
+                SELECT doc_id, 3 * w * h AS npx, unnest(range(1, nf)) AS fi
+                FROM p
+            ), s AS (
+                SELECT doc_id, fi, npx,
+                       npx + 254 * len(list_filter(range(0, npx),
+                           i -> (i * 11 + doc_id + fi - 1) % 256 = 255)) AS sad
+                FROM fr
+            )
+            SELECT doc_id, CAST(fi AS INT) AS frame_index,
+                   CAST(npx AS BIGINT) AS n_px, CAST(sad AS BIGINT) AS sad,
+                   sad > {MM.SHOT_MEANDIFF} * npx AS is_cut
+            FROM s ORDER BY doc_id, frame_index
+        """,
         "m_frame_sample": f"""
             WITH p AS (
                 SELECT doc_id, 4 + doc_id % 8 AS w, 4 + (doc_id // 7) % 8 AS h,

@@ -1176,6 +1176,37 @@ def test_audio_energy_windows_and_silence(spark):
     assert a * a == M.AE_SIL_MEANSQ  # the boundary case really is exact
 
 
+def test_shot_boundaries_sad_and_cuts(spark):
+    """Shot-detection pins: identical consecutive frames -> sad 0, no cut;
+    an inverted frame -> max SAD and a cut; a dimension flip -> the format
+    cut (sad -1, is_cut); a single-frame stream emits no pairs."""
+    import numpy as np
+
+    from pdf_parser_spark.operators import multimodal as M
+
+    def p6(raster, w, h):
+        return (f"P6\n{w} {h}\n255\n".encode()
+                + np.asarray(raster, np.uint8).tobytes())
+
+    w, h = 4, 2
+    npx = 3 * w * h
+    flat = [10] * npx
+    inv = [245] * npx                       # |245-10| = 235 > 64 everywhere
+    stream = (p6(flat, w, h) + p6(flat, w, h) + p6(inv, w, h)
+              + p6([0] * 27, 3, 3))         # dims flip 4x2 -> 3x3
+    df = spark.createDataFrame(
+        [(0, bytearray(stream)), (1, bytearray(p6(flat, w, h)))],
+        "doc_id long, payload binary",
+    )
+    rows = [(r["doc_id"], r["frame_index"], r["n_px"], r["sad"], r["is_cut"])
+            for r in M.shot_boundaries(df).collect()]
+    assert rows == [
+        (0, 1, npx, 0, False),
+        (0, 2, npx, 235 * npx, True),
+        (0, 3, 27, -1, True),
+    ]  # doc 1 (single frame): no pairs
+
+
 def test_transform_media_spark_stage(spark):
     from pdf_parser_spark.operators.multimodal import (
         synthetic_media, transform_media,
