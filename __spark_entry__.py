@@ -585,6 +585,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_domain_rollup": lambda s, d: weburl.domain_rollup(
             weburl.with_synthetic_urls(_docs(s, d))
         ),
+        # hreflang translation clusters: real regexp extraction -> shared
+        # canonicalize on the declared hrefs -> url-dim resolve (dangling
+        # declarations drop like 404s) -> symmetrized transitive closure
+        "u_hreflang": lambda s, d: weburl.hreflang_clusters(_docs(s, d)),
         # SURT keys (Common Crawl / CDX sort order): reversed comma-joined
         # host labels, one leading www. folded, non-default port kept
         "u_surt": lambda s, d: weburl.surt_key(
@@ -2702,6 +2706,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.url, c.canonical_url, c.host, r.reg_domain
             FROM canon c JOIN reg r USING (host)
             ORDER BY c.doc_id
+        """,
+        # hreflang clusters: declaration chains predicted from the group
+        # formula, resolved through the SAME canon map (url collisions
+        # merge identically on both sides), closed with the d_components
+        # recursive-CTE shape; singletons coalesce to self
+        "u_hreflang": f"""
+            WITH RECURSIVE {_url_cte},
+            decl AS (
+                SELECT doc_id, doc_id - 1 AS tgt FROM documents
+                WHERE doc_id % {WU.HREFLANG_GROUP} <> 0 AND doc_id >= 1
+            ),
+            e0 AS (
+                SELECT d.doc_id AS a, c2.doc_id AS b
+                FROM decl d
+                JOIN canon c1 ON c1.doc_id = d.tgt
+                JOIN canon c2 ON c2.canonical_url = c1.canonical_url
+                WHERE c2.doc_id <> d.doc_id
+            ),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, r.r FROM reach r JOIN edges e ON e.b = r.node
+            ),
+            comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            lab AS (
+                SELECT d.doc_id, d.lang,
+                       coalesce(c.component, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            ),
+            sz AS (
+                SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+                       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+                FROM lab GROUP BY cluster
+            )
+            SELECT l.doc_id, l.cluster, s.n_members, s.n_langs
+            FROM lab l JOIN sz s USING (cluster) ORDER BY l.doc_id
         """,
         # SURT: reversed comma-joined host labels (one leading www. folded),
         # non-default port kept, ')' + path+query — recomputed from the

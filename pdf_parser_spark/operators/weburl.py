@@ -1092,3 +1092,115 @@ def cdx_authority_index(documents: DataFrame) -> DataFrame:
         )
         .orderBy("authority")
     )
+
+
+# ---------------------------------------------------------------------------
+# hreflang translation clusters: the multilingual-alignment entry point.
+# Sites declare language alternates via <link rel="alternate" hreflang=..>
+# (Google's multilingual-site protocol); clustering pages by those
+# declarations is how bitext-mining pipelines (CCMatrix/CCAligned lineage)
+# find candidate translation PAIRS before any embedding comparison runs —
+# a declared cluster of {en, es, fr} pages is three aligned documents for
+# free.  Declarations are messy in the wild (one-directional, partial,
+# dangling), so the cluster is the TRANSITIVE closure of the symmetrized
+# declaration graph, not the declaration list itself.
+# ---------------------------------------------------------------------------
+
+HREFLANG_RE = r'<link rel="alternate" hreflang="[a-z-]*" href="([^"]+)"'
+HREFLANG_GROUP = 3   # synthetic translation groups: ids {3k, 3k+1, 3k+2}
+HREFLANG_DANGLE_MOD = 7  # doc_id%7==0 also declares a 404 alternate
+
+
+def with_hreflang_html(documents: DataFrame) -> DataFrame:
+    """Synthesize page html whose hreflang declarations form per-group
+    CHAINS (member k>0 declares only member k-1's RAW synthetic url), so
+    resolving a full cluster genuinely requires symmetrize + transitive
+    closure; doc_id%7==0 rows also declare a dangling alternate that
+    resolves to no corpus url (the 404 case the join must drop), and every
+    page carries a rel=stylesheet decoy the extraction regex must ignore.
+    Built dataflow-style: one self-join fetches the chain target's url —
+    the formula is never duplicated."""
+    u = with_synthetic_urls(documents).select(
+        "doc_id", "lang", F.col("url").alias("target_url"))
+    d = F.col("doc_id")
+    link = F.when(
+        (d % HREFLANG_GROUP != 0) & F.col("t_url").isNotNull(),
+        F.concat(F.lit('<link rel="alternate" hreflang="'), F.col("t_lang"),
+                 F.lit('" href="'), F.col("t_url"), F.lit('">')),
+    ).otherwise(F.lit(""))
+    dangle = F.when(
+        d % HREFLANG_DANGLE_MOD == 0,
+        F.lit('<link rel="alternate" hreflang="xx" '
+              'href="http://dangling.invalid/gone">'),
+    ).otherwise(F.lit(""))
+    decoy = F.lit('<link rel="stylesheet" href="/css/site.css">')
+    targets = u.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("target_url").alias("t_url"),
+        F.col("lang").alias("t_lang"),
+    )
+    return (
+        documents.join(targets, "doc_id", "left")
+        .withColumn(
+            "html",
+            F.concat(F.lit("<html><head>"), link, dangle, decoy,
+                     F.lit("</head><body>p"), d, F.lit("</body></html>")),
+        )
+        .drop("t_url", "t_lang")
+    )
+
+
+def hreflang_clusters(documents: DataFrame) -> DataFrame:
+    """(doc_id, cluster, n_members, n_langs): translation clusters from
+    REAL hreflang extraction — one JVM regexp_extract_all over the page
+    html, declared hrefs canonicalized with the SAME canonicalize transform
+    the corpus urls went through, resolved to doc ids by an equi join on
+    canonical_url (dangling declarations drop here, exactly like a 404),
+    symmetrized and transitively closed with the shared
+    dedup.connected_components propagation; docs with no surviving
+    declaration are singleton clusters of themselves.  n_langs counts
+    DISTINCT langs per cluster — the bitext-pair yield signal (a cluster
+    with n_langs == 1 is a same-language mirror set, not translations).
+
+    Scale: the extraction and both canonicalize passes are in-scan column
+    ops; the resolve is a key equi join against the url dim; the closure
+    runs only on DECLARED pages (the candidate set, never the corpus) —
+    the connected_components admission rule."""
+    from pdf_parser_spark.operators.dedup import connected_components
+
+    pages = with_hreflang_html(documents)
+    corpus = canonicalize(with_synthetic_urls(documents)).select(
+        F.col("canonical_url").alias("cu"), F.col("doc_id").alias("target_id"))
+    hrefs = (
+        pages.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("html", F.lit(HREFLANG_RE), F.lit(1))
+            ).alias("url"),
+        )
+    )
+    edges = (
+        canonicalize(hrefs)
+        .select("doc_id", F.col("canonical_url").alias("cu"))
+        .join(corpus, "cu")
+        .where(F.col("doc_id") != F.col("target_id"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("target_id").alias("doc_b"))
+    )
+    comp = connected_components(edges).select("doc_id", "component")
+    labeled = (
+        documents.select("doc_id", "lang")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            F.coalesce("component", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    sizes = labeled.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    return (
+        labeled.join(sizes, "cluster")
+        .select("doc_id", "cluster", "n_members", "n_langs")
+        .orderBy("doc_id")
+    )

@@ -789,6 +789,36 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_hreflang_clusters_chain_closure_and_negatives(spark):
+    """hreflang pins: the per-group declaration CHAIN (1->0, 2->1) closes
+    transitively into one 3-member cluster labeled by its min id with
+    n_langs counting distinct langs; the %7==0 dangling declaration and
+    the rel=stylesheet decoy create no edges; a group-leader with no
+    followers is a singleton."""
+    from pdf_parser_spark.operators import weburl as W
+
+    docs = spark.createDataFrame(
+        [(0, "en", "alpha"), (1, "es", "beta"),
+         (2, "fr", "gamma"), (3, "en", "delta")],
+        "doc_id long, lang string, source string",
+    )
+    html = {r["doc_id"]: r["html"]
+            for r in W.with_hreflang_html(docs).collect()}
+    assert html[1].count('rel="alternate"') == 1
+    assert 'hreflang="en"' in html[1]          # target 0's lang rides along
+    assert html[0].count('rel="alternate"') == 1   # ONLY the dangling decl
+    assert "dangling.invalid" in html[0]
+    assert html[3].count('rel="alternate"') == 0   # group leader: none
+    assert all('rel="stylesheet"' in h for h in html.values())
+
+    got = {r["doc_id"]: (r["cluster"], r["n_members"], r["n_langs"])
+           for r in W.hreflang_clusters(docs).collect()}
+    assert got == {
+        0: (0, 3, 3), 1: (0, 3, 3), 2: (0, 3, 3),
+        3: (3, 1, 1),
+    }
+
+
 def test_bowtie_regions_on_engineered_graph(spark):
     """Broder bow-tie pins on a hand graph: a 2-host cycle is the core
     (pivot = min host a1 sits in it), a host linking INTO the cycle is
