@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_lang_summary": R.w3_lang_summary,
         "v2_tolerance_bands": R.v2_tolerance_bands,
         "w4_sessionize": R.w4_sessionize,
+        # strictly-ordered first-touch funnel: chained window mins over ONE
+        # user partitioning, exact-bp conversion — never an events^3 self-join
+        "w5_funnel": R.w5_funnel,
         "st_sessionize": _st_sessionize,
         "f_regex_extract": R.f_regex_extract,
         # GeoAlign-style aggregate alignment across unaligned time grids
@@ -1510,6 +1513,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    round(sum(value), 4) AS session_value
             FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        # first-touch funnel: per-user conditional mins chained strictly,
+        # counts of non-null steps, integer-bp conversion
+        "w5_funnel": """
+            WITH u1 AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+                FROM events GROUP BY user_id
+            ), u2 AS (
+                SELECT e.user_id, any_value(u1.t1) AS t1,
+                       min(CASE WHEN e.event_type = 'click'
+                                 AND e.ts > u1.t1 THEN e.ts END) AS t2
+                FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id
+            ), u3 AS (
+                SELECT e.user_id, any_value(u2.t1) AS t1,
+                       any_value(u2.t2) AS t2,
+                       min(CASE WHEN e.event_type = 'purchase'
+                                 AND e.ts > u2.t2 THEN e.ts END) AS t3
+                FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id
+            ), f AS (
+                SELECT count(t1) AS c1, count(t2) AS c2, count(t3) AS c3
+                FROM u3
+            )
+            SELECT step, step_name, CAST(n AS BIGINT) AS n_users,
+                   CAST(CASE WHEN c1 = 0 THEN 0
+                             ELSE (10000 * n) // c1 END AS BIGINT) AS conv_bp
+            FROM f, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+                 AS s(step, step_name),
+                 LATERAL (SELECT CASE step WHEN 1 THEN c1 WHEN 2 THEN c2
+                                 ELSE c3 END AS n)
+            ORDER BY step
         """,
         # streaming twin of W4 — held to the SAME sql oracle (bounded replay
         # through applyInPandasWithState must reproduce the batch sessions)

@@ -112,6 +112,63 @@ def w4_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> Da
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def w5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered first-touch funnel over the event stream — the
+    product-analytics staple (and the crawl analog: fetched -> parsed ->
+    kept): per user, t1 = first view, t2 = first click strictly AFTER t1,
+    t3 = first purchase strictly after t2; a user converts step k iff tk
+    exists.  Output: one row per step (step, step_name, n_users, conv_bp)
+    with conversion in exact integer basis points of step-1 users.
+
+    Plan: the three first-touch timestamps are chained whole-partition
+    window mins over ONE (user_id) partitioning — a single Exchange serves
+    all three (each step's condition references the previous step's column,
+    which Spark evaluates within the same window stage); then one groupBy
+    per user collapses to a user row and one global 3-way count aggregates.
+    No per-user sort, no event self-join (the naive funnel is events^3).
+    Ties are strict: a click at exactly t1 does NOT convert (pinned)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts = F.col("ts")
+    s1, s2, s3 = FUNNEL_STEPS
+    df = events.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == s1, ts)).over(w))
+    df = df.withColumn(
+        "t2", F.min(F.when((F.col("event_type") == s2) & (ts > F.col("t1")),
+                           ts)).over(w))
+    df = df.withColumn(
+        "t3", F.min(F.when((F.col("event_type") == s3) & (ts > F.col("t2")),
+                           ts)).over(w))
+    per_user = df.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"))
+    agg = per_user.agg(
+        F.count("t1").alias("c1"), F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"))
+    steps = F.explode(F.array(
+        F.struct(F.lit(1).alias("step"), F.lit(s1).alias("step_name"),
+                 F.col("c1").alias("n")),
+        F.struct(F.lit(2).alias("step"), F.lit(s2).alias("step_name"),
+                 F.col("c2").alias("n")),
+        F.struct(F.lit(3).alias("step"), F.lit(s3).alias("step_name"),
+                 F.col("c3").alias("n")),
+    ))
+    return (
+        agg.select(steps.alias("s"), "c1")
+        .select(
+            F.col("s.step").alias("step"),
+            F.col("s.step_name").alias("step_name"),
+            F.col("s.n").cast("long").alias("n_users"),
+            F.expr("CASE WHEN c1 = 0 THEN 0 ELSE (10000 * s.n) div c1 END")
+            .cast("long").alias("conv_bp"),
+        )
+        .orderBy("step")
+    )
+
+
 # --- scalar regex projection ---------------------------------------------------
 
 def f_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -479,6 +479,45 @@ def test_streaming_sessionize_matches_batch(spark):
     assert stream == batch and len(stream) > 0
 
 
+def test_w5_funnel_strict_ordering(spark, tmp_path):
+    """Funnel pins: a click at EXACTLY the first-view instant does not
+    convert (strict >), pre-view clicks never count, purchase must follow
+    the counted click (not just any click), and conversion bp is exact
+    integer division of step-1 users."""
+    import datetime as dt
+
+    from pdf_parser_spark.plans.relational import w5_funnel
+
+    utc = dt.timezone.utc
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m, tzinfo=utc)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, t(0), 1, "view", 1.0, "{}"), (2, t(1), 1, "click", 1.0, "{}"),
+        (3, t(2), 1, "purchase", 1.0, "{}"),
+        # u2: click at exactly the view instant -> step2 NOT converted,
+        # purchase after it also not (no t2)
+        (4, t(0), 2, "view", 1.0, "{}"), (5, t(0), 2, "click", 1.0, "{}"),
+        (6, t(5), 2, "purchase", 1.0, "{}"),
+        # u3: click BEFORE the first view only -> not converted
+        (7, t(5), 3, "view", 1.0, "{}"), (8, t(1), 3, "click", 1.0, "{}"),
+        # u4: purchase lands between view and the first valid click ->
+        # step3 not converted (strictly AFTER t2 required)
+        (9, t(0), 4, "view", 1.0, "{}"), (10, t(3), 4, "purchase", 1.0, "{}"),
+        (11, t(4), 4, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = [(r["step"], r["step_name"], r["n_users"], r["conv_bp"])
+           for r in w5_funnel(spark, str(tmp_path)).collect()]
+    assert got == [
+        (1, "view", 4, 10000),
+        (2, "click", 2, 5000),     # u1 and u4
+        (3, "purchase", 1, 2500),  # u1 only
+    ]
+
+
 def test_xbrl_dimension_operators(spark):
     """N6 unit-preference/segment/period rules + N7 '/A' normalization (SURVEY
     §2.7; ref edgar_client.py:116-295)."""
