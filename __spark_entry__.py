@@ -776,6 +776,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "host"),
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
            _docs(s, d)),
+        # log2-binned degree histogram of the host graph: the power-law
+        # audit, exact-integer bins via length(bin(deg))-1
+        "g_degree_dist": lambda s, d: (lambda lg, docs: lg.degree_distribution(
+            lg.synthetic_edges(docs),
+            weburl.canonicalize(weburl.with_synthetic_urls(docs))
+            .select("doc_id", "host"),
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
+           _docs(s, d)),
         # Broder bow-tie decomposition of the host graph: core/in/out/other
         # relative to the min-host pivot's SCC, two bounded reachability
         # sweeps on the compressed graph
@@ -3455,6 +3463,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.label AS community, s.community_size
             FROM {_lpa_prev} l JOIN sizes s USING (label)
             ORDER BY l.host
+        """,
+        # degree histogram: distinct-pair host graph, floor(log2) bins via
+        # the shared length(bin(x))-1 integer-log idiom
+        "g_degree_dist": f"""
+            WITH {_url_cte},
+            edges AS ({_edges_sql}),
+            hg AS (
+                SELECT DISTINCT cs.host AS s, cd.host AS d
+                FROM edges e
+                JOIN canon cs ON cs.doc_id = e.src
+                JOIN canon cd ON cd.doc_id = e.dst
+                WHERE cs.host <> cd.host
+            ),
+            degs AS (
+                SELECT 'out' AS direction, s AS h, count(*) AS deg
+                FROM hg GROUP BY s
+                UNION ALL
+                SELECT 'in' AS direction, d AS h, count(*) AS deg
+                FROM hg GROUP BY d
+            )
+            SELECT direction, CAST(length(bin(deg)) - 1 AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_hosts,
+                   CAST(min(deg) AS BIGINT) AS min_deg,
+                   CAST(max(deg) AS BIGINT) AS max_deg
+            FROM degs GROUP BY direction, bin ORDER BY direction, bin
         """,
         # bow-tie: fwd/bwd depth-bounded recursive reachability from the
         # min-host pivot over the distinct host edges; region = flag CASE

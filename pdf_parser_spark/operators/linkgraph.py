@@ -776,3 +776,43 @@ def bowtie(edges: DataFrame, urls: DataFrame, max_hops: int = BOWTIE_HOPS) -> Da
     )
     hg.unpersist()
     return out
+
+
+def degree_distribution(edges: DataFrame, urls: DataFrame) -> DataFrame:
+    """Log2-binned in/out degree histogram of the host graph — the
+    power-law audit (Broder et al. report web degree distributions as
+    straight lines on log-log axes; a crawl whose histogram bends is
+    over-sampling hubs or trapped in a generated neighborhood, and the
+    histogram is the first thing to compare across crawl cycles).
+
+    Degree = DISTINCT neighbor hosts (host_graph emits unique pairs, so a
+    groupBy-count on one endpoint IS the graph degree, multiplicity
+    already folded).  bin = floor(log2(degree)) computed as
+    length(bin(degree)) - 1 — the exact-integer log the surprisal op
+    established, identical bytes in both engines, no float log2 ever.
+
+    Returns (direction, bin, n_hosts, min_deg, max_deg) ordered — one row
+    per occupied bin per direction; the bin table is O(log max-degree)
+    rows however large the graph.  Scale: two groupBys on the compressed
+    host graph, then two groupBys on host-dim degree tables."""
+    hg = host_graph(edges, urls).select("src_host", "dst_host")
+
+    def _hist(col: str, direction: str) -> DataFrame:
+        deg = hg.groupBy(col).agg(F.count("*").cast("long").alias("deg"))
+        return (
+            deg.withColumn("bin", F.expr("length(bin(deg)) - 1").cast("int"))
+            .groupBy("bin")
+            .agg(
+                F.count("*").cast("long").alias("n_hosts"),
+                F.min("deg").alias("min_deg"),
+                F.max("deg").alias("max_deg"),
+            )
+            .withColumn("direction", F.lit(direction))
+        )
+
+    return (
+        _hist("src_host", "out")
+        .unionByName(_hist("dst_host", "in"))
+        .select("direction", "bin", "n_hosts", "min_deg", "max_deg")
+        .orderBy("direction", "bin")
+    )

@@ -789,6 +789,31 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_degree_distribution_log2_bins(spark):
+    """Degree histogram pins: a 5-out-host lands in bin 2 ([4,7]), three
+    1-out-hosts in bin 0, degree counts DISTINCT neighbors (parallel page
+    edges fold), and in/out are independent histograms."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    urls = spark.createDataFrame(
+        [(i, f"h{i}") for i in range(7)], "doc_id long, host string")
+    edges = spark.createDataFrame(
+        # h0 -> h1..h5 (out-degree 5; the duplicate h0->h1 page edge folds)
+        [(0, 1), (0, 1), (0, 2), (0, 3), (0, 4), (0, 5),
+         # h1, h2, h3 each -> h6 (out-degree 1 each; h6 in-degree 3)
+         (1, 6), (2, 6), (3, 6)],
+        "src long, dst long",
+    )
+    got = {(r["direction"], r["bin"]): (r["n_hosts"], r["min_deg"], r["max_deg"])
+           for r in lg.degree_distribution(edges, urls).collect()}
+    assert got[("out", 2)] == (1, 5, 5)     # h0: deg 5 -> bin 2
+    assert got[("out", 0)] == (3, 1, 1)     # h1,h2,h3
+    assert got[("in", 1)] == (1, 3, 3)      # h6: in-deg 3 -> bin 1
+    # h1..h5 in-degree 1 each -> bin 0 with 5 hosts
+    assert got[("in", 0)] == (5, 1, 1)
+    assert set(got) == {("out", 2), ("out", 0), ("in", 1), ("in", 0)}
+
+
 def test_hreflang_clusters_chain_closure_and_negatives(spark):
     """hreflang pins: the per-group declaration CHAIN (1->0, 2->1) closes
     transitively into one 3-member cluster labeled by its min id with
