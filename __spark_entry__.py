@@ -661,6 +661,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_jsonl_roundtrip": lambda s, d: __import__(
             "pdf_parser_spark.sources.jsonl", fromlist=["roundtrip"]
         ).roundtrip(s, d),
+        # ORC round-trip: the second columnar interchange format — binary
+        # html crosses Spark's native ORC path; hashes held to the
+        # documents-only oracle (DuckDB never reads ORC)
+        "u_orc_roundtrip": lambda s, d: __import__(
+            "pdf_parser_spark.sources.orc", fromlist=["roundtrip"]
+        ).roundtrip(s, d),
         # --- corpus curation (training-data build steps) ---
         "c_decontaminate": lambda s, d: curation.decontaminate(
             _docs(s, d), curation.benchmark_snippets(_docs(s, d))
@@ -3199,6 +3205,17 @@ def oracle_sql() -> dict[str, str]:
         # JSONL round-trip: html synthesized as '<html><body>'||text||...,
         # so both md5 pins are recomputable from documents alone
         "u_jsonl_roundtrip": """
+            SELECT doc_id,
+                   'doc://' || source || '/' || doc_id AS url,
+                   lang,
+                   CAST(length(text) AS BIGINT) AS n_chars_rt,
+                   md5(text) AS text_md5,
+                   md5('<html><body>' || text || '</body></html>') AS html_md5
+            FROM documents ORDER BY doc_id
+        """,
+        # ORC round trip: same fidelity contract as jsonl — the oracle
+        # recomputes both hashes from documents alone
+        "u_orc_roundtrip": """
             SELECT doc_id,
                    'doc://' || source || '/' || doc_id AS url,
                    lang,

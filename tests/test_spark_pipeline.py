@@ -1078,6 +1078,26 @@ def test_stream_stream_join_bounds_and_batch_invariance(spark, tmp_path):
     assert results[1] == expected  # batch boundaries are output-invisible
 
 
+def test_orc_roundtrip_binary_and_pushdown(spark, tmp_path):
+    """ORC source/sink: non-UTF-8 binary survives byte-exact, and a filter
+    on the read side reaches the ORC scan as a pushed filter (the same
+    scan-efficiency contract as parquet)."""
+    from pdf_parser_spark.sources.orc import read_orc, write_orc
+
+    payload = bytes(range(256))
+    pages = spark.createDataFrame(
+        [("u1", None, bytearray(payload), "t1", "en"),
+         ("u2", None, bytearray(b"\x00\xff"), "t2", "es")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    write_orc(pages, str(tmp_path / "orc"))
+    back = read_orc(spark, str(tmp_path / "orc"))
+    got = {r["url"]: bytes(r["html"]) for r in back.collect()}
+    assert got == {"u1": payload, "u2": b"\x00\xff"}
+    plan = back.where(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:80]
+
+
 def test_jsonl_roundtrip_preserves_binary_bytes(spark, tmp_path):
     from pdf_parser_spark.sources.jsonl import read_jsonl, write_jsonl
 
