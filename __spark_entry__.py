@@ -380,6 +380,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 weburl.with_robots_allow(canon.select("host").distinct())
             ),
         ))(weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))),
+        # wildcard robots grammar: '*' spans + trailing '$' anchor, raw
+        # pattern length ranks, parsed from real bytes
+        "u_robots_wild": lambda s, d: (lambda canon: weburl.robots_decision_wildcard(
+            canon,
+            weburl.parse_robots_rules(
+                weburl.with_robots_wildcards(canon.select("host").distinct())
+            ),
+        ))(weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))),
         # sitemap discovery: Sitemap: lines parsed out of REAL robots bytes
         # (RFC 9309 §2.3), one multiline regexp on the per-host dim
         "u_sitemap_discovery": lambda s, d: weburl.discover_sitemaps(
@@ -2850,6 +2858,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN true ELSE false END AS allowed,
                    coalesce(m.kind, '') AS match_kind,
                    CAST(coalesce(m.l, 0) AS BIGINT) AS match_len
+            FROM (SELECT DISTINCT doc_id FROM up) u
+            LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+            ORDER BY u.doc_id
+        """,
+        # wildcard robots: the oracle predicts the rule set from the
+        # synthesis formula and matches with hand-anchored RE2 regexes —
+        # if the engine's pattern->regex translation behaves differently
+        # on any path, the decisions diverge and the hash fails; ranking
+        # is raw pattern length (6 / 8 / 6), allow wins ties
+        "u_robots_wild": f"""
+            WITH {_url_cte},
+            hr AS (SELECT DISTINCT host FROM canon),
+            rules AS (
+                SELECT host, 'disallow' AS kind, 6 AS plen,
+                       '^/docs/' AS rx FROM hr
+                UNION ALL
+                SELECT host, 'allow', 8, '^/docs/.*1' FROM hr
+                WHERE len(host) % 2 = 0
+                UNION ALL
+                SELECT host, 'disallow', 6, '^/a/.*7$' FROM hr
+                WHERE len(host) % 3 = 0
+            ), up AS (
+                SELECT doc_id, host,
+                       regexp_extract(canonical_url, '{WU.URL_RE}', 4) AS p
+                FROM canon
+            ), m AS (
+                SELECT doc_id, kind, plen,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY plen DESC,
+                                    CASE WHEN kind = 'allow' THEN 0 ELSE 1 END)
+                           AS rn
+                FROM up JOIN rules USING (host)
+                WHERE regexp_matches(p, rx)
+            )
+            SELECT u.doc_id,
+                   CASE WHEN m.kind IS NULL OR m.kind = 'allow'
+                        THEN true ELSE false END AS allowed,
+                   coalesce(m.kind, '') AS match_kind,
+                   CAST(coalesce(m.plen, 0) AS BIGINT) AS match_len
             FROM (SELECT DISTINCT doc_id FROM up) u
             LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
             ORDER BY u.doc_id

@@ -1204,3 +1204,77 @@ def hreflang_clusters(documents: DataFrame) -> DataFrame:
         .select("doc_id", "cluster", "n_members", "n_langs")
         .orderBy("doc_id")
     )
+
+
+def with_robots_wildcards(hosts: DataFrame) -> DataFrame:
+    """Synthesis for RFC 9309 wildcard semantics (every host disallows
+    /docs/; even-length hosts carve back Allow: /docs/*1 — a LONGER
+    wildcard pattern, so pages with a '1' after /docs/ re-admit; len%3==0
+    hosts add the end-anchored Disallow: /a/*7$ which bans exactly the
+    /a/... paths ENDING in 7).  Separate corpus so the byte-pinned
+    with_robots_txt / with_robots_allow fixtures stay untouched."""
+    n = F.length("host")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /docs/\n"),
+        F.when(n % 2 == 0, F.lit("Allow: /docs/*1\n")).otherwise(F.lit("")),
+        F.when(n % 3 == 0, F.lit("Disallow: /a/*7$\n")).otherwise(F.lit("")),
+    )
+    return hosts.withColumn("robots_txt", txt)
+
+
+def robots_decision_wildcard(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """(doc_id, allowed, match_kind, match_len) — robots_decision extended
+    to the wildcard grammar every major crawler implements on top of RFC
+    9309: '*' matches any span, a trailing '$' anchors at path end; rule
+    specificity stays the RAW pattern's octet length (Google's published
+    tie rule), Allow wins equal lengths.
+
+    The regex translation runs as JVM column ops on the HOST-DIM rule
+    table (strip trailing $, escape metas except '*', '*' -> '.*', anchor)
+    — a few regexp_replaces over ~10^7 rows at web scale, nothing touches
+    the corpus; the match itself is one regexp_like against the broadcast
+    rule dim, and the winner is the same algebraic (len, allow) struct-max
+    as robots_decision."""
+    # pattern -> regex: strip a trailing $ (the grammar's only anchor — a
+    # non-trailing $ is literal and gets escaped), escape every regex meta
+    # EXCEPT '*', then '*' -> '.*', then re-anchor
+    anchored = F.col("prefix").endswith("$")
+    core = F.when(
+        anchored, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(F.col("prefix"))
+    esc = F.regexp_replace(core, r"([.+?^$(){}\[\]|\\])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    wild_rules = rules.select(
+        "host", "kind", "prefix", rx.alias("rx"),
+        F.length("prefix").alias("plen"),
+    )
+    with_path = urls.select(
+        "doc_id", "host", F.regexp_extract("canonical_url", URL_RE, 4).alias("p")
+    )
+    cand = (
+        with_path.join(F.broadcast(wild_rules), "host", "left")
+        .where(F.col("rx").isNull() | F.expr("regexp_like(p, rx)"))
+    )
+    best = (
+        cand.groupBy("doc_id")
+        .agg(F.max(F.when(F.col("rx").isNotNull(), F.struct(
+            F.col("plen").alias("l"),
+            (F.col("kind") == "allow").cast("int").alias("a"),
+            F.col("kind").alias("kind"),
+        ))).alias("m"))
+    )
+    return (
+        with_path.select("doc_id").distinct()
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("m").isNull() | (F.col("m.kind") == "allow")).alias("allowed"),
+            F.coalesce(F.col("m.kind"), F.lit("")).alias("match_kind"),
+            F.coalesce(F.col("m.l").cast("long"), F.lit(0)).alias("match_len"),
+        )
+        .orderBy("doc_id")
+    )

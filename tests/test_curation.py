@@ -789,6 +789,41 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_robots_wildcard_decision_table(spark):
+    """Wildcard-grammar pins: '*' spans any run, trailing '$' anchors at
+    path end, a LONGER wildcard Allow overrides the shorter Disallow,
+    regex metas in patterns stay literal ('/x+y/' must not behave as
+    x-plus), and the no-match default is allowed with match_len 0."""
+    from pdf_parser_spark.operators import weburl as W
+
+    rules = spark.createDataFrame(
+        [("h", "disallow", "/docs/"),
+         ("h", "allow", "/docs/*1"),
+         ("h", "disallow", "/a/*7$"),
+         ("h", "disallow", "/x+y/")],
+        "host string, kind string, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [(0, "h", "https://h/docs/29"),   # /docs/, no '1' -> blocked (6)
+         (1, "h", "https://h/docs/21"),   # allow /docs/*1 wins at len 8
+         (2, "h", "https://h/a/b/17"),    # ends in 7 -> $-anchored block
+         (3, "h", "https://h/a/b/71"),    # ends in 1 -> nothing matches
+         (4, "h", "https://h/x+y/z"),     # literal + -> blocked
+         (5, "h", "https://h/xxy/z")],    # would match only if + were regex
+        "doc_id long, host string, canonical_url string",
+    )
+    got = {r["doc_id"]: (r["allowed"], r["match_kind"], r["match_len"])
+           for r in W.robots_decision_wildcard(urls, rules).collect()}
+    assert got == {
+        0: (False, "disallow", 6),
+        1: (True, "allow", 8),
+        2: (False, "disallow", 6),
+        3: (True, "", 0),
+        4: (False, "disallow", 5),   # '/x+y/' is 5 octets
+        5: (True, "", 0),
+    }
+
+
 def test_degree_distribution_log2_bins(spark):
     """Degree histogram pins: a 5-out-host lands in bin 2 ([4,7]), three
     1-out-hosts in bin 0, degree counts DISTINCT neighbors (parallel page
