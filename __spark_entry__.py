@@ -481,6 +481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", F.col("k").cast("long").alias("k"), "minhash")
         .orderBy("doc_id", "k"),
         "d_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        # sketch-accuracy audit: MinHash estimate vs exact Jaccard per
+        # candidate pair, signed err in exact-integer bp
+        "d_minhash_est": lambda s, d: dedup.minhash_estimate_audit(_docs(s, d)),
         "d_components": lambda s, d: dedup.connected_components(
             dedup.minhash_lsh_pairs(_docs(s, d))
         ),
@@ -2362,6 +2365,35 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
             GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
+        """,
+        # sketch-accuracy audit: sigs_cte carries both the signatures and
+        # the sh shingle CTE, so estimate and exact verify share one
+        # derivation; divisions are exact-integer bp
+        "d_minhash_est": bands_cte + f"""
+            , prs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b
+            ), jj AS (
+                SELECT p.doc_a, p.doc_b,
+                       len(list_filter(range(1, {len(MINHASH_PARAMS)} + 1),
+                           i -> sa.sig[i] = sb.sig[i])) AS agree,
+                       len(list_intersect(ha.shingles, hb.shingles)) AS inter,
+                       len(list_distinct(ha.shingles || hb.shingles)) AS un
+                FROM prs p
+                JOIN sigs sa ON sa.doc_id = p.doc_a
+                JOIN sigs sb ON sb.doc_id = p.doc_b
+                JOIN sh ha ON ha.doc_id = p.doc_a
+                JOIN sh hb ON hb.doc_id = p.doc_b
+            )
+            SELECT doc_a, doc_b, CAST(agree AS BIGINT) AS agree_k,
+                   CAST((10000 * agree) // {len(MINHASH_PARAMS)} AS BIGINT) AS est_bp,
+                   CAST((10000 * inter) // un AS BIGINT) AS exact_bp,
+                   CAST((10000 * agree) // {len(MINHASH_PARAMS)}
+                        - (10000 * inter) // un AS BIGINT) AS err_bp
+            FROM jj ORDER BY doc_a, doc_b
         """,
         # transitive closure of the LSH candidate graph: component = min
         # reachable doc_id (recursive CTE = the oracle for the iterative

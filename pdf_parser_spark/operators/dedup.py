@@ -701,3 +701,49 @@ def strip_dup_spans(
         )
         .orderBy("doc_id")
     )
+
+
+def minhash_estimate_audit(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (fraction of agreeing signature positions — the
+    quantity the sketch family exists to approximate) next to the EXACT
+    shingle Jaccard, both in integer basis points, plus the signed error.
+    This is the 'measure, don't guess' table behind any k/bands retune:
+    with k=8 the estimate quantizes to eighths, and err_bp's spread IS the
+    resolution argument for raising k — read from data, not the formula.
+
+    (doc_a, doc_b, agree_k, est_bp, exact_bp, err_bp); est/exact are exact
+    integer divisions (10000*x div y — no float ratio, hash-safe).
+
+    Scale: candidates come from the shared band layer (never all pairs);
+    the signature compare is a k-lane zip_with, the exact verify the same
+    array_intersect/union the Jaccard path runs — both on pair-local
+    arrays, nothing corpus-wide beyond the candidate join itself."""
+    k = len(MINHASH_PARAMS)
+    sigs = minhash_signatures(documents, n)
+    sh = documents.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), n)).alias("sh"))
+    side = sigs.join(sh, "doc_id")
+    a = side.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"),
+                    F.col("sh").alias("sha"))
+    b = side.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"),
+                    F.col("sh").alias("shb"))
+    j = (
+        _band_candidates(documents, n)
+        .join(a, "doc_a").join(b, "doc_b")
+        .withColumn("agree", F.size(F.filter(
+            F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)))
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn("un", F.size(F.array_union("sha", "shb")))
+    )
+    return (
+        j.select(
+            "doc_a", "doc_b",
+            F.col("agree").cast("long").alias("agree_k"),
+            F.expr(f"(10000 * agree) div {k}").cast("long").alias("est_bp"),
+            F.expr("(10000 * inter) div un").cast("long").alias("exact_bp"),
+            (F.expr(f"(10000 * agree) div {k}")
+             - F.expr("(10000 * inter) div un")).cast("long").alias("err_bp"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

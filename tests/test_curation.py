@@ -789,6 +789,38 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_minhash_estimate_audit(spark):
+    """Sketch-audit pins: identical docs agree on every signature lane
+    (est = exact = 10000, err 0); on the real corpus every row's err_bp is
+    exactly est - exact, estimates quantize to multiples of 10000/k, and
+    the pair set equals the band-candidate set."""
+    from pdf_parser_spark.operators import dedup as D
+
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here entirely now")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in D.minhash_estimate_audit(dup).collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert (r["agree_k"], r["est_bp"], r["exact_bp"], r["err_bp"]) == \
+        (len(D.MINHASH_PARAMS), 10000, 10000, 0)
+
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    audit = D.minhash_estimate_audit(real).collect()
+    k = len(D.MINHASH_PARAMS)
+    assert {(r["doc_a"], r["doc_b"]) for r in audit} == {
+        (r["doc_a"], r["doc_b"])
+        for r in D._band_candidates(real, 3).collect()}
+    for r in audit:
+        assert 0 <= r["est_bp"] <= 10000 and 0 <= r["exact_bp"] <= 10000
+        assert r["err_bp"] == r["est_bp"] - r["exact_bp"]
+        assert r["est_bp"] == (10000 * r["agree_k"]) // k
+
+
 def test_robots_wildcard_decision_table(spark):
     """Wildcard-grammar pins: '*' spans any run, trailing '$' anchors at
     path end, a LONGER wildcard Allow overrides the shorter Disallow,
