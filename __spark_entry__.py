@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 weburl.with_robots_allow(canon.select("host").distinct())
             ),
         ))(weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))),
+        # tracking-param mining on the RAW url stream (upstream of the
+        # canonicalizer whose drop list this table would grow)
+        "u_param_audit": lambda s, d: weburl.param_audit(_docs(s, d)),
         # wildcard robots grammar: '*' spans + trailing '$' anchor, raw
         # pattern length ranks, parsed from real bytes
         "u_robots_wild": lambda s, d: (lambda canon: weburl.robots_decision_wildcard(
@@ -2893,6 +2896,35 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM up) u
             LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
             ORDER BY u.doc_id
+        """,
+        # param audit: raw query strings re-derived from the synthesis
+        # formula, split/exploded with the same last-'=' value rule
+        "u_param_audit": f"""
+            WITH u AS (
+                SELECT doc_id, {WU.URL_SYNTH_SQL} AS url FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       regexp_extract(url, '{WU.URL_RE}', 5) AS query_s
+                FROM u
+            ), kv AS (
+                SELECT doc_id,
+                       unnest(string_split(substring(query_s, 2), '&')) AS pair
+                FROM q WHERE query_s <> ''
+            ), agg AS (
+                SELECT split_part(pair, '=', 1) AS param,
+                       count(*) AS n_urls,
+                       count(DISTINCT regexp_extract(pair, '([^=]*)$', 1))
+                           AS n_distinct_values
+                FROM kv GROUP BY 1
+            )
+            SELECT param, CAST(n_urls AS BIGINT) AS n_urls,
+                   CAST(n_distinct_values AS BIGINT) AS n_distinct_values,
+                   CAST((10000 * n_distinct_values) // n_urls AS BIGINT)
+                       AS distinct_bp,
+                   (n_urls >= {WU.PARAM_TRACK_MIN_URLS}
+                    AND (10000 * n_distinct_values) // n_urls
+                        >= {WU.PARAM_TRACK_MIN_BP}) AS tracking_suspect
+            FROM agg ORDER BY param
         """,
         # wildcard robots: the oracle predicts the rule set from the
         # synthesis formula and matches with hand-anchored RE2 regexes —

@@ -1278,3 +1278,65 @@ def robots_decision_wildcard(urls: DataFrame, rules: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+PARAM_TRACK_MIN_URLS = 20      # ignore keys seen on fewer urls
+PARAM_TRACK_MIN_BP = 5000      # tracking-suspect iff distinct/occurrence >= 50%
+
+
+def param_audit(
+    documents: DataFrame,
+    min_urls: int = PARAM_TRACK_MIN_URLS,
+    min_bp: int = PARAM_TRACK_MIN_BP,
+    urls: DataFrame | None = None,
+) -> DataFrame:
+    """Query-parameter audit over the RAW url stream — the data-driven
+    origin of the canonicalizer's drop list: a session/tracking parameter
+    is one whose VALUE is (near-)unique per occurrence, while a content
+    parameter (page=2, lang=fr) repeats.  Crawl stacks mine exactly this
+    table to grow their strip rules (pywb's fuzzy-match rules, the
+    canonicalizer's TRACKING_KEYS) instead of hand-listing vendors.
+
+    (param, n_urls, n_distinct_values, distinct_bp, tracking_suspect):
+    distinct_bp = 10000 * n_distinct div n_urls exact; suspect iff
+    n_urls >= min_urls AND distinct_bp >= min_bp.  Runs UPSTREAM of
+    canonicalization on purpose — auditing the post-drop stream would hide
+    precisely the keys being audited.
+
+    Scale: parse + explode are in-scan; ONE groupBy on the param key (a
+    vocabulary-scale dim); exact distinct is per-key bounded by that key's
+    own value space — the quantity under measurement, same argument as
+    url_templates' distinct-url count."""
+    parsed = url_parts(urls if urls is not None
+                       else with_synthetic_urls(documents))
+    kv = (
+        parsed.where(F.col("query_s") != "")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.expr("substring(query_s, 2)"), "&")
+            ).alias("pair"),
+        )
+        .select(
+            "doc_id",
+            F.substring_index("pair", "=", 1).alias("param"),
+            F.substring_index("pair", "=", -1).alias("val"),
+        )
+    )
+    return (
+        kv.groupBy("param")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("val").cast("long").alias("n_distinct_values"),
+        )
+        .select(
+            "param", "n_urls", "n_distinct_values",
+            F.expr("(10000 * n_distinct_values) div n_urls")
+            .cast("long").alias("distinct_bp"),
+        )
+        .withColumn(
+            "tracking_suspect",
+            (F.col("n_urls") >= min_urls) & (F.col("distinct_bp") >= min_bp),
+        )
+        .orderBy("param")
+    )

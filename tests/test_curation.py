@@ -789,6 +789,27 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_param_audit_distinct_ratio(spark):
+    """Param-mining pins: a per-url-unique session param is flagged, a
+    constant param and a low-cardinality paginator are not, the min_urls
+    floor suppresses rare keys, the value is everything after the LAST
+    '=' (v=a=b counts 'b'), and bp division is exact."""
+    from pdf_parser_spark.operators import weburl as W
+
+    rows = [(i, f"http://h/p?sid={i}&page={i % 2}&site=main") for i in range(20)]
+    rows += [(100, "http://h/p?rare=x&v=a=b"), (101, "http://h/p?rare=y")]
+    docs = spark.range(0).toDF("doc_id")  # unused (urls passed explicitly)
+    urls = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["param"]: (r["n_urls"], r["n_distinct_values"],
+                        r["distinct_bp"], r["tracking_suspect"])
+           for r in W.param_audit(docs, urls=urls).collect()}
+    assert got["sid"] == (20, 20, 10000, True)
+    assert got["page"] == (20, 2, 1000, False)
+    assert got["site"] == (20, 1, 500, False)
+    assert got["rare"] == (2, 2, 10000, False)   # below min_urls
+    assert got["v"] == (1, 1, 10000, False)      # 'a=b' -> value 'b' parsed
+
+
 def test_minhash_estimate_audit(spark):
     """Sketch-audit pins: identical docs agree on every signature lane
     (est = exact = 10000, err 0); on the real corpus every row's err_bp is
