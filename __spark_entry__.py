@@ -294,6 +294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # user partitioning, exact-bp conversion — never an events^3 self-join
         "w5_funnel": R.w5_funnel,
         "st_sessionize": _st_sessionize,
+        # bucketed interval join: equi join on the time bucket + exact
+        # range filter — never a nested-loop range predicate
+        "j_range_join": R.j_range_join,
         "f_regex_extract": R.f_regex_extract,
         # GeoAlign-style aggregate alignment across unaligned time grids
         "a_align_rollup": R.a_align_rollup,
@@ -1279,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
         + ") AS b(sub, cl, cv))"
     )
     pq_subdim = len(E.PQ_CODEBOOKS[0][0])
+    from pdf_parser_spark.plans import relational as R
     from pdf_parser_spark.streaming.join import ATTR_HOURS as ST_ATTR_HOURS
 
     from pdf_parser_spark.operators.similarity import PQ_RERANK as similarity_PQ_RERANK
@@ -1541,6 +1545,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    round(sum(value), 4) AS session_value
             FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        # range join: the oracle is the PLAIN interval join — the engine's
+        # bucket explode + equi join + filter must be semantics-invisible
+        "j_range_join": f"""
+            WITH iv AS (
+                SELECT CAST(i AS BIGINT) AS interval_id,
+                       TIMESTAMP '{R.RANGE_T0}'
+                           + i * INTERVAL {R.RANGE_STRIDE_H} HOUR AS s,
+                       TIMESTAMP '{R.RANGE_T0}'
+                           + i * INTERVAL {R.RANGE_STRIDE_H} HOUR
+                           + INTERVAL {R.RANGE_WIDTH_H} HOUR AS e
+                FROM unnest(range(0, {R.RANGE_N_INTERVALS})) t(i)
+            )
+            SELECT interval_id, CAST(count(*) AS BIGINT) AS n_events,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id
+            FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e
+            GROUP BY interval_id ORDER BY interval_id
         """,
         # first-touch funnel: per-user conditional mins chained strictly,
         # counts of non-null steps, integer-bp conversion

@@ -852,3 +852,69 @@ def a_align_rollup(spark, sf_dir: str) -> DataFrame:
         .select((F.col("db") * 3600).alias("window_start"), "weighted_num")
         .orderBy("window_start")
     )
+
+
+# --- range/interval join -------------------------------------------------------
+
+RANGE_T0 = "2024-01-01 00:00:00"   # interval grid origin (events table epoch)
+RANGE_STRIDE_H = 7                 # interval i starts at t0 + i*stride
+RANGE_WIDTH_H = 5                  # interval width (< stride: non-overlapping)
+RANGE_BUCKET_H = 3                 # equi-join bucket size (hours)
+RANGE_N_INTERVALS = 104            # covers the 30-day synthetic event span
+
+
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every event matched to the maintenance-style
+    window containing its timestamp — the second time-join Spark lacks
+    natively beside as-of.  Naively this is a BroadcastNestedLoopJoin with
+    an O(|events| x |intervals|) range predicate; the scale pattern is the
+    BUCKETED interval join: pick a bucket size B, explode each interval to
+    the buckets it covers (sequence(floor(start/B), floor((end-1)/B)) — a
+    bounded fan-out of width/B + 1 rows), bucket each event ONCE
+    (floor(ts/B)), then a pure EQUI join on the bucket plus the exact
+    range filter.  Catalyst gets a hash/sort-merge join instead of a
+    nested loop, and at 10^12 events the probe side shuffles on an evenly
+    distributed integer key.  An event lands in one bucket, so no dedup is
+    needed even when intervals span several buckets (intervals here are
+    5h wide over 3h buckets — the fan-out genuinely exercises 2-3 buckets
+    each).
+
+    Returns the per-interval rollup (interval_id, n_events, min_event_id,
+    max_event_id) for intervals that caught >= 1 event; events outside
+    every window drop (inner semantics)."""
+    events = load(spark, sf_dir, "events")
+    b_us = RANGE_BUCKET_H * 3600 * 1_000_000
+    stride_us = RANGE_STRIDE_H * 3600 * 1_000_000
+    width_us = RANGE_WIDTH_H * 3600 * 1_000_000
+    t0 = F.lit(RANGE_T0).cast("timestamp")
+    t0_us = F.unix_micros(t0)
+    intervals = spark.range(RANGE_N_INTERVALS).select(
+        F.col("id").alias("interval_id"),
+        (t0_us + F.col("id") * stride_us).alias("start_us"),
+        (t0_us + F.col("id") * stride_us + width_us).alias("end_us"),
+    )
+    ibuckets = intervals.select(
+        "interval_id", "start_us", "end_us",
+        F.explode(F.sequence(
+            F.expr(f"start_us div {b_us}"),
+            F.expr(f"(end_us - 1) div {b_us}"),
+        )).alias("bucket"),
+    )
+    ev = events.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).withColumn("bucket", F.expr(f"ts_us div {b_us}"))
+    matched = (
+        ev.join(ibuckets, "bucket")
+        .where((F.col("ts_us") >= F.col("start_us"))
+               & (F.col("ts_us") < F.col("end_us")))
+    )
+    return (
+        matched.groupBy("interval_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("interval_id")
+    )

@@ -479,6 +479,38 @@ def test_streaming_sessionize_matches_batch(spark):
     assert stream == batch and len(stream) > 0
 
 
+def test_range_join_buckets_and_bounds(spark, tmp_path):
+    """Bucketed interval join pins: start inclusive, end exclusive, gap
+    events drop, an event landing in an interval's SECOND covered bucket
+    still matches (the explode fan-out), and the plan is a real equi join
+    — no nested-loop/cartesian anywhere."""
+    import datetime as dt
+
+    from pdf_parser_spark.plans import relational as R
+
+    utc = dt.timezone.utc
+    t0 = dt.datetime(2024, 1, 1, 0, 0, tzinfo=utc)
+    h = dt.timedelta(hours=1)
+    # interval 0 = [00:00, 05:00) over 3h buckets -> covers buckets 0 and 1
+    rows = [
+        (1, t0, 1, "x", 1.0, "{}"),                  # == start: in
+        (2, t0 + 5 * h, 1, "x", 1.0, "{}"),          # == end: OUT
+        (3, t0 + 4 * h, 1, "x", 1.0, "{}"),          # second bucket: in
+        (4, t0 + 6 * h, 1, "x", 1.0, "{}"),          # gap before iv1: OUT
+        (5, t0 + 7 * h, 1, "x", 1.0, "{}"),          # iv1 start: in
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = R.j_range_join(spark, str(tmp_path))
+    got = {r["interval_id"]: (r["n_events"], r["min_event_id"], r["max_event_id"])
+           for r in out.collect()}
+    assert got == {0: (2, 1, 3), 1: (1, 5, 5)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_w5_funnel_strict_ordering(spark, tmp_path):
     """Funnel pins: a click at EXACTLY the first-view instant does not
     convert (strict >), pre-view clicks never count, purchase must follow
