@@ -300,6 +300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_regex_extract": R.f_regex_extract,
         # GeoAlign-style aggregate alignment across unaligned time grids
         "a_align_rollup": R.a_align_rollup,
+        # gap-filled hourly series + forward fill (generated per-type grid,
+        # last(ignorenulls) over the bounded series dim)
+        "a_gapfill": R.a_gapfill,
         # --- joins / set ops / rollup ---
         "j_asof_latest_order": R.j_asof_latest_order,
         "u_setops": R.u_setops,
@@ -1545,6 +1548,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    round(sum(value), 4) AS session_value
             FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        # gap-fill: generated per-type hour grid + IGNORE NULLS carry-forward
+        "a_gapfill": """
+            WITH hourly AS (
+                SELECT event_type,
+                       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+                       count(*) AS n_events,
+                       round(avg(value), 4) AS mean_value
+                FROM events GROUP BY 1, 2
+            ), grid AS (
+                SELECT event_type,
+                       unnest(range(min(h), max(h) + 3600, 3600)) AS h
+                FROM hourly GROUP BY event_type
+            )
+            SELECT g.event_type, g.h AS hour_start_s,
+                   CAST(coalesce(hh.n_events, 0) AS BIGINT) AS n_events,
+                   last_value(hh.mean_value IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.h
+                       ROWS UNBOUNDED PRECEDING) AS filled_value,
+                   hh.n_events IS NULL AS is_gap
+            FROM grid g
+            LEFT JOIN hourly hh ON hh.event_type = g.event_type AND hh.h = g.h
+            ORDER BY g.event_type, hour_start_s
         """,
         # range join: the oracle is the PLAIN interval join — the engine's
         # bucket explode + equi join + filter must be semantics-invisible

@@ -918,3 +918,53 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("interval_id")
     )
+
+
+# --- gap-filled time series + forward fill --------------------------------------
+
+def a_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with forward-filled values — the
+    crawl-telemetry report every operator dashboards (fetch-rate series
+    have holes when the fleet stalls; a rollup that silently SKIPS empty
+    hours hides exactly the incidents it exists to show): per event_type,
+    one row per hour from that type's first to last observation, observed
+    hours carry (n_events, their own 4dp mean value), empty hours carry
+    n_events = 0 with the last observed mean carried forward and
+    is_gap = true.
+
+    Plan: the hour grid is GENERATED per type (sequence over the type's
+    own [min, max] hour — no leading-null fill case by construction) and
+    exploded; actual hourly aggregates left-join onto it; the forward fill
+    is last(ignorenulls) over (type, hour) — a per-type window whose
+    partition is bounded by the series length (hours), never the event
+    count, so the sort is dim-sized at any corpus scale."""
+    events = load(spark, sf_dir, "events")
+    hour_s = (F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+              / 1_000_000).cast("long")
+    hourly = (
+        events.select("event_type", hour_s.alias("h"), "value")
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.round(F.avg("value"), 4).alias("mean_value"))
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select("event_type",
+                F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("h"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_start_s"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("mean_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour_start_s")
+    )

@@ -479,6 +479,39 @@ def test_streaming_sessionize_matches_batch(spark):
     assert stream == batch and len(stream) > 0
 
 
+def test_gapfill_forward_fill(spark, tmp_path):
+    """Gap-fill pins: the grid spans each type's OWN [first, last] hour
+    (no leading nulls by construction), empty hours appear with n_events 0
+    and the previous mean carried forward, observed hours keep their own
+    mean, and a multi-hour gap repeats the same carried value."""
+    import datetime as dt
+
+    from pdf_parser_spark.plans import relational as R
+
+    utc = dt.timezone.utc
+    t = lambda h, m=0: dt.datetime(2024, 3, 1, h, m, tzinfo=utc)  # noqa: E731
+    rows = [
+        (1, t(10, 5), 1, "a", 2.0, "{}"),
+        (2, t(10, 50), 1, "a", 4.0, "{}"),   # hour 10: mean 3.0
+        # hours 11, 12 empty (a 2-hour gap)
+        (3, t(13, 0), 1, "a", 8.0, "{}"),    # hour 13: mean 8.0
+        (4, t(20, 0), 1, "b", 5.0, "{}"),    # type b: single hour
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = [(r["event_type"], r["n_events"], r["filled_value"], r["is_gap"])
+           for r in R.a_gapfill(spark, str(tmp_path)).collect()]
+    assert got == [
+        ("a", 2, 3.0, False),
+        ("a", 0, 3.0, True),
+        ("a", 0, 3.0, True),
+        ("a", 1, 8.0, False),
+        ("b", 1, 5.0, False),
+    ]
+
+
 def test_range_join_buckets_and_bounds(spark, tmp_path):
     """Bucketed interval join pins: start inclusive, end exclusive, gap
     events drop, an event landing in an interval's SECOND covered bucket
