@@ -493,6 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch-accuracy audit: MinHash estimate vs exact Jaccard per
         # candidate pair, signed err in exact-integer bp
         "d_minhash_est": lambda s, d: dedup.minhash_estimate_audit(_docs(s, d)),
+        # content-defined chunking (LBFS lineage): boundaries re-sync after
+        # edits; greedy MIN/MAX walk over md5-window cut candidates
+        "d_cdc_chunks": lambda s, d: dedup.cdc_chunks(_docs(s, d)),
         "d_components": lambda s, d: dedup.connected_components(
             dedup.minhash_lsh_pairs(_docs(s, d))
         ),
@@ -2416,6 +2419,57 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
             GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
+        """,
+        # CDC: the greedy walk is a recursive CTE whose next cut is
+        # least(n, prev+MAX, first candidate >= prev+MIN) — the exact twin
+        # of the engine's per-doc loop; candidates from the same md5-window
+        # condition
+        "d_cdc_chunks": f"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id, text, length(text) AS n FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            cand AS (
+                SELECT doc_id, unnest(list_filter(range({D.CDC_W}, n + 1),
+                    i -> ('0x' || substr(md5(substr(text, i - {D.CDC_W} + 1,
+                                                    {D.CDC_W})), 1, 8))::UBIGINT
+                         % {D.CDC_D} = 0)) AS pos
+                FROM d
+            ),
+            walk(doc_id, idx, prev, cut) AS (
+                SELECT doc_id, 0, 0,
+                       least(n, {D.CDC_MAX},
+                             coalesce((SELECT min(pos) FROM cand c
+                                       WHERE c.doc_id = d.doc_id
+                                         AND c.pos >= {D.CDC_MIN}),
+                                      n + {D.CDC_MAX}))
+                FROM d
+                UNION ALL
+                SELECT w.doc_id, w.idx + 1, w.cut,
+                       least(d.n, w.cut + {D.CDC_MAX},
+                             coalesce((SELECT min(pos) FROM cand c
+                                       WHERE c.doc_id = w.doc_id
+                                         AND c.pos >= w.cut + {D.CDC_MIN}),
+                                      d.n + {D.CDC_MAX}))
+                FROM walk w JOIN d ON d.doc_id = w.doc_id
+                WHERE w.cut < d.n
+            ),
+            chunks AS (
+                SELECT w.doc_id, w.idx, w.prev AS start,
+                       w.cut - w.prev AS length,
+                       md5(substr(d.text, w.prev + 1, w.cut - w.prev)) AS chunk_md5
+                FROM walk w JOIN d ON d.doc_id = w.doc_id
+            ),
+            copies AS (
+                SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies
+                FROM chunks GROUP BY chunk_md5
+            )
+            SELECT c.doc_id, CAST(c.idx AS INT) AS chunk_idx,
+                   CAST(c.start AS INT) AS start,
+                   CAST(c.length AS INT) AS length,
+                   c.chunk_md5, k.n_copies
+            FROM chunks c JOIN copies k USING (chunk_md5)
+            ORDER BY c.doc_id, chunk_idx
         """,
         # sketch-accuracy audit: sigs_cte carries both the signatures and
         # the sh shingle CTE, so estimate and exact verify share one

@@ -747,3 +747,83 @@ def minhash_estimate_audit(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC): the byte-level dedup family's answer to
+# the offset-shift problem (LBFS SOSP'01 -> rsync/borg/restic lineage).
+# Fixed-size chunking breaks on the FIRST edit — every later chunk shifts;
+# CDC cuts where a rolling content condition fires, so chunk boundaries
+# RE-SYNCHRONIZE after an edit and two near-identical page versions share
+# every chunk outside the edited region.  For a web corpus that is the
+# recrawl story: yesterday's page with one new ad div dedups to one
+# changed chunk, not a whole new document.
+# ---------------------------------------------------------------------------
+
+CDC_W = 8     # rolling window (chars) the cut condition hashes
+CDC_D = 16    # cut where H(window) % D == 0  (expected chunk ~ D chars)
+CDC_MIN = 8   # greedy: skip candidate cuts closer than MIN to the last cut
+CDC_MAX = 64  # forced cut at MAX if no candidate fires
+CDC_SCHEMA = ("doc_id long, chunk_idx int, start int, length int, "
+              "chunk_md5 string")
+
+
+def cdc_chunks(documents: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, start, length, chunk_md5, n_copies): greedy
+    content-defined chunks over text — candidate cut AFTER char i (1-based)
+    iff md5(text[i-W+1..i]) % D == 0 (the md5-window stand-in for a gear
+    hash: portable across engines byte-for-byte, which a per-implementation
+    gear table is not; production swaps in gear/buzhash, the boundary
+    SEMANTICS — greedy left-to-right, MIN skip, MAX force, tail chunk may
+    undershoot MIN — are what this op pins), n_copies = corpus-wide count
+    of identical chunk bytes (the dedup yield).
+
+    Scale: chunking is one Arrow stage (per-doc sequential by nature —
+    parallelism is ACROSS documents, like every CDC deployment); the only
+    shuffles are the chunk_md5 groupBy and its join back.  Output is
+    ~total_chars/D rows."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "chunk_idx": [], "start": [],
+                "length": [], "chunk_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                n = len(text)
+                cands = [
+                    i for i in range(CDC_W, n + 1)
+                    if int(hashlib.md5(
+                        text[i - CDC_W:i].encode("utf-8")
+                    ).hexdigest()[:8], 16) % CDC_D == 0
+                ]
+                prev, idx, ci = 0, 0, 0
+                while prev < n:
+                    while ci < len(cands) and cands[ci] < prev + CDC_MIN:
+                        ci += 1
+                    cut = min(
+                        n, prev + CDC_MAX,
+                        cands[ci] if ci < len(cands) else n + CDC_MAX,
+                    )
+                    chunk = text[prev:cut]
+                    out["doc_id"].append(int(doc_id))
+                    out["chunk_idx"].append(idx)
+                    out["start"].append(prev)
+                    out["length"].append(cut - prev)
+                    out["chunk_md5"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest())
+                    prev, idx = cut, idx + 1
+            yield pd.DataFrame(out)
+
+    chunks = documents.select("doc_id", "text").mapInPandas(fn, CDC_SCHEMA)
+    copies = chunks.groupBy("chunk_md5").agg(
+        F.count("*").cast("long").alias("n_copies"))
+    return (
+        chunks.join(copies, "chunk_md5")
+        .select("doc_id", "chunk_idx", "start", "length", "chunk_md5",
+                "n_copies")
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -789,6 +789,47 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_cdc_chunks_resync_and_invariants(spark):
+    """CDC pins: chunks tile each document contiguously with length in
+    (0, MAX] and every non-tail chunk >= MIN; md5s are the chunk bytes;
+    and the REASON the operator exists — after a single insertion the
+    boundaries re-synchronize, so the edited document shares most chunks
+    with the original (fixed-size chunking would share none after the
+    edit point)."""
+    import hashlib
+
+    from pdf_parser_spark.operators import dedup as D
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "crawlers index forty two pages of boilerplate navigation and "
+            "one paragraph of actual content worth keeping for training")
+    edited = base[:60] + "XYZ" + base[60:]
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string")
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["start"], r["length"],
+          r["chunk_md5"], r["n_copies"])
+         for r in D.cdc_chunks(docs).collect()))
+    by_doc: dict[int, list] = {1: [], 2: []}
+    for r in rows:
+        by_doc[r[0]].append(r)
+    for did, text in ((1, base), (2, edited)):
+        cs = by_doc[did]
+        pos = 0
+        for i, (_, idx, start, length, md5h, _n) in enumerate(cs):
+            assert idx == i and start == pos and 0 < length <= D.CDC_MAX
+            if i < len(cs) - 1:
+                assert length >= D.CDC_MIN
+            assert md5h == hashlib.md5(
+                text[start:start + length].encode()).hexdigest()
+            pos += length
+        assert pos == len(text)
+    # re-sync: strictly more than half of the original's chunks also
+    # appear in the edited doc (n_copies == 2)
+    shared = sum(1 for r in by_doc[1] if r[5] == 2)
+    assert shared > len(by_doc[1]) // 2
+
+
 def test_param_audit_distinct_ratio(spark):
     """Param-mining pins: a per-url-unique session param is flagged, a
     constant param and a low-cardinality paginator are not, the min_urls
