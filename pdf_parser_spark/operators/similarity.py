@@ -499,3 +499,26 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def save_pq_codebooks(spark, codebooks: list[list[list[float]]], path: str) -> None:
+    """Persist fitted PQ codebooks as (sub, cluster, centroid) parquet —
+    the same amortization save_centroids gives IVF: the 4x-Lloyd fit cost
+    (the dominant PQ cost in bench.py) is paid once; every later pq_topk
+    loads M x ksub x subdim doubles."""
+    spark.createDataFrame(
+        [(s, i, [float(x) for x in c])
+         for s, book in enumerate(codebooks) for i, c in enumerate(book)],
+        "sub INT, cluster INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """Read back save_pq_codebooks in (sub, cluster) order."""
+    rows = spark.read.parquet(path).orderBy("sub", "cluster").collect()
+    books: list[list[list[float]]] = []
+    for r in rows:
+        while len(books) <= r["sub"]:
+            books.append([])
+        books[r["sub"]].append([float(x) for x in r["centroid"]])
+    return books

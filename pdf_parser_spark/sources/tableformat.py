@@ -305,3 +305,71 @@ def expire_snapshots(
             deleted.extend(files)
             shutil.rmtree(snap_dir)
     return deleted
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_bytes: int = 8 * 1024 * 1024
+) -> int:
+    """Small-file compaction — Iceberg's rewrite_data_files for the
+    accumulated-appends problem (every micro-batch/incremental append adds
+    files; a 10^12-row table fed hourly ends up with millions of KB-sized
+    parquet files whose per-file open/footer cost dominates scans long
+    before data volume does).
+
+    Rewrites the CURRENT snapshot's data into ceil(total_bytes /
+    target_bytes) files and commits the result as a NEW version whose
+    manifest lists only the compacted files — readers of older versions
+    still see the old file list (time travel is preserved; the old files
+    remain until expire_snapshots collects them), and the usual atomic
+    version-link commit keeps concurrent appends serializable: if an
+    append wins the race, the retry recomputes on top of ITS manifest...
+    which would silently DROP that append's rows from the compacted view,
+    so compaction refuses instead (optimistic concurrency: the caller
+    re-runs on the new current version — Iceberg's validation failure on
+    conflicting commits).
+
+    Returns the committed version number.  Logical content is byte-
+    identical (pinned in pytest by sorted-row comparison and by the
+    zone-map scan still pruning correctly on the compacted stats)."""
+    base_version = current_version(path)
+    meta = _read_version(path, base_version)
+    files = meta["all_files"]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))
+    snap_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", snap_id)
+    spark.read.parquet(*files).repartition(n_out).write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    n_rows = spark.read.parquet(*new_files).count() if new_files else 0
+    stats = {f: _file_stats(f) for f in new_files}
+    version = {
+        "version": base_version + 1,
+        "snapshot_id": snap_id,
+        "parent_version": base_version,
+        "compaction_of": base_version,
+        "added_files": new_files,
+        "added_rows": 0,  # a rewrite adds no logical rows
+        "n_rows": n_rows,
+        "all_files": new_files,
+        "file_stats": stats,
+    }
+    tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(version, f)
+    target = os.path.join(_meta_dir(path), f"v{base_version + 1}.json")
+    try:
+        os.link(tmp, target)
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        import shutil
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent commit beat compaction of v{base_version}; "
+            "re-run against the new current version"
+        )
+    return base_version + 1

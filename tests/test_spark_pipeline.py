@@ -998,6 +998,23 @@ def test_pq_fit_matches_numpy_twin_and_guards_divisibility(spark):
         S.pq_fit(bad)  # 63 % 4 != 0
 
 
+def test_pq_codebooks_persist_roundtrip(spark, tmp_path):
+    """save/load round-trips the PQ model so pq_topk(loaded) is
+    byte-identical to pq_topk(fitted) — the amortized-fit mode (the 4x
+    Lloyd fit is the dominant PQ cost in bench.py)."""
+    from pdf_parser_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = S.pq_fit(emb)
+    path = str(tmp_path / "pq_books")
+    S.save_pq_codebooks(spark, books, path)
+    loaded = S.load_pq_codebooks(spark, path)
+    assert loaded == books
+    a = sorted(map(tuple, S.pq_topk(emb, codebooks=loaded).collect()))
+    b = sorted(map(tuple, S.pq_topk(emb, codebooks=books).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_warc_read_carves_blocks_and_keeps_blank_lines_in_body(spark, tmp_path):
     """split(limit=3) must keep CRLFCRLF sequences inside the payload;
     status/content-type/length parse per record; trailing record CRLFs are
@@ -1461,6 +1478,57 @@ def test_tableformat_snapshots_time_travel_rollback(spark, tmp_path):
     tf.rollback(path, 2)
     assert tf.current_version(path) == 2
     assert tf.read_table(spark, path).count() == 3
+
+
+def test_compact_table_rewrites_without_changing_content(spark, tmp_path):
+    """Compaction pins: many-file table collapses to few files in a NEW
+    version, logical rows byte-identical, pre-compaction versions still
+    time-travel to their own file lists, zone-map pruning works on the
+    compacted stats, and a racing commit makes compaction REFUSE (never
+    silently drop the racer's rows)."""
+    import json
+    import os
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    for k in range(4):  # 4 appends x 4 partitions = 16 small files
+        df = spark.createDataFrame(
+            [(k * 10 + i, f"v{k}_{i}") for i in range(8)], "id long, v string"
+        ).repartition(4)
+        tf.append_snapshot(df, path)
+    before = tf._read_version(path, 4)
+    assert len(before["all_files"]) == 16
+    rows_before = sorted(map(tuple, tf.read_table(spark, path).collect()))
+
+    v = tf.compact_table(spark, path)
+    assert v == 5
+    after = tf._read_version(path, 5)
+    assert len(after["all_files"]) < len(before["all_files"])
+    assert sorted(map(tuple, tf.read_table(spark, path).collect())) == rows_before
+    # old version still reads ITS files (time travel preserved)
+    assert len(tf._read_version(path, 4)["all_files"]) == 16
+    assert tf.read_table(spark, path, version=4).count() == 32
+    # zone maps on the compacted files still prune: id range is [0, 38]
+    pdf, n_read, n_total = tf.scan_table(spark, path, [("id", ">", 1000)])
+    assert pdf.count() == 0 and n_read == 0 and n_total == len(after["all_files"])
+    # conflicting commit -> compaction refuses instead of dropping rows:
+    # a racer lands v6 between compaction's base read and its link (here:
+    # the base read is pinned stale at 5 while v6 already exists)
+    import unittest.mock as mock
+
+    v6 = os.path.join(path, "metadata", "v6.json")
+    with open(v6, "w") as f:
+        json.dump({"version": 6, "snapshot_id": "racer", "parent_version": 5,
+                   "added_files": [], "added_rows": 0,
+                   "all_files": after["all_files"]}, f)
+    import pytest as _pytest
+    with mock.patch.object(tf, "current_version", return_value=5):
+        with _pytest.raises(RuntimeError, match="concurrent commit"):
+            tf.compact_table(spark, path)
+    # the refused compaction left no half-committed state: v6 is still the
+    # racer's and reads exactly its manifest
+    assert tf._read_version(path, 6)["snapshot_id"] == "racer"
 
 
 def test_versioned_checkpoint_crashed_run_invisible(spark, tmp_path):
