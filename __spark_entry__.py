@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_latest_order": R.j_asof_latest_order,
         "u_setops": R.u_setops,
         "g_rollup_revenue": R.g_rollup_revenue,
+        # CUBE: all 2^d grouping sets + grouping_id lattice check
+        "g_cube_revenue": R.g_cube_revenue,
         # --- TPC-H-style headline queries ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_top_orders": R.q3_top_orders,
@@ -1675,6 +1677,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY returnflag, linestatus
+        """,
+        # CUBE twin: GROUPING(a) || GROUPING(b) concatenated as bits must
+        # equal Spark's grouping_id — the lattice-id agreement is part of
+        # the hash
+        "g_cube_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n,
+                   CAST(2 * GROUPING(l_returnflag)
+                        + GROUPING(l_linestatus) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY gid, returnflag, linestatus
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

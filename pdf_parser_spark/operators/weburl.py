@@ -1340,3 +1340,42 @@ def param_audit(
         )
         .orderBy("param")
     )
+
+
+def write_cdx(
+    documents: DataFrame, out_dir: str, n_shards: int = 4
+) -> DataFrame:
+    """The CDX WRITE path cdx_authority_index audits: materialize the
+    capture index as range-partitioned, internally-sorted parquet shards
+    plus the boundary table (Common Crawl's cluster.idx analog — its
+    columnar URL index is literally parquet sorted by SURT).
+
+    repartitionByRange(surt) puts each SURT range in ONE shard (lookups
+    touch one file; an authority never straddles more shards than its own
+    key range) and sortWithinPartitions makes every shard internally
+    ordered, so a reader binary-searches the boundary table then scans one
+    sorted run — the 10^12-capture lookup story.  This is the ONE global
+    sort in the family, and it is the write path's by design (the audit
+    rollup deliberately avoids it).
+
+    Returns the boundary table (file, n_rows, min_surt, max_surt) read
+    back from the written shards' own footers — non-overlapping ranges
+    are asserted in pytest, not assumed."""
+    s = surt_key(canonicalize(with_synthetic_urls(documents))).select(
+        "surt", "canonical_url", "doc_id")
+    (
+        s.repartitionByRange(n_shards, F.col("surt"))
+        .sortWithinPartitions("surt")
+        .write.mode("overwrite").parquet(out_dir)
+    )
+    spark = documents.sparkSession
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("surt").alias("min_surt"),
+            F.max("surt").alias("max_surt"),
+        )
+        .orderBy("min_surt")
+    )

@@ -276,6 +276,32 @@ def g_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(l_returnflag, l_linestatus) revenue — ALL 2^d grouping sets in
+    one pass (the rollup's lattice-complete sibling: rollup emits the
+    hierarchy's prefixes, cube also emits the (ALL, linestatus) slice a
+    dashboard pivots on).  Same Expand + single-shuffle plan; gid =
+    grouping_id() distinguishes a real NULL key from a subtotal row — the
+    standard disambiguator, here doubling as the cross-engine check that
+    both engines assign identical lattice ids (Spark's grouping_id bit
+    order matches GROUPING(a, b) concatenation in DuckDB)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue", "n", "gid",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
 # --- TPC-H-style headline queries ---------------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

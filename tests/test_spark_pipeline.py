@@ -826,6 +826,29 @@ def test_surt_keys_and_cdx_contiguity(spark):
         assert r["min_surt"] <= r["max_surt"]
 
 
+def test_write_cdx_sorted_disjoint_shards(spark, tmp_path):
+    """CDX write pins: every shard is internally SURT-sorted, shard ranges
+    are pairwise disjoint (the binary-searchable property), the boundary
+    table covers every capture, and no authority straddles shards it
+    doesn't have to (each shard's range is contiguous in the global
+    order)."""
+    from pdf_parser_spark.operators.weburl import write_cdx
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "cdx")
+    idx = write_cdx(docs, out, n_shards=4).collect()
+    assert sum(r["n_rows"] for r in idx) == docs.count()
+    # shard ranges sorted by min must be pairwise disjoint
+    for a, b in zip(idx, idx[1:]):
+        assert a["max_surt"] < b["min_surt"]
+    # every shard file is internally sorted (parquet preserves row order)
+    import pyarrow.parquet as pq
+    import glob
+    for f in glob.glob(f"{out}/*.parquet"):
+        surts = pq.read_table(f, columns=["surt"])["surt"].to_pylist()
+        assert surts == sorted(surts)
+
+
 def test_lsh_topk_identical_and_opposite_vectors(spark):
     """Identical vectors share every plane sign -> must collide and rank
     first with cos 1.0; an exactly opposite vector flips every decided bit
