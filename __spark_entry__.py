@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fleet_cross_validate": _x_fleet,
         # --- text analysis ---
         "t_token_count": lambda s, d: textstats.token_count(_docs(s, d)),
+        # bigram-LM surprisal with stupid backoff (integer-bits KenLM analog)
+        "t_surprisal2": lambda s, d: textstats.lm_surprisal2(_docs(s, d)),
         # Heaps-law vocabulary growth: distinct types per ingest prefix —
         # one vocab-key min-groupBy, then K-row ladder histograms + cumsums
         "t_vocab_growth": lambda s, d: textstats.vocab_growth(_docs(s, d)),
@@ -2144,6 +2146,96 @@ def oracle_sql() -> dict[str, str]:
                 FROM tiers
             )
             SELECT s.doc_id, s.n_toks, s.n_oov, s.bits_sum, s.mean_cb,
+                   CASE t.tier WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc s JOIN tmap t USING (mean_cb)
+            ORDER BY s.doc_id
+        """,
+        # bigram surprisal: same scoring table as the engine — seen bigram =
+        # Laplace over the context row, miss = BACKOFF + unigram bits (the
+        # coalesce(c,0)+1 form prices OOV at the same log2(N+V) constant),
+        # first token = unigram; same _cb_tiers tercile chain
+        "t_surprisal2": f"""
+            WITH ta AS (
+                SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS t
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, unnest(t) AS term FROM ta
+            ), ucnt AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS c
+                FROM toks WHERE doc_id % {TS.SURPRISAL_REF_MOD} = 0
+                GROUP BY term
+            ), model AS (
+                SELECT CAST(sum(c) AS BIGINT) AS n_model,
+                       CAST(count(*) AS BIGINT) AS v_model
+                FROM ucnt
+            ), pairs AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                           i -> {{'p': t[i], 'w': t[i + 1]}})) AS pr
+                FROM ta WHERE len(t) >= 2
+            ), bcnt AS (
+                SELECT pr.p AS p, pr.w AS w, CAST(count(*) AS BIGINT) AS c2
+                FROM pairs WHERE doc_id % {TS.SURPRISAL_REF_MOD} = 0
+                GROUP BY 1, 2
+            ), bbits AS (
+                SELECT b.p, b.w,
+                       CAST(length(bin(greatest(
+                           (u.c + m.v_model) // (b.c2 + 1), 1))) - 1
+                            AS BIGINT) AS bbits
+                FROM bcnt b JOIN ucnt u ON u.term = b.p CROSS JOIN model m
+            ), scored AS (
+                SELECT pa.doc_id,
+                       CASE WHEN bb.bbits IS NOT NULL THEN 1 ELSE 0 END AS hit,
+                       CASE WHEN bb.bbits IS NOT NULL THEN bb.bbits
+                            ELSE {TS.BACKOFF_BITS}
+                                 + CAST(length(bin(greatest(
+                                     (m.n_model + m.v_model)
+                                     // (coalesce(u.c, 0) + 1), 1))) - 1
+                                        AS BIGINT)
+                       END AS b
+                FROM pairs pa
+                LEFT JOIN bbits bb ON bb.p = pa.pr.p AND bb.w = pa.pr.w
+                LEFT JOIN ucnt u ON u.term = pa.pr.w
+                CROSS JOIN model m
+            ), pair_doc AS (
+                SELECT doc_id, CAST(sum(hit) AS BIGINT) AS hits,
+                       CAST(sum(b) AS BIGINT) AS psum
+                FROM scored GROUP BY doc_id
+            ), firsts AS (
+                SELECT a.doc_id, CAST(len(a.t) AS BIGINT) AS n_toks,
+                       CAST(length(bin(greatest(
+                           (m.n_model + m.v_model)
+                           // (coalesce(u.c, 0) + 1), 1))) - 1
+                            AS BIGINT) AS fb
+                FROM ta a LEFT JOIN ucnt u ON u.term = a.t[1]
+                CROSS JOIN model m
+            ), per_doc AS (
+                SELECT f.doc_id, f.n_toks,
+                       CAST(coalesce(p.hits, 0) AS BIGINT) AS n_bigram_hits,
+                       CAST(f.fb + coalesce(p.psum, 0) AS BIGINT) AS bits_sum
+                FROM firsts f LEFT JOIN pair_doc p USING (doc_id)
+            ), sc AS (
+                SELECT doc_id, n_toks, n_bigram_hits, bits_sum,
+                       CAST((100 * bits_sum) // n_toks AS BIGINT) AS mean_cb
+                FROM per_doc
+            ), hist AS (
+                SELECT mean_cb, count(*) AS cnt FROM sc GROUP BY mean_cb
+            ), tiers AS (
+                SELECT mean_cb,
+                       sum(cnt) OVER (ORDER BY mean_cb ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - cnt AS cum_before,
+                       sum(cnt) OVER () AS total
+                FROM hist
+            ), tmap AS (
+                SELECT mean_cb,
+                       least({TS.SURPRISAL_TIERS} - 1,
+                             CAST(({TS.SURPRISAL_TIERS} * cum_before) // total
+                                  AS BIGINT)) AS tier
+                FROM tiers
+            )
+            SELECT s.doc_id, s.n_toks, s.n_bigram_hits, s.bits_sum, s.mean_cb,
                    CASE t.tier WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM sc s JOIN tmap t USING (mean_cb)

@@ -1102,11 +1102,30 @@ def lm_surprisal(
             "mean_cb", F.expr("(100 * bits_sum) div n_toks").cast("long")
         )
     )
+    return (
+        per_doc.join(F.broadcast(_cb_tiers(per_doc)), "mean_cb")
+        .select(
+            "doc_id", "n_toks", "n_oov", "bits_sum", "mean_cb",
+            F.when(F.col("tier") == 0, "head")
+            .when(F.col("tier") == 1, "middle")
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cb_tiers(per_doc: DataFrame) -> DataFrame:
+    """(mean_cb, tier) head/middle/tail value-terciles of mean_cb — the
+    quality_tiers histogram doctrine (cumulative window over the bounded
+    integer mean_cb value dim, never a corpus ORDER BY); factored out so
+    lm_surprisal and lm_surprisal2 share one bucket rule."""
+    from pyspark.sql import Window
+
     hist = per_doc.groupBy("mean_cb").agg(F.count("*").alias("cnt"))
     w = Window.orderBy(F.col("mean_cb").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tiers = hist.select(
+    return hist.select(
         "mean_cb",
         (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
         F.sum("cnt").over(
@@ -1120,16 +1139,6 @@ def lm_surprisal(
             F.lit(SURPRISAL_TIERS - 1),
             F.expr(f"({SURPRISAL_TIERS} * cum_before) div total"),
         ).cast("long").alias("tier"),
-    )
-    return (
-        per_doc.join(F.broadcast(tiers), "mean_cb")
-        .select(
-            "doc_id", "n_toks", "n_oov", "bits_sum", "mean_cb",
-            F.when(F.col("tier") == 0, "head")
-            .when(F.col("tier") == 1, "middle")
-            .otherwise(F.lit("tail")).alias("bucket"),
-        )
-        .orderBy("doc_id")
     )
 
 
@@ -1196,4 +1205,144 @@ def vocab_growth(documents: DataFrame, n_checkpoints: int = VG_CHECKPOINTS) -> D
             F.sum(F.coalesce("nv", F.lit(0))).over(w).cast("long").alias("vocab"),
         )
         .orderBy("ckpt")
+    )
+
+
+BACKOFF_BITS = 2  # stupid-backoff penalty in bits (alpha = 1/4 analog)
+
+
+def lm_surprisal2(
+    documents: DataFrame, ref_mod: int = SURPRISAL_REF_MOD
+) -> DataFrame:
+    """Bigram-LM surprisal with unigram backoff — the natural deepening of
+    lm_surprisal (CCNet's filter in production is a 5-gram KenLM; the
+    bigram-with-backoff form captures the first-order structure a unigram
+    model cannot: 'the the the' scores fluent under unigrams and garbage
+    under bigrams) while keeping every quantity an exact integer.
+
+    Scoring, all via the length(bin(q))-1 integer log2:
+    - first token of a doc: unigram bits (no context);
+    - token w after p with (p, w) SEEN in the reference: bigram bits =
+      floor(log2((c1(p) + V) div (c2(p,w) + 1))) — Laplace over the
+      context row;
+    - unseen bigram: BACKOFF_BITS + unigram bits of w (stupid backoff
+      with an integer penalty; unigram bits price OOV at the same
+      floor(log2(N + V)) constant as lm_surprisal).
+
+    (doc_id, n_toks, n_bigram_hits, bits_sum, mean_cb, bucket) with the
+    SAME _cb_tiers tercile rule as the unigram op.
+
+    Plan: reference bigram dim (one groupBy) joins the context's unigram
+    count ON THE DIM (vocab-bounded, never the stream); the corpus bigram
+    stream (one in-scan transform, no window/lag — the pmi_collocations
+    shape) left-joins the bigram-bits dim and the unigram-bits dim (two
+    keyed shuffles); first tokens ride a separate slim stream; one per-doc
+    groupBy folds both.  Nothing corpus-ordered anywhere."""
+    toks = words(F.lower(F.col("text")))
+
+    # reference models
+    ref = documents.where(F.col("doc_id") % ref_mod == 0)
+    ucnt = (
+        ref.select(F.explode(toks).alias("term"))
+        .groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    )
+    model = ucnt.agg(
+        F.sum("c").cast("long").alias("n_model"),
+        F.count("*").cast("long").alias("v_model"),
+    )
+    term_bits = ucnt.crossJoin(model).select(
+        "term",
+        (F.length(F.bin(F.expr(
+            "greatest((n_model + v_model) div (c + 1), 1)"
+        ))) - 1).cast("long").alias("ubits"),
+    )
+    pair = F.when(F.size(toks) < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("p"),
+                F.element_at(toks, i + 2).alias("w"),
+            ),
+        )
+    )
+    bcnt = (
+        ref.select(F.explode(pair).alias("b"))
+        .select("b.p", "b.w")
+        .groupBy("p", "w").agg(F.count("*").cast("long").alias("c2"))
+    )
+    big_bits = (
+        bcnt.join(ucnt.select(F.col("term").alias("p"),
+                              F.col("c").alias("c1p")), "p")
+        .crossJoin(model)
+        .select(
+            "p", "w",
+            (F.length(F.bin(F.expr(
+                "greatest((c1p + v_model) div (c2 + 1), 1)"
+            ))) - 1).cast("long").alias("bbits"),
+        )
+    )
+
+    # corpus streams
+    big_stream = documents.select("doc_id", F.explode(pair).alias("b")).select(
+        "doc_id", "b.p", "b.w")
+    scored_pairs = (
+        big_stream
+        .join(big_bits, ["p", "w"], "left")
+        .join(term_bits.select(F.col("term").alias("w"), "ubits"), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("bbits").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_bigram_hits"),
+            F.coalesce(F.sum(F.when(F.col("bbits").isNotNull(), F.col("bbits"))),
+                       F.lit(0)).cast("long").alias("hit_sum"),
+            # backoff lanes: known-unigram misses and OOV misses
+            F.coalesce(F.sum(F.when(
+                F.col("bbits").isNull() & F.col("ubits").isNotNull(),
+                F.col("ubits") + BACKOFF_BITS)), F.lit(0))
+            .cast("long").alias("miss_known_sum"),
+            F.sum(F.when(F.col("bbits").isNull() & F.col("ubits").isNull(), 1)
+                  .otherwise(0)).cast("long").alias("miss_oov"),
+        )
+    )
+    firsts = (
+        documents.select(
+            "doc_id", F.element_at(toks, 1).alias("w"),
+            F.size(toks).cast("long").alias("n_toks"),
+        )
+        .join(term_bits.select(F.col("term").alias("w"), "ubits"), "w", "left")
+        .select(
+            "doc_id", "n_toks",
+            F.coalesce("ubits", F.lit(None)).alias("first_ubits"),
+            F.col("ubits").isNull().alias("first_oov"),
+        )
+    )
+    oov_const = (F.length(F.bin(F.expr("greatest(n_model + v_model, 1)"))) - 1)
+    per_doc = (
+        firsts.join(scored_pairs, "doc_id", "left")
+        .crossJoin(model)
+        .select(
+            "doc_id", "n_toks",
+            F.coalesce("n_bigram_hits", F.lit(0)).alias("n_bigram_hits"),
+            (
+                F.coalesce("first_ubits", oov_const)
+                + F.coalesce("hit_sum", F.lit(0))
+                + F.coalesce("miss_known_sum", F.lit(0))
+                + F.coalesce("miss_oov", F.lit(0))
+                  * (oov_const + F.lit(BACKOFF_BITS))
+            ).cast("long").alias("bits_sum"),
+        )
+        .withColumn(
+            "mean_cb", F.expr("(100 * bits_sum) div n_toks").cast("long")
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(_cb_tiers(per_doc)), "mean_cb")
+        .select(
+            "doc_id", "n_toks", "n_bigram_hits", "bits_sum", "mean_cb",
+            F.when(F.col("tier") == 0, "head")
+            .when(F.col("tier") == 1, "middle")
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+        .orderBy("doc_id")
     )

@@ -789,6 +789,35 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_bigram_surprisal_backoff_table(spark):
+    """Exact integer-bits pins for the bigram LM (ref doc 0 'a b a b c':
+    N=5, V=3; ubits a/b=1, c=2, OOV=3; bbits (a,b)=0, (b,a)=(b,c)=1) and
+    the motivating inversion: 'the the the' is fluent under unigrams but
+    garbage under bigrams — the bigram op must rank it ABOVE the fluent
+    doc in surprisal where the unigram op ranks it at or below."""
+    from pdf_parser_spark.operators import textstats as T
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_toks"], r["n_bigram_hits"], r["bits_sum"],
+                         r["mean_cb"])
+           for r in T.lm_surprisal2(docs).collect()}
+    # doc 0: first 'a'=1; (a,b)=0, (b,a)=1, (a,b)=0, (b,c)=1 -> sum 3
+    assert got[0] == (5, 4, 3, 60)
+    # doc 1: first 'a'=1; (a,b)=0 hit; (b,x) miss, x OOV -> 2 + 3 = 5
+    assert got[1] == (3, 1, 6, 200)
+
+    docs2 = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),
+         (1, "the cat sat"),
+         (2, "the the the")],
+        "doc_id long, text string")
+    bi = {r["doc_id"]: r["mean_cb"] for r in T.lm_surprisal2(docs2).collect()}
+    uni = {r["doc_id"]: r["mean_cb"] for r in T.lm_surprisal(docs2).collect()}
+    assert bi[2] > bi[1]      # bigram: repetition is surprising
+    assert uni[2] <= uni[1]   # unigram: repetition of 'the' looks fluent
+
+
 def test_cdc_chunks_resync_and_invariants(spark):
     """CDC pins: chunks tile each document contiguously with length in
     (0, MAX] and every non-tail chunk >= MIN; md5s are the chunk bytes;
