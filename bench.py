@@ -170,6 +170,23 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
             .select("doc_id", "host"),
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
            __import__("pdf_parser_spark.operators.weburl", fromlist=["x"])),
+        # bow-tie: two bounded reachability sweeps on the host graph
+        "g_bowtie": lambda: (lambda lg, wu: lg.bowtie(
+            lg.synthetic_edges(docs),
+            wu.canonicalize(wu.with_synthetic_urls(docs))
+            .select("doc_id", "host"),
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
+           __import__("pdf_parser_spark.operators.weburl", fromlist=["x"])),
+        # CDC chunking: Arrow greedy walk + chunk_md5 dedup-yield rollup
+        "d_cdc_chunks": lambda: dedup.cdc_chunks(docs),
+        # bigram LM with backoff (two dim joins on the pair stream)
+        "t_surprisal2": lambda: textstats.lm_surprisal2(docs),
+        # bucketed interval join (equi join + filter, no nested loop)
+        "j_range_join": lambda: R.j_range_join(spark, sf_dir),
+        # frame-pair SAD shot detection over real P6 streams
+        "m_shot_detect": lambda: multimodal.shot_boundaries(
+            multimodal.synthetic_video(docs)
+        ),
     }
     times: dict[str, float] = {}
     for name, build in suite.items():
