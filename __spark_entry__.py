@@ -527,6 +527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ),
         "s_ann_lsh": lambda s, d: similarity.lsh_topk(_emb(s, d)),
+        # matryoshka dim audit: exact recall of prefix-truncated rankings
+        # vs the full dim, per ladder step, integer bp
+        "s_dim_audit": lambda s, d: similarity.dim_truncation_audit(_emb(s, d)),
         # product quantization: corpus stored as M subspace codes, queries
         # score by asymmetric distance (ADC) — the compressed-scan path; the
         # Spark query fits its OWN per-subspace Lloyd codebooks, the oracle
@@ -1295,8 +1298,45 @@ def oracle_sql() -> dict[str, str]:
     from pdf_parser_spark.plans import relational as R
     from pdf_parser_spark.streaming.join import ATTR_HOURS as ST_ATTR_HOURS
 
+    from pdf_parser_spark.operators.similarity import DIM_LADDER as _DIM_LADDER
     from pdf_parser_spark.operators.similarity import PQ_RERANK as similarity_PQ_RERANK
     from pdf_parser_spark.operators.similarity import PQ_ROUND_DP
+
+    # dim-truncation audit: a ranked top-3 set per ladder step over the
+    # sliced vectors (same 4dp round + neighbor-asc tie as s_ann_brute),
+    # then join overlap counts vs the full ranking
+    def _rset(name: str, vexpr: str) -> str:
+        return f"""{name} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           round(list_dot_product({vexpr.format(t='q')}, {vexpr.format(t='n')}) /
+                                 (sqrt(list_dot_product({vexpr.format(t='q')}, {vexpr.format(t='q')}))
+                                  * sqrt(list_dot_product({vexpr.format(t='n')}, {vexpr.format(t='n')}))), 4) DESC,
+                           n.vec_id ASC) AS rk
+                FROM emb q CROSS JOIN emb n
+                WHERE q.vec_id < 10 AND n.vec_id != q.vec_id)
+            WHERE rk <= 3
+        )"""
+
+    _dim_ctes = ",\n".join(
+        [_rset("full_r", "{t}.v")]
+        + [_rset(f"t{d}", f"{{t}}.v[1:{d}]") for d in _DIM_LADDER]
+    )
+    _dim_rows = " UNION ALL ".join(
+        f"""SELECT {d} AS dim,
+                   (SELECT CAST(count(*) AS BIGINT) FROM full_r) AS n_pairs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM full_r f
+                    JOIN t{d} USING (query_id, neighbor_id)) AS n_overlap"""
+        for d in _DIM_LADDER
+    )
+    _dim_audit_sql = f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        {_dim_ctes}
+        SELECT dim, n_pairs, n_overlap,
+               CAST((10000 * n_overlap) // n_pairs AS BIGINT) AS recall_bp
+        FROM ({_dim_rows}) ORDER BY dim
+    """
     # shared PQ/ADC CTE chain: codes = per-(vector, subspace) argmin over
     # the frozen codebook twins; dists doubles as the query-side distance
     # table, so the codes join IS the ADC lookup
@@ -2694,6 +2734,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             WHERE rank <= 3 ORDER BY query_id, rank
         """,
+        # dim audit: one ranked-set CTE per ladder step (same 4dp-round +
+        # neighbor-asc tie as the brute oracle), semi-join overlap counts
+        "s_dim_audit": _dim_audit_sql,
         "s_ann_ivf": _ivf_sql(cents_cte),
         # fit-on-sample IVF: Spark fits Lloyd on the md5-deterministic 25%
         # sample (similarity.KMEANS_SAMPLE_BP); the oracle probes from the

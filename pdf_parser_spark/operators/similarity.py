@@ -522,3 +522,57 @@ def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
             books.append([])
         books[r["sub"]].append([float(x) for x in r["centroid"]])
     return books
+
+
+DIM_LADDER = (8, 16, 32, 64)  # truncation steps audited vs the full dim
+
+
+def dim_truncation_audit(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    dims: tuple[int, ...] = DIM_LADDER,
+) -> DataFrame:
+    """Matryoshka-style dimension audit: exact top-k recall of
+    PREFIX-TRUNCATED embeddings against the full-dimension ranking, per
+    ladder step — the measure-don't-guess table behind 'can we store 16
+    dims instead of 64?' (a 4x index-size cut if recall holds; MRL-trained
+    embeddings are built to pass exactly this audit, and a model NOT
+    trained that way fails it — which is the finding).
+
+    (dim, n_pairs, n_overlap, recall_bp): recall_bp = 10000 * overlap div
+    full-pair count, exact integers (the minhash_estimate_audit doctrine).
+
+    Scale: each ladder step is the brute-force plan on a NARROWER slice
+    (the slice happens in the scan, so a 16-dim step reads/ships 1/4 the
+    vector bytes); the overlap join is on the tiny (query, neighbor)
+    result sets.  In production the audit runs on a sample — its verdict
+    is a property of the embedding model, not the corpus size."""
+    full = brute_force_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id")
+    spark = embeddings.sparkSession
+    out = None
+    n_full = F.broadcast(full.groupBy().count().select(
+        F.col("count").alias("n_pairs")))
+    for d in dims:
+        sliced = embeddings.select(
+            "vec_id",
+            F.slice(F.col("embedding"), 1, d).alias("embedding"),
+        )
+        trunc = brute_force_topk(sliced, n_queries, k).select(
+            "query_id", "neighbor_id")
+        step = (
+            full.join(trunc, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy().count()
+            .select(F.col("count").alias("n_overlap"))
+            .crossJoin(n_full)
+            .select(
+                F.lit(d).alias("dim"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("n_overlap").cast("long").alias("n_overlap"),
+                F.expr("(10000 * n_overlap) div n_pairs")
+                .cast("long").alias("recall_bp"),
+            )
+        )
+        out = step if out is None else out.unionByName(step)
+    return out.orderBy("dim")

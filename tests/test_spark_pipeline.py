@@ -1021,6 +1021,33 @@ def test_pq_fit_matches_numpy_twin_and_guards_divisibility(spark):
         S.pq_fit(bad)  # 63 % 4 != 0
 
 
+def test_dim_truncation_audit(spark):
+    """Dim-audit pins: the full-dim step is the identity (recall 10000 bp);
+    embeddings whose signal lives ENTIRELY in the first 8 dims (suffix
+    identical across vectors) keep recall 10000 at every ladder step —
+    while the real synthetic corpus, not matryoshka-shaped, collapses
+    under truncation (the measured finding, asserted < full)."""
+    from pdf_parser_spark.operators import similarity as S
+
+    import numpy as np
+    # zero suffix: cosine over the full vector == cosine over the prefix
+    # exactly (a shared NON-zero suffix would still perturb norms per
+    # vector and shift rankings — cosine is not prefix-separable)
+    rng = [(i, [float(((i * 7 + j * 13) % 29) - 14) / 10 for j in range(8)]
+            + [0.0] * 56) for i in range(30)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    got = {r["dim"]: r["recall_bp"]
+           for r in S.dim_truncation_audit(emb).collect()}
+    assert got[64] == 10000
+    assert got[8] == 10000 and got[16] == 10000 and got[32] == 10000
+
+    real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    real_got = {r["dim"]: r["recall_bp"]
+                for r in S.dim_truncation_audit(real).collect()}
+    assert real_got[64] == 10000
+    assert real_got[8] < 10000  # truncation genuinely loses ranking here
+
+
 def test_pq_codebooks_persist_roundtrip(spark, tmp_path):
     """save/load round-trips the PQ model so pq_topk(loaded) is
     byte-identical to pq_topk(fitted) — the amortized-fit mode (the 4x
