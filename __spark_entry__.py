@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strictly-ordered first-touch funnel: chained window mins over ONE
         # user partitioning, exact-bp conversion — never an events^3 self-join
         "w5_funnel": R.w5_funnel,
+        # native session_window (third sessionize face; strict-< merge
+        # boundary, unlike W4's inclusive lag rule — documented in-op)
+        "w6_session_window": R.w6_session_window,
         "st_sessionize": _st_sessionize,
         # bucketed interval join: equi join on the time bucket + exact
         # range filter — never a nested-loop range predicate
@@ -1636,6 +1639,35 @@ def oracle_sql() -> dict[str, str]:
                    max(event_id) AS max_event_id
             FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e
             GROUP BY interval_id ORDER BY interval_id
+        """,
+        # native session_window: the lag/cumsum twin at MICROSECOND
+        # precision with the INCLUSIVE break (measured, pytest-pinned:
+        # Spark merges an event at exactly prev + gap — touching windows
+        # DO merge; the first draft assumed strict and only the
+        # engineered-boundary test caught it, the real corpus has no
+        # exact-gap pair)
+        "w6_session_window": """
+            WITH gaps AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       sum(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM gaps
+            )
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS session_value
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start_s
         """,
         # first-touch funnel: per-user conditional mins chained strictly,
         # counts of non-null steps, integer-bp conversion

@@ -112,6 +112,50 @@ def w4_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> Da
     )
 
 
+def w6_session_window(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Spark's NATIVE session_window aggregation — the third sessionize
+    face beside the lag/cumsum batch form (W4) and the
+    applyInPandasWithState stream (st_sessionize), all held to ONE gap
+    semantics: three implementations that must agree is a stronger pin
+    than one checked twice.  session_window merges events within
+    gap-inactivity in the aggregate itself (no window function, no lag):
+    one groupBy(user_id, session_window) shuffle, and in streaming the
+    same expression is watermark-evictable state — the reason the native
+    form exists.
+
+    Boundary pin (MEASURED, not assumed): Spark merges an event at
+    exactly prev + gap — touching windows DO merge, the same inclusive
+    rule as W4's lag form, here verified at microsecond precision.  The
+    first draft assumed the strict reading of "windows that overlap" and
+    only the engineered exact-boundary pytest caught it (the real corpus
+    has no exact-gap pair, so the oracle passed silently) — which is the
+    whole argument for boundary tests.
+
+    Output (user_id, session_start_s, n_events, session_value) — the
+    session id is replaced by its start time (floor epoch seconds), which
+    the lag/cumsum oracle reproduces as min(ts) per session."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"),
+                             f"{int(gap_minutes)} minutes").alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start_s"),
+            "n_events", "session_value",
+        )
+        .orderBy("user_id", "session_start_s")
+    )
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 

@@ -544,6 +544,37 @@ def test_range_join_buckets_and_bounds(spark, tmp_path):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_session_window_boundary_vs_w4(spark, tmp_path):
+    """The off-by-boundary pin: an event at EXACTLY prev + gap MERGES
+    under native session_window (measured — touching windows do merge,
+    the same inclusive rule as W4; the first draft assumed strict and
+    this test caught it), and a sub-boundary event merges too; both
+    faces must agree on the engineered boundary corpus."""
+    import datetime as dt
+
+    from pdf_parser_spark.plans.relational import w4_sessionize, w6_session_window
+
+    utc = dt.timezone.utc
+    t0 = dt.datetime(2024, 2, 1, 8, 0, 0, tzinfo=utc)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "x", 1.0, "{}"),
+        (2, t0 + 1800 * s, 1, "x", 1.0, "{}"),      # == gap: w6 splits
+        (3, t0 + 7200 * s, 1, "x", 1.0, "{}"),      # far: both split
+        (4, t0 + 7200 * s + 1799 * s, 1, "x", 1.0, "{}"),  # within: both merge
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    w6 = [(r["session_start_s"], r["n_events"])
+          for r in w6_session_window(spark, str(tmp_path)).collect()]
+    w4 = [r["n_events"] for r in w4_sessionize(spark, str(tmp_path)).collect()]
+    e0 = int(t0.timestamp())
+    assert w6 == [(e0, 2), (e0 + 7200, 2)]  # boundary pair MERGED
+    assert sorted(w4) == [2, 2]             # same inclusive rule as W4
+
+
 def test_w5_funnel_strict_ordering(spark, tmp_path):
     """Funnel pins: a click at EXACTLY the first-view instant does not
     convert (strict >), pre-view clicks never count, purchase must follow
