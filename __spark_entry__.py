@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_count": lambda s, d: textstats.token_count(_docs(s, d)),
         # bigram-LM surprisal with stupid backoff (integer-bits KenLM analog)
         "t_surprisal2": lambda s, d: textstats.lm_surprisal2(_docs(s, d)),
+        # per-language tokenizer fertility (multilingual-fairness stat)
+        "t_fertility": lambda s, d: textstats.tokenizer_fertility(_docs(s, d)),
         # Heaps-law vocabulary growth: distinct types per ingest prefix —
         # one vocab-key min-groupBy, then K-row ladder histograms + cumsums
         "t_vocab_growth": lambda s, d: textstats.vocab_growth(_docs(s, d)),
@@ -810,6 +812,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed synchronous rounds, neighbor-only votes, (weight desc,
         # label asc) argmax as one struct-min groupBy per round
         "g_communities": lambda s, d: (lambda lg, docs: lg.host_communities(
+            lg.synthetic_edges(docs),
+            weburl.canonicalize(weburl.with_synthetic_urls(docs))
+            .select("doc_id", "host"),
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
+           _docs(s, d)),
+        # host-graph reciprocity (one-row structural stat; spam-ring jump
+        # detector)
+        "g_reciprocity": lambda s, d: (lambda lg, docs: lg.graph_reciprocity(
             lg.synthetic_edges(docs),
             weburl.canonicalize(weburl.with_synthetic_urls(docs))
             .select("doc_id", "host"),
@@ -3876,6 +3886,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.label AS community, s.community_size
             FROM {_lpa_prev} l JOIN sizes s USING (label)
             ORDER BY l.host
+        """,
+        # fertility: one groupBy on the lang dim, shared pretoken regex,
+        # integer-bp ratios
+        "t_fertility": f"""
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_words,
+                   CAST(sum(len(regexp_extract_all(text,
+                        '{TS.BPE_PRETOKEN_RE}'))) AS BIGINT) AS n_pretokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST((10000 * sum(len(regexp_extract_all(text,
+                        '{TS.BPE_PRETOKEN_RE}'))))
+                        // sum(len({_TOKS})) AS BIGINT) AS fertility_bp,
+                   CAST((10000 * sum(length(text)))
+                        // sum(len(regexp_extract_all(text,
+                           '{TS.BPE_PRETOKEN_RE}'))) AS BIGINT)
+                       AS chars_per_pretoken_bp
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # reciprocity: distinct host pairs self-joined on the swapped key
+        "g_reciprocity": f"""
+            WITH {_url_cte},
+            edges AS ({_edges_sql}),
+            hg AS (
+                SELECT DISTINCT cs.host AS s, cd.host AS d
+                FROM edges e
+                JOIN canon cs ON cs.doc_id = e.src
+                JOIN canon cd ON cd.doc_id = e.dst
+                WHERE cs.host <> cd.host
+            ),
+            r AS (
+                SELECT count(*) AS recip FROM hg a
+                WHERE EXISTS (SELECT 1 FROM hg b
+                              WHERE b.s = a.d AND b.d = a.s)
+            ),
+            n AS (SELECT count(*) AS n_edges FROM hg)
+            SELECT CAST(n.n_edges AS BIGINT) AS n_edges,
+                   CAST(r.recip AS BIGINT) AS n_reciprocated,
+                   CAST(CASE WHEN n.n_edges = 0 THEN 0
+                             ELSE (10000 * r.recip) // n.n_edges END
+                        AS BIGINT) AS reciprocity_bp
+            FROM n, r
         """,
         # degree histogram: distinct-pair host graph, floor(log2) bins via
         # the shared length(bin(x))-1 integer-log idiom

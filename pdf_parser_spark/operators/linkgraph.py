@@ -816,3 +816,33 @@ def degree_distribution(edges: DataFrame, urls: DataFrame) -> DataFrame:
         .select("direction", "bin", "n_hosts", "min_deg", "max_deg")
         .orderBy("direction", "bin")
     )
+
+
+def graph_reciprocity(edges: DataFrame, urls: DataFrame) -> DataFrame:
+    """Host-graph reciprocity — the one-row structural stat next to the
+    degree histogram (directed-web studies report it beside the bow-tie:
+    reciprocated host links indicate partnership/mirror relationships,
+    one-way links editorial citation; a crawl whose reciprocity jumps is
+    usually ingesting link-exchange spam rings): n_edges (distinct ordered
+    inter-host pairs), n_reciprocated (pairs whose reverse also exists),
+    reciprocity_bp exact.
+
+    One self-join of the distinct host-pair table on the swapped key —
+    dim-sized both sides (the host_graph compression again), left_semi so
+    nothing materializes beyond the match flags."""
+    hg = host_graph(edges, urls).select(
+        F.col("src_host").alias("s"), F.col("dst_host").alias("d")
+    ).distinct().persist()
+    hg.count()
+    n_edges = hg.count()
+    recip = hg.join(
+        hg.select(F.col("d").alias("s"), F.col("s").alias("d")),
+        ["s", "d"], "left_semi",
+    ).count()
+    hg.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(int(n_edges), int(recip),
+          (10000 * int(recip)) // int(n_edges) if n_edges else 0)],
+        "n_edges long, n_reciprocated long, reciprocity_bp long",
+    )

@@ -1346,3 +1346,43 @@ def lm_surprisal2(
         )
         .orderBy("doc_id")
     )
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility — the multilingual-fairness release
+    stat (a tokenizer that spends 3x the subwords per word on one language
+    taxes that language 3x per context window; fertility disparity tables
+    are standard in multilingual model cards): per lang, whitespace words,
+    BPE-ish pretoken runs (the shared BPE_PRETOKEN_RE classes), chars, and
+    the two ratios in exact integer basis points — fertility_bp =
+    10000 * pretokens div words, chars_per_pretoken_bp = 10000 * chars div
+    pretokens.
+
+    One in-scan regexp/size pass + ONE map-side-combined groupBy on the
+    lang dim; no floats (integer-div bp, the domain-prior doctrine)."""
+    toks = words(F.col("text"))
+    runs = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0))).cast("long")
+    per = documents.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_words"),
+        runs.alias("n_pre"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_pre").cast("long").alias("n_pretokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang", "n_docs", "n_words", "n_pretokens", "n_chars",
+            F.expr("(10000 * n_pretokens) div n_words")
+            .cast("long").alias("fertility_bp"),
+            F.expr("(10000 * n_chars) div n_pretokens")
+            .cast("long").alias("chars_per_pretoken_bp"),
+        )
+        .orderBy("lang")
+    )

@@ -789,6 +789,34 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_tokenizer_fertility_and_reciprocity(spark):
+    """Fertility pins: exact run/word/char arithmetic per lang and the
+    integer-bp ratios; reciprocity pins: a mutual host pair counts both
+    directions, a one-way link neither, page-edge multiplicity folds."""
+    from pdf_parser_spark.operators import linkgraph as lg
+    from pdf_parser_spark.operators import textstats as T
+
+    docs = spark.createDataFrame(
+        [(0, "ab cd", "en"), (1, "a1-b", "en"), (2, "xyz", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["lang"]: (r["n_docs"], r["n_words"], r["n_pretokens"],
+                       r["n_chars"], r["fertility_bp"],
+                       r["chars_per_pretoken_bp"])
+           for r in T.tokenizer_fertility(docs).collect()}
+    # en: words 2+1=3; pretokens (ab,cd) + (a,1,-,b) = 6; chars 5+4=9
+    assert got["en"] == (2, 3, 6, 9, 20000, 15000)
+    assert got["fr"] == (1, 1, 1, 3, 10000, 30000)
+
+    urls = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "doc_id long, host string")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 0), (0, 2)], "src long, dst long")
+    r = lg.graph_reciprocity(edges, urls).collect()[0]
+    assert (r["n_edges"], r["n_reciprocated"], r["reciprocity_bp"]) == \
+        (3, 2, 6666)
+
+
 def test_bigram_surprisal_backoff_table(spark):
     """Exact integer-bits pins for the bigram LM (ref doc 0 'a b a b c':
     N=5, V=3; ubits a/b=1, c=2, OOV=3; bbits (a,b)=0, (b,a)=(b,c)=1) and
