@@ -476,6 +476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_window_counts": lambda s, d: __import__(
             "pdf_parser_spark.streaming.windowed", fromlist=["window_counts_via_stream"]
         ).window_counts_via_stream(s, d),
+        # stream-static enrichment join: broadcast dim per micro-batch,
+        # stateless (no watermark, no buffering) — the common join form
+        "st_static_enrich": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.join", fromlist=["x"]
+        ).static_enrich_via_stream(s, d),
         # stream-stream interval join (view->click attribution): watermarks
         # on BOTH legs + the time-range condition bound the join state to
         # the attribution horizon — the only way a 10^12-event firehose
@@ -1310,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
     pq_subdim = len(E.PQ_CODEBOOKS[0][0])
     from pdf_parser_spark.plans import relational as R
     from pdf_parser_spark.streaming.join import ATTR_HOURS as ST_ATTR_HOURS
+    from pdf_parser_spark.streaming.join import USER_TIER_MOD as ST_TIER_MOD
 
     from pdf_parser_spark.operators.similarity import DIM_LADDER as _DIM_LADDER
     from pdf_parser_spark.operators.similarity import PQ_RERANK as similarity_PQ_RERANK
@@ -3578,6 +3584,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY window_start, event_type, wmf, wm1
             HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= wmf
             ORDER BY window_start, event_type
+        """,
+        # stream-static enrichment: batch twin = plain dim-join rollup with
+        # the tier CASE re-derived from the user_tier_dim formula (ids
+        # beyond the dim would coalesce to 'unknown'; this corpus's user
+        # space is exactly the dim's range)
+        "st_static_enrich": f"""
+            SELECT CASE WHEN user_id < 150 THEN
+                        CASE user_id % {ST_TIER_MOD}
+                             WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+                             ELSE 'bronze' END
+                        ELSE 'unknown' END AS tier,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id
+            FROM events GROUP BY 1, 2 ORDER BY tier, event_type
         """,
         # stream-stream attribution join: the batch twin is the plain
         # interval join — the streaming machinery (watermarks, state

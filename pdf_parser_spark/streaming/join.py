@@ -110,3 +110,81 @@ def attribution_join_via_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    dim: DataFrame,
+):
+    """Stream-static join: enrich the event stream with a STATIC dimension
+    (the other join Structured Streaming supports, and the far more common
+    one in practice — every fetch stream joins a host/domain/quality dim).
+    Unlike stream-stream, no watermark and no join state at all: the
+    static side is (re)broadcast per micro-batch, so the join is stateless
+    and the stream side never buffers — which is why dim enrichment
+    belongs in this form and NOT as a stream-stream join against a
+    'slowly changing' feed.  The aggregate downstream (per-tier counts)
+    runs in complete mode over the enriched rows."""
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    joined = ev.join(F.broadcast(dim), "user_id", "left")
+    agg = joined.groupBy(
+        F.coalesce(F.col("tier"), F.lit("unknown")).alias("tier"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .start()
+    )
+
+
+USER_TIER_MOD = 3  # synthetic user dim: tier = user_id % 3 -> gold/silver/bronze
+
+
+def user_tier_dim(spark: SparkSession) -> DataFrame:
+    """Deterministic 150-user dimension (the events table's user space):
+    tier from the id formula, so the oracle re-derives it in SQL."""
+    return spark.range(150).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % USER_TIER_MOD == 0, "gold")
+        .when(F.col("id") % USER_TIER_MOD == 1, "silver")
+        .otherwise("bronze").alias("tier"),
+    )
+
+
+def static_enrich_via_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay harness: one batch through the real stream-static
+    join + complete-mode rollup; equals the batch join GROUP BY oracle."""
+    work = tempfile.mkdtemp(prefix="ssenrich_stream_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    name = "ssenrich_" + uuid.uuid4().hex[:8]
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(in_dir, "batch0.parquet"),
+        )
+        q = stream_static_enrich(spark, in_dir, ckpt, name, user_tier_dim(spark))
+        q.processAllAvailable()
+        q.stop()
+        out = (
+            spark.table(name)
+            .select("tier", "event_type", "n_events",
+                    "min_event_id", "max_event_id")
+            .orderBy("tier", "event_type")
+            .persist()
+        )
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

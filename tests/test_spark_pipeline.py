@@ -1261,6 +1261,51 @@ def test_orc_roundtrip_binary_and_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:80]
 
 
+def test_stream_static_enrich_unknown_and_batches(spark, tmp_path):
+    """Stream-static pins: a user outside the dim rolls into 'unknown';
+    counts accumulate across micro-batches (complete mode re-emits the
+    full rollup); the dim join adds NO stream state (stateless join)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming.join import (
+        stream_static_enrich, user_tier_dim,
+    )
+
+    utc = dt.timezone.utc
+    t0 = dt.datetime(2026, 8, 12, 9, 0, tzinfo=utc)
+
+    def _write(path, rows):
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0] * len(rows), pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }), path)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    name = "sse_" + tmp_path.name
+    q = stream_static_enrich(
+        spark, str(in_dir), str(tmp_path / "ckpt"), name, user_tier_dim(spark))
+    try:
+        _write(str(in_dir / "b0.parquet"),
+               [(1, 0, "view"), (2, 1, "view"), (3, 999, "view")])
+        q.processAllAvailable()
+        _write(str(in_dir / "b1.parquet"), [(4, 0, "view")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["tier"], r["event_type"]): r["n_events"]
+           for r in spark.table(name).collect()}
+    assert got == {("gold", "view"): 2, ("silver", "view"): 1,
+                   ("unknown", "view"): 1}
+
+
 def test_jsonl_roundtrip_preserves_binary_bytes(spark, tmp_path):
     from pdf_parser_spark.sources.jsonl import read_jsonl, write_jsonl
 
