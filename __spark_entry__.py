@@ -572,6 +572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_audio_energy": lambda s, d: multimodal.audio_energy(
             multimodal.synthetic_media(_docs(s, d))
         ),
+        # VAD segments: gaps-and-islands over the shared detector pass
+        "m_audio_segments": lambda s, d: multimodal.audio_segments(
+            multimodal.synthetic_media(_docs(s, d))
+        ),
         "m_media_features": lambda s, d: multimodal.media_features(
             multimodal.synthetic_media(_docs(s, d))
         ).select(
@@ -1316,6 +1320,33 @@ def oracle_sql() -> dict[str, str]:
     from pdf_parser_spark.plans import relational as R
     from pdf_parser_spark.streaming.join import ATTR_HOURS as ST_ATTR_HOURS
     from pdf_parser_spark.streaming.join import USER_TIER_MOD as ST_TIER_MOD
+
+    from pdf_parser_spark.operators import multimodal as MM_
+
+    # shared audio-energy CTE chain (WAV synthesis formula -> per-window
+    # exact square sums), used by m_audio_energy and m_audio_segments
+    _ae_ctes = f"""w AS (
+                SELECT doc_id, 1 + doc_id % 2 AS ch,
+                       (200 + doc_id % 100) * (1 + doc_id % 2) AS total
+                FROM documents WHERE doc_id % 3 = 1
+            ), wins AS (
+                SELECT doc_id, ch, total,
+                       unnest(range(0, (total + {MM_.AE_WIN} - 1) // {MM_.AE_WIN})) AS win_idx
+                FROM w
+            ), en AS (
+                SELECT doc_id, win_idx,
+                       least(total - win_idx * {MM_.AE_WIN}, {MM_.AE_WIN}) AS n_samps,
+                       list_sum(list_transform(
+                           list_transform(
+                               range(win_idx * {MM_.AE_WIN},
+                                     least(total, win_idx * {MM_.AE_WIN} + {MM_.AE_WIN})),
+                               j -> ((2 * j * 13 + ch) % 256)
+                                  + 256 * (((2 * j + 1) * 13 + ch) % 256)),
+                           r -> CASE WHEN r >= 32768
+                                     THEN (r - 65536) * (r - 65536)
+                                     ELSE r * r END)) AS energy
+                FROM wins
+            )"""
 
     from pdf_parser_spark.operators.similarity import DIM_LADDER as _DIM_LADDER
     from pdf_parser_spark.operators.similarity import PQ_RERANK as similarity_PQ_RERANK
@@ -3040,33 +3071,39 @@ def oracle_sql() -> dict[str, str]:
         # AE_WIN-sample windows — a chunk-walk or endianness bug in the
         # engine's real-bytes parse mismatches every energy
         "m_audio_energy": f"""
-            WITH w AS (
-                SELECT doc_id, 1 + doc_id % 2 AS ch,
-                       (200 + doc_id % 100) * (1 + doc_id % 2) AS total
-                FROM documents WHERE doc_id % 3 = 1
-            ), wins AS (
-                SELECT doc_id, ch, total,
-                       unnest(range(0, (total + {MM.AE_WIN} - 1) // {MM.AE_WIN})) AS win_idx
-                FROM w
-            ), en AS (
-                SELECT doc_id, win_idx,
-                       least(total - win_idx * {MM.AE_WIN}, {MM.AE_WIN}) AS n_samps,
-                       list_sum(list_transform(
-                           list_transform(
-                               range(win_idx * {MM.AE_WIN},
-                                     least(total, win_idx * {MM.AE_WIN} + {MM.AE_WIN})),
-                               j -> ((2 * j * 13 + ch) % 256)
-                                  + 256 * (((2 * j + 1) * 13 + ch) % 256)),
-                           r -> CASE WHEN r >= 32768
-                                     THEN (r - 65536) * (r - 65536)
-                                     ELSE r * r END)) AS energy
-                FROM wins
-            )
+            WITH {_ae_ctes}
             SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
                    CAST(n_samps AS INT) AS n_samps,
                    CAST(energy AS BIGINT) AS energy,
                    energy < {MM.AE_SIL_MEANSQ} * n_samps AS is_silence
             FROM en ORDER BY doc_id, win_idx
+        """,
+        # VAD segments: lag + cumulative-flag-change islands over the SAME
+        # en CTE (shared fragment — detector and consumer cannot drift)
+        "m_audio_segments": f"""
+            WITH {_ae_ctes},
+            v AS (
+                SELECT doc_id, win_idx, energy,
+                       energy < {MM.AE_SIL_MEANSQ} * n_samps AS sil
+                FROM en
+            ), chg AS (
+                SELECT doc_id, win_idx, energy, sil,
+                       CASE WHEN lag(sil) OVER w IS NULL
+                             OR lag(sil) OVER w <> sil THEN 1 ELSE 0 END AS c
+                FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY win_idx)
+            ), segs AS (
+                SELECT doc_id, win_idx, energy, sil,
+                       sum(c) OVER (PARTITION BY doc_id ORDER BY win_idx
+                                    ROWS UNBOUNDED PRECEDING) AS seg
+                FROM chg
+            )
+            SELECT doc_id, CAST(seg - 1 AS INT) AS seg_idx,
+                   min(sil) AS is_silence,
+                   CAST(min(win_idx) AS INT) AS win_start,
+                   CAST(max(win_idx) AS INT) AS win_end,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(energy) AS BIGINT) AS energy_sum
+            FROM segs GROUP BY doc_id, seg ORDER BY doc_id, seg_idx
         """,
         "m_media_features": """
             WITH m AS (

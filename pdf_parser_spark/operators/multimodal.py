@@ -884,3 +884,54 @@ def shot_boundaries(
         .mapInPandas(fn, SHOT_SCHEMA)
         .orderBy("doc_id", "frame_index")
     )
+
+
+def audio_segments(
+    df: DataFrame,
+    payload_col: str = "payload",
+    win: int = AE_WIN,
+    sil_meansq: int = AE_SIL_MEANSQ,
+) -> DataFrame:
+    """The consumer face of audio_energy: merge consecutive same-verdict
+    windows into speech/silence SEGMENTS (gaps-and-islands over the window
+    index) — the actual VAD output an ASR pipeline consumes ('speech from
+    window 3 to 17'), where audio_energy's per-window rows are the raw
+    detector signal.  (doc_id, seg_idx, is_silence, win_start, win_end,
+    n_windows, energy_sum) ordered by (doc_id, seg_idx).
+
+    Plan: the per-window table from the shared audio_energy pass, then the
+    classic lag + cumulative-flag-change islands — both windows partition
+    by doc_id, so the sort is bounded by one clip's window count (seconds
+    of audio), never the corpus; one groupBy on (doc_id, seg) closes the
+    segments.  Exact integers end to end (energy sums are BIGINT, the
+    verdict an integer compare inherited from audio_energy)."""
+    from pyspark.sql import Window
+
+    en = audio_energy(df, payload_col=payload_col, win=win,
+                      sil_meansq=sil_meansq)
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    change = F.when(
+        F.lag("is_silence").over(w).isNull()
+        | (F.lag("is_silence").over(w) != F.col("is_silence")),
+        1,
+    ).otherwise(0)
+    seg = (
+        en.withColumn("chg", change)
+        .withColumn("seg", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        seg.groupBy("doc_id", "seg")
+        .agg(
+            F.min("is_silence").alias("is_silence"),  # constant per segment
+            F.min("win_idx").alias("win_start"),
+            F.max("win_idx").alias("win_end"),
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum("energy").cast("long").alias("energy_sum"),
+        )
+        .select(
+            "doc_id", (F.col("seg") - 1).cast("int").alias("seg_idx"),
+            "is_silence", "win_start", "win_end", "n_windows", "energy_sum",
+        )
+        .orderBy("doc_id", "seg_idx")
+    )

@@ -1474,6 +1474,44 @@ def test_shot_boundaries_sad_and_cuts(spark):
     ]  # doc 1 (single frame): no pairs
 
 
+def test_audio_segments_islands(spark):
+    """VAD-segment pins: silence/speech/silence stretches merge into three
+    segments with exact window ranges and energy sums; a flag flip at a
+    single window opens its own segment; all-speech audio is one segment."""
+    import struct
+
+    import numpy as np
+
+    from pdf_parser_spark.operators import multimodal as M
+
+    def wav_of(samples):
+        data = np.asarray(samples, "<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    w = M.AE_WIN
+    loud, quiet = 1000, 0
+    samples = ([quiet] * (2 * w)      # windows 0-1: silence
+               + [loud] * (3 * w)     # windows 2-4: speech
+               + [quiet] * w)         # window 5: silence
+    df = spark.createDataFrame(
+        [(0, bytearray(wav_of(samples))),
+         (1, bytearray(wav_of([loud] * (2 * w))))],
+        "doc_id long, payload binary",
+    )
+    rows = [(r["doc_id"], r["seg_idx"], r["is_silence"],
+             r["win_start"], r["win_end"], r["n_windows"], r["energy_sum"])
+            for r in M.audio_segments(df).collect()]
+    assert rows == [
+        (0, 0, True, 0, 1, 2, 0),
+        (0, 1, False, 2, 4, 3, 3 * w * loud * loud),
+        (0, 2, True, 5, 5, 1, 0),
+        (1, 0, False, 0, 1, 2, 2 * w * loud * loud),
+    ]
+
+
 def test_transform_media_spark_stage(spark):
     from pdf_parser_spark.operators.multimodal import (
         synthetic_media, transform_media,
