@@ -373,3 +373,89 @@ def compact_table(
             "re-run against the new current version"
         )
     return base_version + 1
+
+
+def merge_snapshot(
+    spark: SparkSession, df: DataFrame, path: str, key: str
+) -> dict:
+    """Copy-on-write MERGE (upsert by key) — the row-level half of the
+    Iceberg analog next to append/compact/expire: rows in ``df`` REPLACE
+    current rows with the same key and new keys insert, committed as one
+    new version.  At 10^12 rows the point is the REWRITE SCOPE: the
+    manifest's zone maps pick out only the data files whose [min, max]
+    key range can contain an incoming key; every other file rides into
+    the new manifest untouched — an upsert of one recrawled host rewrites
+    a handful of files, not the table (Iceberg COW with metadata-pruned
+    file selection; the MOR/delete-file variant trades this rewrite for
+    read-side merges and is out of scope by design).
+
+    Conflict handling mirrors compact_table: the atomic version link
+    refuses if a concurrent commit won, so a racer's rows can never be
+    silently dropped from the merged view.
+
+    Returns {"version", "n_files_rewritten", "n_files_untouched"}.
+    Correctness (upserted content byte-identical to a full-table merge,
+    old-version time travel, the untouched-file count) is pytest-pinned."""
+    base_version = current_version(path)
+    meta = _read_version(path, base_version)
+    keys = [r[0] for r in df.select(key).distinct().collect()]
+    affected, untouched = [], []
+    for f in meta["all_files"]:
+        st = meta.get("file_stats", {}).get(f, {})
+        rng = st.get(key)
+        if rng is None:
+            affected.append(f)  # no stats -> must rewrite (never-skip rule)
+            continue
+        if any(rng["min"] <= k <= rng["max"] for k in keys):
+            affected.append(f)
+        else:
+            untouched.append(f)
+    snap_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", snap_id)
+    if affected:
+        kept = spark.read.parquet(*affected).join(
+            df.select(key).distinct(), key, "left_anti")
+        kept.unionByName(df).write.parquet(data_dir)
+    else:
+        df.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    stats = {f: _file_stats(f) for f in new_files}
+    version = {
+        "version": base_version + 1,
+        "snapshot_id": snap_id,
+        "parent_version": base_version,
+        "merge_key": key,
+        "added_files": new_files,
+        "added_rows": 0,
+        "rewrote_files": affected,
+        "all_files": untouched + new_files,
+        "file_stats": {
+            **{f: s for f, s in meta.get("file_stats", {}).items()
+               if f in untouched},
+            **stats,
+        },
+    }
+    tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(version, f)
+    target = os.path.join(_meta_dir(path), f"v{base_version + 1}.json")
+    try:
+        os.link(tmp, target)
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        import shutil
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent commit beat merge of v{base_version}; "
+            "re-run against the new current version"
+        )
+    return {
+        "version": base_version + 1,
+        "n_files_rewritten": len(affected),
+        "n_files_untouched": len(untouched),
+    }

@@ -1695,6 +1695,47 @@ def test_compact_table_rewrites_without_changing_content(spark, tmp_path):
     assert tf._read_version(path, 6)["snapshot_id"] == "racer"
 
 
+def test_merge_snapshot_cow_upsert_scoped_by_zone_maps(spark, tmp_path):
+    """COW merge pins: an upsert of keys living in ONE file rewrites only
+    that file (zone-map scoping; the other appends ride untouched into the
+    new manifest), content equals a full-table upsert, new keys insert,
+    pre-merge versions still time-travel, and a stale-base race refuses."""
+    import unittest.mock as mock
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    # 3 appends with DISJOINT id ranges -> zone maps can discriminate
+    for k, lo in enumerate((0, 100, 200)):
+        df = spark.createDataFrame(
+            [(lo + i, f"v{k}_{i}") for i in range(5)], "id long, v string"
+        ).coalesce(1)
+        tf.append_snapshot(df, path)
+    before_files = tf._read_version(path, 3)["all_files"]
+    assert len(before_files) == 3
+
+    updates = spark.createDataFrame(
+        [(101, "UPDATED"), (999, "NEW")], "id long, v string")
+    info = tf.merge_snapshot(spark, updates, path, "id")
+    assert info["version"] == 4
+    assert info["n_files_rewritten"] == 1      # only the 100-range file
+    assert info["n_files_untouched"] == 2
+    rows = {r["id"]: r["v"] for r in tf.read_table(spark, path).collect()}
+    assert rows[101] == "UPDATED" and rows[999] == "NEW"
+    assert rows[100] == "v1_0" and rows[0] == "v0_0" and len(rows) == 16
+    # untouched files persist verbatim in the new manifest
+    after = tf._read_version(path, 4)["all_files"]
+    assert sum(1 for f in before_files if f in after) == 2
+    # time travel: v3 still shows the pre-merge world
+    old = {r["id"]: r["v"] for r in tf.read_table(spark, path, version=3).collect()}
+    assert old[101] == "v1_1" and 999 not in old
+    # stale-base race refuses (compaction doctrine)
+    import pytest as _pytest
+    with mock.patch.object(tf, "current_version", return_value=3):
+        with _pytest.raises(RuntimeError, match="concurrent commit"):
+            tf.merge_snapshot(spark, updates, path, "id")
+
+
 def test_versioned_checkpoint_crashed_run_invisible(spark, tmp_path):
     """The resume property the manifest buys: a crashed run's orphan data
     files do NOT mark urls done; a committed run's do."""
