@@ -1261,6 +1261,52 @@ def test_orc_roundtrip_binary_and_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:80]
 
 
+def test_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """The streaming half of the resumability story: a query is STOPPED
+    after batch 0, a brand-new query object restarts from the same
+    checkpoint + sink, consumes only what arrived since, and the parquet
+    sink holds every url exactly once — no replays, no gaps (Structured
+    Streaming's checkpoint + file-sink transaction log end-to-end)."""
+    from pdf_parser_spark.sources.pages import synthetic_pages
+    from pdf_parser_spark.streaming.pipeline import stream_extract
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    import glob
+    import os
+    import shutil
+    import tempfile
+    os.makedirs(in_dir)
+
+    def _one_file(df, dest):  # the file source doesn't recurse into dirs
+        tmp = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    pages = synthetic_pages(spark, n_docs=24).cache()
+    _one_file(pages.sort("url").limit(12), f"{in_dir}/b0.parquet")
+    q1 = stream_extract(spark, in_dir, out_dir, ckpt, run_ts="2026-08-18")
+    q1.processAllAvailable()
+    q1.stop()
+    n_after_b0 = spark.read.parquet(out_dir).count()
+    assert n_after_b0 == 12
+    # second wave lands while no query is running
+    _one_file(pages.sort(F.col("url").desc()).limit(12), f"{in_dir}/b1.parquet")
+    q2 = stream_extract(spark, in_dir, out_dir, ckpt, run_ts="2026-08-18")
+    q2.processAllAvailable()
+    q2.stop()
+    out = spark.read.parquet(out_dir)
+    # every input url exactly once: restart neither replayed b0 nor
+    # skipped b1 (the two waves may overlap in urls — count per url must
+    # equal its input multiplicity)
+    from collections import Counter
+    want = Counter(
+        r["url"] for r in spark.read.parquet(f"{in_dir}/b0.parquet")
+        .unionByName(spark.read.parquet(f"{in_dir}/b1.parquet")).collect())
+    got = Counter(r["url"] for r in out.select("url").collect())
+    assert got == want
+
+
 def test_stream_static_enrich_unknown_and_batches(spark, tmp_path):
     """Stream-static pins: a user outside the dim rolls into 'unknown';
     counts accumulate across micro-batches (complete mode re-emits the
