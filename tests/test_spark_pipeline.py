@@ -1741,6 +1741,30 @@ def test_compact_table_rewrites_without_changing_content(spark, tmp_path):
     assert tf._read_version(path, 6)["snapshot_id"] == "racer"
 
 
+def test_table_changes_cdc_between_versions(spark, tmp_path):
+    """CDC pins: an append surfaces as pure inserts; a COW upsert surfaces
+    as delete+insert of the touched key only (untouched rows absent from
+    the diff); multiset semantics count duplicate rows exactly."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    tf.append_snapshot(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b")], "id long, v string"), path)
+    tf.append_snapshot(spark.createDataFrame(
+        [(3, "c")], "id long, v string"), path)
+    d12 = {(r["id"], r["v"], r["_change"])
+           for r in tf.table_changes(spark, path, 1, 2).collect()}
+    assert d12 == {(3, "c", "insert")}
+    tf.merge_snapshot(
+        spark, spark.createDataFrame([(2, "B2")], "id long, v string"),
+        path, "id")
+    d23 = sorted((r["id"], r["v"], r["_change"])
+                 for r in tf.table_changes(spark, path, 2, 3).collect())
+    # BOTH duplicate (2,'b') rows deleted (multiset), one (2,'B2') inserted
+    assert d23 == [(2, "B2", "insert"), (2, "b", "delete"), (2, "b", "delete")]
+    assert tf.table_changes(spark, path, 3, 3).count() == 0
+
+
 def test_merge_snapshot_cow_upsert_scoped_by_zone_maps(spark, tmp_path):
     """COW merge pins: an upsert of keys living in ONE file rewrites only
     that file (zone-map scoping; the other appends ride untouched into the
