@@ -169,6 +169,51 @@ def test_salted_repartition_spreads_heavy_host(spark):
     assert n_parts_with_heavy >= 8, n_parts_with_heavy
 
 
+def test_aqe_skew_join_splits_giant_key(spark):
+    """The AQE half of the skew story next to the salt (the north rule
+    names both): an engineered join where ONE key holds ~95% of the fact
+    rows must trigger OptimizeSkewedJoin — the skewed partition is split
+    into subpartitions at runtime (isSkew=true in the final plan) instead
+    of landing on one straggler reducer.  Thresholds are lowered to make
+    the toy partition 'huge'; production defaults fire at 256MB the same
+    way."""
+    fact = spark.range(0, 40_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 40_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr"))
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        # keep the dim side out of broadcast so a SortMergeJoin happens
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        joined = fact.join(dim, "k")
+        # collect() (not count()) so THIS QueryExecution runs to its final
+        # adaptive plan — count() executes a different (aggregated) plan
+        # and leaves this one at isFinalPlan=false
+        assert len(joined.collect()) == 40_000  # correctness first
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead coalesced and skewed
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_q21_semi_anti_join_shapes(spark):
     """Q21's EXISTS/NOT-EXISTS legs must compile to LeftSemi/LeftAnti joins
     (no row multiplication) and the supplier dim must broadcast."""
