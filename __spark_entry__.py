@@ -700,6 +700,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_warc_roundtrip": lambda s, d: __import__(
             "pdf_parser_spark.sources.warc", fromlist=["roundtrip"]
         ).roundtrip(s, d),
+        # the REGISTERED Python DataSource read of the same WARC bytes
+        # (spark.read.format('warc')): held to u_warc_roundtrip's oracle —
+        # JVM lineSep parse and Python DataSource parse share one hash
+        "u_warc_datasource": lambda s, d: __import__(
+            "pdf_parser_spark.sources.warc_datasource",
+            fromlist=["datasource_roundtrip"],
+        ).datasource_roundtrip(s, d),
         # JSONL interchange round-trip: binary html crosses the text format
         # as base64; text_md5/html_md5 pin byte-exact payload fidelity
         "u_jsonl_roundtrip": lambda s, d: __import__(
@@ -1320,6 +1327,19 @@ def oracle_sql() -> dict[str, str]:
     from pdf_parser_spark.plans import relational as R
     from pdf_parser_spark.streaming.join import ATTR_HOURS as ST_ATTR_HOURS
     from pdf_parser_spark.streaming.join import USER_TIER_MOD as ST_TIER_MOD
+
+    # WARC round-trip fidelity projection, shared verbatim by the JVM
+    # lineSep read (u_warc_roundtrip) and the registered Python DataSource
+    # read (u_warc_datasource) — one oracle, two parsers
+    _warc_rt_sql = """
+        SELECT doc_id,
+               'https://' || source || '.example.com/doc/' || doc_id AS target_uri,
+               CAST(200 AS INT) AS http_status,
+               CAST(length(text) AS BIGINT) AS content_length,
+               CAST(length(text) AS BIGINT) AS n_body_chars,
+               md5(text) AS body_md5
+        FROM documents ORDER BY doc_id
+    """
 
     from pdf_parser_spark.operators import multimodal as MM_
 
@@ -3579,15 +3599,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # WARC round-trip: every parsed column is recomputable from the
         # documents table alone; body_md5 = md5(text) is the byte-fidelity pin
-        "u_warc_roundtrip": """
-            SELECT doc_id,
-                   'https://' || source || '.example.com/doc/' || doc_id AS target_uri,
-                   CAST(200 AS INT) AS http_status,
-                   CAST(length(text) AS BIGINT) AS content_length,
-                   CAST(length(text) AS BIGINT) AS n_body_chars,
-                   md5(text) AS body_md5
-            FROM documents ORDER BY doc_id
-        """,
+        "u_warc_roundtrip": _warc_rt_sql,
+        # the Python DataSource read is held to the SAME oracle text (the
+        # decontaminate_bloom aliasing doctrine): both read paths must
+        # byte-agree or one of the two parsers is wrong
+        "u_warc_datasource": _warc_rt_sql,
         # streaming tumbling-window rollup (complete-mode bounded replay)
         # must equal the batch GROUP BY hour-bucket; epoch-seconds window
         # start avoids tz/repr ambiguity in the hash compare

@@ -36,6 +36,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (Spark 4.1; the warc source's
+        # pushFilters is an assertion error without it)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         # html/markdown rows are fat: keep scan partitions modest
         .config("spark.sql.files.maxPartitionBytes", "64m")

@@ -1241,6 +1241,49 @@ def test_stream_stream_join_bounds_and_batch_invariance(spark, tmp_path):
     assert results[1] == expected  # batch boundaries are output-invisible
 
 
+def test_warc_python_datasource(spark, tmp_path):
+    """The registered format('warc') source: parses the same bytes as the
+    JVM lineSep path byte-for-byte (incl. blank lines INSIDE a payload),
+    plans one partition per part file, consumes an EqualTo pushdown inside
+    the reader, and hands unsupported filters back to Spark (a > filter
+    still evaluates correctly)."""
+    from pdf_parser_spark.sources.warc import read_warc, write_warc
+    from pdf_parser_spark.sources.warc_datasource import (
+        WarcDataSource, WarcReader,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "para one\r\n\r\npara two", "alpha"),   # blank line IN body
+         (2, "short", "beta"),
+         (3, "x" * 50, "gamma")],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "warc")
+    write_warc(docs, out, n_files=2)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(WarcDataSource)
+    via_ds = spark.read.format("warc").load(out)
+    a = sorted(map(tuple, via_ds.collect()))
+    b = sorted(map(tuple, read_warc(spark, out).select(
+        "target_uri", "warc_date", "http_status", "content_type",
+        "content_length", "body").collect()))
+    assert a == b and len(a) == 3
+    assert "para one\r\n\r\npara two" in {r[5] for r in a}
+    # partition planning: one per part file
+    assert via_ds.rdd.getNumPartitions() == 2
+    # pushdown: EqualTo on a header column is consumed by the reader
+    r = WarcReader({"path": out})
+    from pyspark.sql.datasource import EqualTo
+    rest = list(r.pushFilters([EqualTo(("http_status",), 200)]))
+    assert rest == [] and r.pushed == [("http_status", 200)]
+    eq = via_ds.where(F.col("target_uri")
+                      == "https://beta.example.com/doc/2").collect()
+    assert len(eq) == 1 and eq[0]["body"] == "short"
+    # unsupported (>) filter: returned to Spark, still correct
+    gt = via_ds.where(F.col("content_length") > 10).count()
+    assert gt == 2
+
+
 def test_orc_roundtrip_binary_and_pushdown(spark, tmp_path):
     """ORC source/sink: non-UTF-8 binary survives byte-exact, and a filter
     on the read side reaches the ORC scan as a pushed filter (the same
