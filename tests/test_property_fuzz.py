@@ -125,3 +125,58 @@ def test_extract_document_never_raises(payload):
     d = extract_document("fuzz://doc", payload, None, "t")
     assert d["url"] == "fuzz://doc"
     assert isinstance(d["status"], str) and d["status"]
+
+
+# --- URL family: canonicalize / SURT invariants over adversarial urls -------
+
+_URL_BITS = st.sampled_from([
+    "http", "https", "HTTPS", "ftp", "://", "www.", "WWW.", "EXAMPLE",
+    "example", ".com", ".CO.UK", ".io", "news.", "a.b", "localhost", ":443",
+    ":80", ":8080", ":0", "/", "//", "/a/b", "/DOCS/x", "/a b", "/%20",
+    "?", "?a=1", "&b=2", "&utm_source=x", "&a=1&a=2", "?=", "&=&", "#frag",
+    "#", "##x", "", "xn--", "-", "_", "~", "123",
+])
+
+
+def _spark():
+    from pdf_parser_spark.session import get_spark
+
+    return get_spark("prop", master="local[4]")
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_URL_BITS, min_size=1, max_size=10).map("".join),
+                min_size=1, max_size=30))
+def test_canonicalize_and_surt_invariants_on_fuzzed_urls(urls):
+    """Engine invariants no unit table can sweep: canonicalize never
+    throws on arbitrary url-ish strings; for every row whose host parsed,
+    the canonical url re-canonicalizes to ITSELF (idempotence — the
+    property that makes 'canonical' mean something); the SURT authority
+    (before ')') is always lowercase and the key always carries the ')'
+    separator."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from pdf_parser_spark.operators.weburl import canonicalize, surt_key
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    out = surt_key(canonicalize(df)).select(
+        "doc_id", "url", "host", "canonical_url", "surt").collect()
+    parsed = [(r["doc_id"], r["canonical_url"], r["surt"])
+              for r in out if r["host"] != ""]
+    for _i, cu, s in parsed:
+        assert ")" in s
+        auth = s.split(")")[0]
+        assert auth == auth.lower()
+    if parsed:
+        again = {
+            r["doc_id"]: r["canonical_url"]
+            for r in canonicalize(
+                spark.createDataFrame(
+                    [(i, cu) for i, cu, _s in parsed],
+                    "doc_id long, url string")
+            ).collect()
+        }
+        for i, cu, _s in parsed:
+            assert again[i] == cu, (cu, again[i])
