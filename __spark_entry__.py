@@ -450,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_collocations": lambda s, d: textstats.pmi_collocations(_docs(s, d)),
         # the release datasheet: per-(source, lang) docs/tokens/dup rollup
         "t_datasheet": lambda s, d: textstats.corpus_datasheet(_docs(s, d)),
+        # the ONE-row release headline above the datasheet: composes the
+        # live gate + quality operators (corpus_build doctrine)
+        "c_release_headline": lambda s, d: curation.release_headline(_docs(s, d)),
         # 10^12 face: HLL distinct instead of the exact fingerprint shuffle.
         # No oracle ON PURPOSE (rows-only): HLL++ register layouts are
         # engine-specific, so cross-engine equality is undefined — pytest
@@ -2411,6 +2414,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{TS.BPE_PRETOKEN_RE.split("|")[1]}')) AS BIGINT) AS n_number_runs,
                    CAST(len(regexp_extract_all(text, '{TS.BPE_PRETOKEN_RE.split("|")[2]}')) AS BIGINT) AS n_symbol_runs
             FROM documents ORDER BY doc_id
+        """,
+        # release headline: the gate CTE, the quality fragment, and the
+        # fingerprint/token counts composed under ONE hash — drift in any
+        # summarized operator fails the headline
+        "c_release_headline": f"""
+            WITH {_gate_cte_for("documents")},
+            q AS (
+                SELECT doc_id,
+                       CAST(round({_quality_sql()} * 10000) AS BIGINT) AS q_bp
+                FROM documents
+            ),
+            base AS (
+                SELECT d.doc_id, d.lang, md5(d.text) AS fp,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+                       (g.reasons = '') AS passed, q.q_bp
+                FROM documents d
+                JOIN gated g ON g.doc_id = d.doc_id
+                JOIN q ON q.doc_id = d.doc_id
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+                       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                       CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                       CAST(sum(q_bp) AS BIGINT) AS q_sum
+                FROM base
+            )
+            SELECT n_docs, n_tokens, n_distinct_texts,
+                   CAST((10000 * (n_docs - n_distinct_texts)) // n_docs AS BIGINT) AS dup_bp,
+                   CAST((10000 * n_pass) // n_docs AS BIGINT) AS gate_pass_bp,
+                   n_langs,
+                   CAST(q_sum // n_docs AS BIGINT) AS mean_quality_bp
+            FROM agg
         """,
         "t_quality_gate": f"""
             WITH {_gate_cte_for("documents")}

@@ -1162,3 +1162,58 @@ def ingest_pipeline(pages: DataFrame, html_col: str = "html") -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def release_headline(documents: DataFrame) -> DataFrame:
+    """The ONE-row release headline — the number block at the top of a
+    corpus model card (Dolma/RefinedWeb/FineWeb all lead with it): corpus
+    size, token count, exact-dup rate, hard-gate pass rate, language
+    count, mean soft quality.  t_datasheet is the per-(source, lang)
+    breakdown; this is the composed headline above it, and it deliberately
+    COMPOSES the live gate and quality operators rather than re-deriving
+    them, so the headline can never disagree with the per-doc tables it
+    summarizes (corpus_build doctrine).
+
+    (n_docs, n_tokens, n_distinct_texts, dup_bp, gate_pass_bp, n_langs,
+    mean_quality_bp) — every rate an exact integer bp; quality enters as
+    round(q * 10^4) per doc (the domain-prior doctrine: float means are
+    the classic cross-engine hash hazard).
+
+    Scale: three per-doc column passes joined on doc_id (AQE-planned) into
+    ONE global aggregate; the only distinct is the text fingerprint (the
+    quantity being measured) and the HLL swap documented on
+    corpus_datasheet applies here identically at 10^12."""
+    from pdf_parser_spark.functions import words
+    from pdf_parser_spark.operators.textstats import quality_gate, quality_score
+
+    base = documents.select(
+        "doc_id", "lang",
+        F.md5("text").alias("fp"),
+        F.size(words(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    gate = quality_gate(documents).select("doc_id", "passed")
+    q = quality_score(documents).select(
+        "doc_id",
+        F.round(F.col("quality") * 10000).cast("long").alias("q_bp"),
+    )
+    return (
+        base.join(gate, "doc_id").join(q, "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.countDistinct("fp").cast("long").alias("n_distinct_texts"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.when(F.col("passed"), 1).otherwise(0))
+            .cast("long").alias("n_pass"),
+            F.sum("q_bp").cast("long").alias("q_sum"),
+        )
+        .select(
+            "n_docs", "n_tokens", "n_distinct_texts",
+            F.expr("(10000 * (n_docs - n_distinct_texts)) div n_docs")
+            .cast("long").alias("dup_bp"),
+            F.expr("(10000 * n_pass) div n_docs").cast("long")
+            .alias("gate_pass_bp"),
+            "n_langs",
+            F.expr("q_sum div n_docs").cast("long").alias("mean_quality_bp"),
+        )
+    )

@@ -789,6 +789,31 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_release_headline_composes_live_operators(spark):
+    """Headline pins: the one-row summary equals hand-composed per-doc
+    operator outputs (gate pass rate, exact-dup rate from duplicate texts,
+    lang count, mean quality in bp) — and because it CALLS quality_gate /
+    quality_score, a threshold change there moves the headline too."""
+    from pdf_parser_spark.operators import curation as C
+    from pdf_parser_spark.operators.textstats import quality_gate, quality_score
+
+    passing = ("the quick brown fox is of a kind seen on and with many "
+               "others in the field for a while now ") * 3
+    docs = spark.createDataFrame(
+        [(0, passing, "en"), (1, passing, "en"),       # exact dup pair
+         (2, "short", "en"), (3, "xx yy zz " * 30, "fr")],
+        "doc_id long, text string, lang string",
+    )
+    r = C.release_headline(docs).collect()[0]
+    gates = {g["doc_id"]: g["passed"] for g in quality_gate(docs).collect()}
+    quals = {q["doc_id"]: round(q["quality"] * 10000)
+             for q in quality_score(docs).collect()}
+    assert r["n_docs"] == 4 and r["n_langs"] == 2
+    assert r["n_distinct_texts"] == 3 and r["dup_bp"] == 2500
+    assert r["gate_pass_bp"] == (10000 * sum(gates.values())) // 4
+    assert r["mean_quality_bp"] == sum(quals.values()) // 4
+
+
 def test_tokenizer_fertility_and_reciprocity(spark):
     """Fertility pins: exact run/word/char arithmetic per lang and the
     integer-bp ratios; reciprocity pins: a mutual host pair counts both
