@@ -540,6 +540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ),
         "s_ann_lsh": lambda s, d: similarity.lsh_topk(_emb(s, d)),
+        # IVF x PQ (FAISS IVFADC): coarse cells prune WHICH vectors, codes
+        # compress WHAT is scanned — the reduction factors multiply
+        "s_ann_ivfpq": lambda s, d: similarity.ivfpq_topk(_emb(s, d)),
         # matryoshka dim audit: exact recall of prefix-truncated rankings
         # vs the full dim, per ladder step, integer bp
         "s_dim_audit": lambda s, d: similarity.dim_truncation_audit(_emb(s, d)),
@@ -2878,6 +2881,56 @@ def oracle_sql() -> dict[str, str]:
         # sample (similarity.KMEANS_SAMPLE_BP); the oracle probes from the
         # numpy sample-twin literals
         "s_ann_ivf_samplefit": _ivf_sql(sample_cents_cte),
+        # IVFADC: frozen IVF centroids pick cells/probes, frozen PQ books
+        # pick codes, ADC runs only inside probed cells — both stage twins
+        # composed in one statement (either fit diverging mismatches)
+        "s_ann_ivfpq": f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (SELECT * FROM {cents_cte}),
+            books AS (SELECT * FROM {pq_books_cte}),
+            cdists AS (
+                SELECT e.vec_id, c.cl,
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+                FROM emb e CROSS JOIN cents c
+            ), assign AS (
+                SELECT vec_id, cl AS cell FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cl ASC) AS rn
+                    FROM cdists) WHERE rn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, cl AS probe FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cl ASC) AS rn
+                    FROM cdists WHERE vec_id < 10) WHERE rn <= 2
+            ), pdists AS (
+                SELECT e.vec_id, b.sub, b.cl,
+                       list_sum(list_transform(range(1, {pq_subdim} + 1),
+                                i -> (e.v[b.sub * {pq_subdim} + i] - b.cv[i])
+                                   * (e.v[b.sub * {pq_subdim} + i] - b.cv[i]))) AS d2
+                FROM emb e CROSS JOIN books b
+            ), codes AS (
+                SELECT vec_id, sub, cl AS code FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d2 ASC, cl ASC) AS rn
+                    FROM pdists) WHERE rn = 1
+            ), adc AS (
+                SELECT pr.query_id, a.vec_id AS neighbor_id,
+                       round(sum(d.d2), {PQ_ROUND_DP}) AS adc_dist
+                FROM probes pr
+                JOIN assign a ON a.cell = pr.probe AND a.vec_id != pr.query_id
+                JOIN codes c ON c.vec_id = a.vec_id
+                JOIN pdists d ON d.vec_id = pr.query_id
+                               AND d.sub = c.sub AND d.cl = c.code
+                GROUP BY pr.query_id, a.vec_id
+            )
+            SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+                FROM adc)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
         # PQ/ADC: codes = per-(vector, subspace) argmin over the frozen
         # codebook twins; the dists CTE doubles as the query-side distance
         # table, so the codes join IS the ADC lookup.  The Spark query fits

@@ -226,6 +226,12 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         emb, codebooks=books, rerank=similarity.PQ_RERANK
     ).write.format("noop").mode("overwrite").save()
     times["s_ann_pq_rerank"] = round(time.perf_counter() - t0, 3)
+    # the IVFADC composition (both fits amortized above)
+    t0 = time.perf_counter()
+    similarity.ivfpq_topk(
+        emb, centroids=centroids, codebooks=books
+    ).write.format("noop").mode("overwrite").save()
+    times["s_ann_ivfpq"] = round(time.perf_counter() - t0, 3)
     return times
 
 
@@ -269,6 +275,12 @@ def ann_recall(spark, sf_dir: str, k: int = 3) -> dict[str, float]:
           for r in similarity.pq_topk(emb, k=k, codebooks=books).collect()}
     out[f"s_ann_pq_recall_at_{k}"] = round(
         len(brute & pq) / max(len(brute), 1), 4)
+    # IVFADC recall: both stages' losses compound
+    ivfpq = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.ivfpq_topk(
+                 emb, k=k, centroids=centroids, codebooks=books).collect()}
+    out[f"s_ann_ivfpq_recall_at_{k}"] = round(
+        len(brute & ivfpq) / max(len(brute), 1), 4)
     # ADC+R second stage: shortlist width is the recall/cost knob
     for rr in (16, 32, 64):
         pqr = {(r["query_id"], r["neighbor_id"])

@@ -576,3 +576,86 @@ def dim_truncation_audit(
         )
         out = step if out is None else out.unionByName(step)
     return out.orderBy("dim")
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF x PQ — the composition production ANN stacks actually deploy
+    (FAISS's IVFADC, the layout behind most billion-vector services): the
+    IVF coarse quantizer prunes WHICH vectors are scanned (nprobe cells of
+    ~N/cells each) and PQ compresses WHAT is scanned (M code bytes per
+    vector), so the per-query cost is (N * nprobe / cells) ADC lookups
+    over M-byte codes — both reduction factors multiply, which is the
+    whole point of composing them.
+
+    Output (query_id, neighbor_id, adc_dist, rank) — ranked by ADC within
+    the probed cells; recall compounds both stages' losses (bench reports
+    it next to the single-stage paths).
+
+    Plan: corpus side computes (cell, codes) in ONE narrow pass (at 10^12
+    rows both become table columns — cell doubles as the partition key so
+    probes prune partitions); the query side carries its nprobe cells and
+    per-subspace distance tables; the probe join is broadcast(queries) x
+    cell-restricted codes, never a cross product over the corpus."""
+    if centroids is None:
+        centroids = kmeans_fit(embeddings)
+    if codebooks is None:
+        codebooks = pq_fit(embeddings)
+    sub = len(codebooks[0][0])
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _cluster_of(F.col("v"), centroids).alias("cell"),
+        F.array(*[
+            _cluster_of(F.slice(F.col("v"), s * sub + 1, sub), book)
+            for s, book in enumerate(codebooks)
+        ]).alias("codes"),
+    )
+    probe_structs = F.array(*[
+        F.struct(_sq_dist(F.col("qv"), cent).alias("d"), F.lit(i).alias("c"))
+        for i, cent in enumerate(centroids)
+    ])
+    q = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("probe", F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, nprobe),
+                lambda s: s["c"],
+            )
+        ))
+    )
+    for s, book in enumerate(codebooks):
+        qsub = F.slice(F.col("qv"), s * sub + 1, sub)
+        q = q.withColumn(f"dt{s}", F.array(*[_sq_dist(qsub, c) for c in book]))
+    q = q.drop("qv")
+    adc = None
+    for s in range(len(codebooks)):
+        term = F.element_at(F.col(f"dt{s}"), F.element_at(F.col("codes"), s + 1) + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        F.broadcast(q)
+        .join(corpus, on=F.col("probe") == F.col("cell"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("neighbor_id"),
+            F.round(adc, PQ_ROUND_DP).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1079,6 +1079,31 @@ def test_dim_truncation_audit(spark):
     assert real_got[8] < 10000  # truncation genuinely loses ranking here
 
 
+def test_ivfpq_composition(spark):
+    """IVFADC pins: probing ALL cells makes the IVF stage a no-op, so
+    ivfpq(nprobe=K) must equal plain PQ exactly (same books); with a
+    narrow probe the candidate set is cell-restricted — every reported
+    neighbor lives in one of its query's probed cells."""
+    from pdf_parser_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.kmeans_fit(emb)
+    books = S.pq_fit(emb)
+    full = sorted(map(tuple, S.ivfpq_topk(
+        emb, nprobe=S.KMEANS_K, centroids=cents, codebooks=books).collect()))
+    pq = sorted(map(tuple, S.pq_topk(emb, codebooks=books).collect()))
+    assert full == pq and len(full) > 0
+
+    narrow = S.ivfpq_topk(emb, nprobe=1, centroids=cents, codebooks=books)
+    from pyspark.sql import functions as F  # noqa: N812
+    cells = {r["vec_id"]: r["cell"] for r in emb.select(
+        "vec_id",
+        S._cluster_of(F.col("embedding").cast("array<double>"), cents)
+        .alias("cell")).collect()}
+    for r in narrow.collect():
+        assert cells[r["neighbor_id"]] == cells[r["query_id"]]  # nprobe=1
+
+
 def test_pq_codebooks_persist_roundtrip(spark, tmp_path):
     """save/load round-trips the PQ model so pq_topk(loaded) is
     byte-identical to pq_topk(fitted) — the amortized-fit mode (the 4x
