@@ -1329,6 +1329,57 @@ def test_orc_roundtrip_binary_and_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:80]
 
 
+def test_stream_upsert_table_foreachbatch(spark, tmp_path):
+    """Streaming -> COW merge composition: batch 0 seeds the table, batch
+    1 re-crawls one url (its row REPLACES, never duplicates) and inserts a
+    new one; a within-batch duplicate of a url keeps the newest warc_ts;
+    each micro-batch is one committed table version (the version history
+    IS the micro-batch lineage)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.sources import tableformat as tf
+    from pdf_parser_spark.streaming.pipeline import stream_upsert_table
+
+    utc = dt.timezone.utc
+    t = lambda h: dt.datetime(2026, 8, 12, h, 0, tzinfo=utc)  # noqa: E731
+
+    def _write(path, rows):
+        pq.write_table(pa.table({
+            "url": pa.array([r[0] for r in rows]),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+            "html": pa.array([None] * len(rows), pa.binary()),
+            "text": pa.array([r[2] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+        }), path)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    tbl = str(tmp_path / "tbl")
+    q = stream_upsert_table(spark, str(in_dir), tbl, str(tmp_path / "ck"))
+    try:
+        _write(str(in_dir / "b0.parquet"),
+               [("u1", t(1), "old"), ("u2", t(1), "two")])
+        q.processAllAvailable()
+        assert tf.current_version(tbl) == 1
+        # b1: u1 recrawled TWICE in one batch (later wins) + new u3
+        _write(str(in_dir / "b1.parquet"),
+               [("u1", t(2), "mid"), ("u1", t(3), "new"), ("u3", t(2), "three")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert tf.current_version(tbl) == 2
+    rows = {r["url"]: r["text"]
+            for r in tf.read_table(spark, tbl).collect()}
+    assert rows == {"u1": "new", "u2": "two", "u3": "three"}
+    # time travel to the pre-recrawl world
+    v1 = {r["url"]: r["text"]
+          for r in tf.read_table(spark, tbl, version=1).collect()}
+    assert v1 == {"u1": "old", "u2": "two"}
+
+
 def test_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
     """The streaming half of the resumability story: a query is STOPPED
     after batch 0, a brand-new query object restarts from the same
