@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_rollup_revenue": R.g_rollup_revenue,
         # CUBE: all 2^d grouping sets + grouping_id lattice check
         "g_cube_revenue": R.g_cube_revenue,
+        # PIVOT with an explicit value list (the only 10^12-safe form)
+        "q_pivot_lang_matrix": R.q_pivot_lang_matrix,
         # --- TPC-H-style headline queries ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_top_orders": R.q3_top_orders,
@@ -458,6 +460,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-specific, so cross-engine equality is undefined — pytest
         # holds it to a DATASHEET_HLL_RSD band against the exact form
         "t_datasheet_approx": lambda s, d: textstats.corpus_datasheet_approx(
+            _docs(s, d)
+        ),
+        # sketch face of the exact quantiles (GK percentile_approx):
+        # rows-only by design like the HLL datasheet — sketch internals
+        # are engine-specific; pytest bands it against the exact op
+        "t_length_quantiles_approx": lambda s, d: textstats.length_quantiles_approx(
             _docs(s, d)
         ),
         # per-doc keywords: all-integer TF-IDF ordering (df asc, tf desc)
@@ -1824,6 +1832,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY returnflag, linestatus
+        """,
+        # PIVOT twin: conditional aggregation — the portable spelling of a
+        # bounded pivot (DuckDB's PIVOT statement reorders differently)
+        "q_pivot_lang_matrix": """
+            SELECT source,
+                   CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                   CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr
+            FROM documents GROUP BY source ORDER BY source
         """,
         # CUBE twin: GROUPING(a) || GROUPING(b) concatenated as bits must
         # equal Spark's grouping_id — the lattice-id agreement is part of

@@ -1386,3 +1386,30 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+QUANTILE_SKETCH_ERR = 0.01  # percentile_approx accuracy (1/accuracy param)
+
+
+def length_quantiles_approx(documents: DataFrame) -> DataFrame:
+    """The sketch face of length_quantiles — percentile_approx
+    (Greenwald-Khanna) instead of the exact rank pick: at 10^12 rows the
+    exact form's per-source rank window sorts every source's doc list,
+    while the GK sketch is one mergeable accumulator per source (a
+    map-side-combinable agg, no sort anywhere).  Same output shape as the
+    exact op; like the datasheet's HLL face it is rows-only by design
+    (sketch internals are engine-specific) and pytest holds every reported
+    quantile inside the exact op's neighboring-rank band."""
+    toks = F.size(words(F.col("text"))).cast("long")
+    acc = int(1 / QUANTILE_SKETCH_ERR)
+    per = documents.select("source", toks.alias("n_tokens"))
+    ps = [25, 50, 75, 90, 99]
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            *[F.percentile_approx("n_tokens", p / 100.0, acc)
+              .cast("long").alias(f"p{p}") for p in ps],
+        )
+        .orderBy("source")
+    )

@@ -1379,3 +1379,34 @@ def write_cdx(
         )
         .orderBy("min_surt")
     )
+
+
+def cdx_lookup(
+    spark, cdx_dir: str, boundaries: DataFrame, authority: str
+) -> DataFrame:
+    """The CDX READ path: resolve one authority's captures by binary-
+    searching the boundary table for the shard(s) whose [min_surt,
+    max_surt] range can contain the authority prefix, then scanning ONLY
+    those files — at 10^12 captures the boundary table is ~10^5 rows and
+    the lookup touches one sorted shard, which is the entire reason
+    write_cdx sorts (Common Crawl's cluster.idx -> cdx-NNNNN.gz two-step).
+
+    ``boundaries`` is write_cdx's return (driver-collected here: it is the
+    index, small by construction).  Candidate shards are those with
+    min_surt <= prefix_hi AND max_surt >= prefix_lo, where the prefix
+    bounds are [authority + ')', authority + ')\\xff'] — a shard range
+    strictly outside that window cannot hold the authority."""
+    lo = authority + ")"
+    hi = authority + ")￿"
+    files = [
+        r["file"] for r in boundaries.collect()
+        if r["min_surt"] <= hi and r["max_surt"] >= lo
+    ]
+    if not files:
+        return spark.createDataFrame(
+            [], "surt string, canonical_url string, doc_id long")
+    return (
+        spark.read.parquet(*files)
+        .where(F.col("surt").startswith(lo))
+        .orderBy("surt")
+    )

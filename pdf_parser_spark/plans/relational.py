@@ -1038,3 +1038,25 @@ def a_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_start_s")
     )
+
+
+PIVOT_LANGS = ("de", "en", "es", "fr")
+
+
+def q_pivot_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: the source x lang document-count matrix (the corpus-mix grid
+    every release report prints) via Spark's relational pivot with an
+    EXPLICIT value list — the open-ended form runs a distinct-scan first
+    and materializes unbounded columns, which is exactly what a 10^12-row
+    plan must not do, so the bounded-list form is the only one this repo
+    ships.  One groupBy; the pivot is column-generation, not an extra
+    shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", list(PIVOT_LANGS))
+        .count()
+    )
+    cols = [F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+            for c in PIVOT_LANGS]
+    return out.select("source", *cols).orderBy("source")

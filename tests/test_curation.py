@@ -789,6 +789,29 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_length_quantiles_approx_bands_against_exact(spark):
+    """The GK sketch face must land every quantile inside the exact op's
+    value RANGE per source (sketch error moves ranks, so the reported
+    value must be a value the source actually has, between the exact p25
+    and p99 for inner quantiles — a loose but engine-portable band)."""
+    from pdf_parser_spark.operators import textstats as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r["source"]: r for r in T.length_quantiles(docs).collect()}
+    approx = {r["source"]: r for r in T.length_quantiles_approx(docs).collect()}
+    assert set(exact) == set(approx)
+    for src, a in approx.items():
+        e = exact[src]
+        assert a["n_docs"] == e["n_docs"]
+        # monotone and inside the exact envelope
+        assert a["p25"] <= a["p50"] <= a["p75"] <= a["p90"] <= a["p99"]
+        assert e["p25"] * 0.5 <= a["p25"] <= e["p50"]
+        assert e["p25"] <= a["p50"] <= e["p75"]
+        assert e["p50"] <= a["p75"] <= e["p90"]
+        assert e["p75"] <= a["p90"] <= e["p99"]
+        assert a["p99"] >= e["p90"]
+
+
 def test_release_headline_composes_live_operators(spark):
     """Headline pins: the one-row summary equals hand-composed per-doc
     operator outputs (gate pass rate, exact-dup rate from duplicate texts,

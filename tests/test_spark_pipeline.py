@@ -857,6 +857,33 @@ def test_surt_keys_and_cdx_contiguity(spark):
         assert r["min_surt"] <= r["max_surt"]
 
 
+def test_cdx_lookup_touches_one_shard(spark, tmp_path):
+    """The read path write_cdx sorts FOR: an authority lookup selects its
+    shard(s) from the boundary table and reads only those files — result
+    equals the full-scan filter, and the scan provably touched a strict
+    subset of the shards."""
+    from pdf_parser_spark.operators.weburl import (
+        canonicalize, cdx_lookup, surt_key, with_synthetic_urls, write_cdx,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "cdx")
+    bounds = write_cdx(docs, out, n_shards=4)
+    # pick a real authority from the corpus
+    some = surt_key(canonicalize(with_synthetic_urls(docs))).select(
+        "surt").first()["surt"]
+    auth = some.split(")")[0]
+    hit = cdx_lookup(spark, out, bounds, auth)
+    full = spark.read.parquet(out).where(
+        F.col("surt").startswith(auth + ")"))
+    assert sorted(r["surt"] for r in hit.collect()) \
+        == sorted(r["surt"] for r in full.collect())
+    assert hit.count() > 0
+    touched = {r["f"] for r in hit.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    assert len(touched) < 4  # strictly fewer shards than the table has
+
+
 def test_write_cdx_sorted_disjoint_shards(spark, tmp_path):
     """CDX write pins: every shard is internally SURT-sorted, shard ranges
     are pairwise disjoint (the binary-searchable property), the boundary
