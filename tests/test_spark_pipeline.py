@@ -1887,6 +1887,38 @@ def test_compact_table_rewrites_without_changing_content(spark, tmp_path):
     assert tf._read_version(path, 6)["snapshot_id"] == "racer"
 
 
+def test_zorder_rewrite_prunes_on_both_columns(spark, tmp_path):
+    """Z-order pins: after the Morton rewrite, zone-map scans prune files
+    for point predicates on BOTH interleaved columns (the single-column
+    sort baseline prunes only its own column); content is unchanged; the
+    rewrite is a new time-travelable version."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    # a 64x64 grid: a = id % 64, b = id div 64 — every (a, b) cell once
+    df = spark.createDataFrame(
+        [(i, i % 64, i // 64) for i in range(4096)],
+        "id long, a long, b long",
+    ).repartition(8)
+    path = str(tmp_path / "tbl")
+    tf.append_snapshot(df, path)
+    rows_before = sorted(r["id"] for r in tf.read_table(spark, path).collect())
+
+    # baseline: sorted by a ONLY -> b cannot prune
+    tf.compact_table(spark, path, target_bytes=4 * 1024)  # many files
+    v = tf.zorder_table(spark, path, "a", "b", n_files=16)
+    assert tf.current_version(path) == v
+    assert sorted(r["id"] for r in tf.read_table(spark, path).collect()) \
+        == rows_before
+
+    _, na_read, n_total = tf.scan_table(spark, path, [("a", "=", 3)])
+    _, nb_read, _ = tf.scan_table(spark, path, [("b", "=", 3)])
+    assert n_total == 16
+    assert na_read < n_total and nb_read < n_total  # BOTH columns prune
+    # and the pruned scans still return the right rows
+    dfa, _, _ = tf.scan_table(spark, path, [("a", "=", 3)])
+    assert dfa.count() == 64
+
+
 def test_table_changes_cdc_between_versions(spark, tmp_path):
     """CDC pins: an append surfaces as pure inserts; a COW upsert surfaces
     as delete+insert of the touched key only (untouched rows absent from
