@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_surprisal2": lambda s, d: textstats.lm_surprisal2(_docs(s, d)),
         # per-language tokenizer fertility (multilingual-fairness stat)
         "t_fertility": lambda s, d: textstats.tokenizer_fertility(_docs(s, d)),
+        # per-doc n-gram novelty vs everything ingested before it (the
+        # marginal-value / memorization-risk stat; ordered via min(doc_id))
+        "t_novelty": lambda s, d: textstats.ngram_novelty(_docs(s, d)),
         # Heaps-law vocabulary growth: distinct types per ingest prefix —
         # one vocab-key min-groupBy, then K-row ladder histograms + cumsums
         "t_vocab_growth": lambda s, d: textstats.vocab_growth(_docs(s, d)),
@@ -4069,6 +4072,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.label AS community, s.community_size
             FROM {_lpa_prev} l JOIN sizes s USING (label)
             ORDER BY l.host
+        """,
+        # novelty: shared _SHINGLES stream, first-seen = min(doc_id),
+        # integer-bp marginal fraction
+        "t_novelty": f"""
+            WITH sh AS (
+                SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
+                FROM documents
+            ), fs AS (
+                SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+            ), per AS (
+                SELECT sh.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_shingles,
+                       CAST(sum(CASE WHEN fs.first_doc = sh.doc_id
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                FROM sh JOIN fs USING (s) GROUP BY sh.doc_id
+            )
+            SELECT doc_id, n_shingles, n_novel,
+                   CAST((10000 * n_novel) // n_shingles AS BIGINT) AS novelty_bp
+            FROM per ORDER BY doc_id
         """,
         # fertility: one groupBy on the lang dim, shared pretoken regex,
         # integer-bp ratios

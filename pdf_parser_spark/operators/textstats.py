@@ -1413,3 +1413,44 @@ def length_quantiles_approx(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty against everything ingested BEFORE it:
+    the memorization-risk / marginal-value stat (a doc whose shingles all
+    appeared earlier adds compression fodder, not signal — near the dup
+    family but graded, and ordered: the SAME page is 100% novel as doc 3
+    and 0% novel as doc 300, which is what 'marginal' means).
+
+    (doc_id, n_shingles, n_novel, novelty_bp): a shingle counts as novel
+    for the SMALLEST doc_id carrying it (distinct-per-doc shingles, the
+    dedup family's array_distinct rule); novelty_bp exact integer.
+
+    Plan: first-seen = ONE algebraic min-groupBy on the shingle key (the
+    vocab_growth shape on shingles), joined back to the per-doc distinct
+    stream, one per-doc count rollup.  No ordering shuffle anywhere — the
+    'before' relation rides entirely on min(doc_id)."""
+    from pdf_parser_spark.functions import word_shingles
+
+    sh = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("s"),
+    )
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0)).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        per.select(
+            "doc_id", "n_shingles", "n_novel",
+            F.expr("(10000 * n_novel) div n_shingles").cast("long")
+            .alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -789,6 +789,27 @@ def test_host_graph_compression_semantics(spark):
     assert out[("b.com", "c.com")]["n_links"] == 1
 
 
+def test_ngram_novelty_is_ordered_and_graded(spark):
+    """Novelty pins: the first doc is 100% novel; an exact duplicate later
+    is 0% novel (same bytes, zero marginal value — the 'marginal' in the
+    docstring); a half-overlapping doc lands in between with exact bp; and
+    the duplicate placed FIRST would have been the novel one (order rides
+    on min(doc_id))."""
+    from pdf_parser_spark.operators import textstats as T
+
+    a = "one two three four five six"
+    half = "four five six seven eight nine"       # shares the tail shingles
+    docs = spark.createDataFrame(
+        [(0, a), (1, a), (2, half)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_bp"])
+           for r in T.ngram_novelty(docs).collect()}
+    assert got[0] == (4, 4, 10000)
+    assert got[1] == (4, 0, 0)
+    # half: shingles of 'four five six seven eight nine' -> 4 windows, of
+    # which 'four five six' already appeared in doc 0 -> 3 novel
+    assert got[2] == (4, 3, 7500)
+
+
 def test_length_quantiles_approx_bands_against_exact(spark):
     """The GK sketch face must land every quantile inside the exact op's
     value RANGE per source (sketch error moves ranks, so the reported
