@@ -291,6 +291,32 @@ def ann_recall(spark, sf_dir: str, k: int = 3) -> dict[str, float]:
     return out
 
 
+_TPCH_FNS = (
+    "q1_pricing_summary", "q2_min_price_supplier", "q3_top_orders",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation_year",
+    "q10_returned_items", "q11_revenue_concentration",
+    "q12_priority_by_status", "q13_order_count_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_diversity",
+    "q17_small_quantity_revenue", "q18_large_orders", "q19_bracket_revenue",
+    "q20_promo_volume_suppliers", "q21_lone_returning_supplier",
+    "q22_dormant_customers",
+)
+
+
+def tpch_22_total(spark, sf_dir: str) -> float:
+    """One relational-health number: wall seconds for ALL 22 TPC-H shapes
+    back to back (single pass — the per-query best-of-3 covers the three
+    headliners; this row catches a regression anywhere in the family)."""
+    from pdf_parser_spark.plans import relational as R
+
+    t0 = time.perf_counter()
+    for name in _TPCH_FNS:
+        getattr(R, name)(spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_once(master: str, n_docs: int, with_queries: bool = True, repeats: int = 2):
     from pdf_parser_spark.session import get_spark
 
@@ -316,6 +342,7 @@ def run_once(master: str, n_docs: int, with_queries: bool = True, repeats: int =
             passes = [relational_queries(spark, SF_DIR) for _ in range(3)]
             qtimes = {k: min(p[k] for p in passes) for k in passes[0]}
             qtimes.update(ann_recall(spark, SF_DIR))
+            qtimes["tpch_22_total"] = tpch_22_total(spark, SF_DIR)
         else:
             qtimes = {}
         return elapsed, n, qtimes
