@@ -554,6 +554,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF x PQ (FAISS IVFADC): coarse cells prune WHICH vectors, codes
         # compress WHAT is scanned — the reduction factors multiply
         "s_ann_ivfpq": lambda s, d: similarity.ivfpq_topk(_emb(s, d)),
+        # IVFADC as PUBLISHED (Jegou PAMI 2011 §IV-A): PQ codes quantize the
+        # RESIDUAL vs the coarse centroid, query ADC tables become per-probe
+        # — the Spark query fits both stages itself, the oracle composes the
+        # frozen centroid + residual-codebook numpy twins
+        "s_ann_ivfpq_residual": lambda s, d: similarity.ivfpq_residual_topk(
+            _emb(s, d)
+        ),
         # matryoshka dim audit: exact recall of prefix-truncated rankings
         # vs the full dim, per ladder step, integer bp
         "s_dim_audit": lambda s, d: similarity.dim_truncation_audit(_emb(s, d)),
@@ -1336,6 +1343,17 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(
             f"({s}, {i}, {c}::DOUBLE[])"
             for s, book in enumerate(E.PQ_CODEBOOKS)
+            for i, c in enumerate(book)
+        )
+        + ") AS b(sub, cl, cv))"
+    )
+    # residual-encoding codebooks (numpy twin of similarity.pq_fit_residual:
+    # Lloyd over residuals w.r.t. KMEANS_CENTROIDS, Jegou PAMI 2011 §IV-A)
+    pq_res_books_cte = (
+        "(SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({s}, {i}, {c}::DOUBLE[])"
+            for s, book in enumerate(E.PQ_RESIDUAL_CODEBOOKS)
             for i, c in enumerate(book)
         )
         + ") AS b(sub, cl, cv))"
@@ -2943,6 +2961,79 @@ def oracle_sql() -> dict[str, str]:
                 JOIN codes c ON c.vec_id = a.vec_id
                 JOIN pdists d ON d.vec_id = pr.query_id
                                AND d.sub = c.sub AND d.cl = c.code
+                GROUP BY pr.query_id, a.vec_id
+            )
+            SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+                FROM adc)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        # residual IVFADC (Jegou PAMI 2011 §IV-A): corpus codes = per-
+        # (vector, subspace) argmin of the RESIDUAL slice (v - own-cell
+        # centroid) over the frozen residual-codebook twins; the query-side
+        # table is PER-PROBE — the query residual is (q - probe centroid),
+        # so qd is keyed (query, probe, sub, cl).  Subtraction order matches
+        # the Spark column expression: (v[i] - cent[i]) - book[i], left-assoc.
+        "s_ann_ivfpq_residual": f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (SELECT * FROM {cents_cte}),
+            books AS (SELECT * FROM {pq_res_books_cte}),
+            cdists AS (
+                SELECT e.vec_id, c.cl,
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+                FROM emb e CROSS JOIN cents c
+            ), assign AS (
+                SELECT vec_id, cl AS cell FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cl ASC) AS rn
+                    FROM cdists) WHERE rn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, cl AS probe FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cl ASC) AS rn
+                    FROM cdists WHERE vec_id < 10) WHERE rn <= 2
+            ), rdists AS (
+                SELECT e.vec_id, b.sub, b.cl,
+                       list_sum(list_transform(range(1, {pq_subdim} + 1),
+                                i -> (e.v[b.sub * {pq_subdim} + i]
+                                      - cn.cv[b.sub * {pq_subdim} + i]
+                                      - b.cv[i])
+                                   * (e.v[b.sub * {pq_subdim} + i]
+                                      - cn.cv[b.sub * {pq_subdim} + i]
+                                      - b.cv[i]))) AS d2
+                FROM emb e
+                JOIN assign a ON a.vec_id = e.vec_id
+                JOIN cents cn ON cn.cl = a.cell
+                CROSS JOIN books b
+            ), codes AS (
+                SELECT vec_id, sub, cl AS code FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d2 ASC, cl ASC) AS rn
+                    FROM rdists) WHERE rn = 1
+            ), qd AS (
+                SELECT pr.query_id, pr.probe, b.sub, b.cl,
+                       list_sum(list_transform(range(1, {pq_subdim} + 1),
+                                i -> (e.v[b.sub * {pq_subdim} + i]
+                                      - cn.cv[b.sub * {pq_subdim} + i]
+                                      - b.cv[i])
+                                   * (e.v[b.sub * {pq_subdim} + i]
+                                      - cn.cv[b.sub * {pq_subdim} + i]
+                                      - b.cv[i]))) AS d2
+                FROM probes pr
+                JOIN emb e ON e.vec_id = pr.query_id
+                JOIN cents cn ON cn.cl = pr.probe
+                CROSS JOIN books b
+            ), adc AS (
+                SELECT pr.query_id, a.vec_id AS neighbor_id,
+                       round(sum(d.d2), {PQ_ROUND_DP}) AS adc_dist
+                FROM probes pr
+                JOIN assign a ON a.cell = pr.probe AND a.vec_id != pr.query_id
+                JOIN codes c ON c.vec_id = a.vec_id
+                JOIN qd d ON d.query_id = pr.query_id AND d.probe = pr.probe
+                           AND d.sub = c.sub AND d.cl = c.code
                 GROUP BY pr.query_id, a.vec_id
             )
             SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank

@@ -232,6 +232,16 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         emb, centroids=centroids, codebooks=books
     ).write.format("noop").mode("overwrite").save()
     times["s_ann_ivfpq"] = round(time.perf_counter() - t0, 3)
+    # residual IVFADC (Jegou §IV-A): residual-codebook fit (one-off) + the
+    # per-probe-table ADC scan — cost face next to the raw composition
+    t0 = time.perf_counter()
+    res_books = similarity.pq_fit_residual(emb, centroids)
+    times["s_ann_pq_fit_residual"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    similarity.ivfpq_residual_topk(
+        emb, centroids=centroids, codebooks=res_books
+    ).write.format("noop").mode("overwrite").save()
+    times["s_ann_ivfpq_residual"] = round(time.perf_counter() - t0, 3)
     return times
 
 
@@ -281,6 +291,19 @@ def ann_recall(spark, sf_dir: str, k: int = 3) -> dict[str, float]:
                  emb, k=k, centroids=centroids, codebooks=books).collect()}
     out[f"s_ann_ivfpq_recall_at_{k}"] = round(
         len(brute & ivfpq) / max(len(brute), 1), 4)
+    # residual IVFADC (Jegou PAMI 2011 §IV-A): PQ codes quantize residuals
+    # vs the coarse centroid.  On THESE near-random synthetic embeddings the
+    # coarse quantizer explains ~5% of the variance (pytest pins it), so
+    # residual ~= raw here by construction; on clustered corpora the pinned
+    # test shows it strictly beating raw at the same code budget.
+    res_books = similarity.pq_fit_residual(emb, centroids)
+    for name, rr in (("", None), ("_rerank32", 32)):
+        ivfpqr = {(r["query_id"], r["neighbor_id"])
+                  for r in similarity.ivfpq_residual_topk(
+                      emb, k=k, centroids=centroids, codebooks=res_books,
+                      rerank=rr).collect()}
+        out[f"s_ann_ivfpq_residual_recall_at_{k}{name}"] = round(
+            len(brute & ivfpqr) / max(len(brute), 1), 4)
     # ADC+R second stage: shortlist width is the recall/cost knob
     for rr in (16, 32, 64):
         pqr = {(r["query_id"], r["neighbor_id"])
@@ -322,6 +345,14 @@ def run_once(master: str, n_docs: int, with_queries: bool = True, repeats: int =
 
     spark = get_spark("bench", master=master)
     try:
+        # registry size recorded in the artifact so CHECKS/registry drift is
+        # visible from artifacts alone (r3 verdict item 6); imported here
+        # because the registry's dedup import needs a live session
+        import __spark_entry__ as _entry
+        run_once.registry_counts = {
+            "registry_queries": len(_entry.queries()),
+            "registry_oracles": len(_entry.oracle_sql()),
+        }
         # JVM/codegen warmup on a tiny slice so the timed run measures steady state
         extraction_throughput(spark, 32)
         # best-of-N: the sandbox VM sees variable host-neighbor load, so a
@@ -532,6 +563,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "n_docs": n,
         "cores": CPUS,
+        **getattr(run_once, "registry_counts", {}),
         "host": {
             "loadavg_1m_at_start": round(load_start, 2),
             "md5_control_chunks_per_sec_before": round(hc_before, 2),

@@ -578,6 +578,45 @@ def dim_truncation_audit(
     return out.orderBy("dim")
 
 
+def _cent_arr(centroids: list[list[float]]):
+    """All centroids as one nested array literal, indexable by cell id."""
+    return F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+
+
+def residual_frame(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding=v - centroid[cell]) — each vector's residual w.r.t.
+    its nearest coarse centroid (Jegou/Douze/Schmid, PAMI 2011 §IV-A).  One
+    narrow column pass: the cell argmin and the elementwise subtraction are
+    pure JVM expressions, no shuffle, no UDF."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cell = _cluster_of(F.col("v"), centroids)
+    cent = F.element_at(_cent_arr(centroids), cell + 1)
+    return emb.select(
+        "vec_id",
+        F.zip_with(F.col("v"), cent, lambda x, y: x - y).alias("embedding"),
+    )
+
+
+def pq_fit_residual(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> list[list[list[float]]]:
+    """Fit PQ codebooks on RESIDUALS w.r.t. the coarse quantizer instead of
+    raw vectors — the published IVFADC recipe (Jegou et al. PAMI 2011 §IV-A):
+    after the coarse quantizer explains the between-cell variance, the
+    codebooks only have to resolve the (much smaller) within-cell residual,
+    so the same M x ksub budget buys finer resolution.  Reuses pq_fit (and
+    through it the shared Lloyd loop with all its determinism guards) on the
+    residual frame; seeds are the ksub lowest vec_ids' residuals."""
+    return pq_fit(residual_frame(embeddings, centroids), m=m, ksub=ksub)
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -656,6 +695,139 @@ def ivfpq_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVFADC as PUBLISHED (Jegou/Douze/Schmid PAMI 2011 §IV-A): PQ codes
+    quantize each vector's RESIDUAL w.r.t. its coarse centroid, not the raw
+    vector.  The coarse quantizer explains the between-cell variance, so the
+    M x ksub code budget resolves only the within-cell residual — the reason
+    production IVFPQ sees usable recall where raw-vector PQ at the same
+    budget does not (the r3 verdict's one measured quality gap: raw ivfpq
+    recall@3 0.17; this variant is benched next to it).
+
+    Mechanics vs ivfpq_topk: the corpus side encodes residual slices against
+    ``codebooks`` fit by pq_fit_residual; the query side's ADC distance
+    tables become PER-PROBE — for each probed cell the query residual is
+    (q - centroid[cell]), so dt{s} is built after the probe explode.  Cost
+    is unchanged (nprobe x M tables per query instead of M; the tables are
+    ksub doubles each); the probe join and ranking are identical.
+
+    ``rerank=R`` adds the exact-cosine second stage over the ADC shortlist
+    (same key-equi-join pattern as pq_topk: the full-precision table is
+    touched for |Q| x R rows, never the corpus); output becomes
+    (query_id, neighbor_id, cos_sim, rank).
+
+    Plan at 10^12 rows: (cell, codes) are table columns written once —
+    cell doubles as the partition key so probes prune partitions; the
+    per-probe query tables are built BEFORE the broadcast join, so per-pair
+    work stays exactly M element_at lookups."""
+    if centroids is None:
+        centroids = kmeans_fit(embeddings)
+    if codebooks is None:
+        codebooks = pq_fit_residual(embeddings, centroids)
+    sub = len(codebooks[0][0])
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _cent_arr(centroids)
+    cell = _cluster_of(F.col("v"), centroids)
+    rv = F.zip_with(F.col("v"), F.element_at(cents, cell + 1), lambda x, y: x - y)
+    corpus = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            cell.alias("cell"),
+            rv.alias("rv"),
+        )
+        .select(
+            "neighbor_id", "cell",
+            F.array(*[
+                _cluster_of(F.slice(F.col("rv"), s * sub + 1, sub), book)
+                for s, book in enumerate(codebooks)
+            ]).alias("codes"),
+        )
+    )
+    probe_structs = F.array(*[
+        F.struct(_sq_dist(F.col("qv"), cent).alias("d"), F.lit(i).alias("c"))
+        for i, cent in enumerate(centroids)
+    ])
+    q = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("probe", F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, nprobe),
+                lambda s: s["c"],
+            )
+        ))
+        # per-probe query residual: (q - centroid[probe]); the ADC tables
+        # below are built from it, so each probed cell gets its own tables
+        .withColumn(
+            "qres",
+            F.zip_with(
+                F.col("qv"), F.element_at(cents, F.col("probe") + 1),
+                lambda x, y: x - y,
+            ),
+        )
+    )
+    for s, book in enumerate(codebooks):
+        qsub = F.slice(F.col("qres"), s * sub + 1, sub)
+        q = q.withColumn(f"dt{s}", F.array(*[_sq_dist(qsub, c) for c in book]))
+    q = q.drop("qv", "qres")
+    adc = None
+    for s in range(len(codebooks)):
+        term = F.element_at(F.col(f"dt{s}"), F.element_at(F.col("codes"), s + 1) + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        F.broadcast(q)
+        .join(corpus, on=F.col("probe") == F.col("cell"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(adc, PQ_ROUND_DP).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        shortlist
+        .join(emb.select(F.col("vec_id").alias("query_id"),
+                         F.col("v").alias("qv")), "query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("v").alias("cv")), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )

@@ -1131,6 +1131,84 @@ def test_ivfpq_composition(spark):
         assert cells[r["neighbor_id"]] == cells[r["query_id"]]  # nprobe=1
 
 
+def test_ivfpq_residual_mechanism_and_binding_constraint(spark):
+    """Residual IVFADC (Jegou PAMI 2011 §IV-A) pins, three faces:
+
+    (a) mechanism — on clustered vectors (8 well-separated centers + small
+        noise, interleaved so the k lowest vec_ids seed one center each)
+        the coarse quantizer explains >99% of the variance, and residual
+        raw-ADC recall@3 strictly beats raw-vector ivfpq at the IDENTICAL
+        M x ksub code budget: the published reason to encode residuals.
+    (b) exactness — with every cell probed and a full-width shortlist the
+        re-rank face must reproduce brute force exactly (shortlist misses
+        are the only loss channel, same pin as plain PQ's ADC+R).
+    (c) binding constraint — on the real synthetic embeddings the coarse
+        quantizer explains <10% of the variance (numpy-measured: 4.8% at
+        sf0.1), so residuals are nearly the raw vectors and residual
+        encoding CANNOT lift recall there — the corpus, not the operator,
+        binds (the r3 verdict's alternative done-criterion for this item)."""
+    import numpy as np
+
+    from pdf_parser_spark.operators import similarity as S
+
+    # (a) clustered corpus: centers huge vs noise; i % 8 interleave makes
+    # the kmeans seeds (8 lowest vec_ids) land one per center
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-10, 10, size=(8, 16))
+    X = (np.array([centers[i % 8] for i in range(200)])
+         + rng.uniform(-0.3, 0.3, size=(200, 16)))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = S.kmeans_fit(emb)
+    # coarse quantizer owns the structure: residual sum-sq < 1% of centered
+    R = np.asarray(
+        [r["embedding"] for r in
+         S.residual_frame(emb, cents).orderBy("vec_id").collect()]
+    )
+    var_explained = 1.0 - (R ** 2).sum() / ((X - X.mean(0)) ** 2).sum()
+    assert var_explained > 0.99
+
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb).collect()}
+    raw = {(r["query_id"], r["neighbor_id"])
+           for r in S.ivfpq_topk(
+               emb, centroids=cents, codebooks=S.pq_fit(emb)).collect()}
+    res_books = S.pq_fit_residual(emb, cents)
+    res = {(r["query_id"], r["neighbor_id"])
+           for r in S.ivfpq_residual_topk(
+               emb, centroids=cents, codebooks=res_books).collect()}
+    assert len(brute & res) > len(brute & raw)  # measured: 13 vs 8 of 30
+
+    # (b) nprobe=all cells + full-width shortlist == brute force exactly
+    full = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in S.ivfpq_residual_topk(
+                emb, nprobe=S.KMEANS_K, centroids=cents,
+                codebooks=res_books, rerank=200).collect()}
+    bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in S.brute_force_topk(emb).collect()}
+    assert full == bf
+
+    # (c) the real synthetic embeddings are coarse-quantizer-resistant:
+    # residuals keep >90% of the variance, so residual == raw in practice
+    realX = np.asarray(sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet").collect()
+    ), dtype=object)
+    realX = np.asarray([v for _, v in realX], dtype=np.float64)
+    real_emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    real_cents = S.kmeans_fit(real_emb)
+    realR = np.asarray(
+        [r["embedding"] for r in
+         S.residual_frame(real_emb, real_cents).orderBy("vec_id").collect()]
+    )
+    real_explained = 1.0 - (realR ** 2).sum() / (
+        (realX - realX.mean(0)) ** 2).sum()
+    assert real_explained < 0.10
+
+
 def test_pq_codebooks_persist_roundtrip(spark, tmp_path):
     """save/load round-trips the PQ model so pq_topk(loaded) is
     byte-identical to pq_topk(fitted) — the amortized-fit mode (the 4x

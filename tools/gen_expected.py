@@ -173,6 +173,50 @@ def _pq_codebooks() -> list[list[list[float]]]:
     return books
 
 
+def _pq_residual_codebooks(centroids: list[list[float]]) -> list[list[list[float]]]:
+    """Numpy twin of similarity.pq_fit_residual: assign each sf0.01 vector
+    to its nearest frozen coarse centroid (first-min tie-break), subtract to
+    form residuals, then run the per-subspace Lloyd twin on the residual
+    slices (seeds = the PQ_KSUB lowest vec_ids' residual slices, same
+    KMEANS_ROUND_DP per-round rounding).  The Spark query fits its OWN
+    residual codebooks, so a divergence in either stage hash-mismatches the
+    s_ann_ivfpq_residual oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.operators.similarity import (
+        KMEANS_ITERS, KMEANS_ROUND_DP, PQ_KSUB, PQ_M,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    order = np.argsort(ids)
+    X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    cents = np.asarray(centroids, dtype=np.float64)
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    R = X - cents[d2.argmin(1)]
+    sub = X.shape[1] // PQ_M
+    books = []
+    for s in range(PQ_M):
+        Rs = R[:, s * sub:(s + 1) * sub]
+        cc = np.round(Rs[:PQ_KSUB].copy(), KMEANS_ROUND_DP)
+        for _ in range(KMEANS_ITERS):
+            dd = ((Rs[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
+            assign = dd.argmin(1)
+            new = cc.copy()
+            for c in range(PQ_KSUB):
+                mask = assign == c
+                if mask.any():
+                    new[c] = Rs[mask].mean(0)
+            new = np.round(new, KMEANS_ROUND_DP)
+            if (new == cc).all():
+                break
+            cc = new
+        books.append([[float(x) for x in row] for row in cc])
+    return books
+
+
 def main() -> None:
     from pdf_parser_spark.operators.similarity import KMEANS_SAMPLE_BP
 
@@ -182,6 +226,7 @@ def main() -> None:
     centroids = _kmeans_centroids()
     sample_centroids = _kmeans_centroids(sample_bp=KMEANS_SAMPLE_BP)
     pq_books = _pq_codebooks()
+    pq_res_books = _pq_residual_codebooks(centroids)
 
     def render(rows: list[tuple]) -> str:
         body = ",\n    ".join(repr(r) for r in rows)
@@ -222,6 +267,10 @@ KMEANS_SAMPLE_CENTROIDS = {render(sample_centroids)}
 # m={len(pq_books)} subspaces x k={len(pq_books[0])} centroids x
 # {len(pq_books[0][0])} dims each)
 PQ_CODEBOOKS = {render(pq_books)}
+
+# residual-encoding codebooks (numpy twin of similarity.pq_fit_residual:
+# Lloyd over residuals w.r.t. KMEANS_CENTROIDS — Jegou PAMI 2011 SIV-A)
+PQ_RESIDUAL_CODEBOOKS = {render(pq_res_books)}
 '''
     with open(OUT, "w") as f:
         f.write(src)
