@@ -434,6 +434,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_merges": lambda s, d: textstats.bpe_merges(_docs(s, d)),
         # tokenizer apply: per-doc symbol counts under the learned merges
         "t_bpe_apply": lambda s, d: textstats.bpe_apply(_docs(s, d)),
+        # PRODUCTION fit (r3 verdict item 2): one corpus word-count pass,
+        # all k merge rounds driver-side over the frequency-capped head —
+        # hash-checked against the SAME oracle as the distributed trainer
+        "t_bpe_merges_localfit": lambda s, d: textstats.bpe_merges_local(
+            _docs(s, d)
+        ),
+        # production apply: broadcast merge table, one Arrow pass over
+        # DISTINCT words, vocab-map join — same oracle as t_bpe_apply
+        "t_bpe_apply_localfit": lambda s, d: textstats.bpe_apply_local(
+            _docs(s, d)
+        ),
         # crawl-cycle drift monitor: hashed-token share deltas between the
         # two deterministic snapshots, top movers by |delta| in bp
         "t_token_drift": lambda s, d: textstats.token_drift(
@@ -2595,6 +2606,17 @@ def oracle_sql() -> dict[str, str]:
         # apply face: train's b{k} selections drive a word-carrying twin
         # chain; per-doc symbol counts via the vocab map join
         "t_bpe_apply": _bpe_apply_sql,
+        # the production driver-local fit/apply must land on the SAME
+        # artifacts as the distributed fold (cap covers the demo vocab),
+        # so they share the distributed faces' oracles verbatim
+        "t_bpe_merges_localfit": _bpe_cte + " ".join(
+            ("SELECT CAST(%d AS BIGINT) AS rank, l AS \"left\", "
+             "r AS \"right\", CAST(cnt AS BIGINT) AS pair_count FROM b%d"
+             % (_k, _k))
+            + (" UNION ALL" if _k < TS.BPE_MERGES else " ORDER BY rank")
+            for _k in range(1, TS.BPE_MERGES + 1)
+        ),
+        "t_bpe_apply_localfit": _bpe_apply_sql,
         # capped inverted index: tf per (term, doc), df filter, per-term
         # top-k postings with the (tf desc, doc asc) tie-break, postings
         # string re-built in rank order

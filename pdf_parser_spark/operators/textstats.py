@@ -7,6 +7,7 @@ has an exact DuckDB-SQL oracle in __spark_entry__.oracle_sql.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -795,7 +796,8 @@ def inverted_index(
 # BPE merge induction (tokenizer training on the corpus)
 # ---------------------------------------------------------------------------
 
-BPE_MERGES = 4  # merges learned in the demo query (production: 10^4-10^5)
+BPE_MERGES = 4  # merges learned in the demo query; production merge counts
+# (10^4-10^5) go through bpe_fit_local — one corpus pass, driver-side loop
 
 
 def bpe_merges(documents: DataFrame, k: int = BPE_MERGES) -> DataFrame:
@@ -883,6 +885,144 @@ def _bpe_train(documents: DataFrame, k: int):
         )
         vocab = vocab.select("w", merged.alias("syms"), "freq").localCheckpoint()
     return out, vocab
+
+
+BPE_VOCAB_CAP = 65536  # words kept in the driver-local trainer's head
+
+
+def _bpe_merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """Python twin of _bpe_train's JVM aggregate() fold: one left-to-right
+    greedy scan merging (left, right) occurrences; a just-merged symbol
+    l||r can never re-match l in the same pass (r is non-empty), which is
+    exactly the fold's accumulator rule."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def bpe_fit_local(
+    documents: DataFrame, k: int = BPE_MERGES, vocab_cap: int = BPE_VOCAB_CAP
+) -> list[tuple[int, str, str, int]]:
+    """The PRODUCTION fit path (r3 verdict item 2): ONE distributed
+    word-count pass, collect the frequency-capped head of the vocabulary
+    (top ``vocab_cap`` words by (freq desc, word asc) — the deterministic
+    frequency floor every real tokenizer trainer applies), then run ALL k
+    merge rounds driver-side over that head.  Returns the merge table as
+    plain rows [(rank, left, right, pair_count), ...] ready to broadcast.
+
+    Why: _bpe_train is the oracle-checked REFERENCE face, but it spends one
+    distributed vocab scan + a 1-row collect PER MERGE — correct at the
+    demo k=4, a scale-killer at production k=10^4-10^5 (10^5 Spark jobs).
+    Here the corpus is touched exactly once regardless of k; each merge
+    round is an O(|head| * avg_word_len) dict pass on the driver (the same
+    fit-small/apply-big split as kmeans_fit — the merge loop is the Lloyd
+    loop of tokenizer training).  Words below the cap simply don't vote on
+    merge selection (at real corpus scale the head holds every word with
+    more than a handful of occurrences; the tail is hapax noise), and
+    bpe_apply_local still tokenizes them by applying the learned merges.
+
+    Equivalence: with ``vocab_cap`` >= |vocab| this reproduces _bpe_train's
+    merge table EXACTLY — same pair counting (every adjacent position,
+    freq-weighted), same (count desc, left asc, right asc) tie-break, same
+    greedy left-to-right merge scan (pytest pins it on the demo corpus)."""
+    head = (
+        documents.select(F.explode(words(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(vocab_cap)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["w"]), int(r["freq"])) for r in head
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, cnt))
+        vocab = [(_bpe_merge_word(s, left, right), f) for s, f in vocab]
+    return merges
+
+
+def bpe_merges_local(
+    documents: DataFrame, k: int = BPE_MERGES, vocab_cap: int = BPE_VOCAB_CAP
+) -> DataFrame:
+    """bpe_merges' output shape over the driver-local production fit —
+    hash-checked against the SAME oracle as the distributed trainer (the
+    two fits are equivalent whenever the cap covers the vocabulary)."""
+    return documents.sparkSession.createDataFrame(
+        bpe_fit_local(documents, k, vocab_cap),
+        "rank long, left string, right string, pair_count long",
+    ).orderBy("rank")
+
+
+def bpe_apply_local(
+    documents: DataFrame,
+    k: int = BPE_MERGES,
+    vocab_cap: int = BPE_VOCAB_CAP,
+    merges: list[tuple[int, str, str, int]] | None = None,
+) -> DataFrame:
+    """APPLY face of bpe_fit_local — same output schema/semantics as
+    bpe_apply, built the production way: the merge table (k small tuples)
+    is broadcast into ONE Arrow stage that tokenizes each DISTINCT word by
+    applying the merges in rank order (each a greedy left-to-right scan —
+    identical to the trainer's per-round fold, so head and tail words are
+    tokenized by the same rule), then the vocab-sized (word -> n_syms) map
+    joins the exploded word stream exactly like bpe_apply.  The corpus is
+    touched twice total (word count inside the fit + this explode), never
+    per merge.  pytest pins bpe_apply_local == bpe_apply on the demo
+    corpus at full cap."""
+    from pyspark.sql.functions import pandas_udf
+
+    if merges is None:
+        merges = bpe_fit_local(documents, k, vocab_cap)
+    pairs = [(left, right) for _rank, left, right, _cnt in merges]
+
+    @pandas_udf("long")
+    def n_syms_of(w: pd.Series) -> pd.Series:
+        def tok(word: str) -> int:
+            syms = list(word)
+            for left, right in pairs:
+                syms = _bpe_merge_word(syms, left, right)
+            return len(syms)
+
+        return w.map(tok)
+
+    dw = documents.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("w")
+    ).where(F.col("w") != "")
+    wmap = (
+        dw.select("w").distinct()
+        .select(
+            "w",
+            n_syms_of(F.col("w")).alias("n_syms"),
+            F.length("w").cast("long").alias("n_ch"),
+        )
+    )
+    return (
+        dw.join(wmap, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_ch").cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_bpe_symbols"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def bpe_apply(documents: DataFrame, k: int = BPE_MERGES) -> DataFrame:
