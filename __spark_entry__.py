@@ -470,16 +470,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # live gate + quality operators (corpus_build doctrine)
         "c_release_headline": lambda s, d: curation.release_headline(_docs(s, d)),
         # 10^12 face: HLL distinct instead of the exact fingerprint shuffle.
-        # No oracle ON PURPOSE (rows-only): HLL++ register layouts are
-        # engine-specific, so cross-engine equality is undefined — pytest
-        # holds it to a DATASHEET_HLL_RSD band against the exact form
-        "t_datasheet_approx": lambda s, d: textstats.corpus_datasheet_approx(
+        # HLL++ register layouts are engine-specific so the sketch VALUE
+        # can't cross-engine compare — the registered face is the BAND
+        # VERDICT (r3 item 3): exact columns + hll_within_band boolean,
+        # which the oracle recomputes/asserts, so the row hash-checks
+        "t_datasheet_approx": lambda s, d: textstats.corpus_datasheet_audit(
             _docs(s, d)
         ),
-        # sketch face of the exact quantiles (GK percentile_approx):
-        # rows-only by design like the HLL datasheet — sketch internals
-        # are engine-specific; pytest bands it against the exact op
-        "t_length_quantiles_approx": lambda s, d: textstats.length_quantiles_approx(
+        # sketch face of the exact quantiles (GK percentile_approx): same
+        # doctrine — the registered face emits the exact quantiles plus
+        # per-percentile in-envelope verdicts the oracle asserts TRUE
+        "t_length_quantiles_approx": lambda s, d: textstats.length_quantiles_audit(
             _docs(s, d)
         ),
         # per-doc keywords: all-integer TF-IDF ordering (df asc, tf desc)
@@ -2668,6 +2669,33 @@ def oracle_sql() -> dict[str, str]:
                    )}
             FROM ranked GROUP BY source ORDER BY source
         """,
+        # band-verdict face of the GK quantiles: exact quantiles + asserted
+        # per-percentile in-envelope booleans (the sketch values stay
+        # engine-side; a GK estimate outside its exact-neighbor envelope
+        # flips a boolean and hash-mismatches; r3 verdict item 3)
+        "t_length_quantiles_approx": f"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                            AS BIGINT) AS v
+                FROM documents
+            ), ranked AS (
+                SELECT source, v,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY v, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n_docs
+                FROM toks
+            )
+            SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+                   {", ".join(
+                       f"CAST(max(CASE WHEN rn = ({p} * n_docs + 99) // 100 "
+                       f"THEN v END) AS BIGINT) AS p{p}"
+                       for p in TS.QUANTILE_PCTS
+                   )},
+                   TRUE AS p25_in, TRUE AS p50_in, TRUE AS p75_in,
+                   TRUE AS p90_in, TRUE AS p99_in, TRUE AS monotone
+            FROM ranked GROUP BY source ORDER BY source
+        """,
         # snapshot token-distribution drift: membership/revision formulas
         # interpolated from operators/snapshot.py, bucket/scale/top-k from
         # textstats — integer shares per side, top movers by |delta|
@@ -4612,6 +4640,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len({_TOKS})) // count(*) AS BIGINT) AS mean_tokens,
                    CAST(count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS BIGINT) AS n_distinct,
                    CAST(((count(*) - count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))) * 10000) // count(*) AS BIGINT) AS dup_bp
+            FROM documents GROUP BY source, lang ORDER BY source, lang
+        """,
+        # band-verdict face of the HLL datasheet: the oracle recomputes the
+        # exact columns and ASSERTS the band verdict — if Spark's HLL count
+        # ever drifts past max(2, 5 x RSD x exact) the boolean flips and
+        # the row hash-mismatches (the sketch VALUE itself never crosses
+        # engines; r3 verdict item 3)
+        "t_datasheet_approx": f"""
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+                   CAST(sum(len({_TOKS})) // count(*) AS BIGINT) AS mean_tokens,
+                   CAST(count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS BIGINT) AS n_distinct,
+                   CAST(((count(*) - count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))) * 10000) // count(*) AS BIGINT) AS dup_bp,
+                   TRUE AS hll_within_band
             FROM documents GROUP BY source, lang ORDER BY source, lang
         """,
         # top-k terms per language, (count desc, term asc) tie-break; the

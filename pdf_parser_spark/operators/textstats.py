@@ -548,6 +548,40 @@ def corpus_datasheet_approx(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_datasheet_audit(documents: DataFrame) -> DataFrame:
+    """Hash-checkable band verdict over the HLL datasheet face (r3 verdict
+    item 3): joins corpus_datasheet_approx to the exact form and emits
+    ``hll_within_band`` — TRUE iff |approx - exact| <= max(2, 5 x RSD x
+    exact), the SAME envelope the pytest band pins.  The sketch VALUE stays
+    engine-side (HLL++ register layouts are engine-specific, so cross-
+    engine equality on it is undefined), but the exact columns AND the
+    band verdict are deterministic — the DuckDB oracle recomputes the
+    exact counters and asserts the verdict TRUE, so an HLL drifting out of
+    its advertised band hash-mismatches the driver gate.
+
+    Scale note: this is the AUDIT composition (it runs both faces, so it
+    pays the exact-distinct shuffle); production runs the approx face
+    alone and audits on a sample — the verdict's determinism is a property
+    of the sketch, not the corpus size."""
+    approx = corpus_datasheet_approx(documents).select(
+        "source", "lang", "n_distinct_approx"
+    )
+    exact = corpus_datasheet(documents)
+    tol = F.greatest(
+        F.lit(2.0), F.lit(5 * DATASHEET_HLL_RSD) * F.col("n_distinct")
+    )
+    return (
+        exact.join(approx, ["source", "lang"])
+        .select(
+            "source", "lang", "n_docs", "n_tokens", "mean_tokens",
+            "n_distinct", "dup_bp",
+            (F.abs(F.col("n_distinct_approx") - F.col("n_distinct"))
+             .cast("double") <= tol).alias("hll_within_band"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 KEYWORDS_K = 3
 
 
@@ -1550,6 +1584,43 @@ def length_quantiles_approx(documents: DataFrame) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             *[F.percentile_approx("n_tokens", p / 100.0, acc)
               .cast("long").alias(f"p{p}") for p in ps],
+        )
+        .orderBy("source")
+    )
+
+
+def length_quantiles_audit(documents: DataFrame) -> DataFrame:
+    """Hash-checkable band verdict over the GK quantile face (r3 verdict
+    item 3): joins length_quantiles_approx to the exact op and emits one
+    boolean per percentile — the SAME exact-envelope band the pytest pins
+    (each sketch quantile must land between its exact neighbors:
+    p25 in [0.5 x exact_p25, exact_p50], p50 in [exact_p25, exact_p75],
+    p75 in [exact_p50, exact_p90], p90 in [exact_p75, exact_p99],
+    p99 >= exact_p90; plus sketch monotonicity).  Sketch VALUES stay
+    engine-side; the exact quantiles and the verdicts are deterministic,
+    so the DuckDB oracle recomputes the exact ranks and asserts every
+    verdict TRUE — a sketch outside its envelope hash-mismatches.
+
+    Same audit-composition caveat as corpus_datasheet_audit: this face
+    pays the exact window sort on purpose; production audits a sample."""
+    a = length_quantiles_approx(documents).select(
+        "source",
+        *[F.col(f"p{p}").alias(f"a{p}") for p in (25, 50, 75, 90, 99)],
+    )
+    e = length_quantiles(documents)
+    return (
+        e.join(a, "source")
+        .select(
+            "source", "n_docs", "p25", "p50", "p75", "p90", "p99",
+            ((F.col("a25") * 2 >= F.col("p25")) & (F.col("a25") <= F.col("p50")))
+            .alias("p25_in"),
+            F.col("a50").between(F.col("p25"), F.col("p75")).alias("p50_in"),
+            F.col("a75").between(F.col("p50"), F.col("p90")).alias("p75_in"),
+            F.col("a90").between(F.col("p75"), F.col("p99")).alias("p90_in"),
+            (F.col("a99") >= F.col("p90")).alias("p99_in"),
+            ((F.col("a25") <= F.col("a50")) & (F.col("a50") <= F.col("a75"))
+             & (F.col("a75") <= F.col("a90")) & (F.col("a90") <= F.col("a99")))
+            .alias("monotone"),
         )
         .orderBy("source")
     )
