@@ -393,20 +393,58 @@ def merge_snapshot(
     refuses if a concurrent commit won, so a racer's rows can never be
     silently dropped from the merged view.
 
+    File selection is a Spark-side broadcast range join (incoming distinct
+    keys x the manifest's per-file [min, max] table); only the affected
+    file NAMES reach the driver, never the keys.  NULL merge keys are SQL
+    MERGE semantics: they never match an existing row, so they insert and
+    never prune.
+
     Returns {"version", "n_files_rewritten", "n_files_untouched"}.
     Correctness (upserted content byte-identical to a full-table merge,
     old-version time travel, the untouched-file count) is pytest-pinned."""
+    from pyspark.sql import functions as F
+
     base_version = current_version(path)
     meta = _read_version(path, base_version)
-    keys = [r[0] for r in df.select(key).distinct().collect()]
+    # NULL merge keys follow SQL MERGE semantics (NULL = NULL is not true):
+    # they can never match an existing row, so they are pure inserts and
+    # are excluded from file pruning (they also must not hit the range
+    # comparison, where None vs a typed bound is undefined).
+    keyed = df.where(F.col(key).isNotNull())
+    # File pruning is Spark-side: broadcast the (file, min, max) stats
+    # table — manifest-sized, thousands of rows, never data-sized —
+    # against the incoming DISTINCT keys and collect only the hit FILE
+    # NAMES (bounded by the file count).  The key set itself never
+    # transits the driver: at 10^12 rows an upsert batch can carry
+    # billions of distinct keys.
+    file_stats = meta.get("file_stats", {})
+    stat_rows = [
+        (f, file_stats[f][key]["min"], file_stats[f][key]["max"])
+        for f in meta["all_files"]
+        if file_stats.get(f, {}).get(key) is not None
+    ]
+    hit: set = set()
+    if stat_rows:
+        sdf = spark.createDataFrame(stat_rows, ["_file", "_kmin", "_kmax"])
+        hit = {
+            r[0]
+            for r in keyed.select(F.col(key).alias("_k"))
+            .distinct()
+            .join(
+                F.broadcast(sdf),
+                (F.col("_k") >= F.col("_kmin"))
+                & (F.col("_k") <= F.col("_kmax")),
+            )
+            .select("_file")
+            .distinct()
+            .collect()
+        }
+    covered = {f for (f, _, _) in stat_rows}
     affected, untouched = [], []
     for f in meta["all_files"]:
-        st = meta.get("file_stats", {}).get(f, {})
-        rng = st.get(key)
-        if rng is None:
+        if f not in covered:
             affected.append(f)  # no stats -> must rewrite (never-skip rule)
-            continue
-        if any(rng["min"] <= k <= rng["max"] for k in keys):
+        elif f in hit:
             affected.append(f)
         else:
             untouched.append(f)
@@ -414,7 +452,7 @@ def merge_snapshot(
     data_dir = os.path.join(path, "data", snap_id)
     if affected:
         kept = spark.read.parquet(*affected).join(
-            df.select(key).distinct(), key, "left_anti")
+            keyed.select(key).distinct(), key, "left_anti")
         kept.unionByName(df).write.parquet(data_dir)
     else:
         df.write.parquet(data_dir)

@@ -2062,6 +2062,43 @@ def test_merge_snapshot_cow_upsert_scoped_by_zone_maps(spark, tmp_path):
             tf.merge_snapshot(spark, updates, path, "id")
 
 
+def test_merge_snapshot_null_keys_insert_and_never_prune(spark, tmp_path):
+    """NULL merge keys follow SQL MERGE semantics: a null-key row in the
+    incoming batch inserts (it can never match an existing key), does not
+    crash the range pruning (the pre-fix driver loop raised TypeError
+    comparing None vs str), and does not widen the rewrite scope — the
+    zone-map file selection still rewrites only the file whose key range
+    the NON-null keys hit.  This is the stream_upsert_table crash path
+    from the r3 ADVICE (a page batch with a null url)."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    for k, lo in enumerate(("a", "m")):
+        df = spark.createDataFrame(
+            [(lo + str(i), f"v{k}_{i}") for i in range(4)],
+            "url string, v string",
+        ).coalesce(1)
+        tf.append_snapshot(df, path)
+
+    updates = spark.createDataFrame(
+        [("m2", "UPDATED"), (None, "NULLKEY")], "url string, v string")
+    info = tf.merge_snapshot(spark, updates, path, "url")
+    assert info["n_files_rewritten"] == 1      # only the m-range file
+    assert info["n_files_untouched"] == 1
+    rows = {(r["url"], r["v"]) for r in tf.read_table(spark, path).collect()}
+    assert (None, "NULLKEY") in rows           # null row inserted
+    assert ("m2", "UPDATED") in rows and ("a0", "v0_0") in rows
+    assert len(rows) == 9                      # 8 base + 1 null insert
+    # a second null-key batch inserts AGAIN (null never matches null)
+    tf.merge_snapshot(
+        spark,
+        spark.createDataFrame([(None, "NULLKEY2")], "url string, v string"),
+        path, "url")
+    vals = [r["v"] for r in tf.read_table(spark, path).collect()
+            if r["url"] is None]
+    assert sorted(vals) == ["NULLKEY", "NULLKEY2"]
+
+
 def test_versioned_checkpoint_crashed_run_invisible(spark, tmp_path):
     """The resume property the manifest buys: a crashed run's orphan data
     files do NOT mark urls done; a committed run's do."""
