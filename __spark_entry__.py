@@ -1382,7 +1382,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                'https://' || source || '.example.com/doc/' || doc_id AS target_uri,
                CAST(200 AS INT) AS http_status,
-               CAST(length(text) AS BIGINT) AS content_length,
+               -- HTTP Content-Length is BYTES (octet_length), not chars
+               CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
                CAST(length(text) AS BIGINT) AS n_body_chars,
                md5(text) AS body_md5
         FROM documents ORDER BY doc_id

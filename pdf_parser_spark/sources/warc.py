@@ -13,7 +13,11 @@ line reader honors multi-byte custom delimiters and split boundaries, so
 one large plain WARC parallelizes across tasks; gzip WARCs parallelize at
 file granularity like every Spark gzip source), then header fields and the
 payload are carved out with ``split(limit=3)``/``regexp_extract`` column
-ops — zero Python in the parse.
+ops — zero Python in the parse.  Trade-off of split framing: a payload
+that itself contains the version-line byte sequence would split early; for
+archives where that can occur, read through the registered Python
+DataSource (sources/warc_datasource.py), which frames records by the WARC
+header's Content-Length per the spec.
 
 Write path (the synthesizer for tests/benchmarks) renders each record as
 one string column and writes through Spark's text sink with the record
@@ -47,10 +51,13 @@ def warc_records(documents: DataFrame) -> DataFrame:
     Payload is the raw document text — byte-for-byte, which is what lets a
     round-trip test assert md5(body) == md5(text)."""
     body = F.col("text")
+    # Content-Length values are BYTE lengths (octet_length), per both the
+    # WARC and HTTP specs — char counts diverge on multibyte UTF-8 and
+    # would misframe the Content-Length-framed datasource reader
     http = F.concat(
         F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
               "Content-Length: "),
-        F.length(body), F.lit("\r\n\r\n"), body,
+        F.octet_length(body), F.lit("\r\n\r\n"), body,
     )
     rec = F.concat(
         F.lit(WARC_VERSION_LINE),
@@ -59,7 +66,7 @@ def warc_records(documents: DataFrame) -> DataFrame:
         F.lit("WARC-Target-URI: "), _uri_col(), F.lit("\r\n"),
         F.lit(f"WARC-Date: {WARC_DATE}\r\n"),
         F.lit("Content-Type: application/http; msgtype=response\r\n"),
-        F.lit("Content-Length: "), F.length(http), F.lit("\r\n\r\n"),
+        F.lit("Content-Length: "), F.octet_length(http), F.lit("\r\n\r\n"),
         http, F.lit("\r\n\r\n"),
     )
     return documents.select("doc_id", rec.alias("record"))

@@ -15,11 +15,20 @@ per crawl; gzip is file-granular, so file = task is the right grain, and
 at 10^12 records the planner lists files from the manifest/filesystem,
 never opens them).
 
+Record framing: by the WARC header's Content-Length (the spec's rule),
+streamed off the file handle — NOT by splitting on the version line — so
+payload bytes that happen to contain ``WARC/1.0\\r\\n`` stay inside their
+record.  This makes the Python DataSource the robust read path; the JVM
+lineSep reader in sources/warc.py keeps the split-framing trade-off for
+its zero-Python speed (caveat documented there).
+
 Filter pushdown: EqualTo on http_status / target_uri / content_type is
-consumed inside the reader — records fail fast BEFORE body materialization
-(the payload is the dominant byte cost of a WARC record, so skipping it on
-header mismatch is the real win).  All other filters are returned to Spark
-per the API contract.
+consumed inside the reader — a target_uri rejection seeks past the whole
+content block and an http-field rejection seeks past the remaining body
+bytes, so rejected bodies are never read off disk (the payload is the
+dominant byte cost of a WARC record, so skipping it on header mismatch is
+the real win).  All other filters are returned to Spark per the API
+contract.
 """
 
 from __future__ import annotations
@@ -74,36 +83,80 @@ class WarcReader(DataSourceReader):
         return [_WarcPartition(p) for p in files]
 
     def read(self, partition):
+        """Stream records framed by the WARC header's Content-Length (the
+        spec's framing rule: the header's Content-Length is the exact byte
+        length of the content block), NOT by splitting on the version
+        line — so a payload that itself contains ``WARC/1.0\\r\\n`` bytes
+        cannot corrupt its own tail or any following record (the r3
+        ADVICE bug).  The file is consumed incrementally: a pushed-filter
+        rejection on a WARC-header field seeks past the whole block, and a
+        rejection on an HTTP-header field seeks past the remaining body
+        bytes — rejected bodies are genuinely never read off disk, which
+        is the real win (payload is the dominant byte cost of a record)."""
         import re
 
+        status_re = re.compile(rb"^HTTP/[0-9.]+ ([0-9]+)")
         with open(partition.path, "rb") as fh:
-            data = fh.read().decode("utf-8", errors="replace")
-        for rec in data.split("WARC/1.0\r\n"):
-            if not rec:
-                continue
-            parts = rec.split("\r\n\r\n", 2)
-            if len(parts) < 3:
-                continue
-            warc_hdr, http_hdr, body = parts
-            # header-only fields first: pushed filters reject BEFORE the
-            # body is touched (the dominant byte cost of a record)
-            m = re.search(r"WARC-Target-URI: ([^\r\n]*)", warc_hdr)
-            target_uri = m.group(1) if m else ""
-            m = re.search(r"WARC-Date: ([^\r\n]*)", warc_hdr)
-            warc_date = m.group(1) if m else ""
-            m = re.search(r"^HTTP/[0-9.]+ ([0-9]+)", http_hdr)
-            http_status = int(m.group(1)) if m else None
-            m = re.search(r"Content-Type: ([^\r\n]*)", http_hdr)
-            content_type = m.group(1) if m else ""
-            m = re.search(r"Content-Length: ([0-9]+)", http_hdr)
-            content_length = int(m.group(1)) if m else None
-            hdr_vals = {"target_uri": target_uri, "http_status": http_status,
-                        "content_type": content_type}
-            if any(hdr_vals[a] != v for a, v in self.pushed):
-                continue
-            body = re.sub(r"(\r\n)+$", "", body)
-            yield (target_uri, warc_date, http_status, content_type,
-                   content_length, body)
+            while True:
+                line = fh.readline()
+                if not line:
+                    break
+                if not line.rstrip(b"\r\n").startswith(b"WARC/"):
+                    continue  # inter-record CRLFs / preamble
+                whdr: dict = {}
+                while True:
+                    ln = fh.readline()
+                    if not ln or ln in (b"\r\n", b"\n"):
+                        break
+                    k, _, v = ln.partition(b":")
+                    whdr[k.strip().lower()] = v.strip()
+                try:
+                    block_len = int(whdr.get(b"content-length", b""))
+                except ValueError:
+                    continue  # unframed record: cannot recover safely
+                target_uri = whdr.get(b"warc-target-uri", b"").decode(
+                    "utf-8", errors="replace")
+                warc_date = whdr.get(b"warc-date", b"").decode(
+                    "utf-8", errors="replace")
+                # WARC-header-only rejection: skip the ENTIRE content
+                # block (HTTP header + body) without reading it
+                if any(a == "target_uri" and target_uri != v
+                       for a, v in self.pushed):
+                    fh.seek(block_len, 1)
+                    continue
+                # HTTP header: read line-wise INSIDE the block, counting
+                # consumed bytes so the body remainder can be seeked past
+                consumed = 0
+                http_lines = []
+                while consumed < block_len:
+                    ln = fh.readline()
+                    if not ln:
+                        break
+                    consumed += len(ln)
+                    if ln in (b"\r\n", b"\n"):
+                        break
+                    http_lines.append(ln)
+                first = http_lines[0] if http_lines else b""
+                m = status_re.match(first)
+                http_status = int(m.group(1)) if m else None
+                http_hdr = b"".join(http_lines).decode(
+                    "utf-8", errors="replace")
+                # same (case-sensitive, unanchored) field regexes as the
+                # JVM lineSep parser — the two paths share one oracle hash
+                m = re.search(r"Content-Type: ([^\r\n]*)", http_hdr)
+                content_type = m.group(1) if m else ""
+                m = re.search(r"Content-Length: ([0-9]+)", http_hdr)
+                content_length = int(m.group(1)) if m else None
+                body_len = max(0, block_len - consumed)
+                hdr_vals = {"target_uri": target_uri,
+                            "http_status": http_status,
+                            "content_type": content_type}
+                if any(hdr_vals[a] != v for a, v in self.pushed):
+                    fh.seek(body_len, 1)  # body bytes never read
+                    continue
+                body = fh.read(body_len).decode("utf-8", errors="replace")
+                yield (target_uri, warc_date, http_status, content_type,
+                       content_length, body)
 
 
 class WarcDataSource(DataSource):

@@ -1414,6 +1414,45 @@ def test_warc_python_datasource(spark, tmp_path):
     assert gt == 2
 
 
+def test_warc_datasource_content_length_framing(spark, tmp_path):
+    """The r3 ADVICE framing bug, pinned: a payload that CONTAINS the
+    version-line byte sequence must survive the Python DataSource read
+    intact (records are framed by the WARC header's Content-Length, not
+    by splitting on 'WARC/1.0\\r\\n'), and multibyte UTF-8 bodies must
+    round-trip byte-exact (Content-Length is octet_length — a char-count
+    writer plus a byte-framed reader would misalign every record after
+    the first non-ASCII one)."""
+    from pdf_parser_spark.sources.warc import write_warc
+    from pdf_parser_spark.sources.warc_datasource import WarcDataSource
+
+    evil = "before\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nafter"
+    uni = "café — naïve 中文 text"
+    docs = spark.createDataFrame(
+        [(1, evil, "alpha"), (2, uni, "beta"), (3, "plain tail", "gamma")],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "warc")
+    write_warc(docs, out, n_files=1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(WarcDataSource)
+    rows = {r["target_uri"]: r for r in
+            spark.read.format("warc").load(out).collect()}
+    # all three records survive, bodies byte-identical
+    assert len(rows) == 3
+    assert rows["https://alpha.example.com/doc/1"]["body"] == evil
+    assert rows["https://beta.example.com/doc/2"]["body"] == uni
+    assert rows["https://gamma.example.com/doc/3"]["body"] == "plain tail"
+    # HTTP Content-Length is bytes, not chars, for the multibyte body
+    assert (rows["https://beta.example.com/doc/2"]["content_length"]
+            == len(uni.encode("utf-8")))
+    # a pushed target_uri filter still returns the right single record
+    # (rejection seeks past blocks; framing keeps offsets aligned)
+    one = (spark.read.format("warc").load(out)
+           .where(F.col("target_uri") == "https://gamma.example.com/doc/3")
+           .collect())
+    assert len(one) == 1 and one[0]["body"] == "plain tail"
+
+
 def test_orc_roundtrip_binary_and_pushdown(spark, tmp_path):
     """ORC source/sink: non-UTF-8 binary survives byte-exact, and a filter
     on the read side reaches the ORC scan as a pushed filter (the same
