@@ -439,8 +439,14 @@ def decimate_wav(payload: bytes, factor: int = 2) -> bytes | None:
         return None
     channels = rate = bits = None
     data_off = data_size = None
-    i, n = 12, len(payload)
-    while i + 8 <= n:
+    # walk and data extent clamp to the RIFF envelope (the header's own
+    # size field), not to end-of-file — audio_energy doctrine: an
+    # oversized data declaration must not pull trailing non-RIFF bytes
+    # into the PCM frames
+    n = len(payload)
+    riff_end = min(8 + struct.unpack_from("<I", payload, 4)[0], n)
+    i = 12
+    while i + 8 <= riff_end:
         cid = payload[i:i + 4]
         size = struct.unpack_from("<I", payload, i + 4)[0]
         if cid == b"fmt " and i + 8 + 16 <= n:
@@ -455,10 +461,10 @@ def decimate_wav(payload: bytes, factor: int = 2) -> bytes | None:
     frame_bytes = channels * (bits // 8)
     if frame_bytes == 0:
         return None  # bits < 8: not PCM we can frame
-    # clamp to the bytes actually present — a truncated fetch may declare a
-    # data size larger than the payload, and frombuffer would raise
-    avail = max(len(payload) - data_off, 0)
-    n_frames = min(data_size, avail) // frame_bytes
+    # clamp to the chunk's own end: a truncated fetch may declare a data
+    # size larger than the bytes present, and frombuffer would raise
+    data_end = min(data_off + data_size, riff_end)
+    n_frames = max(data_end - data_off, 0) // frame_bytes
     data = np.frombuffer(payload, dtype=np.uint8, count=n_frames * frame_bytes,
                          offset=data_off).reshape(n_frames, frame_bytes)
     out = data[::factor]
@@ -783,9 +789,15 @@ def audio_energy(
                 b = bytes(payload)
                 if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
                     continue
+                # the RIFF header's size field is the file's own envelope:
+                # chunk walk AND the data extent clamp to it, so an
+                # oversized data declaration can never square-sum bytes
+                # past the structure (trailing junk / a concatenated
+                # second payload) as PCM samples
+                riff_end = min(8 + struct.unpack_from("<I", b, 4)[0], len(b))
                 data_off = data_size = None
-                i, n = 12, len(b)
-                while i + 8 <= n:
+                i = 12
+                while i + 8 <= riff_end:
                     cid = b[i:i + 4]
                     size = struct.unpack_from("<I", b, i + 4)[0]
                     if cid == b"data":
@@ -793,8 +805,10 @@ def audio_energy(
                     i += 8 + size + (size & 1)
                 if data_off is None:
                     continue
-                avail = max(len(b) - data_off, 0)
-                n_i16 = min(data_size, avail) // 2
+                # clamp to the chunk's own end, itself clamped to the
+                # envelope — not to end-of-file
+                data_end = min(data_off + data_size, riff_end)
+                n_i16 = max(data_end - data_off, 0) // 2
                 s = np.frombuffer(b, dtype="<i2", count=n_i16,
                                   offset=data_off).astype(np.int64)
                 for w0 in range(0, n_i16, win):

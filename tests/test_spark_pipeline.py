@@ -1752,6 +1752,46 @@ def test_audio_energy_windows_and_silence(spark):
     assert a * a == M.AE_SIL_MEANSQ  # the boundary case really is exact
 
 
+def test_audio_energy_oversized_data_chunk_clamps_to_riff_envelope(spark):
+    """The r3 ADVICE clamp bug, pinned: a data chunk declaring an
+    OVERSIZED length must not square-sum bytes beyond the RIFF envelope
+    (trailing junk or a concatenated second payload) as PCM samples — the
+    extent clamps to min(declared, envelope end), not to end-of-file.
+    Same rule in decimate_wav."""
+    import struct
+
+    import numpy as np
+
+    from pdf_parser_spark.operators import multimodal as M
+
+    def wav_of(samples, declared_extra=0, trailing=b""):
+        data = np.asarray(samples, "<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data) + declared_extra)
+                + data)
+        # RIFF size covers the true body; `trailing` lies OUTSIDE it
+        return b"RIFF" + struct.pack("<I", len(body)) + body + trailing
+
+    samples = [1000] * 10
+    clean = wav_of(samples)
+    # declared data length overshoots by 64 bytes; 64 bytes of loud junk
+    # follow the envelope — pre-fix these were read as 32 PCM samples
+    corrupt = wav_of(samples, declared_extra=64, trailing=b"\x7f\x7f" * 32)
+    df = spark.createDataFrame(
+        [(0, bytearray(clean)), (1, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    )
+    rows = M.audio_energy(df).collect()
+    a = [(r["win_idx"], r["n_samps"], r["energy"])
+         for r in rows if r["doc_id"] == 0]
+    b = [(r["win_idx"], r["n_samps"], r["energy"])
+         for r in rows if r["doc_id"] == 1]
+    assert a == b == [(0, 10, 10 * 1000 * 1000)]
+    # decimate_wav: same clamp — corrupt input decimates to the same bytes
+    assert M.decimate_wav(corrupt) == M.decimate_wav(clean)
+
+
 def test_shot_boundaries_sad_and_cuts(spark):
     """Shot-detection pins: identical consecutive frames -> sad 0, no cut;
     an inverted frame -> max SAD and a cut; a dimension flip -> the format
