@@ -293,8 +293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strictly-ordered first-touch funnel: chained window mins over ONE
         # user partitioning, exact-bp conversion — never an events^3 self-join
         "w5_funnel": R.w5_funnel,
-        # native session_window (third sessionize face; strict-< merge
-        # boundary, unlike W4's inclusive lag rule — documented in-op)
+        # native session_window (third sessionize face; INCLUSIVE merge
+        # boundary — an event at exactly prev+gap merges, same as W4's lag
+        # rule; pinned by the oracle's `> gap` new-session test and the
+        # pytest boundary pin)
         "w6_session_window": R.w6_session_window,
         "st_sessionize": _st_sessionize,
         # bucketed interval join: equi join on the time bucket + exact
@@ -2806,10 +2808,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text, length(text) AS n FROM documents
                 WHERE text IS NOT NULL AND length(text) > 0
             ),
+            -- window hash = base-31 code-point polynomial (CDC_POW31):
+            -- exact BIGINT on both engines, no modular wraparound needed
             cand AS (
                 SELECT doc_id, unnest(list_filter(range({D.CDC_W}, n + 1),
-                    i -> ('0x' || substr(md5(substr(text, i - {D.CDC_W} + 1,
-                                                    {D.CDC_W})), 1, 8))::UBIGINT
+                    i -> list_sum(list_transform(range(0, {D.CDC_W}),
+                             j -> unicode(substr(text, i - {D.CDC_W} + 1 + j, 1))
+                                  * [{", ".join(str(p) for p in D.CDC_POW31)}][j + 1]))
                          % {D.CDC_D} = 0)) AS pos
                 FROM d
             ),
