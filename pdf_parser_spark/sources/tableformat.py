@@ -525,7 +525,10 @@ def table_changes(
     )
 
 
-ZORDER_BITS = 21  # bits per column interleaved into the 42-bit z-value
+ZORDER_BITS = 12  # bits per column interleaved into the 24-bit z-value
+                  # (= log2 of the rank-bucket count; 4096 buckets per
+                  # column discriminate far beyond any realistic per-table
+                  # FILE count, which is what zone-map pruning keys on)
 
 
 def _zvalue(a, b, bits: int = ZORDER_BITS):
@@ -540,6 +543,13 @@ def _zvalue(a, b, bits: int = ZORDER_BITS):
         z = z.bitwiseOR(F.shiftleft(abit, 2 * i)) \
              .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
     return z
+
+
+def _zsplits(bounds: list) -> list:
+    """Strictly-increasing Bucketizer splits from approx-quantile bounds
+    (dedupe ties from skewed keys, drop NaN, open ends)."""
+    s = sorted({b for b in bounds if b is not None and b == b})
+    return [float("-inf")] + s + [float("inf")]
 
 
 def zorder_table(
@@ -557,9 +567,18 @@ def zorder_table(
     the second column).
 
     Commits as a new version exactly like compact_table (time travel
-    preserved, conflict refusal); the z-value is computed from the low
-    ZORDER_BITS of each column (non-negative keys; production normalizes
-    via rank/bucket first — out of scope, documented)."""
+    preserved, conflict refusal).
+
+    Key normalization (r3 verdict item 4): each column is RANK-BUCKETED
+    before the bit interleave — 2^ZORDER_BITS approx-quantile boundaries
+    (one combined driver-side fit, GK sketch, fit-small doctrine) feed a
+    JVM Bucketizer binary search, so signed, skewed, or float keys all map
+    to a dense non-negative [0, 4096) index and the Morton curve is real
+    for ANY numeric column (the raw low-bits interleave silently produced
+    a useless curve for negative keys: two's-complement low bits order
+    -1 above 1).  Nulls/NaNs bucket last (handleInvalid='keep'), keeping
+    them clustered instead of scattered."""
+    from pyspark.ml.feature import Bucketizer
     from pyspark.sql import functions as F
 
     base_version = current_version(path)
@@ -570,12 +589,24 @@ def zorder_table(
     n_out = n_files or max(1, -(-total // (8 * 1024 * 1024)))
     snap_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", snap_id)
+    n_buckets = 1 << ZORDER_BITS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qa, qb = df.approxQuantile(
+        [col_a, col_b], probs, 1.0 / (4 * n_buckets))
+    pre = (
+        df.withColumn("_za_in", F.col(col_a).cast("double"))
+        .withColumn("_zb_in", F.col(col_b).cast("double"))
+    )
+    pre = Bucketizer(splits=_zsplits(qa), inputCol="_za_in",
+                     outputCol="_za", handleInvalid="keep").transform(pre)
+    pre = Bucketizer(splits=_zsplits(qb), inputCol="_zb_in",
+                     outputCol="_zb", handleInvalid="keep").transform(pre)
     (
-        df.withColumn("_z", _zvalue(F.col(col_a).cast("long"),
-                                    F.col(col_b).cast("long")))
+        pre.withColumn("_z", _zvalue(F.col("_za").cast("long"),
+                                     F.col("_zb").cast("long")))
         .repartitionByRange(n_out, F.col("_z"))
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", "_za", "_zb", "_za_in", "_zb_in")
         .write.parquet(data_dir)
     )
     new_files = sorted(
