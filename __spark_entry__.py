@@ -269,6 +269,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _cdx_lookup_join(spark, sf_dir):
+        """Composable CDX lookup (r3 verdict item 5): write the sorted
+        range-partitioned capture shards, then resolve a FRAME of
+        authorities (every 7th doc's authority) through the pure-plan
+        broadcast range join — boundary frame x authority windows pick the
+        hit files, the capture scan broadcast-hash-joins on file with the
+        SURT-prefix residual; no driver action inside the composed query."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.operators import weburl as wu
+
+        docs = _docs(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="cdxjoin_")
+        try:
+            bounds = wu.write_cdx(docs, work, n_shards=4)
+            auth = (
+                wu.surt_key(wu.canonicalize(wu.with_synthetic_urls(docs)))
+                .where(F.col("doc_id") % 7 == 0)
+                .select(F.substring_index("surt", ")", 1).alias("authority"))
+                .distinct()
+            )
+            out = wu.cdx_lookup_join(spark, work, bounds, auth).persist()
+            out.count()  # materialize before the shard dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def extract_pipeline(spark, sf_dir):
         extracted = extract_stage(
             _docs_as_pages(spark, sf_dir), run_ts=RUN_TS
@@ -682,6 +710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the cluster-index face: authority-prefix rollup proving one
         # authority = one contiguous SURT range
         "u_cdx_index": lambda s, d: weburl.cdx_authority_index(_docs(s, d)),
+        # the composable READ face: a frame of authorities resolved via
+        # boundary-frame broadcast range join (no driver action in-plan)
+        "u_cdx_lookup_join": _cdx_lookup_join,
         "u_blocklist": lambda s, d: weburl.blocklist_filter(
             weburl.with_synthetic_urls(_docs(s, d)), BLOCKED_DOMAINS
         ).select("doc_id", "reg_domain").orderBy("doc_id"),
@@ -3468,6 +3499,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls,
                    min(surt) AS min_surt, max(surt) AS max_surt
             FROM s GROUP BY 1 ORDER BY 1
+        """,
+        # composable CDX lookup: every 7th doc's authority, all captures
+        # under each (starts_with mirrors the Spark residual predicate)
+        "u_cdx_lookup_join": f"""
+            WITH {_url_cte},
+            s AS (SELECT doc_id, canonical_url, {_surt_sql} AS surt FROM canon),
+            auth AS (
+                SELECT DISTINCT regexp_extract(surt, '^([^)]*)', 1) AS authority
+                FROM s WHERE doc_id % 7 = 0
+            )
+            SELECT a.authority, s.surt, s.canonical_url, s.doc_id
+            FROM s JOIN auth a ON starts_with(s.surt, a.authority || ')')
+            ORDER BY a.authority, s.surt
         """,
         "u_domain_rollup": f"""
             WITH {_url_cte}

@@ -1410,3 +1410,49 @@ def cdx_lookup(
         .where(F.col("surt").startswith(lo))
         .orderBy("surt")
     )
+
+
+def cdx_lookup_join(
+    spark, cdx_dir: str, boundaries: DataFrame, authorities: DataFrame
+) -> DataFrame:
+    """Composable CDX lookup (r3 verdict item 5): the same shard pruning
+    as cdx_lookup but as a pure DataFrame plan — no driver action — so it
+    can sit inside a bigger query and resolve a whole FRAME of authorities
+    at once.
+
+    Plan shape: ``authorities`` (column ``authority``) gets its prefix
+    window [authority + ')', authority + ')\\xff']; the boundary frame
+    (shard-count-sized) range-joins against it to produce the hit
+    (file, authority) pairs; the capture scan then broadcast-HASH-joins on
+    input_file_name() = file with the prefix window as the residual
+    predicate.  Rows of non-hit shards drop at the join with zero shuffle
+    of the capture side; at 10^12 captures the broadcast side is
+    |shards hit| x |authorities| — index-sized by construction.  The
+    driver-collect form stays as the convenience wrapper for one-off
+    single-authority reads (its file list prunes the SCAN itself; this
+    form is for composition)."""
+    auth = authorities.select(
+        F.col("authority"),
+        F.concat(F.col("authority"), F.lit(")")).alias("_lo"),
+        F.concat(F.col("authority"), F.lit(")￿")).alias("_hi"),
+    )
+    hits = (
+        boundaries.alias("b")
+        .join(
+            F.broadcast(auth),
+            (F.col("b.min_surt") <= F.col("_hi"))
+            & (F.col("b.max_surt") >= F.col("_lo")),
+        )
+        .select("file", "authority", "_lo", "_hi")
+    )
+    caps = spark.read.parquet(cdx_dir).withColumn(
+        "_file", F.input_file_name())
+    return (
+        caps.join(
+            F.broadcast(hits),
+            (caps["_file"] == hits["file"])
+            & caps["surt"].startswith(F.col("_lo")),
+        )
+        .select("authority", "surt", "canonical_url", "doc_id")
+        .orderBy("authority", "surt")
+    )
