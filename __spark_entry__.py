@@ -297,6 +297,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _warc_ingest_corpus(spark, sf_dir):
+        """The full crawl-to-corpus lifecycle under ONE hash (r3 verdict
+        item 9): documents -> write_warc shards on disk -> the REGISTERED
+        format('warc') DataSource read (Content-Length framing, real
+        bytes) -> per-doc_id mixed-charset re-encode -> composed ingest
+        chain (sniff-decode -> NFC -> hard gate) -> corpus_build (gate ->
+        exact dedup -> decontaminate -> stratified sample -> shard pack)
+        over EXACTLY the text the ingest chain decoded.  Output: the
+        packed survivors with their ingest verdicts — drift anywhere in
+        the lifecycle (archive framing, charset decode, NFC bytes, gate
+        thresholds, dedup keeper, sampling hash, packing prefix-sum)
+        fails the one hash."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.operators import curation as cu
+        from pdf_parser_spark.sources.warc import write_warc
+        from pdf_parser_spark.sources.warc_datasource import WarcDataSource
+
+        docs = _docs(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="warclife_")
+        try:
+            write_warc(docs, work)
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", "true")
+            spark.dataSource.register(WarcDataSource)
+            back = spark.read.format("warc").load(work).select(
+                F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+                .cast("long").alias("doc_id"),
+                F.regexp_extract("target_uri", r"^https://([^.]+)\.", 1)
+                .alias("source"),
+                F.col("body").alias("text"),
+            )
+            # lang is crawl metadata, not archive bytes: dim join
+            rebuilt = back.join(docs.select("doc_id", "lang"), "doc_id")
+            pages = cu.with_mixed_encodings(rebuilt)
+            ing = cu.ingest_pipeline(pages, return_text=True)
+            decoded_docs = ing.select("doc_id", "text").join(
+                rebuilt.select("doc_id", "source", "lang"), "doc_id")
+            built = cu.corpus_build(decoded_docs)
+            out = (
+                built.join(
+                    ing.select("doc_id", "charset", "nfc_changed"), "doc_id")
+                .select("doc_id", "source", "lang", "n_tokens", "shard_id",
+                        "charset", "nfc_changed")
+                .orderBy("doc_id")
+                .persist()
+            )
+            out.count()  # materialize before the archive dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def extract_pipeline(spark, sf_dir):
         extracted = extract_stage(
             _docs_as_pages(spark, sf_dir), run_ts=RUN_TS
@@ -853,6 +906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate -> stratified sample -> shard pack, one hash over
         # the whole chain (the curation analog of g_corpus_frontier)
         "c_corpus_build": lambda s, d: curation.corpus_build(_docs(s, d)),
+        # the FULL crawl-to-corpus lifecycle: WARC bytes on disk -> the
+        # registered DataSource read -> ingest chain -> corpus build
+        "p_warc_ingest_corpus": _warc_ingest_corpus,
         # --- link graph (crawl-frontier ops) ---
         "u_outlinks": lambda s, d: __import__(
             "pdf_parser_spark.operators.linkgraph", fromlist=["x"]
@@ -1314,6 +1370,45 @@ def oracle_sql() -> dict[str, str]:
     _rate_cases = " ".join(
         f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(C.DEFAULT_RATES.items())
     )
+
+    def _corpus_chain_for(tbl: str) -> str:
+        """The corpus_build stage chain (gate -> exact-dedup keepers ->
+        decontaminate -> stratified sample -> tokenized survivor set `t`)
+        over any docs-shaped CTE/table — ONE definition shared by
+        c_corpus_build and the WARC lifecycle composition so the stage
+        twins cannot drift between the two faces."""
+        return f"""{_gate_cte_for(tbl)},
+            s1 AS (
+                SELECT d.* FROM {tbl} d
+                JOIN gated g USING (doc_id) WHERE g.reasons = ''
+            ), keepers AS (
+                SELECT min(doc_id) AS doc_id FROM (
+                    SELECT doc_id,
+                           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+                    FROM s1
+                ) GROUP BY fp
+            ), s2 AS (
+                SELECT s1.* FROM s1 JOIN keepers USING (doc_id)
+            ), bench AS (
+                SELECT DISTINCT unnest(list_distinct({_SNIP_SHINGLES})) AS s
+                FROM {tbl} WHERE doc_id % {C.BENCH_MOD} = 0
+            ), conts AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
+                    FROM s2
+                ) x JOIN bench USING (s)
+            ), s3 AS (
+                SELECT * FROM s2
+                WHERE doc_id NOT IN (SELECT doc_id FROM conts)
+            ), s4 AS (
+                SELECT * FROM s3
+                WHERE CAST(('0x' || substr(md5('smpl:' || doc_id), 1, 8)) AS BIGINT)
+                      % 10000 < CASE lang {_rate_cases} ELSE -1 END
+            ), t AS (
+                SELECT doc_id, source, lang,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM s4
+            )"""
 
     # XBRL dimension data inlined as VALUES CTEs from the SAME generator the
     # Spark side uses, so the oracle checks the relational logic (N6/N7/V8)
@@ -4896,43 +4991,41 @@ def oracle_sql() -> dict[str, str]:
         # contaminated shingle set, sampling hash, and packing prefix-sum
         # must ALL agree for the final hash to match
         "c_corpus_build": f"""
-            WITH {_gate_cte_for("documents")},
-            s1 AS (
-                SELECT d.* FROM documents d
-                JOIN gated g USING (doc_id) WHERE g.reasons = ''
-            ), keepers AS (
-                SELECT min(doc_id) AS doc_id FROM (
-                    SELECT doc_id,
-                           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
-                    FROM s1
-                ) GROUP BY fp
-            ), s2 AS (
-                SELECT s1.* FROM s1 JOIN keepers USING (doc_id)
-            ), bench AS (
-                SELECT DISTINCT unnest(list_distinct({_SNIP_SHINGLES})) AS s
-                FROM documents WHERE doc_id % {C.BENCH_MOD} = 0
-            ), conts AS (
-                SELECT DISTINCT doc_id FROM (
-                    SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
-                    FROM s2
-                ) x JOIN bench USING (s)
-            ), s3 AS (
-                SELECT * FROM s2
-                WHERE doc_id NOT IN (SELECT doc_id FROM conts)
-            ), s4 AS (
-                SELECT * FROM s3
-                WHERE CAST(('0x' || substr(md5('smpl:' || doc_id), 1, 8)) AS BIGINT)
-                      % 10000 < CASE lang {_rate_cases} ELSE -1 END
-            ), t AS (
-                SELECT doc_id, source, lang,
-                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
-                FROM s4
-            )
+            WITH {_corpus_chain_for("documents")}
             SELECT doc_id, source, lang, n_tokens,
                    CAST(floor((sum(n_tokens) OVER (PARTITION BY source
                                                    ORDER BY doc_id)
                                - n_tokens) / 500) AS BIGINT) AS shard_id
             FROM t ORDER BY doc_id
+        """,
+        # the WARC crawl-to-corpus lifecycle: the archive round-trip is
+        # byte-identity, so the oracle rebuilds the decoded text from the
+        # mixed-encodings formula (c_ingest_pipeline doctrine) and runs
+        # the SAME corpus chain over it — stage twins shared verbatim
+        "p_warc_ingest_corpus": f"""
+            WITH decoded AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 4 THEN text || 'é.'
+                            ELSE text END AS raw,
+                       nfc_normalize(CASE WHEN doc_id % 5 = 4
+                                          THEN text || 'é.'
+                                          ELSE text END) AS text,
+                       lang, source
+                FROM documents
+            ), {_corpus_chain_for("decoded")}
+            SELECT t.doc_id, t.source, t.lang, t.n_tokens,
+                   CAST(floor((sum(t.n_tokens) OVER (PARTITION BY t.source
+                                                     ORDER BY t.doc_id)
+                               - t.n_tokens) / 500) AS BIGINT) AS shard_id,
+                   CASE t.doc_id % 5
+                     WHEN 1 THEN '{C.CHARSET_UTF8_BOM}'
+                     WHEN 2 THEN '{C.CHARSET_UTF16_LE}'
+                     WHEN 3 THEN '{C.CHARSET_UTF16_BE}'
+                     WHEN 4 THEN '{C.CHARSET_LATIN1}'
+                     ELSE '{C.CHARSET_UTF8}' END AS charset,
+                   (dd.raw <> dd.text) AS nfc_changed
+            FROM t JOIN decoded dd USING (doc_id)
+            ORDER BY t.doc_id
         """,
         # mixer apply: same attribute formulas as c_paragraph_tags, kept
         # paragraphs re-joined in order and md5-pinned

@@ -1127,14 +1127,21 @@ def dehyphenate(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def ingest_pipeline(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def ingest_pipeline(
+    pages: DataFrame, html_col: str = "html", return_text: bool = False
+) -> DataFrame:
     """The composed ingest chain under ONE result — charset detect+decode
     (shared _sniff_exprs) -> NFC normalize (one Arrow UDF call) -> C4/
     Gopher hard gate (textstats.quality_gate on the NORMALIZED text):
     (doc_id, charset, nfc_changed, passed, text_md5).  Drift in any stage
     fails the one composed hash, the same doctrine as corpus_build.
     All corpus-scale work is narrow (decode and normalize live in the
-    scan); the only join is gate-verdict-by-doc_id."""
+    scan); the only join is gate-verdict-by-doc_id.
+
+    ``return_text=True`` additionally carries the decoded+normalized text
+    column so downstream stages (corpus_build in the WARC lifecycle
+    composition) consume EXACTLY the bytes this chain produced instead of
+    re-deriving them."""
     import unicodedata
 
     from pyspark.sql.functions import pandas_udf
@@ -1154,11 +1161,13 @@ def ingest_pipeline(pages: DataFrame, html_col: str = "html") -> DataFrame:
         (F.col("_raw") != F.col("text")).alias("nfc_changed"), "text",
     )
     gate = textstats.quality_gate(mid).select("doc_id", "passed")
+    extra = [F.col("text")] if return_text else []
     return (
         mid.join(gate, "doc_id")
         .select(
             "doc_id", "charset", "nfc_changed", "passed",
             F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+            *extra,
         )
         .orderBy("doc_id")
     )
