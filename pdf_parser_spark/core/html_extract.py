@@ -129,6 +129,21 @@ _SUSPECT = re.compile(r"[/'\"=]")
 _WS_OR_SEMI = re.compile(r"[\s;]")
 _EMPTY_ATTRS: dict[str, str] = {}  # shared read-only sentinel (never mutated)
 
+# locatestarttagend_tolerant with the tag NAME captured: the pattern text is
+# the stdlib's own, byte-identical except the added group (asserted below),
+# so it matches at exactly the same positions with the same .end() — one
+# match then yields both the end-decision boundary and the name, saving the
+# separate tagfind_tolerant match on every clean start tag.  The name charset
+# is identical to tagfind_tolerant's group 1, so the captured name equals
+# what tagfind would have returned.
+_NAME_SRC = r"<[a-zA-Z][^\t\n\r\f />\x00]*"
+assert _NAME_SRC in _LOCATE_START_END.pattern  # stdlib pattern drifted?
+_LOCATE_NAMED = re.compile(
+    _LOCATE_START_END.pattern.replace(
+        _NAME_SRC, "<([a-zA-Z][^\t\n\r\f />\x00]*)", 1),
+    _LOCATE_START_END.flags,
+)
+
 
 def _parse_attrs_tolerant(
     html: str, k: int, endpos: int, collect: bool
@@ -156,11 +171,23 @@ def _parse_attrs_tolerant(
 
 
 def _fast_dom(html: str) -> _Node:
+    # Hot-loop shape (profiled on the synthetic corpus, ~25% of the whole
+    # extraction kernel): the current node and its two append methods are
+    # cached across iterations and refreshed only at push/pop sites, the
+    # start-tag branch is tested FIRST (tags and text dominate every real
+    # page), and _LOCATE_NAMED yields the tag name from the same match that
+    # decides the tag end, so clean start tags never run tagfind_tolerant.
+    # Semantics are pinned by test_fast_dom_equals_htmlparser and the
+    # differential fuzz harness — this function must stay construct-for-
+    # construct equal to html.parser's buffering/tolerance decisions.
     root = _Node("#root", {})
     stack = [root]
+    cur_child = root.children.append
+    cur_text = root.text_parts.append
     pos = 0
     n = len(html)
     find = html.find
+    locate = _LOCATE_NAMED.match
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
@@ -172,16 +199,91 @@ def _fast_dom(html: str) -> _Node:
             if amppos >= 0 and not _WS_OR_SEMI.search(text, amppos):
                 break
             if text:
-                node = stack[-1]
-                node.children.append(None)
-                node.text_parts.append(unescape(text) if "&" in text else text)
+                cur_child(None)
+                cur_text(unescape(text) if "&" in text else text)
             break
         if lt > pos:
             text = html[pos:lt]
-            node = stack[-1]
-            node.children.append(None)
-            node.text_parts.append(unescape(text) if "&" in text else text)
+            cur_child(None)
+            cur_text(unescape(text) if "&" in text else text)
         nxt = html[lt + 1: lt + 2]
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":  # ASCII only: html.parser
+            # rejects '<º' as a tag ('º'.isalpha() is True but not [a-zA-Z])
+            # mirror HTMLParser.check_for_whole_start_tag exactly
+            lm = locate(html, lt)
+            j = lm.end()
+            after = html[j: j + 1]
+            if after == ">":
+                endpos = j + 1
+            elif after == "/" and html.startswith("/>", j):
+                endpos = j + 2
+            elif after == "" or after in _NEXT_BUFFERS or after == "/":
+                break  # incomplete at buffer end: html.parser waits -> drop
+            else:
+                # bogus-but-terminated tag: html.parser emits it as RAW data
+                # (no charref conversion on this path)
+                endpos = j if j > lt else lt + 1
+                cur_child(None)
+                cur_text(html[lt:endpos])
+                pos = endpos
+                continue
+            name = lm.group(1)
+            tag = name.lower()
+            # parse_starttag decides start-vs-startend (and the bogus raw-data
+            # re-emission) by walking attrfind and testing the leftover
+            # html[k:endpos].strip() against ('>', '/>') — e.g. '<p/>' is a
+            # STARTEND tag even though locatestarttagend swallowed the '/'.
+            # The walk only changes the outcome when the body contains one of
+            # / ' " = (otherwise it provably consumes to endpos with end '>'),
+            # so plain tags skip it; page-container candidates always walk to
+            # collect attrs for the class-based page split.  The suspect scan
+            # starts at the NAME end (a superset of tagfind's post-ws/slash
+            # position): a '/' in the ws-run sends a clean tag down the walk
+            # path, which computes the identical outcome, just slower.
+            collect = tag in _ATTR_TAGS
+            if collect or _SUSPECT.search(html, lt + 1 + len(name), j):
+                tm = _TAGFIND.match(html, lt + 1)
+                attrs, k = _parse_attrs_tolerant(html, tm.end(), endpos, collect)
+                tag_end = html[k:endpos].strip()
+                if tag_end not in (">", "/>"):
+                    # attr walk stalled: html.parser re-emits the whole tag
+                    # as raw data (no charref conversion)
+                    cur_child(None)
+                    cur_text(html[lt:endpos])
+                    pos = endpos
+                    continue
+                self_closing = tag_end == "/>"
+                if not collect:
+                    attrs = _EMPTY_ATTRS
+            else:
+                attrs = _EMPTY_ATTRS
+                # clean body: the walk provably reaches j, so the tag is
+                # startend exactly when the explicit '/>' sits at j
+                self_closing = after == "/"
+            node = _Node(tag, attrs)
+            cur_child(node)
+            pos = endpos
+            if self_closing:  # never pushed
+                continue
+            if tag in _RAWTEXT_CLOSE:
+                # CDATA content model: raw text until the FULL strict close
+                # tag ('</script foo>' does not close); an unclosed rawtext
+                # element buffers its tail forever in html.parser -> dropped,
+                # so no text is attached in that case either
+                cm = _RAWTEXT_CLOSE[tag].search(html, pos)
+                if cm is None:
+                    pos = n
+                    continue
+                if cm.start() > pos:
+                    node.children.append(None)
+                    node.text_parts.append(html[pos:cm.start()])  # no unescape
+                pos = cm.end()
+                continue
+            if tag not in _VOID_TAGS:
+                stack.append(node)
+                cur_child = node.children.append
+                cur_text = node.text_parts.append
+            continue
         if nxt == "":
             break  # lone '<' at EOF: html.parser buffers & drops
         if nxt == "/":
@@ -196,6 +298,9 @@ def _fast_dom(html: str) -> _Node:
                     for i in range(len(stack) - 1, 0, -1):
                         if stack[i].tag == tag:
                             del stack[i:]
+                            node = stack[-1]
+                            cur_child = node.children.append
+                            cur_text = node.text_parts.append
                             break
                     pos = find(">", tm.end()) + 1  # '>' exists past the name
                     continue
@@ -211,6 +316,9 @@ def _fast_dom(html: str) -> _Node:
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
+                    node = stack[-1]
+                    cur_child = node.children.append
+                    cur_text = node.text_parts.append
                     break
             pos = m.end()
             continue
@@ -258,84 +366,10 @@ def _fast_dom(html: str) -> _Node:
             m = _PI_RE.match(html, lt)
             pos = m.end() if m else n
             continue
-        elif "a" <= nxt <= "z" or "A" <= nxt <= "Z":  # ASCII only: html.parser
-            # rejects '<º' as a tag ('º'.isalpha() is True but not [a-zA-Z])
-            # mirror HTMLParser.check_for_whole_start_tag exactly
-            lm = _LOCATE_START_END.match(html, lt)
-            j = lm.end()
-            after = html[j: j + 1]
-            if after == ">":
-                endpos = j + 1
-            elif after == "/" and html.startswith("/>", j):
-                endpos = j + 2
-            elif after == "" or after in _NEXT_BUFFERS or after == "/":
-                break  # incomplete at buffer end: html.parser waits -> drop
-            else:
-                # bogus-but-terminated tag: html.parser emits it as RAW data
-                # (no charref conversion on this path)
-                endpos = j if j > lt else lt + 1
-                node = stack[-1]
-                node.children.append(None)
-                node.text_parts.append(html[lt:endpos])
-                pos = endpos
-                continue
-            tm = _TAGFIND.match(html, lt + 1)
-            tag = tm.group(1).lower()
-            # parse_starttag decides start-vs-startend (and the bogus raw-data
-            # re-emission) by walking attrfind and testing the leftover
-            # html[k:endpos].strip() against ('>', '/>') — e.g. '<p/>' is a
-            # STARTEND tag even though locatestarttagend swallowed the '/'.
-            # The walk only changes the outcome when the body contains one of
-            # / ' " = (otherwise it provably consumes to endpos with end '>'),
-            # so plain tags skip it; page-container candidates always walk to
-            # collect attrs for the class-based page split.
-            collect = tag in _ATTR_TAGS
-            if collect or _SUSPECT.search(html, tm.end(), j):
-                attrs, k = _parse_attrs_tolerant(html, tm.end(), endpos, collect)
-                tag_end = html[k:endpos].strip()
-                if tag_end not in (">", "/>"):
-                    # attr walk stalled: html.parser re-emits the whole tag
-                    # as raw data (no charref conversion)
-                    node = stack[-1]
-                    node.children.append(None)
-                    node.text_parts.append(html[lt:endpos])
-                    pos = endpos
-                    continue
-                self_closing = tag_end == "/>"
-                if not collect:
-                    attrs = _EMPTY_ATTRS
-            else:
-                attrs = _EMPTY_ATTRS
-                # clean body: the walk provably reaches j, so the tag is
-                # startend exactly when the explicit '/>' sits at j
-                self_closing = after == "/"
-            node = _Node(tag, attrs)
-            stack[-1].children.append(node)
-            pos = endpos
-            if self_closing:  # never pushed
-                continue
-            if tag in _RAWTEXT_CLOSE:
-                # CDATA content model: raw text until the FULL strict close
-                # tag ('</script foo>' does not close); an unclosed rawtext
-                # element buffers its tail forever in html.parser -> dropped,
-                # so no text is attached in that case either
-                cm = _RAWTEXT_CLOSE[tag].search(html, pos)
-                if cm is None:
-                    pos = n
-                    continue
-                if cm.start() > pos:
-                    node.children.append(None)
-                    node.text_parts.append(html[pos:cm.start()])  # no unescape
-                pos = cm.end()
-                continue
-            if tag not in _VOID_TAGS:
-                stack.append(node)
-            continue
         # not a recognizable construct: literal '<' as text (html.parser
         # "invalid character" path)
-        node = stack[-1]
-        node.children.append(None)
-        node.text_parts.append("<")
+        cur_child(None)
+        cur_text("<")
         pos = lt + 1
     return root
 
