@@ -503,6 +503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "t_quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
+        # Gopher filter battery (Rae et al. 2021 App. A): one verdict column
+        # per published rule over the synthetic multi-line text (single-line
+        # documents.text would degenerate the two line rules)
+        "t_gopher_rules": lambda s, d: textstats.gopher_rules(
+            curation.with_synthetic_lines(_docs(s, d)), text_col="text_multi"
+        ),
         "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         # exact per-source token-length quantiles (rank-based, portable)
         "t_length_quantiles": lambda s, d: textstats.length_quantiles(
@@ -1001,6 +1007,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clean_md5 pins the byte-exact surviving text per doc
         "c_line_dedup": lambda s, d: curation.line_dedup(
             curation.with_synthetic_lines(_docs(s, d))
+        ),
+        # host-scoped line dedup (RefinedWeb rule): df and anti-join key on
+        # (source, fp), so only lines saturating ONE host's pages are
+        # boilerplate — the subscribe block (hot only corpus-wide) survives
+        # here, the per-source footer does not
+        "c_line_dedup_host": lambda s, d: curation.line_dedup(
+            curation.with_synthetic_lines(_docs(s, d)),
+            min_df=curation.LINE_HOST_MIN_DF,
+            scope_col="source",
         ),
         # head-metadata extraction: five fields, one codegen'd regex pass
         "u_head_meta": lambda s, d: (lambda hm: hm.head_meta(
@@ -2587,6 +2602,50 @@ def oracle_sql() -> dict[str, str]:
                    round({_hits(_EN)} / 10.0, 4) AS stopword_ratio,
                    {_quality_sql()} AS quality
             FROM documents ORDER BY doc_id
+        """,
+        # Gopher rules: same synthetic multi-line text as c_line_dedup;
+        # every ratio compares as cross-multiplied integers and every
+        # threshold/regex interpolates from the textstats constants
+        # (anti-drift) — a rule-formula change that misses either engine
+        # fails this hash
+        "t_gopher_rules": f"""
+            WITH multi AS (
+                SELECT doc_id, array_to_string({_lines_sql}, chr(10)) AS tm,
+                       {_lines_sql} AS ls
+                FROM documents
+            ), t AS (
+                SELECT doc_id, tm, ls,
+                       regexp_split_to_array(trim(tm), '\\s+') AS toks
+                FROM multi
+            ), c AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(len(ls) AS BIGINT) AS n_lines,
+                       CAST(length(regexp_replace(tm, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+                       CAST(len(regexp_extract_all(tm, '{TS.GOPHER_SYMBOL_RE}')) AS BIGINT) AS n_symbols,
+                       CAST(len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS BIGINT) AS n_bullet_lines,
+                       CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ellipsis_lines,
+                       CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+                       CAST(len(list_intersect(list_transform(toks, x -> lower(x)), {list(TS.GOPHER_STOPWORDS)})) AS BIGINT) AS stop_hits
+                FROM t
+            )
+            SELECT doc_id, n_words, n_lines, n_symbols, n_bullet_lines,
+                   n_ellipsis_lines, n_alpha_words, stop_hits,
+                   (n_words >= {TS.GOPHER_MIN_WORDS} AND n_words <= {TS.GOPHER_MAX_WORDS}) AS ok_word_count,
+                   (word_chars >= {TS.GOPHER_MIN_MEAN_WORD_LEN} * n_words AND word_chars <= {TS.GOPHER_MAX_MEAN_WORD_LEN} * n_words) AS ok_mean_word_len,
+                   (n_symbols * 10 <= n_words) AS ok_symbol_ratio,
+                   (n_bullet_lines * 10 <= n_lines * 9) AS ok_bullet_lines,
+                   (n_ellipsis_lines * 10 <= n_lines * 3) AS ok_ellipsis_lines,
+                   (n_alpha_words * 10 >= n_words * 8) AS ok_alpha_words,
+                   (stop_hits >= {TS.GOPHER_MIN_STOP_HITS}) AS ok_stopwords,
+                   ((n_words >= {TS.GOPHER_MIN_WORDS} AND n_words <= {TS.GOPHER_MAX_WORDS})
+                    AND (word_chars >= {TS.GOPHER_MIN_MEAN_WORD_LEN} * n_words AND word_chars <= {TS.GOPHER_MAX_MEAN_WORD_LEN} * n_words)
+                    AND (n_symbols * 10 <= n_words)
+                    AND (n_bullet_lines * 10 <= n_lines * 9)
+                    AND (n_ellipsis_lines * 10 <= n_lines * 3)
+                    AND (n_alpha_words * 10 >= n_words * 8)
+                    AND (stop_hits >= {TS.GOPHER_MIN_STOP_HITS})) AS passes
+            FROM c ORDER BY doc_id
         """,
         # the pre-token regex and its three alternation legs interpolate
         # from textstats.BPE_PRETOKEN_RE (anti-drift)
@@ -5101,6 +5160,34 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1 HAVING count(DISTINCT doc_id) >= {C.LINE_MIN_DF}
             ), kept AS (
                 SELECT * FROM lines WHERE md5(line) NOT IN (SELECT fp FROM hot)
+            ), agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+                FROM kept GROUP BY doc_id
+            )
+            SELECT m.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(a.clean_md5, md5('')) AS clean_md5
+            FROM multi m LEFT JOIN agg a USING (doc_id)
+            ORDER BY m.doc_id
+        """,
+        # host-scoped line dedup: identical shape, but document frequency and
+        # the anti-join key on (source, fp) and the threshold is the host one
+        # — the subscribe block (hot only corpus-wide) must SURVIVE here
+        "c_line_dedup_host": f"""
+            WITH multi AS (
+                SELECT doc_id, source, {_lines_sql} AS ls FROM documents
+            ), lines AS (
+                SELECT doc_id, source, unnest(ls) AS line,
+                       unnest(range(1, len(ls) + 1)) AS pos
+                FROM multi
+            ), hot AS (
+                SELECT source, md5(line) AS fp FROM lines
+                GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= {C.LINE_HOST_MIN_DF}
+            ), kept AS (
+                SELECT l.* FROM lines l
+                LEFT JOIN hot h ON h.source = l.source AND h.fp = md5(l.line)
+                WHERE h.fp IS NULL
             ), agg AS (
                 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
                        md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5

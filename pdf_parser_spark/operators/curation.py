@@ -547,6 +547,13 @@ def incremental_dedup(documents: DataFrame, index_mod: int = INDEX_MOD) -> DataF
 # ---------------------------------------------------------------------------
 
 LINE_MIN_DF = 2  # a line repeated in >= this many docs is boilerplate
+# host-scoped threshold (see line_dedup scope_col): high enough that a line
+# must saturate a single host's pages to count as that host's boilerplate —
+# cross-host common lines (navigation idioms, legal phrases) stay.  On the
+# synthetic corpus (25 docs/source at the gate scale) this keeps the
+# subscribe block (df≈17 within any one source, hot only globally) while
+# still dropping the per-source footer (df=25)
+LINE_HOST_MIN_DF = 20
 
 
 def with_synthetic_lines(documents: DataFrame) -> DataFrame:
@@ -575,6 +582,7 @@ def line_dedup(
     text_col: str = "text_multi",
     min_df: int = LINE_MIN_DF,
     broadcast_hot: bool = True,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Remove lines that appear in >= min_df documents corpus-wide (the
     CCNet paragraph-hash dedup: nav bars, cookie banners, subscribe blocks
@@ -583,6 +591,18 @@ def line_dedup(
     Returns (doc_id, n_lines, n_kept, clean_md5) — clean_md5 pins the
     byte-exact surviving text (lines re-joined in original order), so the
     oracle catches any ordering or off-by-one slip, not just counts.
+
+    ``scope_col`` switches to WITHIN-SCOPE dedup (RefinedWeb/trafilatura
+    rule: a line is boilerplate only when it saturates pages of the SAME
+    host — document frequency and the anti-join both key on (scope, fp)).
+    At equal min_df host scoping can only keep MORE (global df >= any
+    per-host df); the reason to scope is that it makes a LOW threshold safe
+    — within one host, repetition is template chrome almost surely, while
+    globally the same threshold would delete legitimate cross-site idioms
+    (dates, legal phrases, common headings).  Scoping also de-skews the
+    anti-join: a globally-mega-hot fingerprint (the empty line) is one
+    reduce key corpus-wide but (n_hosts) keys when compounded with the
+    scope.
 
     Plan: posexplode (narrow) -> groupBy(md5(line)) document-frequency
     count (shuffle 1, map-side combined) -> heavy-line anti-join ->
@@ -594,18 +614,20 @@ def line_dedup(
     shuffle join on the line hash (one extra shuffle of the exploded
     lines, each partition bounded) — the knob IS the scale decision.
     """
+    keys = ([scope_col] if scope_col else []) + ["fp"]
     lines = df.select(
         "doc_id",
+        *([scope_col] if scope_col else []),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("fp", F.md5("line"))
     hot = (
-        lines.groupBy("fp")
+        lines.groupBy(*keys)
         .agg(F.countDistinct("doc_id").alias("dfreq"))
         .where(F.col("dfreq") >= min_df)
-        .select("fp")
+        .select(*keys)
     )
     kept = lines.join(
-        F.broadcast(hot) if broadcast_hot else hot, "fp", "left_anti"
+        F.broadcast(hot) if broadcast_hot else hot, keys, "left_anti"
     )
     agg = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_kept"),

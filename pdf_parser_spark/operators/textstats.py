@@ -134,6 +134,91 @@ GATE_MAX_ELLIPSIS_LINE_RATIO = 0.3
 GATE_MAX_BULLET_LINE_RATIO = 0.9
 
 
+# --- Gopher quality rules (Rae et al. 2021, Appendix A) ---------------------
+# The published web-text filter battery, each rule an explicit verdict column
+# so a curation run can report WHICH rule killed a page (the aggregate-score
+# face above answers "how good"; this face answers "why rejected").  All
+# thresholds are the paper's; every comparison is exact-integer (cross-
+# multiplied basis points) so the DuckDB oracle hashes bit-equal.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3   # chars, inclusive
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_SYMBOL_RE = r"#|\.\.\.|…"  # hash or ellipsis, the paper's symbol set
+GOPHER_BULLET_CHARS = ("•", "-", "*")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-rule Gopher filter verdicts: word-count window, mean-word-length
+    window, symbol-to-word ratio <= 0.1, <= 90% bullet-led lines, <= 30%
+    ellipsis-ended lines, >= 80% words containing an alphabetic char,
+    >= 2 distinct required stopwords.  One JVM pass, no shuffle, no UDF;
+    ratios compare as cross-multiplied integers (n_sym * 10 <= n_words
+    instead of n_sym / n_words <= 0.1) so no float ever forms."""
+    txt = F.col(text_col)
+    toks = words(txt)
+    n_words = F.size(toks).cast("long")
+    word_chars = F.length(F.regexp_replace(txt, r"\s+", "")).cast("long")
+    n_sym = F.size(
+        F.regexp_extract_all(txt, F.lit(GOPHER_SYMBOL_RE), F.lit(0))
+    ).cast("long")
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin(*GOPHER_BULLET_CHARS),
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mwl = (word_chars >= GOPHER_MIN_MEAN_WORD_LEN * n_words) & (
+        word_chars <= GOPHER_MAX_MEAN_WORD_LEN * n_words
+    )
+    ok_symbols = n_sym * 10 <= n_words
+    ok_bullets = n_bullet * 10 <= n_lines * 9
+    ok_ellipsis = n_ellipsis * 10 <= n_lines * 3
+    ok_alpha = n_alpha * 10 >= n_words * 8
+    ok_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        n_sym.alias("n_symbols"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"),
+        stop_hits.alias("stop_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_bullets.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            ok_words & ok_mwl & ok_symbols & ok_bullets
+            & ok_ellipsis & ok_alpha & ok_stop
+        ).alias("passes"),
+    ).orderBy("doc_id")
+
+
 def quality_gate(documents: DataFrame) -> DataFrame:
     """(doc_id, passed, reasons) — the C4/Gopher HARD filter chain next to
     the soft quality_score: token-count band, mean-word-length band, English

@@ -343,6 +343,42 @@ def test_line_dedup_drops_shared_lines_and_pins_bytes(spark):
     assert r1["clean_md5"] == hashlib.md5(b"z last\na first").hexdigest()
 
 
+def test_line_dedup_host_scope_protects_cross_host_lines(spark):
+    # 'common idiom' appears once per host on FOUR hosts: global df=4 kills
+    # it at min_df=2, but within any single host df=1 — host scope keeps it.
+    # 'chrome' saturates host a (df=2 there) -> dropped under BOTH scopes.
+    rows = [
+        (1, "a", "chrome\ncommon idiom\nbody one"),
+        (2, "a", "chrome\nbody two"),
+        (3, "b", "common idiom\nbody three"),
+        (4, "c", "common idiom\nbody four"),
+        (5, "d", "common idiom\nbody five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text_multi string")
+    glob = {r["doc_id"]: r for r in curation.line_dedup(df).collect()}
+    host = {
+        r["doc_id"]: r
+        for r in curation.line_dedup(df, scope_col="source").collect()
+    }
+    # global: 'common idiom' (df=4) and 'chrome' (df=2) both die
+    assert glob[1]["clean_md5"] == hashlib.md5(b"body one").hexdigest()
+    assert glob[3]["clean_md5"] == hashlib.md5(b"body three").hexdigest()
+    # host scope: 'chrome' still dies on host a, 'common idiom' SURVIVES
+    assert host[1]["clean_md5"] == hashlib.md5(
+        b"common idiom\nbody one").hexdigest()
+    assert (host[1]["n_lines"], host[1]["n_kept"]) == (3, 2)
+    assert host[2]["clean_md5"] == hashlib.md5(b"body two").hexdigest()
+    assert host[3]["clean_md5"] == hashlib.md5(
+        b"common idiom\nbody three").hexdigest()
+    # shuffle-join path identical under scope too
+    host2 = {
+        r["doc_id"]: (r["n_kept"], r["clean_md5"])
+        for r in curation.line_dedup(
+            df, scope_col="source", broadcast_hot=False).collect()
+    }
+    assert host2 == {k: (v["n_kept"], v["clean_md5"]) for k, v in host.items()}
+
+
 def test_anchor_text_index_sorted_distinct(spark):
     from pdf_parser_spark.operators import linkgraph as lg
 
@@ -1946,3 +1982,46 @@ def test_lm_surprisal_exact_bits_oov_and_terciles(spark):
               for r in textstats.lm_surprisal(docs, ref_mod=1).collect()}
     assert allref[2]["n_oov"] == 0
     assert allref[2]["bits_sum"] < out[2]["bits_sum"]
+
+
+def test_gopher_rules_each_rule_fires_independently(spark):
+    from pdf_parser_spark.operators import textstats
+
+    stopful = "the cat and the dog have been known to sit with all of that "
+    good = (stopful * 5).strip()                    # 65 words, all rules pass
+    short = "the of and with tiny"                  # < 50 words
+    bullets = "\n".join(["- item " + stopful] * 10)  # 10/10 bullet-led lines
+    dots = "\n".join([stopful + "..."] * 4 + [stopful])  # 4/5 ellipsis-ended
+    hashy = good + " " + " ".join(["#"] * 20)       # symbol ratio > 0.1
+    numeric = " ".join(str(i) for i in range(60)) + " the of and with"
+    nostop = " ".join(f"w{i}" for i in range(60))   # zero required stopwords
+    docs = spark.createDataFrame(
+        [(0, good), (1, short), (2, bullets), (3, dots), (4, hashy),
+         (5, numeric), (6, nostop)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.gopher_rules(docs).collect()}
+    assert out[0]["passes"] and all(
+        out[0][c] for c in out[0].asDict() if c.startswith("ok_"))
+    assert not out[1]["ok_word_count"] and not out[1]["passes"]
+    # every line bullet-led -> 10*10 > 9*10 fails; the words themselves fine
+    assert not out[2]["ok_bullet_lines"] and out[2]["ok_word_count"]
+    assert not out[3]["ok_ellipsis_lines"] and out[3]["ok_bullet_lines"]
+    assert not out[4]["ok_symbol_ratio"] and out[4]["n_symbols"] == 20
+    # 60 of 64 words are bare numbers -> alpha share 4/64 < 80%
+    assert not out[5]["ok_alpha_words"]
+    assert not out[6]["ok_stopwords"] and out[6]["stop_hits"] == 0
+    # cross-multiplied boundary: exactly 10% symbols still PASSES (<=)
+    edge = spark.createDataFrame(
+        [(7, " ".join(["the"] * 45 + ["of", "and", "with", "to"])
+          + " #" * 0 + " " + " ".join(["#"] * 0))],
+        "doc_id long, text string",
+    )
+    # 49 words 0 symbols trivially ok; now 50 words 5 symbols = exactly 0.1
+    edge2 = spark.createDataFrame(
+        [(8, " ".join(["the"] * 45 + ["#"] * 5))],
+        "doc_id long, text string",
+    )
+    r8 = textstats.gopher_rules(edge2).collect()[0]
+    assert r8["n_words"] == 50 and r8["n_symbols"] == 5
+    assert r8["ok_symbol_ratio"]  # 5*10 <= 50, inclusive boundary
