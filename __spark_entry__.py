@@ -509,6 +509,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_gopher_rules": lambda s, d: textstats.gopher_rules(
             curation.with_synthetic_lines(_docs(s, d)), text_col="text_multi"
         ),
+        # C4 cleaning battery (Raffel et al. 2020 §2.2): line-granular keep/
+        # drop + page verdicts over synthetic lines that exercise every rule
+        # on coprime doc_id moduli; kept_md5 pins the byte-exact cleaned text
+        "t_c4_rules": lambda s, d: textstats.c4_rules(
+            curation.with_c4_lines(_docs(s, d)), text_col="text_c4"
+        ),
         "t_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         # exact per-source token-length quantiles (rank-based, portable)
         "t_length_quantiles": lambda s, d: textstats.length_quantiles(
@@ -1294,6 +1300,23 @@ def oracle_sql() -> dict[str, str]:
         "'(c) ' || source || ' media group'"
         "], x -> x <> '')"
     )
+    # synthetic C4-rule lines, the literal twin of curation.with_c4_lines
+    # (same empty-slice coalesce NB as _lines_sql)
+    _c4_lines_sql = (
+        "list_filter(["
+        f"coalesce(array_to_string(({_TOKS})[1:12], ' '), '') || '.', "
+        "CASE WHEN doc_id % 3 = 0 THEN 'Enable javascript to view this content.' ELSE '' END, "
+        f"coalesce(array_to_string(({_TOKS})[13:24], ' '), '') || "
+        "(CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END), "
+        "CASE WHEN doc_id % 4 = 0 THEN 'This website uses cookies to improve your experience.' ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN 'Click here now.' ELSE '' END, "
+        "CASE WHEN doc_id % 11 = 0 THEN 'Buy cheap casino chips online right now.' ELSE '' END, "
+        "CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet consectetur.' ELSE '' END, "
+        "CASE WHEN doc_id % 17 = 0 THEN 'var f = function() { return 1; }' ELSE '' END, "
+        f"coalesce(array_to_string(({_TOKS})[25:36], ' '), '') || '?'"
+        "], x -> x <> '')"
+    )
+
     # synthetic <head>, the literal twin of htmlmeta.with_head_html
     _title_sql = f"coalesce(array_to_string(({_TOKS})[1:5], ' '), '')"
     _head_html_sql = f"""
@@ -2646,6 +2669,56 @@ def oracle_sql() -> dict[str, str]:
                     AND (n_alpha_words * 10 >= n_words * 8)
                     AND (stop_hits >= {TS.GOPHER_MIN_STOP_HITS})) AS passes
             FROM c ORDER BY doc_id
+        """,
+        # C4 battery: synthetic rule-exercising lines (literal twin of
+        # with_c4_lines), line-keep lambda + page verdicts re-derived with
+        # every threshold/phrase interpolated from the textstats constants
+        # (anti-drift); kept_md5 hashes the byte-exact surviving text
+        "t_c4_rules": f"""
+            WITH lsrc AS (
+                SELECT doc_id, {_c4_lines_sql} AS ls,
+                       array_to_string({_c4_lines_sql}, chr(10)) AS tm
+                FROM documents
+            ), k AS (
+                SELECT doc_id, ls, tm,
+                       list_filter(ls, l ->
+                           ({" OR ".join(
+                               "ends_with(rtrim(l), '%s')" % p
+                               for p in TS.C4_TERMINAL_PUNCT)})
+                           AND len(list_filter(
+                                   regexp_split_to_array(trim(l), '\\s+'),
+                                   x -> x <> '')) >= {TS.C4_MIN_LINE_WORDS}
+                           AND NOT contains(lower(l), 'javascript')
+                           {" ".join(
+                               "AND NOT contains(lower(l), '%s')" % ph
+                               for ph in TS.C4_POLICY_PHRASES)}
+                       ) AS kept
+                FROM lsrc
+            ), c AS (
+                SELECT doc_id,
+                       CAST(len(ls) AS BIGINT) AS n_lines,
+                       CAST(len(kept) AS BIGINT) AS n_kept,
+                       coalesce(array_to_string(kept, chr(10)), '') AS kt,
+                       tm,
+                       regexp_split_to_array(trim(tm), '\\s+') AS toks
+                FROM k
+            ), v AS (
+                SELECT doc_id, n_lines, n_kept,
+                       CAST(len(regexp_extract_all(kt, '{TS.C4_SENTENCE_END_RE}')) AS BIGINT) AS n_sentences,
+                       NOT contains(lower(tm), 'lorem ipsum') AS ok_lorem,
+                       NOT contains(tm, '{{') AS ok_brace,
+                       (len(list_intersect(list_transform(toks, x -> lower(x)),
+                            {list(TS.C4_BAD_WORDS)})) = 0) AS ok_badword,
+                       md5(kt) AS kept_md5
+                FROM c
+            )
+            SELECT doc_id, n_lines, n_kept, n_sentences,
+                   (n_sentences >= {TS.C4_MIN_SENTENCES}) AS ok_sentences,
+                   ok_lorem, ok_brace, ok_badword,
+                   ((n_sentences >= {TS.C4_MIN_SENTENCES})
+                    AND ok_lorem AND ok_brace AND ok_badword) AS passes,
+                   kept_md5
+            FROM v ORDER BY doc_id
         """,
         # the pre-token regex and its three alternation legs interpolate
         # from textstats.BPE_PRETOKEN_RE (anti-drift)

@@ -577,6 +577,44 @@ def with_synthetic_lines(documents: DataFrame) -> DataFrame:
     return documents.withColumn("text_multi", multi)
 
 
+def with_c4_lines(documents: DataFrame) -> DataFrame:
+    """Add a ``text_c4`` column: the doc rebuilt as lines that EXERCISE each
+    C4 cleaning rule (Raffel et al. 2020 §2.2) on a deterministic doc_id
+    schedule — proper sentences from the real text, a no-punctuation line,
+    a too-short line, and the javascript / cookie-policy / lorem-ipsum /
+    curly-brace / bad-word killers on coprime moduli so every rule fires
+    alone and in combination.  Pure function of (doc_id, text): the DuckDB
+    oracle re-derives the identical text (same NB as with_synthetic_lines:
+    Spark's concat_ws over an empty slice is '', DuckDB's array_to_string
+    is NULL — the SQL twin coalesces)."""
+    toks = words(F.col("text"))
+    did = F.col("doc_id")
+    lines = F.array(
+        F.concat(F.concat_ws(" ", F.slice(toks, 1, 12)), F.lit(".")),
+        F.when(did % 3 == 0,
+               F.lit("Enable javascript to view this content."))
+        .otherwise(F.lit("")),
+        F.concat(F.concat_ws(" ", F.slice(toks, 13, 12)),
+                 F.when(did % 2 == 0, F.lit(".")).otherwise(F.lit(""))),
+        F.when(did % 4 == 0,
+               F.lit("This website uses cookies to improve your experience."))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("Click here now.")).otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.lit("Buy cheap casino chips online right now."))
+        .otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.lit("lorem ipsum dolor sit amet consectetur."))
+        .otherwise(F.lit("")),
+        F.when(did % 17 == 0,
+               F.lit("var f = function() { return 1; }"))
+        .otherwise(F.lit("")),
+        F.concat(F.concat_ws(" ", F.slice(toks, 25, 12)), F.lit("?")),
+    )
+    multi = F.concat_ws("\n", F.filter(lines, lambda x: x != ""))
+    return documents.withColumn("text_c4", multi)
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text_multi",

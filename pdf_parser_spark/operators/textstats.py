@@ -219,6 +219,90 @@ def gopher_rules(documents: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- C4 cleaning rules (Raffel et al. 2020, §2.2) ----------------------------
+# The OTHER published web-text filter battery beside Gopher's: C4 is
+# line-granular (keep/drop individual lines, then judge the page), where
+# Gopher is page-granular (ratio verdicts over the whole page).  Thresholds
+# and phrase lists are the paper's / the public TFDS c4_utils ones; the
+# bad-words list is a small deterministic stand-in for the external LDNOOBW
+# list the paper cites (swap in the real list in production — the operator
+# takes it as a parameter).  Sentence counting is a deterministic
+# terminal-punctuation count standing in for the paper's nltk punkt (both
+# engines run the identical rule, so the oracle hashes bit-equal).
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_POLICY_PHRASES = (
+    "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies",
+)
+C4_BAD_WORDS = ("casino", "viagra", "porn", "xxx")
+C4_SENTENCE_END_RE = r"[.!?]"
+
+
+def c4_rules(
+    documents: DataFrame,
+    text_col: str = "text",
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> DataFrame:
+    """Per-document C4 cleaning verdicts + the cleaned text's fingerprint.
+
+    Line filter (a line survives only if ALL hold): ends in terminal
+    punctuation ('.', '!', '?', '\"'); >= 5 whitespace words; does not
+    contain 'javascript' (case-insensitive); does not contain a
+    policy phrase ('terms of use', 'privacy policy', ...).
+    Page filter (on the ORIGINAL text, per the paper): no 'lorem ipsum',
+    no '{', no bad-list word (token-level match); and the RETAINED text
+    must contain >= 3 sentences (terminal-punct count).
+
+    Returns (doc_id, n_lines, n_kept, n_sentences, ok_sentences, ok_lorem,
+    ok_brace, ok_badword, passes, kept_md5) — kept_md5 pins the byte-exact
+    surviving text (kept lines re-joined in order), so the oracle catches
+    ordering/off-by-one slips, not just counts.  One JVM pass, no shuffle,
+    no UDF; every predicate is a higher-order column lambda."""
+    txt = F.col(text_col)
+    lines = F.split(txt, "\n")
+
+    def line_ok(l):  # noqa: E741 — l is the conventional lambda name here
+        t = F.rtrim(l)
+        punct_ok = None
+        for p in C4_TERMINAL_PUNCT:
+            c = t.endswith(p)
+            punct_ok = c if punct_ok is None else (punct_ok | c)
+        n_w = F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda x: x != ""))
+        low = F.lower(l)
+        clean = ~low.contains("javascript")
+        for ph in C4_POLICY_PHRASES:
+            clean = clean & ~low.contains(ph)
+        return punct_ok & (n_w >= C4_MIN_LINE_WORDS) & clean
+
+    kept = F.filter(lines, line_ok)
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.regexp_extract_all(kept_text, F.lit(C4_SENTENCE_END_RE), F.lit(0))
+    ).cast("long")
+    low_all = F.lower(txt)
+    ok_lorem = ~low_all.contains("lorem ipsum")
+    ok_brace = ~txt.contains("{")
+    ok_badword = ~F.arrays_overlap(
+        F.transform(words(txt), F.lower),
+        F.array(*[F.lit(w) for w in bad_words]),
+    )
+    ok_sentences = n_sentences >= C4_MIN_SENTENCES
+    return documents.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sentences.alias("n_sentences"),
+        ok_sentences.alias("ok_sentences"),
+        ok_lorem.alias("ok_lorem"),
+        ok_brace.alias("ok_brace"),
+        ok_badword.alias("ok_badword"),
+        (ok_sentences & ok_lorem & ok_brace & ok_badword).alias("passes"),
+        F.md5(F.encode(kept_text, "UTF-8")).alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
 def quality_gate(documents: DataFrame) -> DataFrame:
     """(doc_id, passed, reasons) — the C4/Gopher HARD filter chain next to
     the soft quality_score: token-count band, mean-word-length band, English

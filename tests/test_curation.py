@@ -2025,3 +2025,59 @@ def test_gopher_rules_each_rule_fires_independently(spark):
     r8 = textstats.gopher_rules(edge2).collect()[0]
     assert r8["n_words"] == 50 and r8["n_symbols"] == 5
     assert r8["ok_symbol_ratio"]  # 5*10 <= 50, inclusive boundary
+
+
+def test_c4_rules_line_and_page_filters(spark):
+    import hashlib
+
+    from pdf_parser_spark.operators import textstats
+
+    s1 = "the quick brown fox jumps over the lazy dog."
+    s2 = "a second proper sentence with enough words here."
+    s3 = "and a third sentence closes out the page."
+    good = "\n".join([s1, s2, s3])
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                   # everything passes
+            (1, "\n".join([s1, s2, s3,
+                           "no terminal punctuation on this line",
+                           "Too few.",                   # < 5 words
+                           "Please enable JavaScript to continue reading.",
+                           "We updated our privacy policy this week."])),
+            (2, "\n".join([s1, s2])),                    # only 2 sentences
+            (3, good + "\nlorem ipsum dolor sit amet."),
+            (4, good + "\nif (x) { return y; } done now."),
+            (5, good + "\nwin big at the casino tonight folks."),
+            (6, 'she said "hello there my friend and neighbor"'),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.c4_rules(docs).collect()}
+
+    r0 = out[0]
+    assert r0["passes"] and r0["n_kept"] == 3 and r0["n_sentences"] == 3
+    assert r0["kept_md5"] == hashlib.md5(good.encode()).hexdigest()
+
+    # line filter: punct-less, short, javascript, and policy lines all drop,
+    # but the page still passes on the three surviving sentences
+    r1 = out[1]
+    assert r1["n_lines"] == 7 and r1["n_kept"] == 3 and r1["passes"]
+    assert r1["kept_md5"] == r0["kept_md5"]
+
+    # page filter: < 3 sentences kills even though every line survives
+    r2 = out[2]
+    assert r2["n_kept"] == 2 and not r2["ok_sentences"] and not r2["passes"]
+
+    # page killers fire on the ORIGINAL text even when their line also
+    # contributes sentences
+    assert not out[3]["ok_lorem"] and not out[3]["passes"]
+    assert out[3]["ok_brace"] and out[3]["ok_badword"]
+    assert not out[4]["ok_brace"] and out[4]["ok_lorem"]
+    assert not out[5]["ok_badword"] and out[5]["ok_brace"]
+    # the killer line itself was a valid sentence -> kept by the LINE filter
+    assert out[5]["n_kept"] == 4
+
+    # closing-quote terminal punct keeps the line, but contributes no [.!?]
+    # sentence ends -> page fails the min-sentence rule
+    r6 = out[6]
+    assert r6["n_kept"] == 1 and r6["n_sentences"] == 0 and not r6["passes"]
