@@ -841,6 +841,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pdf_parser_spark.sources.warc_datasource",
             fromlist=["datasource_roundtrip"],
         ).datasource_roundtrip(s, d),
+        # WET export: extracted text written back out as Common Crawl's
+        # conversion-record format (2-block framing, no HTTP block) and read
+        # back — body_md5 pins byte-exact fidelity, refers_to the WARC urn
+        "u_wet_export": lambda s, d: __import__(
+            "pdf_parser_spark.sources.warc", fromlist=["wet_export"]
+        ).wet_export(s, d),
         # JSONL interchange round-trip: binary html crosses the text format
         # as base64; text_md5/html_md5 pin byte-exact payload fidelity
         "u_jsonl_roundtrip": lambda s, d: __import__(
@@ -4129,6 +4135,18 @@ def oracle_sql() -> dict[str, str]:
         # WARC round-trip: every parsed column is recomputable from the
         # documents table alone; body_md5 = md5(text) is the byte-fidelity pin
         "u_warc_roundtrip": _warc_rt_sql,
+        # WET conversion records: same formula-oracle doctrine — every
+        # column recomputed from documents alone (urn linkage, byte-length
+        # Content-Length, md5 of the text that crossed the format)
+        "u_wet_export": """
+            SELECT doc_id,
+                   'https://' || source || '.example.com/doc/' || doc_id AS target_uri,
+                   'urn:doc:' || doc_id AS refers_to,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+                   CAST(length(text) AS BIGINT) AS n_body_chars,
+                   md5(text) AS body_md5
+            FROM documents ORDER BY doc_id
+        """,
         # the Python DataSource read is held to the SAME oracle text (the
         # decontaminate_bloom aliasing doctrine): both read paths must
         # byte-agree or one of the two parsers is wrong

@@ -128,6 +128,110 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# --- WET (extracted-text conversion records) --------------------------------
+# Common Crawl ships three derived formats per crawl: WARC (raw responses),
+# WAT (metadata), WET (extracted plain text).  A WET record is a WARC record
+# of type `conversion`: WARC header block, blank line, the extracted text —
+# NO HTTP block, so the framing is 2-block where the response path is
+# 3-block.  WET is the interchange format most LLM-corpus pipelines consume
+# (C4, CCNet, OSCAR all start from WET), so the engine writes its extracted
+# text back out in that shape: the crawl lifecycle closes
+# WARC(response) -> extract -> WET(conversion).
+# Real WET files open with one `warcinfo` record per file describing the
+# converter; read_wet skips non-conversion records, and the writer omits
+# warcinfo (the distributed text sink emits one file per task — injecting a
+# per-file header row into a range-partitioned sink would couple record
+# content to partition boundaries; document the omission instead).
+
+
+def wet_records(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render one conversion record per document: (doc_id, record string).
+    WARC-Refers-To names the response record write_warc emits for the same
+    document, so a WET shard is joinable back to its WARC shard by urn."""
+    body = F.col(text_col)
+    rec = F.concat(
+        F.lit(WARC_VERSION_LINE),
+        F.lit("WARC-Type: conversion\r\n"),
+        F.lit("WARC-Record-ID: <urn:wet:"), F.col("doc_id"), F.lit(">\r\n"),
+        F.lit("WARC-Refers-To: <urn:doc:"), F.col("doc_id"), F.lit(">\r\n"),
+        F.lit("WARC-Target-URI: "), _uri_col(), F.lit("\r\n"),
+        F.lit(f"WARC-Date: {WARC_DATE}\r\n"),
+        F.lit("Content-Type: text/plain\r\n"),
+        F.lit("Content-Length: "), F.octet_length(body), F.lit("\r\n\r\n"),
+        body, F.lit("\r\n\r\n"),
+    )
+    return documents.select("doc_id", rec.alias("record"))
+
+
+def write_wet(
+    documents: DataFrame, out_dir: str, n_files: int = 4,
+    text_col: str = "text",
+) -> str:
+    """Write conversion records through the same distributed text sink as
+    write_warc (range-partitioned + sorted by doc_id -> deterministic bytes,
+    Hadoop FS task-temp + commit, overwrite clears stale parts)."""
+    (
+        wet_records(documents, text_col)
+        .repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .select(F.regexp_replace("record", r"\r\n\r\n$", "").alias("value"))
+        .write.mode("overwrite")
+        .option("lineSep", "\r\n\r\n")
+        .text(out_dir)
+    )
+    return out_dir
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a WET directory/file into
+    (target_uri, warc_date, refers_to, content_length, body).
+
+    2-block framing: WARC header, blank line, text — split(limit=2), so
+    blank lines INSIDE the extracted text stay intact.  Non-conversion
+    records (the warcinfo file header real crawls carry) are dropped by the
+    WARC-Type filter."""
+    raw = spark.read.option("lineSep", WARC_VERSION_LINE).text(path)
+    parts = F.split(F.col("value"), r"\r\n\r\n", 2)
+    warc_hdr = parts.getItem(0)
+    body = F.regexp_replace(parts.getItem(1), r"(\r\n)+$", "")
+    return (
+        raw.where(F.col("value") != "")
+        .where(warc_hdr.rlike(r"WARC-Type: conversion\r?\n?"))
+        .select(
+            F.regexp_extract(warc_hdr, r"WARC-Target-URI: ([^\r\n]*)", 1).alias("target_uri"),
+            F.regexp_extract(warc_hdr, r"WARC-Date: ([^\r\n]*)", 1).alias("warc_date"),
+            F.regexp_extract(warc_hdr, r"WARC-Refers-To: <([^>]*)>", 1).alias("refers_to"),
+            F.regexp_extract(warc_hdr, r"Content-Length: ([0-9]+)", 1)
+            .cast("long").alias("content_length"),
+            body.alias("body"),
+        )
+    )
+
+
+def wet_export(
+    spark: SparkSession, sf_dir: str, scratch_root: str | None = None
+) -> DataFrame:
+    """Driver query: documents -> WET conversion shards on disk -> read_wet
+    -> per-doc fidelity columns.  body_md5 proves the extracted text crossed
+    the format byte-exactly; refers_to pins the WARC<->WET urn linkage; the
+    oracle recomputes every column from the documents table alone."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = scratch_root or tempfile.gettempdir()
+    out_dir = os.path.join(
+        root, f"pdf_parser_spark_wet_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_wet(docs, out_dir)
+    parsed = read_wet(spark, out_dir)
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        "target_uri", "refers_to", "content_length",
+        F.length("body").cast("long").alias("n_body_chars"),
+        F.md5("body").alias("body_md5"),
+    ).orderBy("doc_id")
+
+
 def roundtrip(spark: SparkSession, sf_dir: str, scratch_root: str | None = None) -> DataFrame:
     """Driver query: documents -> WARC files -> connector read -> per-doc
     fidelity columns.  md5(body) proves byte-exact payload round-trip; the

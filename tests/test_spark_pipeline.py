@@ -1307,6 +1307,49 @@ def test_warc_read_carves_blocks_and_keeps_blank_lines_in_body(spark, tmp_path):
     assert back["https://srcB.example.com/doc/8"] == "gamma"
 
 
+def test_wet_write_read_skips_warcinfo_and_keeps_blank_lines(spark, tmp_path):
+    """WET 2-block framing: split(limit=2) keeps CRLFCRLF inside the text;
+    the WARC-Type filter drops the per-file warcinfo header record real
+    crawls open with; write->read round-trips byte-exactly and the
+    WARC-Refers-To urn links each conversion record to its response twin."""
+    from pdf_parser_spark.sources.warc import read_wet, write_wet
+
+    body = "para one\r\n\r\npara two"     # blank line INSIDE extracted text
+    raw = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        "Content-Length: 20\r\n\r\n"
+        "software: converter\r\n\r\n"
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Record-ID: <urn:wet:1>\r\n"
+        "WARC-Refers-To: <urn:doc:1>\r\n"
+        "WARC-Target-URI: https://a.example.com/doc/1\r\n"
+        "WARC-Date: 2026-08-16T00:00:00Z\r\n"
+        f"Content-Type: text/plain\r\nContent-Length: {len(body)}\r\n\r\n"
+        f"{body}\r\n\r\n"
+    )
+    (tmp_path / "hand.wet").write_bytes(raw.encode())
+    rows = read_wet(spark, str(tmp_path)).collect()
+    assert len(rows) == 1                  # warcinfo record filtered out
+    r = rows[0]
+    assert r["body"] == body and r["refers_to"] == "urn:doc:1"
+    assert r["content_length"] == len(body)
+
+    docs = spark.createDataFrame(
+        [(7, "alpha beta", "en", "srcA", 10), (8, "gämmä", "de", "srcB", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "wet_rt")
+    write_wet(docs, d, n_files=2)
+    back = {r["target_uri"]: r for r in read_wet(spark, d).collect()}
+    assert back["https://srcA.example.com/doc/7"]["body"] == "alpha beta"
+    g = back["https://srcB.example.com/doc/8"]
+    assert g["body"] == "gämmä"
+    # Content-Length is BYTES: two umlauts -> chars + 2
+    assert g["content_length"] == len("gämmä".encode()) == len("gämmä") + 2
+    assert g["refers_to"] == "urn:doc:8"
+
+
 def test_streaming_window_watermark_drops_late_rows(spark, tmp_path):
     """Append mode emits a window once when the watermark passes its end;
     a row arriving after that is dropped, never re-emitted."""
