@@ -847,6 +847,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_wet_export": lambda s, d: __import__(
             "pdf_parser_spark.sources.warc", fromlist=["wet_export"]
         ).wet_export(s, d),
+        # WAT export: the metadata member of the WARC/WAT/WET triple —
+        # concat-built JSON payload (engine-stable bytes) inside metadata
+        # records, read back via get_json_object
+        "u_wat_export": lambda s, d: __import__(
+            "pdf_parser_spark.sources.warc", fromlist=["wat_export"]
+        ).wat_export(s, d),
         # JSONL interchange round-trip: binary html crosses the text format
         # as base64; text_md5/html_md5 pin byte-exact payload fidelity
         "u_jsonl_roundtrip": lambda s, d: __import__(
@@ -4145,6 +4151,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
                    CAST(length(text) AS BIGINT) AS n_body_chars,
                    md5(text) AS body_md5
+            FROM documents ORDER BY doc_id
+        """,
+        # WAT metadata records: JSON payload fields recomputed from
+        # documents alone; uri_consistent pins header-vs-payload agreement
+        "u_wat_export": """
+            SELECT doc_id,
+                   'https://' || source || '.example.com/doc/' || doc_id AS target_uri,
+                   'urn:doc:' || doc_id AS refers_to,
+                   lang,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   md5(text) AS digest,
+                   TRUE AS uri_consistent
             FROM documents ORDER BY doc_id
         """,
         # the Python DataSource read is held to the SAME oracle text (the

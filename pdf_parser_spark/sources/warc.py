@@ -208,6 +208,109 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# --- WAT (metadata records) --------------------------------------------------
+# The third member of the Common Crawl triple: WARC (raw responses), WAT
+# (per-response metadata as a JSON payload inside a WARC `metadata` record),
+# WET (extracted text).  Real WAT JSON nests the full envelope/header tree;
+# this writer emits the flat subset the engine derives (url, lang, char
+# count, payload digest) with the JSON built by STRING CONCAT in struct-field
+# order — not a to_json call — because the two engines' JSON serializers
+# disagree on key order/escaping and the oracle hashes bytes.  Every value
+# placed in the JSON is alphabet-safe by construction (urn/uri formulas, md5
+# hex, lang codes, integers), so no escaping is ever needed.
+
+
+def wat_json(documents: DataFrame, text_col: str = "text"):
+    """The metadata payload as a deterministic JSON string column."""
+    return F.concat(
+        F.lit('{"url":"'), _uri_col(),
+        F.lit('","lang":"'), F.col("lang"),
+        F.lit('","n_chars":'), F.length(text_col).cast("long"),
+        F.lit(',"digest":"'), F.md5(F.encode(F.col(text_col), "UTF-8")),
+        F.lit('"}'),
+    )
+
+
+def wat_records(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render one metadata record per document: (doc_id, record string)."""
+    body = wat_json(documents, text_col)
+    rec = F.concat(
+        F.lit(WARC_VERSION_LINE),
+        F.lit("WARC-Type: metadata\r\n"),
+        F.lit("WARC-Record-ID: <urn:wat:"), F.col("doc_id"), F.lit(">\r\n"),
+        F.lit("WARC-Refers-To: <urn:doc:"), F.col("doc_id"), F.lit(">\r\n"),
+        F.lit("WARC-Target-URI: "), _uri_col(), F.lit("\r\n"),
+        F.lit(f"WARC-Date: {WARC_DATE}\r\n"),
+        F.lit("Content-Type: application/json\r\n"),
+        F.lit("Content-Length: "), F.octet_length(body), F.lit("\r\n\r\n"),
+        body, F.lit("\r\n\r\n"),
+    )
+    return documents.select("doc_id", rec.alias("record"))
+
+
+def write_wat(
+    documents: DataFrame, out_dir: str, n_files: int = 4,
+    text_col: str = "text",
+) -> str:
+    """Same distributed text sink as write_warc/write_wet."""
+    (
+        wat_records(documents, text_col)
+        .repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .select(F.regexp_replace("record", r"\r\n\r\n$", "").alias("value"))
+        .write.mode("overwrite")
+        .option("lineSep", "\r\n\r\n")
+        .text(out_dir)
+    )
+    return out_dir
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Parse WAT shards into (target_uri, refers_to, url, lang, n_chars,
+    digest) — the JSON payload is carved with the same 2-block framing as
+    WET, then its fields come out through get_json_object (JVM JSON path,
+    no Python)."""
+    raw = spark.read.option("lineSep", WARC_VERSION_LINE).text(path)
+    parts = F.split(F.col("value"), r"\r\n\r\n", 2)
+    warc_hdr = parts.getItem(0)
+    body = F.regexp_replace(parts.getItem(1), r"(\r\n)+$", "")
+    return (
+        raw.where(F.col("value") != "")
+        .where(warc_hdr.rlike(r"WARC-Type: metadata\r?\n?"))
+        .select(
+            F.regexp_extract(warc_hdr, r"WARC-Target-URI: ([^\r\n]*)", 1).alias("target_uri"),
+            F.regexp_extract(warc_hdr, r"WARC-Refers-To: <([^>]*)>", 1).alias("refers_to"),
+            F.get_json_object(body, "$.url").alias("url"),
+            F.get_json_object(body, "$.lang").alias("lang"),
+            F.get_json_object(body, "$.n_chars").cast("long").alias("n_chars"),
+            F.get_json_object(body, "$.digest").alias("digest"),
+        )
+    )
+
+
+def wat_export(
+    spark: SparkSession, sf_dir: str, scratch_root: str | None = None
+) -> DataFrame:
+    """Driver query: documents -> WAT metadata shards -> read_wat -> fidelity
+    columns.  The JSON survives the format byte-exactly (digest + n_chars
+    recomputed by the oracle from documents alone); header URI and JSON url
+    must agree."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = scratch_root or tempfile.gettempdir()
+    out_dir = os.path.join(
+        root, f"pdf_parser_spark_wat_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_wat(docs, out_dir)
+    parsed = read_wat(spark, out_dir)
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        "target_uri", "refers_to", "lang", "n_chars", "digest",
+        (F.col("url") == F.col("target_uri")).alias("uri_consistent"),
+    ).orderBy("doc_id")
+
+
 def wet_export(
     spark: SparkSession, sf_dir: str, scratch_root: str | None = None
 ) -> DataFrame:

@@ -1350,6 +1350,31 @@ def test_wet_write_read_skips_warcinfo_and_keeps_blank_lines(spark, tmp_path):
     assert g["refers_to"] == "urn:doc:8"
 
 
+def test_wat_json_payload_round_trips_and_links(spark, tmp_path):
+    """WAT metadata records: concat-built JSON crosses the format
+    byte-exactly (digest/n_chars parse back), refers_to links to the
+    response urn, and the JSON url agrees with the header URI."""
+    import hashlib
+
+    from pdf_parser_spark.sources.warc import read_wat, write_wat
+
+    docs = spark.createDataFrame(
+        [(7, "alpha beta", "en", "srcA", 10), (8, "gämmä", "de", "srcB", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "wat_rt")
+    write_wat(docs, d, n_files=2)
+    back = {r["target_uri"]: r for r in read_wat(spark, d).collect()}
+    r7 = back["https://srcA.example.com/doc/7"]
+    assert r7["refers_to"] == "urn:doc:7" and r7["lang"] == "en"
+    assert r7["n_chars"] == 10
+    assert r7["digest"] == hashlib.md5(b"alpha beta").hexdigest()
+    assert r7["url"] == r7["target_uri"]
+    r8 = back["https://srcB.example.com/doc/8"]
+    assert r8["n_chars"] == 5  # JSON carries CHAR count (digest pins bytes)
+    assert r8["digest"] == hashlib.md5("gämmä".encode()).hexdigest()
+
+
 def test_streaming_window_watermark_drops_late_rows(spark, tmp_path):
     """Append mode emits a window once when the watermark passes its end;
     a row arriving after that is dropped, never re-emitted."""
