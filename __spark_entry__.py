@@ -923,6 +923,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_incremental": lambda s, d: curation.incremental_dedup(_docs(s, d)),
         # hyphen line-wrap repair (PDF/OCR artifact): real-bytes oracle,
         # lowercase-both-sides join rule
+        # invisible/control-char scrub over deterministic zero-width/BOM/
+        # soft-hyphen/control injections; text_md5 pins the scrubbed bytes
+        # computed INDEPENDENTLY by each engine's regexp_replace
+        "c_invisible_scrub": lambda s, d: curation.invisible_scrub(
+            curation.with_invisible_chars(_docs(s, d))
+        ),
         "c_dehyphenate": lambda s, d: curation.dehyphenate(
             curation.with_hyphen_wraps(_docs(s, d))
         ),
@@ -4354,6 +4360,29 @@ def oracle_sql() -> dict[str, str]:
         # dehyphenation: DuckDB regexp_replaces the SAME constructed bytes
         # with the shared pattern ('g' = Spark's global default, '\\1' =
         # Java's '$1') — real-bytes agreement, not a formula prediction
+        # invisible scrub: injection formulas + the INVISIBLE_RE class
+        # interpolated from the curation constants (raw bytes for the
+        # >U+00FF members, \\xhh regex escapes for the control range —
+        # Java regex and RE2 read the identical pattern text)
+        "c_invisible_scrub": f"""
+            WITH inj AS (
+                SELECT doc_id, CASE doc_id % 5
+                    WHEN 1 THEN text || '{C.INVIS_SUFFIX_1}'
+                    WHEN 2 THEN '{C.INVIS_PREFIX_2}' || text || '{C.INVIS_SUFFIX_2}'
+                    WHEN 3 THEN text || '{C.INVIS_SUFFIX_3}'
+                    ELSE text END AS t
+                FROM documents
+            ), fx AS (
+                SELECT doc_id, t,
+                       regexp_replace(t, '{C.INVISIBLE_RE}', '', 'g') AS clean
+                FROM inj
+            )
+            SELECT doc_id,
+                   CAST(length(t) - length(clean) AS BIGINT) AS n_stripped,
+                   (length(t) <> length(clean)) AS changed,
+                   md5(clean) AS text_md5
+            FROM fx ORDER BY doc_id
+        """,
         "c_dehyphenate": f"""
             WITH inj AS (
                 SELECT doc_id, CASE doc_id % 4

@@ -1187,6 +1187,64 @@ def dehyphenate(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Invisible-character scrub (ingest hygiene beside NFC/dehyphenate: zero-
+# width and control characters survive HTML extraction and charset decode,
+# then silently split tokens, break exact dedup fingerprints, and leak into
+# training text — every public pipeline strips them)
+# ---------------------------------------------------------------------------
+
+# the scrub set: zero-width space/non-joiner/joiner, BOM/zero-width
+# no-break space, soft hyphen, word joiner, LTR/RTL marks, and C0/DEL
+# controls EXCEPT \t \n \r (real whitespace structure stays).  One char
+# class shared verbatim by both engines: >U+00FF members are embedded as
+# literal characters (Java regex and RE2 read them identically; the \uXXXX
+# vs \x{XXXX} escape syntaxes differ), controls as \xhh (same in both).
+INVISIBLE_CHARS = ("\u200b\u200c\u200d\ufeff\u00ad\u2060"
+                   "\u200e\u200f")
+INVISIBLE_RE = "[" + INVISIBLE_CHARS + r"\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+# injection suffixes (interpolated into the oracle so formulas can't
+# drift): %5==1 zero-width splits + soft hyphen, %5==2 BOM prefix + bell
+# control, %5==3 directional marks + word joiner
+INVIS_SUFFIX_1 = " zero\u200bwidth soft\u00adhyphen"
+INVIS_SUFFIX_2 = " bell\x07control"
+INVIS_PREFIX_2 = "\ufeff"  # BOM prefix for the %5==2 leg
+INVIS_SUFFIX_3 = " mark\u200e\u200fjoin\u2060er"
+
+
+def with_invisible_chars(documents: DataFrame) -> DataFrame:
+    """Synthesis: deterministic invisible-char injections on doc_id%5
+    (1/2/3 per the suffix constants; 2 also gets a BOM prefix; 0 and 4
+    stay clean so `changed` varies)."""
+    d = F.col("doc_id")
+    return documents.withColumn(
+        "text",
+        F.when(d % 5 == 1, F.concat("text", F.lit(INVIS_SUFFIX_1)))
+        .when(d % 5 == 2,
+              F.concat(F.lit(INVIS_PREFIX_2), F.col("text"), F.lit(INVIS_SUFFIX_2)))
+        .when(d % 5 == 3, F.concat("text", F.lit(INVIS_SUFFIX_3)))
+        .otherwise(F.col("text")),
+    )
+
+
+def invisible_scrub(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_stripped, changed, text_md5) — remove the invisible set
+    and pin the scrubbed bytes.  One JVM regexp_replace in the scan — zero
+    Python, zero shuffle; n_stripped falls out of the length delta exactly
+    (every member of the class is one code point).  Cross-engine check is
+    REAL bytes: DuckDB runs its own regexp_replace with the identical
+    class ('g' flag = Spark's global default) and both engines must agree
+    on every surviving byte."""
+    clean = F.regexp_replace(F.col("text"), INVISIBLE_RE, "")
+    return documents.select(
+        "doc_id",
+        (F.length("text") - F.length(clean)).cast("long").alias("n_stripped"),
+        (F.length("text") != F.length(clean)).alias("changed"),
+        F.md5(F.encode(clean, "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
 def ingest_pipeline(
     pages: DataFrame, html_col: str = "html", return_text: bool = False
 ) -> DataFrame:

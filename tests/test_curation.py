@@ -2081,3 +2081,23 @@ def test_c4_rules_line_and_page_filters(spark):
     # sentence ends -> page fails the min-sentence rule
     r6 = out[6]
     assert r6["n_kept"] == 1 and r6["n_sentences"] == 0 and not r6["passes"]
+
+
+def test_invisible_scrub_strips_class_but_keeps_structure(spark):
+    import hashlib
+
+    from pdf_parser_spark.operators import curation
+
+    dirty = "﻿a​b­c\td\ne\x07f‎‏⁠g\x1fh"
+    clean = "abc\td\nefgh"
+    docs = spark.createDataFrame(
+        [(1, dirty), (2, "plain text stays put")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.invisible_scrub(docs).collect()}
+    r1 = out[1]
+    assert r1["n_stripped"] == len(dirty) - len(clean) == 8
+    assert r1["changed"]
+    assert r1["text_md5"] == hashlib.md5(clean.encode()).hexdigest()
+    r2 = out[2]
+    assert r2["n_stripped"] == 0 and not r2["changed"]
