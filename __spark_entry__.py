@@ -580,6 +580,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # per-doc keywords: all-integer TF-IDF ordering (df asc, tf desc)
         "t_keywords": lambda s, d: textstats.doc_keywords(_docs(s, d)),
+        # BM25 top-k retrieval: corpus-derived 2-term queries, exact-BIGINT
+        # rational tf component (k1/b cleared by x1000T), single-ln idf
+        # under the 4dp round — the ranked-search face of t_inverted_index
+        "t_bm25": lambda s, d: textstats.bm25_topk(_docs(s, d)),
         # curriculum tiers: exact decile binning via the 4dp value histogram
         # (no global-sort ntile window)
         "c_quality_tiers": lambda s, d: curation.quality_tiers(
@@ -4972,6 +4976,60 @@ def oracle_sql() -> dict[str, str]:
                 FROM tfc t JOIN dfc d USING (term)
             ) x WHERE kw_rank <= 3
             ORDER BY doc_id, kw_rank
+        """,
+        # BM25 top-k: the tf component divides the SAME two BIGINTs both
+        # engines build (x1000T clears k1/b and the avgdl division); the
+        # idf ln() is the one libm call, guarded by the 4dp round; 2-term
+        # queries keep the per-query sum IEEE-commutative
+        "t_bm25": f"""
+            WITH toks AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(list_transform({_TOKS}, t -> lower(t))) AS term
+                    FROM documents) u
+                WHERE term <> ''
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), dl AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                FROM toks GROUP BY doc_id
+            ), stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl
+            ), dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), qterms AS (
+                SELECT CAST((rn + 1) // 2 AS BIGINT) AS query_id, rn, term, df
+                FROM (
+                    SELECT term, df,
+                           row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+                    FROM dfreq) x
+                WHERE rn <= 2 * {TS.BM25_QUERIES}
+            ), qdim AS (
+                SELECT query_id, string_agg(term, ' ' ORDER BY rn) AS q_terms
+                FROM qterms GROUP BY query_id
+            ), scored AS (
+                SELECT q.query_id, t.doc_id,
+                       round(sum(
+                           ln(1 + (2*s.n_docs - 2*q.df + 1) / (2*q.df + 1))
+                           * ({TS._BM25_NUM_C} * t.tf * s.t_tokens)
+                           / (1000 * t.tf * s.t_tokens
+                              + {TS._BM25_DEN_T} * s.t_tokens
+                              + {TS._BM25_DEN_DL} * d.dl * s.n_docs)
+                       ), 4) AS bm25
+                FROM tf t JOIN qterms q USING (term)
+                     JOIN dl d ON d.doc_id = t.doc_id
+                     CROSS JOIN stats s
+                GROUP BY q.query_id, t.doc_id
+            )
+            SELECT query_id, q_terms, doc_id, bm25, CAST(rank AS BIGINT) AS rank
+            FROM (
+                SELECT query_id, doc_id, bm25, row_number() OVER (
+                    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+                FROM scored) r JOIN qdim USING (query_id)
+            WHERE rank <= {TS.BM25_TOP_K}
+            ORDER BY query_id, rank
         """,
         # per-(source, lang) datasheet: exact BIGINT rollups incl. the
         # whitespace-normalized distinct-content count and dup basis points

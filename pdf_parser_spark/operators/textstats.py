@@ -1834,3 +1834,125 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson & Walker; the Lucene idf form)
+# ---------------------------------------------------------------------------
+
+BM25_K1_TENTHS = 12    # k1 = 1.2 (Okapi default), stored as integer tenths
+BM25_B_HUNDREDTHS = 75  # b = 0.75, stored as integer hundredths
+BM25_QUERIES = 12      # 2-term queries derived from the df-top vocabulary
+BM25_TOP_K = 5
+
+# Exact-integer coefficients of the tf component.  score_term =
+# idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with avgdl = T/N
+# (T total tokens, N docs).  Multiplying numerator and denominator by
+# 1000*T clears every decimal constant AND the avgdl division:
+#   num = 100*(10+K1T) * tf * T
+#   den = 1000*tf*T + K1T*(100-B100)*T + K1T*B100*dl*N
+# so both engines divide the SAME two BIGINTs — one correctly-rounded
+# IEEE division, bit-identical across Spark and DuckDB.  The only libm
+# call left is ln() in the idf, guarded by the 4dp round (the
+# s_ann_brute doctrine).  BIGINT headroom: the products stay < 2^63 up
+# to ~10^8 docs x 10^4 tokens; beyond that production flips the
+# expression to double (the cross-engine-exact form is the validation
+# face).
+_BM25_NUM_C = 100 * (10 + BM25_K1_TENTHS)            # 2200
+_BM25_DEN_T = BM25_K1_TENTHS * (100 - BM25_B_HUNDREDTHS)  # 300
+_BM25_DEN_DL = BM25_K1_TENTHS * BM25_B_HUNDREDTHS    # 900
+
+
+def bm25_topk(
+    documents: DataFrame,
+    n_queries: int = BM25_QUERIES,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus — the ranked-search face
+    of the inverted index (inverted_index stores postings; this SCORES
+    them).  Queries are derived deterministically from the corpus itself:
+    the 2*n_queries highest-df terms, ranked (df desc, term asc), paired
+    consecutively into 2-term queries — two terms exercise the per-term
+    sum while keeping it IEEE-commutative (a+b has no order hazard, so
+    the aggregation order of the groupBy sum cannot shift the hash).
+
+    idf is the Lucene form ln(1 + (N - df + 0.5)/(df + 0.5)) — always
+    positive, so stop-frequency terms dampen rather than flip sign; the
+    argument is formed as (2N-2df+1)/(2df+1), a ratio of exact BIGINTs.
+
+    Output: (query_id, q_terms, doc_id, bm25, rank), bm25 rounded to 4dp,
+    rank by (bm25 desc, doc_id asc).
+
+    Scale plan: the tf table IS the inverted index (one explode -> one
+    map-side-combined groupBy); the query-term dim (2*n_queries rows) and
+    the 1-row corpus-stats frame broadcast, so candidate generation is an
+    index probe (tf join broadcast terms), never a corpus scan; dl joins
+    AFTER the probe so document lengths ship only for candidates; the
+    final top-k window partitions by query_id — n_queries-way parallel,
+    bounded by sum(df) candidate rows.  The ONE unpartitioned window is
+    the demo query derivation (a top-2Q rank over the vocabulary-scale df
+    table); production supplies its query dim externally and skips that
+    stage entirely — scoring itself has no global sort and no driver
+    action.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.transform(words(F.col("text")), F.lower)).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    rank_w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    qterms = (
+        dfreq.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= 2 * n_queries)
+        .select(
+            F.expr("(rn + 1) div 2").cast("long").alias("query_id"),
+            "rn", "term", "df",
+        )
+    )
+    qdim = qterms.groupBy("query_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "term"))),
+                lambda s: s.term,
+            ),
+        ).alias("q_terms")
+    )
+    cand = (
+        tf.join(F.broadcast(qterms.select("query_id", "term", "df")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    num = F.lit(_BM25_NUM_C).cast("long") * F.col("tf") * F.col("t_tokens")
+    den = (
+        F.lit(1000).cast("long") * F.col("tf") * F.col("t_tokens")
+        + F.lit(_BM25_DEN_T).cast("long") * F.col("t_tokens")
+        + F.lit(_BM25_DEN_DL).cast("long") * F.col("dl") * F.col("n_docs")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (2 * F.col("n_docs") - 2 * F.col("df") + 1) / (2 * F.col("df") + 1)
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(idf * num / den), 4).alias("bm25")
+    )
+    top_w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(top_w).cast("long"))
+        .where(F.col("rank") <= k)
+        .join(F.broadcast(qdim), "query_id")
+        .select("query_id", "q_terms", "doc_id", "bm25", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -2101,3 +2101,48 @@ def test_invisible_scrub_strips_class_but_keeps_structure(spark):
     assert r1["text_md5"] == hashlib.md5(clean.encode()).hexdigest()
     r2 = out[2]
     assert r2["n_stripped"] == 0 and not r2["changed"]
+
+
+def test_bm25_formula_query_derivation_and_ranking(spark):
+    """BM25 rows must equal a pure-Python twin of the exact-BIGINT rational
+    + single-ln formula; query derivation pins the (df desc, term asc)
+    tie-break ('also' and 'rare' tie at df=2 -> 'also' wins)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pdf_parser_spark.operators import textstats as ts
+
+    docs = _docs(spark, [
+        (1, "rare common common", "en", "s", 0),
+        (2, "rare common filler filler filler filler", "en", "s", 0),
+        (3, "common also here today", "en", "s", 0),
+        (4, "also unrelated words entirely different", "en", "s", 0),
+    ])
+    out = ts.bm25_topk(docs, n_queries=1, k=4).collect()
+    assert [r["q_terms"] for r in out] == ["common also"] * 4
+
+    N, T = 4, 18  # 4 docs, 3+6+4+5 tokens
+    dls = {1: 3, 2: 6, 3: 4, 4: 5}
+    tfs = {  # doc -> [(tf, df)] for matched query terms
+        1: [(2, 3)], 2: [(1, 3)], 3: [(1, 3), (1, 2)], 4: [(1, 2)],
+    }
+
+    def contrib(tf, df, dl):
+        idf = math.log(1 + (2 * N - 2 * df + 1) / (2 * df + 1))
+        num = ts._BM25_NUM_C * tf * T
+        den = 1000 * tf * T + ts._BM25_DEN_T * T + ts._BM25_DEN_DL * dl * N
+        return idf * num / den
+
+    exp = {
+        d: float(Decimal(str(sum(contrib(tf, df, dls[d]) for tf, df in m)))
+                 .quantize(Decimal("0.0001"), ROUND_HALF_UP))
+        for d, m in tfs.items()
+    }
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    assert [(r["doc_id"], r["bm25"], r["rank"]) for r in out] == [
+        (d, exp[d], i + 1) for i, d in enumerate(order)
+    ]
+    # two-term doc must score the sum of its single-term contributions;
+    # length normalization: same tf of 'common', longer doc scores lower
+    assert exp[3] > contrib(1, 3, dls[3]) / 2  # both terms contributed
+    assert exp[1] > exp[2]
