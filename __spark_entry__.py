@@ -857,6 +857,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_wat_export": lambda s, d: __import__(
             "pdf_parser_spark.sources.warc", fromlist=["wat_export"]
         ).wat_export(s, d),
+        # WARC revisit records (WARC 1.1 §6.7.2 identical-payload-digest):
+        # two-cycle capture stream -> digest-elected dedup on write (later
+        # captures of a digest become payload-free revisit records with
+        # Refers-To linkage) -> read resolves revisit bodies through the
+        # link; digest_ok pins byte-exact resolution, the oracle reruns the
+        # SAME min-cap_id election in SQL
+        "u_warc_revisit": lambda s, d: __import__(
+            "pdf_parser_spark.sources.warc", fromlist=["revisit_export"]
+        ).revisit_export(s, d),
         # JSONL interchange round-trip: binary html crosses the text format
         # as base64; text_md5/html_md5 pin byte-exact payload fidelity
         "u_jsonl_roundtrip": lambda s, d: __import__(
@@ -1562,6 +1571,41 @@ def oracle_sql() -> dict[str, str]:
     from pdf_parser_spark.plans import relational as R
     from pdf_parser_spark.streaming.join import ATTR_HOURS as ST_ATTR_HOURS
     from pdf_parser_spark.streaming.join import USER_TIER_MOD as ST_TIER_MOD
+
+    from pdf_parser_spark.sources import warc as WRC_
+
+    # WARC revisit: the oracle re-derives the two-cycle capture stream from
+    # the documents formula (every constant interpolated from the module —
+    # anti-drift) and runs the SAME min-cap_id digest election, so an
+    # election-order or link-resolution drift hash-mismatches
+    _warc_revisit_sql = f"""
+        WITH caps AS (
+            SELECT CAST(doc_id AS BIGINT) AS cap_id,
+                   'https://' || source || '.example.com/doc/' || doc_id AS uri,
+                   '{WRC_.WARC_DATE}' AS cap_date, text
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id + {WRC_.REVISIT_OFFSET} AS BIGINT) AS cap_id,
+                   'https://' || source || '.example.com/doc/' || doc_id AS uri,
+                   '{WRC_.WARC_DATE2}' AS cap_date, text
+            FROM documents WHERE doc_id % {WRC_.REVISIT_MOD} = {WRC_.REVISIT_REM}
+        ), dig AS (
+            SELECT cap_id, uri, cap_date, md5(text) AS digest FROM caps
+        ), orig AS (
+            SELECT digest, min(cap_id) AS orig_cap FROM dig GROUP BY digest
+        )
+        SELECT c.cap_id,
+               CASE WHEN c.cap_id = o.orig_cap THEN 'response'
+                    ELSE 'revisit' END AS warc_type,
+               c.uri AS target_uri,
+               c.cap_date AS warc_date,
+               c.digest AS payload_digest,
+               o.orig_cap,
+               c.digest AS body_md5,
+               TRUE AS digest_ok
+        FROM dig c JOIN orig o ON c.digest = o.digest
+        ORDER BY cap_id
+    """
 
     # WARC round-trip fidelity projection, shared verbatim by the JVM
     # lineSep read (u_warc_roundtrip) and the registered Python DataSource
@@ -4179,6 +4223,8 @@ def oracle_sql() -> dict[str, str]:
         # decontaminate_bloom aliasing doctrine): both read paths must
         # byte-agree or one of the two parsers is wrong
         "u_warc_datasource": _warc_rt_sql,
+        # digest-deduped archive with revisit-record resolution
+        "u_warc_revisit": _warc_revisit_sql,
         # streaming tumbling-window rollup (complete-mode bounded replay)
         # must equal the batch GROUP BY hour-bucket; epoch-seconds window
         # start avoids tz/repr ambiguity in the hash compare

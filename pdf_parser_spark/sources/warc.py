@@ -354,3 +354,207 @@ def roundtrip(spark: SparkSession, sf_dir: str, scratch_root: str | None = None)
         F.length("body").cast("long").alias("n_body_chars"),
         F.md5("body").alias("body_md5"),
     ).orderBy("doc_id")
+
+
+# --- revisit records (digest-based payload dedup across crawl cycles) -------
+# WARC 1.1 §6.7.2: when a recrawl fetches a payload whose digest equals an
+# earlier capture's, the archive writes a `revisit` record under the
+# identical-payload-digest profile — WARC header + the HTTP response headers
+# as received, NO payload — with WARC-Refers-To pointing at the original
+# capture.  This is how Common Crawl / Heritrix keep a 10^12-capture archive
+# from storing every unchanged page once per cycle; the read side resolves a
+# revisit's body by following the Refers-To link.  The engine's recrawl
+# loop (snapshot_diff / recrawl_schedule) produces exactly this situation,
+# so the WARC family gets both halves: digest-elected dedup on write,
+# link-resolution on read.
+
+REVISIT_MOD = 5          # recapture every doc_id % 5 == 2 page (2nd cycle)
+REVISIT_REM = 2
+REVISIT_OFFSET = 1_000_000  # recapture cap_id = doc_id + offset
+WARC_DATE2 = "2026-08-17T00:00:00Z"  # second-cycle capture date
+WARC_REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+)
+
+
+def warc_captures(documents: DataFrame) -> DataFrame:
+    """Two-cycle capture stream: every document's original capture
+    (cap_id = doc_id, cycle-1 date) plus a deterministic recapture of every
+    REVISIT_MOD-th page with IDENTICAL payload (cap_id = doc_id + offset,
+    cycle-2 date) — the by-construction duplicate set the revisit writer
+    dedups, re-derivable by the oracle from the documents table alone."""
+    base = documents.select(
+        F.col("doc_id").alias("cap_id"),
+        "doc_id",
+        _uri_col().alias("uri"),
+        F.lit(WARC_DATE).alias("cap_date"),
+        "text",
+    )
+    recap = (
+        documents.where(F.col("doc_id") % REVISIT_MOD == REVISIT_REM)
+        .select(
+            (F.col("doc_id") + REVISIT_OFFSET).alias("cap_id"),
+            "doc_id",
+            _uri_col().alias("uri"),
+            F.lit(WARC_DATE2).alias("cap_date"),
+            "text",
+        )
+    )
+    return base.unionByName(recap)
+
+
+def warc_dedup_records(captures: DataFrame) -> DataFrame:
+    """Render the capture stream with digest dedup: the ELECTED original of
+    each payload-digest group (min cap_id — the exact_dedup_groups rule)
+    becomes a full response record; every later capture of that digest
+    becomes a revisit record carrying WARC-Refers-To/-Target-URI/-Date of
+    the original and the HTTP headers WITHOUT the payload.
+
+    The election is computed from the digests themselves (one algebraic
+    min-groupBy on md5(text), joined back on the digest key), NOT from the
+    recapture formula — a drift in the election order would hash-mismatch
+    the registered face.  Scale: the digest rollup is the d_exact shape
+    (map-side combined), the join back is keyed on the digest (bounded
+    groups), and record rendering stays one JVM concat per row."""
+    digests = captures.withColumn("digest", F.md5("text"))
+    orig = digests.groupBy("digest").agg(
+        F.min(F.struct("cap_id", "uri", "cap_date")).alias("o")
+    ).select(
+        "digest",
+        F.col("o.cap_id").alias("orig_cap"),
+        F.col("o.uri").alias("orig_uri"),
+        F.col("o.cap_date").alias("orig_date"),
+    )
+    cap = digests.join(orig, "digest")
+    body = F.col("text")
+    http_full = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+              "Content-Length: "),
+        F.octet_length(body), F.lit("\r\n\r\n"), body,
+    )
+    # revisit keeps the HTTP headers as received (Content-Length still
+    # declares the original payload's octets) but omits the payload block
+    http_hdr_only = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+              "Content-Length: "),
+        F.octet_length(body), F.lit("\r\n"),
+    )
+    response = F.concat(
+        F.lit(WARC_VERSION_LINE),
+        F.lit("WARC-Type: response\r\n"),
+        F.lit("WARC-Record-ID: <urn:doc:"), F.col("cap_id"), F.lit(">\r\n"),
+        F.lit("WARC-Target-URI: "), F.col("uri"), F.lit("\r\n"),
+        F.lit("WARC-Date: "), F.col("cap_date"), F.lit("\r\n"),
+        F.lit("WARC-Payload-Digest: md5:"), F.col("digest"), F.lit("\r\n"),
+        F.lit("Content-Type: application/http; msgtype=response\r\n"),
+        F.lit("Content-Length: "), F.octet_length(http_full), F.lit("\r\n\r\n"),
+        http_full, F.lit("\r\n\r\n"),
+    )
+    revisit = F.concat(
+        F.lit(WARC_VERSION_LINE),
+        F.lit("WARC-Type: revisit\r\n"),
+        F.lit(f"WARC-Profile: {WARC_REVISIT_PROFILE}\r\n"),
+        F.lit("WARC-Record-ID: <urn:doc:"), F.col("cap_id"), F.lit(">\r\n"),
+        F.lit("WARC-Refers-To: <urn:doc:"), F.col("orig_cap"), F.lit(">\r\n"),
+        F.lit("WARC-Refers-To-Target-URI: "), F.col("orig_uri"), F.lit("\r\n"),
+        F.lit("WARC-Refers-To-Date: "), F.col("orig_date"), F.lit("\r\n"),
+        F.lit("WARC-Target-URI: "), F.col("uri"), F.lit("\r\n"),
+        F.lit("WARC-Date: "), F.col("cap_date"), F.lit("\r\n"),
+        F.lit("WARC-Payload-Digest: md5:"), F.col("digest"), F.lit("\r\n"),
+        F.lit("Content-Type: application/http; msgtype=response\r\n"),
+        F.lit("Content-Length: "), F.octet_length(http_hdr_only), F.lit("\r\n\r\n"),
+        http_hdr_only, F.lit("\r\n\r\n"),
+    )
+    rec = F.when(F.col("cap_id") == F.col("orig_cap"), response).otherwise(revisit)
+    return cap.select("cap_id", rec.alias("record"))
+
+
+def write_warc_dedup(captures: DataFrame, out_dir: str, n_files: int = 4) -> str:
+    """write_warc's sink (distributed text writer, task-temp + commit) over
+    the digest-deduped record stream, range-partitioned by cap_id."""
+    (
+        warc_dedup_records(captures)
+        .repartitionByRange(n_files, "cap_id")
+        .sortWithinPartitions("cap_id")
+        .select(F.regexp_replace("record", r"\r\n\r\n$", "").alias("value"))
+        .write.mode("overwrite")
+        .option("lineSep", "\r\n\r\n")
+        .text(out_dir)
+    )
+    return out_dir
+
+
+def read_warc_resolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a deduped WARC and RESOLVE revisit bodies through their
+    Refers-To link — the consumer contract of the identical-payload-digest
+    profile (cf. pywb's revisit resolution against the CDX index).
+
+    Response records keep their own payload; revisit records join the
+    response rows on refers_to = record id to inherit the original's body.
+    The join keys on the record-id (one response per digest group, bounded
+    fan-out); everything upstream is the same split-framing JVM parse as
+    read_warc."""
+    raw = spark.read.option("lineSep", WARC_VERSION_LINE).text(path)
+    parts = F.split(F.col("value"), r"\r\n\r\n", 3)
+    warc_hdr = parts.getItem(0)
+    recs = (
+        raw.where(F.col("value") != "")
+        .select(
+            F.regexp_extract(warc_hdr, r"WARC-Type: ([^\r\n]*)", 1).alias("warc_type"),
+            F.regexp_extract(warc_hdr, r"WARC-Record-ID: <urn:doc:([0-9]+)>", 1)
+            .cast("long").alias("cap_id"),
+            F.regexp_extract(warc_hdr, r"WARC-Target-URI: ([^\r\n]*)", 1)
+            .alias("target_uri"),
+            F.regexp_extract(warc_hdr, r"WARC-Date: ([^\r\n]*)", 1).alias("warc_date"),
+            F.regexp_extract(warc_hdr, r"WARC-Payload-Digest: md5:([0-9a-f]+)", 1)
+            .alias("payload_digest"),
+            F.when(
+                F.regexp_extract(warc_hdr, r"WARC-Refers-To: <urn:doc:([0-9]+)>", 1)
+                != "",
+                F.regexp_extract(warc_hdr, r"WARC-Refers-To: <urn:doc:([0-9]+)>", 1)
+                .cast("long"),
+            ).alias("refers_to"),
+            F.regexp_replace(parts.getItem(2), r"(\r\n)+$", "").alias("own_body"),
+        )
+    )
+    responses = recs.where(F.col("warc_type") == "response").select(
+        F.col("cap_id").alias("refers_to"), F.col("own_body").alias("orig_body")
+    )
+    return (
+        recs.join(responses, "refers_to", "left")
+        .select(
+            "cap_id", "warc_type", "target_uri", "warc_date",
+            "payload_digest", "refers_to",
+            F.when(F.col("warc_type") == "response", F.col("own_body"))
+            .otherwise(F.col("orig_body")).alias("body"),
+        )
+    )
+
+
+def revisit_export(
+    spark: SparkSession, sf_dir: str, scratch_root: str | None = None
+) -> DataFrame:
+    """Driver query: documents -> two-cycle captures -> digest-deduped WARC
+    shards on disk -> resolved read -> per-capture fidelity columns.  The
+    oracle re-derives the capture set from the documents formula and runs
+    the SAME min-cap_id digest election in SQL, so an election or
+    resolution drift hash-mismatches; body_md5 == digest for every row
+    proves revisit bodies resolved byte-exactly through the link."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = scratch_root or tempfile.gettempdir()
+    out_dir = os.path.join(
+        root, f"pdf_parser_spark_warcdedup_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_warc_dedup(warc_captures(docs), out_dir)
+    parsed = read_warc_resolved(spark, out_dir)
+    # orig_cap is total (response rows self-refer) so the oracle compare
+    # never hashes an engine-specific NULL representation
+    return parsed.select(
+        "cap_id", "warc_type", "target_uri", "warc_date",
+        "payload_digest",
+        F.coalesce("refers_to", "cap_id").alias("orig_cap"),
+        F.md5("body").alias("body_md5"),
+        (F.md5("body") == F.col("payload_digest")).alias("digest_ok"),
+    ).orderBy("cap_id")

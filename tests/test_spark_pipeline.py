@@ -1350,6 +1350,59 @@ def test_wet_write_read_skips_warcinfo_and_keeps_blank_lines(spark, tmp_path):
     assert g["refers_to"] == "urn:doc:8"
 
 
+def test_warc_revisit_dedup_and_resolution(spark, tmp_path):
+    """Revisit records (WARC 1.1 identical-payload-digest): the digest
+    election keeps ONE full response per payload (min cap_id), later
+    captures are written payload-free with Refers-To linkage, and the
+    resolved read recovers every body byte-exactly through the link —
+    including a cross-DOCUMENT duplicate, proving the election runs on
+    digests, not on the recapture formula."""
+    import glob
+
+    from pdf_parser_spark.sources.warc import (
+        REVISIT_OFFSET,
+        read_warc_resolved,
+        warc_captures,
+        write_warc_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (2, "recrawled page", "en", "srcA", 14),   # 2 % 5 == 2 -> recaptured
+            (3, "shared body", "en", "srcB", 11),
+            (4, "shared body", "en", "srcC", 11),      # cross-doc duplicate of 3
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "dedup")
+    write_warc_dedup(warc_captures(docs), d, n_files=2)
+
+    raw = b"".join(
+        open(p, "rb").read() for p in sorted(glob.glob(d + "/part-*"))
+    ).decode()
+    # exactly two revisit records: doc 2's cycle-2 recapture + doc 4's capture
+    assert raw.count("WARC-Type: revisit\r\n") == 2
+    assert raw.count("WARC-Type: response\r\n") == 2
+    # revisit framing: HTTP headers present, payload absent -> the literal
+    # body text appears exactly once in the whole archive per digest group
+    assert raw.count("recrawled page") == 1 and raw.count("shared body") == 1
+    assert "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/" in raw
+
+    rows = {r["cap_id"]: r for r in read_warc_resolved(spark, d).collect()}
+    assert len(rows) == 4
+    # election: min cap_id per digest is the response
+    assert rows[2]["warc_type"] == "response" and rows[2]["refers_to"] is None
+    recap = rows[2 + REVISIT_OFFSET]
+    assert recap["warc_type"] == "revisit" and recap["refers_to"] == 2
+    assert recap["body"] == "recrawled page"          # resolved through the link
+    assert recap["warc_date"] != rows[2]["warc_date"]  # cycle-2 capture date kept
+    # cross-document duplicate: doc 4's ONLY capture is a revisit of cap 3
+    assert rows[3]["warc_type"] == "response"
+    assert rows[4]["warc_type"] == "revisit" and rows[4]["refers_to"] == 3
+    assert rows[4]["body"] == "shared body"
+    assert rows[4]["target_uri"] == "https://srcC.example.com/doc/4"  # own URI
+
+
 def test_wat_json_payload_round_trips_and_links(spark, tmp_path):
     """WAT metadata records: concat-built JSON crosses the format
     byte-exactly (digest/n_chars parse back), refers_to links to the
