@@ -454,6 +454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unigram-LM surprisal + CCNet head/middle/tail value-terciles
         # (exact integer bits via bin()-length, no log/float anywhere)
         "t_surprisal": lambda s, d: textstats.lm_surprisal(_docs(s, d)),
+        # Naive-Bayes wiki-vs-crawl quality classifier (CCNet §4.3 /
+        # fastText's linear filter in closed form): per-class floor-log2
+        # bits, margin = bits_neg - bits_pos, keep when >= 0 — all BIGINT
+        "t_nb_classifier": lambda s, d: textstats.nb_quality_classifier(
+            _docs(s, d)
+        ),
         # per-domain quality prior (CCNet/RefinedWeb): exact integer bp
         # mean of the shared soft-quality formula, min-docs trust gate
         "u_domain_quality": lambda s, d: weburl.domain_quality_prior(
@@ -2579,6 +2585,63 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM sc s JOIN tmap t USING (mean_cb)
             ORDER BY s.doc_id
+        """,
+        # NB classifier: both class LMs re-derived from the seed-slice
+        # formulas (every constant interpolated from the module), same
+        # shared-vocab Laplace floor-log2 bits, same >=0 keep rule
+        "t_nb_classifier": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_transform({_TOKS}, t -> lower(t))) AS term
+                FROM documents
+            ), refcnt AS (
+                SELECT term,
+                       CAST(sum(CASE WHEN doc_id % {TS.NB_POS_MOD} = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                       CAST(sum(CASE WHEN doc_id % {TS.NB_POS_MOD} = {TS.NB_NEG_REM}
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+                FROM toks
+                WHERE doc_id % {TS.NB_POS_MOD} = 0
+                   OR doc_id % {TS.NB_POS_MOD} = {TS.NB_NEG_REM}
+                GROUP BY term
+            ), model AS (
+                SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+                       CAST(sum(c_neg) AS BIGINT) AS n_neg,
+                       CAST(count(*) AS BIGINT) AS v_model
+                FROM refcnt
+            ), dim AS (
+                SELECT term,
+                       CAST(length(bin(greatest(
+                           (m.n_pos + m.v_model) // (c_pos + 1), 1)))
+                           - 1 AS BIGINT) AS bp,
+                       CAST(length(bin(greatest(
+                           (m.n_neg + m.v_model) // (c_neg + 1), 1)))
+                           - 1 AS BIGINT) AS bn
+                FROM refcnt CROSS JOIN model m
+            ), per_doc AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_toks,
+                       CAST(coalesce(sum(d.bp), 0) AS BIGINT) AS known_bp,
+                       CAST(coalesce(sum(d.bn), 0) AS BIGINT) AS known_bn,
+                       CAST(sum(CASE WHEN d.bp IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_oov
+                FROM toks t LEFT JOIN dim d USING (term)
+                GROUP BY t.doc_id
+            ), scored AS (
+                SELECT doc_id, n_toks, n_oov,
+                       CAST(known_bp + n_oov *
+                            (length(bin(greatest(m.n_pos + m.v_model, 1))) - 1)
+                            AS BIGINT) AS bits_pos,
+                       CAST(known_bn + n_oov *
+                            (length(bin(greatest(m.n_neg + m.v_model, 1))) - 1)
+                            AS BIGINT) AS bits_neg
+                FROM per_doc CROSS JOIN model m
+            )
+            SELECT doc_id, n_toks, n_oov, bits_pos, bits_neg,
+                   CAST(bits_neg - bits_pos AS BIGINT) AS margin,
+                   CASE WHEN bits_neg - bits_pos >= 0
+                        THEN 'keep' ELSE 'drop' END AS label
+            FROM scored ORDER BY doc_id
         """,
         # bigram surprisal: same scoring table as the engine — seen bigram =
         # Laplace over the context row, miss = BACKOFF + unigram bits (the

@@ -1485,6 +1485,103 @@ def _cb_tiers(per_doc: DataFrame) -> DataFrame:
     )
 
 
+# --- Naive-Bayes quality classifier (the trained-filter face) ---------------
+# CCNet / fastText-style wiki-vs-crawl filtering (Wenzek et al. 2020 §4.3;
+# Joulin et al. 2016): train a linear bag-of-words classifier on labeled
+# good/bad seed corpora, score every crawl page, keep the pages the model
+# says look like the curated side.  Multinomial Naive Bayes IS that linear
+# classifier in closed form (per-token log-likelihood-ratio weights + class
+# prior), and unlike a gradient-trained fastText it has an exact-integer
+# reformulation: the engine's floor-log2 bits doctrine (lm_surprisal) per
+# CLASS, decision margin = bits_neg - bits_pos in whole bits.  Labeled seeds
+# here are deterministic doc_id slices (production swaps a labeled dim; the
+# plan is identical).
+NB_POS_MOD = 7  # curated-reference stand-in: doc_id % 7 == 0
+NB_NEG_REM = 3  # raw-crawl-reference stand-in: doc_id % 7 == 3
+
+
+def nb_quality_classifier(
+    documents: DataFrame, pos_mod: int = NB_POS_MOD, neg_rem: int = NB_NEG_REM
+) -> DataFrame:
+    """Per-document NB class scores and the keep/drop verdict.
+
+    Exact-integer scoring — no log, no float, no cross-engine hash hazard:
+    per-token bits under class c = floor(log2((N_c + V) div (c_{t,c} + 1)))
+    over the Laplace-smoothed integer quotient (shared vocabulary V = the
+    union of both seed vocabularies, so smoothing mass is symmetric); OOV
+    tokens price at the c=0 constant of each class.  margin =
+    bits_neg - bits_pos: positive means the document is cheaper to encode
+    under the curated-seed LM than under the crawl-seed LM -> keep.  The
+    monotone floor preserves NB's per-token evidence ordering up to whole
+    bits, and every compared column is BIGINT on both engines.
+
+    Scale plan (lm_surprisal doctrine): ONE pass over the two seed slices
+    builds the (term, c_pos, c_neg) dim via a conditional groupBy (map-side
+    combined, vocab-sized); both per-term bit columns are computed IN the
+    dim against the 1-row model; the token stream LEFT-joins the dim and
+    folds per doc_id; OOV tokens are priced per doc via the 1-row model
+    crossJoin.  Shuffles: seed groupBy(term), stream-dim join, groupBy
+    (doc_id) — all keyed, none corpus-ordered, no skew beyond the hottest
+    vocabulary term (absorbed by the partial aggregate)."""
+    toks = words(F.lower(F.col("text")))
+    stream = documents.select("doc_id", F.explode(toks).alias("term"))
+    is_pos = F.col("doc_id") % pos_mod == 0
+    is_neg = F.col("doc_id") % pos_mod == neg_rem
+    refcnt = (
+        stream.where(is_pos | is_neg)
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(is_pos, 1).otherwise(0)).cast("long").alias("c_pos"),
+            F.sum(F.when(is_neg, 1).otherwise(0)).cast("long").alias("c_neg"),
+        )
+    )
+    model = refcnt.agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum("c_neg").cast("long").alias("n_neg"),
+        F.count("*").cast("long").alias("v_model"),
+    )
+    dim = refcnt.crossJoin(model).select(
+        "term",
+        (F.length(F.bin(F.expr(
+            "greatest((n_pos + v_model) div (c_pos + 1), 1)"
+        ))) - 1).cast("long").alias("bp"),
+        (F.length(F.bin(F.expr(
+            "greatest((n_neg + v_model) div (c_neg + 1), 1)"
+        ))) - 1).cast("long").alias("bn"),
+    )
+    per_doc = (
+        stream.join(dim, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.coalesce(F.sum("bp"), F.lit(0)).cast("long").alias("known_bp"),
+            F.coalesce(F.sum("bn"), F.lit(0)).cast("long").alias("known_bn"),
+            F.sum(F.when(F.col("bp").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+        )
+        .crossJoin(model)
+        .select(
+            "doc_id", "n_toks", "n_oov",
+            (F.col("known_bp") + F.col("n_oov") * (
+                F.length(F.bin(F.expr("greatest(n_pos + v_model, 1)"))) - 1
+            )).cast("long").alias("bits_pos"),
+            (F.col("known_bn") + F.col("n_oov") * (
+                F.length(F.bin(F.expr("greatest(n_neg + v_model, 1)"))) - 1
+            )).cast("long").alias("bits_neg"),
+        )
+    )
+    return (
+        per_doc.withColumn(
+            "margin", (F.col("bits_neg") - F.col("bits_pos")).cast("long")
+        )
+        .withColumn(
+            "label",
+            F.when(F.col("margin") >= 0, F.lit("keep")).otherwise(F.lit("drop")),
+        )
+        .orderBy("doc_id")
+    )
+
+
 VG_CHECKPOINTS = 8  # prefix ladder: prefix i = docs with doc_id*K < i*N
 
 

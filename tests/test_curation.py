@@ -2146,3 +2146,57 @@ def test_bm25_formula_query_derivation_and_ranking(spark):
     # length normalization: same tf of 'common', longer doc scores lower
     assert exp[3] > contrib(1, 3, dls[3]) / 2  # both terms contributed
     assert exp[1] > exp[2]
+
+
+def test_nb_classifier_margin_and_shared_vocab(spark):
+    """NB quality classifier: a pure-Python twin of the floor-log2 bits
+    formula pins every column; a document written in the curated seed's
+    vocabulary keeps, one in the crawl seed's drops; shared-V smoothing and
+    OOV pricing both verified (an all-OOV doc's margin equals n_toks times
+    the constant-bits difference)."""
+    import math
+
+    from pdf_parser_spark.operators import textstats as T
+
+    # pos seed: doc 0 (doc_id % 7 == 0); neg seed: doc 3 (doc_id % 7 == 3)
+    docs = spark.createDataFrame(
+        [
+            (0, "good clean prose good"),        # pos seed: N_p=4
+            (3, "spam spam casino"),             # neg seed: N_n=3
+            (1, "good prose"),                   # pos-vocab doc -> keep
+            (2, "casino spam"),                  # neg-vocab doc -> drop
+            (4, "zz yy"),                        # all-OOV doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.nb_quality_classifier(docs).collect()}
+
+    # python twin
+    cpos = {"good": 2, "clean": 1, "prose": 1}
+    cneg = {"spam": 2, "casino": 1}
+    n_p, n_n = 4, 3
+    v = len(set(cpos) | set(cneg))  # 5 shared vocab
+
+    def bits(n, c):
+        return int(math.log2(max((n + v) // (c + 1), 1)))
+
+    def score(tokens):
+        bp = sum(bits(n_p, cpos.get(t, 0)) if (t in cpos or t in cneg)
+                 else bits(n_p, 0) for t in tokens)
+        bn = sum(bits(n_n, cneg.get(t, 0)) if (t in cpos or t in cneg)
+                 else bits(n_n, 0) for t in tokens)
+        return bp, bn
+
+    for d, toks in [(0, ["good", "clean", "prose", "good"]),
+                    (3, ["spam", "spam", "casino"]),
+                    (1, ["good", "prose"]), (2, ["casino", "spam"]),
+                    (4, ["zz", "yy"])]:
+        bp, bn = score(toks)
+        r = out[d]
+        assert (r["bits_pos"], r["bits_neg"], r["margin"]) == (bp, bn, bn - bp), d
+        assert r["label"] == ("keep" if bn - bp >= 0 else "drop"), d
+
+    assert out[1]["label"] == "keep" and out[2]["label"] == "drop"
+    # all-OOV doc: margin = n_toks * (oov_bits_neg - oov_bits_pos)
+    assert out[4]["n_oov"] == 2
+    assert out[4]["margin"] == 2 * (bits(n_n, 0) - bits(n_p, 0))
