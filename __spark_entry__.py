@@ -707,6 +707,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_image_ahash": lambda s, d: multimodal.image_ahash(
             multimodal.synthetic_media(_docs(s, d))
         ),
+        # perceptual near-dup PAIRS (Manku WWW'07 banding on the image
+        # hash): originals + overlay-edited copies, 4 x 16-bit band
+        # equi-joins for candidates, exact Hamming filter JVM-side
+        "m_image_neardup": lambda s, d: multimodal.image_neardup(
+            multimodal.synthetic_media(_docs(s, d))
+        ),
         # windowed PCM energy / silence segmentation (the VAD primitive):
         # engine walks REAL RIFF chunks and square-sums int16 windows in
         # numpy; exact-BIGINT energies, integer silence compare
@@ -4971,6 +4977,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ahash,
                    CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
             FROM hx ORDER BY doc_id
+        """,
+        # near-dup pairs: BOTH fingerprints recomputed from the pixel
+        # formula (copy = grid-row-0 cells forced to the mid-gray fill),
+        # then the SAME banding join + position-wise Hamming in SQL
+        "m_image_neardup": f"""
+            WITH p AS (
+                SELECT doc_id, 8 + doc_id % 32 AS bw,
+                       8 + (doc_id // 3) % 24 AS bh
+                FROM documents WHERE doc_id % 3 = 0
+            ), q AS (
+                SELECT doc_id, bw, bh, ((bw*3+3)//4)*4 AS bs FROM p
+            ), caps AS (
+                SELECT CAST(doc_id AS BIGINT) AS cap_id, bw, bh, bs,
+                       0 AS edited
+                FROM q
+                UNION ALL
+                SELECT CAST(doc_id + {MM.IMG_COPY_OFFSET} AS BIGINT),
+                       bw, bh, bs, 1
+                FROM q
+            ), cells AS (
+                SELECT cap_id,
+                       list_transform(range(0, {MM.AHASH_GRID ** 2}), i ->
+                           CASE WHEN edited = 1 AND i // {MM.AHASH_GRID} = 0
+                                THEN {MM.IMG_OVERLAY_FILL}
+                           ELSE
+                           ( ((bs*((i//{MM.AHASH_GRID})*bh//{MM.AHASH_GRID})
+                               + 3*((i%{MM.AHASH_GRID})*bw//{MM.AHASH_GRID}))*7
+                              + bw) % 256
+                           + ((bs*((i//{MM.AHASH_GRID})*bh//{MM.AHASH_GRID})
+                               + 3*((i%{MM.AHASH_GRID})*bw//{MM.AHASH_GRID})
+                               + 1)*7 + bw) % 256
+                           + ((bs*((i//{MM.AHASH_GRID})*bh//{MM.AHASH_GRID})
+                               + 3*((i%{MM.AHASH_GRID})*bw//{MM.AHASH_GRID})
+                               + 2)*7 + bw) % 256 ) // 3
+                           END) AS grays
+                FROM caps
+            ), m AS (
+                SELECT cap_id, grays,
+                       list_sum(grays) // {MM.AHASH_GRID ** 2} AS mn
+                FROM cells
+            ), hx AS (
+                SELECT cap_id,
+                       array_to_string(list_transform(grays, v ->
+                           CASE WHEN v > mn THEN '1' ELSE '0' END), '') AS ahash
+                FROM m
+            ), bands AS (
+                SELECT cap_id, ahash, b,
+                       substr(ahash, CAST(1 + {64 // MM.NEARDUP_BANDS} * b
+                                          AS INT),
+                              {64 // MM.NEARDUP_BANDS}) AS bits
+                FROM hx, (SELECT unnest(range(0, {MM.NEARDUP_BANDS})) AS b)
+            ), cand AS (
+                SELECT DISTINCT a.cap_id AS cap_a, c.cap_id AS cap_b,
+                       a.ahash AS ha, c.ahash AS hb
+                FROM bands a JOIN bands c
+                  ON a.b = c.b AND a.bits = c.bits AND a.cap_id < c.cap_id
+            ), sc AS (
+                SELECT cap_a, cap_b,
+                       CAST(list_sum(list_transform(range(1, 65), pp ->
+                           CASE WHEN substr(ha, CAST(pp AS INT), 1)
+                                   = substr(hb, CAST(pp AS INT), 1)
+                                THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+                FROM cand
+            )
+            SELECT cap_a, cap_b, hamming,
+                   cap_b - cap_a = {MM.IMG_COPY_OFFSET} AS is_copy_pair
+            FROM sc WHERE hamming <= {MM.NEARDUP_MAX_HAMMING}
+            ORDER BY cap_a, cap_b
         """,
         "m_transform": """
             WITH p AS (

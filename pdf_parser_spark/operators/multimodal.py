@@ -673,6 +673,32 @@ def sample_ppm_frames(
 AHASH_GRID = 8  # 8x8 = 64-bit fingerprint (the classic aHash layout)
 
 
+def _ahash_of(b: bytes) -> str | None:
+    """64-char aHash bit string of a 24bpp BMP payload, None for anything
+    the kernel can't decode (magic/bpp/truncation sniff).  Shared by
+    image_ahash and image_neardup so both faces hash identically."""
+    g = AHASH_GRID
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    if bpp != 24 or w <= 0 or h <= 0:
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    bs = ((w * 3 + 3) // 4) * 4
+    if len(b) < off + bs * h:
+        return None
+    grays: list[int] = []
+    for i in range(g * g):
+        sx = (i % g) * w // g
+        sy = (i // g) * h // g
+        o = off + bs * sy + 3 * sx
+        grays.append((b[o] + b[o + 1] + b[o + 2]) // 3)
+    mean = sum(grays) // (g * g)
+    return "".join("1" if v > mean else "0" for v in grays)
+
+
 def image_ahash(media: DataFrame) -> DataFrame:
     """Average-hash perceptual fingerprints over BMP payloads — the
     image-side near-dup signal (re-encoded/re-scaled copies of one image
@@ -697,34 +723,17 @@ def image_ahash(media: DataFrame) -> DataFrame:
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g = AHASH_GRID
         for pdf in batches:
             ids: list[int] = []
             hashes: list[str] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                b = bytes(payload)
-                if b[:2] != b"BM" or len(b) < 54:
+                ah = _ahash_of(bytes(payload))
+                if ah is None:
                     continue
-                w = int.from_bytes(b[18:22], "little", signed=True)
-                h = int.from_bytes(b[22:26], "little", signed=True)
-                bpp = int.from_bytes(b[28:30], "little")
-                if bpp != 24 or w <= 0 or h <= 0:
-                    continue
-                off = int.from_bytes(b[10:14], "little")
-                bs = ((w * 3 + 3) // 4) * 4
-                if len(b) < off + bs * h:
-                    continue
-                grays: list[int] = []
-                for i in range(g * g):
-                    sx = (i % g) * w // g
-                    sy = (i // g) * h // g
-                    o = off + bs * sy + 3 * sx
-                    grays.append((b[o] + b[o + 1] + b[o + 2]) // 3)
-                mean = sum(grays) // (g * g)
                 ids.append(int(doc_id))
-                hashes.append("".join("1" if v > mean else "0" for v in grays))
+                hashes.append(ah)
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     from pyspark.sql import Window
@@ -737,6 +746,149 @@ def image_ahash(media: DataFrame) -> DataFrame:
             "n_same", F.count("*").over(Window.partitionBy("ahash")).cast("long")
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image NEAR-dup: banded Hamming pairs over aHash fingerprints.
+# Identical aHash (image_ahash's n_same) only catches byte-level re-encodes
+# of the same raster; the common crawl-scale case is the SAME image with a
+# small edit — watermark, banner overlay, timestamp stamp — which flips a
+# few fingerprint bits.  The pairing machinery is Manku et al. (WWW 2007)
+# simhash banding applied to the image hash: split the 64-bit fingerprint
+# into BANDS equal slices; any pair within Hamming distance d < BANDS shares
+# at least one identical slice (pigeonhole), so an equi-join per band finds
+# every such pair without an all-pairs scan.
+# ---------------------------------------------------------------------------
+
+IMG_COPY_OFFSET = 1_000_000  # edited-copy cap_id = doc_id + offset
+IMG_OVERLAY_ROWS = 1         # the deterministic edit: 1 raster row overlaid
+IMG_OVERLAY_FILL = 0x80      # mid-gray: cell flips stay CONFINED to the grid
+                             # row sampling the overlay (all in band 0) and
+                             # the global mean barely moves, so the edit
+                             # damages ~one band — the regime banding is for
+NEARDUP_BANDS = 4            # 4 x 16-bit bands -> all pairs with hamming <= 3
+NEARDUP_MAX_HAMMING = 12     # kept pairs; >= hamming 4 detection relies on an
+                             # untouched band (the overlay leaves 3; measured
+                             # 100% copy-pair recall in pytest, not assumed)
+
+
+def image_overlay_captures(media: DataFrame) -> DataFrame:
+    """(cap_id, payload): every BMP payload plus an edited copy
+    (cap_id = doc_id + IMG_COPY_OFFSET) whose bottom IMG_OVERLAY_ROWS
+    raster row(s) are overwritten with mid-gray — the banner/watermark
+    overlay that
+    makes perceptual near-dups exist by construction (re-derivable by the
+    oracle from the synthesis formula).  Real bytes both ways: the copy is
+    a valid BMP, not a formula shortcut."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if b[:2] != b"BM" or len(b) < 54:
+                    continue
+                h = int.from_bytes(b[22:26], "little", signed=True)
+                w = int.from_bytes(b[18:22], "little", signed=True)
+                bpp = int.from_bytes(b[28:30], "little")
+                if bpp != 24 or w <= 0 or h <= 0:
+                    continue
+                off = int.from_bytes(b[10:14], "little")
+                bs = ((w * 3 + 3) // 4) * 4
+                if len(b) < off + bs * h:
+                    continue
+                ids.append(int(doc_id))
+                payloads.append(b)
+                rows = min(IMG_OVERLAY_ROWS, h)
+                fill = bytes([IMG_OVERLAY_FILL]) * (bs * rows)
+                edited = b[: off] + fill + b[off + bs * rows:]
+                ids.append(int(doc_id) + IMG_COPY_OFFSET)
+                payloads.append(edited)
+            yield pd.DataFrame({"cap_id": ids, "payload": payloads})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        fn, "cap_id long, payload binary"
+    )
+
+
+def image_neardup(
+    media: DataFrame, max_hamming: int = NEARDUP_MAX_HAMMING
+) -> DataFrame:
+    """Banded perceptual near-dup pairs over the capture set (originals +
+    overlay-edited copies): (cap_a, cap_b, hamming, is_copy_pair) for every
+    pair sharing at least one identical 16-bit band with Hamming distance
+    <= max_hamming.  Guaranteed complete for hamming <= NEARDUP_BANDS - 1;
+    beyond that a pair is found only if an edit left some band untouched
+    (the overlay edit concentrates damage in the affected grid rows, so in
+    practice copy pairs always survive — measured, not assumed, by the
+    is_copy_pair recall check in pytest).
+
+    Scale: hashing is in-scan (64 samples per image); candidates come from
+    NEARDUP_BANDS equi-joins on (band_idx, 16-bit slice) — postings-style,
+    never all-pairs; the exact Hamming filter runs JVM-side via two 32-bit
+    conv/xor/bit_count halves (conv parses binary in both engines' SQL but
+    only Spark needs it — the oracle compares the bit strings position-wise)."""
+    def hfn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            hashes: list[str] = []
+            for cap_id, payload in zip(pdf["cap_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                ah = _ahash_of(bytes(payload))
+                if ah is None:
+                    continue
+                ids.append(int(cap_id))
+                hashes.append(ah)
+            yield pd.DataFrame({"cap_id": ids, "ahash": hashes})
+
+    hashed = image_overlay_captures(media).mapInPandas(
+        hfn, "cap_id long, ahash string"
+    )
+    w = 64 // NEARDUP_BANDS
+    bands = hashed.select(
+        "cap_id", "ahash",
+        F.posexplode(
+            F.array(*[
+                F.substring("ahash", 1 + w * i, w) for i in range(NEARDUP_BANDS)
+            ])
+        ).alias("band", "bits"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.cap_id") < F.col("b.cap_id")),
+        )
+        .select(
+            F.col("a.cap_id").alias("cap_a"),
+            F.col("b.cap_id").alias("cap_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    half = lambda c, i: F.conv(F.substring(c, 1 + 32 * i, 32), 2, 10).cast("long")  # noqa: E731
+    hamming = (
+        F.bit_count(half("ha", 0).bitwiseXOR(half("hb", 0)))
+        + F.bit_count(half("ha", 1).bitwiseXOR(half("hb", 1)))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            "cap_a", "cap_b", "hamming",
+            (F.col("cap_b") - F.col("cap_a") == IMG_COPY_OFFSET).alias(
+                "is_copy_pair"
+            ),
+        )
+        .orderBy("cap_a", "cap_b")
     )
 
 

@@ -2200,3 +2200,43 @@ def test_nb_classifier_margin_and_shared_vocab(spark):
     # all-OOV doc: margin = n_toks * (oov_bits_neg - oov_bits_pos)
     assert out[4]["n_oov"] == 2
     assert out[4]["margin"] == 2 * (bits(n_n, 0) - bits(n_p, 0))
+
+
+def test_image_neardup_overlay_pairs_and_banding(spark):
+    """Perceptual near-dup: every original/overlay-copy pair is found
+    (100% copy recall over a BMP sample — the overlay damages only grid
+    row 0 plus at most a small mean drift), damage really is confined to
+    the claimed cells for an even-dims image, and byte-identical rasters
+    pair at hamming 0 through the banding join."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    # doc_ids that are BMPs (kind = doc_id % 3 == 0), varied dims
+    bmp_ids = [0, 3, 6, 9, 12, 24, 48, 96, 288]
+    docs = _docs(spark, [(i, "t", "en", "s", 0) for i in bmp_ids])
+    pairs = mm.image_neardup(mm.synthetic_media(docs)).collect()
+
+    copy_pairs = {r["cap_a"] for r in pairs if r["is_copy_pair"]}
+    assert copy_pairs == set(bmp_ids)  # 100% copy recall
+    for r in pairs:
+        assert r["hamming"] <= mm.NEARDUP_MAX_HAMMING
+        if r["is_copy_pair"]:
+            assert r["cap_b"] == r["cap_a"] + mm.IMG_COPY_OFFSET
+
+    # docs 0 and 288 synthesize byte-identical BMPs -> a hamming-0
+    # cross-image pair must come through the band join
+    flat = {(r["cap_a"], r["cap_b"]): r["hamming"] for r in pairs}
+    assert flat.get((0, 288)) == 0
+
+    # direct kernel check: overlay flips bits only in grid row 0 unless
+    # the mean moved — for doc 48 (bw=24, bh=8+16%24 -> even dims) pin
+    # the exact confined damage
+    payload = mm.synthetic_media_payload(48)
+    ah_orig = mm._ahash_of(payload)
+    copies = {r["cap_id"]: bytes(r["payload"]) for r in
+              mm.image_overlay_captures(
+                  spark.createDataFrame([(48, bytearray(payload))],
+                                        "doc_id long, payload binary")
+              ).collect()}
+    ah_copy = mm._ahash_of(copies[48 + mm.IMG_COPY_OFFSET])
+    diff = [i for i in range(64) if ah_orig[i] != ah_copy[i]]
+    assert diff and all(i < 8 for i in diff)  # confined to grid row 0
