@@ -656,6 +656,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.with_syndicated(_docs(s, d))
         ),
         "d_embedding_neardup": lambda s, d: dedup.embedding_neardup_pairs(_emb(s, d), threshold=0.3),
+        # SemDeDup (Abbas et al. 2023): cosine dup groups within the coarse
+        # cluster, keeper = LOWEST centroid-cosine member (exact-integer
+        # election: quantized sum-centroid + sign-adjusted square ratio)
+        "d_semdedup": lambda s, d: dedup.semdedup(_emb(s, d), threshold=0.3),
         # --- similarity search ---
         "s_ann_brute": lambda s, d: similarity.brute_force_topk(_emb(s, d)),
         "s_ann_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d)),
@@ -3343,6 +3347,62 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.v, b.v) /
                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
             ORDER BY vec_a, vec_b
+        """,
+        # semdedup: the SAME 4dp pair rule feeds a recursive-CTE closure,
+        # centroid election re-derived from the quantization formula
+        # (HUGEINT square where Spark uses DECIMAL(38))
+        "d_semdedup": f"""
+            WITH RECURSIVE emb AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            ), prs AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM emb a JOIN emb b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE round(list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) *
+                       sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+            ), edges AS (
+                SELECT va AS a, vb AS b FROM prs
+                UNION SELECT vb, va FROM prs
+            ), reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, r.r FROM reach r JOIN edges e ON e.b = r.node
+            ), comp AS (
+                SELECT node AS vec_id, min(r) AS component
+                FROM reach GROUP BY node
+            ), qs AS (
+                SELECT vec_id, label, pos,
+                       CAST(round(vv * {D.SEMDEDUP_Q}) AS BIGINT) AS q
+                FROM (SELECT vec_id, label, unnest(v) AS vv,
+                             generate_subscripts(v, 1) AS pos
+                      FROM emb)
+            ), cent AS (
+                SELECT label, pos, CAST(sum(q) AS BIGINT) AS c
+                FROM qs GROUP BY label, pos
+            ), pv AS (
+                SELECT qs.vec_id, qs.label,
+                       CAST(sum(qs.q * cent.c) AS BIGINT) AS dot,
+                       CAST(sum(qs.q * qs.q) AS BIGINT) AS na2
+                FROM qs JOIN cent
+                  ON qs.label = cent.label AND qs.pos = cent.pos
+                GROUP BY qs.vec_id, qs.label
+            ), rk AS (
+                SELECT vec_id, label,
+                       (CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+                       CAST((CAST(dot AS HUGEINT) * dot)
+                            // greatest(na2, 1) AS BIGINT) AS cos_rank
+                FROM pv
+            ), fl AS (
+                SELECT r.vec_id, r.label,
+                       coalesce(c.component, r.vec_id) AS component,
+                       r.cos_rank
+                FROM rk r LEFT JOIN comp c ON c.vec_id = r.vec_id
+            )
+            SELECT vec_id, label, component, cos_rank,
+                   row_number() OVER (PARTITION BY component
+                       ORDER BY cos_rank ASC, vec_id ASC) = 1 AS kept
+            FROM fl ORDER BY vec_id
         """,
         "s_ann_brute": """
             WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

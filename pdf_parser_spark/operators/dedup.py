@@ -401,6 +401,82 @@ def embedding_neardup_pairs(
     )
 
 
+SEMDEDUP_Q = 10_000  # component quantization scale for the exact election
+
+
+def semdedup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    embeddings — cluster-blocked cosine pairs above ``threshold`` form
+    duplicate groups; within each group KEEP the member with the LOWEST
+    cosine to its cluster centroid (the paper's policy: the extreme point
+    carries the most marginal information, the near-centroid copies are
+    redundant).  Returns one row per vector: (vec_id, label, component,
+    cos_rank, kept) — singletons keep themselves.
+
+    Exact-integer election, no float in any compared column: embeddings
+    quantize to q = round(v * SEMDEDUP_Q) BIGINTs, the per-label centroid
+    is the component-wise SUM of q (order-free BIGINT addition — a float
+    mean would hash-drift with summation order; cosine is scale-invariant
+    so the unnormalized sum ranks identically), and the centroid-cosine
+    ordering is the sign-adjusted square cross-ratio
+    cos_rank = sign(dot) * (dot^2 div |q|^2) — monotone in the true cosine
+    (|centroid| is common within a label), DECIMAL(38) intermediate for
+    dot^2, ties broken by vec_id.  The pair threshold itself reuses
+    embedding_neardup_pairs' 4dp-rounded double (already oracle-pinned).
+
+    Scale: pair generation is label-blocked (IVF-style, never corpus
+    all-pairs); components run on the pair set only; the centroid dim is
+    (labels x dims) rows — broadcast; per-vector fold is one keyed groupBy;
+    the election is one min-struct per component.  No corpus-wide ordering
+    anywhere."""
+    pairs = embedding_neardup_pairs(embeddings, threshold)
+    comp = connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+    qs = embeddings.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select(
+        "vec_id", "label", "pos",
+        F.round(F.col("v") * SEMDEDUP_Q, 0).cast("long").alias("q"),
+    )
+    cent = qs.groupBy("label", "pos").agg(F.sum("q").cast("long").alias("c"))
+    per_vec = (
+        qs.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("q") * F.col("c")).cast("long").alias("dot"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("na2"),
+        )
+        .withColumn(
+            "cos_rank",
+            F.expr(
+                "(CASE WHEN dot < 0 THEN -1 ELSE 1 END) * "
+                "CAST((CAST(dot AS DECIMAL(20,0)) * CAST(dot AS DECIMAL(20,0)))"
+                " div greatest(na2, 1) AS BIGINT)"
+            ),
+        )
+    )
+    full = (
+        per_vec.join(comp, "vec_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("vec_id")))
+    )
+    winner = full.groupBy("component").agg(
+        F.min(F.struct("cos_rank", "vec_id")).alias("w")
+    )
+    # winner is component-count-sized (can approach the corpus size when
+    # groups are mostly singletons) — a keyed join, NOT a broadcast; AQE
+    # downgrades it to broadcast when it happens to be small
+    return (
+        full.join(winner, "component")
+        .select(
+            "vec_id", "label", "component", "cos_rank",
+            (F.col("vec_id") == F.col("w.vec_id")).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 SYNDICATED_MOD = 9
 
 

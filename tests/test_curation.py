@@ -2240,3 +2240,50 @@ def test_image_neardup_overlay_pairs_and_banding(spark):
     ah_copy = mm._ahash_of(copies[48 + mm.IMG_COPY_OFFSET])
     diff = [i for i in range(64) if ah_orig[i] != ah_copy[i]]
     assert diff and all(i < 8 for i in diff)  # confined to grid row 0
+
+
+def test_semdedup_keeps_lowest_centroid_cosine(spark):
+    """SemDeDup election: in a duplicate group the member FARTHEST from
+    the cluster centroid is kept (the paper's policy), near-centroid
+    copies drop; singletons keep themselves; pairs never cross labels;
+    cos_rank matches the integer formula twin."""
+    from pdf_parser_spark.operators import dedup as dd
+
+    # label 0: three near-identical vectors along e0 with tiny e1 offsets
+    # (cos pairs >> threshold); v10 sits far from the centroid direction.
+    # label 1: one lone vector (singleton in its own label).
+    rows = [
+        (0, [1.0, 0.00, 0.0], 0),
+        (1, [1.0, 0.01, 0.0], 0),
+        (2, [1.0, 0.02, 0.0], 0),
+        (10, [0.0, 0.0, 1.0], 0),     # orthogonal: pairs with nobody
+        (20, [0.5, 0.5, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in dd.semdedup(emb, threshold=0.9).collect()}
+    assert set(out) == {0, 1, 2, 10, 20}
+
+    # the dup group is {0,1,2}; centroid ~ (2.5, 0.03, 1.0)/norm — vector 0
+    # (no e1 component) is least aligned ONLY if its centroid cosine is
+    # lowest; verify via the integer twin rather than assuming
+    q = {vid: [round(v * dd.SEMDEDUP_Q) for v in vec] for vid, vec, _ in rows}
+    cent0 = [sum(q[v][d] for v in (0, 1, 2, 10)) for d in range(3)]
+
+    def rank(vid):
+        dot = sum(a * b for a, b in zip(q[vid], cent0))
+        na2 = sum(a * a for a in q[vid])
+        return (-1 if dot < 0 else 1) * (dot * dot // max(na2, 1))
+
+    for vid in (0, 1, 2, 10):
+        assert out[vid]["cos_rank"] == rank(vid), vid
+    group = [out[v] for v in (0, 1, 2)]
+    assert all(g["component"] == 0 for g in group)
+    expected_keeper = min((rank(v), v) for v in (0, 1, 2))[1]
+    kept = [g["vec_id"] for g in group if g["kept"]]
+    assert kept == [expected_keeper]
+
+    # singletons (no pair) keep themselves, component = own id
+    assert out[10]["kept"] and out[10]["component"] == 10
+    assert out[20]["kept"] and out[20]["component"] == 20
