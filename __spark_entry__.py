@@ -374,6 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strictly-ordered first-touch funnel: chained window mins over ONE
         # user partitioning, exact-bp conversion — never an events^3 self-join
         "w5_funnel": R.w5_funnel,
+        # weekly cohort retention matrix: first-active-week cohorts x
+        # week offsets, exact-bp retained share — all keyed shuffles
+        "w7_cohort_retention": R.w7_cohort_retention,
         # native session_window (third sessionize face; INCLUSIVE merge
         # boundary — an event at exactly prev+gap merges, same as W4's lag
         # rule; pinned by the oracle's `> gap` new-session test and the
@@ -441,6 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Heaps-law vocabulary growth: distinct types per ingest prefix —
         # one vocab-key min-groupBy, then K-row ladder histograms + cumsums
         "t_vocab_growth": lambda s, d: textstats.vocab_growth(_docs(s, d)),
+        # Zipf rank-frequency audit: type/token ladder per log2-frequency
+        # bucket (floor-log2 bits doctrine), integer-bp token shares
+        "t_zipf_buckets": lambda s, d: textstats.zipf_buckets(_docs(s, d)),
         "t_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         # declared-vs-detected confusion audit (zero-join: prediction is
         # the same in-scan Column lang_id uses)
@@ -2459,6 +2465,55 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'major' END AS severity
                 FROM j)
             GROUP BY severity ORDER BY severity
+        """,
+        # cohort retention: the same floor-epoch week rule as w4, distinct
+        # (user, week) activity, min-week cohorts, bp over the offset-0 row
+        "w7_cohort_retention": f"""
+            WITH act AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) // {R.WEEK_S} AS week
+                FROM events
+            ), firsts AS (
+                SELECT user_id, min(week) AS cohort_week
+                FROM act GROUP BY user_id
+            ), cells AS (
+                SELECT f.cohort_week,
+                       a.week - f.cohort_week AS week_offset,
+                       CAST(count(*) AS BIGINT) AS n_active
+                FROM act a JOIN firsts f USING (user_id)
+                GROUP BY 1, 2
+            ), size AS (
+                SELECT cohort_week, n_active AS cohort_size
+                FROM cells WHERE week_offset = 0
+            )
+            SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+                   CAST((10000 * c.n_active) // s.cohort_size AS BIGINT)
+                       AS retained_bp
+            FROM cells c JOIN size s USING (cohort_week)
+            ORDER BY c.cohort_week, c.week_offset
+        """,
+        # Zipf audit: identical freq table + floor-log2 bucket, integer-bp
+        # token shares over the corpus total
+        "t_zipf_buckets": f"""
+            WITH toks AS (
+                SELECT unnest(list_transform({_TOKS}, t -> lower(t))) AS term
+                FROM documents
+            ), freq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY term
+            ), b AS (
+                SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_count, c
+                FROM freq
+            ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM b)
+            SELECT log2_count,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(min(c) AS BIGINT) AS min_count,
+                   CAST(max(c) AS BIGINT) AS max_count,
+                   CAST((10000 * sum(c)) // n_total AS BIGINT)
+                       AS token_share_bp
+            FROM b CROSS JOIN tot
+            GROUP BY log2_count, n_total ORDER BY log2_count
         """,
         "t_token_count": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,

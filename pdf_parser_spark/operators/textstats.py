@@ -2053,3 +2053,49 @@ def bm25_topk(
         .select("query_id", "q_terms", "doc_id", "bm25", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --- Zipf rank-frequency audit ----------------------------------------------
+
+
+def zipf_buckets(documents: DataFrame) -> DataFrame:
+    """Zipf/rank-frequency audit of the corpus vocabulary — the release
+    check beside Heaps' law (vocab_growth): natural text follows
+    freq(rank) ~ rank^-1, so type counts per LOG2-frequency bucket form a
+    near-geometric ladder; crawl artifacts (template spam, boilerplate
+    floods) bend it.  One row per occupied bucket:
+    (log2_count, n_types, n_tokens, min_count, max_count, token_share_bp).
+
+    Exact integers only — the bucket is the lm_surprisal floor-log2
+    (length(bin(c)) - 1), shares are integer basis points of the corpus
+    token total, so the whole table is hash-stable cross-engine.
+
+    Scale: one map-side-combined groupBy(term) builds the frequency table
+    (the same shape every textstats op rides), then a groupBy on the ~30
+    distinct buckets; the 1-row total joins by crossJoin broadcast."""
+    toks = words(F.lower(F.col("text")))
+    freq = (
+        documents.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bucketed = freq.select(
+        (F.length(F.bin(F.col("c"))) - 1).cast("long").alias("log2_count"), "c"
+    )
+    total = bucketed.agg(F.sum("c").cast("long").alias("n_total"))
+    return (
+        bucketed.groupBy("log2_count")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.min("c").cast("long").alias("min_count"),
+            F.max("c").cast("long").alias("max_count"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "log2_count", "n_types", "n_tokens", "min_count", "max_count",
+            F.expr("CAST((10000 * n_tokens) div n_total AS BIGINT)")
+            .alias("token_share_bp"),
+        )
+        .orderBy("log2_count")
+    )

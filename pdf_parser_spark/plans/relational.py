@@ -1060,3 +1060,57 @@ def q_pivot_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
             for c in PIVOT_LANGS]
     return out.select("source", *cols).orderBy("source")
+
+
+# --- cohort retention matrix -----------------------------------------------
+
+WEEK_S = 604_800  # epoch-week bucket (7 * 86400)
+
+
+def w7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the product-analytics staple beside
+    the funnel (w5) and sessionize (w4): users are cohorted by their FIRST
+    active epoch-week, and each (cohort_week, week_offset) cell counts how
+    many of them were active offset weeks later, with retained_bp the
+    integer-bp share of the cohort.
+
+    Exact integers end to end: week = epoch-seconds div 604800 (the same
+    floor-epoch convention as w4), activity is the distinct (user, week)
+    set, retained_bp = (10000 * n_active) div cohort_size.
+
+    Scale: two groupBys keyed by user_id (first-week + distinct activity),
+    one join on user_id, one groupBy on the tiny (cohort, offset) key —
+    every shuffle is keyed, nothing corpus-ordered; cohort skew (one giant
+    signup week) lands in the LAST, smallest aggregation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # NTZ timestamps refuse a direct SQL CAST to BIGINT — go through the
+    # same two-step cast as w4, then integer-div on the long
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    activity = (
+        ev.select("user_id", epoch.alias("es"))
+        .selectExpr("user_id", f"CAST(es div {WEEK_S} AS BIGINT) AS week")
+        .distinct()
+    )
+    firsts = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    cells = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    size = cells.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cells.join(size, "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_active", "cohort_size",
+            F.expr("CAST((10000 * n_active) div cohort_size AS BIGINT)")
+            .alias("retained_bp"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -2974,3 +2974,73 @@ def test_robots_allow_longest_match_decisions(spark):
     assert ("ab.com", "disallow", "/a/") in parsed      # len 6: %3==0
     assert ("abcde.org", "disallow", "/docs/") in parsed
     assert ("abcde.org", "allow", "/docs/1") not in parsed  # len 9: odd
+
+
+def test_w7_cohort_retention_multi_cohort(spark, tmp_path):
+    """Cohort retention over a hand-built 3-week event log: two cohorts,
+    partial retention, a week-skip (offset 2 without offset 1), and exact
+    bp shares; a user's cohort is their FIRST active week even when most
+    activity comes later."""
+    import datetime as dt
+
+    from pdf_parser_spark.plans.relational import WEEK_S, w7_cohort_retention
+
+    utc = dt.timezone.utc
+    base = dt.datetime(2026, 1, 1, tzinfo=utc)  # inside some epoch week W
+    w = lambda k, h=0: base + dt.timedelta(seconds=k * WEEK_S + h * 3600)  # noqa: E731
+    rows = [
+        # cohort A (week 0): users 1,2,3,4
+        (1, w(0), 1, "view", 1.0, "{}"),
+        (2, w(0), 2, "view", 1.0, "{}"),
+        (3, w(0), 3, "view", 1.0, "{}"),
+        (4, w(0), 4, "view", 1.0, "{}"),
+        # week 1: users 1,2 return (50%); user 5 starts cohort B
+        (5, w(1), 1, "click", 1.0, "{}"),
+        (6, w(1, 5), 1, "view", 1.0, "{}"),   # same week twice -> counted once
+        (7, w(1), 2, "view", 1.0, "{}"),
+        (8, w(1), 5, "view", 1.0, "{}"),
+        # week 2: user 3 returns after skipping week 1; user 5 returns
+        (9, w(2), 3, "view", 1.0, "{}"),
+        (10, w(2), 5, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {(r["cohort_week"] - rows[0][1].timestamp() // WEEK_S,
+            r["week_offset"]): (r["n_active"], r["cohort_size"],
+                                r["retained_bp"])
+           for r in w7_cohort_retention(spark, str(tmp_path)).collect()}
+    out = {(int(cw), off): v for (cw, off), v in out.items()}
+    assert out[(0, 0)] == (4, 4, 10000)
+    assert out[(0, 1)] == (2, 4, 5000)     # users 1,2 (user 1 deduped)
+    assert out[(0, 2)] == (1, 4, 2500)     # user 3 skipped week 1
+    assert out[(1, 0)] == (1, 1, 10000)    # cohort B
+    assert out[(1, 1)] == (1, 1, 10000)
+    assert len(out) == 5
+
+
+def test_zipf_buckets_geometric_ladder(spark):
+    """Zipf audit over an exact synthetic rank-frequency corpus: term k
+    repeated 2^k times lands alone in bucket k with the exact token share;
+    bucket stats (min/max/type counts) pin the floor-log2 rule including
+    the 2^k boundary (count 8 -> bucket 3, count 7 -> bucket 2)."""
+    from pdf_parser_spark.operators import textstats as T
+
+    text = " ".join(
+        ["a"] * 1 + ["b"] * 2 + ["c"] * 3 + ["d"] * 4 + ["e"] * 7 + ["f"] * 8
+    )
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["log2_count"]: r for r in T.zipf_buckets(docs).collect()}
+    total = 25
+    assert set(out) == {0, 1, 2, 3}
+    assert (out[0]["n_types"], out[0]["n_tokens"]) == (1, 1)          # a
+    assert (out[1]["n_types"], out[1]["n_tokens"]) == (2, 5)          # b,c
+    assert (out[2]["n_types"], out[2]["min_count"],
+            out[2]["max_count"]) == (2, 4, 7)                          # d,e
+    assert (out[3]["n_types"], out[3]["n_tokens"]) == (1, 8)          # f
+    assert out[3]["token_share_bp"] == 10000 * 8 // total
+    assert sum(r["n_tokens"] for r in out.values()) == total
