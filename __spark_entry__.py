@@ -812,6 +812,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_robots": lambda s, d: weburl.robots_filter(
             weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
         ),
+        # frontier partitioning: hosts hash to fetcher lanes (a host never
+        # spans two fetchers), per-lane politeness-budget + megahost audit
+        "u_fetcher_lanes": lambda s, d: weburl.fetcher_lanes(
+            weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
+        ),
         # robots.txt PARSED from raw bytes (RFC 9309 group semantics); the
         # synthesized text reproduces the formula rules, so the parse is
         # hash-held to the same dim robots_filter consumes
@@ -4280,6 +4285,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
                         * crawl_delay_ms AS BIGINT) AS fetch_offset_ms
             FROM alw ORDER BY doc_id
+        """,
+        # lanes: the SAME allow chain folded per host, md5-hash lane
+        # assignment, integer-bp budget shares
+        "u_fetcher_lanes": f"""
+            WITH {_url_cte},
+            cpath AS (
+                SELECT doc_id, host,
+                       regexp_extract(canonical_url, '{WU.CANON_PATH_RE}', 1) AS path
+                FROM canon
+            ),
+{_rules_cte},
+            alw AS (
+                SELECT c.doc_id, c.host, r.crawl_delay_ms
+                FROM cpath c JOIN rules r USING (host)
+                WHERE r.disallow_prefix IS NULL
+                   OR NOT starts_with(c.path, r.disallow_prefix)
+            ), per_host AS (
+                SELECT host, crawl_delay_ms,
+                       CAST(count(*) AS BIGINT) AS n_urls
+                FROM alw GROUP BY host, crawl_delay_ms
+            ), lanes AS (
+                SELECT ((CAST(('0x' || substr(md5(host), 1, 8)) AS BIGINT)
+                         % {WU.FETCHER_LANES}) + {WU.FETCHER_LANES})
+                       % {WU.FETCHER_LANES} AS lane,
+                       n_urls,
+                       CAST(n_urls * crawl_delay_ms AS BIGINT) AS host_ms
+                FROM per_host
+            ), per_lane AS (
+                SELECT lane,
+                       CAST(count(*) AS BIGINT) AS n_hosts,
+                       CAST(sum(n_urls) AS BIGINT) AS n_urls,
+                       CAST(sum(host_ms) AS BIGINT) AS busy_ms,
+                       CAST(max(host_ms) AS BIGINT) AS max_host_ms
+                FROM lanes GROUP BY lane
+            ), tot AS (SELECT CAST(sum(busy_ms) AS BIGINT) AS t_ms FROM per_lane)
+            SELECT lane, n_hosts, n_urls, busy_ms, max_host_ms,
+                   CAST((10000 * busy_ms) // greatest(t_ms, 1) AS BIGINT)
+                       AS share_bp
+            FROM per_lane CROSS JOIN tot ORDER BY lane
         """,
         # the parsed robots dim must equal the len(host) formula dim the
         # text synthesis encodes (Spark does text->RFC-9309-parse; the

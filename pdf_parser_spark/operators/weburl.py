@@ -1456,3 +1456,55 @@ def cdx_lookup_join(
         .select("authority", "surt", "canonical_url", "doc_id")
         .orderBy("authority", "surt")
     )
+
+
+# --- fetcher-lane assignment (frontier partitioning) -------------------------
+
+FETCHER_LANES = 8  # demo lane count; production = fetcher-fleet size
+
+
+def fetcher_lanes(canon: DataFrame, n_lanes: int = FETCHER_LANES) -> DataFrame:
+    """Partition the polite frontier across a fetcher fleet — the Heritrix/
+    Nutch frontier rule: a HOST never spans two fetchers (politeness is a
+    per-host serial constraint, splitting a host would break the
+    crawl-delay schedule), so hosts hash to lanes and the audit is whether
+    the hash balances the work.  One row per lane:
+    (lane, n_hosts, n_urls, busy_ms, max_host_ms, share_bp) where busy_ms
+    is the lane's politeness budget (sum over its hosts of n_urls * delay),
+    max_host_ms the slowest single host (the lane's wall-clock lower bound
+    — a lane interleaves its hosts, so one megahost dominates), and
+    share_bp the lane's integer-bp slice of the fleet-wide budget — the
+    imbalance evidence (ideal = 10000/n_lanes).
+
+    Scale: rides robots_filter's schedule (broadcast rules join + per-host
+    window), folds per host (keyed groupBy), hashes hosts to lanes with the
+    engine-portable md5 hash, folds per lane (n_lanes rows).  The megahost
+    skew this audits is exactly what the extraction pipeline's salted
+    repartition absorbs downstream."""
+    from pdf_parser_spark.functions import portable_hash32
+
+    sched = robots_filter(canon)
+    per_host = sched.groupBy("host", "crawl_delay_ms").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    lanes = per_host.select(
+        F.pmod(portable_hash32(F.col("host")), F.lit(n_lanes)).alias("lane"),
+        "n_urls",
+        (F.col("n_urls") * F.col("crawl_delay_ms")).cast("long").alias("host_ms"),
+    )
+    per_lane = lanes.groupBy("lane").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("n_urls").cast("long").alias("n_urls"),
+        F.sum("host_ms").cast("long").alias("busy_ms"),
+        F.max("host_ms").cast("long").alias("max_host_ms"),
+    )
+    total = per_lane.agg(F.sum("busy_ms").cast("long").alias("t_ms"))
+    return (
+        per_lane.crossJoin(F.broadcast(total))
+        .select(
+            "lane", "n_hosts", "n_urls", "busy_ms", "max_host_ms",
+            F.expr("CAST((10000 * busy_ms) div greatest(t_ms, 1) AS BIGINT)")
+            .alias("share_bp"),
+        )
+        .orderBy("lane")
+    )

@@ -2287,3 +2287,43 @@ def test_semdedup_keeps_lowest_centroid_cosine(spark):
     # singletons (no pair) keep themselves, component = own id
     assert out[10]["kept"] and out[10]["component"] == 10
     assert out[20]["kept"] and out[20]["component"] == 20
+
+
+def test_fetcher_lanes_host_exclusive_and_budget(spark):
+    """Frontier lanes: every host lands in exactly one lane (hash
+    determinism), budgets fold exactly (busy = n_urls * delay summed per
+    lane, shares sum to ~10000), and the megahost's lane reports it as
+    max_host_ms."""
+    from pdf_parser_spark.functions import portable_hash32 as _  # noqa: F401
+    from pdf_parser_spark.operators import weburl as wu
+
+    docs = _docs(spark, [(i, "t", "en", f"s{i % 7}", 0) for i in range(60)])
+    canon = wu.canonicalize(wu.with_synthetic_urls(docs))
+    sched = wu.robots_filter(canon)
+    hosts = {
+        r["host"]: (r["n"], r["d"]) for r in
+        sched.groupBy("host").agg(
+            F.count("*").alias("n"), F.first("crawl_delay_ms").alias("d")
+        ).collect()
+    }
+    out = {r["lane"]: r for r in wu.fetcher_lanes(canon).collect()}
+
+    # python twin: lane = md5-hash32(host) % lanes
+    import hashlib
+    exp = {}
+    for h, (n, d) in hosts.items():
+        lane = int(hashlib.md5(h.encode()).hexdigest()[:8], 16) % wu.FETCHER_LANES
+        e = exp.setdefault(lane, [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += n
+        e[2] += n * d
+        e[3] = max(e[3], n * d)
+    assert set(out) == set(exp)
+    for lane, (nh, nu, busy, mx) in exp.items():
+        r = out[lane]
+        assert (r["n_hosts"], r["n_urls"], r["busy_ms"], r["max_host_ms"]) == \
+            (nh, nu, busy, mx), lane
+    total = sum(e[2] for e in exp.values())
+    for lane, r in out.items():
+        assert r["share_bp"] == 10000 * exp[lane][2] // max(total, 1)
+    assert sum(r["share_bp"] for r in out.values()) <= 10000
