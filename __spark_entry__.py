@@ -641,6 +641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", F.col("k").cast("long").alias("k"), "minhash")
         .orderBy("doc_id", "k"),
         "d_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        # cross-source duplication matrix: the datasheet face of the pair
+        # stream (syndication/mirror mass per unordered source pair)
+        "d_cross_source": lambda s, d: dedup.cross_source_dups(_docs(s, d)),
         # sketch-accuracy audit: MinHash estimate vs exact Jaccard per
         # candidate pair, signed err in exact-integer bp
         "d_minhash_est": lambda s, d: dedup.minhash_estimate_audit(_docs(s, d)),
@@ -3342,6 +3345,39 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure of the LSH candidate graph: component = min
         # reachable doc_id (recursive CTE = the oracle for the iterative
         # min-label propagation the Spark side runs)
+        # cross-source matrix: same banded pair rule, endpoints labeled by
+        # source, unordered-pair fold + distinct touched docs
+        "d_cross_source": bands_cte + """
+            , prs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b
+            ), lab AS (
+                SELECT least(sa.source, sb.source) AS source_a,
+                       greatest(sa.source, sb.source) AS source_b,
+                       p.doc_a, p.doc_b
+                FROM prs p
+                JOIN documents sa ON sa.doc_id = p.doc_a
+                JOIN documents sb ON sb.doc_id = p.doc_b
+            ), np AS (
+                SELECT source_a, source_b,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM lab GROUP BY 1, 2
+            ), dt AS (
+                SELECT source_a, source_b,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM (SELECT DISTINCT source_a, source_b, d FROM (
+                      SELECT source_a, source_b, doc_a AS d FROM lab
+                      UNION ALL
+                      SELECT source_a, source_b, doc_b AS d FROM lab))
+                GROUP BY 1, 2
+            )
+            SELECT np.source_a, np.source_b, np.n_pairs, dt.n_docs
+            FROM np JOIN dt USING (source_a, source_b)
+            ORDER BY source_a, source_b
+        """,
         "d_components": "WITH RECURSIVE" + bands_cte.removeprefix("\n        WITH").rstrip() + """
         , prs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

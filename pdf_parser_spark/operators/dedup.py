@@ -920,3 +920,46 @@ def cdc_chunks(documents: DataFrame) -> DataFrame:
                 "n_copies")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def cross_source_dups(documents: DataFrame) -> DataFrame:
+    """Cross-source duplication matrix — the release-report face of the
+    MinHash pair stream (every corpus datasheet reports it: how much of
+    source A is recycled in source B; syndication networks and mirror
+    farms light up as off-diagonal mass).  One row per unordered source
+    pair: (source_a, source_b, n_pairs, n_docs) with n_docs the distinct
+    documents touched by those pairs.
+
+    Scale: rides the banded LSH pair stream (never all-pairs); the
+    doc->source dim joins by doc_id (broadcast at dim scale, keyed
+    otherwise); the matrix groupBy is source-pair-sized.  Pair order is
+    normalized lexicographically so (A,B) and (B,A) fold into one cell."""
+    pairs = minhash_lsh_pairs(documents)
+    src = documents.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("source", "sb"), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "doc_a", "doc_b",
+        )
+    )
+    n_pairs = labeled.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    docs_touched = (
+        labeled.select("source_a", "source_b", F.col("doc_a").alias("d"))
+        .unionByName(
+            labeled.select("source_a", "source_b", F.col("doc_b").alias("d"))
+        )
+        .distinct()
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return (
+        n_pairs.join(docs_touched, ["source_a", "source_b"])
+        .orderBy("source_a", "source_b")
+    )

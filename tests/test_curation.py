@@ -2327,3 +2327,25 @@ def test_fetcher_lanes_host_exclusive_and_budget(spark):
     for lane, r in out.items():
         assert r["share_bp"] == 10000 * exp[lane][2] // max(total, 1)
     assert sum(r["share_bp"] for r in out.values()) <= 10000
+
+
+def test_cross_source_dups_matrix_folds_unordered(spark):
+    """Cross-source matrix: (A,B) and (B,A) pairs fold into one
+    lexicographic cell, n_docs counts DISTINCT touched documents (a doc in
+    two pairs counts once), and within-source pairs land on the diagonal.
+    Near-identical texts guarantee band collisions."""
+    from pdf_parser_spark.operators import dedup as dd
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [
+        (0, t, "en", "srcA", 0),
+        (1, t, "en", "srcB", 0),          # A-B pair
+        (2, t, "en", "srcB", 0),          # B-B diagonal + A-B + B-B pairs
+        (3, "totally different words here nothing shared", "en", "srcC", 0),
+    ])
+    out = {(r["source_a"], r["source_b"]): (r["n_pairs"], r["n_docs"])
+           for r in dd.cross_source_dups(docs).collect()}
+    # identical texts 0,1,2 pair fully: (0,1) AB, (0,2) AB, (1,2) BB
+    assert out[("srcA", "srcB")] == (2, 3)   # docs 0,1,2 touched
+    assert out[("srcB", "srcB")] == (1, 2)
+    assert ("srcC", "srcC") not in out and len(out) == 2
