@@ -764,6 +764,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_shot_detect": lambda s, d: multimodal.shot_boundaries(
             multimodal.synthetic_video(_docs(s, d))
         ),
+        # video near-dup: frame-fingerprint containment over originals +
+        # trimmed reposts (postings join on shared frame hashes)
+        "m_video_neardup": lambda s, d: multimodal.video_neardup(
+            multimodal.synthetic_video(_docs(s, d))
+        ),
         "m_frame_sample": lambda s, d: multimodal.sample_ppm_frames(
             multimodal.synthetic_video(_docs(s, d))
         ).select(
@@ -5289,6 +5294,70 @@ def oracle_sql() -> dict[str, str]:
         # frame, so |diff| is 1 except at the 255->0 wrap — sad = n_px +
         # 254 * wrap_count, recomputed exactly from the seed formula; a
         # parse/pairing bug in the engine's real-bytes walk mismatches
+        # video near-dup: per-frame aHash recomputed from the seeded-P6
+        # formula for original + trimmed capture sets, postings join +
+        # containment fold in SQL
+        "m_video_neardup": f"""
+            WITH p AS (
+                SELECT doc_id, 4 + doc_id % 8 AS w, 4 + (doc_id // 7) % 8 AS h,
+                       3 + doc_id % 4 AS nf
+                FROM documents
+            ), caps AS (
+                SELECT CAST(doc_id AS BIGINT) AS cap_id, doc_id, w, h, nf,
+                       0 AS ff
+                FROM p
+                UNION ALL
+                SELECT CAST(doc_id + {MM.VID_COPY_OFFSET} AS BIGINT),
+                       doc_id, w, h, nf, 1
+                FROM p WHERE nf >= 2
+            ), fr AS (
+                SELECT cap_id, doc_id, w, h, unnest(range(ff, nf)) AS f
+                FROM caps
+            ), gr AS (
+                SELECT cap_id, f,
+                       list_transform(range(0, {MM.AHASH_GRID ** 2}), i ->
+                           ( ((3*(((i//{MM.AHASH_GRID})*h//{MM.AHASH_GRID})*w
+                                  + ((i%{MM.AHASH_GRID})*w//{MM.AHASH_GRID}))
+                               )*11 + doc_id + f) % 256
+                           + ((3*(((i//{MM.AHASH_GRID})*h//{MM.AHASH_GRID})*w
+                                  + ((i%{MM.AHASH_GRID})*w//{MM.AHASH_GRID}))
+                               + 1)*11 + doc_id + f) % 256
+                           + ((3*(((i//{MM.AHASH_GRID})*h//{MM.AHASH_GRID})*w
+                                  + ((i%{MM.AHASH_GRID})*w//{MM.AHASH_GRID}))
+                               + 2)*11 + doc_id + f) % 256 ) // 3) AS g
+                FROM fr
+            ), m AS (
+                SELECT cap_id, f, g,
+                       list_sum(g) // {MM.AHASH_GRID ** 2} AS mn
+                FROM gr
+            ), hx AS (
+                SELECT DISTINCT cap_id,
+                       array_to_string(list_transform(g, v ->
+                           CASE WHEN v > mn THEN '1' ELSE '0' END), '')
+                           AS fhash
+                FROM m
+            ), counts AS (
+                SELECT cap_id, CAST(count(*) AS BIGINT) AS n
+                FROM hx GROUP BY cap_id
+            ), shared AS (
+                SELECT a.cap_id AS cap_a, b.cap_id AS cap_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM hx a JOIN hx b
+                  ON a.fhash = b.fhash AND a.cap_id < b.cap_id
+                GROUP BY 1, 2
+            )
+            SELECT s.cap_a, s.cap_b, s.n_shared,
+                   ca.n AS n_a, cb.n AS n_b,
+                   CAST((10000 * s.n_shared) // least(ca.n, cb.n) AS BIGINT)
+                       AS contain_bp,
+                   s.cap_b - s.cap_a = {MM.VID_COPY_OFFSET} AS is_trim_pair
+            FROM shared s
+            JOIN counts ca ON ca.cap_id = s.cap_a
+            JOIN counts cb ON cb.cap_id = s.cap_b
+            WHERE (10000 * s.n_shared) // least(ca.n, cb.n)
+                  >= {MM.VID_CONTAIN_BP}
+            ORDER BY s.cap_a, s.cap_b
+        """,
         "m_shot_detect": f"""
             WITH p AS (
                 SELECT doc_id, 4 + doc_id % 8 AS w, 4 + (doc_id // 7) % 8 AS h,

@@ -1101,3 +1101,134 @@ def audio_segments(
         )
         .orderBy("doc_id", "seg_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: keyframe-fingerprint containment over P6 streams.
+# The crawl-scale video duplicate is a RE-POST — the same clip trimmed,
+# re-muxed, or re-described — so byte hashes miss it; the standard detector
+# fingerprints each (key)frame perceptually and calls two videos near-dup
+# when one's fingerprint set is mostly contained in the other's.
+# ---------------------------------------------------------------------------
+
+VID_COPY_OFFSET = 1_000_000  # trimmed-repost cap_id = doc_id + offset
+VID_CONTAIN_BP = 5_000       # near-dup iff shared/min(frames) >= 50%
+
+
+def _ahash_p6(fb: bytes) -> str | None:
+    """64-char aHash of one P6 frame (top-down raster; same 8x8 grid and
+    mean-threshold rule as the BMP kernel — only the byte layout differs)."""
+    hd = _ppm_header(fb, 0)
+    if hd is None or fb[:2] != b"P6":
+        return None
+    w, h, _, off = hd
+    if len(fb) < off + 3 * w * h or w <= 0 or h <= 0:
+        return None
+    g = AHASH_GRID
+    grays: list[int] = []
+    for i in range(g * g):
+        sx = (i % g) * w // g
+        sy = (i // g) * h // g
+        o = off + 3 * (sy * w + sx)
+        grays.append((fb[o] + fb[o + 1] + fb[o + 2]) // 3)
+    mean = sum(grays) // (g * g)
+    return "".join("1" if v > mean else "0" for v in grays)
+
+
+def video_captures(videos: DataFrame) -> DataFrame:
+    """(cap_id, payload): every P6 stream plus its trimmed repost
+    (first frame dropped, cap_id = doc_id + VID_COPY_OFFSET) — real
+    re-concatenated bytes, re-derivable by the oracle from the frame
+    formula.  Streams with < 2 frames emit no copy."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                frames = split_ppm_stream(b)
+                if not frames:
+                    continue
+                ids.append(int(doc_id))
+                payloads.append(b)
+                if len(frames) >= 2:
+                    ids.append(int(doc_id) + VID_COPY_OFFSET)
+                    payloads.append(b"".join(frames[1:]))
+            yield pd.DataFrame({"cap_id": ids, "payload": payloads})
+
+    return videos.select("doc_id", "payload").mapInPandas(
+        fn, "cap_id long, payload binary"
+    )
+
+
+def video_neardup(
+    videos: DataFrame, contain_bp: int = VID_CONTAIN_BP
+) -> DataFrame:
+    """Near-dup video pairs by frame-fingerprint containment: hash every
+    frame of every capture (one Arrow stage, REAL stream parsing), join
+    captures on shared DISTINCT frame hashes (postings-style — a pair is
+    generated only from an actual shared fingerprint, never all-pairs),
+    and keep pairs where the smaller video's containment reaches
+    contain_bp.  (cap_a, cap_b, n_shared, n_a, n_b, contain_bp,
+    is_trim_pair) — exact integers throughout; the trimmed repost is
+    contained 100% by construction.
+
+    Scale: fingerprinting is in-scan (64 samples per frame); the postings
+    join is keyed on the 64-bit hash (a viral frame makes a hot posting —
+    absorbed by the pair groupBy's partial aggregation); per-video counts
+    ride a broadcast-sized dim per pair side."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            hashes: list[str] = []
+            for cap_id, payload in zip(pdf["cap_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for fb in split_ppm_stream(bytes(payload)):
+                    ah = _ahash_p6(fb)
+                    if ah is not None:
+                        ids.append(int(cap_id))
+                        hashes.append(ah)
+            yield pd.DataFrame({"cap_id": ids, "fhash": hashes})
+
+    fhashes = (
+        video_captures(videos)
+        .mapInPandas(fn, "cap_id long, fhash string")
+        .distinct()
+    )
+    counts = fhashes.groupBy("cap_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a, b = fhashes.alias("a"), fhashes.alias("b")
+    shared = (
+        a.join(
+            b,
+            on=(F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.cap_id") < F.col("b.cap_id")),
+        )
+        .groupBy(
+            F.col("a.cap_id").alias("cap_a"), F.col("b.cap_id").alias("cap_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ca = counts.select(F.col("cap_id").alias("cap_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("cap_id").alias("cap_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(ca, "cap_a").join(cb, "cap_b")
+        .withColumn(
+            "contain_bp",
+            F.expr("CAST((10000 * n_shared) div least(n_a, n_b) AS BIGINT)"),
+        )
+        .where(F.col("contain_bp") >= contain_bp)
+        .select(
+            "cap_a", "cap_b", "n_shared", "n_a", "n_b", "contain_bp",
+            (F.col("cap_b") - F.col("cap_a") == VID_COPY_OFFSET).alias(
+                "is_trim_pair"
+            ),
+        )
+        .orderBy("cap_a", "cap_b")
+    )

@@ -2349,3 +2349,65 @@ def test_cross_source_dups_matrix_folds_unordered(spark):
     assert out[("srcA", "srcB")] == (2, 3)   # docs 0,1,2 touched
     assert out[("srcB", "srcB")] == (1, 2)
     assert ("srcC", "srcC") not in out and len(out) == 2
+
+
+def test_video_neardup_trim_containment(spark):
+    """Video near-dup over hand-built P6 streams with genuinely distinct
+    frames (the synthetic gradient corpus is a static shot — every frame
+    hashes identically, which the containment math handles but cannot
+    demonstrate): trimmed reposts contain at exactly 10000 bp with true
+    set counts, a one-shared-frame cross pair lands at the 5000 threshold,
+    and zero-overlap captures never pair; the P6 kernel matches a hand
+    twin."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    def frame(cond):
+        # 8x8 P6; pixel (y, x) white iff cond(y, x)
+        body = bytes(
+            255 if cond(y, x) else 0
+            for y in range(8) for x in range(8) for _ in range(3)
+        )
+        return b"P6\n8 8\n255\n" + body
+
+    fa = frame(lambda y, x: x < 4)   # left half white
+    fb = frame(lambda y, x: y < 4)   # top half white
+    fc = frame(lambda y, x: (y + x) % 2 == 0)  # checkerboard
+    fd = frame(lambda y, x: x >= 4)  # right half white
+    assert len({mm._ahash_p6(f) for f in (fa, fb, fc, fd)}) == 4
+
+    vids = spark.createDataFrame(
+        [(1, fa + fb + fc), (2, fa + fd)],
+        "doc_id long, payload binary",
+    )
+    out = {(r["cap_a"], r["cap_b"]): r for r in mm.video_neardup(vids).collect()}
+    off = mm.VID_COPY_OFFSET
+    t1 = out[(1, 1 + off)]
+    assert (t1["n_a"], t1["n_b"], t1["n_shared"]) == (3, 2, 2)
+    assert t1["contain_bp"] == 10000 and t1["is_trim_pair"]
+    t2 = out[(2, 2 + off)]
+    assert (t2["n_a"], t2["n_b"], t2["n_shared"]) == (2, 1, 1)
+    cross = out[(1, 2)]
+    assert (cross["n_shared"], cross["contain_bp"],
+            cross["is_trim_pair"]) == (1, 5000, False)
+    # trimmed copy of 2 is just fd: zero overlap with video 1 family
+    assert (1, 2 + off) not in out and (1 + off, 2 + off) not in out
+    # exactly three pairs: the two trim pairs plus the fa-sharing cross
+    # ((1+off) = {fb, fc} and (2) = {fa, fd} share nothing)
+    assert set(out) == {(1, 1 + off), (2, 2 + off), (1, 2)}
+
+    # kernel twin on the synthetic seeded raster (byte j = (j*11+seed)%256)
+    fb9 = mm.make_ppm_seeded(5, 5, 11)
+    grays = []
+    for i in range(64):
+        sx, sy = (i % 8) * 5 // 8, (i // 8) * 5 // 8
+        o = 3 * (sy * 5 + sx)
+        grays.append(sum(((o + k) * 11 + 11) % 256 for k in range(3)) // 3)
+    mn = sum(grays) // 64
+    assert mm._ahash_p6(fb9) == "".join("1" if v > mn else "0" for v in grays)
+
+    # synthetic corpus sanity: every trim pair contains at 10000
+    docs = _docs(spark, [(i, "t", "en", "s", 0) for i in (0, 1, 9, 14)])
+    sout = [r for r in mm.video_neardup(mm.synthetic_video(docs)).collect()
+            if r["is_trim_pair"]]
+    assert {r["cap_a"] for r in sout} == {0, 1, 9, 14}
+    assert all(r["contain_bp"] == 10000 for r in sout)
