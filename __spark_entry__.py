@@ -466,6 +466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_nb_classifier": lambda s, d: textstats.nb_quality_classifier(
             _docs(s, d)
         ),
+        # NB-vs-heuristic-gate calibration confusion matrix
+        "t_filter_agreement": lambda s, d: textstats.filter_agreement(
+            _docs(s, d)
+        ),
         # per-domain quality prior (CCNet/RefinedWeb): exact integer bp
         # mean of the shared soft-quality formula, min-docs trust gate
         "u_domain_quality": lambda s, d: weburl.domain_quality_prior(
@@ -1907,6 +1911,63 @@ def oracle_sql() -> dict[str, str]:
     # docs-shaped CTE/table
     from pdf_parser_spark.operators import textstats as TS
 
+    # shared NB-classifier CTE chain (t_nb_classifier + t_filter_agreement):
+    # both class LMs re-derived from the seed-slice formulas, shared-vocab
+    # Laplace floor-log2 bits, final CTE nbout carries the scored columns
+    _nb_cte = f"""nbtoks AS (
+                SELECT doc_id,
+                       unnest(list_transform({_TOKS}, t -> lower(t))) AS term
+                FROM documents
+            ), nbref AS (
+                SELECT term,
+                       CAST(sum(CASE WHEN doc_id % {TS.NB_POS_MOD} = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                       CAST(sum(CASE WHEN doc_id % {TS.NB_POS_MOD} = {TS.NB_NEG_REM}
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+                FROM nbtoks
+                WHERE doc_id % {TS.NB_POS_MOD} = 0
+                   OR doc_id % {TS.NB_POS_MOD} = {TS.NB_NEG_REM}
+                GROUP BY term
+            ), nbmodel AS (
+                SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+                       CAST(sum(c_neg) AS BIGINT) AS n_neg,
+                       CAST(count(*) AS BIGINT) AS v_model
+                FROM nbref
+            ), nbdim AS (
+                SELECT term,
+                       CAST(length(bin(greatest(
+                           (m.n_pos + m.v_model) // (c_pos + 1), 1)))
+                           - 1 AS BIGINT) AS bp,
+                       CAST(length(bin(greatest(
+                           (m.n_neg + m.v_model) // (c_neg + 1), 1)))
+                           - 1 AS BIGINT) AS bn
+                FROM nbref CROSS JOIN nbmodel m
+            ), nbdoc AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_toks,
+                       CAST(coalesce(sum(d.bp), 0) AS BIGINT) AS known_bp,
+                       CAST(coalesce(sum(d.bn), 0) AS BIGINT) AS known_bn,
+                       CAST(sum(CASE WHEN d.bp IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_oov
+                FROM nbtoks t LEFT JOIN nbdim d USING (term)
+                GROUP BY t.doc_id
+            ), nbsc AS (
+                SELECT doc_id, n_toks, n_oov,
+                       CAST(known_bp + n_oov *
+                            (length(bin(greatest(m.n_pos + m.v_model, 1))) - 1)
+                            AS BIGINT) AS bits_pos,
+                       CAST(known_bn + n_oov *
+                            (length(bin(greatest(m.n_neg + m.v_model, 1))) - 1)
+                            AS BIGINT) AS bits_neg
+                FROM nbdoc CROSS JOIN nbmodel m
+            ), nbout AS (
+                SELECT doc_id, n_toks, n_oov, bits_pos, bits_neg,
+                       CAST(bits_neg - bits_pos AS BIGINT) AS margin,
+                       CASE WHEN bits_neg - bits_pos >= 0
+                            THEN 'keep' ELSE 'drop' END AS label
+                FROM nbsc
+            )"""
+
     def _gate_cte_for(tbl: str) -> str:
         return f"""
             gsig AS (
@@ -2668,58 +2729,25 @@ def oracle_sql() -> dict[str, str]:
         # formulas (every constant interpolated from the module), same
         # shared-vocab Laplace floor-log2 bits, same >=0 keep rule
         "t_nb_classifier": f"""
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(list_transform({_TOKS}, t -> lower(t))) AS term
-                FROM documents
-            ), refcnt AS (
-                SELECT term,
-                       CAST(sum(CASE WHEN doc_id % {TS.NB_POS_MOD} = 0
-                                     THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
-                       CAST(sum(CASE WHEN doc_id % {TS.NB_POS_MOD} = {TS.NB_NEG_REM}
-                                     THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
-                FROM toks
-                WHERE doc_id % {TS.NB_POS_MOD} = 0
-                   OR doc_id % {TS.NB_POS_MOD} = {TS.NB_NEG_REM}
-                GROUP BY term
-            ), model AS (
-                SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
-                       CAST(sum(c_neg) AS BIGINT) AS n_neg,
-                       CAST(count(*) AS BIGINT) AS v_model
-                FROM refcnt
-            ), dim AS (
-                SELECT term,
-                       CAST(length(bin(greatest(
-                           (m.n_pos + m.v_model) // (c_pos + 1), 1)))
-                           - 1 AS BIGINT) AS bp,
-                       CAST(length(bin(greatest(
-                           (m.n_neg + m.v_model) // (c_neg + 1), 1)))
-                           - 1 AS BIGINT) AS bn
-                FROM refcnt CROSS JOIN model m
-            ), per_doc AS (
-                SELECT t.doc_id,
-                       CAST(count(*) AS BIGINT) AS n_toks,
-                       CAST(coalesce(sum(d.bp), 0) AS BIGINT) AS known_bp,
-                       CAST(coalesce(sum(d.bn), 0) AS BIGINT) AS known_bn,
-                       CAST(sum(CASE WHEN d.bp IS NULL THEN 1 ELSE 0 END)
-                            AS BIGINT) AS n_oov
-                FROM toks t LEFT JOIN dim d USING (term)
-                GROUP BY t.doc_id
-            ), scored AS (
-                SELECT doc_id, n_toks, n_oov,
-                       CAST(known_bp + n_oov *
-                            (length(bin(greatest(m.n_pos + m.v_model, 1))) - 1)
-                            AS BIGINT) AS bits_pos,
-                       CAST(known_bn + n_oov *
-                            (length(bin(greatest(m.n_neg + m.v_model, 1))) - 1)
-                            AS BIGINT) AS bits_neg
-                FROM per_doc CROSS JOIN model m
-            )
-            SELECT doc_id, n_toks, n_oov, bits_pos, bits_neg,
-                   CAST(bits_neg - bits_pos AS BIGINT) AS margin,
-                   CASE WHEN bits_neg - bits_pos >= 0
-                        THEN 'keep' ELSE 'drop' END AS label
-            FROM scored ORDER BY doc_id
+            WITH {_nb_cte}
+            SELECT doc_id, n_toks, n_oov, bits_pos, bits_neg, margin, label
+            FROM nbout ORDER BY doc_id
+        """,
+        # NB-vs-heuristic calibration: the classifier's label crossed with
+        # the hard gate's verdict, counts + integer-bp corpus shares
+        "t_filter_agreement": f"""
+            WITH {_gate_cte_for("documents")},
+            {_nb_cte},
+            cells AS (
+                SELECT n.label, (g.reasons = '') AS passed,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM nbout n JOIN gated g USING (doc_id)
+                GROUP BY 1, 2
+            ), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cells)
+            SELECT label AS nb_label, passed AS gate_passed, n_docs,
+                   CAST((10000 * n_docs) // n_total AS BIGINT) AS share_bp
+            FROM cells CROSS JOIN tot
+            ORDER BY nb_label, gate_passed
         """,
         # bigram surprisal: same scoring table as the engine — seen bigram =
         # Laplace over the context row, miss = BACKOFF + unigram bits (the

@@ -2099,3 +2099,34 @@ def zipf_buckets(documents: DataFrame) -> DataFrame:
         )
         .orderBy("log2_count")
     )
+
+
+def filter_agreement(documents: DataFrame) -> DataFrame:
+    """Confusion matrix between the TRAINED filter (nb_quality_classifier)
+    and the HEURISTIC gate (quality_gate) — the calibration audit every
+    pipeline runs before swapping a hand-tuned rule chain for a model: if
+    the two disagree on a large slice, somebody reviews that slice before a
+    single shard is dropped.  One row per (nb_label, gate_passed) cell with
+    the count and the integer-bp share of the corpus.
+
+    Scale: both inputs are per-document projections already audited for
+    scale; the join is keyed on doc_id, the matrix groupBy has 4 cells."""
+    nb = nb_quality_classifier(documents).select("doc_id", "label")
+    gate = quality_gate(documents).select("doc_id", "passed")
+    cells = (
+        nb.join(gate, "doc_id")
+        .groupBy("label", "passed")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    total = cells.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            F.col("label").alias("nb_label"),
+            F.col("passed").alias("gate_passed"),
+            "n_docs",
+            F.expr("CAST((10000 * n_docs) div n_total AS BIGINT)")
+            .alias("share_bp"),
+        )
+        .orderBy("nb_label", "gate_passed")
+    )

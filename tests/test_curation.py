@@ -2411,3 +2411,24 @@ def test_video_neardup_trim_containment(spark):
             if r["is_trim_pair"]]
     assert {r["cap_a"] for r in sout} == {0, 1, 9, 14}
     assert all(r["contain_bp"] == 10000 for r in sout)
+
+
+def test_filter_agreement_cells_and_shares(spark):
+    """Agreement matrix: cells equal the brute cross of the two verdicts
+    computed independently, shares are exact integer bp of the doc count."""
+    from pdf_parser_spark.operators import textstats as T
+
+    docs = _docs(spark, [(i, ("good prose " * 30) if i % 2 == 0
+                          else "#### ### ##", "en", "s", 0)
+                         for i in range(14)])
+    nb = {r["doc_id"]: r["label"]
+          for r in T.nb_quality_classifier(docs).collect()}
+    gate = {r["doc_id"]: r["passed"] for r in T.quality_gate(docs).collect()}
+    from collections import Counter
+    exp = Counter((nb[d], gate[d]) for d in nb)
+    out = {(r["nb_label"], r["gate_passed"]): (r["n_docs"], r["share_bp"])
+           for r in T.filter_agreement(docs).collect()}
+    assert {k: v[0] for k, v in out.items()} == dict(exp)
+    total = sum(exp.values())
+    for k, (n, bp) in out.items():
+        assert bp == 10000 * n // total
