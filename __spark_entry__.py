@@ -934,6 +934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), curation.fit_vocab(_docs(s, d))
         ),
         "c_pack_shards": lambda s, d: curation.pack_shards(_docs(s, d)),
+        # deterministic global training shuffle: md5(seed:doc_id) shard +
+        # within-shard hash rank — no corpus-wide ORDER BY anywhere
+        "c_global_shuffle": lambda s, d: curation.global_shuffle(_docs(s, d)),
         # fixed-context-window chunking: in-scan explode, no shuffle
         "c_chunk_windows": lambda s, d: curation.chunk_windows(_docs(s, d)),
         # epoch-weighted data mixing: per-source token-count dim -> integer
@@ -5070,6 +5073,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         # sequential token-budget packing within each source
+        # global shuffle: same md5 hash key, same (h, doc_id) rank in SQL
+        "c_global_shuffle": f"""
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('{C.SHUFFLE_SEED}:' || doc_id),
+                                            1, 8)) AS BIGINT) AS h
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, h,
+                       ((h % {C.SHUFFLE_SHARDS}) + {C.SHUFFLE_SHARDS})
+                       % {C.SHUFFLE_SHARDS} AS shard
+                FROM k
+            )
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                        ORDER BY h ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+            FROM sh ORDER BY doc_id
+        """,
         "c_pack_shards": f"""
             WITH t AS (
                 SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens

@@ -1344,3 +1344,45 @@ def release_headline(documents: DataFrame) -> DataFrame:
             F.expr("q_sum div n_docs").cast("long").alias("mean_quality_bp"),
         )
     )
+
+
+# --- deterministic global training shuffle -----------------------------------
+
+SHUFFLE_SEED = "ep0"  # epoch seed: a new seed is a new full reshuffle
+SHUFFLE_SHARDS = 16   # demo; production sizes shards to the task sort buffer
+
+
+def global_shuffle(
+    documents: DataFrame, seed: str = SHUFFLE_SEED, n_shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """The last step before training: a DETERMINISTIC global shuffle —
+    curated corpora arrive grouped by crawl/source/host, and an LM trained
+    in that order sees non-stationary batches, so every pipeline shuffles;
+    reproducibility demands the order be a pure function of (doc_id, seed),
+    not a cluster race.  (doc_id, shard, pos): shard = md5-hash(seed:doc_id)
+    mod n_shards, pos = rank of the hash within the shard (doc_id breaks
+    hash-collision ties).  Changing the seed string reshuffles the whole
+    corpus for the next epoch.
+
+    Scale: this is 'global shuffle without a global sort' — the hash
+    assignment is embarrassingly parallel, and the only ordering work is
+    one window per shard (corpus/n_shards rows; production picks n_shards
+    so a shard fits a task's spillable sort).  No corpus-wide ORDER BY
+    exists in the plan; readers consume shards in any order because the
+    randomness is already inside each shard."""
+    from pyspark.sql import Window
+
+    h = portable_hash32(
+        F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
+    )
+    keyed = documents.select("doc_id", h.alias("h")).withColumn(
+        "shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        keyed.select(
+            "doc_id", "shard",
+            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2432,3 +2432,40 @@ def test_filter_agreement_cells_and_shares(spark):
     total = sum(exp.values())
     for k, (n, bp) in out.items():
         assert bp == 10000 * n // total
+
+
+def test_global_shuffle_deterministic_and_seeded(spark):
+    """Global shuffle: pure function of (doc_id, seed) — two runs agree
+    exactly; a different seed produces a different permutation; positions
+    within each shard are dense 0..n-1; no document is lost."""
+    import hashlib
+
+    from pdf_parser_spark.operators import curation as cu
+
+    docs = _docs(spark, [(i, "t", "en", "s", 0) for i in range(40)])
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in cu.global_shuffle(docs).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in cu.global_shuffle(docs).collect()}
+    assert a == b and len(a) == 40
+
+    # python twin of shard + rank
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    hs = {d: h32(f"{cu.SHUFFLE_SEED}:{d}") for d in range(40)}
+    for d, (shard, pos) in a.items():
+        assert shard == hs[d] % cu.SHUFFLE_SHARDS
+        peers = sorted((hs[x], x) for x in range(40)
+                       if hs[x] % cu.SHUFFLE_SHARDS == shard)
+        assert pos == peers.index((hs[d], d))
+    # dense positions per shard
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for d, (shard, pos) in a.items():
+        by_shard[shard].append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+    c = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in cu.global_shuffle(docs, seed="ep1").collect()}
+    assert c != a  # a new epoch seed reshuffles
