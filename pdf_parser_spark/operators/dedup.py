@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from pdf_parser_spark.functions import portable_hash32, word_shingles, words
 
@@ -197,7 +198,9 @@ def minhash_lsh_pairs(
     )
 
 
-@pandas_udf("long")
+@pandas_udf(LongType())  # DataType object, not "long": a DDL string would
+# make this module-level decorator require an active SparkSession at import
+# time (str returnType parses via the JVM), breaking sessionless queries().
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, md5-based (Arrow-vectorized).
 
