@@ -937,6 +937,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic global training shuffle: md5(seed:doc_id) shard +
         # within-shard hash rank — no corpus-wide ORDER BY anywhere
         "c_global_shuffle": lambda s, d: curation.global_shuffle(_docs(s, d)),
+        # concat-and-split sequence packing over the shuffle order: one
+        # window per shard + in-stage arithmetic explode, no token text
+        "c_pack_sequences": lambda s, d: curation.pack_sequences(_docs(s, d)),
+        # per-shard packing datasheet: tail waste + boundary-split docs
+        "c_packing_stats": lambda s, d: curation.packing_stats(_docs(s, d)),
         # fixed-context-window chunking: in-scan explode, no shuffle
         "c_chunk_windows": lambda s, d: curation.chunk_windows(_docs(s, d)),
         # epoch-weighted data mixing: per-source token-count dim -> integer
@@ -5090,6 +5095,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY shard
                         ORDER BY h ASC, doc_id ASC) - 1 AS BIGINT) AS pos
             FROM sh ORDER BY doc_id
+        """,
+        # concat-and-split packing: the shuffle's (shard, h, doc_id) order
+        # + EOS-inclusive prefix sums; `//` (floor) here vs `div` (trunc)
+        # in Spark agree because every operand is non-negative
+        "c_pack_sequences": f"""
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('{C.SHUFFLE_SEED}:' || doc_id),
+                                            1, 8)) AS BIGINT) AS h,
+                       CAST(len({_TOKS}) + 1 AS BIGINT) AS n_tok
+                FROM documents WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT doc_id, h, n_tok,
+                       ((h % {C.SHUFFLE_SHARDS}) + {C.SHUFFLE_SHARDS})
+                       % {C.SHUFFLE_SHARDS} AS shard
+                FROM k
+            ), o AS (
+                SELECT doc_id, shard, n_tok,
+                       sum(n_tok) OVER (PARTITION BY shard
+                                        ORDER BY h, doc_id) - n_tok AS off
+                FROM sh
+            ), e AS (
+                SELECT doc_id, shard, n_tok, off,
+                       unnest(range(CAST(off // {C.SEQ_LEN} AS BIGINT),
+                                    CAST((off + n_tok - 1) // {C.SEQ_LEN} + 1
+                                         AS BIGINT))) AS seq_id
+                FROM o
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(off + greatest(0, seq_id * {C.SEQ_LEN} - off)
+                        - seq_id * {C.SEQ_LEN} AS BIGINT) AS seq_slot_start,
+                   doc_id,
+                   CAST(greatest(0, seq_id * {C.SEQ_LEN} - off) AS BIGINT)
+                       AS doc_tok_start,
+                   CAST(least(n_tok, (seq_id + 1) * {C.SEQ_LEN} - off)
+                        AS BIGINT) AS doc_tok_end,
+                   CAST(least(n_tok, (seq_id + 1) * {C.SEQ_LEN} - off)
+                        - greatest(0, seq_id * {C.SEQ_LEN} - off) AS BIGINT)
+                       AS n_toks
+            FROM e ORDER BY doc_id, seq_id
+        """,
+        "c_packing_stats": f"""
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('{C.SHUFFLE_SEED}:' || doc_id),
+                                            1, 8)) AS BIGINT) AS h,
+                       CAST(len({_TOKS}) + 1 AS BIGINT) AS n_tok
+                FROM documents WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT doc_id, h, n_tok,
+                       ((h % {C.SHUFFLE_SHARDS}) + {C.SHUFFLE_SHARDS})
+                       % {C.SHUFFLE_SHARDS} AS shard
+                FROM k
+            ), o AS (
+                SELECT doc_id, shard, n_tok,
+                       sum(n_tok) OVER (PARTITION BY shard
+                                        ORDER BY h, doc_id) - n_tok AS off
+                FROM sh
+            ), g AS (
+                SELECT shard, count(*) AS n_docs, sum(n_tok) AS total_toks,
+                       sum(CASE WHEN off // {C.SEQ_LEN}
+                                <> (off + n_tok - 1) // {C.SEQ_LEN}
+                           THEN 1 ELSE 0 END) AS n_split_docs
+                FROM o GROUP BY shard
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(total_toks AS BIGINT) AS total_toks,
+                   CAST((total_toks + {C.SEQ_LEN - 1}) // {C.SEQ_LEN}
+                        AS BIGINT) AS n_seqs,
+                   CAST(((total_toks + {C.SEQ_LEN - 1}) // {C.SEQ_LEN})
+                        * {C.SEQ_LEN} - total_toks AS BIGINT)
+                       AS tail_waste_toks,
+                   CAST((10000 * (((total_toks + {C.SEQ_LEN - 1})
+                                   // {C.SEQ_LEN}) * {C.SEQ_LEN}
+                                  - total_toks))
+                        // (((total_toks + {C.SEQ_LEN - 1}) // {C.SEQ_LEN})
+                            * {C.SEQ_LEN}) AS BIGINT) AS waste_bp,
+                   CAST(n_split_docs AS BIGINT) AS n_split_docs
+            FROM g ORDER BY shard
         """,
         "c_pack_shards": f"""
             WITH t AS (

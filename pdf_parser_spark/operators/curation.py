@@ -1386,3 +1386,144 @@ def global_shuffle(
         )
         .orderBy("doc_id")
     )
+
+
+# --- token-sequence packing (concat-and-split, the step between shuffle and
+# the training loop) -----------------------------------------------------------
+
+SEQ_LEN = 32  # tokens per training sequence (sf-sized; production: model ctx)
+
+
+def _pack_base(
+    documents: DataFrame, seed: str, n_shards: int
+) -> DataFrame:
+    """Shared base for pack_sequences/packing_stats: each non-empty document
+    in global_shuffle order with its token cost (whitespace tokens + 1 EOS)
+    and its exclusive prefix offset within its shard's token stream."""
+    from pyspark.sql import Window
+
+    h = portable_hash32(
+        F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
+    )
+    t = (
+        documents.where(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            h.alias("h"),
+            (F.size(words(F.col("text"))) + 1).cast("long").alias("n_tok"),
+        )
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("long"))
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return t.withColumn(
+        "off", (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long")
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seed: str = SHUFFLE_SEED,
+    n_shards: int = SHUFFLE_SHARDS,
+    seq_len: int = SEQ_LEN,
+) -> DataFrame:
+    """GPT-style concat-and-split sequence packing — the step every LM
+    pipeline runs between the global shuffle and the training loop: each
+    document's tokens plus one EOS are concatenated in shuffle order within
+    their shard, and the stream is cut every ``seq_len`` tokens.  One output
+    row per (document, sequence) overlap:
+
+      (shard, seq_id, seq_slot_start, doc_id, doc_tok_start, doc_tok_end,
+       n_toks)
+
+    where ``seq_id`` is shard-local (floor(global offset / seq_len)),
+    ``seq_slot_start`` is where the fragment lands inside the sequence, and
+    ``[doc_tok_start, doc_tok_end)`` is the half-open token range of the
+    document consumed by that sequence (index n_tok-1 is the EOS).  A
+    document longer than ``seq_len`` spans several sequences; a document
+    landing on a boundary appears in two.  Every shard's last sequence is
+    partial — ``packing_stats`` reports that tail waste.
+
+    Scale: the plan is _pack_base's one window per shard (the shuffle's own
+    ordering work — nothing new shuffles) followed by an in-stage arithmetic
+    explode over the sequences a document touches (ceil(n_tok/seq_len)+1
+    rows max).  No token text materializes; readers join the manifest back
+    to the corpus by doc_id and slice.  At 10^12 docs this is the manifest
+    production writers stream per shard, and shard doubles as the partition
+    key so a training reader's shard scan prunes."""
+    t = _pack_base(documents, seed, n_shards)
+    first_seq = F.expr(f"off div {seq_len}")
+    last_seq = F.expr(f"(off + n_tok - 1) div {seq_len}")
+    e = t.withColumn(
+        "seq_id", F.explode(F.sequence(first_seq, last_seq))
+    )
+    doc_tok_start = F.greatest(
+        F.lit(0).cast("long"), F.col("seq_id") * seq_len - F.col("off")
+    )
+    doc_tok_end = F.least(
+        F.col("n_tok"), (F.col("seq_id") + 1) * seq_len - F.col("off")
+    )
+    return (
+        e.select(
+            "shard",
+            F.col("seq_id").cast("long").alias("seq_id"),
+            (F.col("off") + doc_tok_start - F.col("seq_id") * seq_len)
+            .cast("long").alias("seq_slot_start"),
+            "doc_id",
+            doc_tok_start.cast("long").alias("doc_tok_start"),
+            doc_tok_end.cast("long").alias("doc_tok_end"),
+            (doc_tok_end - doc_tok_start).cast("long").alias("n_toks"),
+        )
+        .orderBy("doc_id", "seq_id")
+    )
+
+
+def packing_stats(
+    documents: DataFrame,
+    seed: str = SHUFFLE_SEED,
+    n_shards: int = SHUFFLE_SHARDS,
+    seq_len: int = SEQ_LEN,
+) -> DataFrame:
+    """Per-shard packing datasheet for pack_sequences: how many sequences
+    the shard cuts, how many tokens the final partial sequence wastes, and
+    how many documents straddle a sequence boundary (those pay the
+    cross-document attention cost packing papers argue about).  One row per
+    shard: (shard, n_docs, total_toks, n_seqs, tail_waste_toks, waste_bp,
+    n_split_docs) with waste_bp = floor(10000 * waste / (n_seqs*seq_len)).
+
+    Scale: rides _pack_base's window; the rollup is one groupBy over
+    n_shards groups — exact BIGINT arithmetic throughout."""
+    t = _pack_base(documents, seed, n_shards)
+    split = (
+        F.expr(f"off div {seq_len}")
+        != F.expr(f"(off + n_tok - 1) div {seq_len}")
+    ).cast("long")
+    return (
+        t.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_toks"),
+            F.sum(split).cast("long").alias("n_split_docs"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_toks",
+            # ceil(total/L) spelled (total+L-1) div L: `div` truncates toward
+            # zero in Spark but floors in DuckDB, so the -(-a div b) trick
+            # would diverge across engines; this form is exact for total >= 1
+            F.expr(f"(total_toks + {seq_len - 1}) div {seq_len}")
+            .cast("long").alias("n_seqs"),
+            F.expr(
+                f"((total_toks + {seq_len - 1}) div {seq_len})"
+                f" * {seq_len} - total_toks"
+            ).cast("long").alias("tail_waste_toks"),
+            F.expr(
+                f"(10000 * (((total_toks + {seq_len - 1}) div {seq_len})"
+                f" * {seq_len} - total_toks))"
+                f" div (((total_toks + {seq_len - 1}) div {seq_len})"
+                f" * {seq_len})"
+            ).cast("long").alias("waste_bp"),
+            "n_split_docs",
+        )
+        .orderBy("shard")
+    )

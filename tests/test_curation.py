@@ -2469,3 +2469,111 @@ def test_global_shuffle_deterministic_and_seeded(spark):
     c = {r["doc_id"]: (r["shard"], r["pos"])
          for r in cu.global_shuffle(docs, seed="ep1").collect()}
     assert c != a  # a new epoch seed reshuffles
+
+
+def test_pack_sequences_tiles_and_matches_brute_force(spark):
+    """Concat-and-split packing: every (shard, seq) except the shard's last
+    tiles [0, SEQ_LEN) exactly with contiguous non-overlapping fragments;
+    each doc's fragments cover [0, n_tok) in order; rows equal a brute-force
+    Python pack over the same shuffle order; a long doc spans sequences."""
+    import hashlib
+    from collections import defaultdict
+
+    from pdf_parser_spark.operators import curation as cu
+
+    # varied lengths incl. one doc much longer than SEQ_LEN and one empty
+    rows = []
+    for i in range(60):
+        n_words = 1 + (i * 7) % 50 if i != 13 else 3 * cu.SEQ_LEN
+        rows.append((i, " ".join(f"w{j}" for j in range(n_words)),
+                     "en", "s", 0))
+    rows.append((99, "   ", "en", "s", 0))  # whitespace-only: packs nothing
+    docs = _docs(spark, rows)
+    got = [tuple(r) for r in cu.pack_sequences(docs)
+           .select("shard", "seq_id", "seq_slot_start", "doc_id",
+                   "doc_tok_start", "doc_tok_end", "n_toks").collect()]
+
+    # brute-force twin: shuffle order, then a running cursor per shard
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    n_tok = {i: (1 + (i * 7) % 50 if i != 13 else 3 * cu.SEQ_LEN) + 1
+             for i in range(60)}  # +1 EOS; doc 99 excluded
+    by_shard = defaultdict(list)
+    for d in range(60):
+        h = h32(f"{cu.SHUFFLE_SEED}:{d}")
+        by_shard[h % cu.SHUFFLE_SHARDS].append((h, d))
+    want = []
+    L = cu.SEQ_LEN
+    for shard, members in by_shard.items():
+        off = 0
+        for _, d in sorted(members):
+            for seq in range(off // L, (off + n_tok[d] - 1) // L + 1):
+                s0 = max(0, seq * L - off)
+                s1 = min(n_tok[d], (seq + 1) * L - off)
+                want.append((shard, seq, off + s0 - seq * L, d, s0, s1,
+                             s1 - s0))
+            off += n_tok[d]
+    assert sorted(got) == sorted(want)
+    assert 99 not in {r[3] for r in got}
+    assert len({r[1] for r in got if r[3] == 13}) >= 3  # long doc spans
+
+    # tiling invariant: every non-final sequence of a shard sums to L and
+    # its fragments are contiguous from slot 0
+    frags = defaultdict(list)
+    last_seq = defaultdict(int)
+    for shard, seq, slot, d, s0, s1, n in got:
+        frags[(shard, seq)].append((slot, n))
+        last_seq[shard] = max(last_seq[shard], seq)
+    for (shard, seq), fs in frags.items():
+        fs.sort()
+        assert fs[0][0] == 0
+        for (a0, an), (b0, _) in zip(fs, fs[1:]):
+            assert a0 + an == b0  # contiguous, no overlap, no gap
+        total = sum(n for _, n in fs)
+        assert total == L if seq < last_seq[shard] else total <= L
+
+    # per-doc coverage: fragments reassemble [0, n_tok) in seq order
+    by_doc = defaultdict(list)
+    for shard, seq, slot, d, s0, s1, n in got:
+        by_doc[d].append((seq, s0, s1))
+    for d, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][1] == 0 and spans[-1][2] == n_tok[d]
+        for (_, _, e0), (_, b1, _) in zip(spans, spans[1:]):
+            assert e0 == b1
+
+
+def test_packing_stats_waste_and_split_arithmetic(spark):
+    """packing_stats agrees with pack_sequences: n_seqs = max seq_id + 1,
+    tail waste = n_seqs*L - total, split docs = docs with >1 sequence."""
+    from collections import defaultdict
+
+    from pdf_parser_spark.operators import curation as cu
+
+    docs = _docs(spark, [
+        (i, " ".join(f"w{j}" for j in range(1 + (i * 11) % 40)), "en", "s", 0)
+        for i in range(50)
+    ])
+    packed = cu.pack_sequences(docs).collect()
+    stats = {r["shard"]: r for r in cu.packing_stats(docs).collect()}
+    L = cu.SEQ_LEN
+
+    seqs = defaultdict(set)
+    toks = defaultdict(int)
+    doc_seqs = defaultdict(set)
+    for r in packed:
+        seqs[r["shard"]].add(r["seq_id"])
+        toks[r["shard"]] += r["n_toks"]
+        doc_seqs[(r["shard"], r["doc_id"])].add(r["seq_id"])
+    assert set(stats) == set(seqs)
+    for shard, s in stats.items():
+        assert s["n_seqs"] == max(seqs[shard]) + 1 == len(seqs[shard])
+        assert s["total_toks"] == toks[shard]
+        assert s["tail_waste_toks"] == s["n_seqs"] * L - toks[shard]
+        assert 0 <= s["tail_waste_toks"] < L
+        assert s["waste_bp"] == (10000 * s["tail_waste_toks"]) // (s["n_seqs"] * L)
+        assert s["n_split_docs"] == sum(
+            1 for (sh, _), ss in doc_seqs.items()
+            if sh == shard and len(ss) > 1)
+        assert s["n_docs"] == sum(1 for (sh, _) in doc_seqs if sh == shard)
