@@ -926,6 +926,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_decontaminate_bloom": lambda s, d: curation.decontaminate_bloom(
             _docs(s, d), curation.benchmark_snippets(_docs(s, d))
         ),
+        # fuzzy decontamination: MinHash-band candidates vs the benchmark
+        # member documents (doc_id%37==0 stand-ins), exact-Jaccard verified
+        # — catches the near-duplicate-of-a-benchmark-item case exact
+        # n-gram matching misses
+        "c_decontaminate_fuzzy": lambda s, d: curation.decontaminate_fuzzy(
+            _docs(s, d),
+            _docs(s, d).where(F.col("doc_id") % curation.BENCH_MOD == 0)
+            .select(F.col("doc_id").alias("bench_id"), "text"),
+        ),
         "c_pii_scrub": lambda s, d: curation.pii_scrub(
             curation.with_synthetic_pii(_docs(s, d))
         ),
@@ -4632,6 +4641,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         # --- corpus curation ---
+        # fuzzy decontamination: the SAME banded layer as d_minhash_lsh,
+        # bench side = doc_id%37==0 members, exact-Jaccard verify in
+        # integer bp (both engines' integer div agree: operands >= 0)
+        "c_decontaminate_fuzzy": bands_cte + f"""
+            , cand AS (
+                SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+                       count(*) AS n_shared_bands
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                WHERE b.doc_id % {C.BENCH_MOD} = 0
+                GROUP BY 1, 2
+            )
+            SELECT c.doc_id, c.bench_id,
+                   CAST(c.n_shared_bands AS BIGINT) AS n_shared_bands,
+                   CAST((10000 * len(list_intersect(sa.shingles, sb.shingles)))
+                        // len(list_distinct(list_concat(sa.shingles,
+                                                         sb.shingles)))
+                        AS BIGINT) AS jaccard_bp
+            FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id
+                        JOIN sh sb ON sb.doc_id = c.bench_id
+            WHERE (10000 * len(list_intersect(sa.shingles, sb.shingles)))
+                  // len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                  >= {C.FUZZY_DECON_BP}
+            ORDER BY c.doc_id, c.bench_id
+        """,
         # benchmark = first-8-word snippets of doc_id%37==0 docs; a doc is
         # contaminated iff it shares a distinct word-3-gram with any snippet
         "c_decontaminate": f"""

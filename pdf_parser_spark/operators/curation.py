@@ -1527,3 +1527,74 @@ def packing_stats(
         )
         .orderBy("shard")
     )
+
+
+# --- fuzzy (MinHash-banded) benchmark decontamination -------------------------
+
+FUZZY_DECON_BP = 5000  # exact-Jaccard verify threshold for a candidate
+
+
+def decontaminate_fuzzy(
+    documents: DataFrame,
+    benchmark_docs: DataFrame,
+    n: int = 3,
+    threshold_bp: int = FUZZY_DECON_BP,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag corpus documents NEAR-DUPLICATE
+    to an eval-benchmark document.  Complements `decontaminate`, which fires
+    on ANY single shared n-gram — a common idiom coincidentally present in
+    one benchmark prompt nukes every doc using it (the false-positive
+    problem the GPT-3 paper's 13-gram rule is notorious for).  This face
+    requires near-copy-level similarity (exact shingle Jaccard >=
+    ``threshold_bp``), so one stray trigram never flags a doc, while a
+    benchmark item embedded with light edits still does.
+    ``benchmark_docs`` is (bench_id, text).
+
+    Candidates come from the SAME LSH band layer as d_minhash_lsh (a corpus
+    doc and a benchmark doc collide on any band bucket), then verify by
+    exact shingle Jaccard in integer basis points.  Output: one row per
+    (doc_id, bench_id) with jaccard_bp >= threshold —
+    (doc_id, bench_id, n_shared_bands, jaccard_bp).
+
+    Scale: benchmark sets are tiny (thousands of prompts) next to a 10^12
+    corpus, so the bench bands AND bench shingle sets broadcast; the corpus
+    side is the one banded scan dedup already pays, the band join is
+    bucket-local, and the exact verify joins only candidates back to their
+    two shingle sets.  Nothing all-pairs, nothing driver-side."""
+    from pdf_parser_spark.operators.dedup import minhash_bands
+
+    doc_bands = minhash_bands(documents, n)
+    bench = benchmark_docs.select(
+        F.col("bench_id").alias("doc_id"), "text"
+    )
+    bench_bands = minhash_bands(bench, n).select(
+        F.col("doc_id").alias("bench_id"), "band", "bucket"
+    )
+    cand = (
+        doc_bands.join(
+            F.broadcast(bench_bands), on=["band", "bucket"], how="inner"
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+    doc_sh = documents.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), n)).alias("sa")
+    )
+    bench_sh = benchmark_docs.select(
+        "bench_id",
+        F.array_distinct(word_shingles(F.col("text"), n)).alias("sb"),
+    )
+    icnt = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    ucnt = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    return (
+        cand.join(doc_sh, "doc_id")
+        .join(F.broadcast(bench_sh), "bench_id")
+        .withColumn("icnt", icnt.cast("long"))
+        .withColumn("ucnt", ucnt.cast("long"))
+        .withColumn(
+            "jaccard_bp", F.expr("(10000 * icnt) div ucnt").cast("long")
+        )
+        .where(F.col("jaccard_bp") >= threshold_bp)
+        .select("doc_id", "bench_id", "n_shared_bands", "jaccard_bp")
+        .orderBy("doc_id", "bench_id")
+    )

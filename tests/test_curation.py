@@ -2577,3 +2577,46 @@ def test_packing_stats_waste_and_split_arithmetic(spark):
             1 for (sh, _), ss in doc_seqs.items()
             if sh == shard and len(ss) > 1)
         assert s["n_docs"] == sum(1 for (sh, _) in doc_seqs if sh == shard)
+
+
+def test_decontaminate_fuzzy_threshold_vs_exact_ngram(spark):
+    """Fuzzy decontamination requires near-copy similarity: a doc sharing
+    exactly ONE trigram with the benchmark is flagged by the exact face but
+    NOT by the fuzzy face; an append-edited near-copy is flagged by both,
+    with jaccard_bp pinned by a Python shingle twin; a disjoint doc by
+    neither.  Self-copies score 10000."""
+    from pdf_parser_spark.operators import curation as cu
+
+    bench_text = " ".join(f"bword{j}" for j in range(30))
+    near_copy = bench_text + " tail1 tail2 tail3 tail4 tail5"
+    one_trigram = ("totally different opening bword0 bword1 bword2 "
+                   "and then unrelated closing words here")
+    disjoint = "nothing here overlaps with the benchmark at all ever"
+    docs = _docs(spark, [
+        (1, near_copy, "en", "s", 0),
+        (2, one_trigram, "en", "s", 0),
+        (3, disjoint, "en", "s", 0),
+        (4, bench_text, "en", "s", 0),
+    ])
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "bench_id long, text string")
+
+    fuzzy = {(r["doc_id"], r["bench_id"]): r
+             for r in cu.decontaminate_fuzzy(docs, bench).collect()}
+    assert (4, 100) in fuzzy and fuzzy[(4, 100)]["jaccard_bp"] == 10000
+    assert (1, 100) in fuzzy
+    # python twin of the jaccard: shingle sets of near_copy vs bench
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    inter = len(sh(near_copy) & sh(bench_text))
+    union = len(sh(near_copy) | sh(bench_text))
+    assert fuzzy[(1, 100)]["jaccard_bp"] == (10000 * inter) // union >= 5000
+    assert all(d != 2 for d, _ in fuzzy) and all(d != 3 for d, _ in fuzzy)
+
+    # the exact-ngram face DOES flag the one-trigram doc (its documented
+    # any-hit rule) — the false-positive class the fuzzy face suppresses
+    exact = {r["doc_id"]: r for r in cu.decontaminate(
+        docs, bench.select(F.col("text").alias("snippet"))).collect()}
+    assert exact[2]["contaminated"] and exact[2]["n_hits"] == 1
+    assert exact[1]["contaminated"] and not exact[3]["contaminated"]
