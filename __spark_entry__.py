@@ -608,6 +608,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": lambda s, d: __import__(
             "pdf_parser_spark.streaming.dedup", fromlist=["dedup_via_stream"]
         ).dedup_via_stream(s, d),
+        # streaming LSH near-dup candidate feed: stateful first-seen keeper
+        # per band bucket; one-batch replay makes the keeper the bucket min,
+        # so the batch oracle is exact
+        "st_neardup": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.neardup",
+            fromlist=["neardup_via_stream"],
+        ).neardup_via_stream(s, d),
         # watermark late-DROP semantics: 4-batch replay with a re-delivered
         # early batch that must be dropped (and a trap batch that would
         # re-emit duplicates if it were merged instead)
@@ -3097,6 +3104,21 @@ def oracle_sql() -> dict[str, str]:
                    AND dup_paras_chars * 100 <= paras_chars * {TS.REP_MAX_DUP_PARA_CHAR_PCT}
                    AND top2_chars * 100 <= nws_chars * {TS.REP_MAX_TOP2GRAM_CHAR_PCT}) AS rep_passed
             FROM joined ORDER BY doc_id
+        """,
+        # streaming near-dup feed held to the batch twin: one-batch replay
+        # elects the bucket's min doc_id as keeper, so the feed is exactly
+        # (bucket min) x (every later bucket member)
+        "st_neardup": bands_cte + """
+            , k AS (
+                SELECT band, bucket, min(doc_id) AS keeper
+                FROM banded GROUP BY band, bucket
+            )
+            SELECT CAST(b.band AS BIGINT) AS band, b.bucket,
+                   CAST(k.keeper AS BIGINT) AS keeper_doc_id, b.doc_id
+            FROM banded b JOIN k
+              ON b.band = k.band AND b.bucket = k.bucket
+            WHERE b.doc_id <> k.keeper
+            ORDER BY b.band, b.bucket, b.doc_id
         """,
         # streaming exact dedup held to the batch DISTINCT oracle: the
         # surviving state keys must be exactly the distinct fingerprints

@@ -3044,3 +3044,52 @@ def test_zipf_buckets_geometric_ladder(spark):
     assert (out[3]["n_types"], out[3]["n_tokens"]) == (1, 8)          # f
     assert out[3]["token_share_bp"] == 10000 * 8 // total
     assert sum(r["n_tokens"] for r in out.values()) == total
+
+
+def test_streaming_neardup_first_seen_keeper_across_batches(spark, tmp_path):
+    """Streaming LSH near-dup feed: within one batch the keeper is the
+    bucket's min doc_id; across batches election is FIRST-SEEN-WINS — a
+    lower doc_id arriving later is flagged against the EXISTING keeper
+    (the documented asymmetry vs batch min-election); non-colliding docs
+    emit nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming.neardup import stream_neardup
+
+    def write_batch(path, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }), path)
+
+    dup_text = " ".join(f"w{j}" for j in range(20))  # identical => all bands
+    other = "completely different content with no shared shingles at all"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 0: docs 10 and 7 are copies -> keeper 7 (min within batch)
+    write_batch(str(in_dir / "b0.parquet"), [(10, dup_text), (7, dup_text),
+                                             (50, other)])
+    q = stream_neardup(spark, str(in_dir), str(tmp_path / "ckpt"),
+                       "neardup_test")
+    q.processAllAvailable()
+    rows0 = spark.table("neardup_test").collect()
+    assert {r["doc_id"] for r in rows0} == {10}
+    assert {r["keeper_doc_id"] for r in rows0} == {7}
+    assert len(rows0) == 4  # identical text collides on all 4 bands
+
+    # batch 1: doc 3 (LOWER than keeper 7) arrives late -> flagged vs 7,
+    # which keeps its buckets (first-seen-wins, NOT re-election)
+    write_batch(str(in_dir / "b1.parquet"), [(3, dup_text)])
+    q.processAllAvailable()
+    q.stop()
+    rows1 = [r for r in spark.table("neardup_test").collect()
+             if r["doc_id"] == 3]
+    assert len(rows1) == 4
+    assert {r["keeper_doc_id"] for r in rows1} == {7}
+    # the non-colliding doc never appears on either side
+    allr = spark.table("neardup_test").collect()
+    assert all(r["doc_id"] != 50 and r["keeper_doc_id"] != 50 for r in allr)
