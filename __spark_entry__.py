@@ -958,6 +958,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_pack_sequences": lambda s, d: curation.pack_sequences(_docs(s, d)),
         # per-shard packing datasheet: tail waste + boundary-split docs
         "c_packing_stats": lambda s, d: curation.packing_stats(_docs(s, d)),
+        # the curation-to-trainer lifecycle under ONE hash: corpus_build
+        # survivors -> shuffle-ordered concat-and-split packing manifest
+        "c_release_manifest": lambda s, d: curation.release_manifest(
+            _docs(s, d)
+        ),
         # fixed-context-window chunking: in-scan explode, no shuffle
         "c_chunk_windows": lambda s, d: curation.chunk_windows(_docs(s, d)),
         # epoch-weighted data mixing: per-source token-count dim -> integer
@@ -1502,6 +1507,49 @@ def oracle_sql() -> dict[str, str]:
     _rate_cases = " ".join(
         f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(C.DEFAULT_RATES.items())
     )
+
+    def _pack_seq_sql_for(tbl: str, lead: str = "WITH") -> str:
+        """The pack_sequences twin (shuffle-order offsets + concat-and-split
+        explode) over any docs-shaped CTE/table — ONE definition shared by
+        c_pack_sequences and the release-manifest composition so the packing
+        twin cannot drift between the two faces.  `//` (floor) here vs `div`
+        (trunc) in Spark agree because every operand is non-negative."""
+        return f"""{lead} pk AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('{C.SHUFFLE_SEED}:' || doc_id),
+                                            1, 8)) AS BIGINT) AS h,
+                       CAST(len({_TOKS}) + 1 AS BIGINT) AS n_tok
+                FROM {tbl} WHERE trim(text) <> ''
+            ), psh AS (
+                SELECT doc_id, h, n_tok,
+                       ((h % {C.SHUFFLE_SHARDS}) + {C.SHUFFLE_SHARDS})
+                       % {C.SHUFFLE_SHARDS} AS shard
+                FROM pk
+            ), po AS (
+                SELECT doc_id, shard, n_tok,
+                       sum(n_tok) OVER (PARTITION BY shard
+                                        ORDER BY h, doc_id) - n_tok AS off
+                FROM psh
+            ), pe AS (
+                SELECT doc_id, shard, n_tok, off,
+                       unnest(range(CAST(off // {C.SEQ_LEN} AS BIGINT),
+                                    CAST((off + n_tok - 1) // {C.SEQ_LEN} + 1
+                                         AS BIGINT))) AS seq_id
+                FROM po
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(off + greatest(0, seq_id * {C.SEQ_LEN} - off)
+                        - seq_id * {C.SEQ_LEN} AS BIGINT) AS seq_slot_start,
+                   doc_id,
+                   CAST(greatest(0, seq_id * {C.SEQ_LEN} - off) AS BIGINT)
+                       AS doc_tok_start,
+                   CAST(least(n_tok, (seq_id + 1) * {C.SEQ_LEN} - off)
+                        AS BIGINT) AS doc_tok_end,
+                   CAST(least(n_tok, (seq_id + 1) * {C.SEQ_LEN} - off)
+                        - greatest(0, seq_id * {C.SEQ_LEN} - off) AS BIGINT)
+                       AS n_toks
+            FROM pe ORDER BY doc_id, seq_id"""
 
     def _corpus_chain_for(tbl: str) -> str:
         """The corpus_build stage chain (gate -> exact-dedup keepers ->
@@ -5153,45 +5201,15 @@ def oracle_sql() -> dict[str, str]:
             FROM sh ORDER BY doc_id
         """,
         # concat-and-split packing: the shuffle's (shard, h, doc_id) order
-        # + EOS-inclusive prefix sums; `//` (floor) here vs `div` (trunc)
-        # in Spark agree because every operand is non-negative
-        "c_pack_sequences": f"""
-            WITH k AS (
-                SELECT doc_id,
-                       CAST(('0x' || substr(md5('{C.SHUFFLE_SEED}:' || doc_id),
-                                            1, 8)) AS BIGINT) AS h,
-                       CAST(len({_TOKS}) + 1 AS BIGINT) AS n_tok
-                FROM documents WHERE trim(text) <> ''
-            ), sh AS (
-                SELECT doc_id, h, n_tok,
-                       ((h % {C.SHUFFLE_SHARDS}) + {C.SHUFFLE_SHARDS})
-                       % {C.SHUFFLE_SHARDS} AS shard
-                FROM k
-            ), o AS (
-                SELECT doc_id, shard, n_tok,
-                       sum(n_tok) OVER (PARTITION BY shard
-                                        ORDER BY h, doc_id) - n_tok AS off
-                FROM sh
-            ), e AS (
-                SELECT doc_id, shard, n_tok, off,
-                       unnest(range(CAST(off // {C.SEQ_LEN} AS BIGINT),
-                                    CAST((off + n_tok - 1) // {C.SEQ_LEN} + 1
-                                         AS BIGINT))) AS seq_id
-                FROM o
-            )
-            SELECT CAST(shard AS BIGINT) AS shard,
-                   CAST(seq_id AS BIGINT) AS seq_id,
-                   CAST(off + greatest(0, seq_id * {C.SEQ_LEN} - off)
-                        - seq_id * {C.SEQ_LEN} AS BIGINT) AS seq_slot_start,
-                   doc_id,
-                   CAST(greatest(0, seq_id * {C.SEQ_LEN} - off) AS BIGINT)
-                       AS doc_tok_start,
-                   CAST(least(n_tok, (seq_id + 1) * {C.SEQ_LEN} - off)
-                        AS BIGINT) AS doc_tok_end,
-                   CAST(least(n_tok, (seq_id + 1) * {C.SEQ_LEN} - off)
-                        - greatest(0, seq_id * {C.SEQ_LEN} - off) AS BIGINT)
-                       AS n_toks
-            FROM e ORDER BY doc_id, seq_id
+        # + EOS-inclusive prefix sums (shared twin: _pack_seq_sql_for)
+        "c_pack_sequences": _pack_seq_sql_for("documents"),
+        # the release composition: corpus_build's survivor chain feeding
+        # the packing twin — gate, dedup keeper, decontamination, sampling,
+        # shuffle order and split arithmetic must ALL agree for one hash
+        "c_release_manifest": f"""
+            WITH {_corpus_chain_for("documents")},
+            surv AS (SELECT d.* FROM documents d JOIN t USING (doc_id))
+            {_pack_seq_sql_for("surv", lead=",")}
         """,
         "c_packing_stats": f"""
             WITH k AS (

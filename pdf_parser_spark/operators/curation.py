@@ -1598,3 +1598,19 @@ def decontaminate_fuzzy(
         .select("doc_id", "bench_id", "n_shared_bands", "jaccard_bp")
         .orderBy("doc_id", "bench_id")
     )
+
+
+def release_manifest(documents: DataFrame) -> DataFrame:
+    """The curation-to-trainer lifecycle as ONE dataflow: corpus_build's
+    survivor chain (gate -> exact dedup -> decontaminate -> stratified
+    sample) feeding pack_sequences' shuffle-ordered concat-and-split — the
+    manifest a trainer reads is a pure function of the raw corpus, and a
+    drift in ANY stage (gate reasons, keeper election, contamination set,
+    sampling hash, shuffle order, split arithmetic) changes the hash.
+
+    Scale: corpus_build's semi-join chain + pack_sequences' one window per
+    shard; the packing runs on the (much smaller) survivor set."""
+    survivors = documents.join(
+        corpus_build(documents).select("doc_id"), "doc_id", "left_semi"
+    )
+    return pack_sequences(survivors)

@@ -2620,3 +2620,19 @@ def test_decontaminate_fuzzy_threshold_vs_exact_ngram(spark):
         docs, bench.select(F.col("text").alias("snippet"))).collect()}
     assert exact[2]["contaminated"] and exact[2]["n_hits"] == 1
     assert exact[1]["contaminated"] and not exact[3]["contaminated"]
+
+
+def test_release_manifest_composes_build_then_pack(spark):
+    """release_manifest == pack_sequences over exactly corpus_build's
+    survivor set, computed independently stage by stage."""
+    from pdf_parser_spark.operators import curation as cu
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    surv_ids = {r["doc_id"] for r in cu.corpus_build(docs).collect()}
+    manual = cu.pack_sequences(
+        docs.where(F.col("doc_id").isin(list(surv_ids))))
+    got = cu.release_manifest(docs)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, manual.collect()))
+    assert {r["doc_id"] for r in got.select("doc_id").distinct().collect()
+            } <= surv_ids
