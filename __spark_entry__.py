@@ -780,6 +780,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_video_neardup": lambda s, d: multimodal.video_neardup(
             multimodal.synthetic_video(_docs(s, d))
         ),
+        # audio near-dup: window-energy fingerprint containment over tone
+        # WAVs + head-trimmed reposts; the fingerprint stage IS the audited
+        # audio_energy kernel (real RIFF parsing on real written bytes)
+        "m_audio_neardup": lambda s, d: multimodal.audio_neardup(
+            _docs(s, d)
+        ),
         "m_frame_sample": lambda s, d: multimodal.sample_ppm_frames(
             multimodal.synthetic_video(_docs(s, d))
         ).select(
@@ -5503,6 +5509,61 @@ def oracle_sql() -> dict[str, str]:
         # frame, so |diff| is 1 except at the 255->0 wrap — sad = n_px +
         # 254 * wrap_count, recomputed exactly from the seed formula; a
         # parse/pairing bug in the engine's real-bytes walk mismatches
+        # audio near-dup: window energies recomputed from the tone formula
+        # (sample j = (j*j*7 + doc*13) % 4096 - 2048) for original + head-
+        # trimmed capture sets — the trim is exactly one analysis window,
+        # so copy windows re-chunk onto original windows 1.. — then the
+        # same postings join + containment fold as the video face
+        "m_audio_neardup": f"""
+            WITH a AS (
+                SELECT doc_id,
+                       CAST({MM.AUD_TONE_N} + doc_id % 100 AS BIGINT) AS n
+                FROM documents WHERE doc_id % 3 = 1
+            ), caps AS (
+                SELECT doc_id, doc_id AS cap_id, CAST(0 AS BIGINT) AS skip, n
+                FROM a
+                UNION ALL
+                SELECT doc_id, doc_id + {MM.AUD_COPY_OFFSET} AS cap_id,
+                       CAST(1 AS BIGINT) AS skip, n
+                FROM a WHERE n > {MM.AE_WIN}
+            ), wins AS (
+                SELECT cap_id, doc_id, skip, n,
+                       unnest(range(0, CAST((n - skip * {MM.AE_WIN}
+                                             + {MM.AE_WIN - 1})
+                                            // {MM.AE_WIN} AS BIGINT))) AS w
+                FROM caps
+            ), aen AS (
+                SELECT cap_id,
+                       list_sum(list_transform(
+                           range(CAST((skip + w) * {MM.AE_WIN} AS BIGINT),
+                                 CAST(least(n, (skip + w + 1) * {MM.AE_WIN})
+                                      AS BIGINT)),
+                           j -> ((j*j*7 + doc_id*13) % 4096 - 2048)
+                              * ((j*j*7 + doc_id*13) % 4096 - 2048)))
+                           AS energy
+                FROM wins
+            ), fps AS (
+                SELECT DISTINCT cap_id, energy FROM aen
+            ), cnt AS (
+                SELECT cap_id, count(*) AS n FROM fps GROUP BY cap_id
+            ), shr AS (
+                SELECT fa.cap_id AS cap_a, fb.cap_id AS cap_b,
+                       count(*) AS n_shared
+                FROM fps fa JOIN fps fb
+                  ON fa.energy = fb.energy AND fa.cap_id < fb.cap_id
+                GROUP BY 1, 2
+            )
+            SELECT s.cap_a, s.cap_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+                   CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+                   CAST((10000 * s.n_shared) // least(ca.n, cb.n) AS BIGINT)
+                       AS contain_bp,
+                   s.cap_b - s.cap_a = {MM.AUD_COPY_OFFSET} AS is_trim_pair
+            FROM shr s JOIN cnt ca ON ca.cap_id = s.cap_a
+                       JOIN cnt cb ON cb.cap_id = s.cap_b
+            WHERE (10000 * s.n_shared) // least(ca.n, cb.n)
+                  >= {MM.AUD_CONTAIN_BP}
+            ORDER BY s.cap_a, s.cap_b
+        """,
         # video near-dup: per-frame aHash recomputed from the seeded-P6
         # formula for original + trimmed capture sets, postings join +
         # containment fold in SQL

@@ -187,6 +187,19 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         "m_shot_detect": lambda: multimodal.shot_boundaries(
             multimodal.synthetic_video(docs)
         ),
+        # shuffle-ordered concat-and-split packing manifest (one window per
+        # shard + in-stage arithmetic explode, no token text materialized)
+        "c_pack_sequences": lambda: curation.pack_sequences(docs),
+        # MinHash-banded fuzzy decontamination (bench bands broadcast,
+        # exact-Jaccard verify on candidates only)
+        "c_decontaminate_fuzzy": lambda: (lambda F: curation.decontaminate_fuzzy(
+            docs,
+            docs.where(F.col("doc_id") % curation.BENCH_MOD == 0)
+            .select(F.col("doc_id").alias("bench_id"), "text"),
+        ))(__import__("pyspark.sql.functions", fromlist=["x"])),
+        # the composed curation-to-trainer lifecycle (build -> shuffle ->
+        # pack) — the heaviest curation chain under one timing
+        "c_release_manifest": lambda: curation.release_manifest(docs),
     }
     times: dict[str, float] = {}
     for name, build in suite.items():

@@ -1232,3 +1232,128 @@ def video_neardup(
         )
         .orderBy("cap_a", "cap_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup: the crawl-scale audio duplicate is a RE-POST (same clip
+# with the head trimmed / re-encoded), so byte hashes miss it.  Fingerprint
+# every analysis window by its exact PCM energy (the audio_energy kernel —
+# REAL RIFF parsing, shared with the VAD face), fold to DISTINCT
+# fingerprints per capture, and join captures on shared fingerprints
+# (postings-style, like video_neardup) with a containment fold.  A trim of
+# whole windows (the re-post case synthesized below) leaves every surviving
+# window's energy identical, so the copy is contained 100%.
+# ---------------------------------------------------------------------------
+
+AUD_COPY_OFFSET = 1_000_000  # trimmed-repost cap_id = doc_id + offset
+AUD_CONTAIN_BP = 5_000       # near-dup iff shared/min(windows) >= 50%
+AUD_TONE_N = 200             # samples = AUD_TONE_N + doc_id % 100 (mono)
+AUD_TONE_RATE = 8000
+
+
+def audio_tone_payload(doc_id: int) -> bytes:
+    """Deterministic NON-periodic mono WAV for the near-dup corpus: sample
+    j = (j*j*7 + doc_id*13) % 4096 - 2048.  (make_wav's byte ramp repeats
+    with period exactly AE_WIN samples, collapsing every full window to one
+    fingerprint — useless for discriminating captures; the quadratic term
+    makes every window's energy distinct and doc-specific.)"""
+    import numpy as np
+
+    n = AUD_TONE_N + doc_id % 100
+    j = np.arange(n, dtype=np.int64)
+    samples = ((j * j * 7 + doc_id * 13) % 4096 - 2048).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, AUD_TONE_RATE, AUD_TONE_RATE * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_captures(df: DataFrame) -> DataFrame:
+    """(cap_id, payload): a tone WAV per doc_id % 3 == 1 document plus its
+    head-trimmed repost (first AE_WIN samples dropped — REAL re-wrapped
+    RIFF bytes, cap_id = doc_id + AUD_COPY_OFFSET).  Docs shorter than one
+    window emit no copy (never happens for the tone formula's n >= 200)."""
+    import numpy as np  # noqa: F401 (audio_tone_payload uses it)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 3 != 1:
+                    continue
+                full = audio_tone_payload(d)
+                ids.append(d)
+                payloads.append(full)
+                n = AUD_TONE_N + d % 100
+                if n > AE_WIN:
+                    # re-wrap the tail samples as a fresh RIFF (a repost is
+                    # a new file, not a spliced one)
+                    data_off = full.index(b"data") + 8
+                    tail = full[data_off + 2 * AE_WIN:]
+                    fmt = struct.pack("<HHIIHH", 1, 1, AUD_TONE_RATE,
+                                      AUD_TONE_RATE * 2, 2, 16)
+                    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt))
+                            + fmt + b"data" + struct.pack("<I", len(tail))
+                            + tail)
+                    ids.append(d + AUD_COPY_OFFSET)
+                    payloads.append(b"RIFF" + struct.pack("<I", len(body))
+                                    + body)
+            yield pd.DataFrame({"cap_id": ids, "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(fn, "cap_id long, payload binary")
+
+
+def audio_neardup(
+    df: DataFrame, contain_bp: int = AUD_CONTAIN_BP
+) -> DataFrame:
+    """Near-dup audio pairs by window-energy fingerprint containment:
+    (cap_a, cap_b, n_shared, n_a, n_b, contain_bp, is_trim_pair).
+
+    The fingerprint stage IS audio_energy (the audited VAD kernel — RIFF
+    envelope clamps included), so the detector and the energy face can
+    never disagree about what a window's energy is.  Fold mirrors
+    video_neardup: DISTINCT (capture, energy) postings, equi-join on the
+    energy key (never all-pairs), exact integer containment in bp.
+
+    Scale: fingerprinting is the one Arrow stage audio already pays; the
+    postings join is keyed on the energy value (a viral clip makes a hot
+    posting — absorbed by the pair groupBy's partial aggregation); counts
+    ride broadcast-sized dims."""
+    caps = audio_captures(df)
+    en = audio_energy(caps.withColumnRenamed("cap_id", "doc_id"))
+    fps = (
+        en.select(F.col("doc_id").alias("cap_id"), "energy").distinct()
+    )
+    counts = fps.groupBy("cap_id").agg(F.count("*").cast("long").alias("n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            on=(F.col("a.energy") == F.col("b.energy"))
+            & (F.col("a.cap_id") < F.col("b.cap_id")),
+        )
+        .groupBy(
+            F.col("a.cap_id").alias("cap_a"), F.col("b.cap_id").alias("cap_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ca = counts.select(F.col("cap_id").alias("cap_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("cap_id").alias("cap_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(ca, "cap_a").join(cb, "cap_b")
+        .withColumn(
+            "contain_bp",
+            F.expr("CAST((10000 * n_shared) div least(n_a, n_b) AS BIGINT)"),
+        )
+        .where(F.col("contain_bp") >= contain_bp)
+        .select(
+            "cap_a", "cap_b", "n_shared", "n_a", "n_b", "contain_bp",
+            (F.col("cap_b") - F.col("cap_a") == AUD_COPY_OFFSET).alias(
+                "is_trim_pair"
+            ),
+        )
+        .orderBy("cap_a", "cap_b")
+    )
