@@ -969,6 +969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_release_manifest": lambda s, d: curation.release_manifest(
             _docs(s, d)
         ),
+        # token-budget selection: best-quality-first fill WITHOUT a global
+        # sort (bucket dim window + per-bucket hash-ordered prefix)
+        "c_budget_select": lambda s, d: curation.budget_select(_docs(s, d)),
         # fixed-context-window chunking: in-scan explode, no shuffle
         "c_chunk_windows": lambda s, d: curation.chunk_windows(_docs(s, d)),
         # epoch-weighted data mixing: per-source token-count dim -> integer
@@ -5205,6 +5208,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY shard
                         ORDER BY h ASC, doc_id ASC) - 1 AS BIGINT) AS pos
             FROM sh ORDER BY doc_id
+        """,
+        # token-budget selection: quality quantized to integer bp buckets,
+        # strictly-better prefix over the bucket dim, within-bucket
+        # (md5, doc_id) hash order — kept iff the doc STARTS before the
+        # budget line (the crossing doc is kept; stated overshoot)
+        "c_budget_select": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       CAST(round(({_quality_sql()}) * 10000) AS BIGINT)
+                           AS quality_bp,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), b AS (
+                SELECT quality_bp, sum(n_tokens) AS bucket_tokens
+                FROM q GROUP BY quality_bp
+            ), bet AS (
+                SELECT quality_bp,
+                       sum(bucket_tokens) OVER (ORDER BY quality_bp DESC)
+                       - bucket_tokens AS better_tokens
+                FROM b
+            ), r AS (
+                SELECT doc_id, quality_bp, n_tokens,
+                       CAST(('0x' || substr(md5('{C.BUDGET_SEED}:' || doc_id),
+                                            1, 8)) AS BIGINT) AS h
+                FROM q
+            ), wp AS (
+                SELECT doc_id, quality_bp, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY quality_bp
+                                           ORDER BY h, doc_id)
+                       - n_tokens AS within_prefix
+                FROM r
+            )
+            SELECT wp.doc_id, wp.quality_bp, wp.n_tokens,
+                   bet.better_tokens + wp.within_prefix
+                   < {C.BUDGET_TOKENS} AS kept
+            FROM wp JOIN bet USING (quality_bp)
+            ORDER BY wp.doc_id
         """,
         # concat-and-split packing: the shuffle's (shard, h, doc_id) order
         # + EOS-inclusive prefix sums (shared twin: _pack_seq_sql_for)

@@ -1614,3 +1614,74 @@ def release_manifest(documents: DataFrame) -> DataFrame:
         corpus_build(documents).select("doc_id"), "doc_id", "left_semi"
     )
     return pack_sequences(survivors)
+
+
+# --- token-budget selection (fill a training budget with the best docs) ------
+
+BUDGET_TOKENS = 20_000  # sf-sized; production: the trillion-token target
+BUDGET_SEED = "bsel"    # within-bucket tie order is a pure hash function
+
+
+def budget_select(
+    documents: DataFrame, budget_tokens: int = BUDGET_TOKENS
+) -> DataFrame:
+    """Token-budget selection: keep the highest-quality documents until the
+    training budget fills ("select the best N tokens" — the step between
+    scoring and mixing in every budgeted corpus build).  A document is kept
+    iff the tokens of all strictly-better-quality docs plus its own
+    within-bucket prefix start BEFORE the budget line (the one crossing doc
+    is kept, so the output slightly overshoots — deterministic, and stated).
+
+    Output: (doc_id, quality_bp, n_tokens, kept) for every doc, ordered by
+    doc_id — the audit face a curation review wants (who was cut and by how
+    much), with `kept` carrying the selection.
+
+    Scale design — this is deliberately NOT a global ORDER BY + running sum
+    (a corpus-wide single-partition window): quality quantizes to <= 10001
+    integer-bp buckets, so (1) bucket token totals are one small groupBy,
+    (2) the strictly-better prefix is a window over the BUCKET DIM (10^4
+    rows, not 10^12), broadcast back, and (3) the only per-doc ordering
+    work is a window PARTITIONED BY bucket (parallel across buckets, each
+    ~corpus/10^4) whose order is a pure (md5, doc_id) hash function — so
+    ties inside the boundary bucket resolve reproducibly, not by cluster
+    race."""
+    from pdf_parser_spark.operators.textstats import quality_score
+
+    t = quality_score(documents).select(
+        "doc_id",
+        F.round(F.col("quality") * 10000).cast("long").alias("quality_bp"),
+        "n_tokens",
+    )
+    buckets = t.groupBy("quality_bp").agg(
+        F.sum("n_tokens").cast("long").alias("bucket_tokens")
+    )
+    # strictly-better prefix over the bucket dim (tiny: <= 10001 rows)
+    wdim = Window.orderBy(F.col("quality_bp").desc())
+    better = buckets.select(
+        "quality_bp",
+        (F.coalesce(
+            F.sum("bucket_tokens").over(wdim), F.lit(0)
+        ) - F.col("bucket_tokens")).cast("long").alias("better_tokens"),
+    )
+    h = portable_hash32(
+        F.concat(F.lit(BUDGET_SEED + ":"), F.col("doc_id").cast("string"))
+    )
+    wb = Window.partitionBy("quality_bp").orderBy("h", "doc_id")
+    ranked = (
+        t.withColumn("h", h)
+        .withColumn(
+            "within_prefix",
+            (F.sum("n_tokens").over(wb) - F.col("n_tokens")).cast("long"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(better), "quality_bp")
+        .select(
+            "doc_id",
+            "quality_bp",
+            "n_tokens",
+            (F.col("better_tokens") + F.col("within_prefix")
+             < F.lit(budget_tokens)).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2636,3 +2636,43 @@ def test_release_manifest_composes_build_then_pack(spark):
         map(tuple, manual.collect()))
     assert {r["doc_id"] for r in got.select("doc_id").distinct().collect()
             } <= surv_ids
+
+
+def test_budget_select_quality_first_fill_and_boundary(spark):
+    """budget_select == a brute-force Python fill over (quality desc, hash,
+    doc_id) order: all kept docs start before the budget line, higher
+    quality always wins over lower, the crossing doc is kept (stated
+    overshoot), and within the boundary bucket the hash order decides."""
+    import hashlib
+
+    from pdf_parser_spark.operators import curation as cu
+    from pdf_parser_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, [
+        (i, " ".join(f"w{j}" for j in range((i * 13) % 60 + 5)), "en", "s", 0)
+        for i in range(60)
+    ])
+    budget = 400
+    got = {r["doc_id"]: r for r in
+           cu.budget_select(docs, budget_tokens=budget).collect()}
+    q = {r["doc_id"]: (int(round(r["quality"] * 10000)), r["n_tokens"])
+         for r in quality_score(docs).collect()}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    order = sorted(q, key=lambda d: (-q[d][0],
+                                     h32(f"{cu.BUDGET_SEED}:{d}"), d))
+    cum, want_kept = 0, set()
+    for d in order:
+        if cum < budget:
+            want_kept.add(d)
+        cum += q[d][1]
+    assert {d for d, r in got.items() if r["kept"]} == want_kept
+    assert len(got) == 60  # audit face: every doc present
+    for d, r in got.items():
+        assert (r["quality_bp"], r["n_tokens"]) == q[d]
+    # overshoot is at most the crossing doc's own tokens
+    kept_toks = sum(q[d][1] for d in want_kept)
+    last = max(want_kept, key=lambda d: order.index(d))
+    assert kept_toks - q[last][1] < budget <= kept_toks
