@@ -972,6 +972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-budget selection: best-quality-first fill WITHOUT a global
         # sort (bucket dim window + per-bucket hash-ordered prefix)
         "c_budget_select": lambda s, d: curation.budget_select(_docs(s, d)),
+        # curriculum/annealing read order: tiers worst-first, hash shuffle
+        # within tier (n_tiers x n_shards independent window sorts)
+        "c_curriculum_order": lambda s, d: curation.curriculum_order(
+            _docs(s, d)
+        ),
         # fixed-context-window chunking: in-scan explode, no shuffle
         "c_chunk_windows": lambda s, d: curation.chunk_windows(_docs(s, d)),
         # epoch-weighted data mixing: per-source token-count dim -> integer
@@ -1516,6 +1521,31 @@ def oracle_sql() -> dict[str, str]:
     _rate_cases = " ".join(
         f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(C.DEFAULT_RATES.items())
     )
+
+    # quality-tier map over the bounded 4dp value histogram — ONE fragment
+    # shared by c_quality_tiers and c_curriculum_order so the tier rule
+    # cannot drift between the standalone face and the composition
+    _tiers_ctes = f"""scored AS (
+                SELECT doc_id,
+                       round(0.5 * ({_hits(_EN)} / 10.0)
+                           + 0.3 * (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOKS}) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+                           + 0.2 * least(len({_TOKS}) / 100.0, 1.0), 4) AS quality
+                FROM documents
+            ), hist AS (
+                SELECT quality, count(*) AS cnt FROM scored GROUP BY quality
+            ), cum AS (
+                SELECT quality, cnt,
+                       sum(cnt) OVER (ORDER BY quality DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - cnt AS cum_before,
+                       sum(cnt) OVER () AS total
+                FROM hist
+            ), tiers AS (
+                SELECT quality,
+                       CAST(least({C.N_TIERS} - 1,
+                            ({C.N_TIERS} * cum_before) // total) AS BIGINT) AS tier
+                FROM cum
+            )"""
 
     def _pack_seq_sql_for(tbl: str, lead: str = "WITH") -> str:
         """The pack_sequences twin (shuffle-order offsets + concat-and-split
@@ -5875,30 +5905,31 @@ def oracle_sql() -> dict[str, str]:
         # distinct value maps to ONE tier (value-quantile semantics), so no
         # global per-row sort exists in either engine
         "c_quality_tiers": f"""
-            WITH scored AS (
-                SELECT doc_id,
-                       round(0.5 * ({_hits(_EN)} / 10.0)
-                           + 0.3 * (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOKS}) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
-                           + 0.2 * least(len({_TOKS}) / 100.0, 1.0), 4) AS quality
-                FROM documents
-            ), hist AS (
-                SELECT quality, count(*) AS cnt FROM scored GROUP BY quality
-            ), cum AS (
-                SELECT quality, cnt,
-                       sum(cnt) OVER (ORDER BY quality DESC
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                           - cnt AS cum_before,
-                       sum(cnt) OVER () AS total
-                FROM hist
-            ), tiers AS (
-                SELECT quality,
-                       CAST(least({C.N_TIERS} - 1,
-                            ({C.N_TIERS} * cum_before) // total) AS BIGINT) AS tier
-                FROM cum
-            )
+            WITH {_tiers_ctes}
             SELECT s.doc_id, s.quality, t.tier
             FROM scored s JOIN tiers t USING (quality)
             ORDER BY s.doc_id
+        """,
+        # curriculum/annealing read order: the tier map (shared fragment)
+        # composed with the shuffle hash — pos is per (tier, shard)
+        "c_curriculum_order": f"""
+            WITH {_tiers_ctes},
+            dt AS (
+                SELECT s.doc_id, t.tier,
+                       CAST(('0x' || substr(md5('{C.SHUFFLE_SEED}:'
+                                                || s.doc_id), 1, 8))
+                            AS BIGINT) AS h
+                FROM scored s JOIN tiers t USING (quality)
+            ), dsh AS (
+                SELECT doc_id, tier, h,
+                       ((h % {C.SHUFFLE_SHARDS}) + {C.SHUFFLE_SHARDS})
+                       % {C.SHUFFLE_SHARDS} AS shard
+                FROM dt
+            )
+            SELECT doc_id, tier, CAST(shard AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY tier, shard
+                        ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM dsh ORDER BY doc_id
         """,
         # asymmetric containment over the corpus + formula-derived excerpts:
         # (inter*10000) div |shA| in exact basis points

@@ -1685,3 +1685,44 @@ def budget_select(
         )
         .orderBy("doc_id")
     )
+
+
+def curriculum_order(
+    documents: DataFrame,
+    seed: str = SHUFFLE_SEED,
+    n_shards: int = SHUFFLE_SHARDS,
+    n_tiers: int = N_TIERS,
+) -> DataFrame:
+    """Curriculum/annealing read order: training consumes quality tiers
+    WORST-FIRST (tier n-1 .. 0), so the highest-quality data lands at the
+    end of training — the annealing schedule modern pipelines run — while
+    WITHIN a tier the order is the deterministic hash shuffle (stationary
+    batches inside each phase).  (doc_id, tier, shard, pos): a reader walks
+    tiers descending, shards in any order, pos ascending.
+
+    Scale: quality_tiers' bounded-histogram tier map (no global sort) +
+    global_shuffle's hash sharding; the only per-doc ordering is a window
+    per (tier, shard) — n_tiers x n_shards independent sorts of
+    corpus/(tiers*shards) rows each."""
+    from pdf_parser_spark.operators.textstats import quality_score
+
+    tiers = quality_tiers(
+        quality_score(documents).select("doc_id", "quality"), n_tiers
+    ).select("doc_id", "tier")
+    h = portable_hash32(
+        F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
+    )
+    keyed = (
+        documents.select("doc_id")
+        .join(tiers, "doc_id")
+        .withColumn("h", h)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("long"))
+    )
+    w = Window.partitionBy("tier", "shard").orderBy("h", "doc_id")
+    return (
+        keyed.select(
+            "doc_id", "tier", "shard",
+            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2676,3 +2676,40 @@ def test_budget_select_quality_first_fill_and_boundary(spark):
     kept_toks = sum(q[d][1] for d in want_kept)
     last = max(want_kept, key=lambda d: order.index(d))
     assert kept_toks - q[last][1] < budget <= kept_toks
+
+
+def test_curriculum_order_tiers_and_dense_positions(spark):
+    """curriculum_order: tier agrees with quality_tiers, positions are
+    dense 0..n-1 per (tier, shard), the within-group order is the shuffle
+    hash order, and no document is lost."""
+    import hashlib
+    from collections import defaultdict
+
+    from pdf_parser_spark.operators import curation as cu
+    from pdf_parser_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, [
+        (i, " ".join(f"w{j}" for j in range((i * 17) % 80 + 3)), "en", "s", 0)
+        for i in range(70)
+    ])
+    got = {r["doc_id"]: (r["tier"], r["shard"], r["pos"])
+           for r in cu.curriculum_order(docs).collect()}
+    assert len(got) == 70
+    want_tier = {r["doc_id"]: r["tier"] for r in cu.quality_tiers(
+        quality_score(docs).select("doc_id", "quality")).collect()}
+    assert {d: t for d, (t, _, _) in got.items()} == want_tier
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    groups = defaultdict(list)
+    for d, (t, sh, pos) in got.items():
+        assert sh == h32(f"{cu.SHUFFLE_SEED}:{d}") % cu.SHUFFLE_SHARDS
+        groups[(t, sh)].append((pos, d))
+    for (t, sh), members in groups.items():
+        members.sort()
+        assert [p for p, _ in members] == list(range(len(members)))
+        by_hash = sorted(members,
+                         key=lambda pd: (h32(f"{cu.SHUFFLE_SEED}:{pd[1]}"),
+                                         pd[1]))
+        assert members == by_hash
