@@ -977,6 +977,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_curriculum_order": lambda s, d: curation.curriculum_order(
             _docs(s, d)
         ),
+        # license tagging: substring battery with most-restrictive-wins
+        # precedence over injected co-occurring footers
+        "c_license_tags": lambda s, d: curation.license_tags(
+            curation.with_license_lines(_docs(s, d))
+        ),
+        # the datasheet rollup a release's legal review reads first
+        "c_license_rollup": lambda s, d: curation.license_rollup(
+            _docs(s, d)
+        ),
         # fixed-context-window chunking: in-scan explode, no shuffle
         "c_chunk_windows": lambda s, d: curation.chunk_windows(_docs(s, d)),
         # epoch-weighted data mixing: per-source token-count dim -> integer
@@ -5238,6 +5247,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY shard
                         ORDER BY h ASC, doc_id ASC) - 1 AS BIGINT) AS pos
             FROM sh ORDER BY doc_id
+        """,
+        # license tagging: footers re-derived from the coprime moduli, the
+        # SAME most-restrictive-wins CASE order (separator differences
+        # can't matter — detection is pure substring containment)
+        "c_license_tags": f"""
+            WITH lt AS (
+                SELECT doc_id, text
+                    || CASE WHEN doc_id % {C.LICENSE_MOD_SA} = 0 THEN chr(10)
+                        || 'Licensed under creativecommons.org/licenses/by-sa/4.0/'
+                        ELSE '' END
+                    || CASE WHEN doc_id % {C.LICENSE_MOD_BY} = 0 THEN chr(10)
+                        || 'Licensed under creativecommons.org/licenses/by/4.0/'
+                        ELSE '' END
+                    || CASE WHEN doc_id % {C.LICENSE_MOD_PD} = 0 THEN chr(10)
+                        || 'This work is dedicated to the public domain (CC0).'
+                        ELSE '' END
+                    || CASE WHEN doc_id % {C.LICENSE_MOD_ARR} = 0 THEN chr(10)
+                        || 'All rights reserved.' ELSE '' END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN contains(t, 'All rights reserved')
+                            THEN 'all-rights-reserved'
+                        WHEN contains(t, 'creativecommons.org/licenses/by-sa')
+                            THEN 'cc-by-sa'
+                        WHEN contains(t, 'creativecommons.org/licenses/by')
+                            THEN 'cc-by'
+                        WHEN contains(t, 'public domain')
+                            THEN 'public-domain'
+                        ELSE 'none' END AS license
+            FROM lt ORDER BY doc_id
+        """,
+        "c_license_rollup": f"""
+            WITH lt AS (
+                SELECT doc_id, text
+                    || CASE WHEN doc_id % {C.LICENSE_MOD_SA} = 0 THEN chr(10)
+                        || 'Licensed under creativecommons.org/licenses/by-sa/4.0/'
+                        ELSE '' END
+                    || CASE WHEN doc_id % {C.LICENSE_MOD_BY} = 0 THEN chr(10)
+                        || 'Licensed under creativecommons.org/licenses/by/4.0/'
+                        ELSE '' END
+                    || CASE WHEN doc_id % {C.LICENSE_MOD_PD} = 0 THEN chr(10)
+                        || 'This work is dedicated to the public domain (CC0).'
+                        ELSE '' END
+                    || CASE WHEN doc_id % {C.LICENSE_MOD_ARR} = 0 THEN chr(10)
+                        || 'All rights reserved.' ELSE '' END AS t
+                FROM documents
+            ), tags AS (
+                SELECT doc_id,
+                       CASE WHEN contains(t, 'All rights reserved')
+                                THEN 'all-rights-reserved'
+                            WHEN contains(t, 'creativecommons.org/licenses/by-sa')
+                                THEN 'cc-by-sa'
+                            WHEN contains(t, 'creativecommons.org/licenses/by')
+                                THEN 'cc-by'
+                            WHEN contains(t, 'public domain')
+                                THEN 'public-domain'
+                            ELSE 'none' END AS license
+                FROM lt
+            ), tk AS (
+                SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), per AS (
+                SELECT license, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+                FROM tags JOIN tk USING (doc_id) GROUP BY license
+            ), tot AS (SELECT sum(n_tokens) AS tot FROM per)
+            SELECT license, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST((10000 * n_tokens) // tot AS BIGINT)
+                       AS token_share_bp
+            FROM per, tot ORDER BY license
         """,
         # token-budget selection: quality quantized to integer bp buckets,
         # strictly-better prefix over the bucket dim, within-bucket

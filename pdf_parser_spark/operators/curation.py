@@ -1726,3 +1726,89 @@ def curriculum_order(
         )
         .orderBy("doc_id")
     )
+
+
+# --- license tagging (the governance column every corpus release carries) ----
+
+# detection order matters: the MORE RESTRICTIVE tag must win when both
+# strings appear (cc-by-sa contains 'creativecommons.org/licenses/by-sa';
+# a bare '/by/' link is plain cc-by)
+LICENSE_MOD_SA = 9    # doc_id % 9 == 0 -> CC BY-SA footer
+LICENSE_MOD_BY = 7    # doc_id % 7 == 0 -> CC BY footer
+LICENSE_MOD_PD = 11   # doc_id % 11 == 0 -> public-domain dedication
+LICENSE_MOD_ARR = 5   # doc_id % 5 == 0 -> all-rights-reserved notice
+
+
+def with_license_lines(documents: DataFrame) -> DataFrame:
+    """Add a ``text_lic`` column: the doc plus deterministic license
+    footers on coprime doc_id moduli (several can co-occur — exactly the
+    ambiguity the tagger's precedence must resolve).  Pure function of
+    (doc_id, text), so the oracle re-derives the identical text."""
+    did = F.col("doc_id")
+    lines = F.array(
+        F.col("text"),
+        F.when(did % LICENSE_MOD_SA == 0, F.lit(
+            "Licensed under creativecommons.org/licenses/by-sa/4.0/"
+        )).otherwise(F.lit("")),
+        F.when(did % LICENSE_MOD_BY == 0, F.lit(
+            "Licensed under creativecommons.org/licenses/by/4.0/"
+        )).otherwise(F.lit("")),
+        F.when(did % LICENSE_MOD_PD == 0, F.lit(
+            "This work is dedicated to the public domain (CC0)."
+        )).otherwise(F.lit("")),
+        F.when(did % LICENSE_MOD_ARR == 0, F.lit(
+            "All rights reserved."
+        )).otherwise(F.lit("")),
+    )
+    return documents.withColumn(
+        "text_lic", F.concat_ws("\n", F.filter(lines, lambda x: x != ""))
+    )
+
+
+def license_tags(df: DataFrame, text_col: str = "text_lic") -> DataFrame:
+    """Per-doc license tag by substring battery with explicit precedence —
+    the rule a corpus datasheet needs stated, not implied: the most
+    RESTRICTIVE detected tag wins (all-rights-reserved > cc-by-sa > cc-by >
+    public-domain > none), because shipping a doc under a laxer tag than
+    any notice on the page is the expensive mistake.  (doc_id, license).
+
+    Scale: four JVM `contains` predicates in one scan projection — no
+    regex backtracking, no Python, no shuffle."""
+    t = F.col(text_col)
+    lic = (
+        F.when(t.contains("All rights reserved"), F.lit("all-rights-reserved"))
+        .when(t.contains("creativecommons.org/licenses/by-sa"),
+              F.lit("cc-by-sa"))
+        .when(t.contains("creativecommons.org/licenses/by"), F.lit("cc-by"))
+        .when(t.contains("public domain"), F.lit("public-domain"))
+        .otherwise(F.lit("none"))
+    )
+    return df.select("doc_id", lic.alias("license")).orderBy("doc_id")
+
+
+def license_rollup(documents: DataFrame) -> DataFrame:
+    """Corpus license datasheet: per tag, doc count and exact token share
+    in integer bp — the table a release's legal review reads first.
+    (license, n_docs, n_tokens, token_share_bp)."""
+    tagged = license_tags(with_license_lines(documents))
+    toks = documents.select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    per = (
+        tagged.join(toks, "doc_id")
+        .groupBy("license")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens").alias("tot")).select("tot")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "license", "n_docs", "n_tokens",
+            F.expr("(10000 * n_tokens) div tot").cast("long")
+            .alias("token_share_bp"),
+        )
+        .orderBy("license")
+    )

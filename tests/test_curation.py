@@ -2713,3 +2713,33 @@ def test_curriculum_order_tiers_and_dense_positions(spark):
                          key=lambda pd: (h32(f"{cu.SHUFFLE_SEED}:{pd[1]}"),
                                          pd[1]))
         assert members == by_hash
+
+
+def test_license_precedence_most_restrictive_wins(spark):
+    """Every precedence collision resolves to the MORE restrictive tag:
+    doc 0 carries all four footers -> all-rights-reserved; by-sa beats by;
+    by beats public-domain only when by is present; clean docs tag none;
+    rollup shares sum to <= 10000 bp with exact integer arithmetic."""
+    from pdf_parser_spark.operators import curation as cu
+
+    # moduli: SA=9, BY=7, PD=11, ARR=5
+    docs = _docs(spark, [
+        (0, "ten words of body text here for the doc zero", "en", "s", 0),
+        (63, "body", "en", "s", 0),     # 63 % 9 == 0 and % 7 == 0 -> by-sa
+        (7, "body", "en", "s", 0),      # by only
+        (77, "body", "en", "s", 0),     # 7 and 11 -> by beats public-domain
+        (11, "body", "en", "s", 0),     # public-domain only
+        (5, "body", "en", "s", 0),      # all-rights-reserved
+        (1, "body", "en", "s", 0),      # none
+    ])
+    tags = {r["doc_id"]: r["license"] for r in cu.license_tags(
+        cu.with_license_lines(docs)).collect()}
+    assert tags == {0: "all-rights-reserved", 63: "cc-by-sa", 7: "cc-by",
+                    77: "cc-by", 11: "public-domain",
+                    5: "all-rights-reserved", 1: "none"}
+
+    roll = {r["license"]: r for r in cu.license_rollup(docs).collect()}
+    total = sum(r["n_tokens"] for r in roll.values())
+    for r in roll.values():
+        assert r["token_share_bp"] == (10000 * r["n_tokens"]) // total
+    assert sum(r["n_docs"] for r in roll.values()) == 7
