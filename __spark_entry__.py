@@ -986,6 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_license_rollup": lambda s, d: curation.license_rollup(
             _docs(s, d)
         ),
+        # repeat-budget audit sharing mixture_resample's epoch arithmetic:
+        # epochs_bp per source + the ~4-epoch healthy-repetition verdict
+        "c_epoch_plan": lambda s, d: curation.epoch_plan(_docs(s, d)),
         # fixed-context-window chunking: in-scan explode, no shuffle
         "c_chunk_windows": lambda s, d: curation.chunk_windows(_docs(s, d)),
         # epoch-weighted data mixing: per-source token-count dim -> integer
@@ -5247,6 +5250,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY shard
                         ORDER BY h ASC, doc_id ASC) - 1 AS BIGINT) AS pos
             FROM sh ORDER BY doc_id
+        """,
+        # epoch-repeat plan: the same e_bp = budget*w div src_tokens rule
+        # as c_mixture_resample, rolled to the source dim with the
+        # 4-epoch healthy bound
+        "c_epoch_plan": f"""
+            WITH wt AS (SELECT * FROM (VALUES {", ".join(
+                f"('{s}', {w})" for s, w in sorted(C.MIXTURE_WEIGHTS.items())
+            )}) w(source, weight_bp)),
+            tot AS (
+                SELECT d.source, w.weight_bp,
+                       CAST(sum(len({_TOKS})) AS BIGINT) AS src_tokens
+                FROM documents d JOIN wt w ON w.source = d.source
+                GROUP BY d.source, w.weight_bp
+            )
+            SELECT source, CAST(weight_bp AS BIGINT) AS weight_bp,
+                   src_tokens,
+                   CAST(({C.EPOCH_BUDGET_TOKENS} * weight_bp) // 10000
+                        AS BIGINT) AS target_tokens,
+                   CAST(({C.EPOCH_BUDGET_TOKENS} * weight_bp) // src_tokens
+                        AS BIGINT) AS epochs_bp,
+                   CAST((({C.EPOCH_BUDGET_TOKENS} * weight_bp) // src_tokens)
+                        // 10000 AS BIGINT) AS full_epochs,
+                   ({C.EPOCH_BUDGET_TOKENS} * weight_bp) // src_tokens
+                       > {C.EPOCH_MAX_HEALTHY_BP} AS exceeds_healthy
+            FROM tot ORDER BY source
         """,
         # license tagging: footers re-derived from the coprime moduli, the
         # SAME most-restrictive-wins CASE order (separator differences

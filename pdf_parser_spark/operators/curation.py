@@ -1812,3 +1812,62 @@ def license_rollup(documents: DataFrame) -> DataFrame:
         )
         .orderBy("license")
     )
+
+
+# --- epoch-repeat planning (how many times each source repeats under a
+# budget, and whether that exceeds the healthy-repetition regime) -------------
+
+EPOCH_BUDGET_TOKENS = 30_000  # sf-sized; production: the training budget
+EPOCH_MAX_HEALTHY_BP = 40_000  # ~4 epochs: past this, repeated data's value
+                               # decays rapidly (Muennighoff et al. 2023,
+                               # 'Scaling Data-Constrained LMs', fig. 1)
+
+
+def epoch_plan(
+    documents: DataFrame,
+    weights: dict[str, int] | None = None,
+    budget_tokens: int = EPOCH_BUDGET_TOKENS,
+) -> DataFrame:
+    """The repeat-budget audit run BEFORE mixture_resample commits to a
+    mixture: per source, how many epochs the budget implies and whether
+    that crosses the ~4-epoch healthy-repetition bound.  Shares
+    mixture_resample's exact epoch arithmetic (e_bp = budget * weight_bp
+    div src_tokens) so the plan and the resampler can never disagree.
+
+    (source, weight_bp, src_tokens, target_tokens, epochs_bp, full_epochs,
+    exceeds_healthy) — all exact integers; epochs_bp is basis points of an
+    epoch (14999 = 1.4999 epochs).
+
+    Scale: one map-side-combined groupBy to the #sources dim; everything
+    after is dim-sized arithmetic."""
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    dim = documents.sparkSession.createDataFrame(
+        sorted(weights.items()), "source string, weight_bp long"
+    )
+    tot = (
+        documents.select(
+            "source", F.size(words(F.col("text"))).cast("long").alias("n"),
+        )
+        .join(F.broadcast(dim), "source")
+        .groupBy("source", "weight_bp")
+        .agg(F.sum("n").cast("long").alias("src_tokens"))
+    )
+    return (
+        tot.withColumn(
+            "target_tokens",
+            F.expr(f"({budget_tokens} * weight_bp) div 10000").cast("long"),
+        )
+        .withColumn(
+            "epochs_bp",
+            F.expr(f"({budget_tokens} * weight_bp) div src_tokens")
+            .cast("long"),
+        )
+        .select(
+            "source", "weight_bp", "src_tokens", "target_tokens",
+            "epochs_bp",
+            F.expr("epochs_bp div 10000").cast("long").alias("full_epochs"),
+            (F.col("epochs_bp") > EPOCH_MAX_HEALTHY_BP)
+            .alias("exceeds_healthy"),
+        )
+        .orderBy("source")
+    )

@@ -2743,3 +2743,34 @@ def test_license_precedence_most_restrictive_wins(spark):
     for r in roll.values():
         assert r["token_share_bp"] == (10000 * r["n_tokens"]) // total
     assert sum(r["n_docs"] for r in roll.values()) == 7
+
+
+def test_epoch_plan_matches_resampler_arithmetic(spark):
+    """epoch_plan shares mixture_resample's e_bp rule exactly: for an
+    engineered corpus, epochs_bp == budget*w div src_tokens, full_epochs
+    is its 10000-div, and the healthy bound fires only past 4 epochs."""
+    from pdf_parser_spark.operators import curation as cu
+
+    # src0: 10 tokens total, weight 4000 -> with budget 30000: e_bp = 12000*...
+    docs = _docs(spark, [
+        (1, "a b c d e", "en", "src0", 0),      # 5 tokens
+        (2, "a b c d e", "en", "src0", 0),      # 5 tokens
+        (3, " ".join(["w"] * 3000), "en", "src1", 0),  # big enough that
+        # e_bp = 30000*3000/3000 = 30000 bp (3 epochs) stays healthy
+        (4, " ".join(["w"] * 2), "en", "src2", 0),   # tiny -> huge epochs
+        (5, " ".join(["w"] * 50), "en", "src3", 0),
+    ])
+    plan = {r["source"]: r for r in cu.epoch_plan(docs).collect()}
+    w = cu.MIXTURE_WEIGHTS
+    b = cu.EPOCH_BUDGET_TOKENS
+    avail = {"src0": 10, "src1": 3000, "src2": 2, "src3": 50}
+    for s, r in plan.items():
+        e_bp = (b * w[s]) // avail[s]
+        assert r["src_tokens"] == avail[s]
+        assert r["epochs_bp"] == e_bp
+        assert r["full_epochs"] == e_bp // 10000
+        assert r["target_tokens"] == (b * w[s]) // 10000
+        assert r["exceeds_healthy"] == (e_bp > cu.EPOCH_MAX_HEALTHY_BP)
+    # src2 at 2 tokens against a 30000*0.2 target is wildly over-repeated
+    assert plan["src2"]["exceeds_healthy"]
+    assert not plan["src1"]["exceeds_healthy"]
