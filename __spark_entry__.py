@@ -989,6 +989,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # repeat-budget audit sharing mixture_resample's epoch arithmetic:
         # epochs_bp per source + the ~4-epoch healthy-repetition verdict
         "c_epoch_plan": lambda s, d: curation.epoch_plan(_docs(s, d)),
+        # eval-integrity report: exact vs fuzzy contamination counts per
+        # benchmark item (idiom-collision vs real-leak signatures)
+        "c_contamination_report": lambda s, d: curation.contamination_report(
+            _docs(s, d)
+        ),
         # fixed-context-window chunking: in-scan explode, no shuffle
         "c_chunk_windows": lambda s, d: curation.chunk_windows(_docs(s, d)),
         # epoch-weighted data mixing: per-source token-count dim -> integer
@@ -1533,6 +1538,34 @@ def oracle_sql() -> dict[str, str]:
     _rate_cases = " ".join(
         f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(C.DEFAULT_RATES.items())
     )
+
+    # fuzzy-decontamination pair stream (appended after bands_cte): banded
+    # candidates vs the doc_id%37 bench members, exact-Jaccard verified —
+    # ONE fragment shared by c_decontaminate_fuzzy and
+    # c_contamination_report so the pair rule cannot drift
+    _fuzzy_ctes = f"""
+            , fcand AS (
+                SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+                       count(*) AS n_shared_bands
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                WHERE b.doc_id % {C.BENCH_MOD} = 0
+                GROUP BY 1, 2
+            ), fuzzy AS (
+                SELECT c.doc_id, c.bench_id,
+                       CAST(c.n_shared_bands AS BIGINT) AS n_shared_bands,
+                       CAST((10000 * len(list_intersect(sa.shingles,
+                                                        sb.shingles)))
+                            // len(list_distinct(list_concat(sa.shingles,
+                                                             sb.shingles)))
+                            AS BIGINT) AS jaccard_bp
+                FROM fcand c JOIN sh sa ON sa.doc_id = c.doc_id
+                             JOIN sh sb ON sb.doc_id = c.bench_id
+                WHERE (10000 * len(list_intersect(sa.shingles, sb.shingles)))
+                      // len(list_distinct(list_concat(sa.shingles,
+                                                       sb.shingles)))
+                      >= {C.FUZZY_DECON_BP}
+            )"""
 
     # quality-tier map over the bounded 4dp value histogram — ONE fragment
     # shared by c_quality_tiers and c_curriculum_order so the tier rule
@@ -4764,28 +4797,45 @@ def oracle_sql() -> dict[str, str]:
         # --- corpus curation ---
         # fuzzy decontamination: the SAME banded layer as d_minhash_lsh,
         # bench side = doc_id%37==0 members, exact-Jaccard verify in
-        # integer bp (both engines' integer div agree: operands >= 0)
-        "c_decontaminate_fuzzy": bands_cte + f"""
-            , cand AS (
-                SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
-                       count(*) AS n_shared_bands
-                FROM banded a JOIN banded b
-                  ON a.band = b.band AND a.bucket = b.bucket
-                WHERE b.doc_id % {C.BENCH_MOD} = 0
-                GROUP BY 1, 2
+        # integer bp (shared fragment: _fuzzy_ctes, also composed by
+        # c_contamination_report)
+        "c_decontaminate_fuzzy": bands_cte + _fuzzy_ctes + """
+            SELECT doc_id, bench_id, n_shared_bands, jaccard_bp
+            FROM fuzzy ORDER BY doc_id, bench_id
+        """,
+        # eval-integrity report: per benchmark item, how many OTHER corpus
+        # docs hit it exactly (any shared snippet trigram) vs fuzzily
+        # (near-copy-level Jaccard) — the fuzzy CTE is the shared fragment
+        "c_contamination_report": bands_cte + _fuzzy_ctes + f"""
+            , bitems AS (
+                SELECT doc_id AS bench_id FROM documents
+                WHERE doc_id % {C.BENCH_MOD} = 0
+            ), bsh AS (
+                SELECT DISTINCT doc_id AS bench_id,
+                       unnest(list_distinct({_SNIP_SHINGLES})) AS s
+                FROM documents WHERE doc_id % {C.BENCH_MOD} = 0
+            ), docsh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_distinct({_SHINGLES})) AS s
+                FROM documents
+            ), ex AS (
+                SELECT b.bench_id,
+                       count(DISTINCT d.doc_id) AS n_exact_docs
+                FROM bsh b JOIN docsh d USING (s)
+                WHERE d.doc_id <> b.bench_id GROUP BY b.bench_id
+            ), fz AS (
+                SELECT bench_id, count(DISTINCT doc_id) AS n_fuzzy_docs
+                FROM fuzzy WHERE doc_id <> bench_id GROUP BY bench_id
             )
-            SELECT c.doc_id, c.bench_id,
-                   CAST(c.n_shared_bands AS BIGINT) AS n_shared_bands,
-                   CAST((10000 * len(list_intersect(sa.shingles, sb.shingles)))
-                        // len(list_distinct(list_concat(sa.shingles,
-                                                         sb.shingles)))
-                        AS BIGINT) AS jaccard_bp
-            FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id
-                        JOIN sh sb ON sb.doc_id = c.bench_id
-            WHERE (10000 * len(list_intersect(sa.shingles, sb.shingles)))
-                  // len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-                  >= {C.FUZZY_DECON_BP}
-            ORDER BY c.doc_id, c.bench_id
+            SELECT bi.bench_id,
+                   CAST(coalesce(ex.n_exact_docs, 0) AS BIGINT)
+                       AS n_exact_docs,
+                   CAST(coalesce(fz.n_fuzzy_docs, 0) AS BIGINT)
+                       AS n_fuzzy_docs
+            FROM bitems bi
+            LEFT JOIN ex ON ex.bench_id = bi.bench_id
+            LEFT JOIN fz ON fz.bench_id = bi.bench_id
+            ORDER BY bi.bench_id
         """,
         # benchmark = first-8-word snippets of doc_id%37==0 docs; a doc is
         # contaminated iff it shares a distinct word-3-gram with any snippet

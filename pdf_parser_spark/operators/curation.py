@@ -1871,3 +1871,60 @@ def epoch_plan(
         )
         .orderBy("source")
     )
+
+
+def contamination_report(
+    documents: DataFrame, n: int = 3, threshold_bp: int = FUZZY_DECON_BP
+) -> DataFrame:
+    """Eval-integrity report: per benchmark item, how many OTHER corpus
+    documents hit it EXACTLY (share any snippet n-gram — the high-recall,
+    false-positive-prone rule) vs FUZZILY (near-copy Jaccard — the
+    high-precision rule).  A large exact count with a zero fuzzy count is
+    the idiom-collision signature; a nonzero fuzzy count is a real leak.
+    (bench_id, n_exact_docs, n_fuzzy_docs), zero-filled over all items.
+
+    Scale: the exact side broadcasts the (tiny) snippet shingle set; the
+    fuzzy side is decontaminate_fuzzy's banded plan; both roll up to the
+    benchmark dim."""
+    bench = documents.where(
+        F.col("doc_id") % BENCH_MOD == 0
+    ).select(F.col("doc_id").alias("bench_id"), "text")
+    snippet = F.concat_ws(" ", F.slice(words(F.col("text")), 1, 8))
+    bsh = (
+        bench.select(
+            "bench_id",
+            F.explode(
+                F.array_distinct(word_shingles(snippet, n))
+            ).alias("s"),
+        ).distinct()
+    )
+    dsh = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), n)))
+        .alias("s"),
+    ).distinct()
+    ex = (
+        dsh.join(F.broadcast(bsh), "s")
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("bench_id")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_exact_docs"))
+    )
+    fz = (
+        decontaminate_fuzzy(documents, bench, n, threshold_bp)
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("bench_id")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_fuzzy_docs"))
+    )
+    return (
+        bench.select("bench_id")
+        .join(ex, "bench_id", "left")
+        .join(fz, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce(F.col("n_exact_docs"), F.lit(0)).cast("long")
+            .alias("n_exact_docs"),
+            F.coalesce(F.col("n_fuzzy_docs"), F.lit(0)).cast("long")
+            .alias("n_fuzzy_docs"),
+        )
+        .orderBy("bench_id")
+    )

@@ -2774,3 +2774,30 @@ def test_epoch_plan_matches_resampler_arithmetic(spark):
     # src2 at 2 tokens against a 30000*0.2 target is wildly over-repeated
     assert plan["src2"]["exceeds_healthy"]
     assert not plan["src1"]["exceeds_healthy"]
+
+
+def test_contamination_report_exact_vs_fuzzy_signatures(spark):
+    """The report separates the idiom-collision signature (exact hit, no
+    fuzzy hit) from the real-leak signature (both): one doc quotes a single
+    trigram of bench item 0, another is a near-copy of it; an untouched
+    bench item reports zeros; the bench doc itself never counts."""
+    from pdf_parser_spark.operators import curation as cu
+
+    bench_text = " ".join(f"bw{j}" for j in range(30))
+    docs = _docs(spark, [
+        (0, bench_text, "en", "s", 0),                      # bench item
+        (37, "nothing shared with anything here at all ok", "en", "s", 0),
+        # near-copy sharing exactly 1 of 4 MinHash bands with item 0 (the
+        # 3-tail variant deterministically flips every band minimum — LSH
+        # recall is probabilistic and this fixture pins a true collision)
+        (1, bench_text + " tail1 tail2", "en", "s", 0),
+        (2, "opening words bw0 bw1 bw2 closing words here", "en", "s", 0),
+    ])
+    rep = {r["bench_id"]: r
+           for r in cu.contamination_report(docs).collect()}
+    assert set(rep) == {0, 37}
+    # item 0: docs 1 (near-copy -> exact AND fuzzy) and 2 (one trigram ->
+    # exact only); the snippet is the first 8 words, which doc 2 quotes
+    assert rep[0]["n_exact_docs"] == 2
+    assert rep[0]["n_fuzzy_docs"] == 1
+    assert rep[37]["n_exact_docs"] == 0 and rep[37]["n_fuzzy_docs"] == 0
