@@ -567,6 +567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": lambda s, d: textstats.repetition_stats(_docs(s, d)),
         # corpus vocabulary report: top-10 terms per language
         "t_top_terms": lambda s, d: textstats.top_terms(_docs(s, d)),
+        # CMS heavy hitters: mergeable d x w counter sketch, one-sided
+        # guarantee hash-checked as exact integer verdicts
+        "t_cms_heavy_hitters": lambda s, d: textstats.cms_heavy_hitters(
+            _docs(s, d)
+        ),
         # skew-proof two-phase top-k: salted candidate windows AFTER the
         # global count — exact by construction, same oracle as t_top_terms
         "t_top_terms_2p": lambda s, d: textstats.top_terms_two_phase(
@@ -5300,6 +5305,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY shard
                         ORDER BY h ASC, doc_id ASC) - 1 AS BIGINT) AS pos
             FROM sh ORDER BY doc_id
+        """,
+        # CMS heavy hitters: counters rebuilt from the distinct-term dim
+        # with the same affine hash rows; min-over-rows estimate; the
+        # one-sided guarantee as exact integer verdicts
+        "t_cms_heavy_hitters": f"""
+            WITH ctoks AS (
+                SELECT unnest({_TOKS}) AS term FROM documents
+            ), ccounts AS (
+                SELECT term, count(*) AS cnt FROM ctoks GROUP BY term
+            ), cpar AS (
+                SELECT * FROM (VALUES {", ".join(
+                    f"({i}, {a}, {b})"
+                    for i, (a, b) in enumerate(TS.CMS_PARAMS)
+                )}) p(row_i, a, b)
+            ), cbk AS (
+                SELECT c.term, c.cnt, p.row_i,
+                       ((p.a * {_H32.format(x='c.term')} + p.b)
+                        % 4294967296) % {TS.CMS_W} AS bucket
+                FROM ccounts c CROSS JOIN cpar p
+            ), ccells AS (
+                SELECT row_i, bucket, sum(cnt) AS cell
+                FROM cbk GROUP BY row_i, bucket
+            ), cest AS (
+                SELECT b.term, b.cnt, min(l.cell) AS cms_est
+                FROM cbk b JOIN ccells l
+                  ON l.row_i = b.row_i AND l.bucket = b.bucket
+                GROUP BY b.term, b.cnt
+            ), ctot AS (SELECT sum(cnt) AS n FROM ccounts),
+            ctop AS (
+                SELECT * FROM cest ORDER BY cnt DESC, term
+                LIMIT {TS.CMS_TOPK}
+            )
+            SELECT term, CAST(cnt AS BIGINT) AS true_count,
+                   CAST(cms_est AS BIGINT) AS cms_est,
+                   CAST(cms_est - cnt AS BIGINT) AS overcount,
+                   (cms_est - cnt) * {TS.CMS_W}
+                       <= {TS.CMS_EPS_NUM} * n AS within_eps
+            FROM ctop, ctot ORDER BY true_count DESC, term
         """,
         # epoch-repeat plan: the same e_bp = budget*w div src_tokens rule
         # as c_mixture_resample, rolled to the source dim with the

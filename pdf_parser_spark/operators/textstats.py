@@ -2130,3 +2130,82 @@ def filter_agreement(documents: DataFrame) -> DataFrame:
         )
         .orderBy("nb_label", "gate_passed")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the third
+# classic mergeable sketch next to the GK quantiles and HLL distinct faces:
+# d x w integer counters, every row a pairwise-independent hash, estimate =
+# min over rows.  The guarantee is ONE-SIDED (est >= true always; est <=
+# true + eps*N with prob 1-delta), which makes it hash-checkable as exact
+# integer verdicts rather than rows-only: overcounts are deterministic
+# given fixed hash params, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4    # rows (delta = e^-4 ~= 1.8%)
+CMS_W = 64   # buckets per row (sf-sized; production 2^20+)
+CMS_EPS_NUM = 3  # eps ~= e/w spelled as the integer bound (est-true)*w <= 3*N
+# affine params over the portable 32-bit hash (a < 2^20: exact in int64)
+CMS_PARAMS: tuple[tuple[int, int], ...] = (
+    (131071, 524287), (786433, 196613), (917503, 262139), (655357, 131063),
+)
+CMS_TOPK = 20
+_CMS_M = 1 << 32
+
+
+def cms_heavy_hitters(documents: DataFrame, topk: int = CMS_TOPK) -> DataFrame:
+    """Heavy hitters with their CMS estimates and the one-sided guarantee
+    checked: (term, true_count, cms_est, overcount, within_eps) for the
+    top-k terms by exact count (count desc, term asc).
+
+    - overcount = cms_est - true_count is >= 0 ALWAYS (a CMS never
+      undercounts) — a negative value means the sketch is broken;
+    - within_eps = overcount * w <= 3 * N (the eps*N bound with eps ~= e/w
+      as an exact integer compare).
+
+    Scale design — the sketch exists for the pass this op takes: counters
+    build from the DISTINCT-term count dim (explode d rows per distinct
+    term with its count as the weight, then one (row, bucket) groupBy of
+    d*w cells), never from the raw token stream; at 10^12 docs the counter
+    table is d*w integers and merges across partitions by addition, which
+    is the entire point of the sketch."""
+    toks = documents.select(
+        F.explode(words(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    hashed = counts.withColumn("h", portable_hash32(F.col("term")))
+    buckets = hashed.select(
+        "term", "cnt",
+        F.posexplode(
+            F.array(*[
+                ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_CMS_M)
+                 % F.lit(CMS_W)).cast("long")
+                for a, b in CMS_PARAMS
+            ])
+        ).alias("row", "bucket"),
+    )
+    counters = buckets.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cell")
+    )
+    est = (
+        buckets.join(counters, ["row", "bucket"])
+        .groupBy("term", "cnt")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    top = (
+        est.orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(topk)
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        top.select(
+            "term",
+            F.col("cnt").alias("true_count"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).cast("long").alias("overcount"),
+            ((F.col("cms_est") - F.col("cnt")) * CMS_W
+             <= CMS_EPS_NUM * F.col("n_total")).alias("within_eps"),
+        )
+        .orderBy(F.col("true_count").desc(), F.col("term"))
+    )

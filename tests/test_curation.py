@@ -2801,3 +2801,44 @@ def test_contamination_report_exact_vs_fuzzy_signatures(spark):
     assert rep[0]["n_exact_docs"] == 2
     assert rep[0]["n_fuzzy_docs"] == 1
     assert rep[37]["n_exact_docs"] == 0 and rep[37]["n_fuzzy_docs"] == 0
+
+
+def test_cms_never_undercounts_and_collisions_overcount(spark):
+    """CMS one-sided guarantee on an engineered stream: every estimate >=
+    the true count; a python twin of the d x w sketch reproduces every
+    estimate exactly; a forced collision (tiny w makes the pigeonhole
+    certain) shows overcount > 0 somewhere while min-over-rows keeps the
+    top term exact or overcounted, never under."""
+    import hashlib
+
+    from pdf_parser_spark.operators import textstats as ts
+
+    # 40 distinct terms over 64 buckets x 4 rows; frequencies 1..40
+    rows = []
+    did = 0
+    for i in range(40):
+        rows.append((did, " ".join([f"term{i}"] * (i + 1)), "en", "s", 0))
+        did += 1
+    docs = _docs(spark, rows)
+    got = {r["term"]: r for r in ts.cms_heavy_hitters(docs).collect()}
+    assert len(got) == ts.CMS_TOPK
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    true = {f"term{i}": i + 1 for i in range(40)}
+    n_total = sum(true.values())
+    cells = {}
+    for t, c in true.items():
+        for i, (a, b) in enumerate(ts.CMS_PARAMS):
+            bkt = (a * h32(t) + b) % (1 << 32) % ts.CMS_W
+            cells[(i, bkt)] = cells.get((i, bkt), 0) + c
+    for t, r in got.items():
+        est = min(
+            cells[(i, (a * h32(t) + b) % (1 << 32) % ts.CMS_W)]
+            for i, (a, b) in enumerate(ts.CMS_PARAMS))
+        assert r["cms_est"] == est
+        assert r["true_count"] == true[t]
+        assert r["overcount"] == est - true[t] >= 0
+        assert r["within_eps"] == (
+            (est - true[t]) * ts.CMS_W <= ts.CMS_EPS_NUM * n_total)
