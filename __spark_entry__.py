@@ -999,6 +999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_contamination_report": lambda s, d: curation.contamination_report(
             _docs(s, d)
         ),
+        # fixed-size per-source eval holdout: deterministic hash-rank
+        # reservoir (exactly k per source, not a drifting rate)
+        "c_holdout_split": lambda s, d: curation.holdout_split(_docs(s, d)),
         # fixed-context-window chunking: in-scan explode, no shuffle
         "c_chunk_windows": lambda s, d: curation.chunk_windows(_docs(s, d)),
         # epoch-weighted data mixing: per-source token-count dim -> integer
@@ -5305,6 +5308,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY shard
                         ORDER BY h ASC, doc_id ASC) - 1 AS BIGINT) AS pos
             FROM sh ORDER BY doc_id
+        """,
+        # holdout split: k-smallest (md5, doc_id) hash ranks per source
+        "c_holdout_split": f"""
+            WITH hr AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY
+                           CAST(('0x' || substr(md5('{C.HOLDOUT_SEED}:'
+                                                    || doc_id), 1, 8))
+                                AS BIGINT), doc_id) AS rk
+                FROM documents
+            )
+            SELECT doc_id, source,
+                   CASE WHEN rk <= {C.HOLDOUT_K} THEN 'holdout'
+                        ELSE 'train' END AS split
+            FROM hr ORDER BY doc_id
         """,
         # CMS heavy hitters: counters rebuilt from the distinct-term dim
         # with the same affine hash rows; min-over-rows estimate; the

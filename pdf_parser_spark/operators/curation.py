@@ -1928,3 +1928,40 @@ def contamination_report(
         )
         .orderBy("bench_id")
     )
+
+
+# --- deterministic train/holdout split ---------------------------------------
+
+HOLDOUT_K = 5          # docs held out per source (fixed SIZE, not a rate)
+HOLDOUT_SEED = "hold"  # membership is a pure (seed, doc_id) hash function
+
+
+def holdout_split(
+    documents: DataFrame, k: int = HOLDOUT_K, seed: str = HOLDOUT_SEED
+) -> DataFrame:
+    """Fixed-size per-source eval holdout — the split every pipeline cuts
+    before training so in-domain eval has EXACTLY k docs per source
+    (stratified_sample is a rate and drifts with corpus size; an eval set
+    must not).  A doc is held out iff its (seed, doc_id) hash ranks among
+    the k smallest in its source (doc_id breaks hash ties).
+    (doc_id, source, split) over every doc, split in {'train','holdout'}.
+
+    Scale: one window per source ordered by the hash — the deterministic
+    reservoir: membership never depends on arrival order or cluster size,
+    and re-running on a grown corpus moves as few docs as possible (only
+    hash-rank displacement)."""
+    h = portable_hash32(
+        F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        documents.select("doc_id", "source")
+        .withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id", "source",
+            F.when(F.col("rk") <= k, F.lit("holdout"))
+            .otherwise(F.lit("train")).alias("split"),
+        )
+        .orderBy("doc_id")
+    )

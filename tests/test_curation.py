@@ -2842,3 +2842,52 @@ def test_cms_never_undercounts_and_collisions_overcount(spark):
         assert r["overcount"] == est - true[t] >= 0
         assert r["within_eps"] == (
             (est - true[t]) * ts.CMS_W <= ts.CMS_EPS_NUM * n_total)
+
+
+def test_holdout_split_exact_k_and_minimal_churn(spark):
+    """Exactly k holdout docs per source; membership is the k smallest
+    (seed, doc_id) hashes (python twin); growing the corpus displaces at
+    most as many members as new docs that hash below the old boundary —
+    existing members never reshuffle arbitrarily."""
+    import hashlib
+    from collections import defaultdict
+
+    from pdf_parser_spark.operators import curation as cu
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def hold(rows):
+        out = {r["doc_id"]: r["split"] for r in cu.holdout_split(
+            _docs(spark, rows)).collect()}
+        return {d for d, s in out.items() if s == "holdout"}, out
+
+    rows = [(i, "t", "en", f"src{i % 3}", 0) for i in range(60)]
+    got, allsplit = hold(rows)
+    assert len(allsplit) == 60
+    by_src = defaultdict(list)
+    for i in range(60):
+        by_src[f"src{i % 3}"].append(
+            (h32(f"{cu.HOLDOUT_SEED}:{i}"), i))
+    want = set()
+    for src, members in by_src.items():
+        want |= {d for _, d in sorted(members)[:cu.HOLDOUT_K]}
+    assert got == want
+    # minimal churn: add 30 docs; surviving members = old members whose
+    # hash still ranks in the top k — never an unrelated reshuffle
+    rows2 = rows + [(100 + i, "t", "en", f"src{i % 3}", 0) for i in range(30)]
+    got2, _ = hold(rows2)
+    for src, members in by_src.items():
+        old_k = {d for _, d in sorted(members)[:cu.HOLDOUT_K]}
+        new2 = [(h32(f"{cu.HOLDOUT_SEED}:{d}"), d)
+                for d in range(100, 130) if f"src{(d - 100) % 3}" == src]
+        new_k = {d for _, d in sorted(members + new2)[:cu.HOLDOUT_K]}
+        assert new_k == {d for d in got2
+                         if (d % 3 if d < 100 else (d - 100) % 3)
+                         == int(src[-1])}
+        # every lost old member is displaced by a new doc, one-for-one —
+        # surviving membership is rank-stable, never reshuffled
+        lost = old_k - new_k
+        gained = {d for d in new_k if d >= 100}
+        assert len(lost) == len(gained)
+        assert old_k - lost <= new_k
