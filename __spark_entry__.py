@@ -605,6 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rational tf component (k1/b cleared by x1000T), single-ln idf
         # under the 4dp round — the ranked-search face of t_inverted_index
         "t_bm25": lambda s, d: textstats.bm25_topk(_docs(s, d)),
+        # labeled retrieval audit: rank of each query's SOURCE doc, exact
+        # integer MRR components — shares _bm25_scores with t_bm25
+        "t_bm25_mrr": lambda s, d: textstats.bm25_source_mrr(_docs(s, d)),
         # curriculum tiers: exact decile binning via the 4dp value histogram
         # (no global-sort ntile window)
         "c_quality_tiers": lambda s, d: curation.quality_tiers(
@@ -6036,6 +6039,61 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored) r JOIN qdim USING (query_id)
             WHERE rank <= {TS.BM25_TOP_K}
             ORDER BY query_id, rank
+        """,
+        # labeled retrieval audit: queries from each %31 doc's own 3rd/5th
+        # words, the SAME scoring chain as t_bm25, rank of the source doc
+        "t_bm25_mrr": f"""
+            WITH toks AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(list_transform({_TOKS}, t -> lower(t))) AS term
+                    FROM documents) u
+                WHERE term <> ''
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), dl AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                FROM toks GROUP BY doc_id
+            ), stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl
+            ), dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), lq AS (
+                SELECT query_id, unnest(terms) AS term FROM (
+                    SELECT doc_id AS query_id,
+                           list_distinct(list_filter(
+                               [lower(({_TOKS})[3]), lower(({_TOKS})[5])],
+                               x -> x IS NOT NULL AND x <> '')) AS terms
+                    FROM documents
+                    WHERE doc_id % {TS.BM25_MRR_MOD} = 0) b
+            ), qt AS (
+                SELECT q.query_id, q.term, d.df
+                FROM lq q JOIN dfreq d USING (term)
+            ), scored AS (
+                SELECT q.query_id, t.doc_id,
+                       round(sum(
+                           ln(1 + (2*s.n_docs - 2*q.df + 1) / (2*q.df + 1))
+                           * ({TS._BM25_NUM_C} * t.tf * s.t_tokens)
+                           / (1000 * t.tf * s.t_tokens
+                              + {TS._BM25_DEN_T} * s.t_tokens
+                              + {TS._BM25_DEN_DL} * d.dl * s.n_docs)
+                       ), 4) AS bm25
+                FROM tf t JOIN qt q USING (term)
+                     JOIN dl d ON d.doc_id = t.doc_id
+                     CROSS JOIN stats s
+                GROUP BY q.query_id, t.doc_id
+            ), ranked AS (
+                SELECT query_id, doc_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY bm25 DESC, doc_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS target_rank,
+                   CAST(10000 // rank AS BIGINT) AS rr_bp,
+                   rank = 1 AS hit_at_1, rank <= 5 AS hit_at_5
+            FROM ranked WHERE doc_id = query_id ORDER BY query_id
         """,
         # per-(source, lang) datasheet: exact BIGINT rollups incl. the
         # whitespace-normalized distinct-content count and dup basis points

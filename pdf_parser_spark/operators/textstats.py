@@ -1960,6 +1960,48 @@ _BM25_DEN_T = BM25_K1_TENTHS * (100 - BM25_B_HUNDREDTHS)  # 300
 _BM25_DEN_DL = BM25_K1_TENTHS * BM25_B_HUNDREDTHS    # 900
 
 
+def _bm25_scores(documents: DataFrame, qterms: DataFrame) -> DataFrame:
+    """The BM25 scoring chain against an EXTERNAL query dim — the
+    production path bm25_topk's docstring names: ``qterms`` is
+    (query_id, term), df joins from the corpus (terms absent from the
+    corpus drop out), candidates come from the tf-index probe, and the
+    per-query sum yields (query_id, doc_id, bm25) rounded at 4dp.  Shared
+    by bm25_topk (df-top demo queries) and bm25_source_mrr (labeled
+    queries), so the two faces score identically by construction."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.transform(words(F.col("text")), F.lower)).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qt = qterms.join(dfreq, "term")
+    cand = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    num = F.lit(_BM25_NUM_C).cast("long") * F.col("tf") * F.col("t_tokens")
+    den = (
+        F.lit(1000).cast("long") * F.col("tf") * F.col("t_tokens")
+        + F.lit(_BM25_DEN_T).cast("long") * F.col("t_tokens")
+        + F.lit(_BM25_DEN_DL).cast("long") * F.col("dl") * F.col("n_docs")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (2 * F.col("n_docs") - 2 * F.col("df") + 1) / (2 * F.col("df") + 1)
+    )
+    return cand.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(idf * num / den), 4).alias("bm25")
+    )
+
+
 def bm25_topk(
     documents: DataFrame,
     n_queries: int = BM25_QUERIES,
@@ -2001,11 +2043,6 @@ def bm25_topk(
     tf = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("t_tokens"),
-    )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     rank_w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
     qterms = (
@@ -2013,7 +2050,7 @@ def bm25_topk(
         .where(F.col("rn") <= 2 * n_queries)
         .select(
             F.expr("(rn + 1) div 2").cast("long").alias("query_id"),
-            "rn", "term", "df",
+            "rn", "term",
         )
     )
     qdim = qterms.groupBy("query_id").agg(
@@ -2025,24 +2062,7 @@ def bm25_topk(
             ),
         ).alias("q_terms")
     )
-    cand = (
-        tf.join(F.broadcast(qterms.select("query_id", "term", "df")), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    num = F.lit(_BM25_NUM_C).cast("long") * F.col("tf") * F.col("t_tokens")
-    den = (
-        F.lit(1000).cast("long") * F.col("tf") * F.col("t_tokens")
-        + F.lit(_BM25_DEN_T).cast("long") * F.col("t_tokens")
-        + F.lit(_BM25_DEN_DL).cast("long") * F.col("dl") * F.col("n_docs")
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (2 * F.col("n_docs") - 2 * F.col("df") + 1) / (2 * F.col("df") + 1)
-    )
-    scored = cand.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum(idf * num / den), 4).alias("bm25")
-    )
+    scored = _bm25_scores(documents, qterms.select("query_id", "term"))
     top_w = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
@@ -2208,4 +2228,53 @@ def cms_heavy_hitters(documents: DataFrame, topk: int = CMS_TOPK) -> DataFrame:
              <= CMS_EPS_NUM * F.col("n_total")).alias("within_eps"),
         )
         .orderBy(F.col("true_count").desc(), F.col("term"))
+    )
+
+
+BM25_MRR_MOD = 31  # every 31st doc seeds one labeled query
+
+
+def bm25_source_mrr(documents: DataFrame, mod: int = BM25_MRR_MOD) -> DataFrame:
+    """Retrieval-quality audit with LABELED relevance — bm25_topk shows the
+    ranking runs; this shows it FINDS things: every doc_id % mod == 0
+    document seeds a query from two of its own words (3rd and 5th,
+    lowercased, de-duplicated — distinct terms keep the tf probe from
+    double-counting), the shared _bm25_scores chain ranks the corpus, and
+    the audit reports where the SOURCE document landed:
+    (query_id, target_rank, rr_bp, hit_at_1, hit_at_5) with rr_bp =
+    10000 div rank (MRR in exact integer bp; mean it downstream).
+
+    The source doc always scores (it contains its own query terms), so
+    target_rank is total — a missing row would mean the index lost a
+    posting.  Scale: rides _bm25_scores' index-probe plan; the rank window
+    partitions by query."""
+    from pyspark.sql import Window
+
+    base = documents.where(F.col("doc_id") % mod == 0).select(
+        F.col("doc_id").alias("query_id"), words(F.col("text")).alias("toks")
+    )
+    two = F.array_distinct(
+        F.filter(
+            F.array(F.lower(F.col("toks")[2]), F.lower(F.col("toks")[4])),
+            lambda x: x.isNotNull() & (x != ""),
+        )
+    )
+    qterms = base.select(
+        "query_id", F.explode(two).alias("term")
+    )
+    scored = _bm25_scores(documents, qterms)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.where(F.col("doc_id") == F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("rank").alias("target_rank"),
+            F.expr("10000 div rank").cast("long").alias("rr_bp"),
+            (F.col("rank") == 1).alias("hit_at_1"),
+            (F.col("rank") <= 5).alias("hit_at_5"),
+        )
+        .orderBy("query_id")
     )

@@ -2891,3 +2891,32 @@ def test_holdout_split_exact_k_and_minimal_churn(spark):
         gained = {d for d in new_k if d >= 100}
         assert len(lost) == len(gained)
         assert old_k - lost <= new_k
+
+
+def test_bm25_source_mrr_finds_planted_unique_terms(spark):
+    """A doc whose 3rd/5th words are corpus-unique must rank itself #1
+    (rr 10000, hit@1); a doc whose query words appear verbatim in many
+    docs ranks lower but is always present; faces share one scoring chain
+    so t_bm25's ranking invariants apply."""
+    from pdf_parser_spark.operators import textstats as ts
+
+    common = "shared shared shared shared shared shared"
+    docs = _docs(spark, [
+        # doc 0: words 3/5 are 'uniqA'/'uniqB' -> corpus-unique
+        (0, "w1 w2 uniqA w4 uniqB w6 w7", "en", "s", 0),
+        # doc 31: words 3/5 are 'shared' twice -> dedup to one common term
+        (31, "x1 x2 shared x4 shared x6", "en", "s", 0),
+        (1, common, "en", "s", 0),
+        (2, common + " extra words", "en", "s", 0),
+        (3, "totally unrelated filler content here", "en", "s", 0),
+    ])
+    got = {r["query_id"]: r for r in ts.bm25_source_mrr(docs).collect()}
+    assert set(got) == {0, 31}
+    assert got[0]["target_rank"] == 1 and got[0]["rr_bp"] == 10000
+    assert got[0]["hit_at_1"] and got[0]["hit_at_5"]
+    # doc 31 competes with docs 1/2 that are denser in 'shared'; it must
+    # still appear, with rr_bp = 10000 div rank exactly
+    r31 = got[31]
+    assert r31["rr_bp"] == 10000 // r31["target_rank"]
+    assert r31["hit_at_1"] == (r31["target_rank"] == 1)
+    assert r31["hit_at_5"] == (r31["target_rank"] <= 5)
