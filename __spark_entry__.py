@@ -608,6 +608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # labeled retrieval audit: rank of each query's SOURCE doc, exact
         # integer MRR components — shares _bm25_scores with t_bm25
         "t_bm25_mrr": lambda s, d: textstats.bm25_source_mrr(_docs(s, d)),
+        # character entropy in floored milli-bits: the junk detector
+        # orthogonal to word rules (repeated-char filler sits far below
+        # prose, base64 far above)
+        "t_char_entropy": lambda s, d: textstats.char_entropy(_docs(s, d)),
         # curriculum tiers: exact decile binning via the 4dp value histogram
         # (no global-sort ntile window)
         "c_quality_tiers": lambda s, d: curation.quality_tiers(
@@ -6039,6 +6043,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored) r JOIN qdim USING (query_id)
             WHERE rank <= {TS.BM25_TOP_K}
             ORDER BY query_id, rank
+        """,
+        # char entropy: H = log2(n) - (1/n) sum(c*log2 c) over the same
+        # per-(doc, char) counts; both engines floor the identical double
+        "t_char_entropy": f"""
+            WITH ch AS (
+                SELECT doc_id, c FROM (
+                    SELECT doc_id, unnest(string_split(text, '')) AS c
+                    FROM documents) u
+                WHERE c <> ''
+            ), cc AS (
+                SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+                FROM ch GROUP BY doc_id, c
+            ), agg AS (
+                SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS distinct_chars,
+                       sum(cnt * log2(cnt)) AS clogc
+                FROM cc GROUP BY doc_id
+            )
+            SELECT doc_id, n AS n_chars_counted, distinct_chars,
+                   CAST(floor(1000 * (log2(n) - clogc / n)) AS BIGINT)
+                       AS entropy_milli,
+                   floor(1000 * (log2(n) - clogc / n))
+                       < {TS.ENTROPY_LOW_MILLI} AS is_low_entropy
+            FROM agg ORDER BY doc_id
         """,
         # labeled retrieval audit: queries from each %31 doc's own 3rd/5th
         # words, the SAME scoring chain as t_bm25, rank of the source doc

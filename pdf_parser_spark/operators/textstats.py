@@ -2278,3 +2278,52 @@ def bm25_source_mrr(documents: DataFrame, mod: int = BM25_MRR_MOD) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- character-entropy quality signal -----------------------------------------
+
+ENTROPY_LOW_MILLI = 2500  # flag docs under 2.5 bits/char (repeated-char junk,
+                          # base64 blobs sit ~6, English prose ~4.0-4.5)
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-doc Shannon entropy of the character distribution in bits/char —
+    the classic junk detector orthogonal to word-level rules: repeated-char
+    filler and template spam sit far below prose, random base64 far above.
+    H = log2(n) - (1/n) * sum(c_i * log2(c_i)) over per-char counts c_i —
+    the algebraic form that needs ONE groupBy over (doc, char) and no
+    per-row probability column.  (doc_id, n_chars_counted, distinct_chars,
+    entropy_milli, is_low_entropy) with entropy in exact-comparable
+    MILLI-bits (floor), flag under ENTROPY_LOW_MILLI.
+
+    Scale: the char explode is in-scan fan-out (output bounded by corpus
+    bytes); one map-side-combined groupBy(doc, char) then a doc rollup.
+    Both engines floor the same double expression at 3 decimals — the same
+    rounding doctrine as lm_surprisal."""
+    chars = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("distinct_chars"),
+            F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars_counted"),
+            "distinct_chars",
+            F.floor(
+                1000 * (F.log2("n") - F.col("clogc") / F.col("n"))
+            ).cast("long").alias("entropy_milli"),
+            (
+                F.floor(1000 * (F.log2("n") - F.col("clogc") / F.col("n")))
+                < ENTROPY_LOW_MILLI
+            ).alias("is_low_entropy"),
+        )
+        .orderBy("doc_id")
+    )

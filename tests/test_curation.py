@@ -2920,3 +2920,36 @@ def test_bm25_source_mrr_finds_planted_unique_terms(spark):
     assert r31["rr_bp"] == 10000 // r31["target_rank"]
     assert r31["hit_at_1"] == (r31["target_rank"] == 1)
     assert r31["hit_at_5"] == (r31["target_rank"] <= 5)
+
+
+def test_char_entropy_flags_junk_not_prose(spark):
+    """Entropy pinned against a python twin: repeated-char filler flags
+    low, prose doesn't, a uniform 4-char alphabet lands at exactly 2000
+    milli-bits, and a single-char doc at exactly 0."""
+    import math
+    from collections import Counter
+
+    from pdf_parser_spark.operators import textstats as ts
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaa", "en", "s", 0),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s", 0),
+        (3, "abcdabcdabcdabcd", "en", "s", 0),   # uniform 4 chars -> H = 2
+        (4, "z", "en", "s", 0),                  # single char -> H = 0
+    ]
+    got = {r["doc_id"]: r for r in ts.char_entropy(
+        _docs(spark, rows)).collect()}
+
+    for did, text, *_ in [(r[0], r[1]) for r in rows]:
+        c = Counter(text)
+        n = sum(c.values())
+        h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        r = got[did]
+        assert r["entropy_milli"] == math.floor(1000 * h)
+        assert r["n_chars_counted"] == n
+        assert r["distinct_chars"] == len(c)
+        assert r["is_low_entropy"] == (r["entropy_milli"]
+                                       < ts.ENTROPY_LOW_MILLI)
+    assert got[1]["is_low_entropy"] and got[4]["entropy_milli"] == 0
+    assert got[3]["entropy_milli"] == 2000
+    assert not got[2]["is_low_entropy"]
