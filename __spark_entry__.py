@@ -612,6 +612,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # orthogonal to word rules (repeated-char filler sits far below
         # prose, base64 far above)
         "t_char_entropy": lambda s, d: textstats.char_entropy(_docs(s, d)),
+        # unigram-LM tokenizer (SentencePiece-style): ONE distributed word
+        # count -> driver-local EM on the capped head; oracle = the frozen
+        # pure-Python twin sharing _unigram_em verbatim
+        "t_unigram_vocab": lambda s, d: textstats.unigram_fit_local(
+            _docs(s, d)
+        ),
+        # Viterbi segmentation totals under that vocabulary (integer
+        # combined units fold the fewest-pieces tie-break into the cost)
+        "t_unigram_apply": lambda s, d: textstats.unigram_apply(_docs(s, d)),
         # curriculum tiers: exact decile binning via the 4dp value histogram
         # (no global-sort ntile window)
         "c_quality_tiers": lambda s, d: curation.quality_tiers(
@@ -1552,6 +1561,13 @@ def oracle_sql() -> dict[str, str]:
     _SNIP_SHINGLES = _SHINGLES.replace(_TOKS, f"({_TOKS})[1:8]")
     _rate_cases = " ".join(
         f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(C.DEFAULT_RATES.items())
+    )
+
+    # frozen unigram vocabulary as SQL VALUES (quote-escaped pieces)
+    from pdf_parser_spark.sources.expected import UNIGRAM_VOCAB as _UV
+
+    _UNIGRAM_VALUES = ", ".join(
+        f"('{p.replace(chr(39), chr(39) * 2)}', {c})" for p, c in _UV
     )
 
     # fuzzy-decontamination pair stream (appended after bands_cte): banded
@@ -6043,6 +6059,66 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored) r JOIN qdim USING (query_id)
             WHERE rank <= {TS.BM25_TOP_K}
             ORDER BY query_id, rank
+        """,
+        # unigram vocab: the frozen pure-Python twin (gen_expected runs
+        # textstats._unigram_em itself — shared function, not a mirror)
+        "t_unigram_vocab": f"""
+            SELECT piece, CAST(cost_milli AS BIGINT) AS cost_milli
+            FROM (VALUES {_UNIGRAM_VALUES}) v(piece, cost_milli)
+            ORDER BY piece
+        """,
+        # unigram apply: Viterbi as a LINEAR recursive CTE — with pieces
+        # capped at 4 chars, dp[i] needs only the previous 4 dp values, so
+        # each recursion row carries the (d0..d3) window; min-cost lookups
+        # are 4 LEFT JOINs against the vocab VALUES, unknown single chars
+        # cost UNK, impossible transitions coalesce to a sentinel
+        "t_unigram_apply": f"""
+            WITH RECURSIVE uv(piece, cost) AS (
+                SELECT * FROM (VALUES {_UNIGRAM_VALUES}) t(piece, cost)
+            ), uw AS (
+                SELECT DISTINCT w FROM (
+                    SELECT unnest(list_transform({_TOKS}, t -> lower(t)))
+                        AS w FROM documents) u
+                WHERE w <> ''
+            ), step(w, n, pos, d0, d1, d2, d3) AS (
+                SELECT w, length(w), 0, CAST(0 AS BIGINT),
+                       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                       CAST(NULL AS BIGINT)
+                FROM uw
+                UNION ALL
+                SELECT s.w, s.n, s.pos + 1,
+                       least(
+                           coalesce(s.d0 + (coalesce(v1.cost,
+                               {TS.UNIGRAM_UNK_MILLI}) * 1000 + 1),
+                               {1 << 60}),
+                           coalesce(s.d1 + (v2.cost * 1000 + 1), {1 << 60}),
+                           coalesce(s.d2 + (v3.cost * 1000 + 1), {1 << 60}),
+                           coalesce(s.d3 + (v4.cost * 1000 + 1), {1 << 60})
+                       ),
+                       s.d0, s.d1, s.d2
+                FROM step s
+                LEFT JOIN uv v1 ON v1.piece = substr(s.w, s.pos + 1, 1)
+                LEFT JOIN uv v2 ON s.pos >= 1
+                               AND v2.piece = substr(s.w, s.pos, 2)
+                LEFT JOIN uv v3 ON s.pos >= 2
+                               AND v3.piece = substr(s.w, s.pos - 1, 3)
+                LEFT JOIN uv v4 ON s.pos >= 3
+                               AND v4.piece = substr(s.w, s.pos - 2, 4)
+                WHERE s.pos < s.n
+            ), wunits AS (
+                SELECT w, d0 AS units FROM step WHERE pos = n
+            ), utoks AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(list_transform({_TOKS}, t -> lower(t)))
+                               AS w FROM documents) u
+                WHERE w <> ''
+            )
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(u.units % 1000) AS BIGINT) AS n_pieces,
+                   CAST(sum(u.units // 1000) AS BIGINT) AS cost_milli
+            FROM utoks t JOIN wunits u USING (w)
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         # char entropy: H = log2(n) - (1/n) sum(c*log2 c) over the same
         # per-(doc, char) counts; both engines floor the identical double

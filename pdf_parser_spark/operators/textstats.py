@@ -2327,3 +2327,231 @@ def char_entropy(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, Kudo 2018) — the second
+# tokenizer family next to BPE: instead of greedy merges, a piece VOCABULARY
+# with costs, and segmentation = the min-cost (Viterbi) path.  Fit follows
+# the bpe_fit_local doctrine: ONE distributed word count, the capped head
+# collected, all EM rounds driver-side on that head (pure Python, so the
+# oracle generator freezes the identical vocabulary without Spark), costs
+# broadcast; apply segments DISTINCT words in one Arrow stage.
+#
+# Cross-engine exactness: costs are integer MILLI-NATS (floor(-1000*ln p)),
+# and Viterbi minimizes combined integer units = cost_milli*1000 + 1 per
+# piece — the +1 folds the fewest-pieces tie-break into the objective, so
+# the reported (cost, n_pieces) pair is unique even when piece paths tie.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_VOCAB_SIZE = 48   # pieces kept after pruning (demo; prod 32k-256k)
+UNIGRAM_MAX_PIECE = 4     # max piece length (chars)
+UNIGRAM_EM_ITERS = 3
+UNIGRAM_WORD_CAP = 2000   # fit head size (freq desc, word asc)
+UNIGRAM_UNK_MILLI = 20_000  # per-char cost for characters outside the vocab
+
+
+def _word_counts_py(texts) -> dict[str, int]:
+    """Python twin of the distributed lowercased word count (words() split
+    + lower + drop empty), for the oracle generator."""
+    import re
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in re.split(r"\s+", (t or "").strip()):
+            if w:
+                w = w.lower()
+                counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def _unigram_em(
+    word_freqs: list[tuple[str, int]],
+    vocab_size: int = UNIGRAM_VOCAB_SIZE,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+    em_iters: int = UNIGRAM_EM_ITERS,
+) -> list[tuple[str, int]]:
+    """Driver-local unigram-LM fit (pure Python — shared verbatim by the
+    Spark face and tools/gen_expected.py's frozen twin).
+
+    Seed: every single character seen in the head (never pruned — coverage
+    must stay total) + the most frequent substrings of length 2..max_piece
+    (occurrence-weighted, top 4*vocab_size by (freq desc, piece asc)).
+    Each EM round Viterbi-segments every head word under the current
+    integer costs (the SAME combined-units objective the apply face uses),
+    re-estimates costs from add-1-smoothed usage, then the final prune
+    keeps chars + the top used pieces.  Returns [(piece, cost_milli)].
+    """
+    import math
+
+    freqs = sorted(word_freqs, key=lambda wf: (-wf[1], wf[0]))
+    chars: set[str] = set()
+    sub_counts: dict[str, int] = {}
+    for w, f in freqs:
+        chars.update(w)
+        for ln in range(2, max_piece + 1):
+            for i in range(len(w) - ln + 1):
+                p = w[i:i + ln]
+                sub_counts[p] = sub_counts.get(p, 0) + f
+    seeds = sorted(sub_counts.items(), key=lambda pc: (-pc[1], pc[0]))
+    vocab = {c: 1 for c in sorted(chars)}
+    for p, c in seeds[: 4 * vocab_size]:
+        vocab[p] = c
+    total = sum(vocab.values())
+    costs = {p: max(0, math.floor(-1000 * math.log(c / total)))
+             for p, c in vocab.items()}
+
+    def viterbi(w: str) -> tuple[int, int, list[str]]:
+        """(cost_milli, n_pieces, pieces) minimizing cost*1000 + pieces."""
+        INF = 1 << 60
+        n = len(w)
+        dp = [0] + [INF] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best = INF
+            bj = i - 1
+            for ln in range(1, min(max_piece, i) + 1):
+                p = w[i - ln:i]
+                if ln == 1:
+                    cm = costs.get(p, UNIGRAM_UNK_MILLI)
+                elif p in costs:
+                    cm = costs[p]
+                else:
+                    continue
+                cand = dp[i - ln] + cm * 1000 + 1
+                if cand < best:
+                    best, bj = cand, i - ln
+            dp[i] = best
+            back[i] = bj
+        pieces = []
+        i = n
+        while i > 0:
+            pieces.append(w[back[i]:i])
+            i = back[i]
+        pieces.reverse()
+        return dp[n] // 1000, dp[n] % 1000, pieces
+
+    for _ in range(em_iters):
+        used: dict[str, int] = {}
+        for w, f in freqs:
+            for p in viterbi(w)[2]:
+                used[p] = used.get(p, 0) + f
+        vocab = {p: used.get(p, 0) + 1 for p in vocab}  # add-1 smoothing
+        total = sum(vocab.values())
+        costs = {p: max(0, math.floor(-1000 * math.log(c / total)))
+                 for p, c in vocab.items()}
+
+    multi = sorted(
+        ((p, c) for p, c in vocab.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    keep = {p for p in vocab if len(p) == 1}
+    keep |= {p for p, _ in multi[: max(0, vocab_size - len(keep))]}
+    kept = {p: vocab[p] for p in keep}
+    total = sum(kept.values())
+    return sorted(
+        (p, max(0, math.floor(-1000 * math.log(c / total))))
+        for p, c in kept.items()
+    )
+
+
+def unigram_fit_local(
+    documents: DataFrame,
+    vocab_size: int = UNIGRAM_VOCAB_SIZE,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+    em_iters: int = UNIGRAM_EM_ITERS,
+    word_cap: int = UNIGRAM_WORD_CAP,
+) -> DataFrame:
+    """Spark face of the unigram fit: ONE distributed lowercased word count
+    -> collect the (freq desc, word asc) top-word_cap head -> _unigram_em
+    driver-side -> (piece, cost_milli) frame.  The corpus is touched once
+    regardless of EM rounds or vocab size — the bpe_fit_local scale story.
+    """
+    toks = documents.select(
+        F.explode(F.transform(words(F.col("text")), F.lower)).alias("w")
+    ).where(F.col("w") != "")
+    head = (
+        toks.groupBy("w").agg(F.count("*").cast("long").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("w"))
+        .limit(word_cap)
+        .collect()
+    )
+    fit = _unigram_em(
+        [(r["w"], r["f"]) for r in head], vocab_size, max_piece, em_iters
+    )
+    return documents.sparkSession.createDataFrame(
+        fit, "piece string, cost_milli long"
+    ).orderBy("piece")
+
+
+def unigram_apply(
+    documents: DataFrame,
+    vocab: DataFrame | None = None,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Viterbi segmentation of the corpus under a unigram vocabulary:
+    (doc_id, n_words, n_pieces, cost_milli) — per-doc totals of the
+    min-(cost*1000 + pieces) segmentation of every word occurrence.
+
+    Scale: the vocab is a broadcast dict; DISTINCT words segment once in
+    one Arrow stage (prose re-uses words heavily) and join back to the
+    token stream by word — the bpe_apply pattern.  Unknown single chars
+    (absent from the fit head) cost UNIGRAM_UNK_MILLI each, so coverage is
+    total and a vocab hole can never drop a document."""
+    if vocab is None:
+        vocab = unigram_fit_local(documents)
+    cost_map = {r["piece"]: int(r["cost_milli"]) for r in vocab.collect()}
+    bc = documents.sparkSession.sparkContext.broadcast(cost_map)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        costs = bc.value
+
+        def viterbi_units(w: str) -> int:
+            INF = 1 << 60
+            n = len(w)
+            dp = [0] + [INF] * n
+            for i in range(1, n + 1):
+                best = INF
+                for ln in range(1, min(max_piece, i) + 1):
+                    p = w[i - ln:i]
+                    if ln == 1:
+                        cm = costs.get(p, UNIGRAM_UNK_MILLI)
+                    elif p in costs:
+                        cm = costs[p]
+                    else:
+                        continue
+                    cand = dp[i - ln] + cm * 1000 + 1
+                    if cand < best:
+                        best = cand
+                dp[i] = best
+            return dp[n]
+
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            units = []
+            for w in pdf["w"]:
+                u = memo.get(w)
+                if u is None:
+                    u = viterbi_units(w)
+                    memo[w] = u
+                units.append(u)
+            yield pd.DataFrame({"w": pdf["w"], "units": units})
+
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.transform(words(F.col("text")), F.lower)).alias("w"),
+    ).where(F.col("w") != "")
+    seg = (
+        toks.select("w").distinct()
+        .mapInPandas(fn, "w string, units long")
+    )
+    return (
+        toks.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.expr("units % 1000")).cast("long").alias("n_pieces"),
+            F.sum(F.expr("units div 1000")).cast("long").alias("cost_milli"),
+        )
+        .orderBy("doc_id")
+    )

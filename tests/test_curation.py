@@ -2953,3 +2953,54 @@ def test_char_entropy_flags_junk_not_prose(spark):
     assert got[1]["is_low_entropy"] and got[4]["entropy_milli"] == 0
     assert got[3]["entropy_milli"] == 2000
     assert not got[2]["is_low_entropy"]
+
+
+def test_unigram_tokenizer_em_fit_and_viterbi_apply(spark):
+    """Unigram LM: the fit keeps every seen char + top multi-char pieces
+    and learns the repeated trigram; apply totals equal a python Viterbi
+    twin per word (including an unknown-char word at UNK cost); the
+    learned segmentation beats pure-char segmentation on the dominant
+    word."""
+    from pdf_parser_spark.operators import textstats as ts
+
+    docs = _docs(spark, [
+        (i, "banana banana banana split", "en", "s", 0) for i in range(6)
+    ] + [(99, "qÿerty", "en", "s", 0)])  # word with a rare char
+
+    vocab_df = ts.unigram_fit_local(docs)
+    vocab = {r["piece"]: r["cost_milli"] for r in vocab_df.collect()}
+    chars = set("banana split qÿerty".replace(" ", ""))
+    assert chars <= set(vocab)  # total coverage: every char is a piece
+    assert any(len(p) > 1 for p in vocab)  # multi-char pieces learned
+    assert len(vocab) <= ts.UNIGRAM_VOCAB_SIZE + len(chars)
+
+    def viterbi(w, costs):
+        INF = 1 << 60
+        dp = [0] + [INF] * len(w)
+        for i in range(1, len(w) + 1):
+            for ln in range(1, min(ts.UNIGRAM_MAX_PIECE, i) + 1):
+                p = w[i - ln:i]
+                if ln == 1:
+                    cm = costs.get(p, ts.UNIGRAM_UNK_MILLI)
+                elif p in costs:
+                    cm = costs[p]
+                else:
+                    continue
+                dp[i] = min(dp[i], dp[i - ln] + cm * 1000 + 1)
+        return dp[len(w)]
+
+    got = {r["doc_id"]: r for r in ts.unigram_apply(docs, vocab_df).collect()}
+    for did, text in [(0, "banana banana banana split"),
+                      (99, "qÿerty")]:
+        units = [viterbi(w, vocab) for w in text.lower().split()]
+        assert got[did]["n_words"] == len(units)
+        assert got[did]["n_pieces"] == sum(u % 1000 for u in units)
+        assert got[did]["cost_milli"] == sum(u // 1000 for u in units)
+    # the dominant word segments into fewer pieces than its length
+    banana_units = viterbi("banana", vocab)
+    assert banana_units % 1000 < len("banana")
+
+    # fit determinism: a second run returns identical rows
+    again = {r["piece"]: r["cost_milli"]
+             for r in ts.unigram_fit_local(docs).collect()}
+    assert again == vocab

@@ -217,6 +217,24 @@ def _pq_residual_codebooks(centroids: list[list[float]]) -> list[list[list[float
     return books
 
 
+def _unigram_vocab() -> list[tuple[str, int]]:
+    """Pure-Python twin of textstats.unigram_fit_local over sf0.01
+    documents: the SAME _word_counts_py count, (freq desc, word asc) head
+    cap, and _unigram_em fit — shared function, not a re-implementation —
+    so the Spark face's own distributed count + driver fit must reproduce
+    these rows bit-for-bit or the t_unigram_vocab hash mismatches."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.operators.textstats import (
+        UNIGRAM_WORD_CAP, _unigram_em, _word_counts_py,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    counts = _word_counts_py(t["text"].to_pylist())
+    head = sorted(counts.items(), key=lambda wf: (-wf[1], wf[0]))
+    return _unigram_em(head[:UNIGRAM_WORD_CAP])
+
+
 def main() -> None:
     from pdf_parser_spark.operators.similarity import KMEANS_SAMPLE_BP
 
@@ -227,6 +245,7 @@ def main() -> None:
     sample_centroids = _kmeans_centroids(sample_bp=KMEANS_SAMPLE_BP)
     pq_books = _pq_codebooks()
     pq_res_books = _pq_residual_codebooks(centroids)
+    unigram_vocab = _unigram_vocab()
 
     def render(rows: list[tuple]) -> str:
         body = ",\n    ".join(repr(r) for r in rows)
@@ -271,6 +290,10 @@ PQ_CODEBOOKS = {render(pq_books)}
 # residual-encoding codebooks (numpy twin of similarity.pq_fit_residual:
 # Lloyd over residuals w.r.t. KMEANS_CENTROIDS — Jegou PAMI 2011 SIV-A)
 PQ_RESIDUAL_CODEBOOKS = {render(pq_res_books)}
+
+# unigram-LM tokenizer vocabulary over sf0.01 (pure-Python twin sharing
+# textstats._unigram_em verbatim; {len(unigram_vocab)} pieces)
+UNIGRAM_VOCAB = {render(unigram_vocab)}
 '''
     with open(OUT, "w") as f:
         f.write(src)
