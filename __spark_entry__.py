@@ -629,6 +629,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": lambda s, d: __import__(
             "pdf_parser_spark.streaming.dedup", fromlist=["dedup_via_stream"]
         ).dedup_via_stream(s, d),
+        # bounded-state streaming dedup: dropDuplicatesWithinWatermark —
+        # one-batch replay never evicts, so the exact DISTINCT oracle
+        # holds; eviction/re-admit pinned in pytest
+        "st_dedup_watermark": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.dedup",
+            fromlist=["dedup_watermark_via_stream"],
+        ).dedup_watermark_via_stream(s, d),
         # streaming LSH near-dup candidate feed: stateful first-seen keeper
         # per band bucket; one-batch replay makes the keeper the bucket min,
         # so the batch oracle is exact
@@ -3282,6 +3289,11 @@ def oracle_sql() -> dict[str, str]:
               ON b.band = k.band AND b.bucket = k.bucket
             WHERE b.doc_id <> k.keeper
             ORDER BY b.band, b.bucket, b.doc_id
+        """,
+        # bounded-state variant: one-batch replay == exact distinct
+        "st_dedup_watermark": """
+            SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents ORDER BY fp
         """,
         # streaming exact dedup held to the batch DISTINCT oracle: the
         # surviving state keys must be exactly the distinct fingerprints

@@ -3160,3 +3160,48 @@ def test_audio_neardup_trim_containment_and_thresholds(spark):
     assert shared == 1
     assert (10000 * shared) // min(len(sets[10]), len(sets[20])) == 5000
     assert not (sets[10] & sets[30]) and not (sets[20] & sets[30])
+
+
+def test_streaming_dedup_watermark_bounded_state_evicts(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a mirror inside the delay window is
+    dropped; once the watermark passes the original's expiry the state row
+    evicts and a LATE mirror is re-emitted — the stated price of bounded
+    state (dedup within the window, none beyond it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming.dedup import stream_dedup_within_watermark
+
+    def write_batch(path, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }), path)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    name = "dedupwm_test"
+    # delay 10 min = 600 s; ts = doc_id seconds (+ constant base)
+    write_batch(str(in_dir / "b0.parquet"), [(1000, "alpha text")])
+    q = stream_dedup_within_watermark(
+        spark, str(in_dir), str(tmp_path / "ckpt"), name)
+    q.processAllAvailable()
+    # in-window mirror (100 s later) dropped; unrelated row advances wm
+    write_batch(str(in_dir / "b1.parquet"),
+                [(1100, "ALPHA   TEXT"), (2000, "beta text")])
+    q.processAllAvailable()
+    assert spark.table(name).count() == 2  # alpha once + beta
+    # advance the watermark far past alpha's expiry -> state evicts
+    write_batch(str(in_dir / "b2.parquet"), [(5000, "gamma text")])
+    q.processAllAvailable()
+    # late mirror AFTER eviction is re-emitted
+    write_batch(str(in_dir / "b3.parquet"), [(5100, "alpha text")])
+    q.processAllAvailable()
+    q.stop()
+    fps = [r["fp"] for r in spark.table(name).collect()]
+    assert len(fps) == 4  # alpha, beta, gamma, alpha-again
+    from collections import Counter
+    assert max(Counter(fps).values()) == 2  # exactly the re-admitted fp
