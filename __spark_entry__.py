@@ -621,6 +621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Viterbi segmentation totals under that vocabulary (integer
         # combined units fold the fewest-pieces tie-break into the cost)
         "t_unigram_apply": lambda s, d: textstats.unigram_apply(_docs(s, d)),
+        # per-lang fertility of the unigram tokenizer (model-card stat)
+        "t_unigram_fertility": lambda s, d: textstats.unigram_fertility(
+            _docs(s, d)
+        ),
         # curriculum tiers: exact decile binning via the 4dp value histogram
         # (no global-sort ntile window)
         "c_quality_tiers": lambda s, d: curation.quality_tiers(
@@ -1576,6 +1580,52 @@ def oracle_sql() -> dict[str, str]:
     _UNIGRAM_VALUES = ", ".join(
         f"('{p.replace(chr(39), chr(39) * 2)}', {c})" for p, c in _UV
     )
+
+    # unigram Viterbi DP as CTE fragments (uv vocab, uw distinct words,
+    # step linear recursion, wunits per-word units, utoks token stream) —
+    # ONE definition shared by t_unigram_apply and t_unigram_fertility;
+    # callers prepend WITH RECURSIVE and append their rollup
+    _unigram_units_ctes = f"""uv(piece, cost) AS (
+                SELECT * FROM (VALUES {_UNIGRAM_VALUES}) t(piece, cost)
+            ), uw AS (
+                SELECT DISTINCT w FROM (
+                    SELECT unnest(list_transform({_TOKS}, t -> lower(t)))
+                        AS w FROM documents) u
+                WHERE w <> ''
+            ), step(w, n, pos, d0, d1, d2, d3) AS (
+                SELECT w, length(w), 0, CAST(0 AS BIGINT),
+                       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                       CAST(NULL AS BIGINT)
+                FROM uw
+                UNION ALL
+                SELECT s.w, s.n, s.pos + 1,
+                       least(
+                           coalesce(s.d0 + (coalesce(v1.cost,
+                               {TS.UNIGRAM_UNK_MILLI}) * 1000 + 1),
+                               {1 << 60}),
+                           coalesce(s.d1 + (v2.cost * 1000 + 1), {1 << 60}),
+                           coalesce(s.d2 + (v3.cost * 1000 + 1), {1 << 60}),
+                           coalesce(s.d3 + (v4.cost * 1000 + 1), {1 << 60})
+                       ),
+                       s.d0, s.d1, s.d2
+                FROM step s
+                LEFT JOIN uv v1 ON v1.piece = substr(s.w, s.pos + 1, 1)
+                LEFT JOIN uv v2 ON s.pos >= 1
+                               AND v2.piece = substr(s.w, s.pos, 2)
+                LEFT JOIN uv v3 ON s.pos >= 2
+                               AND v3.piece = substr(s.w, s.pos - 1, 3)
+                LEFT JOIN uv v4 ON s.pos >= 3
+                               AND v4.piece = substr(s.w, s.pos - 2, 4)
+                WHERE s.pos < s.n
+            ), wunits AS (
+                SELECT w, d0 AS units FROM step WHERE pos = n
+            ), utoks AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(list_transform({_TOKS}, t -> lower(t)))
+                               AS w FROM documents) u
+                WHERE w <> ''
+            )"""
 
     # fuzzy-decontamination pair stream (appended after bands_cte): banded
     # candidates vs the doc_id%37 bench members, exact-Jaccard verified —
@@ -6084,53 +6134,26 @@ def oracle_sql() -> dict[str, str]:
         # each recursion row carries the (d0..d3) window; min-cost lookups
         # are 4 LEFT JOINs against the vocab VALUES, unknown single chars
         # cost UNK, impossible transitions coalesce to a sentinel
+        # (shared fragment: _unigram_units_ctes, also under fertility)
         "t_unigram_apply": f"""
-            WITH RECURSIVE uv(piece, cost) AS (
-                SELECT * FROM (VALUES {_UNIGRAM_VALUES}) t(piece, cost)
-            ), uw AS (
-                SELECT DISTINCT w FROM (
-                    SELECT unnest(list_transform({_TOKS}, t -> lower(t)))
-                        AS w FROM documents) u
-                WHERE w <> ''
-            ), step(w, n, pos, d0, d1, d2, d3) AS (
-                SELECT w, length(w), 0, CAST(0 AS BIGINT),
-                       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                       CAST(NULL AS BIGINT)
-                FROM uw
-                UNION ALL
-                SELECT s.w, s.n, s.pos + 1,
-                       least(
-                           coalesce(s.d0 + (coalesce(v1.cost,
-                               {TS.UNIGRAM_UNK_MILLI}) * 1000 + 1),
-                               {1 << 60}),
-                           coalesce(s.d1 + (v2.cost * 1000 + 1), {1 << 60}),
-                           coalesce(s.d2 + (v3.cost * 1000 + 1), {1 << 60}),
-                           coalesce(s.d3 + (v4.cost * 1000 + 1), {1 << 60})
-                       ),
-                       s.d0, s.d1, s.d2
-                FROM step s
-                LEFT JOIN uv v1 ON v1.piece = substr(s.w, s.pos + 1, 1)
-                LEFT JOIN uv v2 ON s.pos >= 1
-                               AND v2.piece = substr(s.w, s.pos, 2)
-                LEFT JOIN uv v3 ON s.pos >= 2
-                               AND v3.piece = substr(s.w, s.pos - 1, 3)
-                LEFT JOIN uv v4 ON s.pos >= 3
-                               AND v4.piece = substr(s.w, s.pos - 2, 4)
-                WHERE s.pos < s.n
-            ), wunits AS (
-                SELECT w, d0 AS units FROM step WHERE pos = n
-            ), utoks AS (
-                SELECT doc_id, w FROM (
-                    SELECT doc_id,
-                           unnest(list_transform({_TOKS}, t -> lower(t)))
-                               AS w FROM documents) u
-                WHERE w <> ''
-            )
+            WITH RECURSIVE {_unigram_units_ctes}
             SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
                    CAST(sum(u.units % 1000) AS BIGINT) AS n_pieces,
                    CAST(sum(u.units // 1000) AS BIGINT) AS cost_milli
             FROM utoks t JOIN wunits u USING (w)
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        # per-lang unigram fertility: pieces per word in exact integer bp
+        # over the SAME wunits/utoks fragment + the lang dim
+        "t_unigram_fertility": f"""
+            WITH RECURSIVE {_unigram_units_ctes}
+            SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(u.units % 1000) AS BIGINT) AS n_pieces,
+                   CAST((10000 * sum(u.units % 1000)) // count(*) AS BIGINT)
+                       AS pieces_per_word_bp
+            FROM utoks t JOIN wunits u USING (w)
+                 JOIN documents d ON d.doc_id = t.doc_id
+            GROUP BY d.lang ORDER BY d.lang
         """,
         # char entropy: H = log2(n) - (1/n) sum(c*log2 c) over the same
         # per-(doc, char) counts; both engines floor the identical double

@@ -2555,3 +2555,30 @@ def unigram_apply(
         )
         .orderBy("doc_id")
     )
+
+
+def unigram_fertility(
+    documents: DataFrame, vocab: DataFrame | None = None
+) -> DataFrame:
+    """Per-language fertility of the unigram tokenizer — the multilingual-
+    fairness stat a model card tables for ITS tokenizer (tokenizer_fertility
+    reports the shared-BPE-regex one): pieces per word in exact integer bp.
+    (lang, n_words, n_pieces, pieces_per_word_bp).
+
+    Scale: rides unigram_apply's distinct-word Arrow stage; the rollup is
+    one lang-dim groupBy."""
+    per_doc = unigram_apply(documents, vocab)
+    return (
+        per_doc.join(documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "lang", "n_words", "n_pieces",
+            F.expr("(10000 * n_pieces) div n_words").cast("long")
+            .alias("pieces_per_word_bp"),
+        )
+        .orderBy("lang")
+    )

@@ -3004,3 +3004,29 @@ def test_unigram_tokenizer_em_fit_and_viterbi_apply(spark):
     again = {r["piece"]: r["cost_milli"]
              for r in ts.unigram_fit_local(docs).collect()}
     assert again == vocab
+
+
+def test_unigram_fertility_rolls_up_apply_exactly(spark):
+    """Fertility == the lang rollup of unigram_apply, with exact integer
+    bp arithmetic."""
+    from collections import defaultdict
+
+    from pdf_parser_spark.operators import textstats as ts
+
+    docs = _docs(spark, [
+        (1, "banana banana split", "en", "s", 0),
+        (2, "banana bandana", "en", "s", 0),
+        (3, "ba na na", "es", "s", 0),
+    ])
+    vocab = ts.unigram_fit_local(docs)
+    per_doc = {r["doc_id"]: r for r in ts.unigram_apply(docs, vocab).collect()}
+    fert = {r["lang"]: r for r in ts.unigram_fertility(docs, vocab).collect()}
+    langs = {1: "en", 2: "en", 3: "es"}
+    agg = defaultdict(lambda: [0, 0])
+    for d, r in per_doc.items():
+        agg[langs[d]][0] += r["n_words"]
+        agg[langs[d]][1] += r["n_pieces"]
+    for lang, (nw, np_) in agg.items():
+        assert fert[lang]["n_words"] == nw
+        assert fert[lang]["n_pieces"] == np_
+        assert fert[lang]["pieces_per_word_bp"] == (10000 * np_) // nw
