@@ -206,6 +206,17 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         build().write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+    # unigram tokenizer decomposed like IVF: the one-off driver-local EM
+    # fit (ONE distributed word count) vs the distinct-word Arrow Viterbi
+    # apply under a pre-fit vocabulary
+    t0 = time.perf_counter()
+    uni_vocab = textstats.unigram_fit_local(docs)
+    uni_vocab.collect()
+    times["t_unigram_fit"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    textstats.unigram_apply(docs, uni_vocab).write.format("noop").mode(
+        "overwrite").save()
+    times["t_unigram_apply"] = round(time.perf_counter() - t0, 3)
     # IVF decomposed: the one-off kmeans fit (driver-looped Lloyd rounds,
     # amortized over every later query in production) vs the probe-scan
     # (the per-query cost IVF exists to shrink)
