@@ -678,6 +678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).change_feed_via_stream(s, d),
         # --- dedup ---
         "d_exact": lambda s, d: dedup.exact_dedup_groups(_docs(s, d)),
+        # survivorship audit: which sources keep their docs and which lose
+        # them to another source's copy when near-dup clusters collapse
+        "d_survivorship": lambda s, d: dedup.dedup_survivorship(_docs(s, d)),
         "d_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.2),
         "d_minhash_sig": lambda s, d: dedup.minhash_signatures(_docs(s, d))
         .select("doc_id", F.posexplode("sig").alias("k", "minhash"))
@@ -3693,6 +3696,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, min(r) AS component,
                (node = min(r)) AS is_keeper
         FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        # survivorship audit: the SAME reach closure rolled to the source
+        # dim — members, keepers, drops, and cross-source losses
+        "d_survivorship": "WITH RECURSIVE"
+        + bands_cte.removeprefix("\n        WITH").rstrip() + """
+        , prs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM prs
+            UNION
+            SELECT doc_b, doc_a FROM prs
+        ), reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.r FROM reach r JOIN edges e ON e.b = r.node
+        ), lab AS (
+            SELECT node AS doc_id, min(r) AS component,
+                   (node = min(r)) AS is_keeper
+            FROM reach GROUP BY node
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(CASE WHEN l.is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keepers,
+               CAST(sum(CASE WHEN l.is_keeper THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_dropped,
+               CAST(sum(CASE WHEN NOT l.is_keeper AND d.source <> k.source
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cross_source_lost
+        FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+                   JOIN documents k ON k.doc_id = l.component
+        GROUP BY d.source ORDER BY d.source
         """,
         # quality-aware keeper: the d_components closure joined to the
         # SAME _quality_sql bp formula, argmax per component with the

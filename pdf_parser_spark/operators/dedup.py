@@ -966,3 +966,45 @@ def cross_source_dups(documents: DataFrame) -> DataFrame:
         n_pairs.join(docs_touched, ["source_a", "source_b"])
         .orderBy("source_a", "source_b")
     )
+
+
+def dedup_survivorship(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Survivorship audit of the near-dup keeper election — the datasheet
+    face a release review reads next to the cross-source matrix: when
+    clusters collapse to one keeper, WHICH SOURCES keep their documents and
+    which lose them to another source's copy (syndication networks lose
+    systematically; the election is min-doc_id, so ingestion order encodes
+    priority).  Per source over cluster MEMBERS only:
+    (source, n_members, n_keepers, n_dropped, n_cross_source_lost) where
+    n_cross_source_lost counts dropped docs whose keeper lives in a
+    DIFFERENT source.
+
+    Scale: rides the banded LSH pair stream + min-label components; the
+    audit adds two doc_id-keyed dim joins and a source-sized groupBy."""
+    comp = connected_components(minhash_lsh_pairs(documents, n))
+    src = documents.select("doc_id", "source")
+    labeled = (
+        comp.join(src, "doc_id")
+        .join(
+            src.select(
+                F.col("doc_id").alias("component"),
+                F.col("source").alias("keeper_source"),
+            ),
+            "component",
+        )
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.col("is_keeper").cast("long")).cast("long")
+            .alias("n_keepers"),
+            F.sum((~F.col("is_keeper")).cast("long")).cast("long")
+            .alias("n_dropped"),
+            F.sum(
+                ((~F.col("is_keeper"))
+                 & (F.col("source") != F.col("keeper_source"))).cast("long")
+            ).cast("long").alias("n_cross_source_lost"),
+        )
+        .orderBy("source")
+    )

@@ -3030,3 +3030,30 @@ def test_unigram_fertility_rolls_up_apply_exactly(spark):
         assert fert[lang]["n_words"] == nw
         assert fert[lang]["n_pieces"] == np_
         assert fert[lang]["pieces_per_word_bp"] == (10000 * np_) // nw
+
+
+def test_dedup_survivorship_cross_source_accounting(spark):
+    """Engineered clusters: {1,2,3} spans srcA/srcB with keeper 1 in srcA —
+    srcB's two members are both dropped cross-source; {10,11} inside srcC
+    drops within-source; isolated docs never appear."""
+    from pdf_parser_spark.operators import dedup as dd
+
+    dup1 = " ".join(f"w{j}" for j in range(20))
+    dup2 = " ".join(f"v{j}" for j in range(20))
+    docs = _docs(spark, [
+        (1, dup1, "en", "srcA", 0),
+        (2, dup1, "en", "srcB", 0),
+        (3, dup1, "en", "srcB", 0),
+        (10, dup2, "en", "srcC", 0),
+        (11, dup2, "en", "srcC", 0),
+        (50, "isolated unique content here totally alone", "en", "srcA", 0),
+    ])
+    out = {r["source"]: r for r in dd.dedup_survivorship(docs).collect()}
+    assert set(out) == {"srcA", "srcB", "srcC"}
+    a, b, c = out["srcA"], out["srcB"], out["srcC"]
+    assert (a["n_members"], a["n_keepers"], a["n_dropped"],
+            a["n_cross_source_lost"]) == (1, 1, 0, 0)
+    assert (b["n_members"], b["n_keepers"], b["n_dropped"],
+            b["n_cross_source_lost"]) == (2, 0, 2, 2)
+    assert (c["n_members"], c["n_keepers"], c["n_dropped"],
+            c["n_cross_source_lost"]) == (2, 1, 1, 0)
