@@ -1032,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-size per-source eval holdout: deterministic hash-rank
         # reservoir (exactly k per source, not a drifting rate)
         "c_holdout_split": lambda s, d: curation.holdout_split(_docs(s, d)),
+        # the burn-down funnel (stage chain shared with corpus_build)
+        "c_corpus_funnel": lambda s, d: curation.corpus_funnel(_docs(s, d)),
         # fixed-context-window chunking: in-scan explode, no shuffle
         "c_chunk_windows": lambda s, d: curation.chunk_windows(_docs(s, d)),
         # epoch-weighted data mixing: per-source token-count dim -> integer
@@ -6487,6 +6489,34 @@ def oracle_sql() -> dict[str, str]:
         # previous stage's survivor set — gate reasons, exact-dedup keeper,
         # contaminated shingle set, sampling hash, and packing prefix-sum
         # must ALL agree for the final hash to match
+        # the burn-down funnel over the SAME stage chain: per-stage doc and
+        # token counts with exact-bp retention vs raw
+        "c_corpus_funnel": f"""
+            WITH {_corpus_chain_for("documents")},
+            fcnt AS (
+                SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs,
+                       sum(len({_TOKS})) AS n_tokens FROM documents
+                UNION ALL
+                SELECT 1, 'gated', count(*), sum(len({_TOKS})) FROM s1
+                UNION ALL
+                SELECT 2, 'deduped', count(*), sum(len({_TOKS})) FROM s2
+                UNION ALL
+                SELECT 3, 'clean', count(*), sum(len({_TOKS})) FROM s3
+                UNION ALL
+                SELECT 4, 'sampled', count(*), sum(len({_TOKS})) FROM s4
+            ), fraw AS (
+                SELECT count(*) AS rd, sum(len({_TOKS})) AS rt
+                FROM documents
+            )
+            SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST((10000 * n_docs) // rd AS BIGINT)
+                       AS docs_retained_bp,
+                   CAST((10000 * n_tokens) // rt AS BIGINT)
+                       AS tokens_retained_bp
+            FROM fcnt, fraw ORDER BY stage_idx
+        """,
         "c_corpus_build": f"""
             WITH {_corpus_chain_for("documents")}
             SELECT doc_id, source, lang, n_tokens,

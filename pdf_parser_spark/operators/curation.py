@@ -970,6 +970,77 @@ def paragraph_mixer_apply(df: DataFrame, text_col: str = "text_multi") -> DataFr
 # ---------------------------------------------------------------------------
 
 
+def _build_stages(documents: DataFrame) -> dict[str, DataFrame]:
+    """The corpus_build survivor chain with every intermediate exposed —
+    ONE definition shared by corpus_build and corpus_funnel (the Spark
+    twin of the oracle-side _corpus_chain_for doctrine).  Keys in chain
+    order: raw, gated, deduped, clean, sampled."""
+    from pdf_parser_spark.operators import dedup as _dedup
+    from pdf_parser_spark.operators import textstats as _ts
+
+    gate_ids = _ts.quality_gate(documents).where(F.col("passed")).select("doc_id")
+    gated = documents.join(gate_ids, "doc_id", "left_semi")
+
+    keeper_ids = _dedup.exact_dedup_groups(gated).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    deduped = gated.join(keeper_ids, "doc_id", "left_semi")
+
+    cont = decontaminate(deduped, benchmark_snippets(documents))
+    clean_ids = cont.where(~F.col("contaminated")).select("doc_id")
+    clean = deduped.join(clean_ids, "doc_id", "left_semi")
+
+    sampled_ids = stratified_sample(clean).select("doc_id")
+    sampled = clean.join(sampled_ids, "doc_id", "left_semi")
+    return {
+        "raw": documents, "gated": gated, "deduped": deduped,
+        "clean": clean, "sampled": sampled,
+    }
+
+
+def corpus_funnel(documents: DataFrame) -> DataFrame:
+    """The burn-down funnel every corpus release reports: doc and token
+    counts after each corpus_build stage, with exact-bp retention vs raw.
+    (stage_idx, stage, n_docs, n_tokens, docs_retained_bp,
+    tokens_retained_bp) in chain order raw -> gated -> deduped -> clean ->
+    sampled.  Shares _build_stages with corpus_build verbatim, so the
+    funnel can never describe a different pipeline than the one that runs.
+
+    Scale: each stage is the semi-join chain corpus_build already pays;
+    the counts are one map-side-combined agg per stage unioned into a
+    5-row frame, and the raw totals broadcast."""
+    stages = _build_stages(documents)
+    order = ["raw", "gated", "deduped", "clean", "sampled"]
+    counted = None
+    for i, name in enumerate(order):
+        c = stages[name].agg(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(words(F.col("text")))).cast("long")
+            .alias("n_tokens"),
+        )
+        counted = c if counted is None else counted.unionByName(c)
+    raw = (
+        documents.agg(
+            F.count("*").cast("long").alias("raw_docs"),
+            F.sum(F.size(words(F.col("text")))).cast("long")
+            .alias("raw_tokens"),
+        )
+    )
+    return (
+        counted.crossJoin(F.broadcast(raw))
+        .select(
+            "stage_idx", "stage", "n_docs", "n_tokens",
+            F.expr("(10000 * n_docs) div raw_docs").cast("long")
+            .alias("docs_retained_bp"),
+            F.expr("(10000 * n_tokens) div raw_tokens").cast("long")
+            .alias("tokens_retained_bp"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
 def corpus_build(documents: DataFrame) -> DataFrame:
     """The full training-corpus build as ONE dataflow — the curation analog
     of linkgraph.corpus_frontier: hard quality gate -> exact dedup (min-id
@@ -988,25 +1059,7 @@ def corpus_build(documents: DataFrame) -> DataFrame:
     The benchmark set is built from the FULL corpus (eval prompts exist
     regardless of what the gate drops).
     """
-    from pdf_parser_spark.operators import dedup as _dedup
-    from pdf_parser_spark.operators import textstats as _ts
-
-    gate_ids = _ts.quality_gate(documents).where(F.col("passed")).select("doc_id")
-    gated = documents.join(gate_ids, "doc_id", "left_semi")
-
-    keeper_ids = _dedup.exact_dedup_groups(gated).select(
-        F.col("keep_doc_id").alias("doc_id")
-    )
-    deduped = gated.join(keeper_ids, "doc_id", "left_semi")
-
-    cont = decontaminate(deduped, benchmark_snippets(documents))
-    clean_ids = cont.where(~F.col("contaminated")).select("doc_id")
-    clean = deduped.join(clean_ids, "doc_id", "left_semi")
-
-    sampled_ids = stratified_sample(clean).select("doc_id")
-    sampled = clean.join(sampled_ids, "doc_id", "left_semi")
-
-    packed = pack_shards(sampled)
+    packed = pack_shards(_build_stages(documents)["sampled"])
     return (
         packed.join(documents.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "source", "lang", "n_tokens", "shard_id")

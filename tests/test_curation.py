@@ -3057,3 +3057,26 @@ def test_dedup_survivorship_cross_source_accounting(spark):
             b["n_cross_source_lost"]) == (2, 0, 2, 2)
     assert (c["n_members"], c["n_keepers"], c["n_dropped"],
             c["n_cross_source_lost"]) == (2, 1, 1, 0)
+
+
+def test_corpus_funnel_monotone_and_matches_stages(spark):
+    """Funnel counts are monotone non-increasing after every stage, the
+    sampled row equals corpus_build's survivor count, raw retention is
+    10000 bp, and bp arithmetic is exact."""
+    from pdf_parser_spark.operators import curation as cu
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    funnel = {r["stage"]: r for r in cu.corpus_funnel(docs).collect()}
+    assert [funnel[s]["stage_idx"] for s in
+            ["raw", "gated", "deduped", "clean", "sampled"]] == [0, 1, 2, 3, 4]
+    seq = [funnel[s] for s in ["raw", "gated", "deduped", "clean", "sampled"]]
+    for a, b in zip(seq, seq[1:]):
+        assert b["n_docs"] <= a["n_docs"] and b["n_tokens"] <= a["n_tokens"]
+    raw = funnel["raw"]
+    assert raw["docs_retained_bp"] == raw["tokens_retained_bp"] == 10000
+    for r in seq:
+        assert r["docs_retained_bp"] == (10000 * r["n_docs"]) // raw["n_docs"]
+        assert r["tokens_retained_bp"] == (
+            10000 * r["n_tokens"]) // raw["n_tokens"]
+    built = cu.corpus_build(docs)
+    assert funnel["sampled"]["n_docs"] == built.count()
