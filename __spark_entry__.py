@@ -625,6 +625,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_unigram_fertility": lambda s, d: textstats.unigram_fertility(
             _docs(s, d)
         ),
+        # is the quality score a length proxy? exact-integer Pearson
+        # moments + covariance sign, one map-side aggregate
+        "t_len_quality_assoc": lambda s, d: textstats.len_quality_assoc(
+            _docs(s, d)
+        ),
         # curriculum tiers: exact decile binning via the 4dp value histogram
         # (no global-sort ntile window)
         "c_quality_tiers": lambda s, d: curation.quality_tiers(
@@ -6194,6 +6199,27 @@ def oracle_sql() -> dict[str, str]:
             FROM utoks t JOIN wunits u USING (w)
                  JOIN documents d ON d.doc_id = t.doc_id
             GROUP BY d.lang ORDER BY d.lang
+        """,
+        # length-quality association: exact integer moments + the Pearson
+        # numerator's sign (same quality-bp quantization as budget_select)
+        "t_len_quality_assoc": f"""
+            WITH lq AS (
+                SELECT CAST(len({_TOKS}) AS BIGINT) AS x,
+                       CAST(round(({_quality_sql()}) * 10000) AS BIGINT) AS y
+                FROM documents
+            ), ag AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(x) AS BIGINT) AS sum_x,
+                       CAST(sum(y) AS BIGINT) AS sum_y,
+                       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+                       CAST(sum(y * y) AS BIGINT) AS sum_y2
+                FROM lq
+            )
+            SELECT *, CAST(n_docs * sum_xy - sum_x * sum_y AS BIGINT)
+                       AS cov_num,
+                   n_docs * sum_xy > sum_x * sum_y AS cov_positive
+            FROM ag
         """,
         # char entropy: H = log2(n) - (1/n) sum(c*log2 c) over the same
         # per-(doc, char) counts; both engines floor the identical double

@@ -2582,3 +2582,38 @@ def unigram_fertility(
         )
         .orderBy("lang")
     )
+
+
+def len_quality_assoc(documents: DataFrame) -> DataFrame:
+    """Length-quality dependence audit — the question every scored corpus
+    gets asked before its filter ships: is the quality score just a length
+    proxy?  Reports the exact integer moments of (x = n_tokens,
+    y = quality_bp) and the sign of the covariance, all overflow-safe
+    BIGINTs (n <= 10^12, x <= 10^6, y <= 10^4 keep n*sum(xy) < 2^63 at the
+    per-PARTITION scale production would shard this to; at sf the totals
+    are tiny).  One row: (n_docs, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+    cov_num, cov_positive) with cov_num = n*sum_xy - sum_x*sum_y (the
+    Pearson numerator — correlation needs only a sqrt on top, which the
+    audit leaves float-free on purpose).
+
+    Scale: one map-side-combined aggregate over the scan — no shuffle
+    beyond the final 1-row combine."""
+    q = quality_score(documents).select(
+        F.col("n_tokens").alias("x"),
+        F.round(F.col("quality") * 10000).cast("long").alias("y"),
+    )
+    agg = q.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
+    )
+    return agg.select(
+        "*",
+        (F.col("n_docs") * F.col("sum_xy")
+         - F.col("sum_x") * F.col("sum_y")).cast("long").alias("cov_num"),
+        (F.col("n_docs") * F.col("sum_xy")
+         > F.col("sum_x") * F.col("sum_y")).alias("cov_positive"),
+    )

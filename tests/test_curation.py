@@ -3080,3 +3080,40 @@ def test_corpus_funnel_monotone_and_matches_stages(spark):
             10000 * r["n_tokens"]) // raw["n_tokens"]
     built = cu.corpus_build(docs)
     assert funnel["sampled"]["n_docs"] == built.count()
+
+
+def test_len_quality_assoc_exact_moments(spark):
+    """Moments pinned against a python twin on an engineered corpus where
+    longer docs deliberately score higher (positive covariance) and on a
+    reversed corpus (negative)."""
+    from pdf_parser_spark.operators import textstats as ts
+    from pdf_parser_spark.operators.textstats import quality_score
+
+    def build(rows):
+        docs = _docs(spark, rows)
+        got = ts.len_quality_assoc(docs).collect()[0]
+        qs = [(r["n_tokens"], int(round(r["quality"] * 10000)))
+              for r in quality_score(docs).collect()]
+        n = len(qs)
+        sx = sum(x for x, _ in qs); sy = sum(y for _, y in qs)
+        sxy = sum(x * y for x, y in qs)
+        assert got["n_docs"] == n and got["sum_x"] == sx
+        assert got["sum_y"] == sy and got["sum_xy"] == sxy
+        assert got["sum_x2"] == sum(x * x for x, _ in qs)
+        assert got["sum_y2"] == sum(y * y for _, y in qs)
+        assert got["cov_num"] == n * sxy - sx * sy
+        assert got["cov_positive"] == (got["cov_num"] > 0)
+        return got
+
+    # longer docs richer in stopwords -> quality rises with length
+    pos = build([(i, " ".join((["the", "of", "and", "word"] * (i + 1))[: 4 * (i + 1)]),
+                  "en", "s", 0) for i in range(8)])
+    assert pos["cov_positive"]
+    # longer docs = pure filler, short docs = stopword-dense
+    neg = build([
+        (0, "the of and to in is", "en", "s", 0),
+        (1, "the of and in", "en", "s", 0),
+        (2, " ".join(["zz"] * 60), "en", "s", 0),
+        (3, " ".join(["qq"] * 80), "en", "s", 0),
+    ])
+    assert not neg["cov_positive"]
