@@ -630,6 +630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_len_quality_assoc": lambda s, d: textstats.len_quality_assoc(
             _docs(s, d)
         ),
+        # per-rule gate impact: fires / sole-blocker / token mass per rule,
+        # zero-filled (the knob-tuning table)
+        "t_gate_impact": lambda s, d: textstats.gate_impact(_docs(s, d)),
         # curriculum tiers: exact decile binning via the 4dp value histogram
         # (no global-sort ntile window)
         "c_quality_tiers": lambda s, d: curation.quality_tiers(
@@ -6199,6 +6202,42 @@ def oracle_sql() -> dict[str, str]:
             FROM utoks t JOIN wunits u USING (w)
                  JOIN documents d ON d.doc_id = t.doc_id
             GROUP BY d.lang ORDER BY d.lang
+        """,
+        # gate impact: the SAME _gate_cte_for reasons chain, split and
+        # exploded per rule, zero-filled over the rule dim
+        "t_gate_impact": f"""
+            WITH {_gate_cte_for("documents")},
+            gtoks AS (
+                SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), gfail AS (
+                SELECT g.doc_id,
+                       CASE WHEN len(string_split(g.reasons, ';')) = 1
+                            THEN 1 ELSE 0 END AS sole,
+                       unnest(string_split(g.reasons, ';')) AS rule
+                FROM gated g WHERE g.reasons <> ''
+            ), gper AS (
+                SELECT rule, count(*) AS n_docs_failing,
+                       sum(sole) AS n_sole_blocker,
+                       sum(t.n_tokens) AS tokens_failing
+                FROM gfail f JOIN gtoks t USING (doc_id)
+                GROUP BY rule
+            ), gdim AS (
+                SELECT * FROM (VALUES {", ".join(
+                    f"('{r}')" for r in TS.GATE_RULE_NAMES
+                )}) d(rule)
+            ), gtot AS (SELECT sum(n_tokens) AS tot FROM gtoks)
+            SELECT d.rule,
+                   CAST(coalesce(p.n_docs_failing, 0) AS BIGINT)
+                       AS n_docs_failing,
+                   CAST(coalesce(p.n_sole_blocker, 0) AS BIGINT)
+                       AS n_sole_blocker,
+                   CAST(coalesce(p.tokens_failing, 0) AS BIGINT)
+                       AS tokens_failing,
+                   CAST((10000 * coalesce(p.tokens_failing, 0)) // tot
+                        AS BIGINT) AS tokens_bp
+            FROM gdim d LEFT JOIN gper p ON p.rule = d.rule, gtot
+            ORDER BY d.rule
         """,
         # length-quality association: exact integer moments + the Pearson
         # numerator's sign (same quality-bp quantization as budget_select)

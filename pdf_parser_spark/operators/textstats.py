@@ -2617,3 +2617,61 @@ def len_quality_assoc(documents: DataFrame) -> DataFrame:
         (F.col("n_docs") * F.col("sum_xy")
          > F.col("sum_x") * F.col("sum_y")).alias("cov_positive"),
     )
+
+
+GATE_RULE_NAMES = (
+    "too_few_tokens", "too_many_tokens", "word_len", "no_stopwords",
+    "hash_symbols", "ellipsis_lines", "bullet_lines",
+)
+
+
+def gate_impact(documents: DataFrame) -> DataFrame:
+    """Per-rule impact of the hard gate — the knob-tuning table a filter
+    review reads before changing any threshold: for every rule, how many
+    docs it fires on, how many it is the SOLE blocker for (the docs that
+    rule alone costs — relaxing it readmits exactly these), and the token
+    mass involved in exact corpus bp.  Zero-filled over all rules so a
+    never-firing rule is visible as such.
+    (rule, n_docs_failing, n_sole_blocker, tokens_failing, tokens_bp).
+
+    Scale: quality_gate's one scan + an in-scan reasons explode (bounded
+    by rules-per-doc), a rule-sized groupBy, and a 1-row broadcast total."""
+    g = quality_gate(documents)
+    toks = documents.select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    failed = (
+        g.where(~F.col("passed"))
+        .select("doc_id", F.split(F.col("reasons"), ";").alias("rs"))
+        .select(
+            "doc_id",
+            (F.size("rs") == 1).cast("long").alias("sole"),
+            F.explode("rs").alias("rule"),
+        )
+        .join(toks, "doc_id")
+    )
+    per = failed.groupBy("rule").agg(
+        F.count("*").cast("long").alias("n_docs_failing"),
+        F.sum("sole").cast("long").alias("n_sole_blocker"),
+        F.sum("n_tokens").cast("long").alias("tokens_failing"),
+    )
+    dim = documents.sparkSession.createDataFrame(
+        [(r,) for r in GATE_RULE_NAMES], "rule string"
+    )
+    total = toks.agg(F.sum("n_tokens").alias("tot"))
+    return (
+        dim.join(per, "rule", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rule",
+            F.coalesce("n_docs_failing", F.lit(0)).cast("long")
+            .alias("n_docs_failing"),
+            F.coalesce("n_sole_blocker", F.lit(0)).cast("long")
+            .alias("n_sole_blocker"),
+            F.coalesce("tokens_failing", F.lit(0)).cast("long")
+            .alias("tokens_failing"),
+            F.expr("(10000 * coalesce(tokens_failing, 0)) div tot")
+            .cast("long").alias("tokens_bp"),
+        )
+        .orderBy("rule")
+    )

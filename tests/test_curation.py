@@ -3117,3 +3117,33 @@ def test_len_quality_assoc_exact_moments(spark):
         (3, " ".join(["qq"] * 80), "en", "s", 0),
     ])
     assert not neg["cov_positive"]
+
+
+def test_gate_impact_sole_blocker_accounting(spark):
+    """Engineered docs: one fails ONLY no_stopwords (sole blocker), one
+    fails no_stopwords AND word_len (sole for neither), clean docs count
+    nowhere, and never-firing rules report zero rows — all with exact
+    token-bp arithmetic."""
+    from pdf_parser_spark.operators import textstats as ts
+
+    # all docs sit above GATE_MIN_TOKENS (50) so only the targeted rules fire
+    clean = " ".join(["the quick brown fox jumps over a lazy dog"] * 8)
+    no_stop = " ".join(f"word{j:02d}" for j in range(60))  # 6-char words keep
+    # mean_wl inside the band: ONLY no_stopwords fires (sole blocker)
+    both = " ".join(["x" * 40] * 60)  # word_len AND no_stopwords
+    docs = _docs(spark, [
+        (1, clean, "en", "s", 0),
+        (2, no_stop, "en", "s", 0),
+        (3, both, "en", "s", 0),
+    ])
+    out = {r["rule"]: r for r in ts.gate_impact(docs).collect()}
+    assert set(out) == set(ts.GATE_RULE_NAMES)
+    ns, wl = out["no_stopwords"], out["word_len"]
+    assert ns["n_docs_failing"] == 2 and ns["n_sole_blocker"] == 1
+    assert wl["n_docs_failing"] == 1 and wl["n_sole_blocker"] == 0
+    total = sum(len(t.split()) for t in (clean, no_stop, both))
+    assert ns["tokens_failing"] == 120
+    assert ns["tokens_bp"] == (10000 * 120) // total
+    for r in ("hash_symbols", "ellipsis_lines", "bullet_lines",
+              "too_few_tokens", "too_many_tokens"):
+        assert out[r]["n_docs_failing"] == 0 and out[r]["tokens_bp"] == 0
