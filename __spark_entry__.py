@@ -1156,6 +1156,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "host"),
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
            _docs(s, d)),
+        # per-host triangle count + local clustering coefficient over the
+        # undirected simple host graph — the link-farm detector (cliques
+        # cluster, editorial hubs don't); degree-ordered orientation
+        # bounds the wedge join's fan-out under power-law skew
+        "g_triangles": lambda s, d: (lambda lg, docs: lg.host_triangles(
+            lg.synthetic_edges(docs),
+            weburl.canonicalize(weburl.with_synthetic_urls(docs))
+            .select("doc_id", "host"),
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
+           _docs(s, d)),
         # log2-binned degree histogram of the host graph: the power-law
         # audit, exact-integer bins via length(bin(deg))-1
         "g_degree_dist": lambda s, d: (lambda lg, docs: lg.degree_distribution(
@@ -5341,6 +5351,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(deg) AS BIGINT) AS min_deg,
                    CAST(max(deg) AS BIGINT) AS max_deg
             FROM degs GROUP BY direction, bin ORDER BY direction, bin
+        """,
+        # triangles: same undirected host edges, degree-ordered
+        # orientation via row comparison (deg, host) — the literal twin of
+        # the Spark struct key; wedges close through an EXISTS on the
+        # oriented table, corners explode via UNION ALL
+        "g_triangles": f"""
+            WITH {_url_cte},
+            edges AS ({_edges_sql}),
+            und AS (
+                SELECT DISTINCT least(cs.host, cd.host) AS a,
+                                greatest(cs.host, cd.host) AS b
+                FROM edges e
+                JOIN canon cs ON cs.doc_id = e.src
+                JOIN canon cd ON cd.doc_id = e.dst
+                WHERE cs.host <> cd.host
+            ),
+            deg AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT a AS host FROM und
+                    UNION ALL SELECT b AS host FROM und)
+                GROUP BY host
+            ),
+            o AS (
+                SELECT CASE WHEN (da.degree, u.a) < (db.degree, u.b)
+                            THEN u.a ELSE u.b END AS u,
+                       CASE WHEN (da.degree, u.a) < (db.degree, u.b)
+                            THEN u.b ELSE u.a END AS v,
+                       CASE WHEN (da.degree, u.a) < (db.degree, u.b)
+                            THEN db.degree ELSE da.degree END AS dv
+                FROM und u
+                JOIN deg da ON da.host = u.a
+                JOIN deg db ON db.host = u.b
+            ),
+            tris AS (
+                SELECT o1.u, o1.v, o2.v AS w
+                FROM o o1 JOIN o o2 ON o2.u = o1.u
+                WHERE (o1.dv, o1.v) < (o2.dv, o2.v)
+                  AND EXISTS (SELECT 1 FROM o o3
+                              WHERE o3.u = o1.v AND o3.v = o2.v)
+            ),
+            tcount AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                    SELECT u AS host FROM tris
+                    UNION ALL SELECT v AS host FROM tris
+                    UNION ALL SELECT w AS host FROM tris)
+                GROUP BY host
+            ),
+            nodes AS (SELECT DISTINCT host FROM canon)
+            SELECT n.host,
+                   CAST(coalesce(d.degree, 0) AS BIGINT) AS degree,
+                   CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+                   CAST(CASE WHEN coalesce(d.degree, 0) >= 2
+                             THEN (20000 * coalesce(t.n_triangles, 0))
+                                  // (d.degree * (d.degree - 1))
+                             ELSE 0 END AS BIGINT) AS cc_bp
+            FROM nodes n
+            LEFT JOIN deg d USING (host)
+            LEFT JOIN tcount t USING (host)
+            ORDER BY n.host
         """,
         # bow-tie: fwd/bwd depth-bounded recursive reachability from the
         # min-host pivot over the distinct host edges; region = flag CASE

@@ -846,3 +846,101 @@ def graph_reciprocity(edges: DataFrame, urls: DataFrame) -> DataFrame:
           (10000 * int(recip)) // int(n_edges) if n_edges else 0)],
         "n_edges long, n_reciprocated long, reciprocity_bp long",
     )
+
+
+def host_triangles(edges: DataFrame, urls: DataFrame) -> DataFrame:
+    """(host, degree, n_triangles, cc_bp) — exact per-host triangle count
+    and local clustering coefficient over the UNDIRECTED simple host
+    graph, zero-filled over every host in the url dim so a never-linked
+    host reads as (0, 0, 0).  Triangles are the web-spam structural
+    signal the degree histogram can't see: link farms are near-cliques
+    (cc -> 10000 bp) while editorial hubs cite many pages that never cite
+    each other (cc -> 0 at the same degree) — directed-web studies report
+    clustering next to the bow-tie and reciprocity for exactly this
+    reason.
+
+    cc_bp = floor(10000 * 2 * triangles / (degree * (degree - 1))) for
+    degree >= 2, else 0 — exact BIGINT arithmetic, no floats.
+
+    Scale (the part that matters at 10^12 pages): counting runs on the
+    COMPRESSED host graph (the host_graph 4-5-orders reduction), and the
+    wedge join uses DEGREE-ORDERED ORIENTATION (Schank & Wagner 2005; the
+    standard MapReduce triangle scheme): every undirected edge is
+    directed from its lower-(degree, host) endpoint to its higher one, so
+    a celebrity host with degree 10^6 has oriented OUT-degree O(sqrt(m))
+    — the wedge self-join's per-key fan-out is bounded by the orientation
+    even under power-law skew, where the naive adjacency join explodes on
+    the heaviest host.  Each triangle materializes exactly once (at its
+    orientation-minimal vertex) and closure is one left_semi join back to
+    the oriented edge table; per-vertex counts explode the 3 corners.
+    Total: the two host_graph shuffles + degree groupBy + one wedge join
+    + one semi join + one corner groupBy — all on the host-graph dim.
+    """
+    und = (
+        host_graph(edges, urls)
+        .select(F.least("src_host", "dst_host").alias("a"),
+                F.greatest("src_host", "dst_host").alias("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionByName(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    # degree-ordered orientation: u -> v iff (deg_u, u) < (deg_v, v);
+    # the struct key rides along so the wedge join can order endpoints
+    # without a second degree lookup
+    da = deg.select(F.col("host").alias("a"), F.col("degree").alias("dga"))
+    db = deg.select(F.col("host").alias("b"), F.col("degree").alias("dgb"))
+    ka = F.struct(F.col("dga").alias("dg"), F.col("a").alias("h"))
+    kb = F.struct(F.col("dgb").alias("dg"), F.col("b").alias("h"))
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(ka < kb, kb).otherwise(ka).alias("kv"),
+        )
+        .persist()
+    )
+    # wedge (u -> v, u -> w) with kv < kw, closed iff oriented edge
+    # (v, w) exists (it is oriented v -> w by key transitivity)
+    o2 = oriented.select(F.col("u"), F.col("v").alias("w"),
+                         F.col("kv").alias("kw"))
+    wedges = (
+        oriented.join(o2, "u")
+        .where(F.col("kv") < F.col("kw"))
+        .select("u", "v", "w")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v2"), F.col("v").alias("w2")),
+        (F.col("v") == F.col("v2")) & (F.col("w") == F.col("w2")),
+        "left_semi",
+    )
+    tri = (
+        closed.select(F.explode(F.array("u", "v", "w")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    nodes = urls.select("host").distinct()
+    out = (
+        nodes.join(deg, "host", "left").join(tri, "host", "left")
+        .select(
+            "host",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"),
+        )
+        .withColumn(
+            "cc_bp",
+            F.expr("CASE WHEN degree >= 2 THEN (20000 * n_triangles)"
+                   " div (degree * (degree - 1)) ELSE 0 END").cast("long"),
+        )
+        .orderBy("host")
+    )
+    out = out.localCheckpoint()
+    und.unpersist()
+    oriented.unpersist()
+    return out

@@ -3147,3 +3147,32 @@ def test_gate_impact_sole_blocker_accounting(spark):
     for r in ("hash_symbols", "ellipsis_lines", "bullet_lines",
               "too_few_tokens", "too_many_tokens"):
         assert out[r]["n_docs_failing"] == 0 and out[r]["tokens_bp"] == 0
+
+
+def test_host_triangles_clustering(spark):
+    """Triangle pins: a 3-cycle gives every member one triangle (cc 10000
+    at degree 2, 3333 at the degree-3 cut vertex), a 4-clique gives every
+    member C(3,2)=3 triangles at cc exactly 10000, a pendant and an
+    isolated host read (deg, 0, 0), and parallel page edges fold before
+    counting (the A-B double edge changes nothing)."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    urls = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"),
+         (5, "f"), (6, "g"), (7, "h"), (8, "i")],
+        "doc_id long, host string")
+    edges = spark.createDataFrame(
+        # triangle a-b-c (with a parallel a->b page edge), pendant c-d
+        [(0, 1), (0, 1), (1, 2), (2, 0), (2, 3)]
+        # 4-clique f,g,h,i (one direction per pair; undirected fold)
+        + [(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)],
+        "src long, dst long")
+    got = {r["host"]: (r["degree"], r["n_triangles"], r["cc_bp"])
+           for r in lg.host_triangles(edges, urls).collect()}
+    assert got["a"] == (2, 1, 10000) and got["b"] == (2, 1, 10000)
+    assert got["c"] == (3, 1, 3333)          # 20000*1 // (3*2)
+    assert got["d"] == (1, 0, 0)
+    assert got["e"] == (0, 0, 0)             # zero-filled isolated host
+    for h in "fghi":
+        assert got[h] == (3, 3, 10000)       # clique: C(3,2) triangles
+    assert len(got) == 9
