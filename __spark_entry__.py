@@ -686,6 +686,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).change_feed_via_stream(s, d),
         # --- dedup ---
         "d_exact": lambda s, d: dedup.exact_dedup_groups(_docs(s, d)),
+        # cross-snapshot dedup curve (FineWeb-style): per synthetic crawl,
+        # new vs within-crawl-dup vs seen-in-earlier-crawl partition of
+        # every doc, exact bp rates, zero-filled over the crawl dim
+        "d_dup_trend": lambda s, d: dedup.dup_rate_trend(_docs(s, d)),
         # survivorship audit: which sources keep their docs and which lose
         # them to another source's copy when near-dup clusters collapse
         "d_survivorship": lambda s, d: dedup.dedup_survivorship(_docs(s, d)),
@@ -3548,6 +3552,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
                    count(*) AS n_docs, min(doc_id) AS keep_doc_id
             FROM documents GROUP BY fp ORDER BY keep_doc_id
+        """,
+        # cross-snapshot dedup curve: same normalized-md5 fingerprint as
+        # d_exact with the crawl key riding the one groupBy; the
+        # new/within/prior partition rule mirrored verbatim
+        "d_dup_trend": f"""
+            WITH fpc AS (
+                SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                           AS fp,
+                       CAST(doc_id % {D.DUP_TREND_CRAWLS} AS BIGINT)
+                           AS crawl,
+                       count(*) AS cnt
+                FROM documents GROUP BY fp, crawl
+            ),
+            first AS (SELECT fp, min(crawl) AS min_crawl FROM fpc GROUP BY fp),
+            per AS (
+                SELECT f.crawl,
+                       sum(f.cnt) AS n_docs,
+                       sum(CASE WHEN f.crawl = x.min_crawl THEN 1
+                                ELSE 0 END) AS n_new,
+                       sum(CASE WHEN f.crawl = x.min_crawl THEN f.cnt - 1
+                                ELSE 0 END) AS n_dup_within,
+                       sum(CASE WHEN f.crawl > x.min_crawl THEN f.cnt
+                                ELSE 0 END) AS n_dup_prior
+                FROM fpc f JOIN first x USING (fp) GROUP BY f.crawl
+            ),
+            dim AS (SELECT unnest(range({D.DUP_TREND_CRAWLS})) AS crawl)
+            SELECT CAST(dim.crawl AS BIGINT) AS crawl,
+                   CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+                   CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+                   CAST(coalesce(n_dup_within, 0) AS BIGINT) AS n_dup_within,
+                   CAST(coalesce(n_dup_prior, 0) AS BIGINT) AS n_dup_prior,
+                   CAST(CASE WHEN coalesce(n_docs, 0) = 0 THEN 0
+                             ELSE (10000 * n_dup_within) // n_docs END
+                        AS BIGINT) AS dup_within_bp,
+                   CAST(CASE WHEN coalesce(n_docs, 0) = 0 THEN 0
+                             ELSE (10000 * n_dup_prior) // n_docs END
+                        AS BIGINT) AS dup_prior_bp
+            FROM dim LEFT JOIN per ON per.crawl = dim.crawl
+            ORDER BY crawl
         """,
         # banded candidate generation (the r3 default: same bands_cte as the
         # LSH query) + exact Jaccard verify — the oracle mirrors the

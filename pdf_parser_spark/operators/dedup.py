@@ -1008,3 +1008,88 @@ def dedup_survivorship(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+DUP_TREND_CRAWLS = 8  # synthetic snapshot dim (production: the warc_ts week)
+
+
+def dup_rate_trend(
+    documents: DataFrame, n_crawls: int = DUP_TREND_CRAWLS
+) -> DataFrame:
+    """Cross-snapshot duplicate-rate trend — the curve every rolling-crawl
+    corpus report prints (FineWeb's per-snapshot dedup analysis is the
+    canonical instance): as crawls accumulate, what fraction of each new
+    snapshot's documents is content already seen in an EARLIER snapshot,
+    and what fraction is duplicated WITHIN the snapshot itself?  A rising
+    prior-dup share is the expected steady state of a recrawl (the web
+    changes slower than the crawl cadence); a within-dup spike flags a
+    mirror farm or a crawler trap inside one snapshot.
+
+    Accounting is a partition of every document into exactly one bucket,
+    so the three counts always sum to n_docs: the FIRST copy in a
+    fingerprint's earliest snapshot is `new`; extra copies in that same
+    earliest snapshot are `dup_within`; every copy in any later snapshot
+    is `dup_prior`.  Rates in exact integer bp.  The snapshot dim is
+    doc_id % n_crawls (production: the warc_ts crawl week, same rollup).
+
+    Per crawl: (crawl, n_docs, n_new, n_dup_within, n_dup_prior,
+    dup_within_bp, dup_prior_bp), zero-filled over all n_crawls.
+
+    Scale: one groupBy on (fingerprint, crawl) over the corpus — the same
+    single shuffle exact dedup pays, with the crawl key riding along —
+    then a fingerprint-dim min-rollup and a crawl-dim (n_crawls rows)
+    rollup.  No joins back to the corpus: the (fp, crawl, cnt) frame
+    already carries everything the partition rule needs."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fpc = (
+        documents.select(
+            F.md5(normalized).alias("fp"),
+            (F.col("doc_id") % n_crawls).cast("long").alias("crawl"),
+        )
+        .groupBy("fp", "crawl")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    first = fpc.groupBy("fp").agg(F.min("crawl").alias("min_crawl"))
+    per_crawl = (
+        fpc.join(first, "fp")
+        .select(
+            "crawl", "cnt",
+            F.when(F.col("crawl") > F.col("min_crawl"), F.col("cnt"))
+            .otherwise(F.lit(0)).alias("prior"),
+            F.when(F.col("crawl") == F.col("min_crawl"), F.col("cnt") - 1)
+            .otherwise(F.lit(0)).alias("within"),
+            F.when(F.col("crawl") == F.col("min_crawl"), F.lit(1))
+            .otherwise(F.lit(0)).alias("new"),
+        )
+        .groupBy("crawl")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum("new").cast("long").alias("n_new"),
+            F.sum("within").cast("long").alias("n_dup_within"),
+            F.sum("prior").cast("long").alias("n_dup_prior"),
+        )
+    )
+    crawls = documents.sparkSession.range(n_crawls).select(
+        F.col("id").cast("long").alias("crawl")
+    )
+    return (
+        crawls.join(per_crawl, "crawl", "left")
+        .select(
+            "crawl",
+            *[F.coalesce(c, F.lit(0)).cast("long").alias(c)
+              for c in ("n_docs", "n_new", "n_dup_within", "n_dup_prior")],
+        )
+        .withColumn(
+            "dup_within_bp",
+            F.expr("CASE WHEN n_docs = 0 THEN 0"
+                   " ELSE (10000 * n_dup_within) div n_docs END")
+            .cast("long"),
+        )
+        .withColumn(
+            "dup_prior_bp",
+            F.expr("CASE WHEN n_docs = 0 THEN 0"
+                   " ELSE (10000 * n_dup_prior) div n_docs END")
+            .cast("long"),
+        )
+        .orderBy("crawl")
+    )

@@ -3176,3 +3176,34 @@ def test_host_triangles_clustering(spark):
     for h in "fghi":
         assert got[h] == (3, 3, 10000)       # clique: C(3,2) triangles
     assert len(got) == 9
+
+
+def test_dup_rate_trend_partition(spark):
+    """Trend pins: every doc lands in exactly ONE of new/within/prior (the
+    three counts sum to n_docs per crawl), extra copies in the earliest
+    crawl are within-dups, any copy in a later crawl is a prior-dup,
+    whitespace/case normalization folds before fingerprinting, and an
+    empty crawl zero-fills."""
+    from pdf_parser_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        # crawl = doc_id % 4
+        [(0, "x"), (4, "x"),          # crawl 0: first + within-dup
+         (1, "x"), (9, "x"),          # crawl 1: both prior-dups
+         (5, "  X "),                 # crawl 1: normalizes to "x" -> prior
+         (2, "y"),                    # crawl 2: unique
+         (3, "z"), (7, "z")],         # crawl 3: first + within-dup
+        "doc_id long, text string")
+    got = {r["crawl"]: r for r in dd.dup_rate_trend(docs, n_crawls=4).collect()}
+    assert len(got) == 4
+    for c in range(4):
+        r = got[c]
+        assert r["n_new"] + r["n_dup_within"] + r["n_dup_prior"] == r["n_docs"]
+    assert (got[0]["n_docs"], got[0]["n_new"], got[0]["n_dup_within"],
+            got[0]["n_dup_prior"]) == (2, 1, 1, 0)
+    assert got[0]["dup_within_bp"] == 5000 and got[0]["dup_prior_bp"] == 0
+    assert (got[1]["n_docs"], got[1]["n_dup_prior"]) == (3, 3)
+    assert got[1]["dup_prior_bp"] == 10000
+    assert (got[2]["n_docs"], got[2]["n_new"]) == (1, 1)
+    assert (got[3]["n_docs"], got[3]["n_new"], got[3]["n_dup_within"]) == \
+        (2, 1, 1)
