@@ -1011,6 +1011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_pack_sequences": lambda s, d: curation.pack_sequences(_docs(s, d)),
         # per-shard packing datasheet: tail waste + boundary-split docs
         "c_packing_stats": lambda s, d: curation.packing_stats(_docs(s, d)),
+        # one-pass SEQ_LEN sweep: waste vs boundary-split trade priced at
+        # every candidate length against the SAME L-independent offsets
+        "c_pack_lenscan": lambda s, d: curation.packing_lenscan(_docs(s, d)),
         # the curation-to-trainer lifecycle under ONE hash: corpus_build
         # survivors -> shuffle-ordered concat-and-split packing manifest
         "c_release_manifest": lambda s, d: curation.release_manifest(
@@ -5790,6 +5793,58 @@ def oracle_sql() -> dict[str, str]:
                             * {C.SEQ_LEN}) AS BIGINT) AS waste_bp,
                    CAST(n_split_docs AS BIGINT) AS n_split_docs
             FROM g ORDER BY shard
+        """,
+        # SEQ_LEN sweep: the same h/shard/offset chain crossed with the
+        # candidate-length dim; offsets are L-independent so one window
+        # prices every candidate
+        "c_pack_lenscan": f"""
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('{C.SHUFFLE_SEED}:' || doc_id),
+                                            1, 8)) AS BIGINT) AS h,
+                       CAST(len({_TOKS}) + 1 AS BIGINT) AS n_tok
+                FROM documents WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT doc_id, h, n_tok,
+                       ((h % {C.SHUFFLE_SHARDS}) + {C.SHUFFLE_SHARDS})
+                       % {C.SHUFFLE_SHARDS} AS shard
+                FROM k
+            ), o AS (
+                SELECT doc_id, shard, n_tok,
+                       sum(n_tok) OVER (PARTITION BY shard
+                                        ORDER BY h, doc_id) - n_tok AS off
+                FROM sh
+            ),
+            grid AS (SELECT unnest([{", ".join(str(x) for x in
+                                               C.PACK_LEN_GRID)}])
+                         AS seq_len),
+            sp AS (
+                SELECT g.seq_len, count(*) AS n_docs,
+                       sum(CASE WHEN off // g.seq_len
+                                <> (off + n_tok - 1) // g.seq_len
+                           THEN 1 ELSE 0 END) AS n_split_docs
+                FROM o, grid g GROUP BY g.seq_len
+            ),
+            st AS (SELECT shard, sum(n_tok) AS total FROM o GROUP BY shard),
+            wa AS (
+                SELECT g.seq_len, sum(total) AS total_toks,
+                       sum((total + g.seq_len - 1) // g.seq_len) AS n_seqs,
+                       sum(((total + g.seq_len - 1) // g.seq_len) * g.seq_len
+                           - total) AS tail_waste_toks
+                FROM st, grid g GROUP BY g.seq_len
+            )
+            SELECT CAST(wa.seq_len AS BIGINT) AS seq_len,
+                   CAST(sp.n_docs AS BIGINT) AS n_docs,
+                   CAST(wa.total_toks AS BIGINT) AS total_toks,
+                   CAST(wa.n_seqs AS BIGINT) AS n_seqs,
+                   CAST(wa.tail_waste_toks AS BIGINT) AS tail_waste_toks,
+                   CAST((10000 * wa.tail_waste_toks)
+                        // (wa.n_seqs * wa.seq_len) AS BIGINT) AS waste_bp,
+                   CAST(sp.n_split_docs AS BIGINT) AS n_split_docs,
+                   CAST((10000 * sp.n_split_docs) // sp.n_docs AS BIGINT)
+                       AS split_docs_bp
+            FROM wa JOIN sp ON sp.seq_len = wa.seq_len
+            ORDER BY seq_len
         """,
         "c_pack_shards": f"""
             WITH t AS (

@@ -2018,3 +2018,81 @@ def holdout_split(
         )
         .orderBy("doc_id")
     )
+
+
+PACK_LEN_GRID = (16, 32, 64, 128)  # candidate SEQ_LENs swept by the lenscan
+
+
+def packing_lenscan(
+    documents: DataFrame,
+    seed: str = SHUFFLE_SEED,
+    n_shards: int = SHUFFLE_SHARDS,
+    grid: tuple[int, ...] = PACK_LEN_GRID,
+) -> DataFrame:
+    """Corpus-level packing cost at every candidate sequence length in ONE
+    pass — the table a training configuration review reads before fixing
+    the model's context length fields: concat-and-split packing trades
+    tail waste (the only padding it pays, < seq_len per shard, so its
+    share FALLS as seq_len grows... until shards are few) against
+    boundary-split documents (the cross-document attention contamination,
+    which RISES with seq_len).  The sweep prices both sides of that trade
+    on the real corpus instead of a rule of thumb.
+
+    One row per candidate L: (seq_len, n_docs, total_toks, n_seqs,
+    tail_waste_toks, waste_bp, n_split_docs, split_docs_bp) — exact
+    BIGINT arithmetic, waste_bp over the padded stream n_seqs * L.
+
+    The key fact making this one pass: a document's shard, shuffle offset
+    and token cost are L-INDEPENDENT (_pack_base's window never mentions
+    seq_len), so every candidate L prices against the same offsets.
+    Scale: _pack_base's one window per shard (already paid by the
+    shuffle), then (a) per-doc split flags via an in-scan explode bounded
+    by |grid| rows per doc and one groupBy to the L dim, and (b) shard
+    totals via one n_shards-row groupBy crossed with the |grid|-row dim
+    for the ceil arithmetic — nothing corpus-sized shuffles twice."""
+    t = _pack_base(documents, seed, n_shards)
+    ldim = F.array(*[F.lit(int(x)) for x in grid])
+    splits = (
+        t.select(
+            "off", "n_tok", F.explode(ldim).alias("sl"),
+        )
+        .select("off", "n_tok", F.col("sl").cast("long").alias("seq_len"))
+        .groupBy("seq_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                (F.expr("off div seq_len")
+                 != F.expr("(off + n_tok - 1) div seq_len")).cast("long")
+            ).cast("long").alias("n_split_docs"),
+        )
+    )
+    shard_tot = t.groupBy("shard").agg(
+        F.sum("n_tok").cast("long").alias("total")
+    )
+    waste = (
+        shard_tot.select("total", F.explode(ldim).alias("sl"))
+        .select("total", F.col("sl").cast("long").alias("seq_len"))
+        .select(
+            "seq_len", "total",
+            F.expr("(total + seq_len - 1) div seq_len").alias("ns"),
+        )
+        .groupBy("seq_len")
+        .agg(
+            F.sum("total").cast("long").alias("total_toks"),
+            F.sum("ns").cast("long").alias("n_seqs"),
+            F.sum(F.expr("ns * seq_len - total")).cast("long")
+            .alias("tail_waste_toks"),
+        )
+    )
+    return (
+        waste.join(splits, "seq_len")
+        .select(
+            "seq_len", "n_docs", "total_toks", "n_seqs", "tail_waste_toks",
+            F.expr("(10000 * tail_waste_toks) div (n_seqs * seq_len)")
+            .cast("long").alias("waste_bp"),
+            "n_split_docs",
+            F.expr("(10000 * n_split_docs) div n_docs")
+            .cast("long").alias("split_docs_bp"),
+        )
+        .orderBy("seq_len")
+    )

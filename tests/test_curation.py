@@ -3207,3 +3207,38 @@ def test_dup_rate_trend_partition(spark):
     assert (got[2]["n_docs"], got[2]["n_new"]) == (1, 1)
     assert (got[3]["n_docs"], got[3]["n_new"], got[3]["n_dup_within"]) == \
         (2, 1, 1)
+
+
+def test_packing_lenscan_sweep(spark):
+    """Lenscan pins: every candidate L satisfies n_seqs*L = total_toks +
+    tail_waste_toks, split/waste counts match a brute-force Python twin
+    computed from _pack_base's own offsets (the L-independence fact), and
+    the L == SEQ_LEN row agrees with packing_stats' shard rollup."""
+    from pdf_parser_spark.operators import curation as C
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1)))
+         for i in range(40)] + [(40, "   ")],
+        "doc_id long, text string")
+    base = C._pack_base(docs, C.SHUFFLE_SEED, C.SHUFFLE_SHARDS).collect()
+    got = {r["seq_len"]: r for r in C.packing_lenscan(docs).collect()}
+    assert set(got) == set(C.PACK_LEN_GRID)
+    shard_tot = {}
+    for r in base:
+        shard_tot[r["shard"]] = shard_tot.get(r["shard"], 0) + r["n_tok"]
+    for L, row in got.items():
+        assert row["n_seqs"] * L == row["total_toks"] + row["tail_waste_toks"]
+        exp_seqs = sum(-(-t // L) for t in shard_tot.values())
+        exp_waste = exp_seqs * L - sum(shard_tot.values())
+        exp_split = sum(1 for r in base
+                        if r["off"] // L != (r["off"] + r["n_tok"] - 1) // L)
+        assert (row["n_seqs"], row["tail_waste_toks"], row["n_split_docs"],
+                row["n_docs"]) == (exp_seqs, exp_waste, exp_split, 40)
+        assert row["waste_bp"] == (10000 * exp_waste) // (exp_seqs * L)
+        assert row["split_docs_bp"] == (10000 * exp_split) // 40
+    stats = C.packing_stats(docs).collect()
+    assert got[C.SEQ_LEN]["n_seqs"] == sum(r["n_seqs"] for r in stats)
+    assert got[C.SEQ_LEN]["tail_waste_toks"] == \
+        sum(r["tail_waste_toks"] for r in stats)
+    assert got[C.SEQ_LEN]["n_split_docs"] == \
+        sum(r["n_split_docs"] for r in stats)
