@@ -1039,6 +1039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # repeat-budget audit sharing mixture_resample's epoch arithmetic:
         # epochs_bp per source + the ~4-epoch healthy-repetition verdict
         "c_epoch_plan": lambda s, d: curation.epoch_plan(_docs(s, d)),
+        # mT5/XLM-R temperature smoothing swept over the alpha grid: raw vs
+        # smoothed source shares + implied boost factor, exact via
+        # sqrt-composed powers (no pow(); IEEE sqrt is deterministic)
+        "c_temperature_mix": lambda s, d: curation.temperature_mix(
+            _docs(s, d)),
         # eval-integrity report: exact vs fuzzy contamination counts per
         # benchmark item (idiom-collision vs real-leak signatures)
         "c_contamination_report": lambda s, d: curation.contamination_report(
@@ -5634,6 +5639,49 @@ def oracle_sql() -> dict[str, str]:
                    ({C.EPOCH_BUDGET_TOKENS} * weight_bp) // src_tokens
                        > {C.EPOCH_MAX_HEALTHY_BP} AS exceeds_healthy
             FROM tot ORDER BY source
+        """,
+        # temperature sweep: same sqrt-composed powers on the identical
+        # doubles, floored to milli-units, integer shares on top
+        "c_temperature_mix": f"""
+            WITH cnt AS (
+                SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+                    FROM cnt),
+            grid AS (SELECT unnest([{", ".join(str(x) for x in
+                                               C.TEMP_ALPHA_GRID_BP)}])
+                         AS alpha_bp),
+            g AS (
+                SELECT c.source, c.n_tokens, t.tot_tokens,
+                       CAST(g.alpha_bp AS BIGINT) AS alpha_bp,
+                       CAST(floor(1000 * (CASE g.alpha_bp
+                            WHEN 2500 THEN
+                                sqrt(sqrt(CAST(c.n_tokens AS DOUBLE)))
+                            WHEN 5000 THEN sqrt(CAST(c.n_tokens AS DOUBLE))
+                            WHEN 7500 THEN sqrt(CAST(c.n_tokens AS DOUBLE))
+                                * sqrt(sqrt(CAST(c.n_tokens AS DOUBLE)))
+                            ELSE CAST(c.n_tokens AS DOUBLE) END))
+                           AS BIGINT) AS s_milli
+                FROM cnt c, tot t, grid g
+            ),
+            sums AS (SELECT alpha_bp, CAST(sum(s_milli) AS BIGINT) AS s_tot
+                     FROM g GROUP BY alpha_bp),
+            sh AS (
+                SELECT g.alpha_bp, g.source, g.n_tokens,
+                       CAST(CASE WHEN g.tot_tokens = 0 THEN 0
+                                 ELSE (10000 * g.n_tokens) // g.tot_tokens
+                            END AS BIGINT) AS raw_share_bp,
+                       CAST(CASE WHEN s.s_tot = 0 THEN 0
+                                 ELSE (10000 * g.s_milli) // s.s_tot
+                            END AS BIGINT) AS temp_share_bp
+                FROM g JOIN sums s USING (alpha_bp)
+            )
+            SELECT alpha_bp, source, n_tokens, raw_share_bp, temp_share_bp,
+                   CAST(CASE WHEN raw_share_bp = 0 THEN 0
+                             ELSE (10000 * temp_share_bp) // raw_share_bp
+                        END AS BIGINT) AS boost_bp
+            FROM sh ORDER BY alpha_bp, source
         """,
         # license tagging: footers re-derived from the coprime moduli, the
         # SAME most-restrictive-wins CASE order (separator differences

@@ -2096,3 +2096,81 @@ def packing_lenscan(
         )
         .orderBy("seq_len")
     )
+
+
+TEMP_ALPHA_GRID_BP = (2500, 5000, 7500, 10000)  # alpha = 0.25/0.5/0.75/1.0
+
+
+def temperature_mix(documents: DataFrame) -> DataFrame:
+    """Temperature-smoothed source sampling weights at every alpha in the
+    standard grid — the mT5/XLM-R multilingual rule (Xue et al. 2021 §3.1;
+    Conneau et al. 2020 §3): sample source i with p_i proportional to
+    c_i^alpha, so alpha=1 reproduces raw token shares (big sources drown
+    small ones) and alpha->0 flattens toward uniform (small sources
+    over-repeat).  The sweep prints the whole trade so the mixture review
+    picks alpha from the table, not folklore.
+
+    Per (alpha_bp, source): n_tokens, raw_share_bp (exact), temp_share_bp
+    (the smoothed weight), boost_bp = 10000 * temp/raw — the implied
+    up/down-sampling factor mixture_resample would apply (>10000 means
+    the source is boosted above its natural share).
+
+    Cross-engine exactness without pow(): every alpha in the grid is
+    composed from sqrt and multiply only — c^0.25 = sqrt(sqrt(c)),
+    c^0.5 = sqrt(c), c^0.75 = sqrt(c)*sqrt(sqrt(c)) — and IEEE-754 sqrt
+    and multiply are deterministic bit-identical operations on both
+    engines (pow is not so guaranteed), so floor(1000 * c^alpha) is the
+    same BIGINT everywhere and all shares are integer arithmetic on top.
+
+    Scale: one map-side-combined groupBy to the #sources dim; the alpha
+    explode, per-alpha sums and share divisions all run on dim-sized
+    frames (#sources x |grid| rows)."""
+    cnt = documents.groupBy("source").agg(
+        F.sum(F.size(words(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    tot = cnt.agg(F.sum("n_tokens").cast("long").alias("tot_tokens"))
+    g = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_tokens", "tot_tokens",
+            F.explode(F.array(*[F.lit(int(a)) for a in TEMP_ALPHA_GRID_BP]))
+            .alias("ab"),
+        )
+        .select(
+            "source", "n_tokens", "tot_tokens",
+            F.col("ab").cast("long").alias("alpha_bp"),
+        )
+        .withColumn(
+            "s_milli",
+            F.expr(
+                "floor(1000 * (CASE alpha_bp"
+                " WHEN 2500 THEN sqrt(sqrt(cast(n_tokens AS double)))"
+                " WHEN 5000 THEN sqrt(cast(n_tokens AS double))"
+                " WHEN 7500 THEN sqrt(cast(n_tokens AS double))"
+                "   * sqrt(sqrt(cast(n_tokens AS double)))"
+                " ELSE cast(n_tokens AS double) END))"
+            ).cast("long"),
+        )
+    )
+    sums = g.groupBy("alpha_bp").agg(
+        F.sum("s_milli").cast("long").alias("s_tot")
+    )
+    return (
+        g.join(F.broadcast(sums), "alpha_bp")
+        .select(
+            "alpha_bp", "source", "n_tokens",
+            F.expr("CASE WHEN tot_tokens = 0 THEN 0"
+                   " ELSE (10000 * n_tokens) div tot_tokens END")
+            .cast("long").alias("raw_share_bp"),
+            F.expr("CASE WHEN s_tot = 0 THEN 0"
+                   " ELSE (10000 * s_milli) div s_tot END")
+            .cast("long").alias("temp_share_bp"),
+        )
+        .withColumn(
+            "boost_bp",
+            F.expr("CASE WHEN raw_share_bp = 0 THEN 0"
+                   " ELSE (10000 * temp_share_bp) div raw_share_bp END")
+            .cast("long"),
+        )
+        .orderBy("alpha_bp", "source")
+    )

@@ -3242,3 +3242,48 @@ def test_packing_lenscan_sweep(spark):
         sum(r["tail_waste_toks"] for r in stats)
     assert got[C.SEQ_LEN]["n_split_docs"] == \
         sum(r["n_split_docs"] for r in stats)
+
+
+def test_temperature_mix_alpha_sweep(spark):
+    """Temperature pins: every (alpha, source) cell matches a math.sqrt
+    python twin (floor at milli-units, integer shares on top), alpha=1.0
+    reproduces raw shares exactly, and the small source's smoothed share
+    rises monotonically as alpha falls (the flattening that is the whole
+    point of temperature sampling)."""
+    import math
+    from pdf_parser_spark.operators import curation as C
+
+    docs = spark.createDataFrame(
+        # srcA: 4 docs x 25 tokens = 100; srcB: 4 x 100 = 400
+        [(i, " ".join("w" for _ in range(25)), "srcA") for i in range(4)]
+        + [(i + 4, " ".join("w" for _ in range(100)), "srcB")
+           for i in range(4)],
+        "doc_id long, text string, source string")
+    got = {(r["alpha_bp"], r["source"]): r
+           for r in C.temperature_mix(docs).collect()}
+    cnt = {"srcA": 100, "srcB": 400}
+    tot = 500
+
+    def f(c, ab):
+        x = float(c)
+        return {2500: math.sqrt(math.sqrt(x)), 5000: math.sqrt(x),
+                7500: math.sqrt(x) * math.sqrt(math.sqrt(x)),
+                10000: x}[ab]
+
+    for ab in C.TEMP_ALPHA_GRID_BP:
+        s = {k: math.floor(1000 * f(v, ab)) for k, v in cnt.items()}
+        stot = sum(s.values())
+        for src in cnt:
+            r = got[(ab, src)]
+            raw = (10000 * cnt[src]) // tot
+            temp = (10000 * s[src]) // stot
+            assert (r["n_tokens"], r["raw_share_bp"], r["temp_share_bp"],
+                    r["boost_bp"]) == \
+                (cnt[src], raw, temp, (10000 * temp) // raw)
+    # alpha = 1.0 is the identity smoothing
+    assert got[(10000, "srcA")]["temp_share_bp"] == \
+        got[(10000, "srcA")]["raw_share_bp"]
+    # flattening: srcA (small) gains share as alpha falls
+    shares = [got[(ab, "srcA")]["temp_share_bp"]
+              for ab in sorted(C.TEMP_ALPHA_GRID_BP)]
+    assert shares == sorted(shares, reverse=True)
