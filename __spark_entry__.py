@@ -766,6 +766,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- multimodal plumbing (oracle-checked byte stats face) ---
         "m_binary_stats": lambda s, d: multimodal.binary_stats(_docs(s, d)),
+        # magic-byte Content-Type sniff vs the declared header (every
+        # MIME_LIE_MOD-th doc declares the wrong type): JVM byte-slice
+        # signatures over REAL payload bytes, <= 12 leading bytes per row
+        "m_mime_sniff": lambda s, d: multimodal.mime_sniff(
+            multimodal.with_declared_mime(
+                multimodal.synthetic_media(_docs(s, d)))),
         # real container decode over deterministic BMP/WAV/PPM payloads keyed
         # by doc_id; the oracle recomputes the header fields from the doc_id
         # formulas, so a decode bug (endianness, offset, padding) mismatches
@@ -4142,6 +4148,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                    md5(text) AS checksum
             FROM documents ORDER BY doc_id
+        """,
+        # mime sniff: the oracle re-derives both sides from the doc_id
+        # formulas (generator kind = doc_id % 3, lie every MIME_LIE_MOD-th
+        # doc) — a byte-offset bug in the Spark sniffer hash-mismatches
+        "m_mime_sniff": f"""
+            WITH m AS (
+                SELECT doc_id, doc_id % 3 AS tk,
+                       (doc_id % 3 + CASE WHEN doc_id % {MM.MIME_LIE_MOD} = 0
+                                          THEN 1 ELSE 0 END) % 3 AS dk
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE dk WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+                        ELSE 'image/ppm' END AS declared,
+                   CASE tk WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+                        ELSE 'image/ppm' END AS sniffed,
+                   doc_id % {MM.MIME_LIE_MOD} = 0 AS mismatch
+            FROM m ORDER BY doc_id
         """,
         # streaming extraction: the same frozen core-path tuples, no W1
         # window (the streaming stage is stateless per row)

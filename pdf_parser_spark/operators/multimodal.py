@@ -1357,3 +1357,52 @@ def audio_neardup(
         )
         .orderBy("cap_a", "cap_b")
     )
+
+
+MIME_LIE_MOD = 7  # doc_id % 7 == 0 declares the WRONG type (the server lie)
+_MIME_OF_KIND = ("image/bmp", "audio/wav", "image/ppm")
+
+
+def with_declared_mime(media: DataFrame) -> DataFrame:
+    """Attach the Content-Type a server WOULD have declared for each
+    synthetic payload: the true container type, except every
+    MIME_LIE_MOD-th doc declares the next kind in the rotation — the
+    deliberate lie that gives the sniff audit something to catch
+    (crawl-scale reality: ~1-2% of Content-Type headers are wrong, which
+    is why every ingest pipeline sniffs magic bytes instead of trusting
+    the header)."""
+    true_kind = F.col("doc_id") % 3
+    lied_kind = (true_kind + 1) % 3
+    kind = F.when(F.col("doc_id") % MIME_LIE_MOD == 0,
+                  lied_kind).otherwise(true_kind)
+    m = F.array(*[F.lit(x) for x in _MIME_OF_KIND])
+    return media.withColumn("declared", F.get(m, kind.cast("int")))
+
+
+def mime_sniff(media: DataFrame) -> DataFrame:
+    """(doc_id, declared, sniffed, mismatch) — magic-byte content sniffing
+    against the declared Content-Type, the first gate of binary ingest
+    (a 'text/html' that is really a ZIP is how crawl pipelines end up
+    feeding archives to an HTML parser).  Sniff rules are the standard
+    signatures read from the ACTUAL payload bytes: 'BM' -> image/bmp,
+    'RIFF' + 'WAVE' at offset 8 -> audio/wav, 'P6'/'P5' -> image/ppm,
+    else application/octet-stream.
+
+    Scale: pure JVM byte-slice expressions (hex(substring(payload, ...)))
+    inside one scan projection — no Python, no decode, reads at most 12
+    leading bytes per row, so the sniffer runs at full parquet scan speed
+    and pushes down with column pruning (only doc_id + payload head are
+    touched)."""
+    h = lambda start, ln: F.hex(F.expr(f"substring(payload, {start}, {ln})"))
+    sniffed = (
+        F.when(h(1, 2) == "424D", F.lit("image/bmp"))
+        .when((h(1, 4) == "52494646") & (h(9, 4) == "57415645"),
+              F.lit("audio/wav"))
+        .when(h(1, 2).isin("5036", "5035"), F.lit("image/ppm"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return (
+        media.select("doc_id", "declared", sniffed.alias("sniffed"))
+        .withColumn("mismatch", F.col("declared") != F.col("sniffed"))
+        .orderBy("doc_id")
+    )

@@ -3287,3 +3287,35 @@ def test_temperature_mix_alpha_sweep(spark):
     shares = [got[(ab, "srcA")]["temp_share_bp"]
               for ab in sorted(C.TEMP_ALPHA_GRID_BP)]
     assert shares == sorted(shares, reverse=True)
+
+
+def test_mime_sniff_magic_bytes(spark):
+    """Sniff pins: detection reads ACTUAL bytes, not the doc_id formula —
+    hand-built payloads (a BMP header, a RIFF/WAVE, a P5 PPM, a truncated
+    RIFF missing its WAVE tag, and plain text) each sniff to the right
+    type, and the mismatch flag fires exactly where declared != sniffed."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    rows = [
+        (0, b"BM" + b"\x00" * 20, "image/bmp"),
+        (1, b"RIFF\x24\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (2, b"P5\n4 4\n255\n" + b"\x00" * 16, "image/ppm"),
+        # RIFF container that is NOT wav (no WAVE at offset 8)
+        (3, b"RIFF\x24\x00\x00\x00AVI fmt ", "audio/wav"),
+        (4, b"hello world", "image/bmp"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, declared string")
+    got = {r["doc_id"]: (r["sniffed"], r["mismatch"])
+           for r in mm.mime_sniff(media).collect()}
+    assert got[0] == ("image/bmp", False)
+    assert got[1] == ("audio/wav", False)
+    assert got[2] == ("image/ppm", False)
+    assert got[3] == ("application/octet-stream", True)
+    assert got[4] == ("application/octet-stream", True)
+    # the registered composition: lies land exactly on the MIME_LIE_MOD grid
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(21)], "doc_id long, text string")
+    comp = mm.mime_sniff(mm.with_declared_mime(mm.synthetic_media(docs)))
+    for r in comp.collect():
+        assert r["mismatch"] == (r["doc_id"] % mm.MIME_LIE_MOD == 0)
