@@ -1184,6 +1184,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "host"),
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
            _docs(s, d)),
+        # exact k-core numbers via iterated neighborhood h-index (Lü et
+        # al. 2016) — the farm detector raw degree overstates (a 10^4-
+        # satellite hub is core 1; a dense mutual-link neighborhood is
+        # high-core); fixed rounds, engine-asserted convergence
+        "g_kcore": lambda s, d: (lambda lg, docs: lg.host_kcore(
+            lg.synthetic_edges(docs),
+            weburl.canonicalize(weburl.with_synthetic_urls(docs))
+            .select("doc_id", "host"),
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
+           _docs(s, d)),
         # log2-binned degree histogram of the host graph: the power-law
         # audit, exact-integer bins via length(bin(deg))-1
         "g_degree_dist": lambda s, d: (lambda lg, docs: lg.degree_distribution(
@@ -2180,6 +2190,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM nodes n LEFT JOIN p{_r} p USING (host)
             )"""
         _lpa_prev = f"lab{_r}"
+
+    # k-core h-index rounds: the unrolled twin of host_kcore's loop
+    # (H^{t+1}(v) = h-index of neighbors' H^t; K fixed rounds, engine
+    # asserts convergence within them)
+    _kcore_rounds_sql = ""
+    for _r in range(LG.KCORE_ROUNDS):
+        _kcore_rounds_sql += f""",
+            kh{_r + 1} AS (
+                SELECT u, CAST(max(CASE WHEN val >= rn THEN rn ELSE 0 END)
+                               AS BIGINT) AS val
+                FROM (SELECT s.u, l.val,
+                             row_number() OVER (PARTITION BY s.u
+                                 ORDER BY l.val DESC, s.v ASC) AS rn
+                      FROM sym s JOIN kh{_r} l ON l.u = s.v)
+                GROUP BY u
+            )"""
+    _kcore_last = f"kh{LG.KCORE_ROUNDS}"
 
     # per-host robots dim: ONE definition (weburl.ROBOTS_*_SQL) shared by
     # every oracle that re-derives it
@@ -5426,6 +5453,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(deg) AS BIGINT) AS min_deg,
                    CAST(max(deg) AS BIGINT) AS max_deg
             FROM degs GROUP BY direction, bin ORDER BY direction, bin
+        """,
+        # k-core: degrees seed kh0, then KCORE_ROUNDS unrolled h-index
+        # updates — the literal twin of the Spark loop (same tie-broken
+        # row_number, same >=-rank fold)
+        "g_kcore": f"""
+            WITH {_url_cte},
+            edges AS ({_edges_sql}),
+            und AS (
+                SELECT DISTINCT least(cs.host, cd.host) AS a,
+                                greatest(cs.host, cd.host) AS b
+                FROM edges e
+                JOIN canon cs ON cs.doc_id = e.src
+                JOIN canon cd ON cd.doc_id = e.dst
+                WHERE cs.host <> cd.host
+            ),
+            sym AS (
+                SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b AS u, a AS v FROM und
+            ),
+            kh0 AS (SELECT u, CAST(count(*) AS BIGINT) AS val
+                    FROM sym GROUP BY u){_kcore_rounds_sql}
+            SELECT n.host, CAST(coalesce(h.val, 0) AS BIGINT) AS core
+            FROM (SELECT DISTINCT host FROM canon) n
+            LEFT JOIN {_kcore_last} h ON h.u = n.host
+            ORDER BY n.host
         """,
         # triangles: same undirected host edges, degree-ordered
         # orientation via row comparison (deg, host) — the literal twin of

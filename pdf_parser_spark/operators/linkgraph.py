@@ -848,6 +848,19 @@ def graph_reciprocity(edges: DataFrame, urls: DataFrame) -> DataFrame:
     )
 
 
+def _und_host_edges(edges: DataFrame, urls: DataFrame) -> DataFrame:
+    """Distinct undirected inter-host edges (a < b) — the simple-graph
+    compression shared by host_triangles and host_kcore: parallel page
+    edges fold, direction folds, self-loops are already dropped by
+    host_graph."""
+    return (
+        host_graph(edges, urls)
+        .select(F.least("src_host", "dst_host").alias("a"),
+                F.greatest("src_host", "dst_host").alias("b"))
+        .distinct()
+    )
+
+
 def host_triangles(edges: DataFrame, urls: DataFrame) -> DataFrame:
     """(host, degree, n_triangles, cc_bp) — exact per-host triangle count
     and local clustering coefficient over the UNDIRECTED simple host
@@ -876,13 +889,7 @@ def host_triangles(edges: DataFrame, urls: DataFrame) -> DataFrame:
     Total: the two host_graph shuffles + degree groupBy + one wedge join
     + one semi join + one corner groupBy — all on the host-graph dim.
     """
-    und = (
-        host_graph(edges, urls)
-        .select(F.least("src_host", "dst_host").alias("a"),
-                F.greatest("src_host", "dst_host").alias("b"))
-        .distinct()
-        .persist()
-    )
+    und = _und_host_edges(edges, urls).persist()
     deg = (
         und.select(F.col("a").alias("host"))
         .unionByName(und.select(F.col("b").alias("host")))
@@ -944,3 +951,95 @@ def host_triangles(edges: DataFrame, urls: DataFrame) -> DataFrame:
     und.unpersist()
     oriented.unpersist()
     return out
+
+
+KCORE_ROUNDS = 8  # fixed synchronous h-index rounds (oracle-pinned, LPA
+                  # doctrine); the engine asserts convergence within them
+
+
+def host_kcore(
+    edges: DataFrame, urls: DataFrame, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """(host, core) — exact k-core numbers over the undirected simple host
+    graph, zero-filled over the url host dim.  Coreness is the
+    degeneracy-ordering spam/centrality signal the degree histogram
+    overstates: a host with degree 10^4 from 10^4 degree-1 satellites has
+    core 1 (a pure hub), while a modest host inside a dense mutual-link
+    neighborhood has high core — link farms are high-core by
+    construction, which is why core number beats raw degree as a farm
+    detector.
+
+    Algorithm: iterated neighborhood h-index (Lü et al., Nature Comm.
+    2016): H^0(v) = degree(v); H^{t+1}(v) = h-index of v's neighbors'
+    H^t values; the sequence is pointwise non-increasing and converges to
+    the core number exactly.  This is the distributed formulation — the
+    classical sequential peel is inherently ordered, but the h-index
+    update is one synchronous round of neighbor aggregation, the same
+    shuffle shape as a PageRank round.
+
+    Rounds are FIXED at ``rounds`` for the cross-engine twin (the
+    LPA_ROUNDS doctrine: aggregates can't live in a recursive SQL term,
+    so the oracle unrolls the identical K rounds); the engine then
+    ASSERTS convergence — one extra join+count after the last round — and
+    raises if any value would still move, so a too-small budget fails
+    loudly instead of shipping an upper bound as if it were coreness.
+
+    Per round: one equi-join of the symmetric edge list on the node id +
+    one per-node descending sort window + one groupBy-max — the window is
+    partition-local with per-key width = degree (the h-index's inherent
+    cost), and lineage is truncated per round by localCheckpoint."""
+    from pyspark.sql import Window
+
+    und = _und_host_edges(edges, urls)
+    sym = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    labels = (
+        sym.groupBy("u").agg(F.count("*").cast("long").alias("val"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("val"), F.asc("v"))
+    for i in range(rounds + 1):
+        nb = (
+            sym.join(labels.select(F.col("u").alias("v"),
+                                   F.col("val")), "v")
+            .select("u", "v", "val")
+        )
+        new_labels = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("u")
+            .agg(
+                F.max(
+                    F.when(F.col("val") >= F.col("rn"), F.col("rn"))
+                    .otherwise(F.lit(0))
+                ).cast("long").alias("val")
+            )
+            .localCheckpoint()
+        )
+        if i == rounds:
+            # convergence assertion round: values must already be fixed
+            moved = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "u")
+                .where(F.col("n.val") != F.col("o.val"))
+                .count()
+            )
+            if moved:
+                raise ValueError(
+                    f"host_kcore: h-index not converged after {rounds} "
+                    f"rounds ({moved} hosts still moving); raise rounds"
+                )
+            break
+        labels = new_labels
+    sym.unpersist()
+    nodes = urls.select("host").distinct()
+    return (
+        nodes.join(labels.withColumnRenamed("u", "host"), "host", "left")
+        .select(
+            "host",
+            F.coalesce("val", F.lit(0)).cast("long").alias("core"),
+        )
+        .orderBy("host")
+    )

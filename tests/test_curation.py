@@ -3319,3 +3319,46 @@ def test_mime_sniff_magic_bytes(spark):
     comp = mm.mime_sniff(mm.with_declared_mime(mm.synthetic_media(docs)))
     for r in comp.collect():
         assert r["mismatch"] == (r["doc_id"] % mm.MIME_LIE_MOD == 0)
+
+
+def test_host_kcore_numbers(spark):
+    """Coreness pins: a 4-clique is core 3, a triangle hanging off it by
+    one bridge edge is core 2, a pendant is core 1, an isolated host is
+    core 0, and the values equal a brute-force sequential peeler — the
+    h-index iteration's fixed point is the true core number, not the
+    degree (c has degree 4 but core 2: the hub-vs-farm distinction)."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    urls = spark.createDataFrame(
+        [(i, h) for i, h in enumerate("abcdefghi")],
+        "doc_id long, host string")
+    E = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+         ("f", "g"), ("f", "h"), ("f", "i"), ("g", "h"), ("g", "i"),
+         ("h", "i"), ("c", "f")]
+    nid = {h: i for i, h in enumerate("abcdefghi")}
+    edges = spark.createDataFrame(
+        [(nid[x], nid[y]) for x, y in E], "src long, dst long")
+    got = {r["host"]: r["core"] for r in lg.host_kcore(edges, urls).collect()}
+
+    # sequential peel twin
+    adj = {}
+    for x, y in E:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    core, deg = {}, {h: len(n) for h, n in adj.items()}
+    alive = set(adj)
+    k = 0
+    while alive:
+        peel = [h for h in alive if deg[h] <= k]
+        if not peel:
+            k += 1
+            continue
+        for h in peel:
+            core[h] = k
+            alive.discard(h)
+            for nb in adj[h]:
+                if nb in alive:
+                    deg[nb] -= 1
+    expected = {h: core.get(h, 0) for h in "abcdefghi"}
+    assert got == expected
+    assert got["f"] == 3 and got["c"] == 2 and got["d"] == 1 and got["e"] == 0
