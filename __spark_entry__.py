@@ -784,6 +784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_image_ahash": lambda s, d: multimodal.image_ahash(
             multimodal.synthetic_media(_docs(s, d))
         ),
+        # gradient (difference) hash: LOCAL left-vs-right bits on an 8x9
+        # grid — survives the global-mean shifts that flip aHash bits;
+        # shares the pixel sampler with aHash
+        "m_image_dhash": lambda s, d: multimodal.image_dhash(
+            multimodal.synthetic_media(_docs(s, d))
+        ),
         # perceptual near-dup PAIRS (Manku WWW'07 banding on the image
         # hash): originals + overlay-edited copies, 4 x 16-bit band
         # equi-joins for candidates, exact Hamming filter JVM-side
@@ -6104,6 +6110,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, ahash,
                    CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
+            FROM hx ORDER BY doc_id
+        """,
+        # dhash: same pixel formula sampled on the 8x9 grid, bits =
+        # strict right-neighbor comparisons (DuckDB lists are 1-indexed)
+        "m_image_dhash": f"""
+            WITH p AS (
+                SELECT doc_id, 8 + doc_id % 32 AS bw,
+                       8 + (doc_id // 3) % 24 AS bh
+                FROM documents WHERE doc_id % 3 = 0
+            ), q AS (
+                SELECT doc_id, bw, bh, ((bw*3+3)//4)*4 AS bs FROM p
+            ), cells AS (
+                SELECT doc_id,
+                       list_transform(range(0, {MM.AHASH_GRID
+                                              * (MM.AHASH_GRID + 1)}), i ->
+                           ( ((bs*((i//{MM.AHASH_GRID + 1})*bh
+                                   //{MM.AHASH_GRID})
+                               + 3*((i%{MM.AHASH_GRID + 1})*bw
+                                    //{MM.AHASH_GRID + 1}))*7
+                              + bw) % 256
+                           + ((bs*((i//{MM.AHASH_GRID + 1})*bh
+                                   //{MM.AHASH_GRID})
+                               + 3*((i%{MM.AHASH_GRID + 1})*bw
+                                    //{MM.AHASH_GRID + 1})
+                               + 1)*7 + bw) % 256
+                           + ((bs*((i//{MM.AHASH_GRID + 1})*bh
+                                   //{MM.AHASH_GRID})
+                               + 3*((i%{MM.AHASH_GRID + 1})*bw
+                                    //{MM.AHASH_GRID + 1})
+                               + 2)*7 + bw) % 256 ) // 3) AS grays
+                FROM q
+            ), hx AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           range(0, {MM.AHASH_GRID ** 2}), j ->
+                           CASE WHEN grays[(j//{MM.AHASH_GRID})
+                                           *{MM.AHASH_GRID + 1}
+                                           + (j%{MM.AHASH_GRID}) + 2]
+                                     > grays[(j//{MM.AHASH_GRID})
+                                             *{MM.AHASH_GRID + 1}
+                                             + (j%{MM.AHASH_GRID}) + 1]
+                                THEN '1' ELSE '0' END), '') AS dhash
+                FROM cells
+            )
+            SELECT doc_id, dhash,
+                   CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT)
+                       AS n_same
             FROM hx ORDER BY doc_id
         """,
         # near-dup pairs: BOTH fingerprints recomputed from the pixel

@@ -673,11 +673,12 @@ def sample_ppm_frames(
 AHASH_GRID = 8  # 8x8 = 64-bit fingerprint (the classic aHash layout)
 
 
-def _ahash_of(b: bytes) -> str | None:
-    """64-char aHash bit string of a 24bpp BMP payload, None for anything
-    the kernel can't decode (magic/bpp/truncation sniff).  Shared by
-    image_ahash and image_neardup so both faces hash identically."""
-    g = AHASH_GRID
+def _bmp_gray_sample(b: bytes, gx: int, gy: int) -> list[int] | None:
+    """Nearest-neighbor-sample a gy x gx grid of integer grays from a
+    24bpp BMP payload (row-major, STORED row order), None for anything
+    the kernel can't decode (magic/bpp/truncation sniff).  ONE sampler
+    shared by aHash (8x8) and dHash (8x9) so the two fingerprints can
+    never disagree about pixel addressing."""
     if b[:2] != b"BM" or len(b) < 54:
         return None
     w = int.from_bytes(b[18:22], "little", signed=True)
@@ -690,13 +691,39 @@ def _ahash_of(b: bytes) -> str | None:
     if len(b) < off + bs * h:
         return None
     grays: list[int] = []
-    for i in range(g * g):
-        sx = (i % g) * w // g
-        sy = (i // g) * h // g
+    for i in range(gx * gy):
+        sx = (i % gx) * w // gx
+        sy = (i // gx) * h // gy
         o = off + bs * sy + 3 * sx
         grays.append((b[o] + b[o + 1] + b[o + 2]) // 3)
+    return grays
+
+
+def _ahash_of(b: bytes) -> str | None:
+    """64-char aHash bit string of a 24bpp BMP payload, None for anything
+    the kernel can't decode.  Shared by image_ahash and image_neardup so
+    both faces hash identically."""
+    g = AHASH_GRID
+    grays = _bmp_gray_sample(b, g, g)
+    if grays is None:
+        return None
     mean = sum(grays) // (g * g)
     return "".join("1" if v > mean else "0" for v in grays)
+
+
+def _dhash_of(b: bytes) -> str | None:
+    """64-char dHash (difference/gradient hash) bit string: sample an
+    8-row x 9-col grid, bit[r*8+c] = 1 iff the right neighbor is strictly
+    brighter — 8 comparisons per row x 8 rows.  None for undecodable
+    payloads (same sniff as aHash via the shared sampler)."""
+    g = AHASH_GRID
+    grays = _bmp_gray_sample(b, g + 1, g)
+    if grays is None:
+        return None
+    return "".join(
+        "1" if grays[r * (g + 1) + c + 1] > grays[r * (g + 1) + c] else "0"
+        for r in range(g) for c in range(g)
+    )
 
 
 def image_ahash(media: DataFrame) -> DataFrame:
@@ -1404,5 +1431,51 @@ def mime_sniff(media: DataFrame) -> DataFrame:
     return (
         media.select("doc_id", "declared", sniffed.alias("sniffed"))
         .withColumn("mismatch", F.col("declared") != F.col("sniffed"))
+        .orderBy("doc_id")
+    )
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Difference-hash (gradient) perceptual fingerprints over BMP
+    payloads — the second classic 64-bit image hash next to aHash, and
+    the one that survives edits aHash doesn't: aHash thresholds every
+    cell against the GLOBAL grid mean, so one bright overlay shifts the
+    mean and can flip borderline bits across the whole image; dHash bits
+    are LOCAL left-vs-right comparisons (sample an 8x9 grid, bit = right
+    neighbor strictly brighter), so an edit only flips bits whose two
+    samples it touches.  Production image dedup runs both and unions the
+    candidate pairs.
+
+    Returns (doc_id, dhash, n_same) for decodable 24bpp BMPs, same
+    contract as image_ahash; the two faces share one pixel sampler
+    (_bmp_gray_sample) so they can never disagree about addressing.
+
+    Scale: identical to aHash — in-scan Arrow hashing (72 samples per
+    image regardless of resolution), one window shuffle for group size."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            hashes: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                dh = _dhash_of(bytes(payload))
+                if dh is None:
+                    continue
+                ids.append(int(doc_id))
+                hashes.append(dh)
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    from pyspark.sql import Window
+
+    hashed = media.select("doc_id", "payload").mapInPandas(
+        fn, "doc_id long, dhash string"
+    )
+    return (
+        hashed.withColumn(
+            "n_same",
+            F.count("*").over(Window.partitionBy("dhash")).cast("long"),
+        )
         .orderBy("doc_id")
     )

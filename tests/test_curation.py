@@ -3362,3 +3362,44 @@ def test_host_kcore_numbers(spark):
     expected = {h: core.get(h, 0) for h in "abcdefghi"}
     assert got == expected
     assert got["f"] == 3 and got["c"] == 2 and got["d"] == 1 and got["e"] == 0
+
+
+def test_image_dhash_local_vs_ahash_global(spark):
+    """dHash pins: exact bit strings on a hand-built 8x8 gradient BMP,
+    and the robustness claim that motivates the second hash — a bright
+    top-row overlay shifts aHash's GLOBAL mean and flips 32 of its bits,
+    while dHash's LOCAL comparisons flip only the 7 bits whose samples
+    the edit touches."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    def bmp(rows):  # rows: 8 lists of 8 grays, stored order, no padding
+        hdr = bytearray(54)
+        hdr[0:2] = b"BM"
+        hdr[10:14] = (54).to_bytes(4, "little")
+        hdr[14:18] = (40).to_bytes(4, "little")
+        hdr[18:22] = (8).to_bytes(4, "little")
+        hdr[22:26] = (8).to_bytes(4, "little")
+        hdr[26:28] = (1).to_bytes(2, "little")
+        hdr[28:30] = (24).to_bytes(2, "little")
+        body = bytearray()
+        for r in rows:
+            for g in r:
+                body += bytes([g, g, g])
+        return bytes(hdr + body)
+
+    base_rows = [[10 + c for c in range(8)] for _ in range(8)]
+    edit_rows = [[255] * 8] + [[10 + c for c in range(8)] for _ in range(7)]
+    media = spark.createDataFrame(
+        [(0, bmp(base_rows)), (1, bmp(edit_rows))],
+        "doc_id long, payload binary")
+    dh = {r["doc_id"]: r["dhash"] for r in mm.image_dhash(media).collect()}
+    ah = {r["doc_id"]: r["ahash"] for r in mm.image_ahash(media).collect()}
+    # 8x9 sampling on width 8 maps cols 0,0,1..7: first comparison ties
+    assert dh[0] == "01111111" * 8
+    assert dh[1] == "00000000" + "01111111" * 7
+    # mean 13 -> cols 14..17 set; overlay mean 43 -> only the 255-row set
+    assert ah[0] == "00001111" * 8
+    assert ah[1] == "11111111" + "00000000" * 7
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(dh[0], dh[1]) == 7
+    assert ham(ah[0], ah[1]) == 32
