@@ -891,6 +891,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_blocklist": lambda s, d: weburl.blocklist_filter(
             weburl.with_synthetic_urls(_docs(s, d)), BLOCKED_DOMAINS
         ).select("doc_id", "reg_domain").orderBy("doc_id"),
+        # the whole crawl admission gate under ONE hash: blocklist ->
+        # trap shape -> robots disallow -> per-domain quota in production
+        # order, first_block attributing each rejection to the FIRST
+        # stage that fired (quota ranks count survivors only)
+        "u_crawl_admission": lambda s, d: weburl.crawl_admission(
+            weburl.with_synthetic_urls(_docs(s, d)), BLOCKED_DOMAINS
+        ),
         # robots.txt politeness: disallow-prefix filter + per-host
         # crawl-delay schedule over the canonicalized corpus
         "u_robots": lambda s, d: weburl.robots_filter(
@@ -4762,6 +4769,78 @@ def oracle_sql() -> dict[str, str]:
             FROM canon c JOIN reg r USING (host)
             WHERE r.reg_domain NOT IN ({", ".join(f"'{b}'" for b in BLOCKED_DOMAINS)})
             ORDER BY c.doc_id
+        """,
+        # admission chain: canon/reg/rules fragments + the trap flags over
+        # the raw synthetic url, fixed-order first_block CASE, survivor
+        # -only running quota count — the literal twin of the Spark chain
+        "u_crawl_admission": f"""
+            WITH {_url_cte},
+            cpath AS (
+                SELECT doc_id, host, url,
+                       regexp_extract(canonical_url, '{WU.CANON_PATH_RE}', 1)
+                           AS path
+                FROM canon
+            ),
+{_rules_cte},
+            tparse AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           regexp_extract(url, '{WU.URL_RE}', 4), '/'),
+                           s -> s <> '') AS segs,
+                       TRY_CAST(nullif(regexp_extract(
+                           url, '{WU.TRAP_PAGE_RE}', 1), '') AS BIGINT) AS pg,
+                       regexp_extract(url, '{WU.TRAP_HEX_ID_RE}', 0) <> ''
+                           AS hexid
+                FROM cpath
+            ),
+            tf AS (
+                SELECT doc_id,
+                       concat_ws(';',
+                         CASE WHEN len(segs) > {WU.TRAP_MAX_DEPTH}
+                              THEN 'deep_path' END,
+                         CASE WHEN len(segs) >= 2 AND len(list_filter(
+                                  range(1, len(segs)),
+                                  i -> segs[i] = segs[i+1])) > 0
+                              THEN 'repeated_segment' END,
+                         CASE WHEN coalesce(pg, 0) > {WU.TRAP_MAX_PAGE}
+                              THEN 'runaway_pagination' END,
+                         CASE WHEN hexid THEN 'session_id' END
+                       ) <> '' AS trap
+                FROM tparse
+            ),
+            fl AS (
+                SELECT c.doc_id, c.host, r.reg_domain,
+                       r.reg_domain IN ({", ".join(f"'{b}'"
+                                                   for b in BLOCKED_DOMAINS)})
+                           AS bl,
+                       t.trap,
+                       (ru.disallow_prefix IS NOT NULL
+                        AND starts_with(c.path, ru.disallow_prefix)) AS rob
+                FROM cpath c
+                JOIN reg r USING (host)
+                JOIN rules ru USING (host)
+                JOIN tf t USING (doc_id)
+            ),
+            rk AS (
+                SELECT *,
+                       count(CASE WHEN NOT bl AND NOT trap AND NOT rob
+                                  THEN 1 END)
+                           OVER (PARTITION BY reg_domain ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS qrank
+                FROM fl
+            )
+            SELECT doc_id, host, reg_domain,
+                   CASE WHEN bl THEN 'blocklist'
+                        WHEN trap THEN 'trap'
+                        WHEN rob THEN 'robots'
+                        WHEN qrank > {WU.ADMISSION_QUOTA} THEN 'quota'
+                        ELSE '' END = '' AS admitted,
+                   CASE WHEN bl THEN 'blocklist'
+                        WHEN trap THEN 'trap'
+                        WHEN rob THEN 'robots'
+                        WHEN qrank > {WU.ADMISSION_QUOTA} THEN 'quota'
+                        ELSE '' END AS first_block
+            FROM rk ORDER BY doc_id
         """,
         # robots politeness: rules derived from distinct hosts (len-mod
         # formulas standing in for fetched robots.txt), disallow-prefix

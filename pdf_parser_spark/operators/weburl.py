@@ -775,17 +775,10 @@ def with_trap_urls(documents: DataFrame) -> DataFrame:
     return documents.withColumn("url", url)
 
 
-def trap_url_audit(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """(doc_id, url, trap_reasons, is_trap) — URL-shape spider-trap rules:
-    path depth > TRAP_MAX_DEPTH, a repeated ADJACENT path segment
-    (recursive link loops render as /x/x/...; detected with array lambdas
-    because RE2 — the oracle's engine — has no backreferences), ?page=
-    beyond TRAP_MAX_PAGE, and a >=16-hex query value (session ids make
-    every visit a 'new' url).  All JVM column expressions in the scan —
-    zero Python, zero shuffle; at crawl scale this runs in the frontier's
-    url stream before any fetch is scheduled.  Reasons use the
-    quality_gate convention (';'-joined in rule order, '' when clean)."""
-    u = F.col(url_col)
+def _trap_reasons(u) -> "F.Column":
+    """';'-joined trap-rule reasons column for a raw url column — ONE
+    definition shared by trap_url_audit and crawl_admission so the two
+    faces can never disagree about what a trap is."""
     path = F.regexp_extract(u, URL_RE, 4)
     segs = F.filter(F.split(path, "/"), lambda s: s != "")
     depth = F.size(segs)
@@ -808,7 +801,21 @@ def trap_url_audit(df: DataFrame, url_col: str = "url") -> DataFrame:
         (F.coalesce(page, F.lit(0)) > TRAP_MAX_PAGE, "runaway_pagination"),
         (hexid, "session_id"),
     ]
-    reasons = F.concat_ws(";", *[F.when(c, F.lit(n)) for c, n in rules])
+    return F.concat_ws(";", *[F.when(c, F.lit(n)) for c, n in rules])
+
+
+def trap_url_audit(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(doc_id, url, trap_reasons, is_trap) — URL-shape spider-trap rules:
+    path depth > TRAP_MAX_DEPTH, a repeated ADJACENT path segment
+    (recursive link loops render as /x/x/...; detected with array lambdas
+    because RE2 — the oracle's engine — has no backreferences), ?page=
+    beyond TRAP_MAX_PAGE, and a >=16-hex query value (session ids make
+    every visit a 'new' url).  All JVM column expressions in the scan —
+    zero Python, zero shuffle; at crawl scale this runs in the frontier's
+    url stream before any fetch is scheduled.  Reasons use the
+    quality_gate convention (';'-joined in rule order, '' when clean)."""
+    reasons = _trap_reasons(F.col(url_col))
+    u = F.col(url_col)
     return df.select(
         "doc_id", u.alias("url"),
         reasons.alias("trap_reasons"),
@@ -1507,4 +1514,80 @@ def fetcher_lanes(canon: DataFrame, n_lanes: int = FETCHER_LANES) -> DataFrame:
             .alias("share_bp"),
         )
         .orderBy("lane")
+    )
+
+
+ADMISSION_QUOTA = 5  # per-registered-domain cap inside the admission chain
+
+
+def crawl_admission(
+    df: DataFrame,
+    blocked: list[str],
+    per_domain: int = ADMISSION_QUOTA,
+    url_col: str = "url",
+) -> DataFrame:
+    """(doc_id, host, reg_domain, admitted, first_block) — the whole crawl
+    admission gate under ONE verdict per url: blocklist -> trap shape ->
+    robots disallow -> per-domain quota, in that fixed order, with
+    first_block naming the FIRST stage that rejected (the stage a crawl
+    operator must fix or accept to readmit the url — later stages never
+    see it, so attributing to all of them would misprice every knob).
+    The crawl-side twin of curation's ingest/funnel faces: one hash pins
+    the composition, not just the stages.
+
+    Order is the production order: blocklist and trap rules are pure url
+    predicates (run first, cost nothing), robots needs the per-host rules
+    dim (broadcast), and the quota is a window over SURVIVORS only — a
+    blocked url must not consume quota, which is why quota ranks are
+    computed on the post-robots stream rather than the raw one.
+
+    Scale: canonicalize + reg-domain are in-scan; blocklist is an isin
+    against a tiny broadcast list; trap rules are JVM column expressions;
+    robots is one broadcast join on host; the quota window shuffles once
+    on reg_domain over survivors.  Everything else is flag arithmetic in
+    the same projection."""
+    from pyspark.sql import Window
+
+    canon = registered_domain(canonicalize(df, url_col))
+    rules = robots_rules(canon)
+    path = F.regexp_extract("canonical_url", CANON_PATH_RE, 1)
+    flagged = (
+        canon.select(
+            "doc_id", "host", "reg_domain", F.col(url_col).alias("url"),
+            path.alias("path"),
+        )
+        .join(F.broadcast(rules.select("host", "disallow_prefix")), "host")
+        .select(
+            "doc_id", "host", "reg_domain",
+            F.col("reg_domain").isin(list(blocked)).alias("bl"),
+            (_trap_reasons(F.col("url")) != "").alias("trap"),
+            (
+                F.col("disallow_prefix").isNotNull()
+                & F.col("path").startswith(F.col("disallow_prefix"))
+            ).alias("rob"),
+        )
+    )
+    surv = F.when(~F.col("bl") & ~F.col("trap") & ~F.col("rob"), F.lit(1))
+    w = Window.partitionBy("reg_domain").orderBy("doc_id")
+    ranked = flagged.withColumn(
+        "qrank",
+        F.count(surv).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    first_block = (
+        F.when(F.col("bl"), F.lit("blocklist"))
+        .when(F.col("trap"), F.lit("trap"))
+        .when(F.col("rob"), F.lit("robots"))
+        .when(F.col("qrank") > per_domain, F.lit("quota"))
+        .otherwise(F.lit(""))
+    )
+    return (
+        ranked.select(
+            "doc_id", "host", "reg_domain",
+            first_block.alias("first_block"),
+        )
+        .withColumn("admitted", F.col("first_block") == "")
+        .select("doc_id", "host", "reg_domain", "admitted", "first_block")
+        .orderBy("doc_id")
     )

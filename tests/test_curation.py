@@ -3403,3 +3403,31 @@ def test_image_dhash_local_vs_ahash_global(spark):
     ham = lambda a, b: sum(x != y for x, y in zip(a, b))
     assert ham(dh[0], dh[1]) == 7
     assert ham(ah[0], ah[1]) == 32
+
+
+def test_crawl_admission_stage_order(spark):
+    """Admission pins: first_block names the FIRST firing stage (a
+    blocklisted url that is also trap-shaped and robots-disallowed reads
+    'blocklist'), trap beats robots, and the per-domain quota counts
+    SURVIVORS only — a trapped url on the same domain does not consume a
+    quota slot."""
+    from pdf_parser_spark.operators import weburl as wu
+
+    rows = [
+        # blocked + trap-shaped + robots path: order says blocklist
+        (0, "https://bad.co.uk/docs/x?page=99999"),
+        # trap (runaway pagination) on the quota domain: must not consume
+        (1, "https://ok.io/list?page=99999"),
+        # robots: len('abc.io') % 3 == 0 disallows /docs/
+        (2, "https://abc.io/docs/p"),
+    ] + [(3 + i, f"https://ok.io/p{i}") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: (r["admitted"], r["first_block"])
+           for r in wu.crawl_admission(df, ["bad.co.uk"]).collect()}
+    assert got[0] == (False, "blocklist")
+    assert got[1] == (False, "trap")
+    assert got[2] == (False, "robots")
+    # 7 clean ok.io docs against quota 5: first five admitted by doc_id
+    for i in range(5):
+        assert got[3 + i] == (True, "")
+    assert got[8] == (False, "quota") and got[9] == (False, "quota")
