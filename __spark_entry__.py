@@ -694,6 +694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them to another source's copy when near-dup clusters collapse
         "d_survivorship": lambda s, d: dedup.dedup_survivorship(_docs(s, d)),
         "d_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.2),
+        # one-pass threshold knob table: banded candidates verified ONCE,
+        # thresholded |grid| times — pairs + docs-touched per candidate
+        "d_threshold_sweep": lambda s, d: dedup.jaccard_threshold_sweep(
+            _docs(s, d)),
         "d_minhash_sig": lambda s, d: dedup.minhash_signatures(_docs(s, d))
         .select("doc_id", F.posexplode("sig").alias("k", "minhash"))
         .select("doc_id", F.col("k").cast("long").alias("k"), "minhash")
@@ -3664,6 +3668,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
                         len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.2
             ORDER BY doc_a, doc_b
+        """,
+        "d_threshold_sweep": bands_cte + f"""
+            , cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            pj AS (
+                SELECT c.doc_a, c.doc_b,
+                       (10000 * len(list_intersect(sa.shingles, sb.shingles)))
+                       // len(list_distinct(
+                              list_concat(sa.shingles, sb.shingles))) AS jac_bp
+                FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                            JOIN sh sb ON sb.doc_id = c.doc_b
+                WHERE len(list_distinct(
+                          list_concat(sa.shingles, sb.shingles))) > 0
+            ),
+            grid AS (SELECT unnest([{", ".join(str(t) for t in
+                                               D.JACCARD_SWEEP_GRID_BP)}])
+                         AS threshold_bp),
+            q AS (SELECT g.threshold_bp, p.doc_a, p.doc_b
+                  FROM pj p JOIN grid g ON p.jac_bp >= g.threshold_bp),
+            np AS (SELECT threshold_bp, count(*) AS n_pairs
+                   FROM q GROUP BY threshold_bp),
+            nd AS (SELECT threshold_bp, count(DISTINCT d) AS n_docs FROM (
+                       SELECT threshold_bp, doc_a AS d FROM q
+                       UNION ALL SELECT threshold_bp, doc_b FROM q)
+                   GROUP BY threshold_bp)
+            SELECT CAST(g.threshold_bp AS BIGINT) AS threshold_bp,
+                   CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+            FROM grid g LEFT JOIN np USING (threshold_bp)
+                        LEFT JOIN nd USING (threshold_bp)
+            ORDER BY threshold_bp
         """,
         "d_minhash_sig": sigs_cte + """
             SELECT doc_id, k, sig[k + 1] AS minhash

@@ -1093,3 +1093,84 @@ def dup_rate_trend(
         )
         .orderBy("crawl")
     )
+
+
+JACCARD_SWEEP_GRID_BP = (3000, 5000, 7000, 9000)  # candidate thresholds
+
+
+def jaccard_threshold_sweep(
+    documents: DataFrame,
+    n: int = 3,
+    grid: tuple[int, ...] = JACCARD_SWEEP_GRID_BP,
+) -> DataFrame:
+    """(threshold_bp, n_pairs, n_docs) — how much near-duplication each
+    candidate Jaccard threshold would flag, in ONE pass: the knob table a
+    dedup review reads before committing to a threshold (0.5? 0.7? 0.8
+    'because the paper did'), because the right value depends on the
+    corpus — boilerplate-heavy crawls show a fat 0.3-0.5 tail that is NOT
+    duplication, while mirror-heavy ones cliff above 0.9.  n_pairs =
+    banded candidate pairs at exact shingle-Jaccard >= threshold, n_docs
+    = distinct documents those pairs touch (an upper bound on removals:
+    one doc per pair survives keeper election).
+
+    Exactness: jac_bp = (10000 * |intersect|) div |union| — pure integer,
+    no float round; zero-shingle pairs are excluded explicitly (stated,
+    not an accidental NULL-comparison drop).
+
+    Scale: the ONE banded candidate join + exact verify that
+    ngram_jaccard_pairs already pays (never all-pairs); the sweep itself
+    is an in-scan explode bounded by |grid| per pair and two small
+    groupBys over the pair stream.  Verifying once and thresholding
+    |grid| times is the point — the naive form re-runs the pipeline per
+    candidate."""
+    with_sh = documents.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("text"), n)).alias("sh"),
+    )
+    cands = _band_candidates(documents, n)
+    pairs = (
+        cands
+        .join(with_sh.alias("a"), cands.doc_a == F.col("a.doc_id"))
+        .join(with_sh.alias("b"), cands.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+            .alias("i"),
+            F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).alias("u"),
+        )
+        .where(F.col("u") > 0)
+        .select(
+            "doc_a", "doc_b",
+            F.expr("(10000 * i) div u").cast("long").alias("jac_bp"),
+        )
+    )
+    q = (
+        pairs.select(
+            "doc_a", "doc_b", "jac_bp",
+            F.explode(F.array(*[F.lit(int(t)) for t in grid])).alias("th"),
+        )
+        .where(F.col("jac_bp") >= F.col("th"))
+        .select(F.col("th").cast("long").alias("threshold_bp"),
+                "doc_a", "doc_b")
+    )
+    np_ = q.groupBy("threshold_bp").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    nd = (
+        q.select("threshold_bp",
+                 F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("threshold_bp")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    gdim = documents.sparkSession.createDataFrame(
+        [(int(t),) for t in grid], "threshold_bp long"
+    )
+    return (
+        gdim.join(np_, "threshold_bp", "left").join(nd, "threshold_bp", "left")
+        .select(
+            "threshold_bp",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("threshold_bp")
+    )

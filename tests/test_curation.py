@@ -3431,3 +3431,51 @@ def test_crawl_admission_stage_order(spark):
     for i in range(5):
         assert got[3 + i] == (True, "")
     assert got[8] == (False, "quota") and got[9] == (False, "quota")
+
+
+def test_jaccard_threshold_sweep(spark):
+    """Sweep pins: counts per threshold equal a python twin replaying the
+    op's own banded candidate set with exact shingle Jaccard (verify
+    once, threshold many), graded near-copies separate the thresholds,
+    and a threshold above every pair zero-fills."""
+    from pdf_parser_spark.operators import dedup as dd
+
+    base = " ".join(f"w{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [(0, base),
+         (1, base),                                    # exact copy
+         (2, base + " x1 x2 x3"),                      # high-jac edit
+         (3, " ".join(f"w{j}" for j in range(15))
+             + " " + " ".join(f"z{j}" for j in range(15))),  # mid overlap
+         (4, " ".join(f"q{j}" for j in range(30)))],   # disjoint
+        "doc_id long, text string")
+    grid = (2000, 6000, 9999)
+    got = {r["threshold_bp"]: (r["n_pairs"], r["n_docs"])
+           for r in dd.jaccard_threshold_sweep(docs, grid=grid).collect()}
+
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in dd._band_candidates(docs, 3).collect()}
+    texts = {0: base, 1: base, 2: base + " x1 x2 x3",
+             3: " ".join(f"w{j}" for j in range(15)) + " "
+                + " ".join(f"z{j}" for j in range(15)),
+             4: " ".join(f"q{j}" for j in range(30))}
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    jac = {}
+    for a, b in cands:
+        u = sh(texts[a]) | sh(texts[b])
+        if u:
+            jac[(a, b)] = (10000 * len(sh(texts[a]) & sh(texts[b]))) // len(u)
+    for th in grid:
+        qual = {p for p, j in jac.items() if j >= th}
+        exp_docs = {d for p in qual for d in p}
+        assert got[th] == (len(qual), len(exp_docs))
+    # the exact pair survives everywhere; 9999 drops the x1-x3 edits
+    # ((0,2)/(1,2) verify at 9032 bp: 28 shared of 31 union shingles)
+    assert (0, 1) in jac and jac[(0, 1)] == 10000
+    assert jac[(0, 2)] == 9032 and jac[(1, 2)] == 9032
+    assert got[2000] == (3, 3) and got[6000] == (3, 3)
+    assert got[9999] == (1, 2)
