@@ -655,6 +655,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pdf_parser_spark.streaming.neardup",
             fromlist=["neardup_via_stream"],
         ).neardup_via_stream(s, d),
+        # per-host politeness rate limiter: stateful max-plus schedule
+        # (emit_n = max(arrival, last_emit + delay)), one BIGINT state row
+        # per host; oracle = the closed form delay*n + running_max(arr-k*d)
+        "st_rate_limit": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.ratelimit",
+            fromlist=["rate_limit_via_stream"],
+        ).rate_limit_via_stream(s, d),
         # watermark late-DROP semantics: 4-batch replay with a re-delivered
         # early batch that must be dropped (and a trap batch that would
         # re-emit duplicates if it were merged instead)
@@ -3413,6 +3420,35 @@ def oracle_sql() -> dict[str, str]:
         # streaming near-dup feed held to the batch twin: one-batch replay
         # elects the bucket's min doc_id as keeper, so the feed is exactly
         # (bucket min) x (every later bucket member)
+        # rate limiter: the recurrence's closed form as one cumulative
+        # window max per host — no recursion, pure SQL
+        "st_rate_limit": f"""
+            WITH {_url_cte},
+{_rules_cte},
+            arr AS (
+                SELECT c.doc_id, c.host,
+                       CAST((c.doc_id * 137) % {__import__("pdf_parser_spark.streaming.ratelimit", fromlist=["x"]).ARRIVAL_MOD} AS BIGINT)
+                           AS arrival_ms,
+                       CAST(r.crawl_delay_ms AS BIGINT) AS delay_ms
+                FROM canon c JOIN rules r USING (host)
+            ),
+            rk AS (
+                SELECT *, row_number() OVER (PARTITION BY host
+                              ORDER BY arrival_ms, doc_id) AS n
+                FROM arr
+            ),
+            em AS (
+                SELECT *, delay_ms * n
+                          + max(arrival_ms - delay_ms * n)
+                            OVER (PARTITION BY host ORDER BY n
+                                  ROWS UNBOUNDED PRECEDING) AS emit_ms
+                FROM rk
+            )
+            SELECT doc_id, host, arrival_ms,
+                   CAST(emit_ms AS BIGINT) AS emit_ms,
+                   CAST(emit_ms - arrival_ms AS BIGINT) AS wait_ms
+            FROM em ORDER BY doc_id
+        """,
         "st_neardup": bands_cte + """
             , k AS (
                 SELECT band, bucket, min(doc_id) AS keeper
