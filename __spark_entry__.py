@@ -919,6 +919,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_fetcher_lanes": lambda s, d: weburl.fetcher_lanes(
             weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
         ),
+        # per-host politeness-queue latency report under the ACTUAL
+        # arrival process: max-plus closed form (shared verbatim with the
+        # streaming limiter via with_arrivals) rolled to the host dim —
+        # drain time, queueing waits, bottleneck rank
+        "u_crawl_plan": lambda s, d: weburl.crawl_queue_audit(_docs(s, d)),
         # robots.txt PARSED from raw bytes (RFC 9309 group semantics); the
         # synthesized text reproduces the formula rules, so the parse is
         # hash-held to the same dim robots_filter consumes
@@ -4977,6 +4982,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST((10000 * busy_ms) // greatest(t_ms, 1) AS BIGINT)
                        AS share_bp
             FROM per_lane CROSS JOIN tot ORDER BY lane
+        """,
+        # politeness-queue audit: the max-plus closed form (st_rate_limit's
+        # oracle) rolled to the host dim + the bottleneck rank window
+        "u_crawl_plan": f"""
+            WITH {_url_cte},
+{_rules_cte},
+            arr AS (
+                SELECT c.doc_id, c.host,
+                       CAST((c.doc_id * 137) % {__import__("pdf_parser_spark.streaming.ratelimit", fromlist=["x"]).ARRIVAL_MOD} AS BIGINT)
+                           AS arrival_ms,
+                       CAST(r.crawl_delay_ms AS BIGINT) AS delay_ms
+                FROM canon c JOIN rules r USING (host)
+            ),
+            rk AS (
+                SELECT *, row_number() OVER (PARTITION BY host
+                              ORDER BY arrival_ms, doc_id) AS n
+                FROM arr
+            ),
+            em AS (
+                SELECT *, delay_ms * n
+                          + max(arrival_ms - delay_ms * n)
+                            OVER (PARTITION BY host ORDER BY n
+                                  ROWS UNBOUNDED PRECEDING) AS emit_ms
+                FROM rk
+            ),
+            ph AS (
+                SELECT host, delay_ms,
+                       CAST(count(*) AS BIGINT) AS n_urls,
+                       CAST(min(arrival_ms) AS BIGINT) AS first_arrival_ms,
+                       CAST(max(emit_ms) AS BIGINT) AS drain_ms,
+                       CAST(sum(emit_ms - arrival_ms) AS BIGINT)
+                           AS total_wait_ms,
+                       CAST(max(emit_ms - arrival_ms) AS BIGINT)
+                           AS max_wait_ms
+                FROM em GROUP BY host, delay_ms
+            )
+            SELECT host, n_urls, delay_ms, first_arrival_ms, drain_ms,
+                   total_wait_ms, max_wait_ms,
+                   CAST(row_number() OVER (ORDER BY drain_ms DESC, host)
+                        AS BIGINT) AS drain_rank
+            FROM ph ORDER BY host
         """,
         # the parsed robots dim must equal the len(host) formula dim the
         # text synthesis encodes (Spark does text->RFC-9309-parse; the

@@ -1591,3 +1591,71 @@ def crawl_admission(
         .select("doc_id", "host", "reg_domain", "admitted", "first_block")
         .orderBy("doc_id")
     )
+
+
+def crawl_queue_audit(documents: DataFrame) -> DataFrame:
+    """Per-host politeness-queue audit under the ACTUAL arrival process —
+    the latency twin of ``fetcher_lanes`` (which prices the saturated
+    back-to-back budget ``n * delay`` and ignores when URLs arrive): each
+    host's fetch times follow the max-plus recurrence
+    ``emit_n = max(arrival_n, emit_{n-1} + delay)`` — the same rule the
+    streaming limiter (`streaming/ratelimit.py`) walks statefully — here
+    evaluated in one pass via its closed form
+
+        emit_n = delay * n + running_max(arrival_k - delay * k)
+
+    so the batch planner and the streaming enforcer can never disagree
+    about the schedule (arrival/delay derivation shared verbatim via
+    ``with_arrivals``).  One row per host:
+
+      (host, n_urls, delay_ms, first_arrival_ms, drain_ms, total_wait_ms,
+       max_wait_ms, drain_rank)
+
+    ``drain_ms`` is when the host's queue empties (the crawl's tail is
+    ``drain_rank = 1``), ``total_wait_ms``/``max_wait_ms`` the
+    politeness-induced queueing delay — the report a crawl-capacity review
+    reads to decide which hosts need a delay renegotiation or a lane of
+    their own.  A ``delay_ms = 0`` host reads all-zero waits (emit =
+    arrival), pinned in pytest.
+
+    Scale: one broadcast robots-dim join + ONE per-host window (ordered by
+    (arrival_ms, doc_id)) over the corpus, then a keyed groupBy to the
+    host dim; ``drain_rank`` is a global window but runs on the ALREADY
+    host-dim-sized rollup (~10^7-10^8 rows at crawl scale, never the
+    corpus)."""
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.streaming.ratelimit import with_arrivals
+
+    arr = with_arrivals(documents)
+    w = Window.partitionBy("host").orderBy("arrival_ms", "doc_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sched = (
+        arr.withColumn("n", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "emit_ms",
+            (
+                F.col("delay_ms") * F.col("n")
+                + F.max(F.col("arrival_ms") - F.col("delay_ms") * F.col("n"))
+                .over(wcum)
+            ).cast("long"),
+        )
+    )
+    per_host = sched.groupBy("host", "delay_ms").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.min("arrival_ms").cast("long").alias("first_arrival_ms"),
+        F.max("emit_ms").cast("long").alias("drain_ms"),
+        F.sum(F.col("emit_ms") - F.col("arrival_ms"))
+        .cast("long").alias("total_wait_ms"),
+        F.max(F.col("emit_ms") - F.col("arrival_ms"))
+        .cast("long").alias("max_wait_ms"),
+    )
+    rank = Window.orderBy(F.col("drain_ms").desc(), F.col("host"))
+    return (
+        per_host.select(
+            "host", "n_urls", "delay_ms", "first_arrival_ms", "drain_ms",
+            "total_wait_ms", "max_wait_ms",
+            F.row_number().over(rank).cast("long").alias("drain_rank"),
+        )
+        .orderBy("host")
+    )

@@ -3479,3 +3479,50 @@ def test_jaccard_threshold_sweep(spark):
     assert jac[(0, 2)] == 9032 and jac[(1, 2)] == 9032
     assert got[2000] == (3, 3) and got[6000] == (3, 3)
     assert got[9999] == (1, 2)
+
+
+def test_crawl_queue_audit_recurrence_rollup(spark):
+    """Queue audit pins: per-host rollup equals a python max-plus
+    recurrence twin walked over the op's own (arrival, delay) columns; a
+    delay-0 host reads all-zero waits (emit = arrival); drain_rank 1 is
+    the host with the latest drain (host asc tie-break)."""
+    from pdf_parser_spark.operators import weburl as wu
+    from pdf_parser_spark.streaming.ratelimit import with_arrivals
+
+    docs = _docs(spark, [(i, "t", "en", "s", 1) for i in range(120)])
+    arr = {r["doc_id"]: (r["host"], r["arrival_ms"], r["delay_ms"])
+           for r in with_arrivals(docs).collect()}
+    by_host = {}
+    for d, (h, a, dl) in arr.items():
+        by_host.setdefault(h, []).append((a, d, dl))
+
+    exp = {}
+    for h, mem in by_host.items():
+        mem.sort()  # (arrival, doc_id) order
+        delay = mem[0][2]
+        last, waits, emits = None, [], []
+        for a, d, _ in mem:
+            e = a if last is None else max(a, last + delay)
+            last = e
+            waits.append(e - a)
+            emits.append(e)
+        exp[h] = (len(mem), delay, min(a for a, _, _ in mem), max(emits),
+                  sum(waits), max(waits))
+
+    out = {r["host"]: r for r in wu.crawl_queue_audit(docs).collect()}
+    assert set(out) == set(exp)
+    for h, (n, dl, fa, dr, tw, mw) in exp.items():
+        r = out[h]
+        assert (r["n_urls"], r["delay_ms"], r["first_arrival_ms"],
+                r["drain_ms"], r["total_wait_ms"], r["max_wait_ms"]) == \
+            (n, dl, fa, dr, tw, mw), h
+
+    # delay formula (len(host)%5)*100 guarantees zero-delay hosts exist
+    zero = [h for h, (_, dl, *_t) in exp.items() if dl == 0]
+    assert zero
+    for h in zero:
+        assert out[h]["total_wait_ms"] == 0 and out[h]["max_wait_ms"] == 0
+
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1][3], kv[0]))
+    for i, (h, _) in enumerate(ranked, 1):
+        assert out[h]["drain_rank"] == i
