@@ -241,6 +241,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_mor_delete(spark, sf_dir):
+        """Merge-on-read equality deletes under the Iceberg v2 SEQUENCE
+        rule, end to end: v1/v2 append doc_id%3 in (0,1); v3 equality-
+        deletes every doc_id%5==0 key (a delete FILE commit — zero data
+        files rewritten); v4 appends doc_id%3==2 — whose %5==0 members
+        must SURVIVE the older delete (strictly-newer-files rule).  The
+        final read is therefore (%3 in (0,1) AND %5 != 0) OR %3 == 2,
+        which the oracle states directly; purge_deletes is then applied
+        and must not change the hash (the maintenance rewrite materializes
+        exactly the readers' view)."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        work = tempfile.mkdtemp(prefix="tblmor_")
+        try:
+            d = F.col("doc_id")
+            docs = _docs(spark, sf_dir)
+            tf.append_snapshot(docs.where(d % 3 == 0), work)
+            tf.append_snapshot(docs.where(d % 3 == 1), work)
+            tf.delete_keys(
+                spark, docs.where(d % 5 == 0).select("doc_id"), work,
+                "doc_id")
+            tf.append_snapshot(docs.where(d % 3 == 2), work)
+            tf.purge_deletes(spark, work)  # hash-identity pinned by oracle
+            out = (
+                tf.read_table(spark, work)
+                .select("doc_id", "lang", "source")
+                .orderBy("doc_id")
+                .persist()
+            )
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _table_pruned_scan(spark, sf_dir):
         """Zone-map scan over the manifest table: three appends with
         disjoint doc_id ranges, then a doc_id >= 334 scan that must
@@ -967,6 +1004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_incremental_extract": _incremental_extract,
         # zone-map file skipping: manifest min/max stats eliminate files
         "u_table_pruned_scan": _table_pruned_scan,
+        # merge-on-read equality deletes + purge: v2 sequence rule (a key
+        # appended after its delete survives), purge hash-identity
+        "u_table_mor_delete": _table_mor_delete,
         # WARC connector round-trip: docs -> archive files -> parsed back;
         # md5(body) pins byte-exact payload fidelity against the oracle
         "u_warc_roundtrip": lambda s, d: __import__(
@@ -5118,6 +5158,14 @@ def oracle_sql() -> dict[str, str]:
         "u_table_time_travel": """
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id % 3 < 2 ORDER BY doc_id
+        """,
+        # MOR deletes: the v3 delete (%5==0) applies only to the v1/v2
+        # appends (%3 in (0,1)); the v4 append (%3==2) has a strictly
+        # newer sequence, so its %5==0 members survive
+        "u_table_mor_delete": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE (doc_id % 3 < 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
+            ORDER BY doc_id
         """,
         # WARC round-trip: every parsed column is recomputable from the
         # documents table alone; body_md5 = md5(text) is the byte-fidelity pin

@@ -17,7 +17,12 @@ HadoopTableOperations does it (public spec: iceberg.apache.org/spec):
 - readers list the version files, pick the highest N (or a requested
   older one = TIME TRAVEL), and read exactly that manifest's files —
   never a directory glob, so concurrent appends and orphaned files from
-  failed commits are invisible.
+  failed commits are invisible;
+- row-level changes come in both spec flavors: copy-on-write
+  (``merge_snapshot``) and merge-on-read equality deletes
+  (``delete_keys`` writes a key-list delete file, ``read_table`` applies
+  it at scan time under the v2 sequence rule, ``purge_deletes`` compacts
+  it away).
 
 Swapping in real Iceberg is a config change (`spark.read.format("iceberg")`)
 — the pipeline code reads through ``read_table`` either way.
@@ -99,6 +104,18 @@ def append_snapshot(df: DataFrame, path: str) -> int:
             "added_rows": n_rows,
             "all_files": parent["all_files"] + files,
             "file_stats": {**parent.get("file_stats", {}), **stats},
+            # data sequence numbers (Iceberg v2): each data file remembers
+            # the commit that added it, so a MOR equality delete (seq D)
+            # applies only to files with seq < D — a row re-inserted AFTER
+            # the delete survives it.  Self-contained per manifest (never
+            # reconstructed from history: expire_snapshots drops old
+            # version files).
+            "file_seq": {
+                **parent.get("file_seq", {}),
+                **{f: base + 1 for f in files},
+            },
+            # pending merge-on-read delete files ride forward untouched
+            "delete_files": parent.get("delete_files", []),
         }
         tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -113,15 +130,73 @@ def append_snapshot(df: DataFrame, path: str) -> int:
             os.unlink(tmp)  # lost the race -> re-read state and retry
 
 
+def _apply_deletes(
+    spark: SparkSession, data_files: list[str], file_seq: dict,
+    delete_entries: list[dict],
+) -> DataFrame:
+    """The merge-on-read merge itself, shared verbatim by ``read_table``
+    and ``purge_deletes`` so the maintenance rewrite can never materialize
+    a different view than readers see: data files union with their commit
+    sequence attached, then ONE anti-join per delete-key column whose
+    condition carries the Iceberg v2 sequence rule as a residual —
+    ``delete.seq > file.seq`` (strictly newer deletes only, so a key
+    re-inserted after its delete survives).  Delete frames are broadcast:
+    equality-delete batches are key lists (GDPR erasures, recrawl
+    invalidations), orders of magnitude smaller than the table — drop the
+    hint if a workload ever ships table-sized deletes."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    groups: dict[int, list[str]] = {}
+    for f in data_files:
+        groups.setdefault(int(file_seq.get(f, 0)), []).append(f)
+    df = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(*fl).withColumn("_mor_seq", F.lit(seq))
+            for seq, fl in sorted(groups.items())
+        ],
+    )
+    by_key: dict[str, list[dict]] = {}
+    for e in delete_entries:
+        by_key.setdefault(e["key"], []).append(e)
+    for key, entries in sorted(by_key.items()):
+        dd = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(e["file"])
+                .select(F.col(key).alias("_mor_k"))
+                .withColumn("_mor_dseq", F.lit(int(e["seq"])))
+                for e in entries
+            ],
+        )
+        df = df.join(
+            F.broadcast(dd),
+            (F.col(key) == F.col("_mor_k"))
+            & (F.col("_mor_dseq") > F.col("_mor_seq")),
+            "left_anti",
+        )
+    return df.drop("_mor_seq")
+
+
 def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read the table AT a version (time travel) or at the latest.  Loads
     exactly the manifest's file list — orphans from failed commits and
-    in-flight appends are invisible (snapshot isolation for readers)."""
+    in-flight appends are invisible (snapshot isolation for readers).
+    If the manifest carries merge-on-read delete files, the read applies
+    them (``_apply_deletes``) — a table with pending deletes is never
+    readable in its undeleted form."""
     v = current_version(path) if version is None else version
     meta = _read_version(path, v)
-    return spark.read.parquet(*meta["all_files"])
+    dels = meta.get("delete_files", [])
+    if not dels:
+        return spark.read.parquet(*meta["all_files"])
+    return _apply_deletes(
+        spark, meta["all_files"], meta.get("file_seq", {}), dels
+    )
 
 
 def snapshots(path: str) -> list[dict]:
@@ -288,7 +363,11 @@ def expire_snapshots(
             os.unlink(os.path.join(_meta_dir(path), f"v{n}.json"))
     reachable = set()
     for n in keep:
-        reachable.update(_read_version(path, n)["all_files"])
+        meta = _read_version(path, n)
+        reachable.update(meta["all_files"])
+        # pending merge-on-read delete files are part of the readable
+        # state — collecting them would silently resurrect deleted rows
+        reachable.update(d["file"] for d in meta.get("delete_files", []))
     deleted = []
     cutoff = time.time() - min_age_s
     data_root = os.path.join(path, "data")
@@ -333,6 +412,11 @@ def compact_table(
     zone-map scan still pruning correctly on the compacted stats)."""
     base_version = current_version(path)
     meta = _read_version(path, base_version)
+    if meta.get("delete_files"):
+        raise RuntimeError(
+            "compact_table refuses with merge-on-read deletes pending; "
+            "run purge_deletes first"
+        )
     files = meta["all_files"]
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_bytes))
@@ -356,6 +440,8 @@ def compact_table(
         "n_rows": n_rows,
         "all_files": new_files,
         "file_stats": stats,
+        "file_seq": {f: base_version + 1 for f in new_files},
+        "delete_files": [],
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -386,8 +472,8 @@ def merge_snapshot(
     key range can contain an incoming key; every other file rides into
     the new manifest untouched — an upsert of one recrawled host rewrites
     a handful of files, not the table (Iceberg COW with metadata-pruned
-    file selection; the MOR/delete-file variant trades this rewrite for
-    read-side merges and is out of scope by design).
+    file selection; the MOR/delete-file variant — ``delete_keys`` +
+    ``purge_deletes`` — trades this rewrite for read-side merges).
 
     Conflict handling mirrors compact_table: the atomic version link
     refuses if a concurrent commit won, so a racer's rows can never be
@@ -406,6 +492,12 @@ def merge_snapshot(
 
     base_version = current_version(path)
     meta = _read_version(path, base_version)
+    if meta.get("delete_files"):
+        # a raw rewrite of affected files would resurrect MOR-deleted rows
+        raise RuntimeError(
+            "merge_snapshot refuses with merge-on-read deletes pending; "
+            "run purge_deletes first"
+        )
     # NULL merge keys follow SQL MERGE semantics (NULL = NULL is not true):
     # they can never match an existing row, so they are pure inserts and
     # are excluded from file pruning (they also must not hit the range
@@ -476,6 +568,11 @@ def merge_snapshot(
                if f in untouched},
             **stats,
         },
+        "file_seq": {
+            **{f: meta.get("file_seq", {}).get(f, 0) for f in untouched},
+            **{f: base_version + 1 for f in new_files},
+        },
+        "delete_files": [],
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -490,6 +587,164 @@ def merge_snapshot(
         shutil.rmtree(data_dir, ignore_errors=True)
         raise RuntimeError(
             f"concurrent commit beat merge of v{base_version}; "
+            "re-run against the new current version"
+        )
+    return {
+        "version": base_version + 1,
+        "n_files_rewritten": len(affected),
+        "n_files_untouched": len(untouched),
+    }
+
+
+def delete_keys(
+    spark: SparkSession, keys: DataFrame, path: str, key: str
+) -> dict:
+    """Merge-on-read EQUALITY DELETE — the write-cheap half of the
+    row-level story next to ``merge_snapshot``'s copy-on-write: the
+    deleted KEY VALUES are written as a delete file and committed as a new
+    version; NO data file is rewritten (at 10^12 rows a GDPR erasure or a
+    recrawl invalidation touches kilobytes of metadata, not terabytes of
+    data), and readers pay the merge instead — ``read_table`` anti-joins
+    the delete files at scan time (Iceberg v2 equality deletes,
+    spec §delete-formats).
+
+    Sequence semantics (the spec subtlety, pinned in pytest AND the
+    registered oracle): the delete carries the committing version as its
+    sequence number and applies only to data files with a STRICTLY OLDER
+    sequence — appending the same key afterwards re-inserts it.  NULL keys
+    are dropped from the delete set (NULL = NULL is not true, the same SQL
+    rule merge_snapshot follows).
+
+    Refuses on a concurrent-commit race like every rewrite here: a racer's
+    append must not silently fall under this delete's sequence number.
+
+    Returns {"version", "n_delete_files"}."""
+    from pyspark.sql import functions as F
+
+    base_version = current_version(path)
+    meta = _read_version(path, base_version)
+    snap_id = uuid.uuid4().hex[:12]
+    ddir = os.path.join(path, "data", snap_id)
+    (
+        keys.select(key).where(F.col(key).isNotNull()).distinct()
+        .coalesce(1).write.parquet(ddir)
+    )
+    dfiles = sorted(
+        os.path.join(ddir, f) for f in os.listdir(ddir) if f.endswith(".parquet")
+    )
+    stats = {f: _file_stats(f) for f in dfiles}
+    version = {
+        "version": base_version + 1,
+        "snapshot_id": snap_id,
+        "parent_version": base_version,
+        "added_files": [],
+        "added_rows": 0,
+        "all_files": meta["all_files"],
+        "file_stats": {**meta.get("file_stats", {}), **stats},
+        "file_seq": meta.get("file_seq", {}),
+        "delete_files": meta.get("delete_files", [])
+        + [{"file": f, "key": key, "seq": base_version + 1} for f in dfiles],
+    }
+    tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(version, f)
+    target = os.path.join(_meta_dir(path), f"v{base_version + 1}.json")
+    try:
+        os.link(tmp, target)
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        import shutil
+        shutil.rmtree(ddir, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent commit beat delete of v{base_version}; "
+            "re-run against the new current version"
+        )
+    return {"version": base_version + 1, "n_delete_files": len(dfiles)}
+
+
+def purge_deletes(spark: SparkSession, path: str) -> dict:
+    """Major compaction of pending merge-on-read deletes back into
+    copy-on-write form (Iceberg's rewrite_data_files with
+    delete-file-threshold): data files the deletes CAN touch are rewritten
+    through the SAME merge readers run (``_apply_deletes``), every other
+    file rides into the new manifest untouched, and the delete files drop
+    out — after this, reads are plain scans again.
+
+    Rewrite scoping is metadata-only, the merge_snapshot doctrine: a data
+    file must rewrite iff some delete has a strictly newer sequence AND
+    the two files' [min, max] key ranges overlap in the manifest's zone
+    maps; a stat-less file rewrites by the never-skip rule.  Refuses on a
+    concurrent-commit race.
+
+    Returns {"version", "n_files_rewritten", "n_files_untouched"}."""
+    base_version = current_version(path)
+    meta = _read_version(path, base_version)
+    dels = meta.get("delete_files", [])
+    if not dels:
+        return {
+            "version": base_version,
+            "n_files_rewritten": 0,
+            "n_files_untouched": len(meta["all_files"]),
+        }
+    fseq = meta.get("file_seq", {})
+    fstats = meta.get("file_stats", {})
+    affected, untouched = [], []
+    for f in meta["all_files"]:
+        s = int(fseq.get(f, 0))
+        must = False
+        for d in (d for d in dels if int(d["seq"]) > s):
+            kst = fstats.get(f, {}).get(d["key"])
+            dst = fstats.get(d["file"], {}).get(d["key"])
+            if kst is None or dst is None:  # never-skip without stats
+                must = True
+                break
+            if not (kst["max"] < dst["min"] or kst["min"] > dst["max"]):
+                must = True
+                break
+        (affected if must else untouched).append(f)
+    snap_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", snap_id)
+    new_files: list[str] = []
+    if affected:
+        _apply_deletes(spark, affected, fseq, dels).write.parquet(data_dir)
+        new_files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+    stats = {f: _file_stats(f) for f in new_files}
+    version = {
+        "version": base_version + 1,
+        "snapshot_id": snap_id,
+        "parent_version": base_version,
+        "purge_of": base_version,
+        "added_files": new_files,
+        "added_rows": 0,
+        "all_files": untouched + new_files,
+        "file_stats": {
+            **{f: s for f, s in fstats.items() if f in untouched},
+            **stats,
+        },
+        "file_seq": {
+            **{f: fseq.get(f, 0) for f in untouched},
+            **{f: base_version + 1 for f in new_files},
+        },
+        "delete_files": [],
+    }
+    tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(version, f)
+    target = os.path.join(_meta_dir(path), f"v{base_version + 1}.json")
+    try:
+        os.link(tmp, target)
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        import shutil
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent commit beat purge of v{base_version}; "
             "re-run against the new current version"
         )
     return {
@@ -583,6 +838,11 @@ def zorder_table(
 
     base_version = current_version(path)
     meta = _read_version(path, base_version)
+    if meta.get("delete_files"):
+        raise RuntimeError(
+            "zorder_table refuses with merge-on-read deletes pending; "
+            "run purge_deletes first"
+        )
     files = meta["all_files"]
     df = spark.read.parquet(*files)
     total = sum(os.path.getsize(f) for f in files)
@@ -624,6 +884,8 @@ def zorder_table(
         "added_rows": 0,
         "all_files": new_files,
         "file_stats": stats,
+        "file_seq": {f: base_version + 1 for f in new_files},
+        "delete_files": [],
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:

@@ -3276,3 +3276,105 @@ def test_streaming_rate_limit_cross_batch_politeness(spark, tmp_path):
     # the cross-batch case is only interesting if the state actually bound
     if arr1 < last + delay:
         assert got1[b1_id][1] > 0
+
+
+def test_mor_delete_sequence_rule_read_and_cdc(spark, tmp_path):
+    """Merge-on-read equality deletes: the delete commit rewrites ZERO
+    data files, reads apply it at scan time, a NULL key is dropped from
+    the delete set, pre-delete versions time-travel undeleted, a key
+    re-inserted AFTER the delete survives it (the v2 strictly-older
+    sequence rule), CDC surfaces the deletion as 'delete' rows, and
+    every rewrite op refuses while deletes are pending."""
+    import unittest.mock as mock
+
+    import pytest as _pytest
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    for k, lo in enumerate((0, 100)):  # disjoint ranges -> zone scoping
+        df = spark.createDataFrame(
+            [(lo + i, f"v{k}_{i}") for i in range(5)], "id long, v string"
+        ).coalesce(1)
+        tf.append_snapshot(df, path)
+
+    keys = spark.createDataFrame([(101,), (103,), (None,)], "id long")
+    info = tf.delete_keys(spark, keys, path, "id")
+    assert info == {"version": 3, "n_delete_files": 1}
+    meta = tf._read_version(path, 3)
+    assert len(meta["all_files"]) == 2          # no data file touched
+    assert len(meta["delete_files"]) == 1
+    assert {r["id"] for r in tf.read_table(spark, path).collect()} == \
+        {0, 1, 2, 3, 4, 100, 102, 104}
+    assert 101 in {r["id"]
+                   for r in tf.read_table(spark, path, version=2).collect()}
+    # CDC across the delete version = exactly the two deleted rows
+    ch = tf.table_changes(spark, path, 2, 3).collect()
+    assert {(r["id"], r["_change"]) for r in ch} == \
+        {(101, "delete"), (103, "delete")}
+
+    # sequence rule: re-insert one deleted key AFTER the delete
+    tf.append_snapshot(
+        spark.createDataFrame([(101, "REBORN")], "id long, v string")
+        .coalesce(1), path)
+    rows4 = {r["id"]: r["v"] for r in tf.read_table(spark, path).collect()}
+    assert rows4[101] == "REBORN" and 103 not in rows4
+
+    # rewrites refuse while deletes are pending
+    upd = spark.createDataFrame([(1, "x")], "id long, v string")
+    for op in (lambda: tf.compact_table(spark, path),
+               lambda: tf.merge_snapshot(spark, upd, path, "id"),
+               lambda: tf.zorder_table(spark, path, "id", "id")):
+        with _pytest.raises(RuntimeError, match="purge_deletes"):
+            op()
+
+    # delete race refusal (compaction doctrine)
+    with mock.patch.object(tf, "current_version", return_value=3):
+        with _pytest.raises(RuntimeError, match="concurrent commit"):
+            tf.delete_keys(spark, keys, path, "id")
+
+    # GC never collects a pending delete file
+    import os
+    dfile = meta["delete_files"][0]["file"]
+    deleted = tf.expire_snapshots(path, keep_from=4, min_age_s=0)
+    assert dfile not in deleted and os.path.exists(dfile)
+
+
+def test_mor_purge_zone_scoped_and_hash_identical(spark, tmp_path):
+    """purge_deletes pins: only data files whose zone range overlaps an
+    applicable delete rewrite (the [0,4] file rides untouched; the file
+    appended AFTER the delete is untouched by the sequence rule even
+    though its key collides), content is row-identical before/after,
+    the delete files drop out of the manifest, and a clean table is a
+    no-op."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    for k, lo in enumerate((0, 100)):
+        df = spark.createDataFrame(
+            [(lo + i, f"v{k}_{i}") for i in range(5)], "id long, v string"
+        ).coalesce(1)
+        tf.append_snapshot(df, path)
+    tf.delete_keys(
+        spark, spark.createDataFrame([(101,), (103,)], "id long"),
+        path, "id")
+    tf.append_snapshot(
+        spark.createDataFrame([(101, "REBORN")], "id long, v string")
+        .coalesce(1), path)
+
+    before = sorted((r["id"], r["v"])
+                    for r in tf.read_table(spark, path).collect())
+    info = tf.purge_deletes(spark, path)
+    assert info["version"] == 5
+    assert info["n_files_rewritten"] == 1      # only the 100-range file
+    assert info["n_files_untouched"] == 2      # [0,4] + the post-delete file
+    meta = tf._read_version(path, 5)
+    assert meta["delete_files"] == []
+    after = sorted((r["id"], r["v"])
+                   for r in tf.read_table(spark, path).collect())
+    assert after == before
+    # pre-purge version still merges at read time
+    assert 103 not in {r["id"]
+                       for r in tf.read_table(spark, path, version=4).collect()}
+    # clean-table no-op
+    assert tf.purge_deletes(spark, path)["n_files_rewritten"] == 0
