@@ -278,6 +278,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_schema_evolution(spark, sf_dir):
+        """Schema evolution end to end: v1 appends (doc_id, lang), v2
+        appends (doc_id, lang, source) — an ADD-COLUMN evolution recorded
+        in the manifest — and v3 drops lang metadata-only.  The final read
+        exposes exactly (doc_id, source) with v1's rows NULL-backfilled
+        (they were written before the column existed), which the oracle
+        states directly from the doc_id%2 split."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        work = tempfile.mkdtemp(prefix="tblevo_")
+        try:
+            d = F.col("doc_id")
+            docs = _docs(spark, sf_dir)
+            tf.append_snapshot(
+                docs.where(d % 2 == 0).select("doc_id", "lang"), work)
+            tf.append_snapshot(
+                docs.where(d % 2 == 1).select("doc_id", "lang", "source"),
+                work)
+            tf.drop_columns(spark, work, ["lang"])
+            out = (
+                tf.read_table(spark, work)
+                .select("doc_id", "source")
+                .orderBy("doc_id")
+                .persist()
+            )
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _table_pruned_scan(spark, sf_dir):
         """Zone-map scan over the manifest table: three appends with
         disjoint doc_id ranges, then a doc_id >= 334 scan that must
@@ -1007,6 +1040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge-on-read equality deletes + purge: v2 sequence rule (a key
         # appended after its delete survives), purge hash-identity
         "u_table_mor_delete": _table_mor_delete,
+        # add-column evolution (NULL backfill for pre-evolution files) +
+        # metadata-only column drop
+        "u_table_schema_evolution": _table_schema_evolution,
         # WARC connector round-trip: docs -> archive files -> parsed back;
         # md5(body) pins byte-exact payload fidelity against the oracle
         "u_warc_roundtrip": lambda s, d: __import__(
@@ -5158,6 +5194,13 @@ def oracle_sql() -> dict[str, str]:
         "u_table_time_travel": """
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id % 3 < 2 ORDER BY doc_id
+        """,
+        # schema evolution: v1 rows (%2==0) predate the source column ->
+        # NULL backfill; lang dropped metadata-only, so it never appears
+        "u_table_schema_evolution": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 1 THEN source END AS source
+            FROM documents ORDER BY doc_id
         """,
         # MOR deletes: the v3 delete (%5==0) applies only to the v1/v2
         # appends (%3 in (0,1)); the v4 append (%3==2) has a strictly

@@ -67,6 +67,51 @@ def _read_version(path: str, n: int) -> dict:
         return json.load(f)
 
 
+def _read_files(spark: SparkSession, meta: dict, files: list[str]) -> DataFrame:
+    """Read data files THROUGH the manifest's recorded schema when one
+    exists: files written before a column was added backfill it as NULL,
+    and columns dropped from the schema are invisible even though their
+    bytes persist — Iceberg schema-evolution read semantics, minus
+    field-ids (see ``drop_columns`` for the re-add consequence)."""
+    sj = meta.get("schema")
+    if sj:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(json.loads(sj))
+        ).parquet(*files)
+    return spark.read.parquet(*files)
+
+
+def _merged_schema_json(parent_json: str | None, df_schema) -> str:
+    """Add-column schema merge: existing columns must keep their exact
+    type (no silent promotion — Iceberg requires an explicit ALTER for
+    that, and a refusal beats a wrong cast), new columns append in writer
+    order.  Every field is recorded nullable (Iceberg 'optional'): any
+    column can be absent from older files."""
+    from pyspark.sql.types import StructField, StructType
+
+    new_fields = [
+        StructField(f.name, f.dataType, True) for f in df_schema.fields
+    ]
+    if not parent_json:
+        return StructType(new_fields).json()
+    cur = StructType.fromJson(json.loads(parent_json))
+    by_name = {f.name: f for f in cur.fields}
+    out = [StructField(f.name, f.dataType, True) for f in cur.fields]
+    for f in new_fields:
+        have = by_name.get(f.name)
+        if have is None:
+            out.append(f)
+        elif have.dataType != f.dataType:
+            raise ValueError(
+                f"schema conflict on column '{f.name}': table has "
+                f"{have.dataType.simpleString()}, append brings "
+                f"{f.dataType.simpleString()} — promote explicitly"
+            )
+    return StructType(out).json()
+
+
 def append_snapshot(df: DataFrame, path: str) -> int:
     """Append df as a new snapshot; returns the committed version number.
 
@@ -96,6 +141,16 @@ def append_snapshot(df: DataFrame, path: str) -> int:
         parent = (
             _read_version(path, base) if vs else {"all_files": [], "file_stats": {}}
         )
+        retired = parent.get("retired_columns", [])
+        revived = [f.name for f in df.schema.fields if f.name in retired]
+        if revived:
+            # name-based column mapping (no field-ids): re-adding a dropped
+            # name would resurrect the old files' values — refuse instead
+            # of silently diverging from Iceberg's fresh-field-id NULLs
+            raise ValueError(
+                f"columns {revived} were dropped from this table; "
+                "re-adding a retired name is not supported"
+            )
         version = {
             "version": base + 1,
             "snapshot_id": snap_id,
@@ -104,6 +159,8 @@ def append_snapshot(df: DataFrame, path: str) -> int:
             "added_rows": n_rows,
             "all_files": parent["all_files"] + files,
             "file_stats": {**parent.get("file_stats", {}), **stats},
+            "schema": _merged_schema_json(parent.get("schema"), df.schema),
+            "retired_columns": retired,
             # data sequence numbers (Iceberg v2): each data file remembers
             # the commit that added it, so a MOR equality delete (seq D)
             # applies only to files with seq < D — a row re-inserted AFTER
@@ -132,7 +189,7 @@ def append_snapshot(df: DataFrame, path: str) -> int:
 
 def _apply_deletes(
     spark: SparkSession, data_files: list[str], file_seq: dict,
-    delete_entries: list[dict],
+    delete_entries: list[dict], meta: dict | None = None,
 ) -> DataFrame:
     """The merge-on-read merge itself, shared verbatim by ``read_table``
     and ``purge_deletes`` so the maintenance rewrite can never materialize
@@ -154,7 +211,7 @@ def _apply_deletes(
     df = reduce(
         lambda a, b: a.unionByName(b),
         [
-            spark.read.parquet(*fl).withColumn("_mor_seq", F.lit(seq))
+            _read_files(spark, meta or {}, fl).withColumn("_mor_seq", F.lit(seq))
             for seq, fl in sorted(groups.items())
         ],
     )
@@ -193,9 +250,9 @@ def read_table(
     meta = _read_version(path, v)
     dels = meta.get("delete_files", [])
     if not dels:
-        return spark.read.parquet(*meta["all_files"])
+        return _read_files(spark, meta, meta["all_files"])
     return _apply_deletes(
-        spark, meta["all_files"], meta.get("file_seq", {}), dels
+        spark, meta["all_files"], meta.get("file_seq", {}), dels, meta
     )
 
 
@@ -318,9 +375,9 @@ def scan_table(
         if all(_may_match(stats.get(f, {}), c, op, val) for c, op, val in preds)
     ]
     if not keep:  # a scan of zero files still needs the schema
-        df = spark.read.parquet(*all_files).limit(0)
+        df = _read_files(spark, meta, all_files).limit(0)
     else:
-        df = spark.read.parquet(*keep)
+        df = _read_files(spark, meta, keep)
     # Column-op filters, not string interpolation: Python repr quoting is
     # not Spark SQL quoting (backslashes / embedded quotes mis-parse), and
     # F.lit carries the value's type straight through (ADVICE r2)
@@ -422,7 +479,7 @@ def compact_table(
     n_out = max(1, -(-total // target_bytes))
     snap_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", snap_id)
-    spark.read.parquet(*files).repartition(n_out).write.parquet(data_dir)
+    _read_files(spark, meta, files).repartition(n_out).write.parquet(data_dir)
     new_files = sorted(
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)
@@ -442,6 +499,8 @@ def compact_table(
         "file_stats": stats,
         "file_seq": {f: base_version + 1 for f in new_files},
         "delete_files": [],
+        "schema": meta.get("schema"),
+        "retired_columns": meta.get("retired_columns", []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -540,12 +599,22 @@ def merge_snapshot(
             affected.append(f)
         else:
             untouched.append(f)
+    merged_schema = _merged_schema_json(meta.get("schema"), df.schema)
+    retired = meta.get("retired_columns", [])
+    revived = [f.name for f in df.schema.fields if f.name in retired]
+    if revived:
+        raise ValueError(
+            f"columns {revived} were dropped from this table; "
+            "re-adding a retired name is not supported"
+        )
     snap_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", snap_id)
     if affected:
-        kept = spark.read.parquet(*affected).join(
+        kept = _read_files(spark, meta, affected).join(
             keyed.select(key).distinct(), key, "left_anti")
-        kept.unionByName(df).write.parquet(data_dir)
+        # allowMissingColumns: an upsert batch may carry a NEW column
+        # (schema evolution through MERGE) or omit an optional one
+        kept.unionByName(df, allowMissingColumns=True).write.parquet(data_dir)
     else:
         df.write.parquet(data_dir)
     new_files = sorted(
@@ -573,6 +642,8 @@ def merge_snapshot(
             **{f: base_version + 1 for f in new_files},
         },
         "delete_files": [],
+        "schema": merged_schema,
+        "retired_columns": retired,
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -644,6 +715,8 @@ def delete_keys(
         "file_seq": meta.get("file_seq", {}),
         "delete_files": meta.get("delete_files", [])
         + [{"file": f, "key": key, "seq": base_version + 1} for f in dfiles],
+        "schema": meta.get("schema"),
+        "retired_columns": meta.get("retired_columns", []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -707,7 +780,7 @@ def purge_deletes(spark: SparkSession, path: str) -> dict:
     data_dir = os.path.join(path, "data", snap_id)
     new_files: list[str] = []
     if affected:
-        _apply_deletes(spark, affected, fseq, dels).write.parquet(data_dir)
+        _apply_deletes(spark, affected, fseq, dels, meta).write.parquet(data_dir)
         new_files = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(data_dir)
@@ -731,6 +804,8 @@ def purge_deletes(spark: SparkSession, path: str) -> dict:
             **{f: base_version + 1 for f in new_files},
         },
         "delete_files": [],
+        "schema": meta.get("schema"),
+        "retired_columns": meta.get("retired_columns", []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -752,6 +827,78 @@ def purge_deletes(spark: SparkSession, path: str) -> dict:
         "n_files_rewritten": len(affected),
         "n_files_untouched": len(untouched),
     }
+
+
+def drop_columns(spark: SparkSession, path: str, cols: list[str]) -> int:
+    """METADATA-ONLY column drop — the schema-evolution half Iceberg does
+    without touching a byte of data: a new version commits with the same
+    file list and a schema minus ``cols``; readers of the new version
+    never see the columns (``_read_files`` reads through the recorded
+    schema), readers of older versions still do (time travel includes
+    schema travel), and the bytes persist until a rewrite
+    (compact/zorder/purge) physically sheds them.
+
+    The name is RETIRED permanently: this format maps columns by NAME, not
+    Iceberg's field-ids, so re-adding a dropped name would resurrect the
+    old files' values — ``append_snapshot``/``merge_snapshot`` refuse it
+    (stated divergence: Iceberg would give the re-added column a fresh
+    field-id and read NULLs).
+
+    Refuses to drop an unknown column, every column, or the key column of
+    a pending merge-on-read delete (the read-side merge would lose its
+    join key).  Race-refuses like every commit here.  Returns the new
+    version number."""
+    base_version = current_version(path)
+    meta = _read_version(path, base_version)
+    sj = meta.get("schema")
+    # tables created before schemas were recorded: derive one from a read
+    schema_json = sj or read_table(spark, path).schema.json()
+    from pyspark.sql.types import StructType
+
+    cur = StructType.fromJson(json.loads(schema_json))
+    names = [f.name for f in cur.fields]
+    unknown = [c for c in cols if c not in names]
+    if unknown:
+        raise ValueError(f"cannot drop unknown columns {unknown}")
+    remaining = [f for f in cur.fields if f.name not in cols]
+    if not remaining:
+        raise ValueError("cannot drop every column")
+    pinned = sorted(
+        {d["key"] for d in meta.get("delete_files", [])} & set(cols)
+    )
+    if pinned:
+        raise ValueError(
+            f"columns {pinned} key pending merge-on-read deletes; "
+            "run purge_deletes first"
+        )
+    version = {
+        "version": base_version + 1,
+        "snapshot_id": uuid.uuid4().hex[:12],
+        "parent_version": base_version,
+        "dropped_columns": cols,
+        "added_files": [],
+        "added_rows": 0,
+        "all_files": meta["all_files"],
+        "file_stats": meta.get("file_stats", {}),
+        "file_seq": meta.get("file_seq", {}),
+        "delete_files": meta.get("delete_files", []),
+        "schema": StructType(remaining).json(),
+        "retired_columns": meta.get("retired_columns", []) + list(cols),
+    }
+    tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(version, f)
+    target = os.path.join(_meta_dir(path), f"v{base_version + 1}.json")
+    try:
+        os.link(tmp, target)
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"concurrent commit beat drop_columns of v{base_version}; "
+            "re-run against the new current version"
+        )
+    return base_version + 1
 
 
 def table_changes(
@@ -844,7 +991,7 @@ def zorder_table(
             "run purge_deletes first"
         )
     files = meta["all_files"]
-    df = spark.read.parquet(*files)
+    df = _read_files(spark, meta, files)
     total = sum(os.path.getsize(f) for f in files)
     n_out = n_files or max(1, -(-total // (8 * 1024 * 1024)))
     snap_id = uuid.uuid4().hex[:12]
@@ -886,6 +1033,8 @@ def zorder_table(
         "file_stats": stats,
         "file_seq": {f: base_version + 1 for f in new_files},
         "delete_files": [],
+        "schema": meta.get("schema"),
+        "retired_columns": meta.get("retired_columns", []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:

@@ -3378,3 +3378,103 @@ def test_mor_purge_zone_scoped_and_hash_identical(spark, tmp_path):
                        for r in tf.read_table(spark, path, version=4).collect()}
     # clean-table no-op
     assert tf.purge_deletes(spark, path)["n_files_rewritten"] == 0
+
+
+def test_schema_evolution_add_drop_and_refusals(spark, tmp_path):
+    """Schema evolution pins: add-column appends record the union schema
+    and NULL-backfill older files at read; a writer may OMIT an optional
+    column (reads NULL); drop_columns is metadata-only (same file list)
+    and time travel still shows the pre-drop schema; type conflicts,
+    unknown-column drops, retired-name re-adds, and dropping a pending
+    delete's key column all refuse."""
+    import pytest as _pytest
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    tf.append_snapshot(
+        spark.createDataFrame([(0, "a0"), (1, "a1")], "id long, a string")
+        .coalesce(1), path)
+    tf.append_snapshot(
+        spark.createDataFrame([(2, "a2", 20)], "id long, a string, b long")
+        .coalesce(1), path)
+    # writer omitting an optional column: b absent -> NULL
+    tf.append_snapshot(
+        spark.createDataFrame([(3, "a3")], "id long, a string")
+        .coalesce(1), path)
+
+    rows = {r["id"]: (r["a"], r["b"])
+            for r in tf.read_table(spark, path).collect()}
+    assert rows == {0: ("a0", None), 1: ("a1", None),
+                    2: ("a2", 20), 3: ("a3", None)}
+
+    # type conflict refuses (no silent promotion)
+    with _pytest.raises(ValueError, match="schema conflict"):
+        tf.append_snapshot(
+            spark.createDataFrame([(4, 9)], "id long, a long").coalesce(1),
+            path)
+
+    # metadata-only drop: same files, column gone, time travel keeps it
+    files_before = tf._read_version(path, 3)["all_files"]
+    v = tf.drop_columns(spark, path, ["a"])
+    assert v == 4
+    meta4 = tf._read_version(path, 4)
+    assert meta4["all_files"] == files_before
+    assert set(tf.read_table(spark, path).columns) == {"id", "b"}
+    assert "a" in tf.read_table(spark, path, version=3).columns
+
+    # retired-name re-add refuses (name mapping would resurrect values)
+    with _pytest.raises(ValueError, match="retired"):
+        tf.append_snapshot(
+            spark.createDataFrame([(5, "ghost")], "id long, a string")
+            .coalesce(1), path)
+    with _pytest.raises(ValueError, match="cannot drop unknown"):
+        tf.drop_columns(spark, path, ["nope"])
+    with _pytest.raises(ValueError, match="cannot drop every"):
+        tf.drop_columns(spark, path, ["id", "b"])
+
+    # a rewrite through the evolved schema physically sheds dropped bytes
+    tf.compact_table(spark, path)
+    got = sorted((r["id"], r["b"]) for r in tf.read_table(spark, path).collect())
+    assert got == [(0, None), (1, None), (2, 20), (3, None)]
+
+    # dropping the key of a pending MOR delete refuses
+    tf.delete_keys(
+        spark, spark.createDataFrame([(1,)], "id long"), path, "id")
+    with _pytest.raises(ValueError, match="purge_deletes"):
+        tf.drop_columns(spark, path, ["id"])
+
+
+def test_schema_evolution_through_merge_and_mor(spark, tmp_path):
+    """Evolution composes with the row-level ops: a COW merge may CARRY a
+    new column (kept rows backfill NULL), and the MOR read path reads
+    through the evolved schema (a delete over heterogeneous-schema file
+    groups unions them by name)."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    tf.append_snapshot(
+        spark.createDataFrame([(0, "v0"), (1, "v1")], "id long, v string")
+        .coalesce(1), path)
+    # merge brings a NEW column c
+    tf.merge_snapshot(
+        spark,
+        spark.createDataFrame([(1, "V1", "c1")], "id long, v string, c string"),
+        path, "id")
+    rows = {r["id"]: (r["v"], r["c"])
+            for r in tf.read_table(spark, path).collect()}
+    assert rows == {0: ("v0", None), 1: ("V1", "c1")}
+
+    # append an old-schema batch, then MOR-delete across the mixed files
+    tf.append_snapshot(
+        spark.createDataFrame([(2, "v2")], "id long, v string").coalesce(1),
+        path)
+    tf.delete_keys(spark, spark.createDataFrame([(0,), (2,)], "id long"),
+                   path, "id")
+    rows = {r["id"]: (r["v"], r["c"])
+            for r in tf.read_table(spark, path).collect()}
+    assert rows == {1: ("V1", "c1")}
+    tf.purge_deletes(spark, path)
+    rows = {r["id"]: (r["v"], r["c"])
+            for r in tf.read_table(spark, path).collect()}
+    assert rows == {1: ("V1", "c1")}
