@@ -820,6 +820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ),
         "s_ann_lsh": lambda s, d: similarity.lsh_topk(_emb(s, d)),
+        # SQ8 scalar quantization: one-byte codes against a global range,
+        # quantized cosine from INTEGER sufficient statistics (the
+        # int8-dot-product engine path; 8x memory vs raw doubles)
+        "s_ann_sq8": lambda s, d: similarity.sq8_topk(_emb(s, d)),
         # IVF x PQ (FAISS IVFADC): coarse cells prune WHICH vectors, codes
         # compress WHAT is scanned — the reduction factors multiply
         "s_ann_ivfpq": lambda s, d: similarity.ivfpq_topk(_emb(s, d)),
@@ -4123,6 +4127,53 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (PARTITION BY query_id
                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
                 FROM scored)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        # SQ8: codes re-derived from the global [mn, mx] via the SAME
+        # operation-ordered expressions; all sums are BIGINT folds and the
+        # float arithmetic is one fixed-shape formula on both engines
+        "s_ann_sq8": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            st AS (SELECT min(x) AS mn, max(x) AS mx,
+                          (max(x) - min(x)) / 255 AS sc
+                   FROM (SELECT unnest(v) AS x FROM emb)),
+            enc AS (
+                SELECT e.vec_id,
+                       list_transform(e.v, x -> CAST(least(greatest(
+                           floor((x - st.mn) * (255 / (st.mx - st.mn))),
+                           0), 255) AS BIGINT)) AS codes
+                FROM emb e CROSS JOIN st
+            ),
+            side AS (
+                SELECT vec_id, codes,
+                       CAST(list_sum(codes) AS BIGINT) AS s1,
+                       CAST(list_sum(list_transform(codes, c -> c * c))
+                            AS BIGINT) AS s2,
+                       CAST(len(codes) AS BIGINT) AS d
+                FROM enc
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(
+                         (st.mn * st.mn * c.d
+                          + st.mn * st.sc * (q.s1 + c.s1)
+                          + st.sc * st.sc
+                            * CAST(list_dot_product(q.codes, c.codes) AS BIGINT))
+                         /
+                         (sqrt(st.mn * st.mn * c.d
+                               + 2.0 * st.mn * st.sc * q.s1
+                               + st.sc * st.sc * q.s2)
+                          * sqrt(st.mn * st.mn * c.d
+                                 + 2.0 * st.mn * st.sc * c.s1
+                                 + st.sc * st.sc * c.s2)),
+                         4) AS cos_sq8
+                FROM side q CROSS JOIN side c CROSS JOIN st
+                WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sq8, CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sq8 DESC, neighbor_id ASC) AS rank
+                  FROM scored)
             WHERE rank <= 3 ORDER BY query_id, rank
         """,
         # dim audit: one ranked-set CTE per ladder step (same 4dp-round +

@@ -831,3 +831,133 @@ def ivfpq_residual_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the third compression point on the memory/recall
+# curve next to PQ (M x ksub codebooks) and raw doubles: every component
+# quantizes to one byte against a GLOBAL [mn, mx] range (the Lucene/int8-HNSW
+# formulation — per-corpus affine range, not per-dim), so a 64-dim vector is
+# 64 bytes instead of 512 and the quantized cosine is computable from INTEGER
+# sufficient statistics:
+#
+#   dec(c_d) = mn + c_d * s,  s = (mx - mn) / 255
+#   dot(dec q, dec c) = mn^2 D + mn s (S1q + S1c) + s^2 * SUM(q_d c_d)
+#   |dec v|^2          = mn^2 D + 2 mn s S1v + s^2 S2v
+#
+# where S1 = sum of codes, S2 = sum of squared codes, and the cross term is
+# an integer dot product — exactly the int8-SIMD inner product real engines
+# run, with the affine correction folded in algebraically.  Cross-engine
+# exactness is the point of the formulation: every SUM is a BIGINT fold
+# (order-free; max 255^2 * 64 ~ 4.2M per pair, nowhere near 2^53) and the
+# float arithmetic on top is ONE fixed-shape expression evaluated identically
+# by Spark and the oracle, then rounded at 4dp before the rank window.
+# ---------------------------------------------------------------------------
+
+SQ8_LEVELS = 255
+
+
+def sq8_range(embeddings: DataFrame) -> tuple[float, float]:
+    """Global (mn, mx) over every component — two order-free exact
+    aggregates (the 'fit' of scalar quantization; at 10^12 vectors this is
+    one map-side-combined scan, and in production it runs on a sample like
+    kmeans_fit's sample_bp — min/max only widen with more data)."""
+    r = (
+        embeddings.select(
+            F.explode(F.col("embedding").cast("array<double>")).alias("x"))
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()[0]
+    )
+    return float(r["mn"]), float(r["mx"])
+
+
+def sq8_encode(
+    embeddings: DataFrame, mn: float, mx: float
+) -> DataFrame:
+    """(vec_id, codes array<long>, s1, s2, d) — one-byte codes plus the
+    integer sufficient statistics the quantized cosine needs.  The clamp
+    guards float noise only: in-range components map to [0, 255] by
+    construction (mx itself hits floor(255) = 255)."""
+    scale = F.lit(SQ8_LEVELS) / (F.lit(mx) - F.lit(mn))
+    codes = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.least(
+            F.greatest(F.floor((x - F.lit(mn)) * scale), F.lit(0)),
+            F.lit(SQ8_LEVELS),
+        ).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    return embeddings.select(
+        "vec_id", codes.alias("codes")
+    ).select(
+        "vec_id", "codes",
+        F.aggregate("codes", zero, lambda a, x: a + x).alias("s1"),
+        F.aggregate("codes", zero, lambda a, x: a + x * x).alias("s2"),
+        F.size("codes").cast("long").alias("d"),
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 3
+) -> DataFrame:
+    """Top-k by SQ8-quantized cosine (symmetric: both sides quantized —
+    the int8-dot-product engine path).  Output shape mirrors
+    brute_force_topk: (query_id, neighbor_id, cos_sq8, rank), rank ties
+    broken by neighbor_id.
+
+    Scale: codes are 8x smaller than raw doubles (the reason the method
+    exists — a 100 TB embedding corpus scans as 12.5 TB), the per-pair
+    work is one integer dot + a constant-shape float expression, and the
+    fit is two scalar aggregates.  The brute pair enumeration below is the
+    same demo harness every ANN face here uses; production composes these
+    codes INSIDE ivf/lsh cells exactly like pq_topk."""
+    mn, mx = sq8_range(embeddings)
+    enc = sq8_encode(embeddings, mn, mx)
+    q = enc.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("qc"),
+        F.col("s1").alias("s1q"), F.col("s2").alias("s2q"),
+    )
+    c = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("codes").alias("cc"),
+        F.col("s1").alias("s1c"), F.col("s2").alias("s2c"), "d",
+    )
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda x, y: x * y),
+        zero, lambda a, x: a + x,
+    )
+    lmn, lmx = F.lit(mn), F.lit(mx)
+    sc = (lmx - lmn) / F.lit(SQ8_LEVELS)
+    # fixed-shape float expression — written in the SAME operation order as
+    # the oracle SQL so both engines produce bit-identical doubles
+    num = (
+        lmn * lmn * F.col("d")
+        + lmn * sc * (F.col("s1q") + F.col("s1c"))
+        + sc * sc * F.col("_dot")
+    )
+    den_q = F.sqrt(
+        lmn * lmn * F.col("d") + F.lit(2.0) * lmn * sc * F.col("s1q")
+        + sc * sc * F.col("s2q"))
+    den_c = F.sqrt(
+        lmn * lmn * F.col("d") + F.lit(2.0) * lmn * sc * F.col("s1c")
+        + sc * sc * F.col("s2c"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_dot", dot)
+        .select(
+            "query_id", "neighbor_id",
+            F.round(num / (den_q * den_c), 4).alias("cos_sq8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sq8").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -3478,3 +3478,70 @@ def test_schema_evolution_through_merge_and_mor(spark, tmp_path):
     rows = {r["id"]: (r["v"], r["c"])
             for r in tf.read_table(spark, path).collect()}
     assert rows == {1: ("V1", "c1")}
+
+
+def test_sq8_codes_and_quantized_cosine_twin(spark):
+    """SQ8 pins: codes reproduce the python floor-formula twin exactly
+    (mn maps to 0, mx to 255), the integer sufficient statistics fold
+    correctly, the quantized cosine matches a python decode-then-cosine
+    twin at 4dp on every pair, and on a well-separated corpus the SQ8
+    top-1 agrees with exact brute force."""
+    import math
+
+    from pdf_parser_spark.operators.similarity import (
+        SQ8_LEVELS, brute_force_topk, sq8_encode, sq8_range, sq8_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.1]),
+        (1, [0.9, 0.1, 0.0, 0.2]),     # near 0
+        (2, [0.0, 1.0, 0.3, -0.5]),    # far from 0
+        (3, [0.05, 0.95, 0.25, -0.4]), # near 2
+        (4, [-0.5, -0.5, 1.0, 0.6]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    # float storage: quantize against the values as DOUBLES of the floats
+    vals = {i: [float(__import__("numpy").float32(x)) for x in v]
+            for i, v in rows}
+
+    mn, mx = sq8_range(emb)
+    assert mn == min(x for v in vals.values() for x in v)
+    assert mx == max(x for v in vals.values() for x in v)
+
+    scale = SQ8_LEVELS / (mx - mn)
+    exp_codes = {
+        i: [min(max(math.floor((x - mn) * scale), 0), SQ8_LEVELS)
+            for x in v]
+        for i, v in vals.items()
+    }
+    # landmarks: the min component codes 0, the max codes exactly 255
+    assert 0 in {c for v in exp_codes.values() for c in v}
+    assert SQ8_LEVELS in {c for v in exp_codes.values() for c in v}
+
+    enc = {r["vec_id"]: r for r in sq8_encode(emb, mn, mx).collect()}
+    for i, cs in exp_codes.items():
+        assert enc[i]["codes"] == cs, i
+        assert enc[i]["s1"] == sum(cs)
+        assert enc[i]["s2"] == sum(c * c for c in cs)
+
+    # python decode-then-cosine twin over every output pair
+    s = (mx - mn) / SQ8_LEVELS
+    def dec(cs):
+        return [mn + c * s for c in cs]
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+    out = sq8_topk(emb, n_queries=5, k=4).collect()
+    for r in out:
+        exp = round(cos(dec(exp_codes[r["query_id"]]),
+                        dec(exp_codes[r["neighbor_id"]])), 4)
+        assert abs(r["cos_sq8"] - exp) < 1e-9, (r, exp)
+
+    # top-1 agreement with exact brute force on this separated corpus
+    b1 = {r["query_id"]: r["neighbor_id"]
+          for r in brute_force_topk(emb, n_queries=5, k=1).collect()}
+    s1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert s1 == b1
