@@ -732,6 +732,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pdf_parser_spark.streaming.ratelimit",
             fromlist=["rate_limit_via_stream"],
         ).rate_limit_via_stream(s, d),
+        # streaming right-to-be-forgotten: delete-request batches ->
+        # foreachBatch(delete_keys) MOR commits, exactly-once via the
+        # txnAppId-style token; read merges at scan time
+        "st_gdpr_delete": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.pipeline",
+            fromlist=["gdpr_delete_via_stream"],
+        ).gdpr_delete_via_stream(s, d),
         # watermark late-DROP semantics: 4-batch replay with a re-delivered
         # early batch that must be dropped (and a trap batch that would
         # re-emit duplicates if it were merged instead)
@@ -3505,6 +3512,11 @@ def oracle_sql() -> dict[str, str]:
         # streaming near-dup feed held to the batch twin: one-batch replay
         # elects the bucket's min doc_id as keeper, so the feed is exactly
         # (bucket min) x (every later bucket member)
+        # streaming GDPR deletes: survivors of the %7 request batch
+        "st_gdpr_delete": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id % 7 <> 0 ORDER BY doc_id
+        """,
         # rate limiter: the recurrence's closed form as one cumulative
         # window max per host — no recursion, pure SQL
         "st_rate_limit": f"""

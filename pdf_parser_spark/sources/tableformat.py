@@ -173,6 +173,7 @@ def append_snapshot(df: DataFrame, path: str) -> int:
             },
             # pending merge-on-read delete files ride forward untouched
             "delete_files": parent.get("delete_files", []),
+            "applied_tokens": parent.get("applied_tokens", []),
         }
         tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -200,7 +201,13 @@ def _apply_deletes(
     re-inserted after its delete survives).  Delete frames are broadcast:
     equality-delete batches are key lists (GDPR erasures, recrawl
     invalidations), orders of magnitude smaller than the table — drop the
-    hint if a workload ever ships table-sized deletes."""
+    hint if a workload ever ships table-sized deletes.
+
+    Plan size: the union has one branch per DISTINCT file sequence, i.e.
+    per commit since the last rewrite — compact_table / zorder_table /
+    purge_deletes all collapse every file to one sequence, so the branch
+    count is bounded by the maintenance cadence (tens), never the table's
+    lifetime commit count."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -501,6 +508,7 @@ def compact_table(
         "delete_files": [],
         "schema": meta.get("schema"),
         "retired_columns": meta.get("retired_columns", []),
+        "applied_tokens": meta.get("applied_tokens", []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -644,6 +652,7 @@ def merge_snapshot(
         "delete_files": [],
         "schema": merged_schema,
         "retired_columns": retired,
+        "applied_tokens": meta.get("applied_tokens", []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -668,7 +677,8 @@ def merge_snapshot(
 
 
 def delete_keys(
-    spark: SparkSession, keys: DataFrame, path: str, key: str
+    spark: SparkSession, keys: DataFrame, path: str, key: str,
+    token: str | None = None,
 ) -> dict:
     """Merge-on-read EQUALITY DELETE — the write-cheap half of the
     row-level story next to ``merge_snapshot``'s copy-on-write: the
@@ -689,11 +699,22 @@ def delete_keys(
     Refuses on a concurrent-commit race like every rewrite here: a racer's
     append must not silently fall under this delete's sequence number.
 
-    Returns {"version", "n_delete_files"}."""
+    ``token`` makes the commit EXACTLY-ONCE for at-least-once callers
+    (the Delta txnAppId/txnVersion pattern): a token already recorded in
+    the manifest returns without committing.  This matters for deletes
+    specifically — a blind replay would commit the same keys under a
+    HIGHER sequence and wrongly re-delete keys re-inserted in between,
+    so 'semantically idempotent' does not hold the way it does for the
+    upsert sink.
+
+    Returns {"version", "n_delete_files", "skipped"}."""
     from pyspark.sql import functions as F
 
     base_version = current_version(path)
     meta = _read_version(path, base_version)
+    if token is not None and token in meta.get("applied_tokens", []):
+        return {"version": base_version, "n_delete_files": 0,
+                "skipped": True}
     snap_id = uuid.uuid4().hex[:12]
     ddir = os.path.join(path, "data", snap_id)
     (
@@ -717,6 +738,8 @@ def delete_keys(
         + [{"file": f, "key": key, "seq": base_version + 1} for f in dfiles],
         "schema": meta.get("schema"),
         "retired_columns": meta.get("retired_columns", []),
+        "applied_tokens": meta.get("applied_tokens", [])
+        + ([token] if token is not None else []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -733,7 +756,8 @@ def delete_keys(
             f"concurrent commit beat delete of v{base_version}; "
             "re-run against the new current version"
         )
-    return {"version": base_version + 1, "n_delete_files": len(dfiles)}
+    return {"version": base_version + 1, "n_delete_files": len(dfiles),
+            "skipped": False}
 
 
 def purge_deletes(spark: SparkSession, path: str) -> dict:
@@ -806,6 +830,7 @@ def purge_deletes(spark: SparkSession, path: str) -> dict:
         "delete_files": [],
         "schema": meta.get("schema"),
         "retired_columns": meta.get("retired_columns", []),
+        "applied_tokens": meta.get("applied_tokens", []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -884,6 +909,7 @@ def drop_columns(spark: SparkSession, path: str, cols: list[str]) -> int:
         "delete_files": meta.get("delete_files", []),
         "schema": StructType(remaining).json(),
         "retired_columns": meta.get("retired_columns", []) + list(cols),
+        "applied_tokens": meta.get("applied_tokens", []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -1035,6 +1061,7 @@ def zorder_table(
         "delete_files": [],
         "schema": meta.get("schema"),
         "retired_columns": meta.get("retired_columns", []),
+        "applied_tokens": meta.get("applied_tokens", []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:

@@ -112,3 +112,93 @@ def stream_upsert_table(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_delete_table(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    key: str = "doc_id",
+    app_id: str = "gdpr",
+) -> StreamingQuery:
+    """Streaming right-to-be-forgotten sink: a stream of delete REQUESTS
+    (key values) -> foreachBatch(delete_keys) — each micro-batch commits
+    one merge-on-read delete file, zero data files rewritten, so erasure
+    latency is one micro-batch regardless of table size (the GDPR loop at
+    10^12 rows; a periodic purge_deletes folds the accumulated delete
+    files back into data files off the hot path).
+
+    Exactly-once is via the token, NOT the upsert sink's idempotence
+    argument: foreachBatch is at-least-once, and a blind replay of a
+    delete batch would commit the same keys under a HIGHER sequence —
+    wrongly re-deleting any key re-inserted between the original commit
+    and the replay.  delete_keys records '<app_id>:<batch_id>' in the
+    manifest and skips a batch it has already applied (the Delta
+    txnAppId/txnVersion pattern), pinned in pytest by replaying a batch
+    after a re-insert."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    reqs = spark.readStream.schema(
+        StructType([StructField(key, LongType(), True)])
+    ).parquet(input_dir)
+
+    def _apply(batch_df, batch_id: int) -> None:
+        from pdf_parser_spark.sources import tableformat as tf
+
+        if batch_df.isEmpty():
+            return
+        tf.delete_keys(
+            batch_df.sparkSession, batch_df, table_path, key,
+            token=f"{app_id}:{batch_id}",
+        )
+
+    return (
+        reqs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def gdpr_delete_via_stream(spark: SparkSession, sf_dir: str):
+    """Bounded replay harness for the registry: the documents table
+    becomes one snapshot, a single batch of delete requests (every
+    doc_id % 7 == 0) streams through the sink, and the merged read is the
+    result — the oracle states the survivor set directly."""
+    import os
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    work = tempfile.mkdtemp(prefix="gdpr_stream_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    tbl = os.path.join(work, "tbl")
+    os.makedirs(in_dir)
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        tf.append_snapshot(
+            docs.select("doc_id", "lang", "source").coalesce(2), tbl)
+        staged = os.path.join(work, "staged")
+        (
+            docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+            .coalesce(1).write.parquet(staged)
+        )
+        for i, f in enumerate(sorted(os.listdir(staged))):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(staged, f),
+                            os.path.join(in_dir, f"b{i}.parquet"))
+        q = stream_delete_table(spark, in_dir, tbl, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        out = (
+            tf.read_table(spark, tbl)
+            .select("doc_id", "lang", "source")
+            .orderBy("doc_id")
+            .persist()
+        )
+        out.count()  # materialize before the temp table dir is deleted
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

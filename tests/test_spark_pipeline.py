@@ -3300,7 +3300,7 @@ def test_mor_delete_sequence_rule_read_and_cdc(spark, tmp_path):
 
     keys = spark.createDataFrame([(101,), (103,), (None,)], "id long")
     info = tf.delete_keys(spark, keys, path, "id")
-    assert info == {"version": 3, "n_delete_files": 1}
+    assert info == {"version": 3, "n_delete_files": 1, "skipped": False}
     meta = tf._read_version(path, 3)
     assert len(meta["all_files"]) == 2          # no data file touched
     assert len(meta["delete_files"]) == 1
@@ -3545,3 +3545,61 @@ def test_sq8_codes_and_quantized_cosine_twin(spark):
           for r in brute_force_topk(emb, n_queries=5, k=1).collect()}
     s1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
     assert s1 == b1
+
+
+def test_streaming_gdpr_delete_sink_and_token_replay(spark, tmp_path):
+    """GDPR sink pins: each request micro-batch commits ONE MOR delete
+    version (no data file rewritten), the token ledger records
+    '<app>:<batch>', and the exactly-once guard has teeth — after a
+    deleted key is RE-INSERTED, replaying the original batch token skips
+    (the blind replay would re-delete under a higher sequence), while a
+    fresh token deletes as usual."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.sources import tableformat as tf
+    from pdf_parser_spark.streaming.pipeline import stream_delete_table
+
+    tbl = str(tmp_path / "tbl")
+    tf.append_snapshot(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                              "doc_id long, v string").coalesce(1), tbl)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def req(name, ids):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64())}),
+            str(in_dir / name))
+
+    req("b0.parquet", [3, 5])
+    q = stream_delete_table(spark, str(in_dir), tbl, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    assert {r["doc_id"] for r in tf.read_table(spark, tbl).collect()} == \
+        {0, 1, 2, 4, 6, 7, 8, 9}
+
+    req("b1.parquet", [7])
+    q.processAllAvailable()
+    q.stop()
+    meta = tf._read_version(tbl, tf.current_version(tbl))
+    assert meta["applied_tokens"] == ["gdpr:0", "gdpr:1"]
+    assert len(meta["delete_files"]) == 2
+    assert len(meta["all_files"]) == 1      # zero data files rewritten
+    assert {r["doc_id"] for r in tf.read_table(spark, tbl).collect()} == \
+        {0, 1, 2, 4, 6, 8, 9}
+
+    # re-insert a deleted key, then replay the original batch's token
+    tf.append_snapshot(
+        spark.createDataFrame([(3, "REBORN")], "doc_id long, v string")
+        .coalesce(1), tbl)
+    replay = spark.createDataFrame([(3,), (5,)], "doc_id long")
+    r = tf.delete_keys(spark, replay, tbl, "doc_id", token="gdpr:0")
+    assert r["skipped"] is True
+    rows = {r["doc_id"]: r["v"] for r in tf.read_table(spark, tbl).collect()}
+    assert rows[3] == "REBORN"              # the replay did NOT re-delete
+
+    # a genuinely new request under a fresh token deletes it again
+    r2 = tf.delete_keys(spark, replay, tbl, "doc_id", token="gdpr:2")
+    assert r2["skipped"] is False
+    assert 3 not in {r["doc_id"]
+                     for r in tf.read_table(spark, tbl).collect()}
