@@ -311,6 +311,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_incremental_mv(spark, sf_dir):
+        """Every commit kind flows through ONE signed-delta fold: v1/v2
+        append the %3 splits, v3 is a COW merge that both INSERTS (%3==2)
+        and UPDATES (%30==0 rows flip lang to 'zz'), v4 MOR-deletes every
+        %7==0 key.  The returned view is the INCREMENTALLY maintained one
+        — a fold bug (sign flip, lost group, zero-group retention)
+        hash-mismatches the oracle's direct aggregation of the final
+        state."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        work = tempfile.mkdtemp(prefix="tblmv_")
+        try:
+            d = F.col("doc_id")
+            docs = _docs(spark, sf_dir)
+            tf.append_snapshot(docs.where(d % 3 == 0), work)
+            tf.append_snapshot(docs.where(d % 3 == 1), work)
+            upsert = docs.where(d % 3 == 2).unionByName(
+                docs.where(d % 30 == 0).withColumn("lang", F.lit("zz"))
+            )
+            tf.merge_snapshot(spark, upsert, work, "doc_id")
+            tf.delete_keys(
+                spark, docs.where(d % 7 == 0).select("doc_id"), work,
+                "doc_id")
+            out = (
+                tf.incremental_mv(spark, work, "lang")
+                .select("lang", F.col("n_rows").alias("n_docs"))
+                .orderBy("lang")
+                .persist()
+            )
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _table_pruned_scan(spark, sf_dir):
         """Zone-map scan over the manifest table: three appends with
         disjoint doc_id ranges, then a doc_id >= 334 scan that must
@@ -1054,6 +1091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # add-column evolution (NULL backfill for pre-evolution files) +
         # metadata-only column drop
         "u_table_schema_evolution": _table_schema_evolution,
+        # incrementally-maintained MV: signed CDC fold over append + COW
+        # upsert + MOR delete, held to the direct final aggregation
+        "u_table_incremental_mv": _table_incremental_mv,
         # WARC connector round-trip: docs -> archive files -> parsed back;
         # md5(body) pins byte-exact payload fidelity against the oracle
         "u_warc_roundtrip": lambda s, d: __import__(
@@ -5257,6 +5297,14 @@ def oracle_sql() -> dict[str, str]:
         "u_table_time_travel": """
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id % 3 < 2 ORDER BY doc_id
+        """,
+        # incremental MV: direct aggregation of the final state — the %30
+        # upsert overrides lang, the %7 MOR delete removes rows
+        "u_table_incremental_mv": """
+            SELECT CASE WHEN doc_id % 30 = 0 THEN 'zz' ELSE lang END AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents WHERE doc_id % 7 <> 0
+            GROUP BY 1 ORDER BY lang
         """,
         # schema evolution: v1 rows (%2==0) predate the source column ->
         # NULL backfill; lang dropped metadata-only, so it never appears

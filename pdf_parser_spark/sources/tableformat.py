@@ -1079,3 +1079,52 @@ def zorder_table(
             "re-run against the new current version"
         )
     return base_version + 1
+
+
+def incremental_mv(
+    spark: SparkSession, path: str, group_col: str,
+    from_version: int = 1,
+) -> DataFrame:
+    """Incrementally-maintained COUNT materialized view over the snapshot
+    table — the downstream face of the CDC story: seed the view with one
+    full aggregation at ``from_version``, then fold each later version's
+    change feed in as SIGNED counts (+1 insert, -1 delete) and drop
+    zeroed groups.  The algebra is what makes it robust: a COW upsert
+    surfaces as delete+insert (net zero for untouched groups, a clean
+    move between groups for updated rows) and a MOR delete as bare
+    deletes, so the SAME fold handles every commit kind — no
+    per-commit-type code, pinned by running all three through it.
+
+    Scale framing, stated honestly: this demo pulls each delta from
+    ``table_changes`` (exceptAll over two snapshot reads — delta
+    EXTRACTION here costs a table scan).  The production deployment feeds
+    the identical signed fold from the streaming change feed
+    (streaming/changefeed.py) where the delta arrives as the micro-batch
+    itself, making maintenance cost proportional to the DELTA, which is
+    the entire point of an incremental view.  Sign-aggregation tolerates
+    non-minimal deltas (a row rewritten-in-place cancels), so either
+    source satisfies the same contract."""
+    from pyspark.sql import functions as F
+
+    mv = (
+        read_table(spark, path, version=from_version)
+        .groupBy(group_col)
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    for v in range(from_version + 1, current_version(path) + 1):
+        delta = (
+            table_changes(spark, path, v - 1, v)
+            .groupBy(group_col)
+            .agg(
+                F.sum(
+                    F.when(F.col("_change") == "insert", 1).otherwise(-1)
+                ).cast("long").alias("n_rows")
+            )
+        )
+        mv = (
+            mv.unionByName(delta)
+            .groupBy(group_col)
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+            .where(F.col("n_rows") > 0)
+        )
+    return mv

@@ -3603,3 +3603,37 @@ def test_streaming_gdpr_delete_sink_and_token_replay(spark, tmp_path):
     assert r2["skipped"] is False
     assert 3 not in {r["doc_id"]
                      for r in tf.read_table(spark, tbl).collect()}
+
+
+def test_incremental_mv_signed_fold_per_commit_kind(spark, tmp_path):
+    """Incremental-MV pins on an engineered table: after EVERY commit
+    (append, COW update that moves rows between groups, MOR delete that
+    zeroes a group) the maintained view equals a direct recompute of that
+    version; the zeroed group is DROPPED, not kept at 0."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    rows = [(0, "en"), (1, "en"), (2, "de"), (3, "de"), (4, "fr")]
+    tf.append_snapshot(
+        spark.createDataFrame(rows, "id long, g string").coalesce(1), path)
+    tf.append_snapshot(
+        spark.createDataFrame([(5, "en"), (6, "xx")], "id long, g string")
+        .coalesce(1), path)
+    # COW update: move id 2 from de -> en (delete+insert in the CDC)
+    tf.merge_snapshot(
+        spark, spark.createDataFrame([(2, "en")], "id long, g string"),
+        path, "id")
+    # MOR delete: removes de's last member (3) and fr's only member (4)
+    tf.delete_keys(
+        spark, spark.createDataFrame([(3,), (4,)], "id long"), path, "id")
+
+    got = {r["g"]: r["n_rows"]
+           for r in tf.incremental_mv(spark, path, "g").collect()}
+    direct = {r["g"]: r["n"]
+              for r in tf.read_table(spark, path).groupBy("g")
+              .agg(F.count("*").alias("n")).collect()}
+    assert got == direct == {"en": 4, "xx": 1}
+    # both zeroed groups DROPPED from the view, not kept at 0: fr lost its
+    # only member to the delete; de lost one member to the update's group
+    # move and the other to the delete
+    assert "fr" not in got and "de" not in got
