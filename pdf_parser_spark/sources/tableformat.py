@@ -381,8 +381,14 @@ def scan_table(
         f for f in all_files
         if all(_may_match(stats.get(f, {}), c, op, val) for c, op, val in preds)
     ]
+    dels = meta.get("delete_files", [])
     if not keep:  # a scan of zero files still needs the schema
         df = _read_files(spark, meta, all_files).limit(0)
+    elif dels:
+        # pending MOR deletes apply to the SURVIVING files too — a pruned
+        # scan must never resurrect deleted rows (pruning is an
+        # optimization, the merge is correctness)
+        df = _apply_deletes(spark, keep, meta.get("file_seq", {}), dels, meta)
     else:
         df = _read_files(spark, meta, keep)
     # Column-op filters, not string interpolation: Python repr quoting is

@@ -3637,3 +3637,22 @@ def test_incremental_mv_signed_fold_per_commit_kind(spark, tmp_path):
     # only member to the delete; de lost one member to the update's group
     # move and the other to the delete
     assert "fr" not in got and "de" not in got
+
+
+def test_scan_table_applies_pending_mor_deletes(spark, tmp_path):
+    """A zone-pruned scan must merge pending deletes exactly like
+    read_table — pruning is an optimization, never a path around the
+    delete files (the resurrection bug this pins)."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    for lo in (0, 100):
+        tf.append_snapshot(
+            spark.createDataFrame([(lo + i, f"v{lo + i}") for i in range(5)],
+                                  "id long, v string").coalesce(1), path)
+    tf.delete_keys(spark, spark.createDataFrame([(101,)], "id long"),
+                   path, "id")
+    df, n_read, n_total = tf.scan_table(spark, path,
+                                        predicates=[("id", ">=", 100)])
+    assert (n_read, n_total) == (1, 2)          # pruning still works
+    assert {r["id"] for r in df.collect()} == {100, 102, 103, 104}
