@@ -376,6 +376,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_partitioned_scan(spark, sf_dir):
+        """Hidden partitioning end to end (Iceberg partition transforms):
+        events written once under (day(ts), bucket(4, event_type)), then a
+        scan whose predicates mention ONLY the source columns — the
+        planner derives the partition predicates itself (day widening at
+        the strict bound, the bucket hash for the equality), eliminates
+        day x bucket files from manifest metadata alone (asserted — a
+        derivation regression fails the driver run), and the day-level
+        rollup must hash-match the oracle's direct filter over the raw
+        parquet.  At 10^12 rows this is the difference between listing a
+        crawl-day's files and listing the crawl's."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        work = tempfile.mkdtemp(prefix="tblpart_")
+        try:
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+            tf.partitioned_append(
+                ev, work, [("day", "ts"), ("bucket", 4, "event_type")]
+            )
+            df, n_read, n_total = tf.scan_table(
+                spark, work,
+                predicates=[("ts", ">", "2024-01-20 12:00:00"),
+                            ("event_type", "=", "click")],
+            )
+            assert n_read < n_total, (n_read, n_total)
+            out = (
+                df.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("ds"))
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.countDistinct("user_id").alias("n_users"),
+                    F.sum("event_id").alias("sum_ids"),
+                )
+                .orderBy("ds")
+                .persist()
+            )
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _cdx_lookup_join(spark, sf_dir):
         """Composable CDX lookup (r3 verdict item 5): write the sorted
         range-partitioned capture shards, then resolve a FRAME of
@@ -1085,6 +1128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_incremental_extract": _incremental_extract,
         # zone-map file skipping: manifest min/max stats eliminate files
         "u_table_pruned_scan": _table_pruned_scan,
+        # hidden partitioning: day/bucket transforms derived from source-
+        # column predicates, file elimination from manifest metadata alone
+        "u_table_partitioned_scan": _table_partitioned_scan,
         # merge-on-read equality deletes + purge: v2 sequence rule (a key
         # appended after its delete survives), purge hash-identity
         "u_table_mor_delete": _table_mor_delete,
@@ -5292,6 +5338,19 @@ def oracle_sql() -> dict[str, str]:
         "u_table_pruned_scan": """
             SELECT doc_id, lang FROM documents
             WHERE doc_id >= 334 ORDER BY doc_id
+        """,
+        # hidden partitioning: the scan's derived day/bucket elimination is
+        # an optimization only — the result equals the direct filter (the
+        # query itself asserts files WERE eliminated)
+        "u_table_partitioned_scan": """
+            SELECT strftime(ts, '%Y-%m-%d') AS ds,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(event_id) AS BIGINT) AS sum_ids
+            FROM events
+            WHERE ts > TIMESTAMP '2024-01-20 12:00:00'
+              AND event_type = 'click'
+            GROUP BY ds ORDER BY ds
         """,
         # time-travel read at version 2 = snapshots 1+2 = doc_id%3 in (0,1)
         "u_table_time_travel": """

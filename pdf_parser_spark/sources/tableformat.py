@@ -129,6 +129,16 @@ def append_snapshot(df: DataFrame, path: str) -> int:
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+    return _commit_snapshot(df, path, snap_id, files)
+
+
+def _commit_snapshot(
+    df: DataFrame, path: str, snap_id: str, files: list[str],
+    partition_spec: list | None = None,
+    file_partitions: dict | None = None,
+) -> int:
+    """Shared manifest-commit loop for append_snapshot and
+    partitioned_append: footer stats + the atomic link-rename retry race."""
     # count from the WRITTEN files' footers — counting `df` again would
     # re-execute its whole plan (2x an Arrow extraction subtree's cost)
     n_rows = df.sparkSession.read.parquet(*files).count() if files else 0
@@ -150,6 +160,16 @@ def append_snapshot(df: DataFrame, path: str) -> int:
             raise ValueError(
                 f"columns {revived} were dropped from this table; "
                 "re-adding a retired name is not supported"
+            )
+        have_spec = parent.get("partition_spec")
+        if partition_spec is not None and have_spec is not None \
+                and have_spec != partition_spec:
+            # no partition-spec evolution: Iceberg versions specs per file
+            # group; this format keeps ONE spec per table and refuses a
+            # conflicting writer instead of silently mixing layouts
+            raise ValueError(
+                f"table at {path} is partitioned by {have_spec}; "
+                f"append brings spec {partition_spec}"
             )
         version = {
             "version": base + 1,
@@ -174,6 +194,16 @@ def append_snapshot(df: DataFrame, path: str) -> int:
             # pending merge-on-read delete files ride forward untouched
             "delete_files": parent.get("delete_files", []),
             "applied_tokens": parent.get("applied_tokens", []),
+            # hidden partitioning: the table's ONE transform spec plus each
+            # file's partition tuple (string values as written in the hive
+            # dirs; files without a tuple are never partition-pruned)
+            "partition_spec": (
+                partition_spec if partition_spec is not None else have_spec
+            ),
+            "file_partitions": {
+                **parent.get("file_partitions", {}),
+                **(file_partitions or {}),
+            },
         }
         tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -186,6 +216,208 @@ def append_snapshot(df: DataFrame, path: str) -> int:
             return base + 1
         except FileExistsError:
             os.unlink(tmp)  # lost the race -> re-read state and retry
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning (Iceberg partition transforms, spec §Partition
+# Transforms): the table declares TRANSFORMS of source columns —
+# ("identity", col), ("day", ts_col), ("bucket", n, col),
+# ("truncate", w, col) — the writer derives partition values from row data,
+# and the scan planner derives partition predicates from QUERY predicates on
+# the SOURCE columns.  Queries never mention partition columns (that is the
+# "hidden" in hidden partitioning); a user filtering `ts >= X` gets day-level
+# file elimination without knowing the table is day-partitioned.
+# ---------------------------------------------------------------------------
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def bucket_of(value, n: int) -> int:
+    """Deterministic bucket id — md5 of the value's string form, first 15
+    hex digits (60 bits) mod n.  Shared by the Spark write expression
+    (`_transform_expr`), this driver-side predicate derivation, and any
+    pytest twin, so an equality predicate prunes to EXACTLY the file group
+    the writer placed the value in.  (Iceberg specifies murmur3-x86-32;
+    the contract that matters is writer/planner agreement, not the hash.)"""
+    import hashlib
+
+    return int(hashlib.md5(f"bkt:{value}".encode()).hexdigest()[:15], 16) % n
+
+
+def _transform_expr(t):
+    """(source_column_name, string-typed partition-value Column) for one
+    spec entry.  All partition values are STRINGS — they live in hive dir
+    names; `_part_may_match` compares them with transform-aware rules."""
+    from pyspark.sql import functions as F
+
+    kind = t[0]
+    if kind == "identity":
+        return t[1], F.col(t[1]).cast("string")
+    if kind == "day":
+        return t[1], F.date_format(t[1], "yyyy-MM-dd")
+    if kind == "bucket":
+        n, col = int(t[1]), t[2]
+        return col, (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("bkt:"), F.col(col).cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % n
+        ).cast("string")
+    if kind == "truncate":
+        w, col = int(t[1]), t[2]
+        return col, F.substring(F.col(col).cast("string"), 1, w)
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
+def partitioned_append(df: DataFrame, path: str, spec: list) -> int:
+    """Append df under a partition spec: derive the partition-value columns,
+    write hive-layout (`_p0=.../_p1=...`), record each data file's partition
+    TUPLE in the manifest, and commit through the same atomic-rename race as
+    append_snapshot.  The partition columns exist only in directory names —
+    the recorded table schema is df's own, so reads never see them (hidden).
+
+    The first partitioned append fixes the table's spec; later appends must
+    bring the identical spec (or use plain append_snapshot, whose files are
+    simply never partition-pruned — pruning is an optimization, so mixing is
+    safe, just slower).  At 10^12 rows this is the difference between
+    listing a day's worth of files and listing the crawl's."""
+    import urllib.parse
+
+    spec = [list(t) for t in spec]
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    snap_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", snap_id)
+    pnames = [f"_p{i}" for i in range(len(spec))]
+    out = df
+    for name, t in zip(pnames, spec):
+        _, expr = _transform_expr(t)
+        out = out.withColumn(name, expr)
+    out.write.partitionBy(*pnames).parquet(data_dir)
+    files, fparts = [], {}
+    for root, _dirs, names in os.walk(data_dir):
+        for fname in sorted(names):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, fname)
+            rel = os.path.relpath(fpath, data_dir)
+            vals: dict[str, str | None] = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" not in seg:
+                    continue
+                k, _, raw = seg.partition("=")
+                raw = urllib.parse.unquote(raw)
+                vals[k] = None if raw == _HIVE_NULL else raw
+            files.append(fpath)
+            fparts[fpath] = [vals.get(p) for p in pnames]
+    files.sort()
+    return _commit_snapshot(
+        df, path, snap_id, files,
+        partition_spec=spec, file_partitions=fparts,
+    )
+
+
+def _part_meta(meta: dict, kept: list[str] | None = None) -> dict:
+    """Carry the partition spec + still-live files' partition tuples through
+    a maintenance commit.  Rewritten/new files get no tuple — they are never
+    partition-pruned (the safe direction); `kept=None` keeps every entry."""
+    fp = meta.get("file_partitions", {})
+    return {
+        "partition_spec": meta.get("partition_spec"),
+        "file_partitions": (
+            fp if kept is None else {f: v for f, v in fp.items() if f in kept}
+        ),
+    }
+
+
+def _day_of(value) -> str | None:
+    """'yyyy-MM-dd' of a predicate value, or None if underivable (-> no
+    pruning).  String timestamps are taken by prefix; datetime/date by
+    strftime — both match Spark's date_format under the UTC session tz."""
+    import datetime
+
+    if isinstance(value, str):
+        v = value[:10]
+        if len(v) == 10 and v[4] == "-" and v[7] == "-":
+            return v
+        return None
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return value.strftime("%Y-%m-%d")
+    return None
+
+
+def _part_may_match(spec: list, pvals: list, col: str, op: str, value) -> bool:
+    """Can a file whose partition tuple is `pvals` contain a row matching
+    `col op value`?  Unknown transform/underivable bound -> True (pruning
+    must never be the correctness path).  A NULL partition value means every
+    row in the file has NULL in the source column, and no SQL comparison
+    matches NULL -> prune for ANY predicate on that column."""
+    for t, sv in zip(spec, pvals):
+        kind = t[0]
+        src = t[2] if kind in ("bucket", "truncate") else t[1]
+        if src != col:
+            continue
+        if sv is None:
+            return False
+        if kind == "identity":
+            # typed compare when both sides parse as numbers, else string
+            if isinstance(value, bool) or not isinstance(
+                value, (int, float, str)
+            ):
+                continue
+            if isinstance(value, (int, float)):
+                try:
+                    fv = float(sv)
+                except ValueError:
+                    continue
+                lo = hi = fv
+            else:
+                lo = hi = sv
+            if not _range_ok(lo, hi, op, value):
+                return False
+        elif kind == "day":
+            d = _day_of(value)
+            # day granularity: the file covers the WHOLE day, so every
+            # bound is inclusive at the day edge
+            if d is not None and not _range_ok(sv, sv, _daywise(op), d):
+                return False
+        elif kind == "bucket":
+            try:
+                b = int(sv)
+            except ValueError:
+                continue
+            if op == "=" and b != bucket_of(value, int(t[1])):
+                return False
+        elif kind == "truncate":
+            w = int(t[1])
+            tv = str(value)[:w]
+            if not _range_ok(sv, sv, _daywise(op), tv):
+                return False
+    return True
+
+
+def _daywise(op: str) -> str:
+    """Widen strict bounds to inclusive for prefix-granular transforms
+    (day, truncate): a file whose day/prefix EQUALS the bound's can still
+    hold strictly-greater/-smaller rows inside it."""
+    return {"<": "<=", ">": ">="}.get(op, op)
+
+
+def _range_ok(lo, hi, op: str, value) -> bool:
+    """[lo, hi] vs `op value` — same shape as `_may_match`'s core."""
+    if op == "=":
+        return lo <= value <= hi
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    return True
 
 
 def _apply_deletes(
@@ -377,9 +609,23 @@ def scan_table(
     all_files = meta["all_files"]
     stats = meta.get("file_stats", {})
     preds = predicates or []
+    # hidden-partitioning elimination first (pure manifest metadata, no
+    # footer reads), then zone maps over the survivors; files with no
+    # recorded partition tuple (plain appends, maintenance rewrites) fall
+    # through to zone maps only — pruning is never the correctness path
+    pspec = meta.get("partition_spec")
+    fparts = meta.get("file_partitions", {}) if pspec else {}
+
+    def _p_ok(f):
+        pv = fparts.get(f)
+        if not pspec or pv is None:
+            return True
+        return all(_part_may_match(pspec, pv, c, op, val) for c, op, val in preds)
+
     keep = [
         f for f in all_files
-        if all(_may_match(stats.get(f, {}), c, op, val) for c, op, val in preds)
+        if _p_ok(f)
+        and all(_may_match(stats.get(f, {}), c, op, val) for c, op, val in preds)
     ]
     dels = meta.get("delete_files", [])
     if not keep:  # a scan of zero files still needs the schema
@@ -515,6 +761,7 @@ def compact_table(
         "schema": meta.get("schema"),
         "retired_columns": meta.get("retired_columns", []),
         "applied_tokens": meta.get("applied_tokens", []),
+        **_part_meta(meta, []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -659,6 +906,7 @@ def merge_snapshot(
         "schema": merged_schema,
         "retired_columns": retired,
         "applied_tokens": meta.get("applied_tokens", []),
+        **_part_meta(meta, untouched),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -746,6 +994,7 @@ def delete_keys(
         "retired_columns": meta.get("retired_columns", []),
         "applied_tokens": meta.get("applied_tokens", [])
         + ([token] if token is not None else []),
+        **_part_meta(meta),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -837,6 +1086,7 @@ def purge_deletes(spark: SparkSession, path: str) -> dict:
         "schema": meta.get("schema"),
         "retired_columns": meta.get("retired_columns", []),
         "applied_tokens": meta.get("applied_tokens", []),
+        **_part_meta(meta, untouched),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -916,6 +1166,7 @@ def drop_columns(spark: SparkSession, path: str, cols: list[str]) -> int:
         "schema": StructType(remaining).json(),
         "retired_columns": meta.get("retired_columns", []) + list(cols),
         "applied_tokens": meta.get("applied_tokens", []),
+        **_part_meta(meta),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -1068,6 +1319,7 @@ def zorder_table(
         "schema": meta.get("schema"),
         "retired_columns": meta.get("retired_columns", []),
         "applied_tokens": meta.get("applied_tokens", []),
+        **_part_meta(meta, []),
     }
     tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:

@@ -3656,3 +3656,152 @@ def test_scan_table_applies_pending_mor_deletes(spark, tmp_path):
                                         predicates=[("id", ">=", 100)])
     assert (n_read, n_total) == (1, 2)          # pruning still works
     assert {r["id"] for r in df.collect()} == {100, 102, 103, 104}
+
+
+def test_hidden_partitioning_prunes_and_stays_correct(spark, tmp_path):
+    """Iceberg-style hidden partitioning: the table declares TRANSFORMS
+    (day(ts), bucket(n, col), truncate(w, col), identity) and the scan
+    planner derives file elimination from predicates on the SOURCE columns
+    — queries never mention a partition column.  Pins: exact prune counts
+    on an engineered one-file-per-partition grid, inclusive widening of
+    strict bounds at day granularity, the write-side bucket expression ==
+    the planner's python twin, NULL partition handling, spec-conflict
+    refusal, and that unpartitioned appends coexist (unpruned, correct)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    # 6 days x 3 types, 4 rows per cell -> repartition(1) = 1 file/partition
+    rows = [
+        (d * 100 + t * 10 + i, f"2024-02-{d + 1:02d} 0{i}:30:00", f"type{t}")
+        for d in range(6) for t in range(3) for i in range(4)
+    ]
+    df = (
+        spark.createDataFrame(rows, "id long, ts_s string, kind string")
+        .select("id", F.to_timestamp("ts_s").alias("ts"), "kind")
+    )
+    path = str(tmp_path / "ptbl")
+    spec = [("day", "ts"), ("bucket", 2, "kind")]
+    tf.partitioned_append(df.repartition(1), path, spec)
+    # partition dirs are (day, BUCKET) — kinds sharing a bucket share a file
+    nb = len({tf.bucket_of(f"type{t}", 2) for t in range(3)})
+    meta = tf._read_version(path, tf.current_version(path))
+    assert len(meta["all_files"]) == 6 * nb
+    assert all(len(v) == 2 for v in meta["file_partitions"].values())
+
+    # day-range pred: >= day 4 (2024-02-04) -> 3 days' partitions survive
+    out, nr, nt = tf.scan_table(spark, path, [("ts", ">=", "2024-02-04 00:00:00")])
+    assert (nr, nt) == (3 * nb, 6 * nb)
+    assert out.count() == 3 * 3 * 4
+
+    # STRICT > inside a day keeps that day's files (inclusive widening)
+    out, nr, _ = tf.scan_table(spark, path, [("ts", ">", "2024-02-04 01:00:00")])
+    assert nr == 3 * nb
+    assert out.count() == df.where(F.col("ts") > "2024-02-04 01:00:00").count()
+
+    # bucket equality: only kind=typeK's bucket survives; result exact
+    out, nr, _ = tf.scan_table(spark, path, [("kind", "=", "type0")])
+    assert nr == 6  # one bucket per day
+    assert out.count() == 24 and out.where("kind <> 'type0'").count() == 0
+
+    # write-side bucket expression == planner twin, for every kind
+    _, expr = tf._transform_expr(("bucket", 2, "kind"))
+    got = {r["kind"]: int(r["b"])
+           for r in df.select("kind", expr.alias("b")).distinct().collect()}
+    assert got == {f"type{t}": tf.bucket_of(f"type{t}", 2) for t in range(3)}
+
+    # spec conflict refuses; identical spec appends fine
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="partitioned by"):
+        tf.partitioned_append(df.limit(1), path, [("day", "ts")])
+    tf.partitioned_append(df.limit(4).repartition(1), path, spec)
+
+    # a PLAIN append coexists: its files have no tuple -> never pruned,
+    # scan correctness unchanged
+    tf.append_snapshot(df.where("id < 2").repartition(1), path)
+    out, nr, nt = tf.scan_table(spark, path, [("ts", ">=", "2024-02-06 00:00:00")])
+    base = df.where(F.col("ts") >= "2024-02-06 00:00:00")
+    # 3 kind-files for day 6 + the re-appended limit(4) file (day-1 rows,
+    # zone maps may drop it) + the plain file always read
+    assert out.count() == base.count() + base.where("id < 2").count() \
+        + base.limit(0).count() + df.limit(4).where(
+            F.col("ts") >= "2024-02-06 00:00:00").count()
+
+    # truncate + identity spec on a second table
+    path2 = str(tmp_path / "ttbl")
+    df2 = spark.createDataFrame(
+        [(i, f"{'abcdef'[i % 6]}{'xyz'[i % 3]}tail{i}", i % 4)
+         for i in range(48)],
+        "id long, name string, grp long",
+    )
+    tf.partitioned_append(
+        df2.repartition(1), path2, [("truncate", 2, "name"), ("identity", "grp")]
+    )
+    out, nr, nt = tf.scan_table(
+        spark, path2, [("name", ">=", "dx"), ("grp", "=", 1)]
+    )
+    full = df2.where((F.col("name") >= "dx") & (F.col("grp") == 1))
+    assert nr < nt and out.count() == full.count()
+    assert out.exceptAll(full).count() == 0 and full.exceptAll(out).count() == 0
+
+    # NULL source values land in the hive default partition: pruned for
+    # any predicate on that column, still present in read_table
+    path3 = str(tmp_path / "ntbl")
+    dfn = df.withColumn(
+        "ts", F.when(F.col("id") % 50 == 0, None).otherwise(F.col("ts"))
+    )
+    tf.partitioned_append(dfn.repartition(1), path3, [("day", "ts")])
+    out, nr, nt = tf.scan_table(spark, path3, [("ts", ">=", "2024-02-01")])
+    assert nr == nt - 1  # exactly the null-partition file eliminated
+    assert out.count() == dfn.where(F.col("ts") >= "2024-02-01").count()
+    assert tf.read_table(spark, path3).count() == dfn.count()
+
+
+def test_hidden_partitioning_survives_maintenance(spark, tmp_path):
+    """Partition metadata rides through every commit kind: MOR deletes keep
+    all tuples (no files rewritten) and a pruned scan still hides deleted
+    rows; purge keeps the UNTOUCHED files' tuples; a full compaction drops
+    tuples (rewritten files are never partition-pruned) while scans stay
+    correct — pruning degrades, correctness never does."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    rows = [(d * 10 + i, f"2024-03-{d + 1:02d} 00:0{i}:00")
+            for d in range(4) for i in range(5)]
+    df = (
+        spark.createDataFrame(rows, "id long, ts_s string")
+        .select("id", F.to_timestamp("ts_s").alias("ts"))
+    )
+    path = str(tmp_path / "mtbl")
+    tf.partitioned_append(df.repartition(1), path, [("day", "ts")])
+
+    # MOR delete: no rewrite -> every tuple survives; pruned scan hides keys
+    tf.delete_keys(spark, df.where("id % 10 = 0").select("id"), path, "id")
+    meta = tf._read_version(path, tf.current_version(path))
+    assert len(meta["file_partitions"]) == 4
+    out, nr, nt = tf.scan_table(spark, path, [("ts", ">=", "2024-03-03")])
+    assert (nr, nt) == (2, 4)
+    assert sorted(r["id"] for r in out.collect()) == [
+        i for i in range(20, 40) if i % 10 and (i % 10) < 5
+    ]
+
+    # purge rewrites only AFFECTED files; untouched tuples remain
+    tf.purge_deletes(spark, path)
+    meta = tf._read_version(path, tf.current_version(path))
+    assert meta["partition_spec"] == [["day", "ts"]]
+    # every file carried a deleted key -> all rewritten -> no tuples is
+    # also legal; the invariant is: tuples ⊆ live files, scan stays right
+    assert set(meta["file_partitions"]) <= set(meta["all_files"])
+    out, nr, nt = tf.scan_table(spark, path, [("ts", ">=", "2024-03-03")])
+    assert out.where("id % 10 = 0").count() == 0
+
+    # full compaction: tuples dropped, spec retained, scans correct
+    tf.compact_table(spark, path, target_bytes=1 << 30)
+    meta = tf._read_version(path, tf.current_version(path))
+    assert meta["partition_spec"] == [["day", "ts"]] \
+        and meta["file_partitions"] == {}
+    out, nr, nt = tf.scan_table(spark, path, [("ts", ">=", "2024-03-03")])
+    assert out.count() == df.where(
+        (F.col("ts") >= "2024-03-03") & (F.col("id") % 10 != 0)
+    ).count()
