@@ -1396,6 +1396,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "host"),
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
            _docs(s, d)),
+        # exact neighborhood function N(t) + effective diameter (the
+        # HyperBall curve, Boldi-Vigna): all-sources layered BFS on the
+        # compressed host graph, one join+distinct+anti-join per level
+        "g_neighborhood": lambda s, d: (lambda lg, docs: lg.host_neighborhood(
+            lg.synthetic_edges(docs),
+            weburl.canonicalize(weburl.with_synthetic_urls(docs))
+            .select("doc_id", "host"),
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
+           _docs(s, d)),
         # log2-binned degree histogram of the host graph: the power-law
         # audit, exact-integer bins via length(bin(deg))-1
         "g_degree_dist": lambda s, d: (lambda lg, docs: lg.degree_distribution(
@@ -5924,6 +5933,51 @@ def oracle_sql() -> dict[str, str]:
         # k-core: degrees seed kh0, then KCORE_ROUNDS unrolled h-index
         # updates — the literal twin of the Spark loop (same tie-broken
         # row_number, same >=-rank fold)
+        # neighborhood function: recursive bounded BFS over the directed
+        # host graph; min(d) per ordered pair is the exact distance (a
+        # shortest path's prefix is a shortest path), cumulative windows
+        # give N(t), integer basis points + first-crossing flag mark the
+        # 90% effective diameter — the literal twin of the Spark layering
+        "g_neighborhood": f"""
+            WITH RECURSIVE {_url_cte},
+            edges AS ({_edges_sql}),
+            hg AS (
+                SELECT DISTINCT cs.host AS src, cd.host AS dst
+                FROM edges e
+                JOIN canon cs ON cs.doc_id = e.src
+                JOIN canon cd ON cd.doc_id = e.dst
+                WHERE cs.host <> cd.host
+            ),
+            nodes AS (SELECT DISTINCT host FROM canon),
+            reach(src, dst, d) AS (
+                SELECT host, host, 0 FROM nodes
+                UNION
+                SELECT r.src, h.dst, r.d + 1
+                FROM reach r JOIN hg h ON r.dst = h.src
+                WHERE r.d < {LG.NEIGHBORHOOD_T}
+            ),
+            pairs AS (
+                SELECT src, dst, min(d) AS t FROM reach GROUP BY src, dst
+            ),
+            per_t AS (
+                SELECT t, CAST(count(*) AS BIGINT) AS new_pairs
+                FROM pairs GROUP BY t
+            ),
+            cum AS (
+                SELECT t, new_pairs,
+                       CAST(sum(new_pairs) OVER (ORDER BY t) AS BIGINT)
+                           AS n_pairs,
+                       CAST(sum(new_pairs) OVER () AS BIGINT) AS total
+                FROM per_t
+            )
+            SELECT CAST(t AS BIGINT) AS t, new_pairs, n_pairs,
+                   CAST(n_pairs * 10000 // total AS BIGINT) AS pct_bp,
+                   (n_pairs * 10000 // total >= 9000
+                    AND coalesce(lag(n_pairs * 10000 // total)
+                                 OVER (ORDER BY t), 0) < 9000)
+                       AS is_eff_diameter
+            FROM cum ORDER BY t
+        """,
         "g_kcore": f"""
             WITH {_url_cte},
             edges AS ({_edges_sql}),

@@ -1043,3 +1043,91 @@ def host_kcore(
         )
         .orderBy("host")
     )
+
+
+NEIGHBORHOOD_T = 6  # bounded BFS horizon, shared with the oracle twin
+
+
+def host_neighborhood(
+    edges: DataFrame, urls: DataFrame, max_t: int = NEIGHBORHOOD_T
+) -> DataFrame:
+    """Exact neighborhood function N(t) + effective diameter of the
+    DIRECTED host graph — the distance-distribution datasheet of a web
+    graph (Boldi & Vigna's HyperBall, WWW 2011 / 2013 lineage; "four
+    degrees of separation" is this curve on the Facebook graph).
+
+    One row per achieved distance t: new_pairs = ordered host pairs at
+    exactly distance t (t=0 is the self-pairs = node count), n_pairs =
+    cumulative N(t), pct_bp = N(t) as basis points of N(max_t), and
+    is_eff_diameter marks the FIRST t whose cumulative share reaches 90%
+    — the integer form of the effective-diameter definition, relative to
+    the bounded horizon (stated, not hidden: the unbounded version needs
+    the true reachable-pair count; on a bow-tie-shaped web graph the
+    horizon-T curve IS the published artifact).
+
+    Algorithm: all-sources layered BFS — reach carries (src, dst,
+    first-discovery t); each round expands the FRONTIER ONLY through one
+    equi join, dedups, and anti-joins the already-reached set, so a pair
+    is counted at its exact distance (a shortest path's prefix is a
+    shortest path, so no distance level can be empty before exhaustion —
+    the empty-frontier early stop is exact).  Per round: one join + one
+    distinct + one anti join on the COMPRESSED host graph (host_graph
+    doctrine: 4-5 orders smaller than the page graph), lineage truncated
+    per round.  The exact all-pairs set is O(hosts^2) worst case — the
+    10^8-host production form replaces the reach SET with per-node HLL
+    registers folded over the same join (HyperBall itself); the exact
+    face is the oracle-checkable twin and the correctness anchor for it.
+
+    Aggregation: one groupBy(t) + one ordered window for the cumulative —
+    exact BIGINTs end to end (pct in basis points via integer floor-div).
+    """
+    from pyspark.sql import Window
+
+    hg = (
+        host_graph(edges, urls)
+        .select("src_host", "dst_host")
+        .withColumnRenamed("src_host", "e_src")
+        .withColumnRenamed("dst_host", "e_dst")
+        .distinct()
+        .persist()
+    )
+    hg.count()
+    nodes = urls.select("host").distinct()
+    reach = nodes.select(
+        F.col("host").alias("src"), F.col("host").alias("dst"),
+        F.lit(0).cast("long").alias("t"),
+    ).localCheckpoint()
+    frontier = reach
+    for t in range(1, max_t + 1):
+        nxt = (
+            frontier.join(hg, frontier["dst"] == hg["e_src"])
+            .select("src", F.col("e_dst").alias("dst"))
+            .distinct()
+            .join(reach.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("t", F.lit(t).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        reach = reach.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    hg.unpersist()
+    per_t = reach.groupBy("t").agg(F.count("*").cast("long").alias("new_pairs"))
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_lag = Window.orderBy("t")
+    out = (
+        per_t.withColumn("n_pairs", F.sum("new_pairs").over(w_cum))
+        .withColumn("total", F.sum("new_pairs").over(w_all))
+        .withColumn("pct_bp", F.expr("n_pairs * 10000 DIV total"))
+        .withColumn(
+            "is_eff_diameter",
+            (F.col("pct_bp") >= 9000)
+            & (F.coalesce(F.lag("pct_bp").over(w_lag), F.lit(0)) < 9000),
+        )
+        .select("t", "new_pairs", "n_pairs", "pct_bp", "is_eff_diameter")
+        .orderBy("t")
+    )
+    return out

@@ -3805,3 +3805,26 @@ def test_hidden_partitioning_survives_maintenance(spark, tmp_path):
     assert out.count() == df.where(
         (F.col("ts") >= "2024-03-03") & (F.col("id") % 10 != 0)
     ).count()
+
+
+def test_host_neighborhood_exact_path_graph(spark):
+    """Neighborhood function on an engineered directed path a->b->c->d
+    plus isolated e: N(0)=5 self-pairs, then 3/2/1 new pairs at t=1/2/3;
+    cumulative 5,8,10,11 -> basis points 4545,7272,9090,10000 with the
+    90% crossing (is_eff_diameter) at exactly t=2; the BFS early-stops at
+    the true diameter even with a larger horizon."""
+    from pdf_parser_spark.operators.linkgraph import host_neighborhood
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    urls = spark.createDataFrame(
+        [(i, h) for i, h in enumerate("abcde")], "doc_id long, host string")
+    rows = host_neighborhood(edges, urls, max_t=6).collect()
+    got = [(r["t"], r["new_pairs"], r["n_pairs"], r["pct_bp"],
+            r["is_eff_diameter"]) for r in rows]
+    assert got == [
+        (0, 5, 5, 4545, False),
+        (1, 3, 8, 7272, False),
+        (2, 2, 10, 9090, True),
+        (3, 1, 11, 10000, False),
+    ]
