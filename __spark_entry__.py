@@ -1211,6 +1211,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), curation.fit_vocab(_docs(s, d))
         ),
         "c_pack_shards": lambda s, d: curation.pack_shards(_docs(s, d)),
+        # shard-count resize audit: modulo vs rendezvous (HRW) placement —
+        # keys moved growing 8 -> 10 writers; HRW moves the stateless
+        # minimum (~1 - 8/10), modulo reshuffles nearly everything
+        "c_shard_rebalance": lambda s, d: curation.shard_rebalance(
+            _docs(s, d)
+        ),
         # deterministic global training shuffle: md5(seed:doc_id) shard +
         # within-shard hash rank — no corpus-wide ORDER BY anywhere
         "c_global_shuffle": lambda s, d: curation.global_shuffle(_docs(s, d)),
@@ -6490,6 +6496,39 @@ def oracle_sql() -> dict[str, str]:
                        AS split_docs_bp
             FROM wa JOIN sp ON sp.seq_len = wa.seq_len
             ORDER BY seq_len
+        """,
+        # shard rebalance: the HRW argmax is a lexicographic list_max over
+        # [weight, shard] pairs — the literal twin of the Spark struct
+        # array_max, so even a weight tie breaks identically (by shard id)
+        "c_shard_rebalance": f"""
+            WITH h AS (
+                SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) AS hk,
+                       list_max(list_transform(range(0, {C.SHARD_FROM}),
+                           i -> [CAST(('0x' || substr(md5(
+                                     CAST(doc_id AS VARCHAR) || ':' || i),
+                                     1, 8)) AS BIGINT), i]))[2] AS hrw_a,
+                       list_max(list_transform(range(0, {C.SHARD_TO}),
+                           i -> [CAST(('0x' || substr(md5(
+                                     CAST(doc_id AS VARCHAR) || ':' || i),
+                                     1, 8)) AS BIGINT), i]))[2] AS hrw_b
+                FROM documents
+            ), m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(CASE WHEN hk % {C.SHARD_FROM}
+                                     <> hk % {C.SHARD_TO}
+                                THEN 1 ELSE 0 END) AS BIGINT) AS mod_n,
+                       CAST(sum(CASE WHEN hrw_a <> hrw_b
+                                THEN 1 ELSE 0 END) AS BIGINT) AS hrw_n
+                FROM h
+            )
+            SELECT scheme, CAST({C.SHARD_FROM} AS BIGINT) AS n_from,
+                   CAST({C.SHARD_TO} AS BIGINT) AS n_to, n_keys,
+                   CAST(n_moved AS BIGINT) AS n_moved,
+                   CAST(n_moved * 10000 // n_keys AS BIGINT) AS moved_bp
+            FROM (SELECT 'hrw' AS scheme, hrw_n AS n_moved, n_keys FROM m
+                  UNION ALL SELECT 'mod', mod_n, n_keys FROM m)
+            ORDER BY scheme
         """,
         "c_pack_shards": f"""
             WITH t AS (

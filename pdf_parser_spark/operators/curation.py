@@ -21,7 +21,7 @@ Scale notes are per-operator; the shared principles:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdf_parser_spark.functions import portable_hash32, words, word_shingles
@@ -2173,4 +2173,76 @@ def temperature_mix(documents: DataFrame) -> DataFrame:
             .cast("long"),
         )
         .orderBy("alpha_bp", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard-count rebalancing audit (modulo vs rendezvous hashing)
+# ---------------------------------------------------------------------------
+
+SHARD_FROM = 8   # writer fleet size before the grow
+SHARD_TO = 10    # and after — defaults shared with the oracle twin
+
+
+def shard_rebalance(
+    documents: DataFrame, n_from: int = SHARD_FROM, n_to: int = SHARD_TO
+) -> DataFrame:
+    """How many keys MOVE when the shard count grows n_from -> n_to, under
+    the two classic placement schemes — the audit a sharded corpus store
+    (or a 1000-executor bucketed writer) runs before resizing:
+
+    - ``mod``: shard = hash(key) % n — the naive scheme; a resize remaps
+      an expected (1 - 1/lcm-ish) ~= 90% of keys, so every downstream
+      cache, bucket join, and co-located read loses locality at once;
+    - ``hrw``: rendezvous / highest-random-weight hashing (Thaler &
+      Ravishankar 1996, the stateless cousin of consistent hashing):
+      shard = argmax_i hash(key, i).  Growing n_from -> n_to moves
+      EXACTLY the keys whose new shards win the argmax — expected
+      1 - n_from/n_to (20% for 8 -> 10), the theoretical minimum for a
+      balanced stateless scheme.
+
+    One row per scheme: (scheme, n_from, n_to, n_keys, n_moved,
+    moved_bp).  Everything is exact integers over the portable md5 hash:
+    the HRW argmax is an array_max over [weight, shard] structs — struct
+    comparison is lexicographic in BOTH engines, so even a weight tie
+    breaks identically (by shard id).  Scale: one narrow projection + one
+    global aggregate; the per-key argmax is an n_to-wide JVM array
+    expression (no explode, no shuffle, no Python) — at 10^12 keys this
+    is a single map-side pass."""
+    key = F.col("doc_id").cast("string")
+
+    def hrw(n: int) -> Column:
+        return F.array_max(F.array(*[
+            F.struct(
+                portable_hash32(F.concat(key, F.lit(f":{i}"))).alias("w"),
+                F.lit(i).cast("long").alias("s"),
+            )
+            for i in range(n)
+        ]))["s"]
+
+    hk = portable_hash32(key)
+    marked = documents.select(
+        (hk % n_from != hk % n_to).cast("long").alias("mod_moved"),
+        (hrw(n_from) != hrw(n_to)).cast("long").alias("hrw_moved"),
+    )
+    agg = marked.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("mod_moved").cast("long").alias("mod_n"),
+        F.sum("hrw_moved").cast("long").alias("hrw_n"),
+    )
+    return (
+        agg.select(
+            F.expr("stack(2, 'hrw', hrw_n, 'mod', mod_n)"
+                   " as (scheme, n_moved)"),
+            "n_keys",
+        )
+        .select(
+            "scheme",
+            F.lit(n_from).cast("long").alias("n_from"),
+            F.lit(n_to).cast("long").alias("n_to"),
+            "n_keys",
+            F.col("n_moved").cast("long").alias("n_moved"),
+            F.expr("n_moved * 10000 DIV n_keys").alias("moved_bp"),
+        )
+        .orderBy("scheme")
     )

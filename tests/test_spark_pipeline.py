@@ -3828,3 +3828,21 @@ def test_host_neighborhood_exact_path_graph(spark):
         (2, 2, 10, 9090, True),
         (3, 1, 11, 10000, False),
     ]
+
+
+def test_shard_rebalance_hrw_moves_stateless_minimum(spark):
+    """Growing 8 -> 10 shards: rendezvous hashing moves ~1 - 8/10 = 20% of
+    keys (the stateless minimum), modulo placement ~80% (keys stay only
+    when hash % lcm lands in the low 8 of 40 -> 8/40).  Pins the theory
+    bands on 4000 engineered keys and that the audit is deterministic."""
+    from pdf_parser_spark.operators.curation import shard_rebalance
+
+    docs = spark.range(4000).withColumnRenamed("id", "doc_id")
+    rows = {r["scheme"]: r for r in shard_rebalance(docs).collect()}
+    assert rows["hrw"]["n_keys"] == rows["mod"]["n_keys"] == 4000
+    assert 1700 <= rows["hrw"]["moved_bp"] <= 2300
+    assert 7500 <= rows["mod"]["moved_bp"] <= 8500
+    assert rows["hrw"]["n_moved"] < rows["mod"]["n_moved"]
+    again = {r["scheme"]: r["n_moved"]
+             for r in shard_rebalance(docs).collect()}
+    assert again == {k: v["n_moved"] for k, v in rows.items()}
