@@ -819,6 +819,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pdf_parser_spark.streaming.pipeline",
             fromlist=["gdpr_delete_via_stream"],
         ).gdpr_delete_via_stream(s, d),
+        # streaming ingest into a hidden-partitioned table: two micro-
+        # batches -> partitioned_append commits, exactly-once via the
+        # token ledger (batch 0 replayed in-harness and MUST skip), then
+        # a pruned source-column-predicate scan feeds the rollup
+        "st_partitioned_ingest": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.pipeline",
+            fromlist=["partitioned_ingest_via_stream"],
+        ).partitioned_ingest_via_stream(s, d),
         # watermark late-DROP semantics: 4-batch replay with a re-delivered
         # early batch that must be dropped (and a trap batch that would
         # re-emit duplicates if it were merged instead)
@@ -3617,6 +3625,20 @@ def oracle_sql() -> dict[str, str]:
         "st_gdpr_delete": """
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id % 7 <> 0 ORDER BY doc_id
+        """,
+        # streaming partitioned ingest: the full events table arrives over
+        # two micro-batches + one replayed (skipped) batch; the pruned
+        # scan's rollup equals the direct filter — a doubled batch 0
+        # would double n_events/sum_ids and hash-mismatch
+        "st_partitioned_ingest": """
+            SELECT strftime(ts, '%Y-%m-%d') AS ds,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(event_id) AS BIGINT) AS sum_ids
+            FROM events
+            WHERE ts > TIMESTAMP '2024-01-20 12:00:00'
+              AND event_type = 'click'
+            GROUP BY ds ORDER BY ds
         """,
         # rate limiter: the recurrence's closed form as one cumulative
         # window max per host — no recursion, pure SQL

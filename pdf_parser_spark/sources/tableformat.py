@@ -112,14 +112,33 @@ def _merged_schema_json(parent_json: str | None, df_schema) -> str:
     return StructType(out).json()
 
 
-def append_snapshot(df: DataFrame, path: str) -> int:
+def _token_applied(path: str, token: str | None) -> bool:
+    """True if an exactly-once token is already in the current manifest —
+    the cheap pre-write check callers use to skip a replayed batch before
+    paying for its data files."""
+    if token is None:
+        return False
+    vs = _versions(path)
+    if not vs:
+        return False
+    return token in _read_version(path, vs[-1]).get("applied_tokens", [])
+
+
+def append_snapshot(df: DataFrame, path: str, token: str | None = None) -> int:
     """Append df as a new snapshot; returns the committed version number.
 
     Write path: data files first (invisible until committed), then the
     version file via write-temp + atomic rename.  If another committer
     won the race for v<N>, retry as v<N+1> on top of THEIR manifest —
     serializable append semantics, no locks.
+
+    ``token`` makes the append EXACTLY-ONCE for at-least-once callers
+    (foreachBatch sinks — the Delta txnAppId/txnVersion pattern): a token
+    already recorded in the manifest returns the current version without
+    committing; a blind replay would otherwise DOUBLE the batch's rows.
     """
+    if _token_applied(path, token):
+        return current_version(path)
     os.makedirs(_meta_dir(path), exist_ok=True)
     snap_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", snap_id)
@@ -129,22 +148,47 @@ def append_snapshot(df: DataFrame, path: str) -> int:
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    return _commit_snapshot(df, path, snap_id, files)
+    return _commit_snapshot(df, path, snap_id, files, token=token)
 
 
 def _commit_snapshot(
     df: DataFrame, path: str, snap_id: str, files: list[str],
     partition_spec: list | None = None,
     file_partitions: dict | None = None,
+    token: str | None = None,
 ) -> int:
     """Shared manifest-commit loop for append_snapshot and
-    partitioned_append: footer stats + the atomic link-rename retry race."""
+    partitioned_append: footer stats + the atomic link-rename retry race.
+    The token re-check inside the loop closes the race window between the
+    caller's cheap pre-write check and the commit (two concurrent replays
+    of one batch: the loser re-reads the winner's manifest, sees the
+    token, and skips — its orphaned data files stay invisible, the same
+    fate as any failed commit's, until GC)."""
     # count from the WRITTEN files' footers — counting `df` again would
     # re-execute its whole plan (2x an Arrow extraction subtree's cost)
     n_rows = df.sparkSession.read.parquet(*files).count() if files else 0
     # zone maps from the same footers: per-file min/max per column, carried
     # in the manifest so scan_table can eliminate files from metadata alone
     stats = {f: _file_stats(f) for f in files}
+    return _commit_manifest(
+        df.schema, path, snap_id, files, n_rows, stats,
+        partition_spec=partition_spec, file_partitions=file_partitions,
+        token=token,
+    )
+
+
+def _commit_manifest(
+    schema, path: str, snap_id: str, files: list[str],
+    n_rows: int, stats: dict,
+    partition_spec: list | None = None,
+    file_partitions: dict | None = None,
+    token: str | None = None,
+) -> int:
+    """Metadata-only half of the commit: the atomic link-rename retry
+    race over precomputed footer stats.  Split out of _commit_snapshot so
+    publish_staged can commit a WAP-staged snapshot's already-written
+    files without touching a DataFrame (the stage pass computed the
+    stats; publish is pure metadata — Iceberg's cherry-pick)."""
     while True:
         vs = _versions(path)
         base = vs[-1] if vs else 0
@@ -152,7 +196,7 @@ def _commit_snapshot(
             _read_version(path, base) if vs else {"all_files": [], "file_stats": {}}
         )
         retired = parent.get("retired_columns", [])
-        revived = [f.name for f in df.schema.fields if f.name in retired]
+        revived = [f.name for f in schema.fields if f.name in retired]
         if revived:
             # name-based column mapping (no field-ids): re-adding a dropped
             # name would resurrect the old files' values — refuse instead
@@ -161,6 +205,8 @@ def _commit_snapshot(
                 f"columns {revived} were dropped from this table; "
                 "re-adding a retired name is not supported"
             )
+        if token is not None and token in parent.get("applied_tokens", []):
+            return base  # a racer applied this batch; skip, files orphan
         have_spec = parent.get("partition_spec")
         if partition_spec is not None and have_spec is not None \
                 and have_spec != partition_spec:
@@ -179,7 +225,7 @@ def _commit_snapshot(
             "added_rows": n_rows,
             "all_files": parent["all_files"] + files,
             "file_stats": {**parent.get("file_stats", {}), **stats},
-            "schema": _merged_schema_json(parent.get("schema"), df.schema),
+            "schema": _merged_schema_json(parent.get("schema"), schema),
             "retired_columns": retired,
             # data sequence numbers (Iceberg v2): each data file remembers
             # the commit that added it, so a MOR equality delete (seq D)
@@ -193,7 +239,8 @@ def _commit_snapshot(
             },
             # pending merge-on-read delete files ride forward untouched
             "delete_files": parent.get("delete_files", []),
-            "applied_tokens": parent.get("applied_tokens", []),
+            "applied_tokens": parent.get("applied_tokens", [])
+            + ([token] if token is not None else []),
             # hidden partitioning: the table's ONE transform spec plus each
             # file's partition tuple (string values as written in the hive
             # dirs; files without a tuple are never partition-pruned)
@@ -272,7 +319,9 @@ def _transform_expr(t):
     raise ValueError(f"unknown partition transform {t!r}")
 
 
-def partitioned_append(df: DataFrame, path: str, spec: list) -> int:
+def partitioned_append(
+    df: DataFrame, path: str, spec: list, token: str | None = None
+) -> int:
     """Append df under a partition spec: derive the partition-value columns,
     write hive-layout (`_p0=.../_p1=...`), record each data file's partition
     TUPLE in the manifest, and commit through the same atomic-rename race as
@@ -286,6 +335,8 @@ def partitioned_append(df: DataFrame, path: str, spec: list) -> int:
     listing a day's worth of files and listing the crawl's."""
     import urllib.parse
 
+    if _token_applied(path, token):
+        return current_version(path)
     spec = [list(t) for t in spec]
     os.makedirs(_meta_dir(path), exist_ok=True)
     snap_id = uuid.uuid4().hex[:12]
@@ -315,7 +366,7 @@ def partitioned_append(df: DataFrame, path: str, spec: list) -> int:
     files.sort()
     return _commit_snapshot(
         df, path, snap_id, files,
-        partition_spec=spec, file_partitions=fparts,
+        partition_spec=spec, file_partitions=fparts, token=token,
     )
 
 

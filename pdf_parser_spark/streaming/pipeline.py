@@ -202,3 +202,116 @@ def gdpr_delete_via_stream(spark: SparkSession, sf_dir: str):
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_partitioned_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    spec: list,
+    schema,
+    app_id: str = "ingest",
+) -> StreamingQuery:
+    """Streaming append sink into a HIDDEN-PARTITIONED table: readStream ->
+    foreachBatch(partitioned_append) — the crawl-ingest write side at
+    10^12 rows, where every micro-batch lands as day/bucket-partitioned
+    files and downstream scans prune on SOURCE-column predicates from
+    manifest metadata alone (no directory listing of the whole table,
+    ever).
+
+    Exactly-once is the TOKEN ledger, not idempotence: foreachBatch is
+    at-least-once, and a replayed APPEND would double the batch's rows
+    (unlike the upsert sink, where replaying converges).
+    partitioned_append records '<app_id>:<batch_id>' in the manifest and
+    skips a batch it has already applied — same txnAppId/txnVersion
+    pattern as the GDPR delete sink, pinned in pytest by a manual replay.
+    Each micro-batch commits one table version: the version history IS
+    the micro-batch lineage, and time travel reads any prefix of the
+    stream."""
+    rows = spark.readStream.schema(schema).parquet(input_dir)
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        from pdf_parser_spark.sources import tableformat as tf
+
+        if batch_df.isEmpty():
+            return
+        tf.partitioned_append(
+            batch_df, table_path, spec, token=f"{app_id}:{batch_id}"
+        )
+
+    return (
+        rows.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def partitioned_ingest_via_stream(spark: SparkSession, sf_dir: str):
+    """Bounded harness for the registry: the events table streams through
+    the partitioned-ingest sink in two micro-batches under a
+    (day(ts), bucket(4, event_type)) spec, batch 0 is then REPLAYED
+    through partitioned_append with its already-recorded token (must
+    skip — a doubled batch would double n_events and hash-mismatch), and
+    the result is a day rollup over a PRUNED scan whose predicates name
+    only source columns.  One hash covers: the streaming ingest, the
+    exactly-once ledger, the transform derivation, and the residual
+    filters."""
+    import os
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    work = tempfile.mkdtemp(prefix="part_ingest_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    tbl = os.path.join(work, "tbl")
+    os.makedirs(in_dir)
+    spec = [("day", "ts"), ("bucket", 4, "event_type")]
+    try:
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        staged = os.path.join(work, "staged")
+        # two deterministic halves -> two single-file micro-batches
+        ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(staged, "a"))
+        ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(staged, "b"))
+        for i, sub in enumerate(("a", "b")):
+            for f in sorted(os.listdir(os.path.join(staged, sub))):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(staged, sub, f),
+                                os.path.join(in_dir, f"b{i}.parquet"))
+        q = stream_partitioned_ingest(
+            spark, in_dir, tbl, ckpt, spec, ev.schema,
+            app_id="ingest",
+        )
+        q.processAllAvailable()
+        q.stop()
+        # replay batch 0 with its recorded token: MUST skip (exactly-once)
+        v_before = tf.current_version(tbl)
+        v_after = tf.partitioned_append(
+            spark.read.parquet(os.path.join(in_dir, "b0.parquet")),
+            tbl, spec, token="ingest:0",
+        )
+        assert v_after == v_before, (v_before, v_after)
+        df, n_read, n_total = tf.scan_table(
+            spark, tbl,
+            predicates=[("ts", ">", "2024-01-20 12:00:00"),
+                        ("event_type", "=", "click")],
+        )
+        assert n_read < n_total, (n_read, n_total)
+        out = (
+            df.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("ds"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum("event_id").alias("sum_ids"),
+            )
+            .orderBy("ds")
+            .persist()
+        )
+        out.count()  # materialize before the temp table dir is deleted
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -3846,3 +3846,39 @@ def test_shard_rebalance_hrw_moves_stateless_minimum(spark):
     again = {r["scheme"]: r["n_moved"]
              for r in shard_rebalance(docs).collect()}
     assert again == {k: v["n_moved"] for k, v in rows.items()}
+
+
+def test_append_token_exactly_once(spark, tmp_path):
+    """Exactly-once append ledger: replaying a batch token returns the
+    current version with NO new rows (a blind replay would double the
+    batch), a fresh token commits, and the ledger survives intermediate
+    commits of the other kinds — for both plain and hidden-partitioned
+    appends."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "tok")
+    v1 = tf.append_snapshot(df, path, token="app:0")
+    assert tf.append_snapshot(df, path, token="app:0") == v1
+    assert tf.read_table(spark, path).count() == 100
+    v2 = tf.append_snapshot(df.where("doc_id < 10"), path, token="app:1")
+    assert v2 == v1 + 1 and tf.read_table(spark, path).count() == 110
+    # a delete commit in between must not amnesia the append ledger:
+    # the replayed token still skips (returns the CURRENT version, no
+    # new rows beyond the delete's effect)
+    vd = tf.delete_keys(spark, df.where("doc_id = 5").select("doc_id"),
+                        path, "doc_id")["version"]
+    n_after_delete = tf.read_table(spark, path).count()
+    assert n_after_delete == 108  # doc_id=5 existed twice (v1 + v2)
+    assert tf.append_snapshot(df, path, token="app:0") == vd
+    assert tf.read_table(spark, path).count() == n_after_delete
+
+    path2 = str(tmp_path / "ptok")
+    spec = [("identity", "grp")]
+    dfp = df.withColumn("grp", F.col("doc_id") % 3)
+    vp = tf.partitioned_append(dfp, path2, spec, token="p:0")
+    assert tf.partitioned_append(dfp, path2, spec, token="p:0") == vp
+    assert tf.read_table(spark, path2).count() == 100
+
