@@ -241,6 +241,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_wap(spark, sf_dir):
+        """Write-audit-publish (Iceberg WAP / cherry-pick) end to end:
+        v1 publishes doc_id%3==0; a POISONED %3==1 batch (every 5th
+        lang mangled to 'zz') is STAGED, caught by the audit on the
+        staged view (main never sees it), and aborted; the clean %3==1
+        batch is staged and audits green; a concurrent %3==2 append
+        lands BETWEEN stage and publish, and publish must rebase onto
+        it; a replayed publish must no-op via the wap token ledger.
+        The final per-lang rollup equals the raw documents table —
+        a leaked poisoned row ('zz' group), a lost concurrent append,
+        or a doubled publish each hash-mismatch."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        work = tempfile.mkdtemp(prefix="tblwap_")
+        try:
+            docs = _docs(spark, sf_dir)
+            v1 = tf.append_snapshot(docs.where(F.col("doc_id") % 3 == 0), work)
+            poisoned = docs.where(F.col("doc_id") % 3 == 1).withColumn(
+                "lang",
+                F.when(F.col("doc_id") % 5 == 0, F.lit("zz"))
+                .otherwise(F.col("lang")),
+            )
+            wap_bad = tf.stage_append(poisoned, work)
+            # staged is invisible: no new version, one pending stage
+            assert tf.current_version(work) == v1
+            assert len(tf.list_staged(work)) == 1
+            # the audit runs on the WOULD-BE table and catches the batch
+            n_bad = (
+                tf.read_staged(spark, work, wap_bad)
+                .where(F.col("lang") == "zz").count()
+            )
+            assert n_bad > 0, "audit should see the poisoned rows"
+            tf.abort_staged(work, wap_bad)
+            wap_ok = tf.stage_append(docs.where(F.col("doc_id") % 3 == 1), work)
+            assert (
+                tf.read_staged(spark, work, wap_ok)
+                .where(F.col("lang") == "zz").count() == 0
+            )
+            # concurrent append lands between stage and publish
+            tf.append_snapshot(docs.where(F.col("doc_id") % 3 == 2), work)
+            v = tf.publish_staged(work, wap_ok)
+            assert tf.publish_staged(work, wap_ok) == v  # exactly-once
+            out = (
+                tf.read_table(spark, work)
+                .groupBy("lang")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("doc_id").alias("sum_ids"),
+                    F.sum("n_chars").alias("sum_chars"),
+                )
+                .orderBy("lang")
+                .persist()
+            )
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _table_mor_delete(spark, sf_dir):
         """Merge-on-read equality deletes under the Iceberg v2 SEQUENCE
         rule, end to end: v1/v2 append doc_id%3 in (0,1); v3 equality-
@@ -1139,6 +1200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hidden partitioning: day/bucket transforms derived from source-
         # column predicates, file elimination from manifest metadata alone
         "u_table_partitioned_scan": _table_partitioned_scan,
+        # write-audit-publish: staged snapshot invisible, audit on the
+        # staged view, abort the poisoned batch, publish rebases over a
+        # concurrent append, replayed publish no-ops (wap token ledger)
+        "u_table_wap": _table_wap,
         # merge-on-read equality deletes + purge: v2 sequence rule (a key
         # appended after its delete survives), purge hash-identity
         "u_table_mor_delete": _table_mor_delete,
@@ -5416,6 +5481,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE (doc_id % 3 < 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
             ORDER BY doc_id
+        """,
+        # write-audit-publish: the final table is exactly the raw docs —
+        # the aborted poisoned stage ('zz' langs), a doubled publish, or
+        # a dropped concurrent append would each move the rollup
+        "u_table_wap": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # WARC round-trip: every parsed column is recomputable from the
         # documents table alone; body_md5 = md5(text) is the byte-fidelity pin

@@ -561,6 +561,157 @@ def rollback(path: str, version: int) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Write-audit-publish (Iceberg's WAP pattern, spec §Snapshots + the
+# cherry-pick procedure): stage a snapshot NO reader sees, audit the
+# would-be table, then publish it as a real commit — or abort and let the
+# age-guarded GC collect the files.  This is how a 10^12-row crawl ingest
+# gates bad batches: the quality checks run against the staged view, and
+# main never serves a byte that failed them.
+# ---------------------------------------------------------------------------
+
+
+def stage_append(df: DataFrame, path: str) -> str:
+    """WAP stage: write df's data files and a ``staged-<wap_id>.json``
+    manifest, WITHOUT linking a version — invisible to read_table,
+    scan_table, time travel, and CDC until publish_staged commits it.
+    Footer row counts and zone-map stats are computed here, so publish is
+    pure metadata (Iceberg's cherry-pick: the expensive half of the
+    commit happens off the main timeline).  Returns the wap_id handle.
+
+    Staged files carry no partition tuple, so on a hidden-partitioned
+    table a published staged snapshot is readable everywhere but exempt
+    from partition pruning (the manifest's never-prune rule for
+    tuple-less files) — stage through partitioned_append-shaped data only
+    if pruning matters for the batch."""
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    wap_id = uuid.uuid4().hex[:12]
+    snap_id = f"wap-{wap_id}"
+    data_dir = os.path.join(path, "data", snap_id)
+    df.write.parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    staged = {
+        "wap_id": wap_id,
+        "snapshot_id": snap_id,
+        "files": files,
+        "added_rows": (
+            df.sparkSession.read.parquet(*files).count() if files else 0
+        ),
+        "file_stats": {f: _file_stats(f) for f in files},
+        "schema": df.schema.json(),
+    }
+    tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(staged, f)
+    os.rename(tmp, os.path.join(_meta_dir(path), f"staged-{wap_id}.json"))
+    return wap_id
+
+
+def list_staged(path: str) -> list[dict]:
+    """Pending staged snapshots (driver-side metadata listing)."""
+    md = _meta_dir(path)
+    out = []
+    for f in sorted(os.listdir(md) if os.path.isdir(md) else []):
+        if f.startswith("staged-") and f.endswith(".json"):
+            with open(os.path.join(md, f)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def _staged_meta(path: str, wap_id: str) -> dict:
+    sp = os.path.join(_meta_dir(path), f"staged-{wap_id}.json")
+    if not os.path.exists(sp):
+        raise FileNotFoundError(f"no staged snapshot {wap_id} at {path}")
+    with open(sp) as f:
+        return json.load(f)
+
+
+def read_staged(spark: SparkSession, path: str, wap_id: str) -> DataFrame:
+    """The AUDIT view: the table exactly as it would read if the staged
+    snapshot were published NOW — current files plus staged files, staged
+    rows sequenced ABOVE every pending merge-on-read delete (publish
+    assigns the new commit's sequence, so a delete committed between
+    stage and publish does not reach into the staged batch; the audit
+    must preview the same rule).  Quality gates run their counts against
+    this frame; main readers see none of it."""
+    from pyspark.sql.types import StructType
+
+    st = _staged_meta(path, wap_id)
+    vs = _versions(path)
+    base = vs[-1] if vs else 0
+    parent = (
+        _read_version(path, base)
+        if vs
+        else {"all_files": [], "file_stats": {}}
+    )
+    retired = parent.get("retired_columns", [])
+    st_schema = StructType.fromJson(json.loads(st["schema"]))
+    revived = [f.name for f in st_schema.fields if f.name in retired]
+    if revived:
+        # publish would refuse this commit — refuse the preview too
+        raise ValueError(
+            f"columns {revived} were dropped from this table; "
+            "re-adding a retired name is not supported"
+        )
+    meta = {
+        "all_files": parent["all_files"] + st["files"],
+        "file_seq": {
+            **parent.get("file_seq", {}),
+            **{f: base + 1 for f in st["files"]},
+        },
+        "delete_files": parent.get("delete_files", []),
+        "schema": _merged_schema_json(parent.get("schema"), st_schema),
+    }
+    if not meta["delete_files"]:
+        return _read_files(spark, meta, meta["all_files"])
+    return _apply_deletes(
+        spark, meta["all_files"], meta["file_seq"], meta["delete_files"], meta
+    )
+
+
+def publish_staged(path: str, wap_id: str) -> int:
+    """Commit a staged snapshot as the next table version — pure
+    metadata through the same atomic-rename race as every other commit,
+    REBASED onto whatever the current head is (appends that landed after
+    the stage are kept; an append commutes with them, which is exactly
+    why Iceberg cherry-picks only append/dynamic-overwrite snapshots).
+    Exactly-once via the token ledger under ``wap:<wap_id>``: a crash
+    between the commit and the staged-file cleanup replays harmlessly
+    (the ledger skips), and a double publish returns the current version
+    without re-appending."""
+    from pyspark.sql.types import StructType
+
+    tok = f"wap:{wap_id}"
+    sp = os.path.join(_meta_dir(path), f"staged-{wap_id}.json")
+    if not os.path.exists(sp):
+        if _token_applied(path, tok):
+            return current_version(path)
+        raise FileNotFoundError(f"no staged snapshot {wap_id} at {path}")
+    with open(sp) as f:
+        st = json.load(f)
+    v = _commit_manifest(
+        StructType.fromJson(json.loads(st["schema"])), path,
+        st["snapshot_id"], st["files"], st["added_rows"], st["file_stats"],
+        token=tok,
+    )
+    os.unlink(sp)
+    return v
+
+
+def abort_staged(path: str, wap_id: str) -> list[str]:
+    """Drop a staged snapshot that failed its audit: the manifest goes
+    now, the data files orphan (same fate as a failed commit's) and fall
+    to the next expire_snapshots pass — which protects PENDING staged
+    files but not aborted ones.  Returns the orphaned file list."""
+    st = _staged_meta(path, wap_id)
+    os.unlink(os.path.join(_meta_dir(path), f"staged-{wap_id}.json"))
+    return st["files"]
+
+
+# ---------------------------------------------------------------------------
 # Zone-map file skipping (manifest column stats -> partition elimination)
 # ---------------------------------------------------------------------------
 # Per-file min/max column stats are read from the parquet FOOTERS at commit
@@ -735,6 +886,11 @@ def expire_snapshots(
         # pending merge-on-read delete files are part of the readable
         # state — collecting them would silently resurrect deleted rows
         reachable.update(d["file"] for d in meta.get("delete_files", []))
+    # pending WAP-staged snapshots are awaiting audit/publish — their
+    # files are reachable; ABORTED stages have no staged manifest and
+    # fall through to collection like any failed commit's files
+    for st in list_staged(path):
+        reachable.update(st["files"])
     deleted = []
     cutoff = time.time() - min_age_s
     data_root = os.path.join(path, "data")

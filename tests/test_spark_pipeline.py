@@ -3882,3 +3882,94 @@ def test_append_token_exactly_once(spark, tmp_path):
     assert tf.partitioned_append(dfp, path2, spec, token="p:0") == vp
     assert tf.read_table(spark, path2).count() == 100
 
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Write-audit-publish lifecycle: a staged snapshot is invisible to
+    every reader, read_staged previews parent+staged, abort orphans the
+    files (collected by GC — while PENDING stages are GC-protected),
+    publish rebases over a concurrent append, and a replayed publish
+    no-ops via the wap token ledger even after a crash that lost the
+    cleanup."""
+    import os
+    import shutil
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "wap")
+    base = spark.range(10).withColumnRenamed("id", "doc_id")
+    v1 = tf.append_snapshot(base.coalesce(1), path)
+
+    staged = spark.range(10, 20).withColumnRenamed("id", "doc_id")
+    wap = tf.stage_append(staged.coalesce(1), path)
+    # invisible to the main timeline; preview sees the would-be table
+    assert tf.current_version(path) == v1
+    assert tf.read_table(spark, path).count() == 10
+    assert tf.read_staged(spark, path, wap).count() == 20
+    # pending stage survives GC; its files exist
+    st_files = tf.list_staged(path)[0]["files"]
+    assert tf.expire_snapshots(path, keep_from=1, min_age_s=0) == []
+    assert all(os.path.exists(f) for f in st_files)
+
+    # a concurrent append lands between stage and publish -> rebase
+    tf.append_snapshot(
+        spark.range(20, 25).withColumnRenamed("id", "doc_id").coalesce(1),
+        path,
+    )
+    # keep a copy of the staged manifest to simulate the crash replay
+    sp = os.path.join(path, "metadata", f"staged-{wap}.json")
+    shutil.copy(sp, sp + ".bak")
+    v = tf.publish_staged(path, wap)
+    got = sorted(r["doc_id"] for r in tf.read_table(spark, path).collect())
+    assert got == list(range(25))  # concurrent append kept, staged rows in
+    assert tf.publish_staged(path, wap) == v  # double publish: ledger no-op
+    # crash between commit and cleanup: staged file still on disk, replay
+    # must skip the commit AND clean the manifest up
+    shutil.move(sp + ".bak", sp)
+    assert tf.publish_staged(path, wap) == v
+    assert not os.path.exists(sp)
+    assert tf.read_table(spark, path).count() == 25
+
+    # abort: audit fails -> manifest gone, files orphan, GC collects them
+    wap2 = tf.stage_append(
+        spark.range(90, 95).withColumnRenamed("id", "doc_id").coalesce(1),
+        path,
+    )
+    orphans = tf.abort_staged(path, wap2)
+    assert tf.list_staged(path) == []
+    deleted = tf.expire_snapshots(path, keep_from=tf.current_version(path),
+                                  min_age_s=0)
+    assert set(orphans) <= set(deleted)
+    assert tf.read_table(spark, path).count() == 25
+
+
+def test_wap_schema_evolution_and_mor_sequence(spark, tmp_path):
+    """Staged publish carries add-column evolution (pre-stage files
+    backfill NULL), and a MOR delete committed BETWEEN stage and publish
+    does not reach into the staged batch (publish sequences the staged
+    files above it) — read_staged previews the same rule."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "wapse")
+    tf.append_snapshot(
+        spark.range(5).withColumnRenamed("id", "doc_id").coalesce(1), path
+    )
+    wap = tf.stage_append(
+        spark.range(5, 8).withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.lit("en")).coalesce(1),
+        path,
+    )
+    # delete doc_id=2 (hits v1) and doc_id=6 (staged: must NOT hit —
+    # the delete's sequence is older than the published stage's)
+    tf.delete_keys(
+        spark,
+        spark.createDataFrame([(2,), (6,)], "doc_id long"),
+        path, "doc_id",
+    )
+    pre = tf.read_staged(spark, path, wap)
+    assert sorted(r["doc_id"] for r in pre.collect()) == [0, 1, 3, 4, 5, 6, 7]
+    tf.publish_staged(path, wap)
+    rows = {r["doc_id"]: r["lang"] for r in tf.read_table(spark, path).collect()}
+    assert sorted(rows) == [0, 1, 3, 4, 5, 6, 7]
+    assert rows[6] == "en" and rows[0] is None  # NULL backfill pre-stage
