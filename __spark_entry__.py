@@ -888,6 +888,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pdf_parser_spark.streaming.pipeline",
             fromlist=["partitioned_ingest_via_stream"],
         ).partitioned_ingest_via_stream(s, d),
+        # gated streaming ingest: write-audit-publish per micro-batch —
+        # the poisoned batch is staged, audited, and ABORTED (no version);
+        # clean batches publish; a replayed published batch must skip
+        "st_gated_ingest": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.pipeline",
+            fromlist=["gated_ingest_via_stream"],
+        ).gated_ingest_via_stream(s, d),
         # watermark late-DROP semantics: 4-batch replay with a re-delivered
         # early batch that must be dropped (and a trap batch that would
         # re-emit duplicates if it were merged instead)
@@ -3704,6 +3711,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts > TIMESTAMP '2024-01-20 12:00:00'
               AND event_type = 'click'
             GROUP BY ds ORDER BY ds
+        """,
+        # gated streaming ingest: only the two clean micro-batches
+        # (doc_id%3 in (0,2)) reach main — the poisoned %3==1 batch is
+        # audited on its staged view and aborted whole; a leaked 'zz'
+        # row, dropped clean batch, or doubled replay all mismatch
+        "st_gated_ingest": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE doc_id % 3 <> 1
+            GROUP BY lang ORDER BY lang
         """,
         # rate limiter: the recurrence's closed form as one cumulative
         # window max per host — no recursion, pure SQL

@@ -672,7 +672,7 @@ def read_staged(spark: SparkSession, path: str, wap_id: str) -> DataFrame:
     )
 
 
-def publish_staged(path: str, wap_id: str) -> int:
+def publish_staged(path: str, wap_id: str, token: str | None = None) -> int:
     """Commit a staged snapshot as the next table version — pure
     metadata through the same atomic-rename race as every other commit,
     REBASED onto whatever the current head is (appends that landed after
@@ -681,10 +681,15 @@ def publish_staged(path: str, wap_id: str) -> int:
     Exactly-once via the token ledger under ``wap:<wap_id>``: a crash
     between the commit and the staged-file cleanup replays harmlessly
     (the ledger skips), and a double publish returns the current version
-    without re-appending."""
+    without re-appending.
+
+    ``token`` overrides the ledger key: an at-least-once caller that
+    RE-STAGES on replay (a foreachBatch gate — each retry mints a fresh
+    wap_id) passes its own '<app>:<batch>' token so the ledger recognizes
+    the batch across wap_ids, not just this staging of it."""
     from pyspark.sql.types import StructType
 
-    tok = f"wap:{wap_id}"
+    tok = token if token is not None else f"wap:{wap_id}"
     sp = os.path.join(_meta_dir(path), f"staged-{wap_id}.json")
     if not os.path.exists(sp):
         if _token_applied(path, tok):

@@ -229,7 +229,12 @@ def stream_partitioned_ingest(
     Each micro-batch commits one table version: the version history IS
     the micro-batch lineage, and time travel reads any prefix of the
     stream."""
-    rows = spark.readStream.schema(schema).parquet(input_dir)
+    # one file per trigger: the staged files' boundaries are the
+    # micro-batch (and therefore version-history) boundaries
+    rows = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(input_dir)
+    )
 
     def _ingest(batch_df, batch_id: int) -> None:
         from pdf_parser_spark.sources import tableformat as tf
@@ -309,6 +314,128 @@ def partitioned_ingest_via_stream(spark: SparkSession, sf_dir: str):
                 F.sum("event_id").alias("sum_ids"),
             )
             .orderBy("ds")
+            .persist()
+        )
+        out.count()  # materialize before the temp table dir is deleted
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_gated_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema,
+    audit,
+    app_id: str = "gated",
+) -> StreamingQuery:
+    """Gated streaming ingest: readStream -> foreachBatch(stage -> AUDIT
+    -> publish-or-abort) — write-audit-publish per micro-batch, the full
+    quality gate a crawl ingest runs at 10^12 rows so main never serves
+    a byte that failed its checks.  ``audit`` takes the STAGED view (the
+    table exactly as publish would commit it) and returns True to
+    publish; False aborts the stage, whose files fall to the age-guarded
+    GC.
+
+    Exactly-once under at-least-once foreachBatch: a replay re-STAGES
+    with a fresh wap_id, so the ledger key is the caller token
+    '<app_id>:<batch_id>' passed through publish_staged — the pre-stage
+    check skips a published batch before paying for its files, and the
+    in-commit re-check closes the race.  A replayed REJECTED batch
+    re-stages and re-aborts: idempotent by content (nothing published),
+    its files orphan like any failed commit's.  Version history = the
+    accepted-batch lineage; aborted batches leave no version."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    # one staged file per trigger: each input file IS a micro-batch, so
+    # the gate's accept/reject boundary is the file boundary
+    rows = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(input_dir)
+    )
+
+    def _gate(batch_df, batch_id: int) -> None:
+        tok = f"{app_id}:{batch_id}"
+        if batch_df.isEmpty() or tf._token_applied(table_path, tok):
+            return
+        wap = tf.stage_append(batch_df, table_path)
+        if audit(tf.read_staged(spark, table_path, wap)):
+            tf.publish_staged(table_path, wap, token=tok)
+        else:
+            tf.abort_staged(table_path, wap)
+
+    return (
+        rows.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def gated_ingest_via_stream(spark: SparkSession, sf_dir: str):
+    """Bounded harness for the registry: documents stream through the
+    gated sink in three micro-batches (doc_id%3), batch 1 POISONED
+    (every 5th lang mangled to 'zz') so the audit rejects the WHOLE
+    batch; batch 0 is then replayed with its recorded token (must skip).
+    Final state = batches 0 and 2 only — a leaked poisoned batch, a
+    dropped clean batch, or a doubled replay each hash-mismatch the
+    per-lang rollup."""
+    import os
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    work = tempfile.mkdtemp(prefix="gated_ingest_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    tbl = os.path.join(work, "tbl")
+    os.makedirs(in_dir)
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        staged_dir = os.path.join(work, "staged")
+        for i in range(3):
+            part = docs.where(F.col("doc_id") % 3 == i)
+            if i == 1:  # the batch the audit must reject
+                part = part.withColumn(
+                    "lang",
+                    F.when(F.col("doc_id") % 5 == 0, F.lit("zz"))
+                    .otherwise(F.col("lang")),
+                )
+            part.coalesce(1).write.parquet(os.path.join(staged_dir, str(i)))
+            for f in sorted(os.listdir(os.path.join(staged_dir, str(i)))):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(staged_dir, str(i), f),
+                                os.path.join(in_dir, f"b{i}.parquet"))
+
+        def _audit(staged_view) -> bool:
+            # batch-scoped gate stated on the staged TABLE view: no
+            # mangled language may appear anywhere in the would-be table
+            return staged_view.where(F.col("lang") == "zz").count() == 0
+
+        q = stream_gated_ingest(
+            spark, in_dir, tbl, ckpt, docs.schema, _audit, app_id="gated",
+        )
+        q.processAllAvailable()
+        q.stop()
+        # two published versions (batches 0, 2); batch 1 left no version
+        assert tf.current_version(tbl) == 2, tf.current_version(tbl)
+        assert tf.list_staged(tbl) == []
+        # replay batch 0 through the gate body: ledger must skip it
+        v = tf.publish_staged(tbl, tf.stage_append(
+            spark.read.parquet(os.path.join(in_dir, "b0.parquet")), tbl,
+        ), token="gated:0")
+        assert v == 2, v
+        out = (
+            tf.read_table(spark, tbl)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .orderBy("lang")
             .persist()
         )
         out.count()  # materialize before the temp table dir is deleted

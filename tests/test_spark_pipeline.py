@@ -3973,3 +3973,50 @@ def test_wap_schema_evolution_and_mor_sequence(spark, tmp_path):
     rows = {r["doc_id"]: r["lang"] for r in tf.read_table(spark, path).collect()}
     assert sorted(rows) == [0, 1, 3, 4, 5, 6, 7]
     assert rows[6] == "en" and rows[0] is None  # NULL backfill pre-stage
+
+
+def test_gated_ingest_rejects_and_replays(spark, tmp_path):
+    """Gated streaming sink: the poisoned micro-batch stages, fails its
+    audit, aborts (no version, files fall to GC); clean batches publish;
+    a replayed published batch re-stages under a FRESH wap_id but the
+    caller token recognizes it and skips — and the replay's own staged
+    manifest is cleaned up rather than left pending."""
+    import os
+
+    from pdf_parser_spark.sources import tableformat as tf
+    from pdf_parser_spark.streaming.pipeline import stream_gated_ingest
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    clean = spark.range(10).withColumnRenamed("id", "doc_id") \
+        .withColumn("ok", F.lit(True))
+    bad = spark.range(10, 15).withColumnRenamed("id", "doc_id") \
+        .withColumn("ok", F.lit(False))
+    for name, df in (("b0", clean), ("b1", bad)):
+        tmp = str(tmp_path / name)
+        df.coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp, f),
+                          os.path.join(in_dir, f"{name}.parquet"))
+    tbl = str(tmp_path / "tbl")
+    q = stream_gated_ingest(
+        spark, in_dir, tbl, str(tmp_path / "ckpt"), clean.schema,
+        lambda staged: staged.where(~F.col("ok")).count() == 0,
+        app_id="g",
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert tf.current_version(tbl) == 1  # only the clean batch published
+    assert tf.list_staged(tbl) == []     # the rejected stage was aborted
+    got = sorted(r["doc_id"] for r in tf.read_table(spark, tbl).collect())
+    assert got == list(range(10))
+    # replay of the published batch: fresh stage, same token -> skip+clean
+    wap = tf.stage_append(clean.coalesce(1), tbl)
+    assert tf.publish_staged(tbl, wap, token="g:0") == 1
+    assert tf.list_staged(tbl) == []
+    assert tf.read_table(spark, tbl).count() == 10
+    # the rejected and replayed stages' files are orphans: GC takes them
+    deleted = tf.expire_snapshots(tbl, keep_from=1, min_age_s=0)
+    assert len(deleted) >= 2
+    assert tf.read_table(spark, tbl).count() == 10
