@@ -895,6 +895,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pdf_parser_spark.streaming.pipeline",
             fromlist=["gated_ingest_via_stream"],
         ).gated_ingest_via_stream(s, d),
+        # streaming incremental-MV maintenance: per-batch signed fold
+        # (-1 from the batch keys' current rows, +1 from the batch), MV
+        # committed before the idempotent base merge under the token
+        # ledger — group-moving updates and a replayed batch both pinned
+        "st_incremental_mv": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.pipeline",
+            fromlist=["mv_maintain_via_stream"],
+        ).mv_maintain_via_stream(s, d),
         # watermark late-DROP semantics: 4-batch replay with a re-delivered
         # early batch that must be dropped (and a trap batch that would
         # re-emit duplicates if it were merged instead)
@@ -3711,6 +3719,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts > TIMESTAMP '2024-01-20 12:00:00'
               AND event_type = 'click'
             GROUP BY ds ORDER BY ds
+        """,
+        # streaming incremental MV: the view equals a direct aggregation
+        # of the final upserted state — every 7th doc's lang uppercased
+        # by the update batch (group moves: a missed -1 leaves the old
+        # group overcounted and the hash mismatches)
+        "st_incremental_mv": """
+            SELECT CASE WHEN doc_id % 7 = 0 THEN upper(lang) ELSE lang END
+                       AS lang,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         # gated streaming ingest: only the two clean micro-batches
         # (doc_id%3 in (0,2)) reach main — the poisoned %3==1 batch is

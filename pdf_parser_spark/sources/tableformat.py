@@ -914,6 +914,90 @@ def expire_snapshots(
     return deleted
 
 
+def overwrite_snapshot(
+    df: DataFrame, path: str, token: str | None = None
+) -> int:
+    """Full-overwrite commit (Iceberg's replace/overwrite snapshot): the
+    new version's manifest lists ONLY this df's files — the logical
+    content is replaced whole, while older versions keep reading their
+    own file lists (time travel preserved; superseded files fall to
+    expire_snapshots).  This is the refresh verb for SMALL derived
+    tables: a materialized view holds group-cardinality rows, so a full
+    rewrite each maintenance tick IS the cheap path — the incremental
+    part of incremental maintenance is the DELTA COMPUTATION, not the
+    view write.  Same exactly-once token ledger as append, for
+    at-least-once maintainers (foreachBatch).
+
+    Refuses pending MOR deletes (an overwrite computed from a base that
+    did not see them would resurrect deleted rows — purge first, the
+    compact_table rule) and refuses a concurrent-commit race rather than
+    retrying: a derived table has ONE maintainer, and losing a race
+    means this refresh was computed against a stale base."""
+    if _token_applied(path, token):
+        return current_version(path)
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    vs = _versions(path)
+    base = vs[-1] if vs else 0
+    parent = _read_version(path, base) if vs else {}
+    if parent.get("delete_files"):
+        raise RuntimeError(
+            "overwrite_snapshot refuses with merge-on-read deletes "
+            "pending; run purge_deletes first"
+        )
+    retired = parent.get("retired_columns", [])
+    revived = [f.name for f in df.schema.fields if f.name in retired]
+    if revived:
+        raise ValueError(
+            f"columns {revived} were dropped from this table; "
+            "re-adding a retired name is not supported"
+        )
+    snap_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", snap_id)
+    df.write.parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    version = {
+        "version": base + 1,
+        "snapshot_id": snap_id,
+        "parent_version": base if vs else None,
+        "overwrite_of": base if vs else None,
+        "added_files": files,
+        "added_rows": (
+            df.sparkSession.read.parquet(*files).count() if files else 0
+        ),
+        "all_files": files,
+        "file_stats": {f: _file_stats(f) for f in files},
+        "file_seq": {f: base + 1 for f in files},
+        "delete_files": [],
+        # the overwrite's schema REPLACES the table's (content did)
+        "schema": _merged_schema_json(None, df.schema),
+        "retired_columns": retired,
+        "applied_tokens": parent.get("applied_tokens", [])
+        + ([token] if token is not None else []),
+        **_part_meta(parent, []),
+    }
+    tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(version, f)
+    target = os.path.join(_meta_dir(path), f"v{base + 1}.json")
+    try:
+        os.link(tmp, target)
+        os.unlink(tmp)
+        return base + 1
+    except FileExistsError:
+        os.unlink(tmp)
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent commit beat overwrite of v{base}; re-run the "
+            "refresh against the new current version"
+        )
+
+
 def compact_table(
     spark: SparkSession, path: str, target_bytes: int = 8 * 1024 * 1024
 ) -> int:

@@ -442,3 +442,142 @@ def gated_ingest_via_stream(spark: SparkSession, sf_dir: str):
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_mv_maintain(
+    spark: SparkSession,
+    input_dir: str,
+    base_path: str,
+    mv_path: str,
+    checkpoint_dir: str,
+    schema,
+    key: str,
+    group_col: str,
+    app_id: str = "mv",
+) -> StreamingQuery:
+    """Streaming incremental materialized-view maintenance — the
+    production shape incremental_mv's docstring promises: the delta
+    arrives AS the micro-batch, so maintenance cost is proportional to
+    the delta, not the table.  Per batch of upserts (unique ``key`` per
+    batch): the -1 side is the batch keys' CURRENT rows (one broadcast
+    semi-join against the base — the only base-table touch), the +1 side
+    is the batch itself, and the signed fold lands in the MV table via
+    overwrite_snapshot (group-cardinality rows: full rewrite IS the
+    cheap write; the incrementality lives in the delta computation).
+
+    Crash-safety is the COMMIT ORDER plus the ledger: fold the MV FIRST
+    under the '<app>:<batch>' token, THEN merge the base (idempotent
+    replay).  Replay windows: before the MV commit nothing durable
+    changed; between MV commit and merge, the replay recomputes the -1
+    side from the STILL-unmerged base (identical), the ledger skips the
+    fold without evaluating it, and the merge completes; after both,
+    ledger skip + idempotent merge.  Every window converges — pinned in
+    pytest by replaying each window's state."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    rows = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(input_dir)
+    )
+
+    def _tick(batch_df, batch_id: int) -> None:
+        tok = f"{app_id}:{batch_id}"
+        if batch_df.isEmpty():
+            return
+        neg = F.lit(-1).cast("long")
+        try:
+            old = (
+                tf.read_table(spark, base_path)
+                .join(
+                    F.broadcast(batch_df.select(key).distinct()),
+                    key, "left_semi",
+                )
+                .groupBy(group_col)
+                .agg(F.sum(neg).alias("n_rows"))
+            )
+        except FileNotFoundError:
+            old = None
+        delta = batch_df.groupBy(group_col).agg(
+            F.count("*").cast("long").alias("n_rows")
+        )
+        if old is not None:
+            delta = delta.unionByName(old)
+        try:
+            cur = tf.read_table(spark, mv_path)
+            delta = delta.unionByName(cur)
+        except FileNotFoundError:
+            pass
+        mv_new = (
+            delta.groupBy(group_col)
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+            .where(F.col("n_rows") > 0)
+        )
+        # MV first (token-gated; a replay skips WITHOUT evaluating the
+        # plan above — the stale -1 side of a post-merge replay is never
+        # executed), then the idempotent base merge
+        tf.overwrite_snapshot(mv_new, mv_path, token=tok)
+        try:
+            tf.merge_snapshot(spark, batch_df, base_path, key)
+        except FileNotFoundError:
+            tf.append_snapshot(batch_df, base_path)
+
+    return (
+        rows.writeStream.foreachBatch(_tick)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def mv_maintain_via_stream(spark: SparkSession, sf_dir: str):
+    """Bounded harness for the registry: documents arrive as three
+    upsert micro-batches — evens, odds, then UPDATES (every 7th doc's
+    lang uppercased: rows that MOVE groups) — and the streamed MV must
+    equal a direct aggregation of the final base state.  A missed -1 on
+    a group move, a doubled replay, or a lost batch each hash-mismatch;
+    the in-harness token replay pins the ledger the sink relies on."""
+    import os
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    work = tempfile.mkdtemp(prefix="mv_stream_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    base, mv = os.path.join(work, "base"), os.path.join(work, "mv")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        batches = [
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 7 == 0)
+            .withColumn("lang", F.upper("lang")),
+        ]
+        staged = os.path.join(work, "staged")
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.parquet(os.path.join(staged, str(i)))
+            for f in sorted(os.listdir(os.path.join(staged, str(i)))):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(staged, str(i), f),
+                                os.path.join(in_dir, f"b{i}.parquet"))
+        q = stream_mv_maintain(
+            spark, in_dir, base, mv, os.path.join(work, "ckpt"),
+            docs.schema, key="doc_id", group_col="lang", app_id="mv",
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert tf.current_version(mv) == 3 and tf.current_version(base) == 3
+        # replayed batch token must skip (a doubled fold would mismatch)
+        assert tf.overwrite_snapshot(
+            spark.range(1).withColumnRenamed("id", "lang"), mv, token="mv:0"
+        ) == 3
+        out = (
+            tf.read_table(spark, mv)
+            .select("lang", "n_rows")
+            .orderBy("lang")
+            .persist()
+        )
+        out.count()  # materialize before the temp table dir is deleted
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -4020,3 +4020,104 @@ def test_gated_ingest_rejects_and_replays(spark, tmp_path):
     deleted = tf.expire_snapshots(tbl, keep_from=1, min_age_s=0)
     assert len(deleted) >= 2
     assert tf.read_table(spark, tbl).count() == 10
+
+
+def test_overwrite_snapshot_replaces_whole_content(spark, tmp_path):
+    """overwrite_snapshot: new version lists ONLY the new files (older
+    versions time-travel intact), schema is replaced not merged, the
+    token ledger skips replays, and pending MOR deletes are refused."""
+    import pytest
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "ow")
+    tf.append_snapshot(
+        spark.range(10).withColumnRenamed("id", "doc_id")
+        .withColumn("extra", F.lit("x")).coalesce(1), path)
+    v = tf.overwrite_snapshot(
+        spark.range(3).withColumnRenamed("id", "doc_id").coalesce(1),
+        path, token="r:0")
+    assert v == 2
+    assert tf.read_table(spark, path).columns == ["doc_id"]  # replaced
+    assert tf.read_table(spark, path).count() == 3
+    assert tf.read_table(spark, path, version=1).count() == 10  # travel
+    assert tf.overwrite_snapshot(
+        spark.range(99).withColumnRenamed("id", "doc_id"), path, token="r:0"
+    ) == 2  # ledger skip, lazy plan never evaluated
+    assert tf.read_table(spark, path).count() == 3
+    tf.delete_keys(spark, spark.createDataFrame([(1,)], "doc_id long"),
+                   path, "doc_id")
+    with pytest.raises(RuntimeError, match="deletes pending"):
+        tf.overwrite_snapshot(
+            spark.range(1).withColumnRenamed("id", "doc_id"), path)
+
+
+def test_stream_mv_maintain_group_moves_and_crash_window(spark, tmp_path):
+    """Streaming MV fold: an update batch that moves EVERY row of a
+    group zeroes and drops it; and the crash window between the MV
+    commit and the base merge converges on replay (the -1 side is
+    recomputed from the still-unmerged base, the ledger skips the fold,
+    the merge completes) — the commit-order argument, executed."""
+    import os
+    import shutil
+
+    from pdf_parser_spark.sources import tableformat as tf
+    from pdf_parser_spark.streaming.pipeline import stream_mv_maintain
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    mk = lambda lo, hi, g: (
+        spark.range(lo, hi).withColumnRenamed("id", "doc_id")
+        .withColumn("grp", F.lit(g))
+    )
+    batches = [mk(0, 10, "a"), mk(10, 15, "b"), mk(0, 10, "c")]
+    for i, b in enumerate(batches):
+        tmp = str(tmp_path / f"s{i}")
+        b.coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp, f),
+                          os.path.join(in_dir, f"b{i}.parquet"))
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    q = stream_mv_maintain(
+        spark, in_dir, base, mv, str(tmp_path / "ckpt"),
+        batches[0].schema, key="doc_id", group_col="grp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["grp"]: r["n_rows"] for r in tf.read_table(spark, mv).collect()}
+    assert got == {"b": 5, "c": 10}  # group a zeroed by the move -> dropped
+    assert tf.current_version(base) == 3
+
+    # crash window: batch 3 (keys 12-14 move b->d) folds the MV, then
+    # "crashes" before the merge; the replay must converge
+    upd = mk(12, 15, "d")
+    old = (tf.read_table(spark, base)
+           .join(F.broadcast(upd.select("doc_id")), "doc_id", "left_semi")
+           .groupBy("grp").agg(F.sum(F.lit(-1).cast("long")).alias("n_rows")))
+    fold = (tf.read_table(spark, mv)
+            .unionByName(upd.groupBy("grp").agg(
+                F.count("*").cast("long").alias("n_rows")))
+            .unionByName(old)
+            .groupBy("grp").agg(F.sum("n_rows").cast("long").alias("n_rows"))
+            .where(F.col("n_rows") > 0))
+    tf.overwrite_snapshot(fold, mv, token="mv:3")
+    # -- crash here: base merge never ran.  Replay recomputes the -1
+    # side from the STILL-unmerged base (identical), the ledger skips
+    # the fold, and the merge completes:
+    old2 = (tf.read_table(spark, base)
+            .join(F.broadcast(upd.select("doc_id")), "doc_id", "left_semi")
+            .groupBy("grp").agg(F.sum(F.lit(-1).cast("long")).alias("n_rows")))
+    fold2 = (tf.read_table(spark, mv)
+             .unionByName(upd.groupBy("grp").agg(
+                 F.count("*").cast("long").alias("n_rows")))
+             .unionByName(old2)
+             .groupBy("grp").agg(F.sum("n_rows").cast("long").alias("n_rows"))
+             .where(F.col("n_rows") > 0))
+    assert tf.overwrite_snapshot(fold2, mv, token="mv:3") == 4  # skip
+    tf.merge_snapshot(spark, upd, base, "doc_id")
+    got = {r["grp"]: r["n_rows"] for r in tf.read_table(spark, mv).collect()}
+    want = (tf.read_table(spark, base).groupBy("grp")
+            .agg(F.count("*").cast("long").alias("n_rows")).collect())
+    assert got == {r["grp"]: r["n_rows"] for r in want} == \
+        {"b": 2, "c": 10, "d": 3}
