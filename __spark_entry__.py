@@ -1490,6 +1490,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "host"),
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
            _docs(s, d)),
+        # harmonic centrality (Boldi-Vigna axioms): exact 1/d fold over
+        # the SAME layered-BFS reach set as g_neighborhood — incoming
+        # distances, micro-unit integers, zeros for unreached hosts
+        "g_harmonic": lambda s, d: (lambda lg, docs: lg.host_harmonic(
+            lg.synthetic_edges(docs),
+            weburl.canonicalize(weburl.with_synthetic_urls(docs))
+            .select("doc_id", "host"),
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"]),
+           _docs(s, d)),
         # exact neighborhood function N(t) + effective diameter (the
         # HyperBall curve, Boldi-Vigna): all-sources layered BFS on the
         # compressed host graph, one join+distinct+anti-join per level
@@ -6073,6 +6082,42 @@ def oracle_sql() -> dict[str, str]:
         # k-core: degrees seed kh0, then KCORE_ROUNDS unrolled h-index
         # updates — the literal twin of the Spark loop (same tie-broken
         # row_number, same >=-rank fold)
+        # harmonic centrality: the same recursive bounded-BFS pair set,
+        # folded per DESTINATION as sum(1e6 // d) in exact micro-units;
+        # left join keeps unreached hosts at zero
+        "g_harmonic": f"""
+            WITH RECURSIVE {_url_cte},
+            edges AS ({_edges_sql}),
+            hg AS (
+                SELECT DISTINCT cs.host AS src, cd.host AS dst
+                FROM edges e
+                JOIN canon cs ON cs.doc_id = e.src
+                JOIN canon cd ON cd.doc_id = e.dst
+                WHERE cs.host <> cd.host
+            ),
+            nodes AS (SELECT DISTINCT host FROM canon),
+            reach(src, dst, d) AS (
+                SELECT host, host, 0 FROM nodes
+                UNION
+                SELECT r.src, h.dst, r.d + 1
+                FROM reach r JOIN hg h ON r.dst = h.src
+                WHERE r.d < {LG.NEIGHBORHOOD_T}
+            ),
+            pairs AS (
+                SELECT src, dst, min(d) AS t FROM reach GROUP BY src, dst
+            ),
+            h AS (
+                SELECT dst AS host,
+                       CAST(count(*) AS BIGINT) AS n_sources,
+                       CAST(sum(1000000 // t) AS BIGINT) AS h_micro
+                FROM pairs WHERE t > 0 GROUP BY dst
+            )
+            SELECT n.host,
+                   CAST(coalesce(h.n_sources, 0) AS BIGINT) AS n_sources,
+                   CAST(coalesce(h.h_micro, 0) AS BIGINT) AS h_micro
+            FROM nodes n LEFT JOIN h ON h.host = n.host
+            ORDER BY h_micro DESC, n.host
+        """,
         # neighborhood function: recursive bounded BFS over the directed
         # host graph; min(d) per ordered pair is the exact distance (a
         # shortest path's prefix is a shortest path), cumulative windows

@@ -4121,3 +4121,25 @@ def test_stream_mv_maintain_group_moves_and_crash_window(spark, tmp_path):
             .agg(F.count("*").cast("long").alias("n_rows")).collect())
     assert got == {r["grp"]: r["n_rows"] for r in want} == \
         {"b": 2, "c": 10, "d": 3}
+
+
+def test_host_harmonic_exact_path_graph(spark):
+    """Harmonic centrality on the same engineered path a->b->c->d plus
+    isolated e, INCOMING distances in exact micro-units: H(a)=0 (nothing
+    reaches it), H(b)=1/1, H(c)=1/1+1/2, H(d)=1/1+1/2+1/3 (floored),
+    H(e)=0 — and the isolated host still surfaces with zeros."""
+    from pdf_parser_spark.operators.linkgraph import host_harmonic
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    urls = spark.createDataFrame(
+        [(i, h) for i, h in enumerate("abcde")], "doc_id long, host string")
+    got = {r["host"]: (r["n_sources"], r["h_micro"])
+           for r in host_harmonic(edges, urls, max_t=6).collect()}
+    assert got == {
+        "a": (0, 0),
+        "b": (1, 1_000_000),
+        "c": (2, 1_500_000),
+        "d": (3, 1_833_333),
+        "e": (0, 0),
+    }
