@@ -1428,6 +1428,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_trustrank": lambda s, d: (lambda lg: lg.trustrank(
             _docs(s, d), lg.synthetic_edges(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # spam mass (Gyöngyi VLDB'06): rank unexplained by seed trust —
+        # exact-integer composition of the two faces above, trust rescaled
+        # by n_docs/n_seeds via the overflow-safe decomposed product
+        "g_spam_mass": lambda s, d: (lambda lg: lg.spam_mass(
+            _docs(s, d), lg.synthetic_edges(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # exact-integer HITS (hubs/authorities) over the same ring graph
         "g_hits": lambda s, d: (lambda lg: lg.hits(
             _docs(s, d), lg.synthetic_edges(_docs(s, d))
@@ -6289,6 +6295,34 @@ def oracle_sql() -> dict[str, str]:
             deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
             {_tr_cte}
             SELECT doc_id, trust FROM tr5 ORDER BY doc_id
+        """,
+        # spam mass: pr5 minus tr5 rescaled by n_docs/n_seeds — the scaled
+        # trust uses the decomposed product (== (trust*n) // s exactly);
+        # rel bp floors negatives at 0 so // and div agree cross-engine
+        "g_spam_mass": f"""
+            WITH edges AS ({_edges_sql}),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+            {_pr_cte},
+            {_tr_cte},
+            c AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN doc_id % {LG.TRUST_SEED_MOD} = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds
+                FROM documents
+            )
+            SELECT p.doc_id, p.rank, t.trust,
+                   CAST(p.rank - (t.trust * (c.n_docs // c.n_seeds)
+                        + (t.trust * (c.n_docs % c.n_seeds)) // c.n_seeds)
+                        AS BIGINT) AS spam_mass,
+                   CAST((greatest(p.rank - (t.trust * (c.n_docs // c.n_seeds)
+                        + (t.trust * (c.n_docs % c.n_seeds)) // c.n_seeds),
+                        0) * 10000) // p.rank AS BIGINT) AS rel_mass_bp,
+                   ((greatest(p.rank - (t.trust * (c.n_docs // c.n_seeds)
+                        + (t.trust * (c.n_docs % c.n_seeds)) // c.n_seeds),
+                        0) * 10000) // p.rank)
+                        >= {LG.SPAM_MASS_SUSPECT_BP} AS suspect
+            FROM pr5 p JOIN tr5 t USING (doc_id) CROSS JOIN c
+            ORDER BY p.doc_id
         """,
         # un-normalized HITS: a' = sum h over in-edges, h' = sum a' over
         # out-edges; BIGINT sums are order-independent, the ranking is

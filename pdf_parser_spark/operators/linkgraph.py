@@ -610,6 +610,76 @@ def trustrank(
     )
 
 
+SPAM_MASS_SUSPECT_BP = 9900  # >=99% of rank unexplained by trust -> suspect
+
+
+def spam_mass(
+    documents: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    seed_mod: int = TRUST_SEED_MOD,
+    suspect_bp: int = SPAM_MASS_SUSPECT_BP,
+) -> DataFrame:
+    """(doc_id, rank, trust, spam_mass, rel_mass_bp, suspect) — link-spam
+    mass estimation (Gyöngyi, Garcia-Molina, Pedersen, "Link Spam
+    Detection Based on Mass Estimation", VLDB 2006): the share of a page's
+    PageRank that CANNOT be explained by trust flowing from the vetted
+    seed core.  PageRank says "popular"; TrustRank says "endorsed"; the
+    difference — spam mass — is the ranking earned from unvetted
+    neighborhoods, and pages whose rank is almost entirely unexplained
+    (rel_mass_bp >= suspect_bp) are the demotion candidates a crawl
+    scheduler reviews before spending fetch budget.
+
+    Exact-integer semantics (both engines): rank and trust come from the
+    SAME _power_iterate dataflow (BIGINT micro-units, floor divisions), so
+    this face can never drift from g_pagerank/g_trustrank.  Trust totals
+    only ~n_seeds/n_docs of the rank mass (teleport lands on seeds alone),
+    so it is rescaled by n_docs/n_seeds before comparison — decomposed as
+    ``trust*(n div s) + (trust*(n mod s)) div s``, which equals
+    ``(trust*n) div s`` EXACTLY (write n = q*s + r: trust*n div s =
+    trust*q + trust*r div s) while bounding the intermediate product at
+    trust*s instead of trust*n_docs — the overflow-safe shape at 10^12
+    docs where the naive product would leave BIGINT.  spam_mass keeps the
+    signed exact value (negative = over-trusted, i.e. seeds and their
+    halo); rel_mass_bp floors the NEGATIVE masses at zero before the
+    basis-point division so both engines divide nonnegative integers only
+    (Spark `div` truncates toward zero, DuckDB `//` floors — they agree
+    only on nonnegative operands; rank >= BASE > 0 always, so the
+    denominator is safe).
+
+    Scale: two K-round rank computations on the cached edge table, one
+    doc_id equi join, one 1-row broadcast of the (n_docs, n_seeds) scalar
+    — nothing beyond what pagerank itself costs."""
+    ranks = pagerank(documents, edges, iterations)
+    trust = trustrank(documents, edges, iterations, seed_mod)
+    counts = documents.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("doc_id") % seed_mod == 0, 1).otherwise(0)
+        ).cast("long").alias("n_seeds"),
+    )
+    scaled_trust = (
+        F.col("trust") * F.expr("n_docs div n_seeds")
+        + F.expr("(trust * (n_docs % n_seeds)) div n_seeds")
+    )
+    mass = (F.col("rank") - scaled_trust).alias("spam_mass")
+    rel = F.expr(
+        f"(greatest(rank - (trust * (n_docs div n_seeds)"
+        f" + (trust * (n_docs % n_seeds)) div n_seeds), 0L) * 10000)"
+        f" div rank"
+    ).cast("long").alias("rel_mass_bp")
+    return (
+        ranks.join(trust, "doc_id")
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "doc_id", "rank", "trust",
+            mass.cast("long"), rel,
+        )
+        .withColumn("suspect", F.col("rel_mass_bp") >= F.lit(suspect_bp))
+        .orderBy("doc_id")
+    )
+
+
 LPA_ROUNDS = 3  # synchronous label-propagation rounds (fixed-k, oracle-pinned)
 
 

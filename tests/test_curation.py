@@ -1264,6 +1264,39 @@ def test_trustrank_flows_from_seeds_only(spark):
     assert pr[3] > 0 and pr[4] > 0
 
 
+def test_spam_mass_splits_trusted_from_farm(spark):
+    """Seed chain holds negative/zero spam mass; the isolated farm's rank
+    is 100% unexplained (rel_mass_bp == 10000, suspect) — and the columns
+    are exactly rank - scaled trust with the decomposed product."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    docs = _docs(spark, [(i, "t", "en", "s", 1) for i in range(5)])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 3)], "src long, dst long"
+    )
+    rows = {r["doc_id"]: r
+            for r in lg.spam_mass(docs, edges, iterations=3).collect()}
+    pr = {r["doc_id"]: r["rank"]
+          for r in lg.pagerank(docs, edges, iterations=3).collect()}
+    tr = {r["doc_id"]: r["trust"]
+          for r in lg.trustrank(docs, edges, iterations=3).collect()}
+    n_docs, n_seeds = 5, 1  # only doc 0 is % 17 == 0
+    for i in range(5):
+        scaled = (tr[i] * (n_docs // n_seeds)
+                  + (tr[i] * (n_docs % n_seeds)) // n_seeds)
+        assert scaled == (tr[i] * n_docs) // n_seeds  # decomposition exact
+        assert rows[i]["spam_mass"] == pr[i] - scaled
+        assert rows[i]["rel_mass_bp"] == max(pr[i] - scaled, 0) * 10000 // pr[i]
+    # seed 0: trust*5 dwarfs rank -> negative mass, floored bp, not suspect
+    assert rows[0]["spam_mass"] < 0
+    assert rows[0]["rel_mass_bp"] == 0 and not rows[0]["suspect"]
+    # spam farm: zero trust -> whole rank is spam mass, 10000 bp, suspect
+    for i in (3, 4):
+        assert rows[i]["trust"] == 0
+        assert rows[i]["spam_mass"] == pr[i]
+        assert rows[i]["rel_mass_bp"] == 10000 and rows[i]["suspect"]
+
+
 def test_mojibake_repair_roundtrip(spark):
     from pdf_parser_spark.operators import curation
 
