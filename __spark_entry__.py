@@ -1028,6 +1028,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_mime_sniff": lambda s, d: multimodal.mime_sniff(
             multimodal.with_declared_mime(
                 multimodal.synthetic_media(_docs(s, d)))),
+        # header-only PNG/JPEG/GIF dimensions — pure JVM byte expressions
+        # (JPEG SOF via a bounded aggregate() marker-walk fold); corrupt
+        # payloads (doc_id%13==0) fail soft; -1 = not-applicable (the
+        # nullable-int-widens-to-NaN doctrine, same as m_media_features)
+        "m_image_dims": lambda s, d: multimodal.image_dims(
+            multimodal.synthetic_web_images(_docs(s, d))
+        ).na.fill({"width": -1, "height": -1}),
         # real container decode over deterministic BMP/WAV/PPM payloads keyed
         # by doc_id; the oracle recomputes the header fields from the doc_id
         # formulas, so a decode bug (endianness, offset, padding) mismatches
@@ -4665,6 +4672,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'image/ppm' END AS sniffed,
                    doc_id % {MM.MIME_LIE_MOD} = 0 AS mismatch
             FROM m ORDER BY doc_id
+        """,
+        # header-dims twin: the Spark side synthesizes REAL PNG/JPEG/GIF
+        # bytes and walks them with JVM expressions; the oracle recomputes
+        # the dims from the doc_id synthesis formulas (u_outlinks doctrine
+        # — a drift in synthesis OR parser breaks the hash)
+        "m_image_dims": f"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % {MM.IMG_CORRUPT_MOD} = 0 THEN 'unknown'
+                        WHEN doc_id % 3 = 0 THEN 'png'
+                        WHEN doc_id % 3 = 1 THEN 'jpeg'
+                        ELSE 'gif' END AS format,
+                   CAST(CASE WHEN doc_id % {MM.IMG_CORRUPT_MOD} = 0 THEN -1
+                        ELSE 16 + doc_id % 117 END AS BIGINT) AS width,
+                   CAST(CASE WHEN doc_id % {MM.IMG_CORRUPT_MOD} = 0 THEN -1
+                        ELSE 16 + (doc_id * 7) % 93 END AS BIGINT) AS height,
+                   doc_id % {MM.IMG_CORRUPT_MOD} <> 0 AS ok
+            FROM documents ORDER BY doc_id
         """,
         # streaming extraction: the same frozen core-path tuples, no W1
         # window (the streaming stage is stateless per row)

@@ -1479,3 +1479,184 @@ def image_dhash(media: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- web-image header dimensions (PNG / JPEG / GIF), no decode -------------
+
+IMG_DIMS_MAX_SEGMENTS = 16  # JPEG marker-walk bound (knob; see image_dims)
+IMG_CORRUPT_MOD = 13        # doc_id % 13 == 0 -> garbage payload (no magic)
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Minimal well-formed PNG: signature + IHDR (8-bit truecolor, correct
+    CRC) + one literal IDAT stub + IEND.  The IDAT bytes are not a valid
+    zlib stream (decode is stubbed repo-wide); every CHUNK is structurally
+    valid, which is all a header parser may rely on."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", b"\x00" * 8) + chunk(b"IEND", b""))
+
+
+def make_jpeg(width: int, height: int, com_pad: int = 0) -> bytes:
+    """Minimal JPEG header: SOI, JFIF APP0, a COM segment of variable
+    length (com_pad filler bytes — exercises the marker walk's
+    data-dependent offsets), SOF0 for 3 components, EOI.  No entropy-coded
+    scan — dimensions live entirely in SOF0."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 2 + com_pad) + b"x" * com_pad
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" \
+        + struct.pack(">HH", height, width) \
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8" + app0 + com + sof + b"\xff\xd9"
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor (little-endian u16 dims,
+    no global color table) + trailer."""
+    import struct
+
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + b"\x00\x00\x00" + b"\x3b")
+
+
+def synthetic_web_image_payload(doc_id: int) -> bytes:
+    """doc_id -> PNG / JPEG / GIF bytes with dimensions that are simple
+    arithmetic in doc_id (mirrored by the m_image_dims SQL oracle);
+    doc_id % IMG_CORRUPT_MOD == 0 -> 3 garbage bytes matching no magic."""
+    if doc_id % IMG_CORRUPT_MOD == 0:
+        return b"\x00\x00\x00"
+    w = 16 + doc_id % 117
+    h = 16 + (doc_id * 7) % 93
+    kind = doc_id % 3
+    if kind == 0:
+        return make_png(w, h)
+    if kind == 1:
+        return make_jpeg(w, h, com_pad=doc_id % 11)
+    return make_gif(w, h)
+
+
+def synthetic_web_images(df: DataFrame) -> DataFrame:
+    """(doc_id, ...) -> (doc_id, payload binary) of deterministic real
+    PNG/JPEG/GIF header bytes (generator plumbing, like synthetic_media)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synthetic_web_image_payload(int(d))
+                            for d in pdf["doc_id"]],
+            })
+
+    return df.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+def _u16be(pos: str) -> str:
+    """SQL fragment: big-endian u16 read at 1-indexed byte `pos` (pos may
+    be any SQL expression — substring accepts expression arguments)."""
+    return f"CAST(conv(hex(substring(payload, {pos}, 2)), 16, 10) AS BIGINT)"
+
+
+def _u8(pos: str) -> str:
+    return f"CAST(conv(hex(substring(payload, {pos}, 1)), 16, 10) AS BIGINT)"
+
+
+def image_dims(
+    media: DataFrame, max_segments: int = IMG_DIMS_MAX_SEGMENTS
+) -> DataFrame:
+    """(doc_id, format, width, height, ok) — image dimensions from HEADER
+    BYTES ONLY, the metadata pass a crawl pipeline runs on every image
+    blob before deciding whether to decode at all (tiny tracking pixels
+    and absurd-dimension bombs are filtered on width x height, and a
+    thumbnail service plans storage from dims alone).  No codec, no
+    Python: the entire parse is JVM column expressions over at most the
+    first few hundred payload bytes, so it runs at parquet scan speed,
+    prunes to (doc_id, payload), and vectorizes under whole-stage codegen
+    — the cheapest possible shape at 10^12 images.
+
+    Formats (the three magics that cover ~99% of web images; the repo's
+    native BMP/PPM surface is decode_media's):
+      - PNG: dims are fixed-offset big-endian u32s in IHDR (bytes 17-24;
+        read as u16 at 19/23 — IHDR dims beyond 65535 are not produced by
+        the synthesizer and real-web > 64k-pixel-wide PNGs are bombs a
+        gate REJECTS, which ok=false does).  Requires the full 8-byte
+        signature.
+      - JPEG: dimensions live in the SOF0/SOF2 segment at a DATA-DEPENDENT
+        offset behind a variable chain of APP/COM/DQT segments.  The walk
+        is a bounded `aggregate` (higher-order fold) over
+        sequence(1, max_segments): state (off, w, h, done); each step
+        either stops (not 0xFF-led, or SOF found -> height at off+5,
+        width at off+7) or hops off += 2 + seglen.  Linear expression
+        size in max_segments — NOT the exponential blowup a naive
+        unrolled when-chain hits, because the fold carries offsets as
+        state instead of re-deriving them.  16 segments bounds every
+        JFIF/EXIF header the synthesizer emits; production crawls raise
+        the knob (real-world p99 header chains are < 24 segments).
+      - GIF: little-endian u16 pair at bytes 7-10 of the logical screen
+        descriptor.
+
+    ok=false (dims null) for unknown magic or a walk that exhausts its
+    budget — fail-soft columns, never an exception (the S3 scanned-doc
+    doctrine)."""
+    png_sig = "hex(substring(payload, 1, 8)) = '89504E470D0A1A0A'"
+    jpg_sig = "hex(substring(payload, 1, 2)) = 'FFD8'"
+    gif_sig = "hex(substring(payload, 1, 6)) = '474946383961'"
+    fmt = F.expr(
+        f"CASE WHEN {png_sig} THEN 'png' WHEN {jpg_sig} THEN 'jpeg' "
+        f"WHEN {gif_sig} THEN 'gif' ELSE 'unknown' END"
+    )
+    jpeg_fold = f"""
+        aggregate(
+          sequence(1, {max_segments}),
+          named_struct('off', CAST(3 AS BIGINT), 'w', CAST(NULL AS BIGINT),
+                       'h', CAST(NULL AS BIGINT), 'done', false),
+          (acc, i) -> CASE
+            WHEN acc.done OR hex(substring(payload, acc.off, 1)) != 'FF'
+              THEN named_struct('off', acc.off, 'w', acc.w, 'h', acc.h,
+                                'done', true)
+            WHEN hex(substring(payload, acc.off + 1, 1)) IN ('C0', 'C2')
+              THEN named_struct('off', acc.off,
+                                'w', {_u16be("acc.off + 7")},
+                                'h', {_u16be("acc.off + 5")},
+                                'done', true)
+            ELSE named_struct(
+                   'off', acc.off + 2 + {_u16be("acc.off + 2")},
+                   'w', acc.w, 'h', acc.h, 'done', false)
+          END,
+          acc -> named_struct('w', acc.w, 'h', acc.h))
+    """
+    width = F.expr(
+        f"CASE WHEN {png_sig} AND length(payload) >= 24"
+        f"       THEN {_u16be('19')} "
+        f"     WHEN {jpg_sig} THEN ({jpeg_fold}).w "
+        f"     WHEN {gif_sig} AND length(payload) >= 10"
+        f"       THEN {_u8('7')} + 256 * {_u8('8')} "
+        f"     ELSE CAST(NULL AS BIGINT) END"
+    )
+    height = F.expr(
+        f"CASE WHEN {png_sig} AND length(payload) >= 24"
+        f"       THEN {_u16be('23')} "
+        f"     WHEN {jpg_sig} THEN ({jpeg_fold}).h "
+        f"     WHEN {gif_sig} AND length(payload) >= 10"
+        f"       THEN {_u8('9')} + 256 * {_u8('10')} "
+        f"     ELSE CAST(NULL AS BIGINT) END"
+    )
+    return (
+        media.select(
+            "doc_id", fmt.alias("format"),
+            width.alias("width"), height.alias("height"),
+        )
+        .withColumn(
+            "ok", F.col("width").isNotNull() & F.col("height").isNotNull()
+        )
+        .orderBy("doc_id")
+    )

@@ -3559,3 +3559,39 @@ def test_crawl_queue_audit_recurrence_rollup(spark):
     ranked = sorted(exp.items(), key=lambda kv: (-kv[1][3], kv[0]))
     for i, (h, _) in enumerate(ranked, 1):
         assert out[h]["drain_rank"] == i
+
+
+def test_image_dims_header_walk(spark):
+    """Header-only dims: PNG/GIF fixed offsets, JPEG via the bounded
+    aggregate() marker walk — incl. a deep segment chain, walk
+    exhaustion at the budget, and unknown magic failing soft."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    deep = (b"\xff\xd8"
+            + b"".join(b"\xff\xfe\x00\x05xxx" for _ in range(10))
+            + mm.make_jpeg(321, 77)[2:])  # 10 COMs then APP0/COM/SOF0
+    rows = [
+        (1, mm.make_png(640, 480)),
+        (2, mm.make_jpeg(800, 600, com_pad=7)),
+        (3, mm.make_gif(300, 200)),
+        (4, b"not an image at all"),
+        (5, deep),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mm.image_dims(df).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"],
+            out[1]["ok"]) == ("png", 640, 480, True)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"],
+            out[2]["ok"]) == ("jpeg", 800, 600, True)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"],
+            out[3]["ok"]) == ("gif", 300, 200, True)
+    assert (out[4]["format"], out[4]["width"], out[4]["ok"]) == (
+        "unknown", None, False)
+    # 10 COMs + APP0 + COM + SOF = 13 segments < 16 budget -> found
+    assert (out[5]["format"], out[5]["width"], out[5]["height"],
+            out[5]["ok"]) == ("jpeg", 321, 77, True)
+    # budget exhaustion: same deep payload, max_segments=4 -> fail soft
+    tight = {r["doc_id"]: r
+             for r in mm.image_dims(df, max_segments=4).collect()}
+    assert tight[5]["ok"] is False and tight[5]["width"] is None
+    assert tight[2]["ok"] is True  # 3-segment jpeg still inside budget
