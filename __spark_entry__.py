@@ -339,6 +339,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_pos_delete(spark, sf_dir):
+        """Merge-on-read POSITION deletes (Iceberg v2's second delete
+        kind) end to end: v1/v2 append doc_id%3 in (0,1); positions_of
+        turns the row predicate (lang='de' OR doc_id%7==2) into (file,
+        ordinal) pairs over the CURRENT files and delete_positions
+        commits them (kind='pos', zero data files rewritten); v4 appends
+        doc_id%3==2 — whose de/%7==2 members land in NEW files no
+        position names, so they survive (the positional analog of the
+        equality path's strictly-newer-seq rule).  purge_deletes then
+        rewrites exactly the recorded target files and must not change
+        the hash.  Final view: (%3 in (0,1) AND NOT(de OR %7==2)) OR
+        %3==2, stated directly by the oracle."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        work = tempfile.mkdtemp(prefix="tblpos_")
+        try:
+            d = F.col("doc_id")
+            docs = _docs(spark, sf_dir)
+            tf.append_snapshot(docs.where(d % 3 == 0), work)
+            tf.append_snapshot(docs.where(d % 3 == 1), work)
+            hit = (F.col("lang") == "de") | (F.col("doc_id") % 7 == 2)
+            tf.delete_positions(
+                spark, tf.positions_of(spark, work, hit), work)
+            tf.append_snapshot(docs.where(d % 3 == 2), work)
+            tf.purge_deletes(spark, work)  # hash-identity pinned by oracle
+            out = (
+                tf.read_table(spark, work)
+                .select("doc_id", "lang", "source")
+                .orderBy("doc_id")
+                .persist()
+            )
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _table_schema_evolution(spark, sf_dir):
         """Schema evolution end to end: v1 appends (doc_id, lang), v2
         appends (doc_id, lang, source) — an ADD-COLUMN evolution recorded
@@ -1229,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge-on-read equality deletes + purge: v2 sequence rule (a key
         # appended after its delete survives), purge hash-identity
         "u_table_mor_delete": _table_mor_delete,
+        "u_table_pos_delete": _table_pos_delete,
         # add-column evolution (NULL backfill for pre-evolution files) +
         # metadata-only column drop
         "u_table_schema_evolution": _table_schema_evolution,
@@ -5556,6 +5596,16 @@ def oracle_sql() -> dict[str, str]:
         "u_table_mor_delete": """
             SELECT doc_id, lang, source FROM documents
             WHERE (doc_id % 3 < 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
+            ORDER BY doc_id
+        """,
+        # position deletes: the committed (file, ordinal) pairs cover
+        # exactly the v1/v2 rows matching (de OR %7==2); the v4 append's
+        # matching rows live in files no position names and survive
+        "u_table_pos_delete": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE (doc_id % 3 < 2
+                   AND NOT (lang = 'de' OR doc_id % 7 = 2))
+               OR doc_id % 3 = 2
             ORDER BY doc_id
         """,
         # write-audit-publish: the final table is exactly the raw docs —

@@ -495,18 +495,51 @@ def _apply_deletes(
 
     from pyspark.sql import functions as F
 
+    pos_entries = [e for e in delete_entries if e.get("kind") == "pos"]
+    eq_entries = [e for e in delete_entries if e.get("kind") != "pos"]
+
+    def _branch(seq: int, fl: list[str]) -> DataFrame:
+        b = _read_files(spark, meta or {}, fl).withColumn("_mor_seq", F.lit(seq))
+        if pos_entries:
+            # position deletes address (data file, ordinal row) — surface
+            # both from the scan's hidden _metadata column (file_path
+            # normalized from the file:// URI back to the manifest's
+            # plain path, row_index = the parquet row ordinal)
+            b = b.withColumn(
+                "_mor_file",
+                F.expr("regexp_replace(_metadata.file_path, '^file:/*', '/')"),
+            ).withColumn("_mor_pos", F.col("_metadata.row_index"))
+        return b
+
     groups: dict[int, list[str]] = {}
     for f in data_files:
         groups.setdefault(int(file_seq.get(f, 0)), []).append(f)
     df = reduce(
         lambda a, b: a.unionByName(b),
-        [
-            _read_files(spark, meta or {}, fl).withColumn("_mor_seq", F.lit(seq))
-            for seq, fl in sorted(groups.items())
-        ],
+        [_branch(seq, fl) for seq, fl in sorted(groups.items())],
     )
+    if pos_entries:
+        # one anti-join on (file, pos) for ALL position-delete files; no
+        # sequence residual needed — a position delete names an immutable
+        # data-file path (uuid snapshot dirs, never reused), so file
+        # identity subsumes Iceberg's sequence rule for this delete kind
+        pd_all = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(e["file"])
+                .select(F.col("file").alias("_pd_file"),
+                        F.col("pos").alias("_pd_pos"))
+                for e in pos_entries
+            ],
+        )
+        df = df.join(
+            F.broadcast(pd_all),
+            (F.col("_mor_file") == F.col("_pd_file"))
+            & (F.col("_mor_pos") == F.col("_pd_pos")),
+            "left_anti",
+        ).drop("_mor_file", "_mor_pos")
     by_key: dict[str, list[dict]] = {}
-    for e in delete_entries:
+    for e in eq_entries:
         by_key.setdefault(e["key"], []).append(e)
     for key, entries in sorted(by_key.items()):
         dd = reduce(
@@ -1311,6 +1344,122 @@ def delete_keys(
             "skipped": False}
 
 
+def positions_of(spark: SparkSession, path: str, predicate) -> DataFrame:
+    """(file, pos) of every CURRENT data-file row matching `predicate`
+    (a Column) — the scan a MERGE/DELETE writer runs to turn a row
+    predicate into position-delete entries (Iceberg v2 position deletes,
+    spec §delete-formats).  Reads raw data files (positions are physical
+    file ordinals, so pending deletes are irrelevant — deleting an
+    already-deleted position is a no-op at merge time), exposes the
+    hidden _metadata columns, and never collects: the result is a
+    DataFrame the caller hands straight to ``delete_positions``.
+
+    Scale: a predicate-pushdown scan of exactly the matching rows' (path,
+    ordinal) pairs — at 10^12 rows this is the cheapest possible
+    row-level targeting, and the downstream delete file is proportional
+    to the MATCHED rows, not the table."""
+    from pyspark.sql import functions as F
+
+    meta = _read_version(path, current_version(path))
+    return (
+        _read_files(spark, meta, meta["all_files"])
+        .withColumn(
+            "file",
+            F.expr("regexp_replace(_metadata.file_path, '^file:/*', '/')"),
+        )
+        .withColumn("pos", F.col("_metadata.row_index"))
+        .where(predicate)
+        .select("file", "pos")
+    )
+
+
+def delete_positions(
+    spark: SparkSession, positions: DataFrame, path: str,
+    token: str | None = None,
+) -> dict:
+    """Merge-on-read POSITION DELETE — Iceberg v2's second delete-file
+    kind next to ``delete_keys``' equality deletes: rows are addressed as
+    (data file, row ordinal) pairs rather than by key value.  This is the
+    delete a MERGE writer emits (it already knows exactly which physical
+    rows it hit), and the one that can drop ONE of several identical rows
+    — equality deletes kill every row carrying the key, positions kill
+    precisely the addressed row.
+
+    Commit shape mirrors delete_keys: the pairs are written as a delete
+    file, a new version lists it (kind='pos'), NO data file is rewritten.
+    The entry also records its distinct target files (metadata-only
+    purge scoping — purge_deletes rewrites exactly those files, no range
+    overlap estimate needed, positions are exact).  No sequence residual
+    at read time: a position delete names an immutable data-file path
+    (uuid snapshot dirs, never reused), so rows appended AFTER the delete
+    land in new files and trivially survive — the same
+    strictly-newer-files outcome the equality path gets from its seq
+    rule.  Exactly-once under ``token`` (the Delta txnAppId pattern) for
+    at-least-once callers; refuses on a concurrent-commit race.
+
+    Returns {"version", "n_delete_files", "n_targets", "skipped"}."""
+    from pyspark.sql import functions as F
+
+    base_version = current_version(path)
+    meta = _read_version(path, base_version)
+    if token is not None and token in meta.get("applied_tokens", []):
+        return {"version": base_version, "n_delete_files": 0,
+                "n_targets": 0, "skipped": True}
+    snap_id = uuid.uuid4().hex[:12]
+    ddir = os.path.join(path, "data", snap_id)
+    pos = positions.select("file", "pos").where(
+        F.col("file").isNotNull() & F.col("pos").isNotNull()
+    ).distinct()
+    pos.coalesce(1).write.parquet(ddir)
+    dfiles = sorted(
+        os.path.join(ddir, f) for f in os.listdir(ddir)
+        if f.endswith(".parquet")
+    )
+    # distinct target files: bounded by the table's file count (the same
+    # driver-scalar class as the CDX shard boundaries), recorded in the
+    # manifest so purge scoping never re-reads the delete file
+    targets = sorted(
+        r["file"]
+        for r in spark.read.parquet(*dfiles).select("file").distinct().collect()
+    )
+    stats = {f: _file_stats(f) for f in dfiles}
+    version = {
+        "version": base_version + 1,
+        "snapshot_id": snap_id,
+        "parent_version": base_version,
+        "added_files": [],
+        "added_rows": 0,
+        "all_files": meta["all_files"],
+        "file_stats": {**meta.get("file_stats", {}), **stats},
+        "file_seq": meta.get("file_seq", {}),
+        "delete_files": meta.get("delete_files", [])
+        + [{"file": f, "kind": "pos", "seq": base_version + 1,
+            "targets": targets} for f in dfiles],
+        "schema": meta.get("schema"),
+        "retired_columns": meta.get("retired_columns", []),
+        "applied_tokens": meta.get("applied_tokens", [])
+        + ([token] if token is not None else []),
+        **_part_meta(meta),
+    }
+    tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(version, f)
+    target = os.path.join(_meta_dir(path), f"v{base_version + 1}.json")
+    try:
+        os.link(tmp, target)
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        import shutil
+        shutil.rmtree(ddir, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent commit beat position-delete of v{base_version}; "
+            "re-run against the new current version"
+        )
+    return {"version": base_version + 1, "n_delete_files": len(dfiles),
+            "n_targets": len(targets), "skipped": False}
+
+
 def purge_deletes(spark: SparkSession, path: str) -> dict:
     """Major compaction of pending merge-on-read deletes back into
     copy-on-write form (Iceberg's rewrite_data_files with
@@ -1342,6 +1491,13 @@ def purge_deletes(spark: SparkSession, path: str) -> dict:
         s = int(fseq.get(f, 0))
         must = False
         for d in (d for d in dels if int(d["seq"]) > s):
+            if d.get("kind") == "pos":
+                # positional scoping is exact and metadata-only: the
+                # delete entry records its target files at commit time
+                if f in d.get("targets", []):
+                    must = True
+                    break
+                continue
             kst = fstats.get(f, {}).get(d["key"])
             dst = fstats.get(d["file"], {}).get(d["key"])
             if kst is None or dst is None:  # never-skip without stats

@@ -4143,3 +4143,65 @@ def test_host_harmonic_exact_path_graph(spark):
         "d": (3, 1_833_333),
         "e": (0, 0),
     }
+
+
+def test_position_delete_addresses_physical_rows(spark, tmp_path):
+    """Position deletes (kind='pos') pin: zero data files touched at
+    commit; ONE of two byte-identical rows can be dropped (impossible
+    with equality deletes); the same ordinal in another file survives;
+    time travel reads undeleted; a later append of identical content
+    survives (new file, no position names it); token replay skips;
+    purge rewrites exactly the recorded target files hash-identically;
+    GC protects the pending delete file."""
+    import os
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    tf.append_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1), path)
+    tf.append_snapshot(
+        spark.createDataFrame(
+            [(3, "c"), (4, "d"), (5, "e")], "id long, v string"
+        ).coalesce(1), path)
+    meta = tf._read_version(path, 2)
+    f1, f2 = meta["all_files"]  # append order
+    pos = spark.createDataFrame(
+        [(f1, 0), (f2, 1)], "file string, pos long")
+    info = tf.delete_positions(spark, pos, path, token="mrg:1")
+    assert info == {"version": 3, "n_delete_files": 1, "n_targets": 2,
+                    "skipped": False}
+    meta3 = tf._read_version(path, 3)
+    assert meta3["all_files"] == meta["all_files"]  # no data file touched
+    assert meta3["delete_files"][0]["kind"] == "pos"
+    assert sorted(meta3["delete_files"][0]["targets"]) == sorted([f1, f2])
+
+    # exactly one of the two identical (1,'a') rows is gone; pos 1 of f1
+    # and pos 0/2 of f2 survive
+    got = sorted((r["id"], r["v"])
+                 for r in tf.read_table(spark, path).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (5, "e")]
+    # time travel below the delete is undeleted
+    assert len(tf.read_table(spark, path, version=2).collect()) == 6
+    # replayed commit skips under the token
+    assert tf.delete_positions(spark, pos, path, token="mrg:1")["skipped"]
+    # identical content appended later lands in a new file and survives
+    tf.append_snapshot(
+        spark.createDataFrame([(4, "d")], "id long, v string").coalesce(1),
+        path)
+    assert sorted(r["id"] for r in tf.read_table(spark, path).collect()) \
+        == [1, 2, 3, 4, 5]
+    # GC never collects the pending pos-delete file
+    dfile = meta3["delete_files"][0]["file"]
+    deleted = tf.expire_snapshots(path, keep_from=4, min_age_s=0)
+    assert dfile not in deleted and os.path.exists(dfile)
+    # purge: rewrites exactly the two target files, view unchanged
+    p = tf.purge_deletes(spark, path)
+    assert p["n_files_rewritten"] == 2 and p["n_files_untouched"] == 1
+    assert sorted((r["id"], r["v"])
+                  for r in tf.read_table(spark, path).collect()) \
+        == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+    assert tf._read_version(path, tf.current_version(path))["delete_files"] \
+        == []
