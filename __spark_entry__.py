@@ -378,6 +378,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_branch(spark, sf_dir):
+        """Branch/tag refs end to end: main v1 appends doc_id%3==0 and is
+        tagged; a branch forked at v1 takes TWO audit appends (%3==1,
+        %3==2) that main readers never see; fast_forward publishes the
+        series as ONE metadata-only main commit (branch-added files
+        renumbered to the new sequence); an equality delete (%11==0) on
+        main afterwards must hit the renumbered branch files too — the
+        final read is exactly docs %11 != 0, stated by the oracle.  A
+        leaked branch commit before the ff, a lost branch append, or a
+        seq-collision sparing branch files from the delete each
+        hash-mismatch."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        work = tempfile.mkdtemp(prefix="tblbr_")
+        try:
+            d = F.col("doc_id")
+            docs = _docs(spark, sf_dir)
+            tf.append_snapshot(docs.where(d % 3 == 0), work)
+            tf.create_tag(work, "rel-1")
+            tf.create_branch(work, "audit")
+            tf.branch_append(docs.where(d % 3 == 1), work, "audit")
+            tf.branch_append(docs.where(d % 3 == 2), work, "audit")
+            tf.fast_forward(work, "audit", token="ff:1")
+            tf.delete_keys(
+                spark, docs.where(d % 11 == 0).select("doc_id"), work,
+                "doc_id")
+            out = (
+                tf.read_table(spark, work)
+                .select("doc_id", "lang", "source")
+                .orderBy("doc_id")
+                .persist()
+            )
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _table_schema_evolution(spark, sf_dir):
         """Schema evolution end to end: v1 appends (doc_id, lang), v2
         appends (doc_id, lang, source) — an ADD-COLUMN evolution recorded
@@ -1269,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # appended after its delete survives), purge hash-identity
         "u_table_mor_delete": _table_mor_delete,
         "u_table_pos_delete": _table_pos_delete,
+        "u_table_branch": _table_branch,
         # add-column evolution (NULL backfill for pre-evolution files) +
         # metadata-only column drop
         "u_table_schema_evolution": _table_schema_evolution,
@@ -5597,6 +5638,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE (doc_id % 3 < 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
             ORDER BY doc_id
+        """,
+        # branch refs: the audit series fast-forwarded onto main, then a
+        # main-side delete that must reach the renumbered branch files —
+        # final state is simply every doc outside the deleted key set
+        "u_table_branch": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id % 11 <> 0 ORDER BY doc_id
         """,
         # position deletes: the committed (file, ordinal) pairs cover
         # exactly the v1/v2 rows matching (de OR %7==2); the v4 append's

@@ -892,6 +892,249 @@ def scan_table(
     return df, len(keep), len(all_files)
 
 
+# ---------------------------------------------------------------------------
+# Named refs — branches and tags (Iceberg spec §Snapshot References).  A TAG
+# pins a main-chain version forever (release/eval pins: "the corpus the
+# v3 model trained on"); a BRANCH is an independent append chain forked off
+# a main version, audited in isolation and published back by FAST-FORWARD —
+# the multi-commit sibling of write-audit-publish (one WAP stage = one
+# auditable batch; a branch = an auditable SERIES of commits).
+# ---------------------------------------------------------------------------
+
+
+def _refs_dir(path: str) -> str:
+    return os.path.join(_meta_dir(path), "refs")
+
+
+def _branch_meta_dir(path: str, name: str) -> str:
+    return os.path.join(_meta_dir(path), f"branch-{name}")
+
+
+def read_ref(path: str, name: str) -> dict | None:
+    p = os.path.join(_refs_dir(path), f"{name}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def list_refs(path: str) -> dict:
+    """{name: {"type": "branch"|"tag", "version": fork-or-pin version}}."""
+    rd = _refs_dir(path)
+    if not os.path.isdir(rd):
+        return {}
+    return {
+        f[:-5]: json.load(open(os.path.join(rd, f)))
+        for f in sorted(os.listdir(rd)) if f.endswith(".json")
+    }
+
+
+def _create_ref(path: str, name: str, kind: str, version: int | None) -> dict:
+    v = current_version(path) if version is None else version
+    if v not in _versions(path):
+        raise ValueError(f"version {v} does not exist on the main chain")
+    os.makedirs(_refs_dir(path), exist_ok=True)
+    ref = {"type": kind, "version": v}
+    tmp = os.path.join(_refs_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(ref, f)
+    target = os.path.join(_refs_dir(path), f"{name}.json")
+    try:
+        os.link(tmp, target)  # atomic: refuse if the name exists
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ValueError(f"ref '{name}' already exists")
+    return ref
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> dict:
+    """Pin `version` (default: current head) under an immutable name.
+    Tagged versions are protected from expire_snapshots — the retention
+    story: history expires by age EXCEPT what a release tag names."""
+    return _create_ref(path, name, "tag", version)
+
+
+def create_branch(path: str, name: str, version: int | None = None) -> dict:
+    """Fork an independent append chain off a main version.  Branch
+    commits are INVISIBLE to main readers (separate metadata dir, same
+    atomic-link race); publish back via fast_forward."""
+    return _create_ref(path, name, "branch", version)
+
+
+def drop_ref(path: str, name: str) -> None:
+    """Delete a ref.  A dropped branch's data files orphan into
+    expire_snapshots' age-guarded collection, like an aborted WAP stage."""
+    os.unlink(os.path.join(_refs_dir(path), f"{name}.json"))
+
+
+def _branch_versions(path: str, name: str) -> list[int]:
+    bd = _branch_meta_dir(path, name)
+    if not os.path.isdir(bd):
+        return []
+    out = []
+    for f in os.listdir(bd):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _branch_head(path: str, name: str) -> tuple[int, dict]:
+    """(version, manifest) of the branch head — the last branch commit,
+    or the fork-point main manifest if the branch has none yet.  Branch
+    versions continue main's numbering from the fork (v_fork+1, ...), so
+    file sequence numbers stay coherent within the branch."""
+    ref = read_ref(path, name)
+    if ref is None or ref["type"] != "branch":
+        raise ValueError(f"no branch named '{name}'")
+    bvs = _branch_versions(path, name)
+    if bvs:
+        with open(os.path.join(
+                _branch_meta_dir(path, name), f"v{bvs[-1]}.json")) as f:
+            return bvs[-1], json.load(f)
+    return ref["version"], _read_version(path, ref["version"])
+
+
+def branch_append(
+    df: DataFrame, path: str, name: str, token: str | None = None
+) -> int:
+    """Append df to a BRANCH — same write path as append_snapshot (data
+    files first, then the atomic-link manifest race, schema-evolution
+    merge, exactly-once token ledger), but the version file lands in the
+    branch's metadata dir, so main readers never see it.  Branch commits
+    are append-only by design (the audit-series workflow); row-level
+    rewrites happen on main after the fast-forward."""
+    snap_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", snap_id)
+    df.write.parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    n_rows = df.sparkSession.read.parquet(*files).count() if files else 0
+    stats = {f: _file_stats(f) for f in files}
+    bd = _branch_meta_dir(path, name)
+    os.makedirs(bd, exist_ok=True)
+    while True:
+        base, parent = _branch_head(path, name)
+        if token is not None and token in parent.get("applied_tokens", []):
+            return base
+        version = {
+            "version": base + 1,
+            "snapshot_id": snap_id,
+            "parent_version": base,
+            "branch": name,
+            "added_files": files,
+            "added_rows": n_rows,
+            "all_files": parent["all_files"] + files,
+            "file_stats": {**parent.get("file_stats", {}), **stats},
+            "schema": _merged_schema_json(parent.get("schema"), df.schema),
+            "retired_columns": parent.get("retired_columns", []),
+            "file_seq": {
+                **parent.get("file_seq", {}),
+                **{f: base + 1 for f in files},
+            },
+            "delete_files": parent.get("delete_files", []),
+            "applied_tokens": parent.get("applied_tokens", [])
+            + ([token] if token is not None else []),
+            **_part_meta(parent),
+        }
+        tmp = os.path.join(bd, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(version, f)
+        target = os.path.join(bd, f"v{base + 1}.json")
+        try:
+            os.link(tmp, target)
+            os.unlink(tmp)
+            return base + 1
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race on THIS branch; retry
+
+
+def read_ref_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Read the table at a named ref: a tag resolves to its pinned main
+    version (time travel by name), a branch to its head manifest (with
+    any inherited MOR deletes applied)."""
+    ref = read_ref(path, name)
+    if ref is None:
+        raise ValueError(f"no ref named '{name}'")
+    if ref["type"] == "tag":
+        return read_table(spark, path, version=ref["version"])
+    _, meta = _branch_head(path, name)
+    dels = meta.get("delete_files", [])
+    if not dels:
+        return _read_files(spark, meta, meta["all_files"])
+    return _apply_deletes(
+        spark, meta["all_files"], meta.get("file_seq", {}), dels, meta
+    )
+
+
+def fast_forward(path: str, name: str, token: str | None = None) -> dict:
+    """Publish a branch onto main by FAST-FORWARD (Iceberg's
+    fast_forward procedure): one new main version whose content IS the
+    branch head manifest — pure metadata, the data files were written at
+    branch-append time.  Requires main's head to still BE the fork point;
+    if main advanced, this is a merge, not a fast-forward, and the call
+    refuses (re-branch from the new head and re-apply — branches of an
+    append-only chain rebase by re-appending).
+
+    Sequence renumbering (the MOR-correctness subtlety): files the branch
+    added carry branch-local sequence numbers that would collide with
+    future MAIN versions after publish — a later main delete at the
+    colliding sequence would wrongly spare them.  So every branch-added
+    file is renumbered to the single new main version, exactly like
+    Iceberg's cherry-pick assigning new sequence numbers at publish.
+
+    Exactly-once under ``token``; the branch ref stays (drop_ref when
+    done) so a replayed fast-forward skips via the ledger."""
+    ref = read_ref(path, name)
+    if ref is None or ref["type"] != "branch":
+        raise ValueError(f"no branch named '{name}'")
+    fork = ref["version"]
+    head_v, head = _branch_head(path, name)
+    while True:
+        main_v = current_version(path)
+        main = _read_version(path, main_v)
+        if token is not None and token in main.get("applied_tokens", []):
+            return {"version": main_v, "skipped": True}
+        if main_v != fork:
+            raise RuntimeError(
+                f"not a fast-forward: main is at v{main_v}, branch "
+                f"'{name}' forked at v{fork} — re-branch and re-apply"
+            )
+        new_v = main_v + 1
+        fseq = dict(head.get("file_seq", {}))
+        for f, s in list(fseq.items()):
+            if int(s) > fork:  # branch-added file -> renumber to new_v
+                fseq[f] = new_v
+        version = {
+            **{k: v for k, v in head.items() if k != "branch"},
+            "version": new_v,
+            "parent_version": main_v,
+            "fast_forward_of": name,
+            "added_files": [
+                f for f in head["all_files"] if f not in main["all_files"]
+            ],
+            "file_seq": fseq,
+            "applied_tokens": main.get("applied_tokens", [])
+            + ([token] if token is not None else []),
+        }
+        tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(version, f)
+        target = os.path.join(_meta_dir(path), f"v{new_v}.json")
+        try:
+            os.link(tmp, target)
+            os.unlink(tmp)
+            return {"version": new_v, "skipped": False,
+                    "n_published": head_v - fork}
+        except FileExistsError:
+            os.unlink(tmp)  # racer moved main; loop re-checks fork rule
+
+
 def expire_snapshots(
     path: str, keep_from: int, min_age_s: float = 86400.0
 ) -> list[str]:
@@ -911,15 +1154,28 @@ def expire_snapshots(
     import time
 
     vs = _versions(path)
-    keep = [n for n in vs if n >= keep_from]
+    refs = list_refs(path)
+    # a version NAMED by any ref is retained regardless of age: tags pin
+    # it directly, branches need their fork point for _branch_head — the
+    # Iceberg rule that refs override snapshot retention
+    pinned = {int(r["version"]) for r in refs.values()}
+    keep = [n for n in vs if n >= keep_from or n in pinned]
     if not keep:
         raise ValueError(f"keep_from={keep_from} would drop every version")
     for n in vs:
-        if n < keep_from:
+        if n < keep_from and n not in pinned:
             os.unlink(os.path.join(_meta_dir(path), f"v{n}.json"))
     reachable = set()
-    for n in keep:
-        meta = _read_version(path, n)
+    metas = [_read_version(path, n) for n in keep]
+    # every branch commit's state is live until the branch is dropped
+    for name, r in refs.items():
+        if r["type"] == "branch":
+            metas.extend(
+                json.load(open(os.path.join(
+                    _branch_meta_dir(path, name), f"v{b}.json")))
+                for b in _branch_versions(path, name)
+            )
+    for meta in metas:
         reachable.update(meta["all_files"])
         # pending merge-on-read delete files are part of the readable
         # state — collecting them would silently resurrect deleted rows

@@ -4205,3 +4205,66 @@ def test_position_delete_addresses_physical_rows(spark, tmp_path):
         == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
     assert tf._read_version(path, tf.current_version(path))["delete_files"] \
         == []
+
+
+def test_branch_tag_refs_lifecycle(spark, tmp_path):
+    """Refs pin: branch commits invisible to main; tag = time travel by
+    name, surviving GC below keep_from (refs override retention, and the
+    tagged files stay on disk); fast-forward is metadata-only,
+    exactly-once under its token, and REFUSES when main advanced past
+    the fork; duplicate ref names refuse; dropped branch files orphan
+    into age-guarded GC."""
+    import os
+
+    import pytest as _pytest
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id long, v string"
+    ).coalesce(1)
+    tf.append_snapshot(mk(0, 3), path)               # main v1
+    tf.create_tag(path, "rel-1")                     # pins v1
+    with _pytest.raises(ValueError, match="already exists"):
+        tf.create_tag(path, "rel-1")
+    with _pytest.raises(ValueError, match="does not exist"):
+        tf.create_branch(path, "b", version=9)
+    tf.create_branch(path, "audit")                  # forks at v1
+    tf.branch_append(mk(3, 6), path, "audit")        # branch v2
+    # invisibility + branch read
+    assert sorted(r["id"] for r in tf.read_table(spark, path).collect()) \
+        == [0, 1, 2]
+    assert sorted(r["id"]
+                  for r in tf.read_ref_table(spark, path, "audit").collect()) \
+        == [0, 1, 2, 3, 4, 5]
+    # main advances past the fork -> ff refuses
+    tf.append_snapshot(mk(100, 101), path)           # main v2
+    with _pytest.raises(RuntimeError, match="not a fast-forward"):
+        tf.fast_forward(path, "audit")
+    # re-branch from the new head and publish that one
+    tf.create_branch(path, "audit2")                 # forks at v2
+    tf.branch_append(mk(6, 8), path, "audit2")
+    ff = tf.fast_forward(path, "audit2", token="ff:a2")
+    assert ff == {"version": 3, "skipped": False, "n_published": 1}
+    assert tf.fast_forward(path, "audit2", token="ff:a2")["skipped"]
+    assert sorted(r["id"] for r in tf.read_table(spark, path).collect()) \
+        == [0, 1, 2, 6, 7, 100]
+    # renumbered seq: a delete now hits the branch-added rows
+    tf.delete_keys(spark, spark.createDataFrame([(7,)], "id long"),
+                   path, "id")
+    assert 7 not in {r["id"] for r in tf.read_table(spark, path).collect()}
+    # GC with keep_from above the tag: tagged v1 survives with its files
+    tagged_files = set(tf._read_version(path, 1)["all_files"])
+    tf.expire_snapshots(path, keep_from=3, min_age_s=0)
+    assert sorted(r["id"]
+                  for r in tf.read_ref_table(spark, path, "rel-1").collect()) \
+        == [0, 1, 2]
+    assert all(os.path.exists(f) for f in tagged_files)
+    # the abandoned first branch still protects its files; dropping it
+    # orphans them into collection
+    b1_files = set(tf._branch_head(path, "audit")[1]["all_files"])
+    kept = b1_files - tagged_files
+    tf.drop_ref(path, "audit")
+    deleted = set(tf.expire_snapshots(path, keep_from=3, min_age_s=0))
+    assert kept <= deleted
