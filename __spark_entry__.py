@@ -1132,6 +1132,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_image_dhash": lambda s, d: multimodal.image_dhash(
             multimodal.synthetic_media(_docs(s, d))
         ),
+        # DCT (spectral) hash: exact-integer unnormalized DCT-II over a
+        # 32x32 sample, 8x8 low-freq block thresholded on its lower
+        # median — the brightness/blur-robust third fingerprint; the
+        # fixed-point cosine table is shared verbatim with the oracle
+        "m_image_phash": lambda s, d: multimodal.image_phash(
+            multimodal.synthetic_media(_docs(s, d))
+        ),
         # perceptual near-dup PAIRS (Manku WWW'07 banding on the image
         # hash): originals + overlay-edited copies, 4 x 16-bit band
         # equi-joins for candidates, exact Hamming filter JVM-side
@@ -2503,6 +2510,20 @@ def oracle_sql() -> dict[str, str]:
     # weburl.registered_domain does (longest matching suffix, <= 3 labels)
     from pdf_parser_spark.operators import multimodal as MM
     from pdf_parser_spark.operators import weburl as WU
+
+    # pHash: the 8x32 fixed-point DCT table embedded as literals (the SAME
+    # ints MM.PHASH_C the Spark kernel uses), one list_sum per kept
+    # coefficient T[u][v] = sum_i C_u[i//32] * C_v[i%32] * gray[i]
+    _ph_rows = [
+        "[" + ", ".join(str(v) for v in row) + "]" for row in MM.PHASH_C
+    ]
+    _G2 = MM.PHASH_GRID * MM.PHASH_GRID
+    _ph_terms = ", ".join(
+        f"list_sum(list_transform(range(0, {_G2}), i -> "
+        f"({_ph_rows[u]})[i//{MM.PHASH_GRID} + 1] * "
+        f"({_ph_rows[v]})[i%{MM.PHASH_GRID} + 1] * grays[i+1]))"
+        for u in range(MM.PHASH_LOW) for v in range(MM.PHASH_LOW)
+    )
 
     _track = ", ".join(f"'{k}'" for k in WU.TRACKING_KEYS)
     _sfx = ", ".join(f"'{sx}'" for sx in WU.PUBLIC_SUFFIXES)
@@ -6999,6 +7020,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, ahash,
                    CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
+            FROM hx ORDER BY doc_id
+        """,
+        # phash: same pixel formula sampled on the 32x32 grid, exact
+        # integer DCT via the embedded fixed-point table, lower-median
+        # threshold over the 8x8 low-frequency block
+        "m_image_phash": f"""
+            WITH p AS (
+                SELECT doc_id, 8 + doc_id % 32 AS bw,
+                       8 + (doc_id // 3) % 24 AS bh
+                FROM documents WHERE doc_id % 3 = 0
+            ), q AS (
+                SELECT doc_id, bw, bh, ((bw*3+3)//4)*4 AS bs FROM p
+            ), cells AS (
+                SELECT doc_id,
+                       list_transform(range(0, {_G2}), i ->
+                           ( ((bs*((i//{MM.PHASH_GRID})*bh//{MM.PHASH_GRID})
+                               + 3*((i%{MM.PHASH_GRID})*bw//{MM.PHASH_GRID}))*7
+                              + bw) % 256
+                           + ((bs*((i//{MM.PHASH_GRID})*bh//{MM.PHASH_GRID})
+                               + 3*((i%{MM.PHASH_GRID})*bw//{MM.PHASH_GRID})
+                               + 1)*7 + bw) % 256
+                           + ((bs*((i//{MM.PHASH_GRID})*bh//{MM.PHASH_GRID})
+                               + 3*((i%{MM.PHASH_GRID})*bw//{MM.PHASH_GRID})
+                               + 2)*7 + bw) % 256 ) // 3) AS grays
+                FROM q
+            ), t AS (
+                SELECT doc_id, [{_ph_terms}] AS tt FROM cells
+            ), m AS (
+                SELECT doc_id, tt,
+                       list_sort(tt)[{MM.PHASH_LOW ** 2 // 2}] AS med
+                FROM t
+            ), hx AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(tt, v ->
+                           CASE WHEN v > med THEN '1' ELSE '0' END), '')
+                           AS phash
+                FROM m
+            )
+            SELECT doc_id, phash,
+                   CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
             FROM hx ORDER BY doc_id
         """,
         # dhash: same pixel formula sampled on the 8x9 grid, bits =

@@ -1660,3 +1660,92 @@ def image_dims(
         )
         .orderBy("doc_id")
     )
+
+
+# --- pHash: DCT perceptual fingerprint (third classic image hash) ----------
+
+PHASH_GRID = 32    # sample grid fed to the DCT (classic pHash layout)
+PHASH_LOW = 8      # low-frequency block kept: 8x8 = 64-bit fingerprint
+PHASH_SHIFT = 14   # fixed-point scale of the cosine table (2^14)
+
+
+def _phash_table() -> list[list[int]]:
+    """PHASH_LOW x PHASH_GRID DCT-II cosine table in fixed-point ints:
+    C[u][x] = round(cos(pi*(2x+1)*u / (2*GRID)) * 2^SHIFT).  Rounded ONCE
+    here and shared verbatim by the Spark kernel and (as an embedded
+    literal) the DuckDB oracle, so the transform is exact integer
+    arithmetic in both engines — no float DCT, no platform drift."""
+    import math
+
+    return [
+        [round(math.cos(math.pi * (2 * x + 1) * u / (2 * PHASH_GRID))
+               * (1 << PHASH_SHIFT)) for x in range(PHASH_GRID)]
+        for u in range(PHASH_LOW)
+    ]
+
+
+PHASH_C = _phash_table()
+
+
+def _phash_of(b: bytes) -> str | None:
+    """64-char pHash bit string of a 24bpp BMP payload: 32x32 gray sample
+    (the shared _bmp_gray_sample addressing), UNNORMALIZED integer DCT-II
+    (the alpha(u) factors dropped — a fixed positive per-coefficient
+    scaling, so the hash is a fixed linear functional of the image
+    thresholded on its own lower median; equally a perceptual fingerprint,
+    and exactly reproducible in BIGINT), keep the 8x8 low-frequency
+    block, bit = coefficient > lower-median of the 64.  Bounds: |C| <=
+    2^14, gray <= 255, 1024 terms -> |T| <= 7e13, safely inside int64."""
+    g = _bmp_gray_sample(b, PHASH_GRID, PHASH_GRID)
+    if g is None:
+        return None
+    import numpy as np
+
+    G = np.array(g, dtype=np.int64).reshape(PHASH_GRID, PHASH_GRID)
+    C = np.array(PHASH_C, dtype=np.int64)
+    T = (C @ G @ C.T).flatten().tolist()
+    med = sorted(T)[PHASH_LOW * PHASH_LOW // 2 - 1]  # lower median
+    return "".join("1" if v > med else "0" for v in T)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(doc_id, phash, n_same) — DCT perceptual hash over BMP payloads,
+    the third classic fingerprint next to aHash (global mean) and dHash
+    (local gradient): pHash thresholds the image's low-FREQUENCY spectrum,
+    so it is the one of the three that survives brightness/contrast
+    rescales and mild blur (those perturb pixel values but barely move
+    the shape of the low-frequency spectrum relative to its median),
+    while any high-frequency edit — noise, sharpening, small overlays —
+    leaves the kept 8x8 block almost unchanged.  Production image dedup
+    runs all three and unions candidate pairs.
+
+    Scale: in-scan Arrow hashing — 1024 samples + one 8x32 x 32x32 x 32x8
+    integer matmul per image regardless of resolution; one window shuffle
+    for group size.  Same contract as image_ahash/image_dhash."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            hashes: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                ph = _phash_of(bytes(payload))
+                if ph is None:
+                    continue
+                ids.append(int(doc_id))
+                hashes.append(ph)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    from pyspark.sql import Window
+
+    hashed = media.select("doc_id", "payload").mapInPandas(
+        fn, "doc_id long, phash string"
+    )
+    return (
+        hashed.withColumn(
+            "n_same",
+            F.count("*").over(Window.partitionBy("phash")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )

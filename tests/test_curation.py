@@ -3595,3 +3595,41 @@ def test_image_dims_header_walk(spark):
              for r in mm.image_dims(df, max_segments=4).collect()}
     assert tight[5]["ok"] is False and tight[5]["width"] is None
     assert tight[2]["ok"] is True  # 3-segment jpeg still inside budget
+
+
+def test_image_phash_contrast_invariant_and_grouping(spark):
+    """pHash pins: exact invariance under contrast scaling (every
+    coefficient and the median scale by the same positive factor, so
+    the > comparisons are unchanged — exact in integers), golden
+    stability on a deterministic BMP, and n_same grouping."""
+    import struct
+
+    from pdf_parser_spark.operators import multimodal as mm
+
+    def bmp_from_bytes(width, height, px):
+        row = ((width * 3 + 3) // 4) * 4
+        header = b"BM" + struct.pack("<IHHI", 54 + row * height, 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                           row * height, 2835, 2835, 0, 0)
+        return header + info + bytes(px)
+
+    w = h = 32
+    row = ((w * 3 + 3) // 4) * 4
+    # equal RGB per pixel so gray == the channel value EXACTLY ((r+g+b)//3
+    # floors otherwise, breaking the doubling identity); <=127 so 2x fits
+    base = [((o // 3) * 37 + 11) % 128 for o in range(row * h)]
+    a = bmp_from_bytes(w, h, base)
+    b = bmp_from_bytes(w, h, [v * 2 for v in base])
+    pa, pb = mm._phash_of(a), mm._phash_of(b)
+    assert pa is not None and pa == pb          # exact contrast invariance
+    assert len(pa) == 64 and set(pa) <= {"0", "1"}
+    assert pa == mm._phash_of(a)                # deterministic
+    # a strong low-frequency edit (half-image brightness block) moves it
+    grad = [v + 60 if i // row < h // 2 else v for i, v in enumerate(base)]
+    assert mm._phash_of(bmp_from_bytes(w, h, grad)) != pa
+    # grouping: two identical payloads share n_same=2
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mm.image_phash(df).collect()}
+    assert out[1]["phash"] == out[2]["phash"] == out[3]["phash"]
+    assert out[1]["n_same"] == 3  # b's hash equals a's by invariance
