@@ -1523,6 +1523,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_trustrank": lambda s, d: (lambda lg: lg.trustrank(
             _docs(s, d), lg.synthetic_edges(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # rel=nofollow/ugc/sponsored link semantics: per-link relation +
+        # followed flag (token-list match), attrs parsed order-free
+        "u_outlinks_nofollow": lambda s, d: (
+            lambda lg: lg.extract_outlinks_rel(
+                lg.with_synthetic_html_rel(_docs(s, d)))
+        )(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # spam mass (Gyöngyi VLDB'06): rank unexplained by seed trust —
         # exact-integer composition of the two faces above, trust rescaled
         # by n_docs/n_seeds via the overflow-safe decomposed product
@@ -6045,6 +6051,22 @@ def oracle_sql() -> dict[str, str]:
                    'https://node' || dst || '.example.com/doc/' || dst AS href,
                    dst
             FROM edges ORDER BY src, href
+        """,
+        # rel-hint links: the (doc_id + slot) % 5 relation formula joined
+        # to the same ring targets; followed iff no hint token
+        "u_outlinks_nofollow": f"""
+            WITH l AS ({" UNION ALL ".join(
+                f"SELECT doc_id AS src, "
+                f"(doc_id * {m} + {a}) % (SELECT count(*) FROM documents) "
+                f"AS dst, (doc_id + {k}) % 5 AS r FROM documents"
+                for k, (m, a) in enumerate(LG.LINK_PARAMS))})
+            SELECT src,
+                   'https://node' || dst || '.example.com/doc/' || dst AS href,
+                   dst,
+                   CASE r WHEN 0 THEN 'nofollow' WHEN 1 THEN 'ugc'
+                        WHEN 2 THEN 'sponsored' ELSE '' END AS rel,
+                   r >= 3 AS followed
+            FROM l ORDER BY src, href, rel
         """,
         "g_pagerank": f"""
             WITH edges AS ({_edges_sql}),

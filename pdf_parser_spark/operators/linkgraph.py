@@ -1265,3 +1265,75 @@ def host_neighborhood(
         .orderBy("t")
     )
     return out
+
+
+# --- rel=nofollow / ugc / sponsored link semantics -------------------------
+
+REL_HINTS = ("nofollow", "ugc", "sponsored")
+
+
+def with_synthetic_html_rel(documents: DataFrame) -> DataFrame:
+    """with_synthetic_html's twin with link-relation attributes: anchor
+    slot k of doc d carries rel = nofollow / ugc / sponsored / none by
+    the (d + k) % 5 formula (0/1/2 -> the three hints, 3/4 -> no rel
+    attribute), so the oracle re-derives every link's relation."""
+    n = documents.count()
+    anchors = []
+    for k, (m, a) in enumerate(LINK_PARAMS):
+        tgt = (F.col("doc_id") * m + a) % n
+        r = (F.col("doc_id") + k) % 5
+        rel_attr = (
+            F.when(r == 0, F.lit(' rel="nofollow"'))
+            .when(r == 1, F.lit(' rel="ugc"'))
+            .when(r == 2, F.lit(' rel="sponsored"'))
+            .otherwise(F.lit(""))
+        )
+        anchors.append(F.concat(
+            F.lit('<a href="https://node'), tgt,
+            F.lit(".example.com/doc/"), tgt, F.lit('"'), rel_attr,
+            F.lit(">ref"), F.col("doc_id") % 3, F.lit("-"), tgt,
+            F.lit("</a>"),
+        ))
+    html = F.concat(
+        F.lit("<html><body><p>"), F.substring(F.col("text"), 1, 40),
+        F.lit("</p>"), *anchors, F.lit("</body></html>"),
+    )
+    return documents.withColumn("html", html)
+
+
+def extract_outlinks_rel(pages: DataFrame) -> DataFrame:
+    """(src, href, dst, rel, followed) — outlink extraction that honors
+    the link-relation microformat every production crawler honors
+    (rel=nofollow, Google's 2019 additions rel=ugc / rel=sponsored): a
+    hinted link is still CRAWLABLE but must not convey endorsement, so
+    ranking runs on followed edges only while discovery may use all.
+    ``followed`` is false iff the rel attribute contains any hint TOKEN
+    (whitespace-delimited — rel is a token list per HTML spec, so
+    rel=\"external nofollow\" counts and rel=\"nofollowed\" does not).
+
+    Scale: same shape as extract_outlinks — one JVM regexp_extract_all
+    over the attribute blob (attribute ORDER inside the tag is free),
+    explode, per-link regexp projections; narrow, no shuffle."""
+    tags = F.regexp_extract_all(
+        F.col("html"), F.lit(r"<a ([^>]*)>"), F.lit(1)
+    )
+    hint_re = r"(^|\s)(" + "|".join(REL_HINTS) + r")(\s|$)"
+    return (
+        pages.select(
+            F.col("doc_id").alias("src"), F.explode(tags).alias("attrs")
+        )
+        .select(
+            "src",
+            F.regexp_extract("attrs", r'href="([^"]*)"', 1).alias("href"),
+            F.regexp_extract("attrs", r'rel="([^"]*)"', 1).alias("rel"),
+        )
+        .withColumn(
+            "dst",
+            F.nullif(
+                F.regexp_extract("href", r"/doc/([0-9]+)$", 1), F.lit("")
+            ).cast("long"),
+        )
+        .withColumn("followed", ~F.col("rel").rlike(hint_re))
+        .select("src", "href", "dst", "rel", "followed")
+        .orderBy("src", "href", "rel")
+    )

@@ -3633,3 +3633,26 @@ def test_image_phash_contrast_invariant_and_grouping(spark):
     out = {r["doc_id"]: r for r in mm.image_phash(df).collect()}
     assert out[1]["phash"] == out[2]["phash"] == out[3]["phash"]
     assert out[1]["n_same"] == 3  # b's hash equals a's by invariance
+
+
+def test_outlinks_rel_token_semantics(spark):
+    """rel parsing pins: token-list matching ('external nofollow' hints,
+    'nofollowed' does not), attribute order inside the tag is free, and
+    absent rel follows."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    html = (
+        '<a href="https://x.com/doc/1" rel="external nofollow">a</a>'
+        '<a rel="ugc" href="https://x.com/doc/2">b</a>'
+        '<a href="https://x.com/doc/3" rel="nofollowed">c</a>'
+        '<a href="https://x.com/doc/4">d</a>'
+        '<a href="https://x.com/doc/5" rel="sponsored">e</a>'
+    )
+    df = spark.createDataFrame([(9, html)], "doc_id long, html string")
+    out = {r["dst"]: (r["rel"], r["followed"])
+           for r in lg.extract_outlinks_rel(df).collect()}
+    assert out[1] == ("external nofollow", False)  # token in a list
+    assert out[2] == ("ugc", False)                # rel before href
+    assert out[3] == ("nofollowed", True)          # substring is NOT a token
+    assert out[4] == ("", True)                    # absent rel follows
+    assert out[5] == ("sponsored", False)
