@@ -1529,6 +1529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda lg: lg.extract_outlinks_rel(
                 lg.with_synthetic_html_rel(_docs(s, d)))
         )(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # PageRank on the followed-edge subgraph — the endorsement rule
+        # made operative: same exact-integer dataflow, filtered edge set
+        "g_pagerank_followed": lambda s, d: (
+            lambda lg: lg.pagerank_followed(_docs(s, d))
+        )(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # spam mass (Gyöngyi VLDB'06): rank unexplained by seed trust —
         # exact-integer composition of the two faces above, trust rescaled
         # by n_docs/n_seeds via the overflow-safe decomposed product
@@ -6067,6 +6072,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'sponsored' ELSE '' END AS rel,
                    r >= 3 AS followed
             FROM l ORDER BY src, href, rel
+        """,
+        # PageRank restricted to followed edges: the SAME unrolled pr CTE
+        # over the r>=3 subset of the rel-hint link formula
+        "g_pagerank_followed": f"""
+            WITH edges AS (
+                SELECT src, dst FROM ({" UNION ALL ".join(
+                    f"SELECT doc_id AS src, "
+                    f"(doc_id * {m} + {a}) % "
+                    f"(SELECT count(*) FROM documents) AS dst, "
+                    f"(doc_id + {k}) % 5 AS r FROM documents"
+                    for k, (m, a) in enumerate(LG.LINK_PARAMS))})
+                WHERE r >= 3
+            ),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+            {_pr_cte}
+            SELECT doc_id, rank FROM pr5 ORDER BY doc_id
         """,
         "g_pagerank": f"""
             WITH edges AS ({_edges_sql}),

@@ -1337,3 +1337,27 @@ def extract_outlinks_rel(pages: DataFrame) -> DataFrame:
         .select("src", "href", "dst", "rel", "followed")
         .orderBy("src", "href", "rel")
     )
+
+
+def endorsed_edges(documents: DataFrame) -> DataFrame:
+    """(src, dst) restricted to FOLLOWED links — the edge set ranking is
+    allowed to use under the rel-hint contract (extract_outlinks_rel):
+    discovery crawls every link, endorsement flows only through these."""
+    e = extract_outlinks_rel(with_synthetic_html_rel(documents))
+    return (
+        e.where(F.col("followed") & F.col("dst").isNotNull())
+        .select("src", "dst")
+    )
+
+
+def pagerank_followed(documents: DataFrame, iterations: int = 5) -> DataFrame:
+    """(doc_id, rank) — PageRank computed on the followed-edge subgraph:
+    the production ranking rule once rel hints exist (a page farming
+    rel=nofollow comment links gains nothing here, while plain g_pagerank
+    would still reward it).  Same exact-integer _power_iterate dataflow;
+    the ONLY change is the edge set, so differences vs g_pagerank isolate
+    exactly the endorsement rule.  Outdegree note (pinned in the oracle):
+    outdeg counts FOLLOWED outlinks only — a page whose links are all
+    hinted is a dangling node whose mass is dropped, the same treatment
+    plain PageRank gives true sinks here."""
+    return pagerank(documents, endorsed_edges(documents), iterations)

@@ -3656,3 +3656,23 @@ def test_outlinks_rel_token_semantics(spark):
     assert out[3] == ("nofollowed", True)          # substring is NOT a token
     assert out[4] == ("", True)                    # absent rel follows
     assert out[5] == ("sponsored", False)
+
+
+def test_pagerank_followed_ignores_hinted_links(spark):
+    """A page farming nofollow inlinks gains nothing on the followed
+    subgraph: doc 2's only inlinks are hinted, so it sits at the BASE
+    teleport floor, while plain pagerank on all edges rewards it."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    docs = _docs(spark, [(i, "t", "en", "s", 1) for i in range(4)])
+    all_edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (1, 2), (3, 2)], "src long, dst long")
+    followed = spark.createDataFrame(
+        [(0, 1), (1, 0)], "src long, dst long")  # every ->2 link hinted
+    pr_all = {r["doc_id"]: r["rank"]
+              for r in lg.pagerank(docs, all_edges, iterations=3).collect()}
+    pr_f = {r["doc_id"]: r["rank"]
+            for r in lg.pagerank(docs, followed, iterations=3).collect()}
+    assert pr_all[2] > lg.BASE          # farmed links pay off on all edges
+    assert pr_f[2] == lg.BASE           # and nothing on the followed graph
+    assert pr_f[0] > lg.BASE and pr_f[1] > lg.BASE
