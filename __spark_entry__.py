@@ -418,6 +418,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_dedup_inplace(spark, sf_dir):
+        """Lakehouse dedup maintenance under ONE hash — the operation a
+        10^12-row corpus runs every crawl cycle: the table ingests docs
+        in two snapshots plus a RECRAWL snapshot of byte-identical copies
+        (doc_id%4==0 re-appended at +10^6 ids, same text), exact-dedup
+        election (d_exact's normalized-md5 fingerprint, keeper = min
+        doc_id) names the losers, and a merge-on-read equality DELETE
+        removes them — kilobytes of delete metadata against the whole
+        table, zero data files rewritten at delete time — then
+        purge_deletes compacts back to copy-on-write and the read must be
+        exactly the original corpus.  A wrong keeper (copy kept), a
+        missed copy, an over-delete, or a purge divergence each
+        hash-mismatch."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        work = tempfile.mkdtemp(prefix="tbldedup_")
+        try:
+            d = F.col("doc_id")
+            docs = _docs(spark, sf_dir).select(
+                "doc_id", "text", "lang", "source")
+            tf.append_snapshot(docs.where(d % 2 == 0), work)
+            tf.append_snapshot(docs.where(d % 2 == 1), work)
+            recrawl = docs.where(d % 4 == 0).withColumn(
+                "doc_id", d + 1_000_000)
+            tf.append_snapshot(recrawl, work)
+            live = tf.read_table(spark, work)
+            from pdf_parser_spark.operators.dedup import exact_dedup_groups
+            groups = exact_dedup_groups(live)
+            fp = F.md5(F.lower(
+                F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+            losers = (
+                live.select(fp.alias("fp"), "doc_id")
+                .join(groups.where(F.col("n_docs") > 1), "fp")
+                .where(F.col("doc_id") != F.col("keep_doc_id"))
+                .select("doc_id")
+            )
+            tf.delete_keys(spark, losers, work, "doc_id")
+            tf.purge_deletes(spark, work)
+            out = (
+                tf.read_table(spark, work)
+                .select("doc_id", "lang", "source")
+                .orderBy("doc_id")
+                .persist()
+            )
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _table_schema_evolution(spark, sf_dir):
         """Schema evolution end to end: v1 appends (doc_id, lang), v2
         appends (doc_id, lang, source) — an ADD-COLUMN evolution recorded
@@ -1317,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_table_mor_delete": _table_mor_delete,
         "u_table_pos_delete": _table_pos_delete,
         "u_table_branch": _table_branch,
+        "u_table_dedup_inplace": _table_dedup_inplace,
         # add-column evolution (NULL backfill for pre-evolution files) +
         # metadata-only column drop
         "u_table_schema_evolution": _table_schema_evolution,
@@ -5670,6 +5723,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE (doc_id % 3 < 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
             ORDER BY doc_id
+        """,
+        # in-place dedup maintenance: after recrawl-copy injection,
+        # election, MOR delete of losers, and purge, the table is exactly
+        # the original corpus — every divergence is hash-visible
+        "u_table_dedup_inplace": """
+            SELECT doc_id, lang, source FROM documents ORDER BY doc_id
         """,
         # branch refs: the audit series fast-forwarded onto main, then a
         # main-side delete that must reach the renumbered branch files —

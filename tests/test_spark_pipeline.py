@@ -4268,3 +4268,38 @@ def test_branch_tag_refs_lifecycle(spark, tmp_path):
     tf.drop_ref(path, "audit")
     deleted = set(tf.expire_snapshots(path, keep_from=3, min_age_s=0))
     assert kept <= deleted
+
+
+def test_table_dedup_inplace_lifecycle(spark, tmp_path):
+    """Dedup maintenance on the table: election names the non-min copies,
+    the MOR delete commit touches zero data files, purge compacts, and
+    only min-id keepers survive — including a whitespace-variant pair
+    that the normalized fingerprint must unify."""
+    from pdf_parser_spark.operators.dedup import exact_dedup_groups
+    from pdf_parser_spark.sources import tableformat as tf
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    rows = [(1, "alpha beta"), (2, "other text"), (5, "alpha  BETA "),
+            (9, "alpha beta")]
+    tf.append_snapshot(
+        spark.createDataFrame(rows[:2], "doc_id long, text string")
+        .coalesce(1), path)
+    tf.append_snapshot(
+        spark.createDataFrame(rows[2:], "doc_id long, text string")
+        .coalesce(1), path)
+    live = tf.read_table(spark, path)
+    groups = exact_dedup_groups(live)
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    losers = (
+        live.select(fp.alias("fp"), "doc_id")
+        .join(groups.where(F.col("n_docs") > 1), "fp")
+        .where(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id")
+    )
+    info = tf.delete_keys(spark, losers, path, "doc_id")
+    meta = tf._read_version(path, info["version"])
+    assert meta["all_files"] == tf._read_version(path, 2)["all_files"]
+    tf.purge_deletes(spark, path)
+    assert sorted(r["doc_id"] for r in tf.read_table(spark, path).collect()) \
+        == [1, 2]  # 5 (normalized dup) and 9 (exact dup) deleted
