@@ -778,6 +778,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_count": lambda s, d: textstats.token_count(_docs(s, d)),
         # bigram-LM surprisal with stupid backoff (integer-bits KenLM analog)
         "t_surprisal2": lambda s, d: textstats.lm_surprisal2(_docs(s, d)),
+        # interpolated Kneser-Ney bigram surprisal — continuation-count
+        # smoothing (the 'Francisco' fix), exact integers in quarters
+        "t_surprisal_kn": lambda s, d: textstats.lm_surprisal_kn(
+            _docs(s, d)),
         # per-language tokenizer fertility (multilingual-fairness stat)
         "t_fertility": lambda s, d: textstats.tokenizer_fertility(_docs(s, d)),
         # per-doc n-gram novelty vs everything ingested before it (the
@@ -3639,6 +3643,115 @@ def oracle_sql() -> dict[str, str]:
                 FROM tiers
             )
             SELECT s.doc_id, s.n_toks, s.n_bigram_hits, s.bits_sum, s.mean_cb,
+                   CASE t.tier WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc s JOIN tmap t USING (mean_cb)
+            ORDER BY s.doc_id
+        """,
+        # interpolated Kneser-Ney bigram surprisal: continuation counts
+        # (N1+ per context, N_cont per word, T bigram types) in quarters
+        # (D=3/4); every branch mirrors the Spark when-chain verbatim
+        "t_surprisal_kn": f"""
+            WITH ta AS (
+                SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS t
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, unnest(t) AS term FROM ta
+            ), ucnt AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS c
+                FROM toks WHERE doc_id % {TS.SURPRISAL_REF_MOD} = 0
+                GROUP BY term
+            ), pairs AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                           i -> {{'p': t[i], 'w': t[i + 1]}})) AS pr
+                FROM ta WHERE len(t) >= 2
+            ), bcnt AS (
+                SELECT pr.p AS p, pr.w AS w, CAST(count(*) AS BIGINT) AS c2
+                FROM pairs WHERE doc_id % {TS.SURPRISAL_REF_MOD} = 0
+                GROUP BY 1, 2
+            ), n1pt AS (
+                SELECT p, CAST(count(*) AS BIGINT) AS n1p FROM bcnt GROUP BY p
+            ), ncontt AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS ncont
+                FROM bcnt GROUP BY w
+            ), tdim AS (
+                SELECT CAST(count(*) AS BIGINT) AS tt FROM bcnt
+            ), kb AS (
+                SELECT b.p, b.w,
+                       CAST(length(bin(greatest(
+                           (4 * u.c * m.tt) //
+                           (greatest(4 * b.c2 - {TS.KN_DISC_NUM}, 0) * m.tt
+                            + {TS.KN_DISC_NUM} * n.n1p * nc.ncont), 1)))
+                            - 1 AS BIGINT) AS kbits
+                FROM bcnt b
+                JOIN ucnt u ON u.term = b.p
+                JOIN n1pt n ON n.p = b.p
+                JOIN ncontt nc ON nc.w = b.w
+                CROSS JOIN tdim m
+            ), scored AS (
+                SELECT pa.doc_id,
+                       CASE WHEN kb.kbits IS NOT NULL THEN 1 ELSE 0 END AS hit,
+                       CASE WHEN kb.kbits IS NOT NULL THEN kb.kbits
+                            WHEN u.c IS NOT NULL
+                                 AND {TS.KN_DISC_NUM} * n.n1p
+                                     * coalesce(nc.ncont, 0) > 0
+                              THEN CAST(length(bin(greatest(
+                                       (4 * u.c * m.tt) //
+                                       ({TS.KN_DISC_NUM} * n.n1p * nc.ncont),
+                                       1))) - 1 AS BIGINT)
+                            WHEN u.c IS NOT NULL
+                              THEN {TS.BACKOFF_BITS}
+                                   + CAST(length(bin(m.tt + 1)) - 1 AS BIGINT)
+                            ELSE {TS.BACKOFF_BITS}
+                                 + CAST(length(bin(greatest(
+                                     (m.tt + 1)
+                                     // (coalesce(nc.ncont, 0) + 1), 1)))
+                                        - 1 AS BIGINT)
+                       END AS b
+                FROM pairs pa
+                LEFT JOIN kb ON kb.p = pa.pr.p AND kb.w = pa.pr.w
+                LEFT JOIN ucnt u ON u.term = pa.pr.p
+                LEFT JOIN n1pt n ON n.p = pa.pr.p
+                LEFT JOIN ncontt nc ON nc.w = pa.pr.w
+                CROSS JOIN tdim m
+            ), pair_doc AS (
+                SELECT doc_id, CAST(sum(hit) AS BIGINT) AS hits,
+                       CAST(sum(b) AS BIGINT) AS psum
+                FROM scored GROUP BY doc_id
+            ), firsts AS (
+                SELECT a.doc_id, CAST(len(a.t) AS BIGINT) AS n_toks,
+                       CAST(length(bin(greatest(
+                           (m.tt + 1) // (coalesce(nc.ncont, 0) + 1), 1)))
+                            - 1 AS BIGINT) AS fb
+                FROM ta a LEFT JOIN ncontt nc ON nc.w = a.t[1]
+                CROSS JOIN tdim m
+            ), per_doc AS (
+                SELECT f.doc_id, f.n_toks,
+                       CAST(coalesce(p.hits, 0) AS BIGINT) AS n_kn_hits,
+                       CAST(f.fb + coalesce(p.psum, 0) AS BIGINT) AS bits_sum
+                FROM firsts f LEFT JOIN pair_doc p USING (doc_id)
+            ), sc AS (
+                SELECT doc_id, n_toks, n_kn_hits, bits_sum,
+                       CAST((100 * bits_sum) // n_toks AS BIGINT) AS mean_cb
+                FROM per_doc
+            ), hist AS (
+                SELECT mean_cb, count(*) AS cnt FROM sc GROUP BY mean_cb
+            ), tiers AS (
+                SELECT mean_cb,
+                       sum(cnt) OVER (ORDER BY mean_cb ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - cnt AS cum_before,
+                       sum(cnt) OVER () AS total
+                FROM hist
+            ), tmap AS (
+                SELECT mean_cb,
+                       least({TS.SURPRISAL_TIERS} - 1,
+                             CAST(({TS.SURPRISAL_TIERS} * cum_before) // total
+                                  AS BIGINT)) AS tier
+                FROM tiers
+            )
+            SELECT s.doc_id, s.n_toks, s.n_kn_hits, s.bits_sum, s.mean_cb,
                    CASE t.tier WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM sc s JOIN tmap t USING (mean_cb)

@@ -2675,3 +2675,164 @@ def gate_impact(documents: DataFrame) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+KN_DISC_NUM, KN_DISC_DEN = 3, 4  # Kneser-Ney absolute discount D = 3/4
+
+
+def lm_surprisal_kn(
+    documents: DataFrame, ref_mod: int = SURPRISAL_REF_MOD
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal — the smoothing CCNet's
+    production KenLM actually uses, next to lm_surprisal2's stupid
+    backoff.  KN's insight is the CONTINUATION count: the unigram base is
+    NOT "how often does w occur" but "how many distinct contexts does w
+    follow" (N_cont(w) / T over bigram TYPES) — the 'Francisco' fix: a
+    token frequent only after one context ('san francisco') prices CHEAP
+    after that context and EXPENSIVE everywhere else, where raw-count
+    backoff underprices it everywhere.
+
+    Exact-integer scoring (the floor-log2 bits doctrine; the discount
+    D = 3/4 rides in quarters so every quantity stays BIGINT):
+    - seen (p, w):   P = [max(4*c2-3, 0)*T + 3*N1+(p)*N_cont(w)]
+                         / (4*c1(p)*T)
+                     bits = floor(log2(den div num))
+    - unseen pair, p seen: the same formula with c2 = 0 (pure
+      interpolation weight); if N_cont(w) = 0 the numerator vanishes and
+      the pair prices at BACKOFF_BITS + floor(log2(T + 1)) (cont-OOV).
+    - p unseen: BACKOFF_BITS + continuation-unigram bits
+      floor(log2((T + 1) div (N_cont(w) + 1))).
+    - first token: continuation-unigram bits, no penalty.
+
+    Returns (doc_id, n_toks, n_kn_hits, bits_sum, mean_cb, bucket) with
+    the shared _cb_tiers tercile rule.
+
+    Plan (lm_surprisal2 doctrine): N1+/N_cont/T are three groupBys over
+    the vocab-bounded bigram-TYPE dim, never the stream; the corpus pair
+    stream left-joins the seen-pair bits dim plus the two marginal dims
+    (keyed shuffles on p / w); one per-doc fold.  Nothing corpus-ordered.
+    Overflow headroom: the largest product is 4*c1(p)*T; a wiki-scale
+    reference (~1e9 tokens, ~1e9 bigram types) pushes it toward BIGINT's
+    edge — cap the reference vocabulary (frequency head, the
+    bpe_fit_local doctrine) before fitting at that scale; the cap is the
+    knob."""
+    toks = words(F.lower(F.col("text")))
+
+    ref = documents.where(F.col("doc_id") % ref_mod == 0)
+    ucnt = (
+        ref.select(F.explode(toks).alias("term"))
+        .groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    )
+    pair = F.when(F.size(toks) < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("p"),
+                F.element_at(toks, i + 2).alias("w"),
+            ),
+        )
+    )
+    bcnt = (
+        ref.select(F.explode(pair).alias("b"))
+        .select("b.p", "b.w")
+        .groupBy("p", "w").agg(F.count("*").cast("long").alias("c2"))
+    )
+    n1p = bcnt.groupBy("p").agg(F.count("*").cast("long").alias("n1p"))
+    ncont = bcnt.groupBy("w").agg(F.count("*").cast("long").alias("ncont"))
+    tdim = bcnt.agg(F.count("*").cast("long").alias("tt"))
+
+    kn_bits = (
+        bcnt
+        .join(ucnt.select(F.col("term").alias("p"),
+                          F.col("c").alias("c1p")), "p")
+        .join(n1p, "p").join(ncont, "w").crossJoin(tdim)
+        .select(
+            "p", "w",
+            (F.length(F.bin(F.expr(
+                f"greatest((4 * c1p * tt) div "
+                f"(greatest(4 * c2 - {KN_DISC_NUM}, 0) * tt"
+                f" + {KN_DISC_NUM} * n1p * ncont), 1)"
+            ))) - 1).cast("long").alias("kbits"),
+        )
+    )
+
+    pdim = (
+        ucnt.select(F.col("term").alias("p"), F.col("c").alias("c1p"))
+        .join(n1p, "p", "left")
+        .select("p", "c1p", F.coalesce("n1p", F.lit(0)).alias("n1p"))
+    )
+    big_stream = documents.select(
+        "doc_id", F.explode(pair).alias("b")
+    ).select("doc_id", "b.p", "b.w")
+    cont_oov = F.expr("length(bin(tt + 1)) - 1").cast("long")
+    miss_num = F.expr(f"{KN_DISC_NUM} * n1p * coalesce(ncont, 0L)")
+    pair_bits = (
+        F.when(F.col("kbits").isNotNull(), F.col("kbits"))
+        .when(
+            F.col("c1p").isNotNull() & (miss_num > 0),
+            (F.length(F.bin(F.expr(
+                f"greatest((4 * c1p * tt) div "
+                f"({KN_DISC_NUM} * n1p * ncont), 1)"
+            ))) - 1).cast("long"),
+        )
+        .when(F.col("c1p").isNotNull(), F.lit(BACKOFF_BITS) + cont_oov)
+        .otherwise(
+            F.lit(BACKOFF_BITS)
+            + (F.length(F.bin(F.expr(
+                "greatest((tt + 1) div (coalesce(ncont, 0L) + 1), 1)"
+            ))) - 1).cast("long")
+        )
+    )
+    scored_pairs = (
+        big_stream
+        .join(kn_bits, ["p", "w"], "left")
+        .join(pdim, "p", "left")
+        .join(ncont, "w", "left")
+        .crossJoin(tdim)
+        .select(
+            "doc_id",
+            F.col("kbits").isNotNull().cast("int").alias("hit"),
+            pair_bits.alias("b"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("hit").cast("long").alias("hits"),
+            F.sum("b").cast("long").alias("psum"),
+        )
+    )
+    firsts = (
+        documents.select(
+            "doc_id", F.element_at(toks, 1).alias("w"),
+            F.size(toks).cast("long").alias("n_toks"),
+        )
+        .join(ncont, "w", "left")
+        .crossJoin(tdim)
+        .select(
+            "doc_id", "n_toks",
+            (F.length(F.bin(F.expr(
+                "greatest((tt + 1) div (coalesce(ncont, 0L) + 1), 1)"
+            ))) - 1).cast("long").alias("fb"),
+        )
+    )
+    per_doc = (
+        firsts.join(scored_pairs, "doc_id", "left")
+        .select(
+            "doc_id", "n_toks",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("n_kn_hits"),
+            (F.col("fb") + F.coalesce("psum", F.lit(0)))
+            .cast("long").alias("bits_sum"),
+        )
+        .withColumn(
+            "mean_cb", F.expr("(100 * bits_sum) div n_toks").cast("long")
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(_cb_tiers(per_doc)), "mean_cb")
+        .select(
+            "doc_id", "n_toks", "n_kn_hits", "bits_sum", "mean_cb",
+            F.when(F.col("tier") == 0, "head")
+            .when(F.col("tier") == 1, "middle")
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

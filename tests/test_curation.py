@@ -3676,3 +3676,27 @@ def test_pagerank_followed_ignores_hinted_links(spark):
     assert pr_all[2] > lg.BASE          # farmed links pay off on all edges
     assert pr_f[2] == lg.BASE           # and nothing on the followed graph
     assert pr_f[0] > lg.BASE and pr_f[1] > lg.BASE
+
+
+def test_kn_continuation_prices_context_locked_tokens(spark):
+    """The KN signature: 'francisco' is FREQUENT in the reference but only
+    ever follows 'san' (one continuation context), 'the' follows many —
+    after an unseen context, KN prices 'francisco' strictly above 'the'
+    (raw-count backoff would underprice it), and after 'san' the seen
+    bigram prices 'francisco' cheaply."""
+    from pdf_parser_spark.operators import textstats as ts
+
+    ref = ("san francisco " * 8).strip()
+    varied = "aa the bb the cc the dd the ee the ff the"
+    docs = _docs(spark, [
+        (0, ref, "en", "s", 1), (5, varied, "en", "s", 1),   # reference
+        (11, "qqq francisco", "en", "s", 1),                 # unseen ctx
+        (12, "qqq the", "en", "s", 1),
+        (13, "san francisco", "en", "s", 1),                 # seen bigram
+    ])
+    out = {r["doc_id"]: r for r in ts.lm_surprisal_kn(docs).collect()}
+    # same first token 'qqq' -> bits_sum difference isolates the pair
+    assert out[11]["bits_sum"] > out[12]["bits_sum"]
+    assert out[11]["n_kn_hits"] == 0 and out[13]["n_kn_hits"] == 1
+    # the seen 'san francisco' bigram is the cheapest of the three
+    assert out[13]["bits_sum"] < out[12]["bits_sum"]
