@@ -782,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # smoothing (the 'Francisco' fix), exact integers in quarters
         "t_surprisal_kn": lambda s, d: textstats.lm_surprisal_kn(
             _docs(s, d)),
+        # Flesch reading ease + FK grade in exact milli-units, one scan
+        "t_readability": lambda s, d: textstats.readability(_docs(s, d)),
         # per-language tokenizer fertility (multilingual-fairness stat)
         "t_fertility": lambda s, d: textstats.tokenizer_fertility(_docs(s, d)),
         # per-doc n-gram novelty vs everything ingested before it (the
@@ -3647,6 +3649,37 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM sc s JOIN tmap t USING (mean_cb)
             ORDER BY s.doc_id
+        """,
+        # Flesch readability: same three regexp counts + milli formulas
+        "t_readability": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_words,
+                       CAST(greatest(len(regexp_extract_all(
+                           lower(text), '[.!?]+')), 1) AS BIGINT)
+                           AS n_sentences,
+                       CAST(len(regexp_extract_all(
+                           lower(text), '[aeiouy]+')) AS BIGINT)
+                           AS n_syllables
+                FROM documents
+            ), m AS (
+                SELECT doc_id, n_words, n_sentences, n_syllables,
+                       CAST((390 * n_words) // n_sentences
+                            + (11800 * n_syllables)
+                              // greatest(n_words, 1) - 15590 AS BIGINT)
+                           AS fk_grade_milli,
+                       CAST(206835 - (1015 * n_words) // n_sentences
+                            - (84600 * n_syllables)
+                              // greatest(n_words, 1) AS BIGINT)
+                           AS reading_ease_milli
+                FROM c
+            )
+            SELECT *, CASE
+                   {" ".join(
+                       f"WHEN reading_ease_milli >= {fl} THEN '{nm}'"
+                       for fl, nm in TS.READABILITY_BANDS)}
+                   ELSE 'very_difficult' END AS band
+            FROM m ORDER BY doc_id
         """,
         # interpolated Kneser-Ney bigram surprisal: continuation counts
         # (N1+ per context, N_cont per word, T bigram types) in quarters

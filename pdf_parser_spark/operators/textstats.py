@@ -2836,3 +2836,70 @@ def lm_surprisal_kn(
         )
         .orderBy("doc_id")
     )
+
+
+# --- readability (Flesch) ---------------------------------------------------
+
+READABILITY_BANDS = (  # reading-ease milli-unit floors, Flesch's table
+    (90_000, "very_easy"), (60_000, "standard"), (30_000, "difficult"),
+)
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, fk_grade_milli,
+    reading_ease_milli, band) — Flesch reading ease + Flesch-Kincaid
+    grade, the oldest document-difficulty signals still in every content
+    QA stack (a crawl page scoring far outside the human band is
+    boilerplate, word salad, or machine text; model-card datasheets
+    report the corpus ease distribution).
+
+    Exact-integer formulation in MILLI-units (the coefficients are
+    decimals, so scale once and floor-divide — both engines share the
+    formula verbatim):
+      ease  = 206835 - (1015*W) div S - (84600*Y) div W
+      grade = (390*W) div S + (11800*Y) div W - 15590
+    with W = whitespace words, S = sentence-ender runs [.!?]+ clamped to
+    >= 1 (headline-only pages), Y = vowel-group runs [aeiouy]+ over the
+    lowercased text — the standard syllable heuristic; group counting
+    needs no word split since spaces break groups anyway.  W clamps to
+    >= 1 in the divisors only (empty docs surface W=0 with the formula
+    floors, not a crash).  Bands are Flesch's table floors on ease.
+
+    Scale: three JVM regexp counts + integer arithmetic in ONE scan
+    projection — no Python, no shuffle, full codegen."""
+    txt = F.lower(F.col("text"))
+    n_words = F.size(words(F.col("text"))).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(txt, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(txt, F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    out = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).withColumn(
+        "fk_grade_milli",
+        F.expr(
+            "(390 * n_words) div n_sentences"
+            " + (11800 * n_syllables) div greatest(n_words, 1L) - 15590"
+        ).cast("long"),
+    ).withColumn(
+        "reading_ease_milli",
+        F.expr(
+            "206835 - (1015 * n_words) div n_sentences"
+            " - (84600 * n_syllables) div greatest(n_words, 1L)"
+        ).cast("long"),
+    )
+    band = F.when(
+        F.col("reading_ease_milli") >= READABILITY_BANDS[0][0],
+        READABILITY_BANDS[0][1],
+    )
+    for floor, name in READABILITY_BANDS[1:]:
+        band = band.when(F.col("reading_ease_milli") >= floor, name)
+    return out.withColumn(
+        "band", band.otherwise(F.lit("very_difficult"))
+    ).orderBy("doc_id")

@@ -3700,3 +3700,26 @@ def test_kn_continuation_prices_context_locked_tokens(spark):
     assert out[11]["n_kn_hits"] == 0 and out[13]["n_kn_hits"] == 1
     # the seen 'san francisco' bigram is the cheapest of the three
     assert out[13]["bits_sum"] < out[12]["bits_sum"]
+
+
+def test_readability_formula_and_bands(spark):
+    """Exact milli-unit pins on engineered text: 'See Spot run. See Spot
+    play.' = 6 words, 2 sentences, 6 vowel groups -> ease 121.05 clamps
+    into very_easy; a polysyllabic run lands very_difficult; a
+    punctuation-free headline clamps sentences to 1."""
+    from pdf_parser_spark.operators import textstats as ts
+
+    docs = _docs(spark, [
+        (1, "See Spot run. See Spot play.", "en", "s", 1),
+        (2, "incomprehensibility organizational prioritization "
+            "internationalization", "en", "s", 1),
+        (3, "no punctuation here", "en", "s", 1),
+    ])
+    out = {r["doc_id"]: r for r in ts.readability(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    assert r1["reading_ease_milli"] == 206835 - (1015 * 6) // 2 - (84600 * 6) // 6
+    assert r1["fk_grade_milli"] == (390 * 6) // 2 + (11800 * 6) // 6 - 15590
+    assert r1["band"] == "very_easy"
+    assert out[2]["band"] == "very_difficult"  # ~5 vowel groups per word
+    assert out[3]["n_sentences"] == 1          # clamp, not zero-div
