@@ -1700,6 +1700,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_frontier": lambda s, d: (lambda lg: lg.frontier_schedule(
             _docs(s, d)
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # frontier v2: ranking-integrity rules layered on — rank on
+        # FOLLOWED edges only, spam-mass suspects demoted BEFORE slot
+        # assignment (no hole in the politeness spacing)
+        "g_frontier2": lambda s, d: (lambda lg: lg.frontier_schedule_v2(
+            _docs(s, d)
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # the REAL crawl cycle: REAL Arrow extraction picks the ok docs,
         # the quality gate picks the crawl-worthy ones, then outlinks ->
         # PageRank -> robots ∩ quota over the surviving subgraph only
@@ -8338,6 +8344,73 @@ def oracle_sql() -> dict[str, str]:
             fr AS (
                 SELECT a.doc_id, a.host, a.crawl_delay_ms, q.reg_domain, p.rank
                 FROM alw a JOIN quota q USING (doc_id) JOIN pr5 p USING (doc_id)
+            )
+            SELECT doc_id, host, reg_domain, rank,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY rank DESC, doc_id) AS BIGINT) AS fetch_slot,
+                   CAST((row_number() OVER (PARTITION BY host
+                        ORDER BY rank DESC, doc_id) - 1) * crawl_delay_ms
+                        AS BIGINT) AS fetch_at_ms
+            FROM fr ORDER BY doc_id
+        """,
+        # frontier v2: the SAME robots/quota/slot skeleton as g_frontier,
+        # but edges are the followed subset of the rel-formula links, and
+        # pr5/tr5 over that subset feed the spam-mass demotion filter
+        "g_frontier2": f"""
+            WITH {_url_cte},
+            cpath AS (
+                SELECT doc_id, host,
+                       regexp_extract(canonical_url, '{WU.CANON_PATH_RE}', 1) AS path
+                FROM canon
+            ),
+{_rules_cte},
+            alw AS (
+                SELECT c.doc_id, c.host, r.crawl_delay_ms
+                FROM cpath c JOIN rules r USING (host)
+                WHERE r.disallow_prefix IS NULL
+                   OR NOT starts_with(c.path, r.disallow_prefix)
+            ),
+            quota AS (
+                SELECT doc_id, reg_domain FROM (
+                    SELECT c.doc_id, r.reg_domain,
+                           row_number() OVER (PARTITION BY r.reg_domain
+                                              ORDER BY c.doc_id) AS qr
+                    FROM canon c JOIN reg r USING (host)
+                ) t WHERE qr <= 5
+            ),
+            edges AS (
+                SELECT src, dst FROM ({" UNION ALL ".join(
+                    f"SELECT doc_id AS src, "
+                    f"(doc_id * {m} + {a}) % "
+                    f"(SELECT count(*) FROM documents) AS dst, "
+                    f"(doc_id + {k}) % 5 AS r FROM documents"
+                    for k, (m, a) in enumerate(LG.LINK_PARAMS))})
+                WHERE r >= 3
+            ),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+            {_pr_cte},
+            {_tr_cte},
+            c2 AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN doc_id % {LG.TRUST_SEED_MOD} = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds
+                FROM documents
+            ),
+            sus AS (
+                SELECT p.doc_id
+                FROM pr5 p JOIN tr5 t USING (doc_id) CROSS JOIN c2 c
+                WHERE (greatest(p.rank
+                        - (t.trust * (c.n_docs // c.n_seeds)
+                           + (t.trust * (c.n_docs % c.n_seeds))
+                             // c.n_seeds), 0) * 10000) // p.rank
+                      >= {LG.SPAM_MASS_SUSPECT_BP}
+            ),
+            fr AS (
+                SELECT a.doc_id, a.host, a.crawl_delay_ms, q.reg_domain,
+                       p.rank
+                FROM alw a JOIN quota q USING (doc_id)
+                JOIN pr5 p USING (doc_id)
+                WHERE a.doc_id NOT IN (SELECT doc_id FROM sus)
             )
             SELECT doc_id, host, reg_domain, rank,
                    CAST(row_number() OVER (PARTITION BY host

@@ -251,6 +251,7 @@ def _schedule(
     edges: DataFrame,
     per_domain: int,
     iterations: int,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Shared frontier assembly over an explicit (node set, edge list):
     robots-allowed pages, capped at `per_domain` per registered domain,
@@ -276,10 +277,17 @@ def _schedule(
     ranks = pagerank(documents, edges, iterations)
     w = Window.partitionBy("host").orderBy(F.col("rank").desc(), "doc_id")
     slot = F.row_number().over(w).cast("long")
-    return (
+    base = (
         allowed.select("doc_id", "host", "crawl_delay_ms")
         .join(quota.select("doc_id", "reg_domain"), "doc_id")
         .join(ranks, "doc_id")
+    )
+    if exclude is not None:
+        # demotion runs BEFORE slot assignment: an excluded page must not
+        # leave a hole in its host's politeness queue
+        base = base.join(exclude, "doc_id", "left_anti")
+    return (
+        base
         .select(
             "doc_id", "host", "reg_domain", "rank",
             slot.alias("fetch_slot"),
@@ -1361,3 +1369,38 @@ def pagerank_followed(documents: DataFrame, iterations: int = 5) -> DataFrame:
     hinted is a dangling node whose mass is dropped, the same treatment
     plain PageRank gives true sinks here."""
     return pagerank(documents, endorsed_edges(documents), iterations)
+
+
+def frontier_schedule_v2(
+    documents: DataFrame,
+    per_domain: int = 5,
+    iterations: int = 5,
+    suspect_bp: int = SPAM_MASS_SUSPECT_BP,
+) -> DataFrame:
+    """The crawl frontier with BOTH ranking-integrity rules a production
+    scheduler layers on top of frontier_schedule's robots ∩ quota ∩ rank:
+
+      1. Rank on FOLLOWED edges only (pagerank_followed) — rel-hinted
+         links discover pages but buy them no fetch priority.
+      2. Spam-mass demotion: pages whose followed-edge rank is >=
+         suspect_bp unexplained by seed trust (spam_mass over the SAME
+         edge set) are dropped from this cycle's queues entirely —
+         demotion runs BEFORE slot assignment, so a demoted page leaves
+         no hole in its host's politeness spacing.
+
+    Every stage is an already-oracle-checked operator; the composition is
+    held to ONE composed DuckDB oracle, so a drift in the rel parser, the
+    followed-rank, the trust rescale, robots, or quota fails this hash.
+
+    Scale: one extra anti-join on doc_id over frontier_schedule (the
+    suspects frame is rank-table-sized, key-only), plus the trustrank
+    rounds spam_mass already costs — all on the cached edge table."""
+    edges = endorsed_edges(documents)
+    suspects = (
+        spam_mass(documents, edges, iterations, suspect_bp=suspect_bp)
+        .where(F.col("suspect"))
+        .select("doc_id")
+    )
+    return _schedule(
+        documents, edges, per_domain, iterations, exclude=suspects
+    )

@@ -3723,3 +3723,30 @@ def test_readability_formula_and_bands(spark):
     assert r1["band"] == "very_easy"
     assert out[2]["band"] == "very_difficult"  # ~5 vowel groups per word
     assert out[3]["n_sentences"] == 1          # clamp, not zero-div
+
+
+def test_frontier_v2_demotes_suspects_with_dense_slots(spark):
+    """frontier_schedule_v2: every spam-mass suspect (computed over the
+    SAME followed edges) is absent, every emitted page is non-suspect,
+    and per-host slots stay dense after the demotion (no politeness
+    holes)."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    docs = _docs(
+        spark,
+        [(i, f"word{i} text body sample", "en", f"s{i % 4}", 1)
+         for i in range(34)],
+    )
+    edges = lg.endorsed_edges(docs)
+    suspects = {r["doc_id"]
+                for r in lg.spam_mass(docs, edges, iterations=2).collect()
+                if r["suspect"]}
+    rows = lg.frontier_schedule_v2(docs, per_domain=3, iterations=2).collect()
+    assert rows and suspects  # both sides non-trivial on this corpus
+    emitted = {r["doc_id"] for r in rows}
+    assert emitted.isdisjoint(suspects)
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r["fetch_slot"])
+    for slots in by_host.values():
+        assert sorted(slots) == list(range(1, len(slots) + 1))
