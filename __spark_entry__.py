@@ -1190,6 +1190,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_image_dhash": lambda s, d: multimodal.image_dhash(
             multimodal.synthetic_media(_docs(s, d))
         ),
+        # per-window dominant-frequency bin via integer DFT (fixed-point
+        # trig tables shared with the oracle; constellation primitive)
+        "m_audio_spectral": lambda s, d: multimodal.audio_spectral_peaks(
+            multimodal.synthetic_media(_docs(s, d))
+        ),
         # DCT (spectral) hash: exact-integer unnormalized DCT-II over a
         # 32x32 sample, 8x8 low-freq block thresholded on its lower
         # median — the brightness/blur-robust third fingerprint; the
@@ -2586,6 +2591,27 @@ def oracle_sql() -> dict[str, str]:
     # weburl.registered_domain does (longest matching suffix, <= 3 labels)
     from pdf_parser_spark.operators import multimodal as MM
     from pdf_parser_spark.operators import weburl as WU
+
+    # spectral peaks: the 32x64 fixed-point cos/sin tables embedded as
+    # literals; re/im built ONCE per window as lists (linear SQL size),
+    # mags from the lists, argmax via list_position-of-max (first = lowest
+    # bin, matching np.argmax)
+    _spc_rows = [
+        "[" + ", ".join(str(v) for v in row) + "]" for row in MM.SPEC_C
+    ]
+    _sps_rows = [
+        "[" + ", ".join(str(v) for v in row) + "]" for row in MM.SPEC_S
+    ]
+    _spec_re = ", ".join(
+        f"list_sum(list_transform(range(0, {MM.SPEC_WIN}), "
+        f"n -> x[n+1] * ({_spc_rows[k]})[n+1]))"
+        for k in range(MM.SPEC_BINS)
+    )
+    _spec_im = ", ".join(
+        f"list_sum(list_transform(range(0, {MM.SPEC_WIN}), "
+        f"n -> x[n+1] * ({_sps_rows[k]})[n+1]))"
+        for k in range(MM.SPEC_BINS)
+    )
 
     # pHash: the 8x32 fixed-point DCT table embedded as literals (the SAME
     # ints MM.PHASH_C the Spark kernel uses), one list_sum per kept
@@ -5175,6 +5201,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(energy AS BIGINT) AS energy,
                    energy < {MM.AE_SIL_MEANSQ} * n_samps AS is_silence
             FROM en ORDER BY doc_id, win_idx
+        """,
+        # spectral peaks: the synthesis sample formula (the _ae_ctes byte
+        # rule) fed through the embedded-table integer DFT; full windows
+        # only, first-max tie-break = lowest bin
+        "m_audio_spectral": f"""
+            WITH w AS (
+                SELECT doc_id, 1 + doc_id % 2 AS ch,
+                       (200 + doc_id % 100) * (1 + doc_id % 2) AS total
+                FROM documents WHERE doc_id % 3 = 1
+            ), wins AS (
+                SELECT doc_id, ch,
+                       unnest(range(0, total // {MM.SPEC_WIN})) AS win_idx
+                FROM w
+            ), xs AS (
+                SELECT doc_id, win_idx,
+                       list_transform(
+                           range(win_idx * {MM.SPEC_WIN},
+                                 win_idx * {MM.SPEC_WIN} + {MM.SPEC_WIN}),
+                           j -> CASE WHEN ((2*j*13 + ch) % 256)
+                                      + 256 * (((2*j+1)*13 + ch) % 256)
+                                      >= 32768
+                                THEN ((2*j*13 + ch) % 256)
+                                     + 256 * (((2*j+1)*13 + ch) % 256)
+                                     - 65536
+                                ELSE ((2*j*13 + ch) % 256)
+                                     + 256 * (((2*j+1)*13 + ch) % 256)
+                                END) AS x
+                FROM wins
+            ), ri AS (
+                SELECT doc_id, win_idx,
+                       [{_spec_re}] AS re, [{_spec_im}] AS im
+                FROM xs
+            ), mg AS (
+                SELECT doc_id, win_idx,
+                       list_transform(range(0, {MM.SPEC_BINS}),
+                           k -> re[k+1]*re[k+1] + im[k+1]*im[k+1]) AS mags
+                FROM ri
+            )
+            SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+                   CAST(list_position(mags, list_max(mags)) AS INT)
+                       AS peak_bin,
+                   CAST(list_max(mags) AS BIGINT) AS peak_mag2
+            FROM mg ORDER BY doc_id, win_idx
         """,
         # VAD segments: lag + cumulative-flag-change islands over the SAME
         # en CTE (shared fragment — detector and consumer cannot drift)

@@ -1749,3 +1749,99 @@ def image_phash(media: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- spectral peaks: integer-DFT audio fingerprint primitive ---------------
+
+SPEC_WIN = 64     # interleaved int16 samples per analysis window
+SPEC_BINS = 32    # DFT bins kept: k = 1..32 (DC dropped)
+SPEC_SHIFT = 7    # fixed-point scale of the trig tables (2^7) — sized so
+#                   re/im <= 64*32768*128 ≈ 2.7e8 and mag2 = re²+im² ≈
+#                   1.4e17 stays inside int64 WITHOUT any post-division
+#                   (no floor-div on negatives, where engines disagree)
+
+
+def _spec_tables() -> tuple[list[list[int]], list[list[int]]]:
+    """SPEC_BINS x SPEC_WIN cos/sin tables in 2^7 fixed point, rounded
+    ONCE and shared verbatim by the Python kernel and (as embedded
+    literals) the DuckDB oracle — the pHash doctrine for a transform."""
+    import math
+
+    c = [[round(math.cos(2 * math.pi * k * n / SPEC_WIN) * (1 << SPEC_SHIFT))
+          for n in range(SPEC_WIN)] for k in range(1, SPEC_BINS + 1)]
+    s = [[round(math.sin(2 * math.pi * k * n / SPEC_WIN) * (1 << SPEC_SHIFT))
+          for n in range(SPEC_WIN)] for k in range(1, SPEC_BINS + 1)]
+    return c, s
+
+
+SPEC_C, SPEC_S = _spec_tables()
+
+
+def audio_spectral_peaks(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, win_idx, peak_bin, peak_mag2) — the dominant frequency
+    bin per analysis window, the primitive under constellation-style
+    audio fingerprinting (Wang 2003: landmark = time x peak-frequency;
+    matching hashes pairs of peaks): per full window of SPEC_WIN
+    interleaved int16 samples, an UNNORMALIZED integer DFT (fixed-point
+    trig tables, exact BIGINT re/im sums, mag² = re²+im²) and the argmax
+    bin with first-max (lowest-bin) tie-break.  DC is dropped (bin 0 is
+    loudness, already audio_energy's face); partial tail windows are
+    skipped (a 63-sample window's peak is not comparable to a 64-sample
+    one).  Same interleaved window basis as audio_energy, same RIFF
+    chunk-walk envelope clamps, so the two faces can never disagree
+    about which bytes are samples.
+
+    Scale: one Arrow stage — per window a 32x64 integer matvec (two, for
+    re and im), no explode, no shuffle; output rows = total_samples/64."""
+    import numpy as np
+
+    C = np.array(SPEC_C, dtype=np.int64)
+    S = np.array(SPEC_S, dtype=np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "win_idx": [], "peak_bin": [], "peak_mag2": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    continue
+                riff_end = min(8 + struct.unpack_from("<I", b, 4)[0], len(b))
+                data_off = data_size = None
+                i = 12
+                while i + 8 <= riff_end:
+                    cid = b[i:i + 4]
+                    size = struct.unpack_from("<I", b, i + 4)[0]
+                    if cid == b"data":
+                        data_off, data_size = i + 8, size
+                    i += 8 + size + (size & 1)
+                if data_off is None:
+                    continue
+                data_end = min(data_off + data_size, riff_end)
+                n_i16 = max(data_end - data_off, 0) // 2
+                s = np.frombuffer(b, dtype="<i2", count=n_i16,
+                                  offset=data_off).astype(np.int64)
+                for w0 in range(0, (n_i16 // SPEC_WIN) * SPEC_WIN, SPEC_WIN):
+                    x = s[w0:w0 + SPEC_WIN]
+                    re = C @ x
+                    im = S @ x
+                    mag2 = re * re + im * im
+                    k = int(np.argmax(mag2))  # first max = lowest bin
+                    out["doc_id"].append(int(doc_id))
+                    out["win_idx"].append(w0 // SPEC_WIN)
+                    out["peak_bin"].append(k + 1)
+                    out["peak_mag2"].append(int(mag2[k]))
+            yield pd.DataFrame(out)
+
+    return (
+        df.select("doc_id", payload_col)
+        .mapInPandas(
+            fn, "doc_id long, win_idx int, peak_bin int, peak_mag2 long"
+        )
+        .orderBy("doc_id", "win_idx")
+    )

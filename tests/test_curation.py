@@ -3750,3 +3750,32 @@ def test_frontier_v2_demotes_suspects_with_dense_slots(spark):
         by_host.setdefault(r["host"], []).append(r["fetch_slot"])
     for slots in by_host.values():
         assert sorted(slots) == list(range(1, len(slots) + 1))
+
+
+def test_audio_spectral_peak_finds_sinusoid_bin(spark):
+    """A pure sinusoid at bin k dominates window k's spectrum: synthesize
+    int16 PCM cos(2*pi*k*n/64) for k=5 then k=11 (one window each), wrap
+    as RIFF/WAVE, and pin the detected peak bins; the partial tail
+    window is skipped."""
+    import math
+    import struct
+
+    from pdf_parser_spark.operators import multimodal as mm
+
+    def wav_of(samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    win = mm.SPEC_WIN
+    tone = lambda k: [round(1000 * math.cos(2 * math.pi * k * n / win))
+                      for n in range(win)]
+    payload = wav_of(tone(5) + tone(11) + [100] * 10)  # partial tail drops
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    rows = {r["win_idx"]: r for r in mm.audio_spectral_peaks(df).collect()}
+    assert sorted(rows) == [0, 1]          # the 10-sample tail is skipped
+    assert rows[0]["peak_bin"] == 5
+    assert rows[1]["peak_bin"] == 11
+    assert rows[0]["peak_mag2"] > 0
