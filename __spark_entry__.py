@@ -1754,6 +1754,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_redirect_resolve": lambda s, d: weburl.resolve_redirects(
             weburl.with_synthetic_redirects(_docs(s, d))
         ),
+        # on-page rel=canonical declarations: real html parse -> chained
+        # declarations resolved by the SAME pointer-doubling resolver ->
+        # per-doc canonical + cluster size
+        "u_rel_canonical": lambda s, d: weburl.rel_canonical_clusters(
+            weburl.with_synthetic_canonical_html(_docs(s, d))
+        ),
         # the consumer: alias-group accounting — every doc keyed by the
         # terminal url its own url resolves to, min-doc_id keeper election
         "u_redirect_groups": lambda s, d: weburl.canonical_url_groups(
@@ -8618,6 +8624,25 @@ def oracle_sql() -> dict[str, str]:
         # reach; the engine's pointer doubling must land on the same
         # terminal and exact hop count.  Url formula interpolates from
         # operators/weburl.py (anti-drift).
+        # rel=canonical: clusters are doc_id runs of MOD consecutive ids,
+        # canonical = the run's base (chains resolve to the self-declared
+        # terminal); the last partial run keeps its smaller size
+        "u_rel_canonical": f"""
+            WITH u AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 7)
+                           || '.example.org/item/' || doc_id AS url,
+                       doc_id - doc_id % {WU.CANONICAL_CHAIN_MOD} AS base
+                FROM documents
+            )
+            SELECT doc_id, url,
+                   'https://site' || (base % 7)
+                       || '.example.org/item/' || base AS canonical_url,
+                   CAST(count(*) OVER (PARTITION BY base) AS BIGINT)
+                       AS n_in_cluster,
+                   doc_id = base AS is_canonical
+            FROM u ORDER BY doc_id
+        """,
         "u_redirect_resolve": f"""
             WITH RECURSIVE redirects AS (
                 SELECT {WU.REDIR_URL_SQL.format(d="doc_id")} AS src,

@@ -1659,3 +1659,85 @@ def crawl_queue_audit(documents: DataFrame) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical clusters
+# ---------------------------------------------------------------------------
+
+# canonical-chain synthesis: doc_id % CANONICAL_CHAIN_MOD == 0 pages declare
+# SELF-canonical (the best-practice terminal); every other page declares the
+# next id down, so variant chains (print view -> paginated -> base) run up
+# to MOD-1 hops and every cluster is a doc_id run of MOD consecutive ids.
+CANONICAL_CHAIN_MOD = 4
+
+
+def _canon_page_url(d):
+    return F.concat(
+        F.lit("https://site"), d % 7, F.lit(".example.org/item/"), d
+    )
+
+
+def with_synthetic_canonical_html(documents: DataFrame) -> DataFrame:
+    """html column carrying a real ``<link rel="canonical" href=...>``
+    element per the chain formula above (terminals self-canonical, the
+    standard recommendation), so the oracle re-derives every cluster."""
+    d = F.col("doc_id")
+    target = F.when(
+        d % CANONICAL_CHAIN_MOD == 0, _canon_page_url(d)
+    ).otherwise(_canon_page_url(d - 1))
+    html = F.concat(
+        F.lit('<html><head><link rel="canonical" href="'), target,
+        F.lit('"></head><body><p>'), F.substring(F.col("text"), 1, 40),
+        F.lit("</p></body></html>"),
+    )
+    return documents.withColumn("url", _canon_page_url(d)) \
+                    .withColumn("html", html)
+
+
+def rel_canonical_clusters(pages: DataFrame) -> DataFrame:
+    """(doc_id, url, canonical_url, n_in_cluster, is_canonical) — honor
+    the on-page ``rel=canonical`` declaration, the second alias channel
+    next to HTTP redirects (print views, paginated variants, tracking-url
+    mirrors all declare a canonical; a crawl that ignores it indexes and
+    dedups every variant separately).  Declarations CHAIN in the wild
+    (variant -> paginated base -> clean base), so resolution reuses
+    resolve_redirects' pointer-doubling verbatim — O(log L) shuffles for
+    L-hop chains, cycle-safe — on edges extracted from the html with one
+    JVM regexp (self-declarations drop out as terminals; an absent or
+    self link makes the page its own canonical, per the spec's advisory
+    semantics).
+
+    Scale: extraction is a narrow scan projection; the resolver is the
+    shared log-round join; the cluster size is one window on the
+    canonical key.  Same shape as canonical_url_groups, different alias
+    channel — run both and chain them for the full variant story."""
+    from pyspark.sql import Window
+
+    decl = F.regexp_extract(
+        "html", r'<link rel="canonical" href="([^"]*)"', 1
+    )
+    base = pages.select(
+        "doc_id", "url", F.nullif(decl, F.lit("")).alias("decl")
+    )
+    edges = (
+        base.where(F.col("decl").isNotNull()
+                   & (F.col("decl") != F.col("url")))
+        .select(F.col("url").alias("src"), F.col("decl").alias("dst"))
+    )
+    resolved = resolve_redirects(edges)
+    out = (
+        base.join(resolved.select("url", "final_url"), "url", "left")
+        .select(
+            "doc_id", "url",
+            F.coalesce("final_url", "url").alias("canonical_url"),
+        )
+        .withColumn(
+            "n_in_cluster",
+            F.count("*").over(
+                Window.partitionBy("canonical_url")
+            ).cast("long"),
+        )
+        .withColumn("is_canonical", F.col("canonical_url") == F.col("url"))
+    )
+    return out.orderBy("doc_id")

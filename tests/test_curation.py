@@ -3779,3 +3779,31 @@ def test_audio_spectral_peak_finds_sinusoid_bin(spark):
     assert rows[0]["peak_bin"] == 5
     assert rows[1]["peak_bin"] == 11
     assert rows[0]["peak_mag2"] > 0
+
+
+def test_rel_canonical_chains_cycles_and_self(spark):
+    """Canonical resolution pins: chained declarations fold to the
+    terminal, self/absent declarations are their own canonical, and a
+    declaration CYCLE (a<->b) leaves both pages self-canonical rather
+    than hanging (the resolver's unresolved verdict maps to
+    keep-your-own-url, the spec's advisory fallback)."""
+    from pdf_parser_spark.operators import weburl as wu
+
+    link = lambda href: (f'<html><head><link rel="canonical" '
+                         f'href="{href}"></head></html>')
+    rows = [
+        (1, "u://a", link("u://b")),       # chain a -> b -> c
+        (2, "u://b", link("u://c")),
+        (3, "u://c", link("u://c")),       # self-canonical terminal
+        (4, "u://d", "<html><head></head></html>"),  # no declaration
+        (5, "u://x", link("u://y")),       # cycle x <-> y
+        (6, "u://y", link("u://x")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    out = {r["doc_id"]: r for r in wu.rel_canonical_clusters(df).collect()}
+    assert out[1]["canonical_url"] == out[2]["canonical_url"] == "u://c"
+    assert out[3]["canonical_url"] == "u://c" and out[3]["is_canonical"]
+    assert out[3]["n_in_cluster"] == 3
+    assert out[4]["canonical_url"] == "u://d" and out[4]["is_canonical"]
+    for i in (5, 6):  # cycle: advisory fallback, self-canonical
+        assert out[i]["is_canonical"] and out[i]["n_in_cluster"] == 1
