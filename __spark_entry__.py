@@ -719,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weekly cohort retention matrix: first-active-week cohorts x
         # week offsets, exact-bp retained share — all keyed shuffles
         "w7_cohort_retention": R.w7_cohort_retention,
+        # last-touch attribution: one ignorenulls struct-carry window
+        "w8_attribution": R.w8_attribution,
         # native session_window (third sessionize face; INCLUSIVE merge
         # boundary — an event at exactly prev+gap merges, same as W4's lag
         # rule; pinned by the oracle's `> gap` new-session test and the
@@ -2963,6 +2965,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # first-touch funnel: per-user conditional mins chained strictly,
         # counts of non-null steps, integer-bp conversion
+        # last-touch attribution: same ignorenulls struct-carry window,
+        # same lookback/direct predicates
+        "w8_attribution": f"""
+            WITH base AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                       CAST(round(value * 100) AS BIGINT) AS value_cents
+                FROM events
+            ), carried AS (
+                SELECT *,
+                       last_value(CASE WHEN event_type IN ({", ".join(
+                           f"'{t}'" for t in R.ATTR_TOUCHES)})
+                           THEN {{'tes': es, 'tid': event_id,
+                                  'tty': event_type}} END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS lt
+                FROM base
+            )
+            SELECT event_id, user_id, value_cents,
+                   CASE WHEN lt IS NOT NULL
+                             AND es - lt.tes <= {R.ATTR_LOOKBACK_S}
+                        THEN lt.tty ELSE 'direct' END AS touch_type,
+                   CAST(CASE WHEN lt IS NOT NULL
+                             AND es - lt.tes <= {R.ATTR_LOOKBACK_S}
+                        THEN lt.tid ELSE -1 END AS BIGINT)
+                        AS touch_event_id,
+                   CAST(CASE WHEN lt IS NOT NULL
+                             AND es - lt.tes <= {R.ATTR_LOOKBACK_S}
+                        THEN es - lt.tes ELSE -1 END AS BIGINT) AS gap_s
+            FROM carried WHERE event_type = 'purchase'
+            ORDER BY event_id
+        """,
         "w5_funnel": """
             WITH u1 AS (
                 SELECT user_id,

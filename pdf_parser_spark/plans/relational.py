@@ -1114,3 +1114,69 @@ def w7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --- W8: last-touch attribution --------------------------------------------
+
+ATTR_LOOKBACK_S = 3600  # touch must precede the purchase by <= 1 hour
+ATTR_TOUCHES = ("click", "signup", "view")  # error is never a touch
+
+
+def w8_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the marketing-analytics staple beside the
+    funnel (w5) and cohorts (w7): every purchase is credited to the LAST
+    qualifying touch (view/click/signup, never error) by the same user
+    within a lookback window; purchases with no touch inside it are
+    'direct'.
+
+    Dataflow: ONE window over (user_id, ts, event_id) carrying the
+    last-seen touch as a struct via last(..., ignorenulls) over rows
+    [unbounded, -1] — no self-join, no per-purchase subquery; the
+    lookback and direct rules are pure column predicates on the carried
+    struct.  Deterministic under ts ties via the event_id tie-break.
+
+    Output: per-purchase (event_id, user_id, touch_type, touch_event_id,
+    gap_s) + a value_cents column (exact integer cents) — the rollup is
+    the consumer's one groupBy away.
+
+    Scale: one shuffle on user_id (the same partitioning w1/w4 already
+    use — co-locating all the w-family on a user-bucketed layout makes
+    every one of these a local sort), nothing else."""
+    ev = load(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        epoch.alias("es"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin(*ATTR_TOUCHES),
+        F.struct(
+            F.col("es").alias("tes"),
+            F.col("event_id").alias("tid"),
+            F.col("event_type").alias("tty"),
+        ),
+    )
+    carried = base.withColumn("lt", F.last(touch, ignorenulls=True).over(w))
+    in_window = (
+        F.col("lt").isNotNull()
+        & (F.col("es") - F.col("lt.tes") <= ATTR_LOOKBACK_S)
+    )
+    return (
+        carried.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "value_cents",
+            F.when(in_window, F.col("lt.tty"))
+            .otherwise(F.lit("direct")).alias("touch_type"),
+            F.when(in_window, F.col("lt.tid"))
+            .otherwise(F.lit(-1)).cast("long").alias("touch_event_id"),
+            F.when(in_window, F.col("es") - F.col("lt.tes"))
+            .otherwise(F.lit(-1)).cast("long").alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )

@@ -4303,3 +4303,44 @@ def test_table_dedup_inplace_lifecycle(spark, tmp_path):
     tf.purge_deletes(spark, path)
     assert sorted(r["doc_id"] for r in tf.read_table(spark, path).collect()) \
         == [1, 2]  # 5 (normalized dup) and 9 (exact dup) deleted
+
+
+def test_w8_attribution_rules(spark, tmp_path):
+    """Attribution pins on an engineered event stream: last touch wins
+    over earlier ones, error never attributes, outside-lookback falls to
+    direct, ts ties break by event_id, and a purchase can itself be a
+    later purchase's non-touch (purchases never attribute)."""
+    import datetime as dt
+
+    from pdf_parser_spark.plans import relational as R
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda off: t0 + dt.timedelta(seconds=off)
+    rows = [
+        # user 1: view then click then purchase -> click (last touch)
+        (1, s(0), 1, "view", 10.0, "{}"),
+        (2, s(10), 1, "click", 10.0, "{}"),
+        (3, s(20), 1, "purchase", 25.0, "{}"),
+        # user 2: touch outside the 3600s lookback -> direct
+        (4, s(0), 2, "click", 1.0, "{}"),
+        (5, s(4000), 2, "purchase", 5.0, "{}"),
+        # user 3: error is never a touch -> direct
+        (6, s(0), 3, "error", 1.0, "{}"),
+        (7, s(5), 3, "purchase", 5.0, "{}"),
+        # user 4: ts tie -> higher event_id is the later touch
+        (8, s(0), 4, "view", 1.0, "{}"),
+        (9, s(0), 4, "click", 1.0, "{}"),
+        (10, s(1), 4, "purchase", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["event_id"]: r
+           for r in R.w8_attribution(spark, str(tmp_path)).collect()}
+    assert (out[3]["touch_type"], out[3]["touch_event_id"],
+            out[3]["gap_s"]) == ("click", 2, 10)
+    assert out[3]["value_cents"] == 2500
+    assert out[5]["touch_type"] == "direct" and out[5]["gap_s"] == -1
+    assert out[7]["touch_type"] == "direct"
+    assert (out[10]["touch_type"], out[10]["touch_event_id"]) == ("click", 9)
