@@ -1012,6 +1012,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pdf_parser_spark.streaming.ratelimit",
             fromlist=["rate_limit_via_stream"],
         ).rate_limit_via_stream(s, d),
+        # streaming last-touch attribution: per-user stateful touch-carry
+        # (applyInPandasWithState); one-batch replay -> the batch W8 SQL
+        # is the oracle verbatim; cross-batch carry pinned in pytest
+        "st_attribution": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.attribution",
+            fromlist=["attribution_via_stream"],
+        ).attribution_via_stream(s, d),
         # streaming right-to-be-forgotten: delete-request batches ->
         # foreachBatch(delete_keys) MOR commits, exactly-once via the
         # txnAppId-style token; read merges at scan time
@@ -2850,6 +2857,38 @@ def oracle_sql() -> dict[str, str]:
                 ) AS reasons
                 FROM gsig)"""
 
+    _w8_sql = f"""
+            WITH base AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                       CAST(round(value * 100) AS BIGINT) AS value_cents
+                FROM events
+            ), carried AS (
+                SELECT *,
+                       last_value(CASE WHEN event_type IN ({", ".join(
+                           f"'{t}'" for t in R.ATTR_TOUCHES)})
+                           THEN {{'tes': es, 'tid': event_id,
+                                  'tty': event_type}} END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS lt
+                FROM base
+            )
+            SELECT event_id, user_id, value_cents,
+                   CASE WHEN lt IS NOT NULL
+                             AND es - lt.tes <= {R.ATTR_LOOKBACK_S}
+                        THEN lt.tty ELSE 'direct' END AS touch_type,
+                   CAST(CASE WHEN lt IS NOT NULL
+                             AND es - lt.tes <= {R.ATTR_LOOKBACK_S}
+                        THEN lt.tid ELSE -1 END AS BIGINT)
+                        AS touch_event_id,
+                   CAST(CASE WHEN lt IS NOT NULL
+                             AND es - lt.tes <= {R.ATTR_LOOKBACK_S}
+                        THEN es - lt.tes ELSE -1 END AS BIGINT) AS gap_s
+            FROM carried WHERE event_type = 'purchase'
+            ORDER BY event_id
+        """
+
     sql = {
         "w1_event_sequence": """
             SELECT user_id, event_id,
@@ -2967,37 +3006,11 @@ def oracle_sql() -> dict[str, str]:
         # counts of non-null steps, integer-bp conversion
         # last-touch attribution: same ignorenulls struct-carry window,
         # same lookback/direct predicates
-        "w8_attribution": f"""
-            WITH base AS (
-                SELECT event_id, user_id, event_type,
-                       CAST(floor(epoch(ts)) AS BIGINT) AS es,
-                       CAST(round(value * 100) AS BIGINT) AS value_cents
-                FROM events
-            ), carried AS (
-                SELECT *,
-                       last_value(CASE WHEN event_type IN ({", ".join(
-                           f"'{t}'" for t in R.ATTR_TOUCHES)})
-                           THEN {{'tes': es, 'tid': event_id,
-                                  'tty': event_type}} END IGNORE NULLS)
-                       OVER (PARTITION BY user_id ORDER BY es, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND 1 PRECEDING) AS lt
-                FROM base
-            )
-            SELECT event_id, user_id, value_cents,
-                   CASE WHEN lt IS NOT NULL
-                             AND es - lt.tes <= {R.ATTR_LOOKBACK_S}
-                        THEN lt.tty ELSE 'direct' END AS touch_type,
-                   CAST(CASE WHEN lt IS NOT NULL
-                             AND es - lt.tes <= {R.ATTR_LOOKBACK_S}
-                        THEN lt.tid ELSE -1 END AS BIGINT)
-                        AS touch_event_id,
-                   CAST(CASE WHEN lt IS NOT NULL
-                             AND es - lt.tes <= {R.ATTR_LOOKBACK_S}
-                        THEN es - lt.tes ELSE -1 END AS BIGINT) AS gap_s
-            FROM carried WHERE event_type = 'purchase'
-            ORDER BY event_id
-        """,
+        "w8_attribution": _w8_sql,
+        # streaming twin: one-batch replay makes stream order = global
+        # order, so the batch SQL is the oracle VERBATIM (ratelimit
+        # doctrine); cross-batch state carry is pinned in pytest
+        "st_attribution": _w8_sql,
         "w5_funnel": """
             WITH u1 AS (
                 SELECT user_id,

@@ -4344,3 +4344,50 @@ def test_w8_attribution_rules(spark, tmp_path):
     assert out[5]["touch_type"] == "direct" and out[5]["gap_s"] == -1
     assert out[7]["touch_type"] == "direct"
     assert (out[10]["touch_type"], out[10]["touch_event_id"]) == ("click", 9)
+
+
+def test_streaming_attribution_cross_batch_carry(spark, tmp_path):
+    """The stateful stream's reason to exist: a purchase in batch 1
+    attributes to a touch from batch 0 (state carry), a too-old carried
+    touch yields direct, and error never replaces the carried touch."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming.attribution import stream_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_batch(path, rows):  # (event_id, off_s, user, type, value)
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }), path)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    write_batch(str(in_dir / "b0.parquet"), [
+        (1, 0, 1, "click", 1.0),     # user 1's touch, batch 0
+        (2, 0, 2, "view", 1.0),      # user 2's touch, far in the past
+    ])
+    q = stream_attribution(spark, str(in_dir), str(tmp_path / "ckpt"),
+                           "attr_test")
+    q.processAllAvailable()
+    write_batch(str(in_dir / "b1.parquet"), [
+        (3, 30, 1, "error", 1.0),    # must NOT replace user 1's click
+        (4, 60, 1, "purchase", 2.5),
+        (5, 5000, 2, "purchase", 3.0),  # carried view is past lookback
+    ])
+    q.processAllAvailable()
+    q.stop()
+    out = {r["event_id"]: r for r in spark.table("attr_test").collect()}
+    assert (out[4]["touch_type"], out[4]["touch_event_id"],
+            out[4]["gap_s"]) == ("click", 1, 60)
+    assert out[4]["value_cents"] == 250
+    assert out[5]["touch_type"] == "direct" and out[5]["gap_s"] == -1
