@@ -418,6 +418,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_snapshots(spark, sf_dir):
+        """Metadata-table introspection: a deterministic lifecycle
+        (append, append, compact, MOR delete, append — every file count
+        pinned by coalesce(1)/small-table compaction) and then the
+        version history queried AS A TABLE: one row per version with the
+        derived commit kind and file/row deltas.  The oracle states the
+        expected history literally with row counts from the documents
+        strata."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        work = tempfile.mkdtemp(prefix="tblsnap_")
+        try:
+            d = F.col("doc_id")
+            docs = _docs(spark, sf_dir)
+            tf.append_snapshot(docs.where(d % 3 == 0).coalesce(1), work)
+            tf.append_snapshot(docs.where(d % 3 == 1).coalesce(1), work)
+            tf.compact_table(spark, work)
+            tf.delete_keys(
+                spark, docs.where(d % 5 == 0).select("doc_id"), work,
+                "doc_id")
+            tf.append_snapshot(docs.where(d % 3 == 2).coalesce(1), work)
+            return tf.snapshots_table(spark, work).persist()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _table_dedup_inplace(spark, sf_dir):
         """Lakehouse dedup maintenance under ONE hash — the operation a
         10^12-row corpus runs every crawl cycle: the table ingests docs
@@ -1390,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_table_pos_delete": _table_pos_delete,
         "u_table_branch": _table_branch,
         "u_table_dedup_inplace": _table_dedup_inplace,
+        "u_table_snapshots": _table_snapshots,
         # add-column evolution (NULL backfill for pre-evolution files) +
         # metadata-only column drop
         "u_table_schema_evolution": _table_schema_evolution,
@@ -5998,6 +6027,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE (doc_id % 3 < 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
             ORDER BY doc_id
+        """,
+        # metadata table: the literal expected history, row counts from
+        # the strata (file counts pinned by coalesce(1)/compaction)
+        "u_table_snapshots": """
+            SELECT * FROM (VALUES
+                (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'append', 1, 1,
+                 (SELECT count(*) FROM documents WHERE doc_id % 3 = 0), 0),
+                (2, 1, 'append', 1, 2,
+                 (SELECT count(*) FROM documents WHERE doc_id % 3 = 1), 0),
+                (3, 2, 'compact', 1, 1, CAST(0 AS BIGINT), 0),
+                (4, 3, 'delete', 0, 1, 0, 1),
+                (5, 4, 'append', 1, 2,
+                 (SELECT count(*) FROM documents WHERE doc_id % 3 = 2), 1)
+            ) AS t(version, parent_version, kind, n_added_files,
+                   n_all_files, added_rows, n_delete_files)
+            ORDER BY version
         """,
         # in-place dedup maintenance: after recrawl-copy injection,
         # election, MOR delete of losers, and purge, the table is exactly

@@ -2094,3 +2094,58 @@ def incremental_mv(
             .where(F.col("n_rows") > 0)
         )
     return mv
+
+
+def snapshots_table(spark: SparkSession, path: str) -> DataFrame:
+    """The version history AS A QUERYABLE DataFrame — Iceberg's metadata
+    tables (`db.tbl.snapshots` / `.files`), the introspection surface an
+    operator dashboards and retention jobs query with plain SQL instead
+    of parsing manifests: one row per version with its commit kind
+    derived from the manifest markers (append / delete / purge /
+    overwrite / fast_forward / compact-or-rewrite), file and row deltas,
+    and the pending-delete count.
+
+    Deterministic by construction: only counts and derived kinds are
+    exposed (never uuid paths), so the face hash-checks.  Driver-side
+    metadata — the history is one tiny JSON per version, the same scale
+    class as snapshots()/list_refs; the RESULT is a DataFrame so it
+    composes into joins with real tables (e.g. 'which versions added the
+    rows this query reads')."""
+    rows = []
+    snaps = snapshots(path)
+    by_v = {m["version"]: m for m in snaps}
+    for m in snaps:
+        # parent may be expired (GC drops old version files) — treat a
+        # missing parent as delete-free rather than re-reading disk
+        parent = by_v.get(m.get("parent_version"))
+        parent_dels = len(parent.get("delete_files", [])) if parent else 0
+        if m.get("fast_forward_of") is not None:
+            kind = "fast_forward"
+        elif m.get("overwrite_of") is not None:
+            kind = "overwrite"
+        elif m.get("purge_of") is not None:
+            kind = "purge"
+        elif m.get("compaction_of") is not None:
+            kind = "compact"
+        elif m.get("zorder_by") is not None:
+            kind = "zorder"
+        elif len(m.get("delete_files", [])) > parent_dels:
+            kind = "delete"
+        elif m.get("added_files"):
+            kind = "append"
+        else:
+            kind = "rewrite"
+        rows.append((
+            int(m["version"]),
+            int(m["parent_version"]) if m.get("parent_version") else 0,
+            kind,
+            len(m.get("added_files", [])),
+            len(m.get("all_files", [])),
+            int(m.get("added_rows", 0)),
+            len(m.get("delete_files", [])),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version long, parent_version long, kind string, n_added_files int,"
+        " n_all_files int, added_rows long, n_delete_files int",
+    ).orderBy("version")

@@ -4391,3 +4391,33 @@ def test_streaming_attribution_cross_batch_carry(spark, tmp_path):
             out[4]["gap_s"]) == ("click", 1, 60)
     assert out[4]["value_cents"] == 250
     assert out[5]["touch_type"] == "direct" and out[5]["gap_s"] == -1
+
+
+def test_snapshots_table_kinds(spark, tmp_path):
+    """Every commit kind derives correctly from its manifest markers:
+    append / delete / purge / overwrite / fast_forward, and parent
+    expiry degrades gracefully (missing parent = delete-free)."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id long, v string"
+    ).coalesce(1)
+    tf.append_snapshot(mk(0, 4), path)                          # v1
+    tf.delete_keys(spark, spark.createDataFrame([(1,)], "id long"),
+                   path, "id")                                   # v2
+    tf.purge_deletes(spark, path)                                # v3
+    tf.overwrite_snapshot(mk(10, 12), path)                      # v4
+    tf.create_branch(path, "b")
+    tf.branch_append(mk(20, 21), path, "b")
+    tf.fast_forward(path, "b")                                   # v5
+    kinds = {r["version"]: r["kind"]
+             for r in tf.snapshots_table(spark, path).collect()}
+    assert kinds == {1: "append", 2: "delete", 3: "purge",
+                     4: "overwrite", 5: "fast_forward"}
+    # expire v1-v2; the survivors still derive kinds without their parents
+    tf.drop_ref(path, "b")
+    tf.expire_snapshots(path, keep_from=3, min_age_s=0)
+    kinds2 = {r["version"]: r["kind"]
+              for r in tf.snapshots_table(spark, path).collect()}
+    assert kinds2 == {3: "purge", 4: "overwrite", 5: "fast_forward"}
