@@ -814,6 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)),
         # Flesch reading ease + FK grade in exact milli-units, one scan
         "t_readability": lambda s, d: textstats.readability(_docs(s, d)),
+        # TTR + moving-average TTR (MATTR) lexical diversity, all-JVM
+        "t_lexical_diversity": lambda s, d: textstats.lexical_diversity(
+            _docs(s, d)),
         # per-language tokenizer fertility (multilingual-fairness stat)
         "t_fertility": lambda s, d: textstats.tokenizer_fertility(_docs(s, d)),
         # per-doc n-gram novelty vs everything ingested before it (the
@@ -3795,6 +3798,33 @@ def oracle_sql() -> dict[str, str]:
                        for fl, nm in TS.READABILITY_BANDS)}
                    ELSE 'very_difficult' END AS band
             FROM m ORDER BY doc_id
+        """,
+        # TTR + MATTR: same sliding 25-token windows (DuckDB slices are
+        # 1-based inclusive = Spark slice(i, win)), short docs fall back
+        "t_lexical_diversity": f"""
+            WITH ta AS (
+                SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS t
+                FROM documents
+            ), c AS (
+                SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+                       CASE WHEN len(t) >= {TS.MATTR_WIN} THEN
+                           list_transform(
+                               range(1, len(t) - {TS.MATTR_WIN} + 2),
+                               i -> len(list_distinct(
+                                   t[i:i + {TS.MATTR_WIN} - 1])))
+                       END AS wins
+                FROM ta
+            )
+            SELECT doc_id, n_tokens, n_types,
+                   CAST((10000 * n_types) // greatest(n_tokens, 1)
+                        AS BIGINT) AS ttr_bp,
+                   CAST(coalesce(
+                       (10000 * list_sum(wins))
+                           // ({TS.MATTR_WIN} * len(wins)),
+                       (10000 * n_types) // greatest(n_tokens, 1))
+                        AS BIGINT) AS mattr_bp
+            FROM c ORDER BY doc_id
         """,
         # interpolated Kneser-Ney bigram surprisal: continuation counts
         # (N1+ per context, N_cont per word, T bigram types) in quarters

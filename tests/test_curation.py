@@ -3807,3 +3807,29 @@ def test_rel_canonical_chains_cycles_and_self(spark):
     assert out[4]["canonical_url"] == "u://d" and out[4]["is_canonical"]
     for i in (5, 6):  # cycle: advisory fallback, self-canonical
         assert out[i]["is_canonical"] and out[i]["n_in_cluster"] == 1
+
+
+def test_lexical_diversity_mattr(spark):
+    """MATTR pins: a 50-token doc of one repeated token scores 10000/25
+    = 400 bp per window; an all-distinct doc scores 10000; a short doc
+    falls back to plain TTR; and MATTR is length-stable where TTR is
+    not (the Covington-McFall point)."""
+    from pdf_parser_spark.operators import textstats as ts
+
+    rep = " ".join(["tok"] * 50)
+    uniq = " ".join(f"w{i}" for i in range(50))
+    cyc = " ".join(f"c{i % 10}" for i in range(30))     # 10-token cycle
+    cyc_long = " ".join(f"c{i % 10}" for i in range(300))
+    docs = _docs(spark, [
+        (1, rep, "en", "s", 1), (2, uniq, "en", "s", 1),
+        (3, "a b a", "en", "s", 1),                     # short fallback
+        (4, cyc, "en", "s", 1), (5, cyc_long, "en", "s", 1),
+    ])
+    out = {r["doc_id"]: r for r in ts.lexical_diversity(docs).collect()}
+    assert out[1]["mattr_bp"] == 10000 // 25            # 1 type / window
+    assert out[2]["mattr_bp"] == 10000 and out[2]["ttr_bp"] == 10000
+    assert out[3]["mattr_bp"] == out[3]["ttr_bp"] == (10000 * 2) // 3
+    # every 25-window of a 10-cycle has exactly 10 types -> 4000 bp at
+    # BOTH lengths, while plain TTR collapses 10x on the long doc
+    assert out[4]["mattr_bp"] == out[5]["mattr_bp"] == 4000
+    assert out[5]["ttr_bp"] < out[4]["ttr_bp"]
