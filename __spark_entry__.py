@@ -871,6 +871,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_url_templates": lambda s, d: weburl.url_templates(
             weburl.with_trap_urls(_docs(s, d))
         ),
+        # soft-404 detection (Bar-Yossef WWW 2004 probe trick, the crawl's
+        # own hard 404s as the free probes): error-title regexp + host
+        # error-template length band, broadcast host dim
+        "u_soft404": lambda s, d: weburl.soft404_audit(
+            weburl.with_fetch_log(_docs(s, d))
+        ),
         # RFC 9309 §2.2.2 longest-match Allow/Disallow decisions: rules
         # parsed from real bytes (shared group resolution), one struct-max
         # per url
@@ -5684,6 +5690,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, url, trap_reasons,
                    trap_reasons <> '' AS is_trap
+            FROM flags ORDER BY doc_id
+        """,
+        # soft-404 audit: synthesis mirrored (hosts, statuses, titles,
+        # template lengths), then the op's two rules verbatim — per-host
+        # MIN over hard-error lengths as the template profile, phrase
+        # regexp + tolerance band on the 200-status stream
+        "u_soft404": f"""
+            WITH syn AS (
+                SELECT doc_id, doc_id % 10 AS h,
+                       400 + (doc_id % 10) * 7 AS tmpl,
+                       (doc_id % 13 = 0 OR doc_id % 17 = 0) AS is_hard,
+                       (NOT (doc_id % 13 = 0 OR doc_id % 17 = 0))
+                           AND doc_id % 11 = 0 AS is_soft
+                FROM documents
+            ), log AS (
+                SELECT doc_id,
+                    'https://site' || h || '.example.com/docs/' || doc_id
+                        AS url,
+                    'site' || h || '.example.com' AS host,
+                    CASE WHEN doc_id % 13 = 0 THEN 404
+                         WHEN doc_id % 17 = 0 THEN 410 ELSE 200 END
+                        AS status,
+                    CASE WHEN is_hard THEN '404 Not Found - site' || h
+                         WHEN is_soft AND doc_id % 22 = 0
+                             THEN 'Oops! Page Not Found'
+                         WHEN NOT is_hard AND NOT is_soft
+                                  AND doc_id % 23 = 0
+                             THEN 'Error 404 - doc ' || doc_id
+                         ELSE 'Doc ' || doc_id END AS title,
+                    CAST(CASE WHEN is_hard THEN tmpl + doc_id % 3
+                              WHEN is_soft THEN tmpl + doc_id % 5
+                              ELSE 2000 + (doc_id * 37) % 1500 END
+                         AS BIGINT) AS content_len
+                FROM syn
+            ), tm AS (
+                SELECT host, MIN(content_len) AS template_len
+                FROM log WHERE status IN (404, 410) GROUP BY host
+            ), flags AS (
+                SELECT l.doc_id, l.url, l.host, l.status, l.content_len,
+                       t.template_len,
+                       concat_ws(';',
+                         CASE WHEN regexp_matches(l.title,
+                                  '{WU.SOFT404_TITLE_RE}')
+                              THEN 'error_title' END,
+                         CASE WHEN t.template_len IS NOT NULL
+                                  AND abs(l.content_len - t.template_len)
+                                      <= {WU.SOFT404_LEN_TOL}
+                              THEN 'template_len' END
+                       ) AS soft404_reasons
+                FROM log l LEFT JOIN tm t USING (host)
+                WHERE l.status = 200
+            )
+            SELECT doc_id, url, host, status, content_len, template_len,
+                   soft404_reasons, soft404_reasons <> '' AS is_soft404
             FROM flags ORDER BY doc_id
         """,
         # domain quality prior: the SAME _quality_sql fragment as

@@ -1741,3 +1741,114 @@ def rel_canonical_clusters(pages: DataFrame) -> DataFrame:
         .withColumn("is_canonical", F.col("canonical_url") == F.col("url"))
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Soft-404 detection: 200-status pages that are really error pages.
+# Bar-Yossef/Broder/Kumar/Tomkins, "Sic Transit Gloria Telae" (WWW 2004)
+# introduced the probe technique: fetch a known-junk URL per host, learn the
+# host's error TEMPLATE, and flag any 200 page matching it.  The batch
+# analog over a crawl log needs no extra fetches — the hard 404s the crawl
+# already recorded ARE the probe responses.
+# ---------------------------------------------------------------------------
+
+SOFT404_LEN_TOL = 8         # bytes: |content_len - template_len| within this
+                            # matches the host's error template (templates
+                            # vary by the echoed URL only)
+# RE2/Java/DuckDB-common error phrasing; anchored to phrases, not bare
+# digits, so a product page titled "Model 404" needs the full phrase
+SOFT404_TITLE_RE = r"(?i)(page not found|not found|does not exist|error 404)"
+HARD_404_STATUSES = (404, 410)
+
+
+def with_fetch_log(documents: DataFrame) -> DataFrame:
+    """Synthesis: a crawl fetch log (doc_id, url, host, status, title,
+    content_len) over 10 hosts.  doc_id picks the flavor — %13 hard 404,
+    %17 hard 410 (both with the host's error-template length 400+7*h plus
+    0..2 jitter), %11 soft 404 (status 200 at template length; every
+    second one also titled like an error), %23 error-titled but
+    normal-length (title rule only), else a clean page at length >= 2000,
+    far above any template band.  All arithmetic re-derivable in SQL."""
+    d = F.col("doc_id")
+    h = d % 10
+    host = F.concat(F.lit("site"), h, F.lit(".example.com"))
+    tmpl = F.lit(400) + h * 7
+    status = (
+        F.when(d % 13 == 0, 404)
+        .when(d % 17 == 0, 410)
+        .otherwise(200)
+    ).cast("int")
+    is_hard = (d % 13 == 0) | (d % 17 == 0)
+    is_soft = ~is_hard & (d % 11 == 0)
+    title = (
+        F.when(is_hard, F.concat(F.lit("404 Not Found - site"), h))
+        .when(is_soft & (d % 22 == 0), F.lit("Oops! Page Not Found"))
+        .when(~is_hard & ~is_soft & (d % 23 == 0),
+              F.concat(F.lit("Error 404 - doc "), d))
+        .otherwise(F.concat(F.lit("Doc "), d))
+    )
+    content_len = (
+        F.when(is_hard, tmpl + d % 3)
+        .when(is_soft, tmpl + d % 5)
+        .otherwise(F.lit(2000) + (d * 37) % 1500)
+    ).cast("long")
+    return documents.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/docs/"), d).alias("url"),
+        host.alias("host"), status.alias("status"),
+        title.alias("title"), content_len.alias("content_len"),
+    )
+
+
+def soft404_audit(fetchlog: DataFrame) -> DataFrame:
+    """(doc_id, url, host, status, content_len, template_len,
+    soft404_reasons, is_soft404) for every 200-status fetch — flag pages
+    that LOOK alive but are error pages wearing a 200:
+
+    - ``error_title``: the page title matches common error phrasing
+      (SOFT404_TITLE_RE — phrase-anchored so "Model 404" product pages
+      survive).
+    - ``template_len``: the host's hard 404/410 responses define its error
+      template's length profile (MIN over hard-error content_len — the
+      deterministic end of the template band); a 200 page within
+      SOFT404_LEN_TOL bytes of it is serving that template.  Hosts with NO
+      recorded hard errors never length-flag (the never-skip analog: no
+      probe, no verdict) — the Bar-Yossef probe trick with the crawl's own
+      404s as the free probes.
+
+    Scale: the template profile is one map-side-combined MIN groupBy on
+    host — a dim bounded by host count, broadcast back onto the 200-status
+    stream; the title rule is one JVM regexp in the scan.  Zero Python,
+    one broadcast join, no corpus-ordered shuffle; at 10^12 fetches this
+    rides the crawl log scan the status rollup already pays.
+
+    Soft 404s feed straight into the dedup/extraction gate: an error page
+    extracted as 'content' poisons boilerplate stats AND near-dup clusters
+    (every soft 404 on a host is near-identical), so this audit runs
+    before extraction in the corpus pipeline."""
+    from pyspark.sql.functions import broadcast
+
+    tmpl = (
+        fetchlog.where(F.col("status").isin(*HARD_404_STATUSES))
+        .groupBy("host")
+        .agg(F.min("content_len").alias("template_len"))
+    )
+    live = fetchlog.where(F.col("status") == 200)
+    joined = live.join(broadcast(tmpl), "host", "left")
+    near_tmpl = (
+        F.col("template_len").isNotNull()
+        & (F.abs(F.col("content_len") - F.col("template_len"))
+           <= SOFT404_LEN_TOL)
+    )
+    title_hit = F.col("title").rlike(SOFT404_TITLE_RE)
+    reasons = F.concat_ws(
+        ";",
+        F.when(title_hit, F.lit("error_title")),
+        F.when(near_tmpl, F.lit("template_len")),
+    )
+    return joined.select(
+        "doc_id", "url", "host", "status", "content_len",
+        F.col("template_len").cast("long").alias("template_len"),
+        reasons.alias("soft404_reasons"),
+        (reasons != "").alias("is_soft404"),
+    ).orderBy("doc_id")

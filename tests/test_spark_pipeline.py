@@ -2887,6 +2887,45 @@ def test_trap_url_audit_rules(spark):
     assert syn[3] == "runaway_pagination" and syn[4] == "session_id"
 
 
+def test_soft404_audit_rules(spark):
+    from pdf_parser_spark.operators import weburl
+
+    rows = [
+        # host a.com: hard 404 at 500 and 502 bytes -> template_len = 500
+        (0, "https://a.com/x0", "a.com", 404, "404 Not Found", 502),
+        (1, "https://a.com/x1", "a.com", 410, "Gone", 500),
+        # soft 404 by length only (within tol 8 of 500)
+        (2, "https://a.com/x2", "a.com", 200, "Doc 2", 505),
+        # soft 404 by title only (normal length)
+        (3, "https://a.com/x3", "a.com", 200, "Error 404 - oops", 3000),
+        # both rules
+        (4, "https://a.com/x4", "a.com", 200, "Page Not Found", 499),
+        # clean: normal title, far from template
+        (5, "https://a.com/x5", "a.com", 200, "Doc 5", 2500),
+        # just OUTSIDE the band (500+9) and phrase-anchored title survives
+        (6, "https://a.com/x6", "a.com", 200, "Model 404 specs", 509),
+        # host b.com has NO hard errors: length can never flag there
+        (7, "https://b.com/y0", "b.com", 200, "Doc 7", 500),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, url string, host string, status int, title string,"
+        " content_len long",
+    )
+    out = {r["doc_id"]: r for r in weburl.soft404_audit(df).collect()}
+    # hard errors themselves are not in the 200-status output
+    assert 0 not in out and 1 not in out
+    assert out[2]["soft404_reasons"] == "template_len"
+    assert out[3]["soft404_reasons"] == "error_title"
+    assert out[4]["soft404_reasons"] == "error_title;template_len"
+    assert not out[5]["is_soft404"]
+    # "Model 404" is not an error phrase, and 509 is 9 > tol from 500
+    assert not out[6]["is_soft404"]
+    assert out[6]["template_len"] == 500
+    # no probe, no verdict: b.com has no template, Doc 7 at 500 bytes clean
+    assert out[7]["template_len"] is None and not out[7]["is_soft404"]
+
+
 def test_sitemap_discovery_from_robots_bytes(spark):
     from pdf_parser_spark.operators import weburl
 
