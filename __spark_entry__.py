@@ -877,6 +877,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_soft404": lambda s, d: weburl.soft404_audit(
             weburl.with_fetch_log(_docs(s, d))
         ),
+        # typosquat/homoglyph domain audit: FastSS 1-deletion postings
+        # blocking + UTS-39-style skeleton channel, exact levenshtein
+        # verify, defended top-N broadcast — never all-pairs
+        "u_typosquat": lambda s, d: weburl.typosquat_audit(
+            weburl.with_brand_domains(_docs(s, d))
+        ),
         # RFC 9309 §2.2.2 longest-match Allow/Disallow decisions: rules
         # parsed from real bytes (shared group resolution), one struct-max
         # per url
@@ -5745,6 +5751,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, host, status, content_len, template_len,
                    soft404_reasons, soft404_reasons <> '' AS is_soft404
             FROM flags ORDER BY doc_id
+        """,
+        # typosquat audit: synthesis mirrored (brand = source||'mart',
+        # %9==5 docs mutate by %4 kind), then both channels verbatim —
+        # 1-deletion postings join (DISTINCT absorbs duplicate variants
+        # that Spark's array_union dedupes in-array) + skeleton equality,
+        # exact levenshtein verify
+        "u_typosquat": f"""
+            WITH syn AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 9 = 5 THEN
+                         CASE doc_id % 4
+                           WHEN 0 THEN substr(b,1,1) || substr(b,3)
+                           WHEN 1 THEN substr(b,1,2) || substr(b,2)
+                           WHEN 2 THEN substr(b,1,1) || substr(b,3,1)
+                                    || substr(b,2,1) || substr(b,4)
+                           ELSE replace(b, 'm', 'rn') END
+                       ELSE b END AS sld
+                FROM (SELECT doc_id, source || 'mart' AS b FROM documents)
+            ), counts AS (
+                SELECT sld, CAST(count(*) AS BIGINT) AS n_docs
+                FROM syn GROUP BY sld
+            ), ranked AS (
+                SELECT sld, n_docs,
+                       row_number() OVER (ORDER BY n_docs DESC, sld) AS rk
+                FROM counts
+            ), defended AS (
+                SELECT sld AS defended_sld FROM ranked
+                WHERE rk <= {WU.TYPO_DEFENDED_N}
+            ), cands AS (
+                SELECT c.sld AS candidate_sld, c.n_docs FROM counts c
+                WHERE c.sld NOT IN (SELECT defended_sld FROM defended)
+            ), dpost AS (
+                SELECT unnest(list_append(list_transform(
+                           range(1, len(defended_sld) + 1),
+                           i -> substr(defended_sld, 1, i - 1)
+                                || substr(defended_sld, i + 1)),
+                       defended_sld)) AS variant,
+                       defended_sld
+                FROM defended
+            ), cpost AS (
+                SELECT unnest(list_append(list_transform(
+                           range(1, len(candidate_sld) + 1),
+                           i -> substr(candidate_sld, 1, i - 1)
+                                || substr(candidate_sld, i + 1)),
+                       candidate_sld)) AS variant,
+                       candidate_sld
+                FROM cands
+            ), pairs_a AS (
+                SELECT DISTINCT c.candidate_sld, d.defended_sld
+                FROM cpost c JOIN dpost d USING (variant)
+            ), pairs_b AS (
+                SELECT c.candidate_sld, d.defended_sld
+                FROM cands c JOIN defended d
+                  ON replace(c.candidate_sld, 'rn', 'm')
+                     = replace(d.defended_sld, 'rn', 'm')
+            ), pairs AS (
+                SELECT * FROM pairs_a UNION SELECT * FROM pairs_b
+            ), verified AS (
+                SELECT p.candidate_sld, p.defended_sld,
+                       CAST(levenshtein(p.candidate_sld, p.defended_sld)
+                            AS BIGINT) AS lev,
+                       CAST(len(p.candidate_sld) - len(p.defended_sld)
+                            AS BIGINT) AS len_delta,
+                       replace(p.candidate_sld, 'rn', 'm')
+                           = replace(p.defended_sld, 'rn', 'm')
+                           AS is_homoglyph
+                FROM pairs p
+            )
+            SELECT v.candidate_sld, v.defended_sld, v.lev, v.len_delta,
+                   v.is_homoglyph, c.n_docs
+            FROM verified v JOIN cands c USING (candidate_sld)
+            WHERE v.lev <= {WU.TYPO_MAX_LEV} OR v.is_homoglyph
+            ORDER BY candidate_sld, defended_sld
         """,
         # domain quality prior: the SAME _quality_sql fragment as
         # t_quality_score (x 10^4 into exact integer bp), the same url/reg

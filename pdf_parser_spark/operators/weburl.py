@@ -1852,3 +1852,159 @@ def soft404_audit(fetchlog: DataFrame) -> DataFrame:
         reasons.alias("soft404_reasons"),
         (reasons != "").alias("is_soft404"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Typosquat / homoglyph domain audit.  Blocking is FastSS 1-deletion
+# neighborhoods (Bocek/Hunt/Stiller 2007, "Fast Similarity Search in Large
+# Dictionaries"): two strings at edit distance 1 — and equal-length
+# adjacent transpositions — always share a member of each other's
+# 1-deletion neighborhood, so a postings join on the O(L)-per-string
+# variant lists finds every such pair with ZERO all-pairs work.
+# Homoglyph lookalikes (rn ~ m) have edit distance 2 at a length delta of
+# 1 and do NOT share a deletion variant, so they get their own channel:
+# equality on a skeleton-normalized form, the ASCII analog of Unicode
+# UTS #39 confusable detection.
+# ---------------------------------------------------------------------------
+
+TYPO_DEFENDED_N = 20        # top-N slds by doc count form the defended set
+TYPO_MAX_LEV = 2            # exact verify bound for deletion-channel pairs
+TYPO_SKELETON = ("rn", "m")  # fold 'rn' -> 'm', the classic confusable
+
+
+def with_brand_domains(documents: DataFrame) -> DataFrame:
+    """Synthesis: (doc_id, domain) — brand = source || 'mart', domain =
+    sld || '.com'.  doc_id%9==5 docs register a MUTATED sld instead, kind
+    by doc_id%4: 0 omission (2nd char dropped), 1 doubling (2nd char
+    doubled), 2 adjacent transposition (chars 2,3 swapped), 3 homoglyph
+    ('m' -> 'rn').  Everything re-derivable in SQL."""
+    d = F.col("doc_id")
+    b = F.concat(F.col("source"), F.lit("mart"))
+    big = F.length(b) + 10
+    mut = (
+        F.when(d % 4 == 0, F.concat(b.substr(F.lit(1), F.lit(1)),
+                                    b.substr(F.lit(3), big)))
+        .when(d % 4 == 1, F.concat(b.substr(F.lit(1), F.lit(2)),
+                                   b.substr(F.lit(2), big)))
+        .when(d % 4 == 2, F.concat(b.substr(F.lit(1), F.lit(1)),
+                                   b.substr(F.lit(3), F.lit(1)),
+                                   b.substr(F.lit(2), F.lit(1)),
+                                   b.substr(F.lit(4), big)))
+        .otherwise(F.replace(b, F.lit(TYPO_SKELETON[1]),
+                             F.lit(TYPO_SKELETON[0])))
+    )
+    sld = F.when(d % 9 == 5, mut).otherwise(b)
+    return documents.select(
+        "doc_id", F.concat(sld, F.lit(".com")).alias("domain")
+    )
+
+
+def _deletion_postings(frame: DataFrame, sld_col: str) -> DataFrame:
+    """(variant, sld): every 1-deletion variant of sld plus sld itself —
+    the FastSS posting list, O(len) rows per string."""
+    c = F.col(sld_col)
+    big = F.length(c) + 10
+    variants = F.array_union(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(c.substr(F.lit(1), i - 1),
+                               c.substr(i + 1, big)),
+        ),
+        F.array(c),
+    )
+    return frame.select(
+        F.explode(variants).alias("variant"), c.alias("sld")
+    )
+
+
+def typosquat_audit(
+    df: DataFrame, domain_col: str = "domain", top_n: int = TYPO_DEFENDED_N
+) -> DataFrame:
+    """(candidate_sld, defended_sld, lev, len_delta, is_homoglyph,
+    n_docs) — lookalike-domain pairs between the corpus's DEFENDED set
+    (top-N second-level names by doc count, ties broken by name — the
+    brands worth squatting) and every other registered name:
+
+    - deletion channel: FastSS 1-deletion postings join (catches
+      omission, addition, substitution, adjacent transposition — every
+      classic typo class; Moore & Edelman, FC 2010 measured exactly these
+      four dominating real squat registrations), verified with exact
+      ``levenshtein`` <= TYPO_MAX_LEV (a shared variant already implies
+      lev <= 2, so the verify is a guard, not a filter).
+    - homoglyph channel: skeleton-normalization equality ('rn' folded to
+      'm' — UTS #39 confusable skeletons in ASCII), which deletion
+      blocking CANNOT see (lev 2 at length delta 1 shares no variant).
+
+    Scale: postings are O(L) rows per name over the sld DIM (distinct
+    names, not the url stream); the defended side is top-N — tiny — so
+    both channels are broadcast joins against linear candidate postings.
+    Never all-pairs; the sld dim itself comes from one groupBy the domain
+    rollup already pays."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    sld = F.regexp_extract(F.col(domain_col), r"^([^.]+)\.", 1)
+    counts = (
+        df.select(sld.alias("sld"))
+        .groupBy("sld").agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_docs").desc(), F.col("sld"))
+    )
+    defended = (
+        counts.withColumn("rk", rk).where(F.col("rk") <= top_n)
+        .select(F.col("sld").alias("defended_sld"))
+    )
+    cands = (
+        counts.join(defended, counts.sld == defended.defended_sld,
+                    "left_anti")
+        .select(F.col("sld").alias("candidate_sld"), "n_docs")
+    )
+    # channel A: FastSS deletion-neighborhood postings
+    def_post = _deletion_postings(
+        defended.select(F.col("defended_sld").alias("s")), "s"
+    ).withColumnRenamed("sld", "defended_sld")
+    cand_post = _deletion_postings(
+        cands.select(F.col("candidate_sld").alias("s")), "s"
+    ).withColumnRenamed("sld", "candidate_sld")
+    pairs_a = (
+        cand_post.join(broadcast(def_post), "variant")
+        .select("candidate_sld", "defended_sld").distinct()
+    )
+    # channel B: skeleton equality
+    fold_from, fold_to = TYPO_SKELETON
+    def_skel = defended.select(
+        "defended_sld",
+        F.replace(F.col("defended_sld"), F.lit(fold_from),
+                  F.lit(fold_to)).alias("skel"),
+    )
+    cand_skel = cands.select(
+        "candidate_sld",
+        F.replace(F.col("candidate_sld"), F.lit(fold_from),
+                  F.lit(fold_to)).alias("skel"),
+    )
+    pairs_b = (
+        cand_skel.join(broadcast(def_skel), "skel")
+        .select("candidate_sld", "defended_sld")
+    )
+    pairs = pairs_a.unionByName(pairs_b).distinct()
+    lev = F.levenshtein("candidate_sld", "defended_sld")
+    skel_eq = (
+        F.replace(F.col("candidate_sld"), F.lit(fold_from), F.lit(fold_to))
+        == F.replace(F.col("defended_sld"), F.lit(fold_from), F.lit(fold_to))
+    )
+    out = (
+        pairs.withColumn("lev", lev.cast("long"))
+        .withColumn(
+            "len_delta",
+            (F.length("candidate_sld")
+             - F.length("defended_sld")).cast("long"),
+        )
+        .withColumn("is_homoglyph", skel_eq)
+        .where((F.col("lev") <= TYPO_MAX_LEV) | F.col("is_homoglyph"))
+        .join(cands, "candidate_sld")
+    )
+    return out.select(
+        "candidate_sld", "defended_sld", "lev", "len_delta",
+        "is_homoglyph", "n_docs",
+    ).orderBy("candidate_sld", "defended_sld")

@@ -2926,6 +2926,47 @@ def test_soft404_audit_rules(spark):
     assert out[7]["template_len"] is None and not out[7]["is_soft404"]
 
 
+def test_typosquat_audit_channels(spark):
+    from pdf_parser_spark.operators import weburl
+
+    # defended = top-2 by doc count: paypal (3 docs), google (3 docs).
+    # candidates: one per typo class + a far miss.
+    rows = (
+        [(i, "paypal.com") for i in range(3)]
+        + [(10 + i, "google.com") for i in range(3)]
+        + [
+            (20, "papal.com"),      # omission      (lev 1)
+            (21, "ppaypal.com"),    # doubling      (lev 1)
+            (22, "apypal.com"),     # transposition (lev 2, shares variant)
+            (24, "gooogle.com"),    # doubling for google
+            (25, "zebra.com"),      # unrelated: no pair at all
+        ]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = weburl.typosquat_audit(df, top_n=2).collect()
+    got = {(r["candidate_sld"], r["defended_sld"]): r for r in out}
+    assert ("papal", "paypal") in got
+    assert got[("papal", "paypal")]["lev"] == 1
+    assert got[("papal", "paypal")]["len_delta"] == -1
+    assert ("ppaypal", "paypal") in got
+    assert ("apypal", "paypal") in got
+    assert got[("apypal", "paypal")]["lev"] == 2
+    assert ("gooogle", "google") in got
+    assert all(c != "zebra" for c, _ in got)
+    # defended names never appear as candidates
+    assert all(c not in ("paypal", "google") for c, _ in got)
+
+    # homoglyph channel: 'rn' ~ 'm' pairs share NO 1-deletion variant
+    # (lev 2 at len delta 1), so only the skeleton channel can find them
+    rows2 = [(i, "modern.com") for i in range(3)] + [(9, "rnodern.com")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, domain string")
+    out2 = {(r["candidate_sld"], r["defended_sld"]): r
+            for r in weburl.typosquat_audit(df2, top_n=1).collect()}
+    hit = out2[("rnodern", "modern")]
+    assert hit["is_homoglyph"] and hit["lev"] == 2 and hit["len_delta"] == 1
+    assert hit["n_docs"] == 1
+
+
 def test_sitemap_discovery_from_robots_bytes(spark):
     from pdf_parser_spark.operators import weburl
 
