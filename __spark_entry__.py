@@ -1062,6 +1062,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pdf_parser_spark.streaming.attribution",
             fromlist=["attribution_via_stream"],
         ).attribution_via_stream(s, d),
+        # streaming decayed trending (forward decay base 2, ICDE 2009):
+        # per-key stateful floor-shift fold, two-BIGINT state; one-batch
+        # replay -> recursive-CTE window chain is the oracle
+        "st_trending": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.trending",
+            fromlist=["trending_via_stream"],
+        ).trending_via_stream(s, d),
         # streaming right-to-be-forgotten: delete-request batches ->
         # foreachBatch(delete_keys) MOR commits, exactly-once via the
         # txnAppId-style token; read merges at scan time
@@ -1887,6 +1894,7 @@ _PRED_LANG_CASE = f"""CASE
 
 def oracle_sql() -> dict[str, str]:
     from pdf_parser_spark.operators.dedup import MINHASH_PARAMS
+    from pdf_parser_spark.streaming import trending as _TREND
 
     minhash_terms = ", ".join(
         f"CAST(list_min(list_transform(hs, h -> ({a} * h + {b}) % 4294967296)) AS BIGINT)"
@@ -3055,6 +3063,37 @@ def oracle_sql() -> dict[str, str]:
         # order, so the batch SQL is the oracle VERBATIM (ratelimit
         # doctrine); cross-batch state carry is pinned in pytest
         "st_attribution": _w8_sql,
+        # streaming decayed trending: one-batch replay -> the per-key
+        # floor-shift decay chain as a recursive CTE over the window
+        # sequence (one row per (key, window) step), shift clamp mirrored
+        "st_trending": f"""
+            WITH RECURSIVE wins AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                           // {_TREND.TREND_WINDOW_S} AS win,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ), seq AS (
+                SELECT event_type, win, n_events,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY win) AS i
+                FROM wins
+            ), chain AS (
+                SELECT event_type, i, win, n_events, n_events AS decayed
+                FROM seq WHERE i = 1
+                UNION ALL
+                SELECT s.event_type, s.i, s.win, s.n_events,
+                       CASE WHEN s.win - c.win > {_TREND.TREND_SHIFT_CLAMP}
+                            THEN CAST(0 AS BIGINT)
+                            ELSE c.decayed
+                                 // (CAST(1 AS BIGINT) << (s.win - c.win))
+                       END + s.n_events
+                FROM chain c JOIN seq s
+                  ON s.event_type = c.event_type AND s.i = c.i + 1
+            )
+            SELECT event_type, win, n_events, decayed
+            FROM chain ORDER BY event_type, win
+        """,
         "w5_funnel": """
             WITH u1 AS (
                 SELECT user_id,

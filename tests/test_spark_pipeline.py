@@ -4473,6 +4473,68 @@ def test_streaming_attribution_cross_batch_carry(spark, tmp_path):
     assert out[5]["touch_type"] == "direct" and out[5]["gap_s"] == -1
 
 
+def test_streaming_trending_decay_carry(spark, tmp_path):
+    """The decay fold's cross-batch carry: a batch-1 window resumes from
+    batch 0's standing (floor-shift per elapsed window), a same-window
+    continuation folds at gap 0, a strictly-late window is dropped, and
+    a >clamp silence zeroes the carry."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming.trending import stream_trending
+
+    t0 = dt.datetime(2024, 1, 1)  # epoch 1704067200 = 473352 * 3600
+    W = 473352
+
+    def write_batch(path, rows):  # (event_id, off_s, type)
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }), path)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    eid = iter(range(1000))
+    write_batch(str(in_dir / "b0.parquet"),
+                [(next(eid), 10 * i, "click") for i in range(8)]
+                + [(next(eid), 10 * i, "view") for i in range(4)]
+                + [(next(eid), 10 * i, "signup") for i in range(5)])
+    q = stream_trending(spark, str(in_dir), str(tmp_path / "ckpt"),
+                        "trend_test")
+    q.processAllAvailable()
+    write_batch(str(in_dir / "b1.parquet"),
+                # click: gap-2 window (8>>2 + 2 = 4), then gap-1 (4>>1+1=3)
+                [(next(eid), 7200 + 10 * i, "click") for i in range(2)]
+                + [(next(eid), 10800, "click")]
+                # click: strictly-late window (before state) must drop
+                + [(next(eid), -3600, "click")]
+                # view: same-window continuation, gap 0: 4 + 1 = 5
+                + [(next(eid), 20, "view")]
+                # signup: 63-window silence (gap 63 > clamp 62) ->
+                # carry zeroed, decayed = count = 1
+                + [(next(eid), 63 * 3600, "signup")])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("trend_test").collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r["event_type"], r["win"]), []).append(
+            (r["n_events"], r["decayed"]))
+    assert got[("click", W)] == [(8, 8)]
+    assert got[("click", W + 2)] == [(2, 4)]
+    assert got[("click", W + 3)] == [(1, 3)]
+    assert ("click", W - 1) not in got          # late window dropped
+    assert got[("view", W)] == [(4, 4), (1, 5)]  # gap-0 continuation
+    assert got[("signup", W + 63)] == [(1, 1)]   # clamp zeroed the carry
+
+
 def test_snapshots_table_kinds(spark, tmp_path):
     """Every commit kind derives correctly from its manifest markers:
     append / delete / purge / overwrite / fast_forward, and parent
