@@ -639,6 +639,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_spec_evolution(spark, sf_dir):
+        """Partition-spec evolution end to end (Iceberg §Partition
+        Evolution): half the docs land under identity(lang), the spec
+        evolves — one JSON write, zero data bytes — and the other half
+        lands under identity(source).  Scan planning then resolves each
+        file's OWN spec: a lang predicate eliminates old-era files, a
+        source predicate eliminates new-era files, and each era's files
+        pass un-pruned through the other era's predicate (asserted —
+        era-appropriate pruning is the contract).  The returned rollup of
+        three labeled scans must hash-match the oracle's direct filters
+        over the raw parquet — pruning is an optimization, never the
+        correctness path."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        docs = _docs(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="tblspec_")
+        try:
+            tf.partitioned_append(
+                docs.where(F.col("doc_id") % 2 == 0), work,
+                [("identity", "lang")],
+            )
+            tf.evolve_partition_spec(work, [("identity", "source")])
+            tf.partitioned_append(
+                docs.where(F.col("doc_id") % 2 == 1), work,
+                [("identity", "source")],
+            )
+            scans = []
+            for label, preds in [
+                ("lang_eq", [("lang", "=", "en")]),
+                ("source_eq", [("source", "=", "src3")]),
+                ("both", [("lang", "=", "en"), ("source", "=", "src3")]),
+            ]:
+                df, n_read, n_total = tf.scan_table(
+                    spark, work, predicates=preds
+                )
+                assert n_read < n_total, (label, n_read, n_total)
+                scans.append(df.agg(
+                    F.lit(label).alias("scan"),
+                    F.count("*").cast("long").alias("n_docs"),
+                    F.sum("doc_id").cast("long").alias("sum_ids"),
+                ))
+            out = scans[0].unionByName(scans[1]).unionByName(scans[2]) \
+                .orderBy("scan").persist()
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _cdx_lookup_join(spark, sf_dir):
         """Composable CDX lookup (r3 verdict item 5): write the sorted
         range-partitioned capture shards, then resolve a FRAME of
@@ -1430,6 +1481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hidden partitioning: day/bucket transforms derived from source-
         # column predicates, file elimination from manifest metadata alone
         "u_table_partitioned_scan": _table_partitioned_scan,
+        # partition-spec evolution: metadata-only current-spec change,
+        # each file prunes under the spec it was written with
+        "u_table_spec_evolution": _table_spec_evolution,
         # write-audit-publish: staged snapshot invisible, audit on the
         # staged view, abort the poisoned batch, publish rebases over a
         # concurrent append, replayed publish no-ops (wap token ledger)
@@ -6207,6 +6261,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts > TIMESTAMP '2024-01-20 12:00:00'
               AND event_type = 'click'
             GROUP BY ds ORDER BY ds
+        """,
+        # spec evolution: era-appropriate pruning is asserted in the
+        # query; the DATA contract is that each labeled scan equals the
+        # direct filter over all docs (both eras together = the corpus)
+        "u_table_spec_evolution": """
+            SELECT 'lang_eq' AS scan,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT 'source_eq', CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents WHERE source = 'src3'
+            UNION ALL
+            SELECT 'both', CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents WHERE lang = 'en' AND source = 'src3'
+            ORDER BY scan
         """,
         # time-travel read at version 2 = snapshots 1+2 = doc_id%3 in (0,1)
         "u_table_time_travel": """

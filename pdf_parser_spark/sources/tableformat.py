@@ -207,16 +207,20 @@ def _commit_manifest(
             )
         if token is not None and token in parent.get("applied_tokens", []):
             return base  # a racer applied this batch; skip, files orphan
-        have_spec = parent.get("partition_spec")
-        if partition_spec is not None and have_spec is not None \
-                and have_spec != partition_spec:
-            # no partition-spec evolution: Iceberg versions specs per file
-            # group; this format keeps ONE spec per table and refuses a
-            # conflicting writer instead of silently mixing layouts
-            raise ValueError(
-                f"table at {path} is partitioned by {have_spec}; "
-                f"append brings spec {partition_spec}"
-            )
+        specs, cur_id = _specs_of(parent)
+        if partition_spec is not None:
+            cur_spec = specs.get(cur_id) if cur_id is not None else None
+            if cur_spec is not None and cur_spec != partition_spec:
+                # writers must bring the CURRENT spec (Iceberg's rule: new
+                # data files are written under the table's current spec;
+                # older specs live on only in the files already written
+                # under them — use evolve_partition_spec to change it)
+                raise ValueError(
+                    f"table at {path} is currently partitioned by "
+                    f"{cur_spec}; append brings spec {partition_spec}"
+                )
+            if cur_id is None:
+                specs, cur_id = {"0": [list(t) for t in partition_spec]}, "0"
         version = {
             "version": base + 1,
             "snapshot_id": snap_id,
@@ -241,12 +245,21 @@ def _commit_manifest(
             "delete_files": parent.get("delete_files", []),
             "applied_tokens": parent.get("applied_tokens", [])
             + ([token] if token is not None else []),
-            # hidden partitioning: the table's ONE transform spec plus each
+            # hidden partitioning: the table's transform specs (per-file
+            # spec ids — Iceberg partition-spec evolution) plus each
             # file's partition tuple (string values as written in the hive
-            # dirs; files without a tuple are never partition-pruned)
+            # dirs; files without a tuple are never partition-pruned).
+            # "partition_spec" stays the CURRENT spec for back-compat.
             "partition_spec": (
-                partition_spec if partition_spec is not None else have_spec
+                specs.get(cur_id) if cur_id is not None else None
             ),
+            "partition_specs": specs or None,
+            "current_spec_id": cur_id,
+            "file_spec_ids": {
+                **parent.get("file_spec_ids", {}),
+                **({f: cur_id for f in (file_partitions or {})}
+                   if cur_id is not None else {}),
+            },
             "file_partitions": {
                 **parent.get("file_partitions", {}),
                 **(file_partitions or {}),
@@ -370,15 +383,97 @@ def partitioned_append(
     )
 
 
+def evolve_partition_spec(path: str, new_spec: list) -> int:
+    """METADATA-ONLY partition-spec evolution (Iceberg spec §Partition
+    Evolution): commit a new CURRENT spec without touching a byte of
+    data.  Files already written keep their original spec id and tuples
+    and keep pruning under the spec they were written with; files
+    appended after this commit write — and prune — under the new spec.
+    A query needs no knowledge of the change: scan planning resolves
+    each file's own spec (that is the entire point of hidden
+    partitioning — the layout can change under a live table and every
+    standing query keeps working, just with era-appropriate pruning).
+
+    On a 10^12-row table this is one JSON write; the alternative — a
+    full rewrite into the new layout — is the thing Iceberg was built to
+    avoid.  Re-declaring the current spec refuses (a no-op evolution in
+    the history would read as churn).  Race-refuses like every commit
+    here.  Returns the new version number."""
+    base_version = current_version(path)
+    meta = _read_version(path, base_version)
+    specs, cur_id = _specs_of(meta)
+    new_spec = [list(t) for t in new_spec]
+    if cur_id is not None and specs.get(cur_id) == new_spec:
+        raise ValueError(
+            f"table at {path} already has current spec {new_spec}"
+        )
+    next_id = str(max((int(i) for i in specs), default=-1) + 1)
+    new_specs = {**specs, next_id: new_spec}
+    version = {
+        "version": base_version + 1,
+        "snapshot_id": uuid.uuid4().hex[:12],
+        "parent_version": base_version,
+        "evolved_spec_to": next_id,
+        "added_files": [],
+        "added_rows": 0,
+        "all_files": meta["all_files"],
+        "file_stats": meta.get("file_stats", {}),
+        "file_seq": meta.get("file_seq", {}),
+        "delete_files": meta.get("delete_files", []),
+        "schema": meta.get("schema"),
+        "retired_columns": meta.get("retired_columns", []),
+        "applied_tokens": meta.get("applied_tokens", []),
+        "partition_spec": new_spec,
+        "partition_specs": new_specs,
+        "current_spec_id": next_id,
+        "file_partitions": meta.get("file_partitions", {}),
+        "file_spec_ids": meta.get("file_spec_ids", {}),
+    }
+    tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(version, f)
+    target = os.path.join(_meta_dir(path), f"v{base_version + 1}.json")
+    try:
+        os.link(tmp, target)
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"concurrent commit beat evolve_partition_spec of "
+            f"v{base_version}; re-run against the new current version"
+        )
+    return base_version + 1
+
+
+def _specs_of(meta: dict) -> tuple[dict, str | None]:
+    """(spec_id -> spec, current_spec_id) for a manifest — pre-evolution
+    manifests (single "partition_spec") read as spec id "0"."""
+    specs = meta.get("partition_specs")
+    if specs:
+        return specs, meta.get("current_spec_id")
+    ps = meta.get("partition_spec")
+    if ps is None:
+        return {}, None
+    return {"0": ps}, "0"
+
+
 def _part_meta(meta: dict, kept: list[str] | None = None) -> dict:
-    """Carry the partition spec + still-live files' partition tuples through
-    a maintenance commit.  Rewritten/new files get no tuple — they are never
-    partition-pruned (the safe direction); `kept=None` keeps every entry."""
+    """Carry the partition specs + still-live files' partition tuples (and
+    per-file spec ids) through a maintenance commit.  Rewritten/new files
+    get no tuple — they are never partition-pruned (the safe direction);
+    `kept=None` keeps every entry."""
     fp = meta.get("file_partitions", {})
+    fs = meta.get("file_spec_ids", {})
+    specs, cur_id = _specs_of(meta)
     return {
         "partition_spec": meta.get("partition_spec"),
+        "partition_specs": specs or None,
+        "current_spec_id": cur_id,
         "file_partitions": (
             fp if kept is None else {f: v for f, v in fp.items() if f in kept}
+        ),
+        "file_spec_ids": (
+            fs if kept is None else {f: v for f, v in fs.items() if f in kept}
         ),
     }
 
@@ -853,14 +948,21 @@ def scan_table(
     # footer reads), then zone maps over the survivors; files with no
     # recorded partition tuple (plain appends, maintenance rewrites) fall
     # through to zone maps only — pruning is never the correctness path
-    pspec = meta.get("partition_spec")
-    fparts = meta.get("file_partitions", {}) if pspec else {}
+    specs, cur_id = _specs_of(meta)
+    fparts = meta.get("file_partitions", {}) if specs else {}
+    fspec_ids = meta.get("file_spec_ids", {})
 
     def _p_ok(f):
         pv = fparts.get(f)
-        if not pspec or pv is None:
+        if not specs or pv is None:
             return True
-        return all(_part_may_match(pspec, pv, c, op, val) for c, op, val in preds)
+        # spec evolution: each file prunes under the spec it was WRITTEN
+        # with (Iceberg tracks spec_id per manifest); files from before
+        # per-file ids default to spec "0", unknown ids never prune
+        fspec = specs.get(fspec_ids.get(f, "0"))
+        if fspec is None:
+            return True
+        return all(_part_may_match(fspec, pv, c, op, val) for c, op, val in preds)
 
     keep = [
         f for f in all_files
@@ -2129,6 +2231,8 @@ def snapshots_table(spark: SparkSession, path: str) -> DataFrame:
             kind = "compact"
         elif m.get("zorder_by") is not None:
             kind = "zorder"
+        elif m.get("evolved_spec_to") is not None:
+            kind = "evolve_spec"
         elif len(m.get("delete_files", [])) > parent_dels:
             kind = "delete"
         elif m.get("added_files"):

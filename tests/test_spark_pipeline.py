@@ -4535,6 +4535,58 @@ def test_streaming_trending_decay_carry(spark, tmp_path):
     assert got[("signup", W + 63)] == [(1, 1)]   # clamp zeroed the carry
 
 
+def test_partition_spec_evolution(spark, tmp_path):
+    """Era-appropriate pruning with EXACT file counts: old-era files
+    prune under identity(lang), new-era files under identity(src), each
+    era passes un-pruned through the other era's predicate; the evolve
+    commit is metadata-only, refuses no-ops, and retags the CURRENT spec
+    for appends (non-current specs refuse in both directions)."""
+    import pytest as _pytest
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], f"s{i % 3}") for i in range(lo, hi)],
+        "id long, lang string, src string",
+    ).coalesce(1)
+    tf.partitioned_append(mk(0, 12), path, [("identity", "lang")])   # v1
+    # an append under a spec that is not current refuses
+    with _pytest.raises(ValueError, match="currently partitioned"):
+        tf.partitioned_append(mk(12, 14), path, [("identity", "src")])
+    v = tf.evolve_partition_spec(path, [("identity", "src")])        # v2
+    assert v == 2
+    with _pytest.raises(ValueError, match="already has current spec"):
+        tf.evolve_partition_spec(path, [("identity", "src")])
+    # ... and now the OLD spec is the refused one
+    with _pytest.raises(ValueError, match="currently partitioned"):
+        tf.partitioned_append(mk(12, 14), path, [("identity", "lang")])
+    tf.partitioned_append(mk(100, 112), path, [("identity", "src")])  # v3
+    # old era: 2 files (en, de); new era: 3 files (s0, s1, s2)
+    df, n_read, n_total = tf.scan_table(
+        spark, path, predicates=[("lang", "=", "en")])
+    assert n_total == 5
+    assert n_read == 1 + 3  # the en file + ALL new-era files (no lang spec)
+    assert sorted(r["id"] for r in df.collect()) == (
+        [i for i in range(12) if i % 2 == 0]
+        + [i for i in range(100, 112) if i % 2 == 0])
+    df, n_read, _ = tf.scan_table(
+        spark, path, predicates=[("src", "=", "s1")])
+    assert n_read == 2 + 1  # ALL old-era files + the s1 file
+    df, n_read, _ = tf.scan_table(
+        spark, path, predicates=[("lang", "=", "en"), ("src", "=", "s1")])
+    assert n_read == 2      # en file from the old era, s1 from the new
+    assert sorted(r["id"] for r in df.collect()) == [
+        i for i in list(range(12)) + list(range(100, 112))
+        if i % 2 == 0 and i % 3 == 1]
+    # the evolve commit shows in the snapshots metadata table
+    kinds = {r["version"]: r["kind"]
+             for r in tf.snapshots_table(spark, path).collect()}
+    assert kinds[2] == "evolve_spec"
+    # time travel to v1 reads the pre-evolution table intact
+    assert tf.read_table(spark, path, version=1).count() == 12
+
+
 def test_snapshots_table_kinds(spark, tmp_path):
     """Every commit kind derives correctly from its manifest markers:
     append / delete / purge / overwrite / fast_forward, and parent
