@@ -1282,6 +1282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_image_dims": lambda s, d: multimodal.image_dims(
             multimodal.synthetic_web_images(_docs(s, d))
         ).na.fill({"width": -1, "height": -1}),
+        # header-only EXIF (APP1/TIFF IFD0) parse honoring the container's
+        # OWN byte order (II/MM both synthesized); -1/'' = not-applicable
+        # (the nullable-int-widens-to-NaN doctrine)
+        "m_exif_meta": lambda s, d: multimodal.exif_meta(
+            multimodal.synthetic_exif_images(_docs(s, d))
+        ).na.fill({"orientation": -1, "byte_order": "", "make": ""}),
         # real container decode over deterministic BMP/WAV/PPM payloads keyed
         # by doc_id; the oracle recomputes the header fields from the doc_id
         # formulas, so a decode bug (endianness, offset, padding) mismatches
@@ -5250,6 +5256,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % {MM.IMG_CORRUPT_MOD} = 0 THEN -1
                         ELSE 16 + (doc_id * 7) % 93 END AS BIGINT) AS height,
                    doc_id % {MM.IMG_CORRUPT_MOD} <> 0 AS ok
+            FROM documents ORDER BY doc_id
+        """,
+        # header-only EXIF parse: the oracle recomputes orientation/make/
+        # byte order from the doc_id synthesis formulas, so an endianness
+        # or offset bug in the TIFF walk mismatches; '' / -1 mirror the
+        # not-applicable fills
+        "m_exif_meta": f"""
+            SELECT doc_id,
+                   doc_id % {MM.IMG_CORRUPT_MOD} <> 0 AND doc_id % 3 <> 2
+                       AS has_exif,
+                   CASE WHEN doc_id % {MM.IMG_CORRUPT_MOD} = 0
+                             OR doc_id % 3 = 2 THEN ''
+                        WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+                       AS byte_order,
+                   CAST(CASE WHEN doc_id % {MM.IMG_CORRUPT_MOD} = 0
+                                  OR doc_id % 3 = 2 THEN -1
+                             ELSE 1 + doc_id % 8 END AS BIGINT)
+                       AS orientation,
+                   CASE WHEN doc_id % {MM.IMG_CORRUPT_MOD} = 0
+                             OR doc_id % 3 = 2 THEN ''
+                        ELSE 'Cam' || (doc_id % 5) END AS make
             FROM documents ORDER BY doc_id
         """,
         # streaming extraction: the same frozen core-path tuples, no W1

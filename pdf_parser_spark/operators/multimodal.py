@@ -1845,3 +1845,201 @@ def audio_spectral_peaks(
         )
         .orderBy("doc_id", "win_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata (header-only): APP1/TIFF IFD0 parse as JVM byte expressions.
+# The TIFF container carries its OWN byte order ('II' little / 'MM' big —
+# TIFF 6.0 spec §2), so every multi-byte read branches on the header — the
+# wrinkle that makes EXIF the canonical "you must honor the container's
+# endianness" format.
+# ---------------------------------------------------------------------------
+
+EXIF_MAX_ENTRIES = 8   # IFD0 entry-scan budget (camera IFD0s carry < ~20)
+EXIF_TAG_MAKE = 0x010F
+EXIF_TAG_ORIENTATION = 0x0112
+
+
+def _u16le(pos: str) -> str:
+    return f"({_u8(pos)} + 256 * {_u8(f'({pos}) + 1')})"
+
+
+def _u32le(pos: str) -> str:
+    return (f"({_u8(pos)} + 256 * {_u8(f'({pos}) + 1')}"
+            f" + 65536 * {_u8(f'({pos}) + 2')}"
+            f" + 16777216 * {_u8(f'({pos}) + 3')})")
+
+
+def _u32be(pos: str) -> str:
+    return f"CAST(conv(hex(substring(payload, {pos}, 4)), 16, 10) AS BIGINT)"
+
+
+def make_jpeg_exif(
+    width: int, height: int, orientation: int, make: str,
+    byte_order: str = "II", com_pad: int = 0,
+) -> bytes:
+    """JPEG with an APP1 Exif segment: SOI, APP0 JFIF, APP1 (Exif\\0\\0 +
+    TIFF header in `byte_order` + IFD0 with Make (ASCII, out-of-line) and
+    Orientation (SHORT, inline) in ascending tag order), a COM pad
+    segment, SOF0, EOI."""
+    import struct
+
+    e = "<" if byte_order == "II" else ">"
+    make_b = make.encode() + b"\x00"
+    # TIFF: header(8) + count(2) + 2 entries(24) + next-IFD(4) = 38
+    tiff = (byte_order.encode() + struct.pack(e + "H", 42)
+            + struct.pack(e + "I", 8)
+            + struct.pack(e + "H", 2)
+            + struct.pack(e + "HHI", EXIF_TAG_MAKE, 2, len(make_b))
+            + struct.pack(e + "I", 38)
+            + struct.pack(e + "HHI", EXIF_TAG_ORIENTATION, 3, 1)
+            + struct.pack(e + "H", orientation) + b"\x00\x00"
+            + struct.pack(e + "I", 0)
+            + make_b)
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + 6 + len(tiff)) \
+        + b"Exif\x00\x00" + tiff
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 2 + com_pad) + b"x" * com_pad
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" \
+        + struct.pack(">HH", height, width) \
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8" + app0 + app1 + com + sof + b"\xff\xd9"
+
+
+def synthetic_exif_payload(doc_id: int) -> bytes:
+    """doc_id -> JPEG bytes: %IMG_CORRUPT_MOD garbage; %3==2 a plain JPEG
+    with no Exif APP1; else Exif with byte order II/MM by parity,
+    orientation 1 + doc_id%8, make 'Cam' + doc_id%5 — all mirrored by the
+    m_exif_meta SQL oracle."""
+    if doc_id % IMG_CORRUPT_MOD == 0:
+        return b"\x00\x00\x00"
+    if doc_id % 3 == 2:
+        return make_jpeg(16 + doc_id % 117, 16 + (doc_id * 7) % 93,
+                         com_pad=doc_id % 11)
+    return make_jpeg_exif(
+        16 + doc_id % 117, 16 + (doc_id * 7) % 93,
+        orientation=1 + doc_id % 8, make=f"Cam{doc_id % 5}",
+        byte_order="II" if doc_id % 2 == 0 else "MM",
+        com_pad=doc_id % 11,
+    )
+
+
+def synthetic_exif_images(df: DataFrame) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synthetic_exif_payload(int(d))
+                            for d in pdf["doc_id"]],
+            })
+
+    return df.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+def exif_meta(
+    media: DataFrame, max_segments: int = IMG_DIMS_MAX_SEGMENTS,
+    max_entries: int = EXIF_MAX_ENTRIES,
+) -> DataFrame:
+    """(doc_id, has_exif, byte_order, orientation, make) from HEADER BYTES
+    ONLY — the provenance/orientation pass a crawl pipeline runs on every
+    image before any decode (orientation decides whether thumbnails need
+    rotating; Make/camera strings feed provenance and AI-generated-image
+    heuristics; strip-EXIF-before-release is a privacy gate that needs to
+    FIND the segment first).
+
+    Pure JVM column expressions, zero Python, same doctrine as
+    image_dims: the APP1 hunt reuses the bounded marker-walk `aggregate`
+    fold (linear expression size), then the TIFF parse reads IFD0 honoring
+    the container's OWN byte order — every multi-byte read is computed in
+    both II and MM forms and selected by the header tag, because unlike
+    JPEG's always-big-endian segment lengths, TIFF integers follow the
+    'II'/'MM' declaration (TIFF 6.0 §2; the II/MM split is pinned
+    per-engine in the oracle via the doc_id parity rule).  The IFD0 entry
+    scan is a second bounded fold over min(entry count, max_entries)
+    12-byte entries: Make (0x010F, ASCII, out-of-line via offset+count)
+    and Orientation (0x0112, SHORT, inline left-justified).
+
+    Fail-soft columns, never an exception: no APP1 / corrupt magic /
+    truncated IFD all surface as has_exif=false with NULL fields (the
+    scanned-doc doctrine)."""
+    walk = f"""
+        aggregate(
+          sequence(1, {max_segments}),
+          named_struct('off', CAST(3 AS BIGINT),
+                       'tiff', CAST(NULL AS BIGINT), 'done', false),
+          (acc, i) -> CASE
+            WHEN acc.done OR hex(substring(payload, acc.off, 1)) != 'FF'
+              THEN named_struct('off', acc.off, 'tiff', acc.tiff,
+                                'done', true)
+            WHEN hex(substring(payload, acc.off + 1, 1)) = 'E1'
+                 AND hex(substring(payload, acc.off + 4, 6))
+                     = '457869660000'
+              THEN named_struct('off', acc.off, 'tiff', acc.off + 10,
+                                'done', true)
+            ELSE named_struct('off', acc.off + 2 + {_u16be("acc.off + 2")},
+                              'tiff', acc.tiff, 'done', false)
+          END,
+          acc -> acc.tiff)
+    """
+    base = media.select(
+        "doc_id", "payload",
+        F.when(
+            F.expr("hex(substring(payload, 1, 2))") == "FFD8",
+            F.expr(walk),
+        ).alias("tiff"),
+    ).withColumn(
+        "byte_order",
+        F.when(F.col("tiff").isNotNull(),
+               F.when(F.expr("hex(substring(payload, tiff, 2))") == "4949",
+                      "II")
+               .when(F.expr("hex(substring(payload, tiff, 2))") == "4D4D",
+                     "MM")),
+    )
+
+    def _ifd_exprs(u16, u32):
+        """(orientation, make) SQL fragments for one endianness: IFD0
+        entry-scan fold; entry i sits at ifd + 2 + 12*(i-1)."""
+        ifd = f"(tiff + {u32('tiff + 4')})"
+        n = f"{u16(ifd)}"
+        entry = f"({ifd} + 2 + 12 * (i - 1))"
+        fold = f"""
+            CASE WHEN {n} >= 1 THEN aggregate(
+              sequence(1, CAST(least({n}, {max_entries}) AS INT)),
+              named_struct('ori', CAST(NULL AS BIGINT),
+                           'moff', CAST(NULL AS BIGINT),
+                           'mlen', CAST(NULL AS BIGINT)),
+              (acc, i) -> named_struct(
+                'ori', CASE WHEN {u16(entry)} = {EXIF_TAG_ORIENTATION}
+                            THEN {u16(f'{entry} + 8')} ELSE acc.ori END,
+                'moff', CASE WHEN {u16(entry)} = {EXIF_TAG_MAKE}
+                             THEN {u32(f'{entry} + 8')} ELSE acc.moff END,
+                'mlen', CASE WHEN {u16(entry)} = {EXIF_TAG_MAKE}
+                             THEN {u32(f'{entry} + 4')} ELSE acc.mlen END))
+            END
+        """
+        return fold
+
+    out = (
+        base.withColumn("ifd_le", F.expr(_ifd_exprs(_u16le, _u32le)))
+        .withColumn("ifd_be", F.expr(_ifd_exprs(_u16be, _u32be)))
+        .withColumn(
+            "ifd",
+            F.when(F.col("byte_order") == "II", F.col("ifd_le"))
+            .when(F.col("byte_order") == "MM", F.col("ifd_be")),
+        )
+    )
+    make_str = F.when(
+        F.col("ifd.moff").isNotNull() & (F.col("ifd.mlen") > 1),
+        F.expr(
+            "CAST(substring(payload, tiff + ifd.moff, "
+            "CAST(ifd.mlen AS INT) - 1) AS STRING)"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.col("byte_order").isNotNull().alias("has_exif"),
+        "byte_order",
+        F.col("ifd.ori").alias("orientation"),
+        make_str.alias("make"),
+    ).orderBy("doc_id")

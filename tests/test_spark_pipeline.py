@@ -4535,6 +4535,43 @@ def test_streaming_trending_decay_carry(spark, tmp_path):
     assert got[("signup", W + 63)] == [(1, 1)]   # clamp zeroed the carry
 
 
+def test_exif_meta_byte_orders_and_walk(spark):
+    """II and MM containers parse to the SAME fields (endianness honored,
+    not assumed), a non-Exif APP1 (XMP) is hopped over rather than
+    mistaken for the Exif segment, a plain JPEG has no exif, and an
+    empty IFD fails soft with NULL fields."""
+    import struct
+
+    from pdf_parser_spark.operators import multimodal as mm
+
+    ii = mm.make_jpeg_exif(20, 30, orientation=6, make="Acme", byte_order="II")
+    mmb = mm.make_jpeg_exif(20, 30, orientation=6, make="Acme", byte_order="MM")
+    plain = mm.make_jpeg(20, 30, com_pad=3)
+    # XMP APP1 ahead of the Exif APP1: the walk must hop it
+    xmp_body = b"http://ns.adobe.com/xap/1.0/\x00<x/>"
+    xmp = b"\xff\xe1" + struct.pack(">H", 2 + len(xmp_body)) + xmp_body
+    with_xmp = ii[:2] + xmp + ii[2:]
+    # Exif APP1 whose IFD0 declares zero entries: has_exif, null fields
+    e = "<"
+    tiff0 = (b"II" + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+             + struct.pack(e + "H", 0) + struct.pack(e + "I", 0))
+    empty = (b"\xff\xd8"
+             + b"\xff\xe1" + struct.pack(">H", 2 + 6 + len(tiff0))
+             + b"Exif\x00\x00" + tiff0 + b"\xff\xd9")
+    df = spark.createDataFrame(
+        [(0, bytearray(ii)), (1, bytearray(mmb)), (2, bytearray(plain)),
+         (3, bytearray(with_xmp)), (4, bytearray(empty))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in mm.exif_meta(df).collect()}
+    for d, order in ((0, "II"), (1, "MM"), (3, "II")):
+        assert out[d]["has_exif"] and out[d]["byte_order"] == order
+        assert out[d]["orientation"] == 6 and out[d]["make"] == "Acme"
+    assert not out[2]["has_exif"] and out[2]["make"] is None
+    assert out[4]["has_exif"] and out[4]["byte_order"] == "II"
+    assert out[4]["orientation"] is None and out[4]["make"] is None
+
+
 def test_partition_spec_evolution(spark, tmp_path):
     """Era-appropriate pruning with EXACT file counts: old-era files
     prune under identity(lang), new-era files under identity(src), each
