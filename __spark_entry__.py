@@ -1288,6 +1288,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_exif_meta": lambda s, d: multimodal.exif_meta(
             multimodal.synthetic_exif_images(_docs(s, d))
         ).na.fill({"orientation": -1, "byte_order": "", "make": ""}),
+        # byte-level PDF layout parse (north rule): xref walk ->
+        # FlateDecode -> text operators -> line/block segmentation +
+        # font-size heading heuristic, one Arrow stage
+        "p_pdf_layout": lambda s, d: (lambda pl: pl.pdf_layout(
+            pl.synthetic_pdfs(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.pdflayout",
+                      fromlist=["pdf_layout"])),
         # real container decode over deterministic BMP/WAV/PPM payloads keyed
         # by doc_id; the oracle recomputes the header fields from the doc_id
         # formulas, so a decode bug (endianness, offset, padding) mismatches
@@ -2717,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
     # and resolve registered domains on the distinct-host dim exactly as
     # weburl.registered_domain does (longest matching suffix, <= 3 labels)
     from pdf_parser_spark.operators import multimodal as MM
+    from pdf_parser_spark.operators import pdflayout as PL
     from pdf_parser_spark.operators import weburl as WU
 
     # spectral peaks: the 32x64 fixed-point cos/sin tables embedded as
@@ -5278,6 +5286,63 @@ def oracle_sql() -> dict[str, str]:
                              OR doc_id % 3 = 2 THEN ''
                         ELSE 'Cam' || (doc_id % 5) END AS make
             FROM documents ORDER BY doc_id
+        """,
+        # PDF layout: the oracle re-derives the synthesized geometry from
+        # doc_id arithmetic (page count, paragraph line counts, y ladder,
+        # escaped-paren texts), so a Td accumulation bug, an escape slip,
+        # a block-gap change, or an xref off-by-one all hash-mismatch;
+        # corrupt docs (%13) contribute zero rows
+        "p_pdf_layout": f"""
+            WITH parms AS (
+                SELECT doc_id, p,
+                       2 + (doc_id + p) % 3 AS k1,
+                       1 + (doc_id + p) % 2 AS k2
+                FROM (
+                    SELECT doc_id,
+                           unnest(range(0, CASE WHEN doc_id % 4 = 3
+                                               THEN 1 ELSE 2 END)) AS p
+                    FROM documents
+                    WHERE doc_id % {PL.PDF_CORRUPT_MOD} <> 0
+                )
+            ), headings AS (
+                SELECT doc_id, p AS page_no, 0 AS block_id, 0 AS line_id,
+                       {PL.HEAD_SIZE * 10} AS font_tenths,
+                       {PL.HEAD_Y * 10} AS y_tenths,
+                       true AS is_heading,
+                       'Heading ' || p || ' of doc ' || doc_id AS text
+                FROM parms
+            ), para1 AS (
+                SELECT doc_id, p AS page_no, 1 AS block_id,
+                       CAST(i AS INTEGER) AS line_id,
+                       {PL.BODY_SIZE * 10} AS font_tenths,
+                       CAST({PL.P1_Y * 10} - {PL.LEADING * 10} * i
+                            AS INTEGER) AS y_tenths,
+                       false AS is_heading,
+                       'Body (para one) line ' || i || ' of ' || doc_id
+                           AS text
+                FROM (SELECT doc_id, p,
+                             unnest(range(0, k1)) AS i FROM parms)
+            ), para2 AS (
+                SELECT doc_id, p AS page_no, 2 AS block_id,
+                       CAST(i AS INTEGER) AS line_id,
+                       {PL.BODY_SIZE * 10} AS font_tenths,
+                       CAST({PL.P2_Y * 10} - {PL.LEADING * 10} * i
+                            AS INTEGER) AS y_tenths,
+                       false AS is_heading,
+                       'Body (para two) line ' || i || ' of ' || doc_id
+                           AS text
+                FROM (SELECT doc_id, p,
+                             unnest(range(0, k2)) AS i FROM parms)
+            ), un AS (
+                SELECT * FROM headings
+                UNION ALL SELECT * FROM para1
+                UNION ALL SELECT * FROM para2
+            )
+            SELECT doc_id, CAST(page_no AS INTEGER) AS page_no,
+                   CAST(block_id AS INTEGER) AS block_id, line_id,
+                   CAST(font_tenths AS INTEGER) AS font_tenths,
+                   y_tenths, is_heading, text
+            FROM un ORDER BY doc_id, page_no, block_id, line_id
         """,
         # streaming extraction: the same frozen core-path tuples, no W1
         # window (the streaming stage is stateless per row)

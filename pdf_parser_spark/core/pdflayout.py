@@ -1,0 +1,224 @@
+"""Byte-level PDF layout parsing: xref-driven object walk, content-stream
+text-operator interpretation, and page/block/line segmentation with
+font-size heading heuristics — the `pdfplumber` role (SURVEY §2.1 S2,
+reference `pdf_extract.py:217-250` consumes pdfplumber's output) played
+from RAW BYTES for the subset of PDF a deterministic engine can own:
+
+- cross-reference table honored (objects located by the xref offsets the
+  trailer points at, NOT by scanning for ``N 0 obj`` — compressed stream
+  bytes legally contain any byte sequence, so offset-driven parsing is
+  the correctness path, not a nicety);
+- content streams either plain or ``/FlateDecode`` (zlib — the filter
+  that covers essentially every text-bearing stream in the wild; other
+  filters surface as a fail-soft empty page, the scanned-doc doctrine);
+- text operators ``BT``/``ET``, ``Tf`` (font size), ``Td`` (RELATIVE
+  line-origin translation — positions accumulate within a text object
+  and reset at ``BT``, per PDF 32000-1 §9.4.2), ``Tj`` with the
+  ``\\( \\) \\\\`` string escapes;
+- stated out of scope: xref streams, object streams, indirect /Length,
+  TJ-array kerning, CID fonts (each would widen coverage, none changes
+  the layout algorithm below).
+
+Layout algorithm (the reference's font-size/position heuristics,
+re-expressed):
+1. glyph runs -> LINES: runs grouped by y within LINE_TOL, x-sorted;
+2. lines -> BLOCKS: descending-y walk; a vertical gap > BLOCK_GAP_FACTOR
+   x the page's modal leading, or any font-size change, starts a new
+   block (the text-density segmentation step);
+3. HEADING blocks: font size >= HEAD_RATIO x the document's median run
+   size (the font-size heuristic — medians, not means, because one big
+   cover page must not drag the body baseline).
+
+Pure Python on bytes (no Spark imports) so the Arrow extraction stage
+calls it per document and pytest drives it directly.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+LINE_TOL = 0.5          # y distance within which runs share a line
+BLOCK_GAP_FACTOR = 1.5  # gap > factor x modal leading starts a new block
+HEAD_RATIO = 1.3        # block font >= ratio x median run size = heading
+
+_XREF_ENTRY = re.compile(rb"^(\d{10}) (\d{5}) ([nf])", re.M)
+_TEXT_OP = re.compile(
+    rb"BT|ET"
+    rb"|/\w+\s+([0-9.]+)\s+Tf"
+    rb"|(-?[0-9.]+)\s+(-?[0-9.]+)\s+Td"
+    rb"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
+)
+_UNESCAPE = re.compile(rb"\\([()\\])")
+
+
+def _xref_offsets(data: bytes) -> list[int]:
+    """Object byte offsets from the LAST startxref/xref table (the
+    live table — an incrementally-updated file's older tables are
+    superseded).  Free entries ('f') drop out."""
+    sx = data.rfind(b"startxref")
+    if sx < 0:
+        return []
+    m = re.search(rb"startxref\s+(\d+)", data[sx:])
+    if not m:
+        return []
+    start = int(m.group(1))
+    section = data[start:data.find(b"trailer", start)]
+    return [
+        int(e.group(1))
+        for e in _XREF_ENTRY.finditer(section)
+        if e.group(3) == b"n"
+    ]
+
+
+def _object_at(data: bytes, off: int) -> tuple[bytes, bytes | None]:
+    """(dict bytes, stream bytes or None) for the object at `off`.
+    Stream length comes from /Length in the dict (direct ints only —
+    offset-driven, so stream CONTENT can never confuse the walk)."""
+    m = re.compile(rb"stream\r?\n|endobj").search(data, off)
+    if m is None:
+        return data[off:], None
+    head = data[off:m.start()]
+    if not m.group(0).startswith(b"stream"):
+        return head, None
+    lm = re.search(rb"/Length\s+(\d+)", head)
+    if lm is None:
+        return head, None
+    body = data[m.end(): m.end() + int(lm.group(1))]
+    return head, body
+
+
+def _ref(head: bytes, key: bytes) -> int | None:
+    m = re.search(key + rb"\s+(\d+)\s+0\s+R", head)
+    return int(m.group(1)) if m else None
+
+
+def _page_streams(data: bytes) -> list[bytes]:
+    """Content-stream bytes in PAGE ORDER: trailer /Root -> catalog
+    /Pages -> /Kids order -> each page's /Contents, inflating
+    /FlateDecode.  Unknown filters / missing pieces fail soft to []."""
+    offs = _xref_offsets(data)
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for off in offs:
+        m = re.compile(rb"(\d+)\s+0\s+obj").match(data, off)
+        if not m:
+            continue
+        objs[int(m.group(1))] = _object_at(data, m.end())
+    tm = re.search(rb"/Root\s+(\d+)\s+0\s+R", data[data.rfind(b"trailer"):])
+    if not tm:
+        return []
+    root = objs.get(int(tm.group(1)))
+    pages_ref = _ref(root[0], rb"/Pages") if root else None
+    pages = objs.get(pages_ref) if pages_ref is not None else None
+    if pages is None:
+        return []
+    km = re.search(rb"/Kids\s*\[([^\]]*)\]", pages[0])
+    if not km:
+        return []
+    out = []
+    for kid in re.finditer(rb"(\d+)\s+0\s+R", km.group(1)):
+        page = objs.get(int(kid.group(1)))
+        if page is None:
+            continue
+        cref = _ref(page[0], rb"/Contents")
+        content = objs.get(cref) if cref is not None else None
+        if content is None or content[1] is None:
+            out.append(b"")
+            continue
+        head, body = content
+        if b"/FlateDecode" in head:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                body = b""
+        elif b"/Filter" in head:
+            body = b""  # unsupported filter: fail-soft empty page
+        out.append(body)
+    return out
+
+
+def _runs(stream: bytes) -> list[tuple[float, float, float, str]]:
+    """(x, y, size, text) glyph runs from one content stream.  Td is
+    relative to the current line origin; BT resets it (PDF §9.4.2)."""
+    runs = []
+    x = y = 0.0
+    size = 0.0
+    for m in _TEXT_OP.finditer(stream):
+        tok = m.group(0)
+        if tok == b"BT":
+            x = y = 0.0
+        elif tok == b"ET":
+            pass
+        elif m.group(1) is not None:
+            size = float(m.group(1))
+        elif m.group(2) is not None:
+            x += float(m.group(2))
+            y += float(m.group(3))
+        elif m.group(4) is not None:
+            text = _UNESCAPE.sub(rb"\1", m.group(4)).decode(
+                "latin-1", "replace"
+            )
+            runs.append((x, y, size, text))
+    return runs
+
+
+def parse_layout(data: bytes) -> list[dict]:
+    """bytes -> flat line records:
+    ``{page_no, block_id, line_id, font_tenths, y_tenths, is_heading,
+    text}`` — the page/block/line segmentation with the font-size
+    heading heuristic, deterministic and codec-free."""
+    streams = _page_streams(data)
+    all_sizes: list[float] = []
+    pages: list[list[tuple[float, float, str]]] = []  # (y, size, text) lines
+    for stream in streams:
+        runs = _runs(stream)
+        all_sizes.extend(r[2] for r in runs)
+        # group runs into lines by y (tolerance), x-sorted within
+        runs.sort(key=lambda r: (-r[1], r[0]))
+        lines: list[tuple[float, float, str]] = []
+        for rx, ry, rsize, rtext in runs:
+            if lines and abs(lines[-1][0] - ry) <= LINE_TOL:
+                py, psize, ptext = lines[-1]
+                lines[-1] = (py, max(psize, rsize), ptext + " " + rtext)
+            else:
+                lines.append((ry, rsize, rtext))
+        pages.append(lines)
+    if not all_sizes:
+        return []
+    med = sorted(all_sizes)[len(all_sizes) // 2]
+    out = []
+    for page_no, lines in enumerate(pages):
+        # modal leading: most common gap between consecutive lines
+        gaps = [
+            round(lines[i][0] - lines[i + 1][0], 3)
+            for i in range(len(lines) - 1)
+        ]
+        pos_gaps = [g for g in gaps if g > 0]
+        lead = (
+            max(set(pos_gaps), key=lambda g: (pos_gaps.count(g), -g))
+            if pos_gaps else 0.0
+        )
+        block_id = -1
+        line_id = 0
+        prev_y = prev_size = None
+        for ly, lsize, ltext in lines:
+            new_block = (
+                prev_y is None
+                or lsize != prev_size
+                or (lead > 0 and prev_y - ly > BLOCK_GAP_FACTOR * lead)
+            )
+            if new_block:
+                block_id += 1
+                line_id = 0
+            out.append({
+                "page_no": page_no,
+                "block_id": block_id,
+                "line_id": line_id,
+                "font_tenths": int(round(lsize * 10)),
+                "y_tenths": int(round(ly * 10)),
+                "is_heading": lsize >= HEAD_RATIO * med,
+                "text": ltext,
+            })
+            line_id += 1
+            prev_y, prev_size = ly, lsize
+    return out

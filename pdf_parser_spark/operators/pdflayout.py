@@ -1,0 +1,155 @@
+"""PDF layout extraction over a corpus: deterministic PDF synthesis +
+the Arrow stage that runs `core.pdflayout.parse_layout` per document.
+
+This is the byte-level half of the north rule's "PDF layout parsing
+(page/block/line segmentation, font-size and position heuristics)": the
+reference delegates bytes->runs to pdfplumber (SURVEY §2.1 S2,
+`pdf_extract.py:217-250`) and owns everything after; here the engine
+owns the bytes too — xref-driven object walk, FlateDecode inflation,
+text-operator interpretation — inside ONE mapInPandas stage, so at
+10^12 documents the whole parse rides the scan with no shuffle and no
+per-row Python (one Arrow batch = many documents, the same shape as the
+extraction pipeline's stage).
+
+Synthesis doctrine: every structural knob (page count, paragraph line
+counts, Flate vs plain, parenthesis escapes) is doc_id arithmetic the
+SQL oracle re-derives, so the face hash-checks the parser's geometry —
+a Td accumulation bug, an escape slip, a block-gap threshold change, or
+an xref off-by-one all mismatch.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from pdf_parser_spark.core.pdflayout import parse_layout
+
+PDF_CORRUPT_MOD = 13   # doc_id % 13 == 0 -> no parseable xref: zero rows
+
+# layout geometry shared by synthesis and the SQL oracle (tenths = x10)
+HEAD_Y, HEAD_SIZE = 720, 18
+P1_Y, P2_Y, BODY_SIZE, LEADING = 680, 560, 10, 14
+
+
+def _esc(s: str) -> bytes:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    ).encode("latin-1")
+
+
+def _content_stream(doc_id: int, p: int) -> bytes:
+    k1 = 2 + (doc_id + p) % 3
+    k2 = 1 + (doc_id + p) % 2
+    parts = [
+        b"BT /F1 %d Tf 72 %d Td (" % (HEAD_SIZE, HEAD_Y)
+        + _esc(f"Heading {p} of doc {doc_id}") + b") Tj ET"
+    ]
+    for start_y, k, tag in ((P1_Y, k1, "one"), (P2_Y, k2, "two")):
+        ops = [b"BT /F1 %d Tf 72 %d Td" % (BODY_SIZE, start_y)]
+        for i in range(k):
+            if i:
+                ops.append(b"0 -%d Td" % LEADING)
+            ops.append(
+                b"(" + _esc(f"Body (para {tag}) line {i} of {doc_id}")
+                + b") Tj"
+            )
+        ops.append(b"ET")
+        parts.append(b" ".join(ops))
+    return b"\n".join(parts)
+
+
+def make_pdf(doc_id: int) -> bytes:
+    """A real (minimal) PDF 1.4: catalog, pages tree, one page object +
+    content stream per page (FlateDecode for even doc_ids, plain
+    otherwise), a correct xref table, trailer, startxref."""
+    n_pages = 1 if doc_id % 4 == 3 else 2
+    flate = doc_id % 2 == 0
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+
+    def obj(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    page_nums = [3 + 2 * p for p in range(n_pages)]
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages)
+    for p, num in enumerate(page_nums):
+        obj(num, b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>"
+            % (num + 1))
+        stream = _content_stream(doc_id, p)
+        filt = b""
+        if flate:
+            stream = zlib.compress(stream)
+            filt = b" /Filter /FlateDecode"
+        obj(num + 1,
+            b"<< /Length %d%s >>\nstream\n" % (len(stream), filt)
+            + stream + b"\nendstream")
+    n_objs = 2 + 2 * n_pages
+    xref_at = len(out)
+    out.extend(b"xref\n0 %d\n" % (n_objs + 1))
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, n_objs + 1):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def synthetic_pdf_payload(doc_id: int) -> bytes:
+    if doc_id % PDF_CORRUPT_MOD == 0:
+        return b"%PDF-1.4\ntruncated, no xref"
+    return make_pdf(doc_id)
+
+
+def synthetic_pdfs(df: DataFrame) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synthetic_pdf_payload(int(d))
+                            for d in pdf["doc_id"]],
+            })
+
+    return df.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+LAYOUT_SCHEMA = (
+    "doc_id long, page_no int, block_id int, line_id int,"
+    " font_tenths int, y_tenths int, is_heading boolean, text string"
+)
+
+
+def pdf_layout(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, page_no, block_id, line_id, font_tenths, y_tenths,
+    is_heading, text) — one row per segmented LINE across the corpus.
+    One Arrow stage over (doc_id, payload): bytes -> xref walk ->
+    inflate -> text runs -> line/block segmentation -> heading flags,
+    all inside `core.pdflayout.parse_layout`; corrupt documents yield
+    zero rows (fail-soft, the scanned-doc doctrine)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["page_no", "block_id", "line_id", "font_tenths",
+                "y_tenths", "is_heading", "text"]
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": []}
+            out.update({c: [] for c in cols})
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                for rec in parse_layout(bytes(payload)):
+                    out["doc_id"].append(int(doc_id))
+                    for c in cols:
+                        out[c].append(rec[c])
+            yield pd.DataFrame(out)
+
+    return (
+        media.select("doc_id", payload_col)
+        .mapInPandas(fn, LAYOUT_SCHEMA)
+        .orderBy("doc_id", "page_no", "block_id", "line_id")
+    )

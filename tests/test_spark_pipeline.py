@@ -4535,6 +4535,78 @@ def test_streaming_trending_decay_carry(spark, tmp_path):
     assert got[("signup", W + 63)] == [(1, 1)]   # clamp zeroed the carry
 
 
+def test_pdf_layout_parser_core():
+    """Byte-level PDF parse pins: Flate and plain streams produce the
+    SAME layout, string escapes round-trip, Td accumulates relative to
+    the line origin within a text object, a decoy 'N 0 obj' INSIDE a
+    stream cannot confuse the xref-driven walk, and block segmentation
+    breaks on both the vertical gap and the font-size change."""
+    from pdf_parser_spark.core import pdflayout as core
+    from pdf_parser_spark.operators import pdflayout as op
+
+    # flate (even) vs plain (odd) at the same geometry params: doc_ids 4
+    # and 9 share (k1, k2) per page only if (d+p)%3 and %2 agree — use
+    # the same doc twice by patching parity via direct make calls
+    plain = core.parse_layout(op.make_pdf(5))
+    assert plain, "plain stream parsed"
+    flate = core.parse_layout(op.make_pdf(4))
+    assert flate, "flate stream parsed"
+    # structure: heading block 0 (is_heading), body blocks 1 and 2
+    assert plain[0]["is_heading"] and plain[0]["font_tenths"] == 180
+    assert {r["block_id"] for r in plain if r["page_no"] == 0} == {0, 1, 2}
+    assert not any(r["is_heading"] for r in plain if r["block_id"] > 0)
+    # escape round-trip: parens in the body text survive
+    assert any("(para one)" in r["text"] for r in plain)
+
+    # hand-built single-stream PDF exercising Td ACCUMULATION and an
+    # embedded decoy object header inside the content stream
+    content = (b"BT /F1 12 Tf 72 700 Td (A 5 0 obj decoy) Tj "
+               b"0 -20 Td (B) Tj 10 -20 Td (C) Tj ET")
+    data = _mini_pdf(content)
+    rows = core.parse_layout(data)
+    assert [r["text"] for r in rows] == ["A 5 0 obj decoy", "B", "C"]
+    assert [r["y_tenths"] for r in rows] == [7000, 6800, 6600]
+    # uniform font + uniform leading => one block, line ids advance
+    assert [r["block_id"] for r in rows] == [0, 0, 0]
+    assert [r["line_id"] for r in rows] == [0, 1, 2]
+
+    # corrupt bytes fail soft to zero rows
+    assert core.parse_layout(b"%PDF-1.4\nnothing here") == []
+
+    # same content compressed: identical layout to the plain form
+    rows_z = core.parse_layout(_mini_pdf(content, flate=True))
+    assert rows_z == rows
+
+
+def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
+    """One-page PDF around `content` with a correct xref table."""
+    import zlib
+
+    if flate:
+        body, filt = zlib.compress(content), b" /Filter /FlateDecode"
+    else:
+        body, filt = content, b""
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+
+    def obj(num, b):
+        offs[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + b + b"\nendobj\n")
+
+    obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    obj(4, b"<< /Length %d%s >>\nstream\n" % (len(body), filt)
+        + body + b"\nendstream")
+    xref_at = len(out)
+    out.extend(b"xref\n0 5\n0000000000 65535 f \n")
+    for n in range(1, 5):
+        out.extend(b"%010d 00000 n \n" % offs[n])
+    out.extend(b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+               % xref_at)
+    return bytes(out)
+
+
 def test_exif_meta_byte_orders_and_walk(spark):
     """II and MM containers parse to the SAME fields (endianness honored,
     not assumed), a non-Exif APP1 (XMP) is hopped over rather than
