@@ -1295,6 +1295,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pl.synthetic_pdfs(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.pdflayout",
                       fromlist=["pdf_layout"])),
+        # reading-order text assembly over the layout rows (line -> block
+        # -> page -> document, explicit in-group ordering throughout)
+        "p_pdf_text": lambda s, d: (lambda pl: pl.pdf_text(
+            pl.synthetic_pdfs(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.pdflayout",
+                      fromlist=["pdf_text"])),
         # real container decode over deterministic BMP/WAV/PPM payloads keyed
         # by doc_id; the oracle recomputes the header fields from the doc_id
         # formulas, so a decode bug (endianness, offset, padding) mismatches
@@ -2822,6 +2828,57 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _url_cte = _url_cte_for("documents")
+
+    # synthesized-PDF layout rows (shared by p_pdf_layout and p_pdf_text
+    # so the two faces cannot drift): page count, paragraph line counts,
+    # y ladder, and texts re-derived from the doc_id arithmetic
+    _pdf_rows_cte = f"""
+        parms AS (
+            SELECT doc_id, p,
+                   2 + (doc_id + p) % 3 AS k1,
+                   1 + (doc_id + p) % 2 AS k2
+            FROM (
+                SELECT doc_id,
+                       unnest(range(0, CASE WHEN doc_id % 4 = 3
+                                           THEN 1 ELSE 2 END)) AS p
+                FROM documents
+                WHERE doc_id % {PL.PDF_CORRUPT_MOD} <> 0
+            )
+        ), pdf_headings AS (
+            SELECT doc_id, p AS page_no, 0 AS block_id, 0 AS line_id,
+                   {PL.HEAD_SIZE * 10} AS font_tenths,
+                   {PL.HEAD_Y * 10} AS y_tenths,
+                   true AS is_heading,
+                   'Heading ' || p || ' of doc ' || doc_id AS text
+            FROM parms
+        ), pdf_para1 AS (
+            SELECT doc_id, p AS page_no, 1 AS block_id,
+                   CAST(i AS INTEGER) AS line_id,
+                   {PL.BODY_SIZE * 10} AS font_tenths,
+                   CAST({PL.P1_Y * 10} - {PL.LEADING * 10} * i
+                        AS INTEGER) AS y_tenths,
+                   false AS is_heading,
+                   'Body (para one) line ' || i || ' of ' || doc_id
+                       AS text
+            FROM (SELECT doc_id, p,
+                         unnest(range(0, k1)) AS i FROM parms)
+        ), pdf_para2 AS (
+            SELECT doc_id, p AS page_no, 2 AS block_id,
+                   CAST(i AS INTEGER) AS line_id,
+                   {PL.BODY_SIZE * 10} AS font_tenths,
+                   CAST({PL.P2_Y * 10} - {PL.LEADING * 10} * i
+                        AS INTEGER) AS y_tenths,
+                   false AS is_heading,
+                   'Body (para two) line ' || i || ' of ' || doc_id
+                       AS text
+            FROM (SELECT doc_id, p,
+                         unnest(range(0, k2)) AS i FROM parms)
+        ), pdf_lines AS (
+            SELECT * FROM pdf_headings
+            UNION ALL SELECT * FROM pdf_para1
+            UNION ALL SELECT * FROM pdf_para2
+        )
+    """
 
     # SURT key as one SQL fragment over canon.canonical_url (shared by
     # u_surt and u_cdx_index so the two faces cannot drift)
@@ -5291,58 +5348,42 @@ def oracle_sql() -> dict[str, str]:
         # doc_id arithmetic (page count, paragraph line counts, y ladder,
         # escaped-paren texts), so a Td accumulation bug, an escape slip,
         # a block-gap change, or an xref off-by-one all hash-mismatch;
-        # corrupt docs (%13) contribute zero rows
+        # corrupt docs (%13) contribute zero rows.  The CTE chain is
+        # shared verbatim with p_pdf_text (assigned below), so the two
+        # faces cannot drift.
         "p_pdf_layout": f"""
-            WITH parms AS (
-                SELECT doc_id, p,
-                       2 + (doc_id + p) % 3 AS k1,
-                       1 + (doc_id + p) % 2 AS k2
-                FROM (
-                    SELECT doc_id,
-                           unnest(range(0, CASE WHEN doc_id % 4 = 3
-                                               THEN 1 ELSE 2 END)) AS p
-                    FROM documents
-                    WHERE doc_id % {PL.PDF_CORRUPT_MOD} <> 0
-                )
-            ), headings AS (
-                SELECT doc_id, p AS page_no, 0 AS block_id, 0 AS line_id,
-                       {PL.HEAD_SIZE * 10} AS font_tenths,
-                       {PL.HEAD_Y * 10} AS y_tenths,
-                       true AS is_heading,
-                       'Heading ' || p || ' of doc ' || doc_id AS text
-                FROM parms
-            ), para1 AS (
-                SELECT doc_id, p AS page_no, 1 AS block_id,
-                       CAST(i AS INTEGER) AS line_id,
-                       {PL.BODY_SIZE * 10} AS font_tenths,
-                       CAST({PL.P1_Y * 10} - {PL.LEADING * 10} * i
-                            AS INTEGER) AS y_tenths,
-                       false AS is_heading,
-                       'Body (para one) line ' || i || ' of ' || doc_id
-                           AS text
-                FROM (SELECT doc_id, p,
-                             unnest(range(0, k1)) AS i FROM parms)
-            ), para2 AS (
-                SELECT doc_id, p AS page_no, 2 AS block_id,
-                       CAST(i AS INTEGER) AS line_id,
-                       {PL.BODY_SIZE * 10} AS font_tenths,
-                       CAST({PL.P2_Y * 10} - {PL.LEADING * 10} * i
-                            AS INTEGER) AS y_tenths,
-                       false AS is_heading,
-                       'Body (para two) line ' || i || ' of ' || doc_id
-                           AS text
-                FROM (SELECT doc_id, p,
-                             unnest(range(0, k2)) AS i FROM parms)
-            ), un AS (
-                SELECT * FROM headings
-                UNION ALL SELECT * FROM para1
-                UNION ALL SELECT * FROM para2
-            )
+            WITH {_pdf_rows_cte}
             SELECT doc_id, CAST(page_no AS INTEGER) AS page_no,
                    CAST(block_id AS INTEGER) AS block_id, line_id,
                    CAST(font_tenths AS INTEGER) AS font_tenths,
                    y_tenths, is_heading, text
-            FROM un ORDER BY doc_id, page_no, block_id, line_id
+            FROM pdf_lines ORDER BY doc_id, page_no, block_id, line_id
+        """,
+        # reading-order text assembly over the same synthesized rows:
+        # line -> block (\\n) -> page (blank line) -> document (\\f),
+        # every join ordered explicitly
+        "p_pdf_text": f"""
+            WITH {_pdf_rows_cte},
+            blocks AS (
+                SELECT doc_id, page_no, block_id,
+                       string_agg(text, chr(10) ORDER BY line_id)
+                           AS block_text,
+                       max(CASE WHEN is_heading THEN 1 ELSE 0 END)
+                           AS is_heading
+                FROM pdf_lines GROUP BY doc_id, page_no, block_id
+            ), pages AS (
+                SELECT doc_id, page_no,
+                       string_agg(block_text, chr(10) || chr(10)
+                                  ORDER BY block_id) AS page_text,
+                       count(*) AS n_blocks,
+                       sum(is_heading) AS n_headings
+                FROM blocks GROUP BY doc_id, page_no
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(n_blocks) AS BIGINT) AS n_blocks,
+                   CAST(sum(n_headings) AS BIGINT) AS n_headings,
+                   string_agg(page_text, chr(12) ORDER BY page_no) AS text
+            FROM pages GROUP BY doc_id ORDER BY doc_id
         """,
         # streaming extraction: the same frozen core-path tuples, no W1
         # window (the streaming stage is stateless per row)

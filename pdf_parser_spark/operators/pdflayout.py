@@ -153,3 +153,55 @@ def pdf_layout(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         .mapInPandas(fn, LAYOUT_SCHEMA)
         .orderBy("doc_id", "page_no", "block_id", "line_id")
     )
+
+
+def pdf_text(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, n_pages, n_blocks, n_headings, text) — reading-order text
+    assembly on top of the layout parse, the per-document 'extracted
+    text' contract (byte-identical text per document, the north rule's
+    invariant): lines join with \\n inside a block, blocks with a blank
+    line, pages with \\f (the pdftotext page separator the extraction
+    pipeline's PAGE_SEP already speaks — this face's output drops
+    straight into the pages shape).
+
+    The assembly is three JVM aggregations OVER the layout rows — line ->
+    block -> page -> document — not a second Python pass, with in-group
+    order made explicit everywhere (array_sort on (line/block/page) key
+    structs, never a shuffle-order accident)."""
+    from pyspark.sql import functions as F
+
+    def _joined(key_col, text_col, sep):
+        return F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(key_col, text_col))),
+                lambda s: s[text_col],
+            ),
+        )
+
+    lay = pdf_layout(media, payload_col)
+    blocks = (
+        lay.groupBy("doc_id", "page_no", "block_id")
+        .agg(
+            _joined("line_id", "text", "\n").alias("block_text"),
+            F.max(F.col("is_heading").cast("int")).alias("is_heading"),
+        )
+    )
+    pages = (
+        blocks.groupBy("doc_id", "page_no")
+        .agg(
+            _joined("block_id", "block_text", "\n\n").alias("page_text"),
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("is_heading").cast("long").alias("n_headings"),
+        )
+    )
+    return (
+        pages.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum("n_blocks").cast("long").alias("n_blocks"),
+            F.sum("n_headings").cast("long").alias("n_headings"),
+            _joined("page_no", "page_text", "\f").alias("text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -4607,6 +4607,32 @@ def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
     return bytes(out)
 
 
+def test_pdf_text_assembly(spark):
+    """Reading order and separators: \\n inside a block, blank line
+    between blocks, \\f between pages; counts match the layout."""
+    from pdf_parser_spark.operators import pdflayout as op
+
+    docs = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    out = {r["doc_id"]: r
+           for r in op.pdf_text(op.synthetic_pdfs(docs)).collect()}
+    # doc 3: one page (3%4==3), k1=2+(3)%3=2... (3+0)%3=0 -> k1=2, k2=2
+    r3 = out[3]
+    assert r3["n_pages"] == 1 and r3["n_blocks"] == 3
+    assert r3["n_headings"] == 1
+    assert r3["text"] == (
+        "Heading 0 of doc 3"
+        "\n\nBody (para one) line 0 of 3\nBody (para one) line 1 of 3"
+        "\n\nBody (para two) line 0 of 3\nBody (para two) line 1 of 3"
+    )
+    # doc 1: two pages joined by \f, one heading per page
+    r1 = out[1]
+    assert r1["n_pages"] == 2 and r1["n_headings"] == 2
+    assert r1["text"].count("\f") == 1
+    p0, p1 = r1["text"].split("\f")
+    assert p0.startswith("Heading 0 of doc 1")
+    assert p1.startswith("Heading 1 of doc 1")
+
+
 def test_exif_meta_byte_orders_and_walk(spark):
     """II and MM containers parse to the SAME fields (endianness honored,
     not assumed), a non-Exif APP1 (XMP) is hopped over rather than
