@@ -1741,6 +1741,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_hits": lambda s, d: (lambda lg: lg.hits(
             _docs(s, d), lg.synthetic_edges(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # SALSA (Lempel-Moran 2000): the stochastic HITS — degree-
+        # normalized floor-div walk, kills the tightly-knit-community
+        # amplification (farm-vs-honest pin in pytest)
+        "g_salsa": lambda s, d: (lambda lg: lg.salsa(
+            _docs(s, d), lg.synthetic_edges(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # co-citation pairs (shared citing sources) + one-row graph audit
         "g_cocitation": lambda s, d: (lambda lg: lg.cocitation_pairs(
             lg.synthetic_edges(_docs(s, d))
@@ -2248,6 +2254,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM edges e JOIN a{_i + 1} a ON a.doc_id = e.dst GROUP BY e.src
             ) x USING (doc_id))"""
     _K = LG.HITS_ITERATIONS
+    # SALSA: the hits chain with degree-normalized floor divisions —
+    # nonnegative values make DuckDB // == Spark div
+    _salsa_cte = f"""sdeg AS (SELECT src, count(*) AS c FROM edges GROUP BY src),
+        ddeg AS (SELECT dst, count(*) AS c FROM edges GROUP BY dst),
+        sh0 AS (SELECT doc_id, CAST({LG.SALSA_SCALE} AS BIGINT) AS h
+                FROM documents)"""
+    for _i in range(LG.SALSA_ITERATIONS):
+        _salsa_cte += f""",
+        sa{_i + 1} AS (
+            SELECT d.doc_id, CAST(coalesce(x.s, 0) AS BIGINT) AS a
+            FROM documents d LEFT JOIN (
+                SELECT e.dst AS doc_id, sum(h.h // o.c) AS s
+                FROM edges e JOIN sh{_i} h ON h.doc_id = e.src
+                JOIN sdeg o ON o.src = e.src GROUP BY e.dst
+            ) x USING (doc_id)),
+        sh{_i + 1} AS (
+            SELECT d.doc_id, CAST(coalesce(x.s, 0) AS BIGINT) AS h
+            FROM documents d LEFT JOIN (
+                SELECT e.src AS doc_id, sum(a.a // i.c) AS s
+                FROM edges e JOIN sa{_i + 1} a ON a.doc_id = e.dst
+                JOIN ddeg i ON i.dst = e.dst GROUP BY e.src
+            ) x USING (doc_id))"""
+    _SK = LG.SALSA_ITERATIONS
     # exact-integer PageRank, iterations unrolled as chained CTEs (aggregates
     # are not allowed in a recursive term, and unrolling keeps the SQL the
     # literal twin of the Spark driver loop)
@@ -7310,6 +7339,13 @@ def oracle_sql() -> dict[str, str]:
             {_hits_cte}
             SELECT h{_K}.doc_id, h{_K}.h AS hub, a{_K}.a AS authority
             FROM h{_K} JOIN a{_K} USING (doc_id) ORDER BY doc_id
+        """,
+        # SALSA: the same unrolled chain with degree-normalized floors
+        "g_salsa": f"""
+            WITH edges AS ({_edges_sql}),
+            {_salsa_cte}
+            SELECT sh{_SK}.doc_id, sh{_SK}.h AS hub, sa{_SK}.a AS authority
+            FROM sh{_SK} JOIN sa{_SK} USING (doc_id) ORDER BY doc_id
         """,
         # CCNet-style fluency proxy: unigram vocab (top-256 by count desc,
         # token asc) fitted on the doc_id%7==0 clean subset; per-doc integer

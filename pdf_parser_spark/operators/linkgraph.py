@@ -1404,3 +1404,69 @@ def frontier_schedule_v2(
     return _schedule(
         documents, edges, per_domain, iterations, exclude=suspects
     )
+
+
+SALSA_ITERATIONS = 3
+SALSA_SCALE = 1_000_000_000  # h0 magnitude: floor-div headroom over K rounds
+
+
+def salsa(
+    documents: DataFrame, edges: DataFrame,
+    iterations: int = SALSA_ITERATIONS,
+) -> DataFrame:
+    """(doc_id, hub, authority) after `iterations` SALSA updates (Lempel
+    & Moran, WWW9 2000): HITS with the mutual-reinforcement sums replaced
+    by the STOCHASTIC walk — a' = sum of h div outdeg over in-edges,
+    h' = sum of a' div indeg over out-edges.  The degree normalization is
+    the entire point: it kills the Tightly-Knit Community effect, where a
+    small densely-interlinked farm amplifies itself multiplicatively
+    under HITS and outranks honestly-endorsed pages; under SALSA's
+    normalized walk each farm page can only redistribute its one unit of
+    mass, and authority converges toward in-degree share — the farm
+    pytest pins this head-to-head against `hits` on the same graph.
+
+    Exact-integer doctrine: h0 = SALSA_SCALE, every division an integer
+    floor (values nonnegative, so Spark `div` == DuckDB `//`), every sum
+    a BIGINT — cross-engine hashable with the unrolled-CTE twin.  Scale:
+    identical dataflow to hits/pagerank (K bounded join+groupBy passes
+    over one cached edge+degrees table, eager localCheckpoint, edge cache
+    freed on return)."""
+    if iterations < 1:
+        raise ValueError("salsa requires iterations >= 1")
+    nodes = documents.select("doc_id")
+    odeg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+    ideg = edges.groupBy("dst").agg(F.count("*").alias("ideg"))
+    ed = edges.select("src", "dst").join(odeg, "src").join(ideg, "dst") \
+        .persist()
+    ed.count()
+    hubs = nodes.select(
+        "doc_id", F.lit(SALSA_SCALE).cast("long").alias("h")
+    )
+    auths = None
+    for _ in range(iterations):
+        auths = (
+            ed.join(hubs, ed.src == hubs.doc_id)
+            .select("dst", F.expr("h div odeg").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("a"))
+        )
+        auths = nodes.join(
+            auths, nodes.doc_id == auths.dst, "left"
+        ).select("doc_id", F.coalesce("a", F.lit(0)).cast("long").alias("a"))
+        hubs = (
+            ed.join(auths, ed.dst == auths.doc_id)
+            .select("src", F.expr("a div ideg").alias("c"))
+            .groupBy("src").agg(F.sum("c").alias("h"))
+        )
+        hubs = nodes.join(
+            hubs, nodes.doc_id == hubs.src, "left"
+        ).select("doc_id", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+    out = (
+        hubs.join(auths.withColumnRenamed("doc_id", "d"),
+                  hubs.doc_id == F.col("d"))
+        .select("doc_id", F.col("h").alias("hub"),
+                F.col("a").alias("authority"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager=True)  # see pagerank: frees ed afterwards
+    )
+    ed.unpersist()
+    return out

@@ -4607,6 +4607,42 @@ def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
     return bytes(out)
 
 
+def test_salsa_kills_tkc_and_floor_math(spark):
+    """The Lempel-Moran point, head to head on one graph: a 6-clique
+    link farm outranks a 6-endorsed honest page under HITS (mutual
+    reinforcement amplifies multiplicatively) but NOT under SALSA (each
+    farm page redistributes one normalized unit, so authority follows
+    honest in-degree).  Plus the exact floor arithmetic on a 3-node
+    chain at one iteration."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    farm = [(i, j) for i in range(1, 7) for j in range(1, 7) if i != j]
+    hubs = [(h, 10) for h in range(20, 26)]
+    nodes = [1, 2, 3, 4, 5, 6, 10] + list(range(20, 26))
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edges = spark.createDataFrame(farm + hubs, "src long, dst long")
+    ha = {r["doc_id"]: r["authority"]
+          for r in lg.hits(docs, edges).collect()}
+    sa = {r["doc_id"]: r["authority"]
+          for r in lg.salsa(docs, edges).collect()}
+    farm_hits = max(ha[i] for i in range(1, 7))
+    farm_salsa = max(sa[i] for i in range(1, 7))
+    assert farm_hits > ha[10], (farm_hits, ha[10])      # HITS: farm wins
+    assert sa[10] > farm_salsa, (sa[10], farm_salsa)    # SALSA: honest wins
+
+    # exact floors, one iteration: 1->2, 1->3, 2->3 at SCALE
+    S = lg.SALSA_SCALE
+    d2 = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    e2 = spark.createDataFrame([(1, 2), (1, 3), (2, 3)],
+                               "src long, dst long")
+    out = {r["doc_id"]: r for r in lg.salsa(d2, e2, iterations=1).collect()}
+    assert out[2]["authority"] == S // 2
+    assert out[3]["authority"] == S // 2 + S
+    assert out[1]["hub"] == (S // 2) // 1 + (S // 2 + S) // 2
+    assert out[2]["hub"] == (S // 2 + S) // 2
+    assert out[3]["hub"] == 0
+
+
 def test_pdf_text_assembly(spark):
     """Reading order and separators: \\n inside a block, blank line
     between blocks, \\f between pages; counts match the layout."""
