@@ -800,6 +800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_cohort_retention": R.w7_cohort_retention,
         # last-touch attribution: one ignorenulls struct-carry window
         "w8_attribution": R.w8_attribution,
+        # per-user peak-rate bot gate: ONE range-frame window (trailing
+        # 60 s count, maxed per user) — exact peak, no self-join
+        "w9_bot_detect": R.w9_bot_detect,
         # native session_window (third sessionize face; INCLUSIVE merge
         # boundary — an event at exactly prev+gap merges, same as W4's lag
         # rule; pinned by the oracle's `> gap` new-session test and the
@@ -3213,6 +3216,25 @@ def oracle_sql() -> dict[str, str]:
         # last-touch attribution: same ignorenulls struct-carry window,
         # same lookback/direct predicates
         "w8_attribution": _w8_sql,
+        # peak-rate bot gate: the same trailing range frame — the exact
+        # sliding-window peak via RANGE n PRECEDING over the BIGINT es
+        "w9_bot_detect": f"""
+            WITH ev AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+                FROM events
+            ), rated AS (
+                SELECT user_id,
+                       count(*) OVER (
+                           PARTITION BY user_id ORDER BY es
+                           RANGE BETWEEN {R.BOT_WINDOW_S - 1} PRECEDING
+                                 AND CURRENT ROW) AS in_win
+                FROM ev
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(in_win) AS BIGINT) AS peak_rate,
+                   max(in_win) >= {R.BOT_RPM_MIN} AS is_bot
+            FROM rated GROUP BY user_id ORDER BY user_id
+        """,
         # streaming twin: one-batch replay makes stream order = global
         # order, so the batch SQL is the oracle VERBATIM (ratelimit
         # doctrine); cross-batch state carry is pinned in pytest

@@ -1180,3 +1180,47 @@ def w8_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+BOT_WINDOW_S = 60     # sliding event-time window for the peak-rate probe
+BOT_RPM_MIN = 8       # peak events within one window >= this -> bot flag
+
+
+def w9_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bot detection by PEAK request rate — the traffic-quality
+    gate crawl analytics runs before sessionize/funnel/attribution trust
+    the event stream (bots both pollute product metrics and ARE the
+    signal in crawler-traffic studies): for every user, the maximum
+    number of events inside any BOT_WINDOW_S-second sliding window, found
+    exactly with ONE range-frame window function — count over
+    RANGE BETWEEN (BOT_WINDOW_S - 1) PRECEDING AND CURRENT ROW on the
+    event-time seconds, maxed per user.  The trailing window ending at
+    each event provably contains the per-user maximum of the continuous
+    sliding count (any window's count is <= the trailing window anchored
+    at its last event), so this is the exact peak, not an approximation
+    — and it costs one keyed sort instead of a self-join.
+
+    (user_id, n_events, peak_rate, is_bot): exact BIGINTs.  Scale: one
+    shuffle on user_id (the range frame sorts within partitions), one
+    algebraic groupBy — no corpus-ordered shuffle, no self-join; heavy
+    users are exactly the rows the frame handles longest, and they are
+    also the bots, so the skew IS the signal."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    es = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(-(BOT_WINDOW_S - 1), 0)
+    )
+    rated = (
+        ev.select("user_id", es.alias("es"))
+        .withColumn("in_win", F.count("*").over(w))
+    )
+    return (
+        rated.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("in_win").cast("long").alias("peak_rate"),
+        )
+        .withColumn("is_bot", F.col("peak_rate") >= BOT_RPM_MIN)
+        .orderBy("user_id")
+    )

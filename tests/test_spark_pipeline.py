@@ -4607,6 +4607,39 @@ def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
     return bytes(out)
 
 
+def test_w9_bot_detect_sliding_peak(spark, tmp_path):
+    """The sliding peak is exact, not tumbling: 8 events spanning 51 s
+    across a calendar-minute boundary count as one window (a tumbling
+    minute would see 4+4 and miss the bot); the trailing frame is 59 s
+    inclusive, so a burst needing 61 s stays human."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.plans.relational import w9_bot_detect
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = (
+        [(1, s) for s in (30, 40, 50, 55, 60, 65, 70, 80)]   # bot: 8 in 51 s
+        + [(2, s) for s in range(0, 700, 100)]               # human: 7 sparse
+        + [(3, s) for s in (10, 20, 30, 40, 50, 60, 61)]     # 7 peak: human
+    )
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([t0 + dt.timedelta(seconds=s) for _, s in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r for r in w9_bot_detect(spark, str(tmp_path)).collect()}
+    assert out[1]["peak_rate"] == 8 and out[1]["is_bot"]
+    assert out[2]["peak_rate"] == 1 and not out[2]["is_bot"]
+    assert out[3]["peak_rate"] == 7 and not out[3]["is_bot"]
+
+
 def test_salsa_kills_tkc_and_floor_math(spark):
     """The Lempel-Moran point, head to head on one graph: a 6-clique
     link farm outranks a 6-endorsed honest page under HITS (mutual
