@@ -1055,6 +1055,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # labeled retrieval audit: rank of each query's SOURCE doc, exact
         # integer MRR components — shares _bm25_scores with t_bm25
         "t_bm25_mrr": lambda s, d: textstats.bm25_source_mrr(_docs(s, d)),
+        # exact phrase search via a positional inverted index: adjacency
+        # as a pure equi-join on (doc_id, pos+1), query-term broadcast
+        # semi-filters before any pairing
+        "t_phrase_search": lambda s, d: textstats.phrase_search(
+            _docs(s, d), textstats.phrase_queries(_docs(s, d))
+        ),
         # character entropy in floored milli-bits: the junk detector
         # orthogonal to word rules (repeated-char filler sits far below
         # prose, base64 far above)
@@ -8473,6 +8479,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # labeled retrieval audit: queries from each %31 doc's own 3rd/5th
         # words, the SAME scoring chain as t_bm25, rank of the source doc
+        # positional phrase search: adjacency via pos+1 equi-join over
+        # the positional postings, self-seeded queries (2nd/3rd tokens)
+        "t_phrase_search": f"""
+            WITH tt AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), q AS (
+                SELECT doc_id AS query_id,
+                       lower(t[2]) AS w1, lower(t[3]) AS w2
+                FROM tt
+                WHERE doc_id % {TS.PHRASE_QUERY_MOD} = 0 AND len(t) >= 3
+            ), pp AS (
+                SELECT doc_id, t,
+                       unnest(range(1, len(t) + 1)) AS pos
+                FROM tt
+            ), post AS (
+                SELECT doc_id, pos, lower(t[pos]) AS term FROM pp
+            )
+            SELECT q.query_id, q.w1, q.w2, p1.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matches
+            FROM q
+            JOIN post p1 ON p1.term = q.w1
+            JOIN post p2 ON p2.doc_id = p1.doc_id
+                        AND p2.pos = p1.pos + 1 AND p2.term = q.w2
+            GROUP BY 1, 2, 3, 4 ORDER BY query_id, p1.doc_id
+        """,
         "t_bm25_mrr": f"""
             WITH toks AS (
                 SELECT doc_id, term FROM (

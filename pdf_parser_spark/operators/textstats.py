@@ -2969,3 +2969,76 @@ def lexical_diversity(
         )
         .orderBy("doc_id")
     )
+
+
+PHRASE_QUERY_MOD = 41   # every %41 doc seeds a phrase query from its tokens
+
+
+def phrase_queries(documents: DataFrame) -> DataFrame:
+    """(query_id, w1, w2): every %PHRASE_QUERY_MOD doc seeds an adjacent
+    bigram query from its own 2nd/3rd tokens (lowercased) — guaranteed
+    at least one corpus hit (the seed doc), the same self-seeding
+    doctrine as the BM25 MRR audit."""
+    toks = words(F.col("text"))
+    return (
+        documents
+        .where((F.col("doc_id") % PHRASE_QUERY_MOD == 0)
+               & (F.size(toks) >= 3))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.lower(F.element_at(toks, 2)).alias("w1"),
+            F.lower(F.element_at(toks, 3)).alias("w2"),
+        )
+    )
+
+
+def phrase_search(documents: DataFrame, queries: DataFrame) -> DataFrame:
+    """(query_id, w1, w2, doc_id, n_matches) — exact phrase (adjacent
+    bigram) search via a POSITIONAL inverted index, the IR step a plain
+    inverted index cannot express: a doc containing both words scattered
+    is NOT a phrase hit; adjacency lives in the position column
+    (Manning/Raghavan/Schütze IIR §2.4, positional postings).
+
+    Plan shape for 10^12 docs: posexplode is a narrow in-scan fan-out;
+    each posting stream is FILTERED by a broadcast semi-join against the
+    tiny query-term dim BEFORE any pairing, so the adjacency join runs
+    postings(w1) x postings(w2) — term-selective slivers of the corpus —
+    never posting x posting.  The pairing itself is a pure equi-join on
+    (doc_id, pos+1 = pos) (Catalyst gets both keys; no theta residual),
+    then one algebraic count per (query, doc)."""
+    from pyspark.sql.functions import broadcast
+
+    post = (
+        documents.select(
+            "doc_id",
+            F.posexplode(words(F.col("text"))).alias("pos", "term"),
+        )
+        .select("doc_id", (F.col("pos") + 1).alias("pos"),
+                F.lower("term").alias("term"))
+    )
+    q = queries.persist()
+    p1 = (
+        post.join(broadcast(q.select(F.col("w1").alias("term")).distinct()),
+                  "term")
+        .select(F.col("doc_id"), F.col("pos"), F.col("term").alias("t1"),
+                (F.col("pos") + 1).alias("next_pos"))
+    )
+    p2 = (
+        post.join(broadcast(q.select(F.col("w2").alias("term")).distinct()),
+                  "term")
+        .select(F.col("doc_id").alias("doc_id2"),
+                F.col("pos").alias("pos2"), F.col("term").alias("t2"))
+    )
+    pairs = p1.join(
+        p2,
+        (p1.doc_id == p2.doc_id2) & (p1.next_pos == p2.pos2),
+    )
+    out = (
+        broadcast(q).join(
+            pairs, (q.w1 == pairs.t1) & (q.w2 == pairs.t2)
+        )
+        .groupBy("query_id", "w1", "w2", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+        .orderBy("query_id", "doc_id")
+    )
+    return out

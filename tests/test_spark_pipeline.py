@@ -4607,6 +4607,30 @@ def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
     return bytes(out)
 
 
+def test_phrase_search_adjacency(spark):
+    """Phrase semantics: adjacent bigram hits count per occurrence;
+    scattered words, reversed order, and partial presence do NOT hit;
+    matching is case-insensitive; the seed doc always hits itself."""
+    from pdf_parser_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x big data big data y"),       # seed: q = (big, data); 2 hits
+            (1, "big stuff and data here"),     # scattered: no hit
+            (2, "data big"),                    # reversed: no hit
+            (3, "more BIG Data inside"),        # case-insensitive hit
+            (4, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    q = ts.phrase_queries(docs)
+    assert q.collect()[0]["w1"] == "big" and q.collect()[0]["w2"] == "data"
+    out = {r["doc_id"]: r for r in ts.phrase_search(docs, q).collect()}
+    assert out[0]["n_matches"] == 2
+    assert out[3]["n_matches"] == 1
+    assert set(out) == {0, 3}
+
+
 def test_w9_bot_detect_sliding_peak(spark, tmp_path):
     """The sliding peak is exact, not tumbling: 8 events spanning 51 s
     across a calendar-minute boundary count as one window (a tumbling
