@@ -1237,6 +1237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_semdedup": lambda s, d: dedup.semdedup(_emb(s, d), threshold=0.3),
         # --- similarity search ---
         "s_ann_brute": lambda s, d: similarity.brute_force_topk(_emb(s, d)),
+        # MMR diversified re-rank (lambda=0.7 in exact integer bp): greedy
+        # argmax over brute candidates, select_k bounded keyed rounds
+        "s_mmr_rerank": lambda s, d: similarity.mmr_rerank(_emb(s, d)),
         "s_ann_ivf": lambda s, d: similarity.ivf_topk(_emb(s, d)),
         # fit-on-sample mode: Lloyd rounds touch only the md5-deterministic
         # 25% sample; the oracle's frozen numpy twin applies the same filter
@@ -2286,6 +2289,76 @@ def oracle_sql() -> dict[str, str]:
                 JOIN ddeg i ON i.dst = e.dst GROUP BY e.src
             ) x USING (doc_id))"""
     _SK = LG.SALSA_ITERATIONS
+
+    # MMR greedy walk, select_k rounds unrolled as chained CTEs (the
+    # hits/pagerank unroll doctrine — aggregates are not allowed in a
+    # recursive term, and the unroll is the literal twin of the Spark
+    # driver loop).  sel0 is the empty selected set; round r scores every
+    # still-available candidate and picks the (score desc, vec_id) argmax.
+    from pdf_parser_spark.operators import similarity as SIM
+
+    _mmr_pen = SIM.MMR_LAMBDA_DEN - SIM.MMR_LAMBDA_NUM
+    _mmr_cte = f"""emb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), mscored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round(list_dot_product(q.v, c.v) /
+                         (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))), 4) AS cs
+            FROM emb q CROSS JOIN emb c
+            WHERE q.vec_id < {SIM.MMR_QUERIES} AND q.vec_id != c.vec_id
+        ), cand AS (
+            SELECT query_id, vec_id,
+                   CAST(round(cs * 10000) AS BIGINT) AS rel_bp
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cs DESC, vec_id ASC) AS rk FROM mscored)
+            WHERE rk <= {SIM.MMR_CAND_K}
+        ), msims AS (
+            SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+                   CAST(round(list_dot_product(va.v, vb.v) /
+                        (sqrt(list_dot_product(va.v, va.v))
+                         * sqrt(list_dot_product(vb.v, vb.v))) * 10000)
+                        AS BIGINT) AS sim_bp
+            FROM cand x JOIN cand y USING (query_id)
+            JOIN emb va ON va.vec_id = x.vec_id
+            JOIN emb vb ON vb.vec_id = y.vec_id
+            WHERE x.vec_id != y.vec_id
+        ), sel0 AS (
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS vec_id WHERE false
+        )"""
+    for _r in range(1, SIM.MMR_SELECT_K + 1):
+        _mmr_cte += f""",
+        pick{_r} AS (
+            SELECT query_id, vec_id, rel_bp, score FROM (
+                SELECT c.query_id, c.vec_id, c.rel_bp,
+                       {SIM.MMR_LAMBDA_NUM} * c.rel_bp
+                           - {_mmr_pen} * coalesce(m.ms, 0) AS score,
+                       row_number() OVER (PARTITION BY c.query_id
+                           ORDER BY {SIM.MMR_LAMBDA_NUM} * c.rel_bp
+                                    - {_mmr_pen} * coalesce(m.ms, 0) DESC,
+                                    c.vec_id ASC) AS rn
+                FROM cand c
+                LEFT JOIN (
+                    SELECT s.query_id, s.a AS vec_id,
+                           max(s.sim_bp) AS ms
+                    FROM msims s JOIN sel{_r - 1} x
+                      ON x.query_id = s.query_id AND x.vec_id = s.b
+                    GROUP BY 1, 2
+                ) m ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM sel{_r - 1} x
+                    WHERE x.query_id = c.query_id
+                      AND x.vec_id = c.vec_id)
+            ) WHERE rn = 1),
+        sel{_r} AS (
+            SELECT query_id, vec_id FROM sel{_r - 1}
+            UNION ALL SELECT query_id, vec_id FROM pick{_r})"""
+    _mmr_final = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, CAST({_r} AS INTEGER) AS mmr_rank,"
+        f" rel_bp, CAST(score AS BIGINT) AS score FROM pick{_r}"
+        for _r in range(1, SIM.MMR_SELECT_K + 1)
+    )
     # exact-integer PageRank, iterations unrolled as chained CTEs (aggregates
     # are not allowed in a recursive term, and unrolling keeps the SQL the
     # literal twin of the Spark driver loop)
@@ -5060,6 +5133,13 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY component
                        ORDER BY cos_rank ASC, vec_id ASC) = 1 AS kept
             FROM fl ORDER BY vec_id
+        """,
+        # MMR re-rank: the unrolled greedy twin over the same brute
+        # candidates; every comparison happens on integer bp
+        "s_mmr_rerank": f"""
+            WITH {_mmr_cte}
+            SELECT * FROM ({_mmr_final})
+            ORDER BY query_id, mmr_rank
         """,
         "s_ann_brute": """
             WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

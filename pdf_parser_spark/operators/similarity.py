@@ -961,3 +961,112 @@ def sq8_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998): greedy
+# argmax of lambda*rel - (1-lambda)*max-sim-to-selected.  The dedup-aware
+# retrieval step a training-data curator runs between ANN candidates and
+# the final context/selection list — near-duplicate neighbors are exactly
+# what embedding search over a crawl returns most of.
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA_NUM = 7   # lambda = 0.7: score = 7*rel_bp - 3*maxsim_bp
+MMR_LAMBDA_DEN = 10
+MMR_QUERIES = 6
+MMR_CAND_K = 8
+MMR_SELECT_K = 4
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    n_queries: int = MMR_QUERIES,
+    cand_k: int = MMR_CAND_K,
+    select_k: int = MMR_SELECT_K,
+) -> DataFrame:
+    """(query_id, vec_id, mmr_rank, rel_bp, score) — the greedy MMR walk
+    over each query's brute-force candidate list: round r picks the
+    available candidate maximizing ``MMR_LAMBDA_NUM*rel_bp -
+    (MMR_LAMBDA_DEN-MMR_LAMBDA_NUM)*max(sim to already-selected)``, ties
+    to the lowest vec_id; round 1 has an empty selected set, so it picks
+    pure relevance.  Similarities land as integer basis points
+    (round(cos*10000)) BEFORE any comparison, so the argmax is an exact
+    integer decision in both engines — the float boundary is one rounding,
+    not an ordering.
+
+    Scale: candidate generation is whatever ANN face feeds this (brute
+    here for the oracle; IVF/LSH in production — the re-rank is agnostic);
+    the pair-sim table is cand_k^2 rows PER QUERY, keyed by query_id, and
+    the greedy loop is select_k bounded rounds of keyed joins on that
+    per-query sliver — each round one join + one windowed argmax, frames
+    localCheckpointed so the round-over-round plan stays flat.  Nothing
+    is ever corpus x corpus; the corpus-sized work stays in the ANN
+    stage."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    topk = brute_force_topk(embeddings, n_queries=n_queries, k=cand_k)
+    cand = topk.select(
+        "query_id", F.col("neighbor_id").alias("vec_id"),
+        F.round(F.col("cos_sim") * 10000).cast("long").alias("rel_bp"),
+    ).persist()
+    a = cand.select("query_id", F.col("vec_id").alias("a"))
+    b = cand.select("query_id", F.col("vec_id").alias("b"))
+    pair_sim = F.round(_cosine(F.col("va"), F.col("vb")) * 10000) \
+        .cast("long")
+    sims = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .join(emb.select(F.col("vec_id").alias("a"),
+                         F.col("v").alias("va")), "a")
+        .join(emb.select(F.col("vec_id").alias("b"),
+                         F.col("v").alias("vb")), "b")
+        .select("query_id", "a", "b", pair_sim.alias("sim_bp"))
+        .persist()
+    )
+    sims.count()
+    pen = MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    sel = cand.select(
+        "query_id", "vec_id",
+        F.lit(0).cast("int").alias("mmr_rank"),
+        "rel_bp", F.lit(0).cast("long").alias("score"),
+    ).limit(0)
+    for r in range(1, select_k + 1):
+        ms = (
+            sims.join(
+                sel.select("query_id", F.col("vec_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "a")
+            .agg(F.max("sim_bp").alias("ms"))
+            .select(F.col("query_id").alias("mq"),
+                    F.col("a").alias("mv"), "ms")
+        )
+        avail = cand.join(
+            sel.select("query_id", "vec_id"), ["query_id", "vec_id"],
+            "left_anti",
+        )
+        scored = avail.join(
+            ms,
+            (avail.query_id == ms.mq) & (avail.vec_id == ms.mv),
+            "left",
+        ).select(
+            "query_id", "vec_id", "rel_bp",
+            (MMR_LAMBDA_NUM * F.col("rel_bp")
+             - pen * F.coalesce("ms", F.lit(0))).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("query_id", "vec_id",
+                    F.lit(r).cast("int").alias("mmr_rank"),
+                    "rel_bp", "score")
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    out = sel.orderBy("query_id", "mmr_rank").localCheckpoint(eager=True)
+    cand.unpersist()
+    sims.unpersist()
+    return out

@@ -4607,6 +4607,34 @@ def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
     return bytes(out)
 
 
+def test_mmr_rerank_diversifies(spark):
+    """The Carbonell-Goldstein point, engineered so MMR and pure
+    relevance DISAGREE: after picking A, its exact duplicate A2 (equal
+    relevance, sim 1.0) loses round 2 to the slightly-less-relevant but
+    diverse B — placed on the OTHER side of the query in the q-A plane,
+    where the angle triangle inequality allows sim(A,B) low enough for
+    the 0.7-lambda penalty to flip the argmax.  Pure relevance would
+    rank A, A2, B; MMR must rank A, B, A2."""
+    from pdf_parser_spark.operators import similarity as sim
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # the query
+        (1, [0.980, 0.199, 0.0, 0.0]),      # A:  rel .98
+        (2, [0.980, 0.199, 0.0, 0.0]),      # A2: exact duplicate of A
+        (3, [0.950, -0.312, 0.0, 0.0]),     # B:  rel .95, diverse side
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = sim.mmr_rerank(df, n_queries=1, cand_k=3, select_k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    by_rank = {r["mmr_rank"]: r for r in out}
+    # round 1 is pure relevance (empty selected set), tie-break to id 1
+    assert by_rank[1]["rel_bp"] == 9800
+    assert by_rank[1]["score"] == 7 * 9800
+    # round 2: duplicate penalized by sim 1.0, B's penalty is cos(A,B)
+    assert by_rank[2]["vec_id"] == 3
+    assert by_rank[3]["score"] == 7 * 9800 - 3 * 10000
+
+
 def test_phrase_search_adjacency(spark):
     """Phrase semantics: adjacent bigram hits count per occurrence;
     scattered words, reversed order, and partial presence do NOT hit;
