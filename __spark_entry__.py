@@ -1486,6 +1486,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("host").distinct()
             )
         ),
+        # sitemap INDEX expansion (sitemaps.org §Index): mixed fleet —
+        # even-length hosts serve an index of child shards, odd a plain
+        # urlset; one global per-host rank across shards
+        "u_sitemap_index": lambda s, d: weburl.sitemap_expand(
+            weburl.with_sitemap_index(
+                weburl.canonicalize(weburl.with_synthetic_urls(_docs(s, d)))
+                .select("host").distinct()
+            )
+        ),
         # per-site quota: at most 5 docs per registered domain
         "u_domain_quota": lambda s, d: weburl.domain_quota(
             weburl.with_synthetic_urls(_docs(s, d))
@@ -6457,6 +6466,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY host
                         ORDER BY lastmod DESC, loc) AS BIGINT) AS recrawl_rank
             FROM pairs ORDER BY host, recrawl_rank
+        """,
+        # sitemap index expansion: even-length hosts shard into
+        # SITEMAP_CHILDREN child urlsets (k = (len+ord)%3+1 urls each),
+        # odd-length hosts keep the plain urlset formula; ONE rank per
+        # host across shards
+        "u_sitemap_index": f"""
+            WITH {_url_cte},
+            hosts AS (SELECT DISTINCT host FROM canon),
+            plainu AS (
+                SELECT host,
+                       'https://' || host || '/page/' || i AS loc,
+                       '2024-0' || ((i % 9) + 1) || '-01' AS lastmod
+                FROM (SELECT host,
+                             unnest(range(0, len(host) % 4 + 2)) AS i
+                      FROM hosts WHERE len(host) % 2 = 1)
+            ),
+            childu AS (
+                SELECT host,
+                       'https://' || host || '/s' || o || '/p' || i AS loc,
+                       '2024-0' || (((i + o) % 9) + 1) || '-15' AS lastmod
+                FROM (
+                    SELECT host, o,
+                           unnest(range(0, (len(host) + o) % 3 + 1)) AS i
+                    FROM (SELECT host,
+                                 unnest(range(0,
+                                     {WU.SITEMAP_CHILDREN})) AS o
+                          FROM hosts WHERE len(host) % 2 = 0)
+                )
+            ),
+            un AS (SELECT * FROM plainu UNION ALL SELECT * FROM childu)
+            SELECT host, loc, lastmod,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY lastmod DESC, loc) AS BIGINT)
+                       AS recrawl_rank
+            FROM un ORDER BY host, recrawl_rank
         """,
         # per-site quota: rank within registered domain, keep <= 5
         "u_domain_quota": f"""

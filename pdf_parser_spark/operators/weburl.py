@@ -2008,3 +2008,114 @@ def typosquat_audit(
         "candidate_sld", "defended_sld", "lev", "len_delta",
         "is_homoglyph", "n_docs",
     ).orderBy("candidate_sld", "defended_sld")
+
+
+# ---------------------------------------------------------------------------
+# Sitemap INDEX files (sitemaps.org protocol §Index): a sitemap may be an
+# index of child sitemaps instead of a urlset — large sites shard their
+# 50k-url-capped sitemaps this way, so a crawler that only speaks urlset
+# silently sees none of their urls.
+# ---------------------------------------------------------------------------
+
+SITEMAP_CHILDREN = 2   # child sitemaps per index in the synthesis
+
+
+def with_sitemap_index(hosts: DataFrame) -> DataFrame:
+    """(host, sitemap_xml) where hosts with even length serve a
+    sitemapindex of SITEMAP_CHILDREN child locs and odd-length hosts
+    serve a plain urlset (with_sitemaps' formula) — the mixed fleet a
+    real crawl sees."""
+    n = F.length("host")
+    children = F.transform(
+        F.sequence(F.lit(0), F.lit(SITEMAP_CHILDREN - 1)),
+        lambda i: F.concat(
+            F.lit("<sitemap><loc>https://"), F.col("host"),
+            F.lit("/sitemap-"), i, F.lit(".xml</loc></sitemap>"),
+        ),
+    )
+    index_xml = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        F.concat_ws("", children),
+        F.lit("</sitemapindex>"),
+    )
+    plain = with_sitemaps(hosts).select("host", "sitemap_xml")
+    return plain.withColumn(
+        "sitemap_xml",
+        F.when(F.length("host") % 2 == 0, index_xml)
+        .otherwise(F.col("sitemap_xml")),
+    )
+
+
+def with_child_sitemap(children: DataFrame) -> DataFrame:
+    """(host, child_url, sitemap_xml) — deterministic urlset per CHILD
+    sitemap: (len(host) + child ordinal) % 3 + 1 urls, loc/lastmod
+    formula-derived so the oracle re-derives every child fetch."""
+    ordv = F.regexp_extract("child_url", r"sitemap-([0-9]+)\.xml", 1) \
+        .cast("long")
+    k = (F.length("host") + ordv) % 3 + 1
+    entries = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat(
+            F.lit("<url><loc>https://"), F.col("host"),
+            F.lit("/s"), ordv, F.lit("/p"), i,
+            F.lit("</loc><lastmod>2024-0"), (i + ordv) % 9 + 1,
+            F.lit("-15</lastmod></url>"),
+        ),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.concat_ws("", entries),
+        F.lit("</urlset>"),
+    )
+    return children.withColumn("sitemap_xml", xml)
+
+
+def parse_sitemap_index(sitemaps: DataFrame) -> DataFrame:
+    """(host, child_url) for index-format sitemaps; urlset-format rows
+    contribute nothing here (their <loc>s are page urls, not sitemaps —
+    the <sitemap> wrapper tag is the discriminator, one JVM regexp)."""
+    kids = F.regexp_extract_all(
+        "sitemap_xml",
+        F.lit(r"<sitemap><loc>([^<]*)</loc></sitemap>"), F.lit(1),
+    )
+    return (
+        sitemaps.select("host", F.explode(kids).alias("child_url"))
+    )
+
+
+def sitemap_expand(sitemaps: DataFrame) -> DataFrame:
+    """(host, loc, lastmod, recrawl_rank) across a MIXED sitemap fleet:
+    urlset rows parse directly; sitemapindex rows expand to their child
+    sitemaps (fetched here via the deterministic with_child_sitemap
+    synthesis — in production this join is the fetcher), whose urlsets
+    parse through the SAME parse_sitemap path, and the per-host recrawl
+    rank is computed once over the union so a host's priorities are
+    global across its shards, not per-shard.
+
+    Scale: the index expansion multiplies the host-count-sized sitemap
+    dim by shard count — still a dim; the explode to page urls remains
+    the only real fan-out, exactly as in parse_sitemap.  One rank window
+    per host over the unioned urls; no corpus-sized shuffle anywhere."""
+    from pyspark.sql import Window
+
+    is_index = F.col("sitemap_xml").contains("<sitemapindex>")
+    plain = sitemaps.where(~is_index)
+    children = parse_sitemap_index(sitemaps.where(is_index))
+    child_bodies = with_child_sitemap(children).select("host", "sitemap_xml")
+    locs = F.regexp_extract_all(
+        "sitemap_xml", F.lit(r"<loc>([^<]*)</loc>"), F.lit(1)
+    )
+    mods = F.regexp_extract_all(
+        "sitemap_xml", F.lit(r"<lastmod>([^<]*)</lastmod>"), F.lit(1)
+    )
+    allmaps = plain.select("host", "sitemap_xml").unionByName(child_bodies)
+    pairs = (
+        allmaps.select("host", locs.alias("locs"), mods.alias("mods"))
+        .select("host", F.explode(F.arrays_zip("locs", "mods")).alias("e"))
+        .select("host", F.col("e.locs").alias("loc"),
+                F.col("e.mods").alias("lastmod"))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("lastmod").desc(), "loc")
+    return pairs.withColumn(
+        "recrawl_rank", F.row_number().over(w).cast("long")
+    ).orderBy("host", "recrawl_rank")

@@ -4607,6 +4607,36 @@ def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
     return bytes(out)
 
 
+def test_sitemap_index_expansion(spark):
+    """Index-format sitemaps expand to their child urlsets, urlset-format
+    rows pass straight through the same parser, and the per-host recrawl
+    rank is GLOBAL across a host's shards (the cross-shard ordering a
+    per-shard rank would get wrong)."""
+    from pdf_parser_spark.operators import weburl
+
+    hosts = spark.createDataFrame(
+        [("ab.com",), ("abc.com",)], "host string"
+    )  # len 6 even -> index of 2 children; len 7 odd -> plain urlset
+    out = weburl.sitemap_expand(weburl.with_sitemap_index(hosts)).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    # ab.com: children o=0,1 with k=(6+o)%3+1 = 1, 2 urls -> 3 total
+    ab = by_host["ab.com"]
+    assert len(ab) == 3
+    assert {r["loc"] for r in ab} == {
+        "https://ab.com/s0/p0", "https://ab.com/s1/p0",
+        "https://ab.com/s1/p1"}
+    # global rank: freshest lastmod first ACROSS shards
+    ranked = sorted(ab, key=lambda r: r["recrawl_rank"])
+    assert [r["lastmod"] for r in ranked] == sorted(
+        [r["lastmod"] for r in ab], reverse=True)
+    # abc.com: plain urlset, (7%4)+2 = 5 urls from the with_sitemaps rule
+    assert len(by_host["abc.com"]) == 5
+    assert all(r["loc"].startswith("https://abc.com/page/")
+               for r in by_host["abc.com"])
+
+
 def test_mmr_rerank_diversifies(spark):
     """The Carbonell-Goldstein point, engineered so MMR and pure
     relevance DISAGREE: after picking A, its exact duplicate A2 (equal
