@@ -1313,6 +1313,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pl.synthetic_pdfs(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.pdflayout",
                       fromlist=["pdf_text"])),
+        # multimodal ingest dispatcher: magic-byte sniff -> per-family
+        # typed extractors (html title / full pdf layout / png dims / wav
+        # fmt), expensive branches filter first
+        "m_ingest_dispatch": lambda s, d: multimodal.ingest_dispatch(
+            multimodal.synthetic_mixed_media(_docs(s, d))
+        ),
         # real container decode over deterministic BMP/WAV/PPM payloads keyed
         # by doc_id; the oracle recomputes the header fields from the doc_id
         # formulas, so a decode bug (endianness, offset, padding) mismatches
@@ -5504,6 +5510,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(font_tenths AS INTEGER) AS font_tenths,
                    y_tenths, is_heading, text
             FROM pdf_lines ORDER BY doc_id, page_no, block_id, line_id
+        """,
+        # ingest dispatcher: kind + per-family detail re-derived from the
+        # synthesis arithmetic (pdf branch via make_pdf(doc_id // 4)'s
+        # page rule — a wrong route or a broken extractor mismatches)
+        "m_ingest_dispatch": f"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % {MM.DISPATCH_CORRUPT_MOD} = 0
+                        THEN 'unknown'
+                        WHEN doc_id % 4 = 0 THEN 'html'
+                        WHEN doc_id % 4 = 1 THEN 'pdf'
+                        WHEN doc_id % 4 = 2 THEN 'image'
+                        ELSE 'audio' END AS kind,
+                   CASE WHEN doc_id % {MM.DISPATCH_CORRUPT_MOD} = 0
+                        THEN ''
+                        WHEN doc_id % 4 = 0
+                        THEN 'title=Doc ' || doc_id || ' of '
+                             || (doc_id % 7)
+                        WHEN doc_id % 4 = 1
+                        THEN 'pages='
+                             || (CASE WHEN (doc_id // 4) % 4 = 3
+                                      THEN 1 ELSE 2 END)
+                             || ';headings='
+                             || (CASE WHEN (doc_id // 4) % 4 = 3
+                                      THEN 1 ELSE 2 END)
+                        WHEN doc_id % 4 = 2
+                        THEN 'dims=' || (16 + doc_id % 117) || 'x'
+                             || (16 + (doc_id * 7) % 93)
+                        ELSE 'ch=' || (1 + doc_id % 2) || ';rate='
+                             || (8000 + (doc_id % 3) * 4000) END AS detail
+            FROM documents ORDER BY doc_id
         """,
         # reading-order text assembly over the same synthesized rows:
         # line -> block (\\n) -> page (blank line) -> document (\\f),

@@ -2043,3 +2043,113 @@ def exif_meta(
         F.col("ifd.ori").alias("orientation"),
         make_str.alias("make"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal ingest dispatcher: one mixed binary column -> sniff -> typed
+# extractors, the treat-media-as-opaque-bytes-with-typed-metadata shape a
+# crawl pipeline runs between fetch and storage.
+# ---------------------------------------------------------------------------
+
+DISPATCH_CORRUPT_MOD = 13
+
+
+def synthetic_mixed_payload(doc_id: int) -> bytes:
+    """doc_id -> one of four real container families (%4: html, pdf, png,
+    wav) or garbage (%DISPATCH_CORRUPT_MOD) — every structural knob
+    doc_id arithmetic the dispatch oracle re-derives."""
+    from pdf_parser_spark.operators.pdflayout import make_pdf
+
+    if doc_id % DISPATCH_CORRUPT_MOD == 0:
+        return b"\x00\x01\x02"
+    k = doc_id % 4
+    if k == 0:
+        return (f"<html><head><title>Doc {doc_id} of {doc_id % 7}</title>"
+                f"</head><body><p>payload {doc_id}</p></body></html>"
+                ).encode()
+    if k == 1:
+        return make_pdf(doc_id // 4)
+    if k == 2:
+        return make_png(16 + doc_id % 117, 16 + (doc_id * 7) % 93)
+    return make_wav(1 + doc_id % 2, 8000 + (doc_id % 3) * 4000, 16)
+
+
+def synthetic_mixed_media(df: DataFrame) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synthetic_mixed_payload(int(d))
+                            for d in pdf["doc_id"]],
+            })
+
+    return df.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+def ingest_dispatch(media: DataFrame) -> DataFrame:
+    """(doc_id, kind, detail) — the multimodal ingest front door: sniff
+    the container from MAGIC BYTES (never a declared type — mime_sniff's
+    lesson) and route each family to its typed extractor:
+
+    - html  -> title, via one JVM regexp on the decoded head;
+    - pdf   -> page/heading counts through the FULL byte-level layout
+      parse (`pdflayout.pdf_text` — xref walk, inflate, segmentation);
+    - image -> header-only PNG dimensions (the image_dims u16 reads);
+    - audio -> channels/rate from the RIFF fmt chunk (little-endian JVM
+      byte reads at the canonical offsets);
+    - anything else -> kind 'unknown', empty detail (fail-soft).
+
+    Scale shape: the sniff is a scan projection reading <= 12 leading
+    bytes; every branch filters FIRST, so the expensive Arrow stage (pdf)
+    touches only pdf rows — the partition-pruning idea applied to format
+    dispatch.  Branches union by name into one frame; per-family row
+    counts are disjoint by construction, so the union has no dedup
+    cost."""
+    h = lambda start, ln: F.hex(F.expr(f"substring(payload, {start}, {ln})"))
+    kind = (
+        F.when(h(1, 5) == "3C68746D6C", F.lit("html"))          # '<html'
+        .when(h(1, 4) == "25504446", F.lit("pdf"))              # '%PDF'
+        .when(h(1, 8) == "89504E470D0A1A0A", F.lit("image"))    # PNG sig
+        .when((h(1, 4) == "52494646") & (h(9, 4) == "57415645"),
+              F.lit("audio"))                                   # RIFF+WAVE
+        .otherwise(F.lit("unknown"))
+    )
+    base = media.select("doc_id", "payload", kind.alias("kind")).persist()
+    html = base.where(F.col("kind") == "html").select(
+        "doc_id", "kind",
+        F.concat(
+            F.lit("title="),
+            F.regexp_extract(F.col("payload").cast("string"),
+                             r"<title>([^<]*)</title>", 1),
+        ).alias("detail"),
+    )
+    from pdf_parser_spark.operators.pdflayout import pdf_text
+
+    pdfd = pdf_text(base.where(F.col("kind") == "pdf")).select(
+        "doc_id", F.lit("pdf").alias("kind"),
+        F.concat(F.lit("pages="), "n_pages",
+                 F.lit(";headings="), "n_headings").alias("detail"),
+    )
+    img = base.where(F.col("kind") == "image").select(
+        "doc_id", "kind",
+        F.concat(
+            F.lit("dims="), F.expr(_u16be("19")),
+            F.lit("x"), F.expr(_u16be("23")),
+        ).alias("detail"),
+    )
+    aud = base.where(F.col("kind") == "audio").select(
+        "doc_id", "kind",
+        F.concat(
+            F.lit("ch="), F.expr(_u16le("23")),
+            F.lit(";rate="), F.expr(_u32le("25")),
+        ).alias("detail"),
+    )
+    unk = base.where(F.col("kind") == "unknown").select(
+        "doc_id", "kind", F.lit("").alias("detail")
+    )
+    out = (
+        html.unionByName(pdfd).unionByName(img)
+        .unionByName(aud).unionByName(unk)
+        .orderBy("doc_id")
+    )
+    return out

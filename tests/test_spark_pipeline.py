@@ -4607,6 +4607,30 @@ def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
     return bytes(out)
 
 
+def test_ingest_dispatch_routes_by_magic(spark):
+    """Routing is by MAGIC BYTES: each family lands in its typed
+    extractor, a payload matching no signature fails soft to 'unknown',
+    and exactly one output row exists per input doc."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (4, 5, 6, 7, 13)], "doc_id long"
+    )  # %4: 0 html, 1 pdf, 2 image, 3 audio; 13 corrupt
+    out = {r["doc_id"]: r for r in mm.ingest_dispatch(
+        mm.synthetic_mixed_media(docs)).collect()}
+    assert len(out) == 5
+    assert out[4]["kind"] == "html"
+    assert out[4]["detail"] == "title=Doc 4 of 4"
+    assert out[5]["kind"] == "pdf"
+    # make_pdf(5 // 4 = 1): 1 % 4 != 3 -> 2 pages, 2 headings
+    assert out[5]["detail"] == "pages=2;headings=2"
+    assert out[6]["kind"] == "image"
+    assert out[6]["detail"] == f"dims={16 + 6 % 117}x{16 + 42 % 93}"
+    assert out[7]["kind"] == "audio"
+    assert out[7]["detail"] == "ch=2;rate=12000"
+    assert out[13]["kind"] == "unknown" and out[13]["detail"] == ""
+
+
 def test_sitemap_index_expansion(spark):
     """Index-format sitemaps expand to their child urlsets, urlset-format
     rows pass straight through the same parser, and the per-host recrawl
