@@ -690,6 +690,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_rollback(spark, sf_dir):
+        """Rollback end to end: good append, bad append, metadata-only
+        rollback (history moves FORWARD — the bad version stays time-
+        travelable), the bad batch's token still refuses to replay after
+        the rollback (exactly-once is per-batch, not per-state), then a
+        recovery append.  Final state = good + recovery rows; the oracle
+        is the direct filter."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        work = tempfile.mkdtemp(prefix="tblrb_")
+        try:
+            tf.append_snapshot(docs.where(F.col("doc_id") % 3 == 0), work)
+            tf.append_snapshot(
+                docs.where(F.col("doc_id") % 3 == 1), work, token="bad-b2"
+            )
+            v3 = tf.rollback_to(work, 1)
+            assert v3 == 3
+            # the rolled-back batch must NOT replay: ledger survives
+            v_after = tf.append_snapshot(
+                docs.where(F.col("doc_id") % 3 == 1), work, token="bad-b2"
+            )
+            assert v_after == 3, v_after
+            # the bad version is still time-travelable (forward history)
+            n_v2 = tf.read_table(spark, work, version=2).count()
+            assert n_v2 > tf.read_table(spark, work, version=3).count()
+            kinds = {r["version"]: r["kind"]
+                     for r in tf.snapshots_table(spark, work).collect()}
+            assert kinds[3] == "rollback"
+            tf.append_snapshot(docs.where(F.col("doc_id") % 3 == 2), work)
+            out = tf.read_table(spark, work).orderBy("doc_id").persist()
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _cdx_lookup_join(spark, sf_dir):
         """Composable CDX lookup (r3 verdict item 5): write the sorted
         range-partitioned capture shards, then resolve a FRAME of
@@ -1530,6 +1569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partition-spec evolution: metadata-only current-spec change,
         # each file prunes under the spec it was written with
         "u_table_spec_evolution": _table_spec_evolution,
+        # metadata-only rollback: forward history, surviving token ledger
+        "u_table_rollback": _table_rollback,
         # write-audit-publish: staged snapshot invisible, audit on the
         # staged view, abort the poisoned batch, publish rebases over a
         # concurrent append, replayed publish no-ops (wap token ledger)
@@ -6629,6 +6670,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents WHERE lang = 'en' AND source = 'src3'
             ORDER BY scan
+        """,
+        # rollback: final state = the good batch + the recovery batch
+        # (the rolled-back %3==1 batch is gone from current, and its
+        # token-refused replay is asserted in-query)
+        "u_table_rollback": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id % 3 IN (0, 2) ORDER BY doc_id
         """,
         # time-travel read at version 2 = snapshots 1+2 = doc_id%3 in (0,1)
         "u_table_time_travel": """

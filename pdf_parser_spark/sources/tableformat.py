@@ -383,6 +383,68 @@ def partitioned_append(
     )
 
 
+def rollback_to(path: str, version: int) -> int:
+    """METADATA-ONLY rollback (Iceberg `rollback_to_snapshot`): commit a
+    NEW version whose state is a byte-for-byte copy of an older one —
+    history moves FORWARD (the bad commits stay in the chain, time travel
+    still reaches them, and the audit trail shows both the mistake and
+    the recovery), only the current pointer's state rewinds.  The one
+    state element deliberately NOT rewound is the applied-token ledger:
+    union of target and current.  Rationale: exactly-once applies to the
+    BATCH, not the table state — a batch applied in a later (now rolled
+    back) commit must still refuse to replay after the rollback, or the
+    rollback converts every replayed batch into a duplicate.
+
+    Refuses an unknown or GC'd target and a rollback to the current
+    version (no-op churn).  Pending MOR delete files are part of the
+    copied state, so they roll back WITH it — a delete committed after
+    the target simply ceases to be pending (its file stays on disk until
+    GC, unreferenced).  Race-refuses like every commit here.  Appears as
+    kind 'rollback' in the snapshots metadata table."""
+    base_version = current_version(path)
+    if version == base_version:
+        raise ValueError(f"table at {path} is already at v{version}")
+    try:
+        target = _read_version(path, version)
+    except FileNotFoundError:
+        raise ValueError(
+            f"version {version} of {path} does not exist (or was expired)"
+        )
+    cur = _read_version(path, base_version)
+    tokens = list(dict.fromkeys(
+        target.get("applied_tokens", []) + cur.get("applied_tokens", [])
+    ))
+    # strip the target's own commit-kind markers: the new commit's kind
+    # is 'rollback', not whatever the target commit happened to be
+    _markers = ("fast_forward_of", "overwrite_of", "purge_of",
+                "compaction_of", "zorder_by", "evolved_spec_to",
+                "rollback_of")
+    new = {
+        **{k: v for k, v in target.items() if k not in _markers},
+        "version": base_version + 1,
+        "snapshot_id": uuid.uuid4().hex[:12],
+        "parent_version": base_version,
+        "rollback_of": version,
+        "added_files": [],
+        "added_rows": 0,
+        "applied_tokens": tokens,
+    }
+    tmp = os.path.join(_meta_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(new, f)
+    tgt = os.path.join(_meta_dir(path), f"v{base_version + 1}.json")
+    try:
+        os.link(tmp, tgt)
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"concurrent commit beat rollback_to of v{base_version}; "
+            "re-run against the new current version"
+        )
+    return base_version + 1
+
+
 def evolve_partition_spec(path: str, new_spec: list) -> int:
     """METADATA-ONLY partition-spec evolution (Iceberg spec §Partition
     Evolution): commit a new CURRENT spec without touching a byte of
@@ -2233,6 +2295,8 @@ def snapshots_table(spark: SparkSession, path: str) -> DataFrame:
             kind = "zorder"
         elif m.get("evolved_spec_to") is not None:
             kind = "evolve_spec"
+        elif m.get("rollback_of") is not None:
+            kind = "rollback"
         elif len(m.get("delete_files", [])) > parent_dels:
             kind = "delete"
         elif m.get("added_files"):

@@ -4607,6 +4607,40 @@ def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
     return bytes(out)
 
 
+def test_rollback_semantics(spark, tmp_path):
+    """Rollback refusals and marker hygiene: no-op rollback refuses, a
+    GC'd target refuses, rolling back TO a compaction commit reads as
+    kind 'rollback' (the target's own marker is stripped), and pending
+    MOR deletes roll back with the state."""
+    import pytest as _pytest
+
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id long, v string"
+    ).coalesce(1)
+    tf.append_snapshot(mk(0, 4), path)                          # v1
+    tf.append_snapshot(mk(4, 8), path)                          # v2
+    tf.compact_table(spark, path)                               # v3
+    tf.delete_keys(spark, spark.createDataFrame([(5,)], "id long"),
+                   path, "id")                                   # v4
+    with _pytest.raises(ValueError, match="already at"):
+        tf.rollback_to(path, tf.current_version(path))
+    with _pytest.raises(ValueError, match="does not exist"):
+        tf.rollback_to(path, 99)
+    v5 = tf.rollback_to(path, 3)                                # v5
+    kinds = {r["version"]: r["kind"]
+             for r in tf.snapshots_table(spark, path).collect()}
+    assert kinds[v5] == "rollback"  # NOT 'compact': marker stripped
+    # the v4 delete ceased to be pending: id 5 is back
+    ids = {r["id"] for r in tf.read_table(spark, path).collect()}
+    assert ids == set(range(8))
+    # ... while v4 still reads without id 5 (forward history)
+    ids4 = {r["id"] for r in tf.read_table(spark, path, version=4).collect()}
+    assert ids4 == set(range(8)) - {5}
+
+
 def test_ingest_dispatch_routes_by_magic(spark):
     """Routing is by MAGIC BYTES: each family lands in its typed
     extractor, a payload matching no signature fails soft to 'unknown',
