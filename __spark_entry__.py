@@ -1352,6 +1352,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pl.synthetic_pdfs(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.pdflayout",
                       fromlist=["pdf_text"])),
+        # table extraction from layout runs (the pdfplumber
+        # extract_tables role): >= 2-run line bands, x-rank columns,
+        # prose lines break bands
+        "p_pdf_tables": lambda s, d: (lambda pl: pl.pdf_tables(
+            pl.synthetic_table_pdfs(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.pdflayout",
+                      fromlist=["pdf_tables"])),
         # multimodal ingest dispatcher: magic-byte sniff -> per-family
         # typed extractors (html title / full pdf layout / png dims / wav
         # fmt), expensive branches filter first
@@ -5581,6 +5588,46 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ch=' || (1 + doc_id % 2) || ';rate='
                              || (8000 + (doc_id % 3) * 4000) END AS detail
             FROM documents ORDER BY doc_id
+        """,
+        # table extraction: cell grid re-derived from the synthesis
+        # arithmetic — wrong column ranking, a band not broken by the
+        # prose line, or x/y drift all mismatch
+        "p_pdf_tables": f"""
+            WITH td AS (
+                SELECT doc_id, 2 + doc_id % 3 AS r0,
+                       2 + doc_id % 2 AS c0, 1 + doc_id % 2 AS r1
+                FROM documents
+                WHERE doc_id % {PL.PDF_CORRUPT_MOD} <> 0
+            ), t0r AS (
+                SELECT doc_id, c0, unnest(range(0, r0)) AS r FROM td
+            ), t0 AS (
+                SELECT doc_id, 0 AS table_id, r,
+                       unnest(range(0, c0)) AS c
+                FROM t0r
+            ), t1r AS (
+                SELECT doc_id, unnest(range(0, r1)) AS r FROM td
+            ), t1 AS (
+                SELECT doc_id, 1 AS table_id, r,
+                       unnest(range(0, 2)) AS c
+                FROM t1r
+            ), cells AS (
+                SELECT doc_id, table_id, r, c,
+                       {PL.T0_Y * 10} - {PL.ROW_LEAD * 10} * r AS y,
+                       'a' || r || '_' || c || '_' || doc_id AS text
+                FROM t0
+                UNION ALL
+                SELECT doc_id, table_id, r, c,
+                       {PL.T1_Y * 10} - {PL.ROW_LEAD * 10} * r AS y,
+                       'b' || r || '_' || c || '_' || doc_id AS text
+                FROM t1
+            )
+            SELECT doc_id, 0 AS page_no,
+                   CAST(table_id AS INTEGER) AS table_id,
+                   CAST(r AS INTEGER) AS row, CAST(c AS INTEGER) AS col,
+                   CAST({PL.COL_X0 * 10} + {PL.COL_W * 10} * c
+                        AS INTEGER) AS x_tenths,
+                   CAST(y AS INTEGER) AS y_tenths, text
+            FROM cells ORDER BY doc_id, page_no, table_id, row, col
         """,
         # reading-order text assembly over the same synthesized rows:
         # line -> block (\\n) -> page (blank line) -> document (\\f),

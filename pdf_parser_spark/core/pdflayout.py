@@ -222,3 +222,70 @@ def parse_layout(data: bytes) -> list[dict]:
             line_id += 1
             prev_y, prev_size = ly, lsize
     return out
+
+
+# ---------------------------------------------------------------------------
+# Table extraction from layout runs — the pdfplumber `extract_tables` role
+# (reference pdf_extract.py:217-250 consumes it) re-expressed over the
+# parsed glyph runs: a table is a maximal band of consecutive lines that
+# each carry >= 2 x-aligned runs; columns are the rank of a run's x start
+# within the band's distinct x starts.  Ragged rows are allowed (a row may
+# skip a column) — the downstream collapse operators (core/tables.py T1+)
+# exist precisely because real extractions are ragged.
+# ---------------------------------------------------------------------------
+
+TABLE_MIN_COLS = 2   # a line needs >= 2 runs to smell tabular
+X_TOL = 0.5          # x starts within this collapse to one column
+
+
+def parse_tables(data: bytes) -> list[dict]:
+    """bytes -> flat cell records ``{page_no, table_id, row, col,
+    x_tenths, y_tenths, text}``.  Single-run lines (headings, prose)
+    break the band and are not cells; table_id counts bands per page in
+    reading order."""
+    out = []
+    for page_no, stream in enumerate(_page_streams(data)):
+        runs = _runs(stream)
+        runs.sort(key=lambda r: (-r[1], r[0]))
+        # group into lines by y tolerance (same rule as parse_layout)
+        lines: list[list[tuple[float, float, float, str]]] = []
+        for r in runs:
+            if lines and abs(lines[-1][0][1] - r[1]) <= LINE_TOL:
+                lines[-1].append(r)
+            else:
+                lines.append([r])
+        table_id = -1
+        band: list[list[tuple[float, float, float, str]]] = []
+
+        def flush():
+            nonlocal table_id
+            if not band:
+                return
+            table_id += 1
+            # columns: rank of x start within the band's distinct xs
+            xs: list[float] = []
+            for line in band:
+                for run in line:
+                    if not any(abs(run[0] - x) <= X_TOL for x in xs):
+                        xs.append(run[0])
+            xs.sort()
+            for row, line in enumerate(band):
+                for run in sorted(line, key=lambda r: r[0]):
+                    col = next(i for i, x in enumerate(xs)
+                               if abs(run[0] - x) <= X_TOL)
+                    out.append({
+                        "page_no": page_no, "table_id": table_id,
+                        "row": row, "col": col,
+                        "x_tenths": int(round(run[0] * 10)),
+                        "y_tenths": int(round(run[1] * 10)),
+                        "text": run[3],
+                    })
+            band.clear()
+
+        for line in lines:
+            if len(line) >= TABLE_MIN_COLS:
+                band.append(line)
+            else:
+                flush()
+        flush()
+    return out

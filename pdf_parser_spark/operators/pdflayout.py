@@ -205,3 +205,117 @@ def pdf_text(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- table-bearing PDFs: synthesis + the table-extraction Arrow stage ----
+
+T0_Y, T1_Y, COL_X0, COL_W, ROW_LEAD = 600, 350, 72, 90, 20
+
+
+def make_table_pdf(doc_id: int) -> bytes:
+    """One page: a heading line, table 0 (R = 2 + d%3 rows x C = 2 + d%2
+    cols, one BT per row with HORIZONTAL Td hops between cells — x
+    accumulation is part of what the parser must get right), a single-run
+    prose line that must BREAK the band, then table 1 (1 + d%2 rows x 2
+    cols)."""
+    r0 = 2 + doc_id % 3
+    c0 = 2 + doc_id % 2
+    r1 = 1 + doc_id % 2
+    parts = [
+        b"BT /F1 18 Tf 72 700 Td ("
+        + _esc(f"Tables of doc {doc_id}") + b") Tj ET"
+    ]
+
+    def row_ops(y, row, ncols, tag):
+        ops = [b"BT /F1 10 Tf %d %d Td" % (COL_X0, y)]
+        for c in range(ncols):
+            if c:
+                ops.append(b"%d 0 Td" % COL_W)
+            ops.append(b"(" + _esc(f"{tag}{row}_{c}_{doc_id}") + b") Tj")
+        ops.append(b"ET")
+        return b" ".join(ops)
+
+    for r in range(r0):
+        parts.append(row_ops(T0_Y - ROW_LEAD * r, r, c0, "a"))
+    parts.append(b"BT /F1 10 Tf 72 450 Td ("
+                 + _esc(f"prose between tables {doc_id}") + b") Tj ET")
+    for r in range(r1):
+        parts.append(row_ops(T1_Y - ROW_LEAD * r, r, 2, "b"))
+    content = b"\n".join(parts)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+
+    def obj(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    flate = doc_id % 2 == 0
+    body, filt = content, b""
+    if flate:
+        body, filt = zlib.compress(content), b" /Filter /FlateDecode"
+    obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    obj(4, b"<< /Length %d%s >>\nstream\n" % (len(body), filt)
+        + body + b"\nendstream")
+    xref_at = len(out)
+    out.extend(b"xref\n0 5\n0000000000 65535 f \n")
+    for num in range(1, 5):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+               % xref_at)
+    return bytes(out)
+
+
+def synthetic_table_pdfs(df: DataFrame) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    (b"%PDF-1.4\nno xref"
+                     if int(d) % PDF_CORRUPT_MOD == 0
+                     else make_table_pdf(int(d)))
+                    for d in pdf["doc_id"]
+                ],
+            })
+
+    return df.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+TABLES_SCHEMA = (
+    "doc_id long, page_no int, table_id int, row int, col int,"
+    " x_tenths int, y_tenths int, text string"
+)
+
+
+def pdf_tables(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, page_no, table_id, row, col, x_tenths, y_tenths, text) —
+    one row per table CELL across the corpus, the pdfplumber
+    `extract_tables` role from raw bytes: bands of consecutive >= 2-run
+    lines are tables, columns are x-start ranks within the band, and
+    single-run lines (headings, prose) break bands.  The output's ragged
+    3-level nesting is exactly what the reference's table-collapse
+    operators (core/tables.py T1+) consume.  Same one-Arrow-stage shape
+    as pdf_layout; corrupt documents yield zero rows."""
+    from pdf_parser_spark.core.pdflayout import parse_tables
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["page_no", "table_id", "row", "col", "x_tenths",
+                "y_tenths", "text"]
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": []}
+            out.update({c: [] for c in cols})
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                for rec in parse_tables(bytes(payload)):
+                    out["doc_id"].append(int(doc_id))
+                    for c in cols:
+                        out[c].append(rec[c])
+            yield pd.DataFrame(out)
+
+    return (
+        media.select("doc_id", payload_col)
+        .mapInPandas(fn, TABLES_SCHEMA)
+        .orderBy("doc_id", "page_no", "table_id", "row", "col")
+    )

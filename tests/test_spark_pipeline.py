@@ -4607,6 +4607,31 @@ def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
     return bytes(out)
 
 
+def test_pdf_tables_bands_and_ragged_cols():
+    """Band semantics: a single-run prose line breaks the table; a
+    ragged row keeps column RANKS (a missing middle cell leaves col 2 at
+    col 2, not col 1); x accumulates across horizontal Td hops."""
+    from pdf_parser_spark.core.pdflayout import parse_tables
+
+    content = (
+        b"BT /F1 10 Tf 72 600 Td (r0c0) Tj 90 0 Td (r0c1) Tj"
+        b" 90 0 Td (r0c2) Tj ET\n"
+        # ragged row: skips the middle column (x jumps 180)
+        b"BT /F1 10 Tf 72 580 Td (r1c0) Tj 180 0 Td (r1c2) Tj ET\n"
+        b"BT /F1 10 Tf 72 560 Td (prose only line) Tj ET\n"
+        b"BT /F1 10 Tf 72 540 Td (t2a) Tj 90 0 Td (t2b) Tj ET\n"
+    )
+    rows = parse_tables(_mini_pdf(content))
+    t0 = [(r["row"], r["col"], r["text"]) for r in rows
+          if r["table_id"] == 0]
+    assert t0 == [(0, 0, "r0c0"), (0, 1, "r0c1"), (0, 2, "r0c2"),
+                  (1, 0, "r1c0"), (1, 2, "r1c2")]
+    t1 = [(r["row"], r["col"], r["text"]) for r in rows
+          if r["table_id"] == 1]
+    assert t1 == [(0, 0, "t2a"), (0, 1, "t2b")]
+    assert all(r["text"] != "prose only line" for r in rows)
+
+
 def test_rollback_semantics(spark, tmp_path):
     """Rollback refusals and marker hygiene: no-op rollback refuses, a
     GC'd target refuses, rolling back TO a compaction commit reads as
