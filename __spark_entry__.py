@@ -842,6 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-user peak-rate bot gate: ONE range-frame window (trailing
         # 60 s count, maxed per user) — exact peak, no self-join
         "w9_bot_detect": R.w9_bot_detect,
+        # RFM quartile segmentation: fixed as-of recency, total-order
+        # ntiles (ties split by user_id, the documented rule)
+        "w10_rfm": R.w10_rfm,
         # native session_window (third sessionize face; INCLUSIVE merge
         # boundary — an event at exactly prev+gap merges, same as W4's lag
         # rule; pinned by the oracle's `> gap` new-session test and the
@@ -3376,6 +3379,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(in_win) AS BIGINT) AS peak_rate,
                    max(in_win) >= {R.BOT_RPM_MIN} AS is_bot
             FROM rated GROUP BY user_id ORDER BY user_id
+        """,
+        # RFM: identical total-order ntiles; 111 = best (recency ASC
+        # seconds, F/M DESC)
+        "w10_rfm": f"""
+            WITH pu AS (
+                SELECT user_id,
+                       CAST({R.RFM_ASOF_S} - max(CAST(floor(epoch(ts))
+                            AS BIGINT)) AS BIGINT) AS recency_s,
+                       CAST(count(*) AS BIGINT) AS frequency,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS monetary_cents
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id
+            ), tiled AS (
+                SELECT *,
+                       CAST(ntile({R.RFM_TIERS}) OVER (
+                           ORDER BY recency_s ASC, user_id ASC)
+                           AS BIGINT) AS r_tier,
+                       CAST(ntile({R.RFM_TIERS}) OVER (
+                           ORDER BY frequency DESC, user_id ASC)
+                           AS BIGINT) AS f_tier,
+                       CAST(ntile({R.RFM_TIERS}) OVER (
+                           ORDER BY monetary_cents DESC, user_id ASC)
+                           AS BIGINT) AS m_tier
+                FROM pu
+            )
+            SELECT user_id, recency_s, frequency, monetary_cents,
+                   r_tier, f_tier, m_tier,
+                   CAST(r_tier * 100 + f_tier * 10 + m_tier AS BIGINT)
+                       AS segment
+            FROM tiled ORDER BY user_id
         """,
         # streaming twin: one-batch replay makes stream order = global
         # order, so the batch SQL is the oracle VERBATIM (ratelimit

@@ -1224,3 +1224,59 @@ def w9_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_bot", F.col("peak_rate") >= BOT_RPM_MIN)
         .orderBy("user_id")
     )
+
+
+RFM_TIERS = 4          # quartile tiers per dimension
+RFM_ASOF_S = 1706745600  # 2024-02-01T00:00:00Z: fixed as-of for recency
+
+
+def w10_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM segmentation (Recency / Frequency / Monetary, the
+    direct-marketing classic — Hughes 1994 — that every behavioral
+    cohort tool still ships): recency = seconds from the user's LAST
+    purchase to a FIXED as-of instant (a deterministic constant, never
+    now()), frequency = purchase count, monetary = lifetime cents; each
+    dimension quartiled with ntile(RFM_TIERS) and composed into the
+    3-digit segment (111 = best by convention, so recency tiles
+    ASCENDING on recency-seconds — most recent first — while F and M
+    tile DESCENDING).
+
+    Exactness: ntile is deterministic once its ORDER BY is a total order
+    — every tile orders by (metric, user_id), so equal metrics split by
+    user_id identically in both engines (the documented tie rule; a
+    bare metric order would let engines disagree inside tied runs).
+    Scale: one groupBy on user_id, three ntile windows over the USER dim
+    (not the event stream), no corpus-ordered shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    es = F.col("ts").cast("timestamp").cast("long")
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", es.alias("es"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.lit(RFM_ASOF_S) - F.max("es")).cast("long")
+            .alias("recency_s"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_s").asc(), F.col("user_id").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    m_w = Window.orderBy(
+        F.col("monetary_cents").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user
+        .withColumn("r_tier", F.ntile(RFM_TIERS).over(r_w).cast("long"))
+        .withColumn("f_tier", F.ntile(RFM_TIERS).over(f_w).cast("long"))
+        .withColumn("m_tier", F.ntile(RFM_TIERS).over(m_w).cast("long"))
+        .withColumn(
+            "segment",
+            (F.col("r_tier") * 100 + F.col("f_tier") * 10
+             + F.col("m_tier")).cast("long"),
+        )
+        .orderBy("user_id")
+    )

@@ -4805,6 +4805,40 @@ def test_w9_bot_detect_sliding_peak(spark, tmp_path):
     assert out[3]["peak_rate"] == 7 and not out[3]["is_bot"]
 
 
+def test_w10_rfm_tiers(spark, tmp_path):
+    """Four users, four tiers: each lands alone in its quartile on all
+    three dimensions, best = 111, worst = 444; non-purchase events are
+    invisible to RFM."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.plans.relational import w10_rfm
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []  # (user, off_s, type, value)
+    for u, (last, n, val) in enumerate(
+        [(300, 4, 10.0), (200, 3, 5.0), (100, 2, 2.0), (0, 1, 1.0)],
+        start=1,
+    ):
+        rows += [(u, last - 10 * i, "purchase", val) for i in range(n)]
+    rows.append((1, 400, "view", 99.0))  # must not affect anything
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r for r in w10_rfm(spark, str(tmp_path)).collect()}
+    assert [out[u]["segment"] for u in (1, 2, 3, 4)] == [111, 222, 333, 444]
+    assert out[1]["frequency"] == 4 and out[1]["monetary_cents"] == 4000
+    assert out[4]["recency_s"] > out[1]["recency_s"]
+
+
 def test_salsa_kills_tkc_and_floor_math(spark):
     """The Lempel-Moran point, head to head on one graph: a 6-clique
     link farm outranks a 6-endorsed honest page under HITS (mutual
