@@ -979,6 +979,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_typosquat": lambda s, d: weburl.typosquat_audit(
             weburl.with_brand_domains(_docs(s, d))
         ),
+        # RFC 9111 revalidation policy ladder: no-store/private >
+        # max-age > validators > heuristic (a crawler is a SHARED cache)
+        "u_http_cache": lambda s, d: weburl.http_cache_policy(
+            weburl.with_http_headers(_docs(s, d))
+        ),
         # RFC 9309 §2.2.2 longest-match Allow/Disallow decisions: rules
         # parsed from real bytes (shared group resolution), one struct-max
         # per url
@@ -6281,6 +6286,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, host, status, content_len, template_len,
                    soft404_reasons, soft404_reasons <> '' AS is_soft404
             FROM flags ORDER BY doc_id
+        """,
+        # http cache policy: the ladder re-derived from the synthesis
+        # flavors; private composes over max-age (k=0 AND %7==0 ->
+        # refetch), the precedence the op must enforce in order
+        "u_http_cache": f"""
+            WITH syn AS (
+                SELECT doc_id, doc_id % 5 AS k,
+                       doc_id % 7 = 0 AS priv
+                FROM documents
+            )
+            SELECT doc_id,
+                   'https://site' || (doc_id % 10)
+                       || '.example.com/docs/' || doc_id AS url,
+                   CASE WHEN k = 1 OR priv THEN 'refetch'
+                        WHEN k = 0 THEN 'ttl'
+                        WHEN k IN (2, 3) THEN 'revalidate'
+                        ELSE 'heuristic' END AS policy,
+                   CAST(CASE WHEN k = 1 OR priv THEN -1
+                        WHEN k = 0 THEN (doc_id % 10 + 1) * 600
+                        WHEN k IN (2, 3) THEN -1
+                        ELSE {WU.HTTP_HEURISTIC_TTL_S} END AS BIGINT)
+                       AS ttl_s,
+                   CASE WHEN k = 1 OR priv OR k = 0 THEN ''
+                        WHEN k = 2 THEN 'if-none-match'
+                        WHEN k = 3 THEN 'if-modified-since'
+                        ELSE '' END AS validator
+            FROM syn ORDER BY doc_id
         """,
         # typosquat audit: synthesis mirrored (brand = source||'mart',
         # %9==5 docs mutate by %4 kind), then both channels verbatim —

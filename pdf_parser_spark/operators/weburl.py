@@ -2119,3 +2119,96 @@ def sitemap_expand(sitemaps: DataFrame) -> DataFrame:
     return pairs.withColumn(
         "recrawl_rank", F.row_number().over(w).cast("long")
     ).orderBy("host", "recrawl_rank")
+
+
+# ---------------------------------------------------------------------------
+# HTTP caching headers -> revalidation policy (RFC 9111): what a polite
+# recrawler derives per url BEFORE scheduling — complementary to
+# recrawl_schedule's lastmod-change model, which predicts WHEN content
+# changes; this parses what the server PROMISES about staleness.
+# ---------------------------------------------------------------------------
+
+HTTP_HEURISTIC_TTL_S = 86400   # RFC 9111 §4.2.2 heuristic freshness
+
+
+def with_http_headers(documents: DataFrame) -> DataFrame:
+    """(doc_id, url, headers): deterministic response-header blocks —
+    doc_id%5 picks the caching flavor (max-age / no-store / ETag /
+    Last-Modified / none), %7==0 ALSO carries private (crawlers are
+    shared caches: private wins over max-age).  Re-derivable in SQL."""
+    d = F.col("doc_id")
+    cache = (
+        F.when(d % 5 == 0, F.concat(
+            F.lit("Cache-Control: max-age="), (d % 10 + 1) * 600))
+        .when(d % 5 == 1, F.lit("Cache-Control: no-store"))
+        .when(d % 5 == 2, F.concat(
+            F.lit('ETag: "h'), F.md5(d.cast("string")), F.lit('"')))
+        .when(d % 5 == 3, F.concat(
+            F.lit("Last-Modified: 2024-01-"),
+            F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+            F.lit(" 00:00:00 GMT")))
+        .otherwise(F.lit("X-Nothing: 1"))
+    )
+    private = F.when(d % 7 == 0, F.lit("\nCache-Control: private")) \
+        .otherwise(F.lit(""))
+    headers = F.concat(
+        F.lit("HTTP/1.1 200 OK\nContent-Type: text/html\n"),
+        cache, private,
+    )
+    return documents.select(
+        "doc_id",
+        F.concat(F.lit("https://site"), d % 10,
+                 F.lit(".example.com/docs/"), d).alias("url"),
+        headers.alias("headers"),
+    )
+
+
+def http_cache_policy(responses: DataFrame) -> DataFrame:
+    """(doc_id, url, policy, ttl_s, validator) — the RFC 9111 decision
+    ladder, precedence stated and enforced in ORDER:
+
+    1. ``no-store``            -> policy 'refetch'  (never cache)
+    2. ``private``             -> policy 'refetch'  (a crawler is a
+       SHARED cache — private responses are uncacheable for it even
+       when max-age is also present, RFC 9111 §5.2.2.7)
+    3. ``max-age=N``           -> policy 'ttl', ttl_s = N
+    4. ``ETag``                -> policy 'revalidate', validator
+       'if-none-match' (a 304 costs headers, not the body)
+    5. ``Last-Modified``       -> policy 'revalidate', 'if-modified-since'
+    6. nothing                 -> policy 'heuristic', the §4.2.2 default
+
+    One scan of JVM regexps over the header dim; ttl_s is -1 where not
+    applicable (the nullable-int doctrine).  Feeds domain_quota /
+    recrawl_schedule: 'ttl' urls leave the frontier until expiry,
+    'revalidate' urls re-enter as cheap conditional GETs."""
+    h = F.col("headers")
+    no_store = h.rlike(r"(?i)cache-control:[^\n]*no-store")
+    private = h.rlike(r"(?i)cache-control:[^\n]*private")
+    max_age = F.nullif(
+        F.regexp_extract(h, r"(?i)cache-control:[^\n]*max-age=([0-9]+)", 1),
+        F.lit(""),
+    ).cast("long")
+    etag = h.rlike(r"(?i)(?m)^etag:")
+    lastmod = h.rlike(r"(?i)(?m)^last-modified:")
+    policy = (
+        F.when(no_store | private, "refetch")
+        .when(max_age.isNotNull(), "ttl")
+        .when(etag | lastmod, "revalidate")
+        .otherwise("heuristic")
+    )
+    ttl = (
+        F.when(no_store | private, F.lit(-1))
+        .when(max_age.isNotNull(), max_age)
+        .when(etag | lastmod, F.lit(-1))
+        .otherwise(F.lit(HTTP_HEURISTIC_TTL_S))
+    ).cast("long")
+    validator = (
+        F.when(no_store | private | max_age.isNotNull(), "")
+        .when(etag, "if-none-match")
+        .when(lastmod, "if-modified-since")
+        .otherwise("")
+    )
+    return responses.select(
+        "doc_id", "url", policy.alias("policy"), ttl.alias("ttl_s"),
+        validator.alias("validator"),
+    ).orderBy("doc_id")

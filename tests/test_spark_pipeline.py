@@ -2887,6 +2887,35 @@ def test_trap_url_audit_rules(spark):
     assert syn[3] == "runaway_pagination" and syn[4] == "session_id"
 
 
+def test_http_cache_policy_ladder(spark):
+    """The RFC 9111 precedence in order: private beats a co-present
+    max-age (a crawler is a shared cache), no-store beats everything,
+    ETag outranks Last-Modified when both are present, and bare
+    responses get the heuristic TTL."""
+    from pdf_parser_spark.operators import weburl
+
+    rows = [
+        (0, "u0", "HTTP/1.1 200 OK\nCache-Control: max-age=300"),
+        (1, "u1", "HTTP/1.1 200 OK\nCache-Control: no-store\n"
+                  "Cache-Control: max-age=300"),
+        (2, "u2", "HTTP/1.1 200 OK\nCache-Control: private, max-age=600"),
+        (3, "u3", 'HTTP/1.1 200 OK\nETag: "abc"\n'
+                  "Last-Modified: 2024-01-01 00:00:00 GMT"),
+        (4, "u4", "HTTP/1.1 200 OK\nLast-Modified: 2024-01-01 00:00:00 GMT"),
+        (5, "u5", "HTTP/1.1 200 OK\nContent-Type: text/html"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, headers string")
+    out = {r["doc_id"]: r for r in weburl.http_cache_policy(df).collect()}
+    assert (out[0]["policy"], out[0]["ttl_s"]) == ("ttl", 300)
+    assert out[1]["policy"] == "refetch"
+    assert out[2]["policy"] == "refetch" and out[2]["ttl_s"] == -1
+    assert (out[3]["policy"], out[3]["validator"]) == (
+        "revalidate", "if-none-match")
+    assert out[4]["validator"] == "if-modified-since"
+    assert (out[5]["policy"], out[5]["ttl_s"]) == (
+        "heuristic", weburl.HTTP_HEURISTIC_TTL_S)
+
+
 def test_soft404_audit_rules(spark):
     from pdf_parser_spark.operators import weburl
 
