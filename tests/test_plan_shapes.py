@@ -487,3 +487,46 @@ def test_corpus_build_semi_join_chain_no_cartesian(spark):
     p = plan(curation.corpus_build(docs))
     assert "LeftSemi" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_r4s4_web_ops_broadcast_and_no_cartesian(spark):
+    """Session-4 web operators keep the dimension side broadcast and the
+    corpus side shuffle-free: soft404's host template dim broadcasts;
+    typosquat's defended postings broadcast in BOTH channels with no
+    cartesian anywhere; phrase search pairs via hash equi-joins with
+    broadcast query-term prefilters, never a nested loop."""
+    from pdf_parser_spark.operators import textstats, weburl
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+
+    p = plan(weburl.soft404_audit(weburl.with_fetch_log(docs)))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(weburl.typosquat_audit(weburl.with_brand_domains(docs)))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+    p = plan(textstats.phrase_search(docs, textstats.phrase_queries(docs)))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "Generate" in p, p  # posexplode stays a narrow in-scan fan-out
+
+
+def test_r4s4_dispatch_filters_before_arrow(spark):
+    """The ingest dispatcher's pdf branch must place its kind FILTER
+    before the Arrow stage, so only pdf rows cross into Python (format
+    dispatch as partition pruning)."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    p = plan(mm.ingest_dispatch(mm.synthetic_mixed_media(docs)))
+    import re as _re
+
+    assert "CartesianProduct" not in p, p
+    # exactly TWO Python stages exist: the byte synthesis and the pdf
+    # parse — no other branch pays an Arrow hop
+    assert len(set(_re.findall(r"\(\d+\) MapInPandas", p))) == 2, p
+    # and the pdf parse sits above an explicit kind = pdf filter, so only
+    # pdf rows cross into Python
+    assert _re.search(r"Condition : \(kind#\d+ = pdf\)", p), p
