@@ -1360,6 +1360,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pl.synthetic_pdfs(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.pdflayout",
                       fromlist=["pdf_text"])),
+        # scanned-document rejection from raw bytes (reference S3
+        # detect_scanned rule: >= 80% of pages under 50 chars), fail-soft
+        "p_pdf_scanned": lambda s, d: (lambda pl: pl.pdf_scanned_audit(
+            pl.synthetic_scan_pdfs(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.pdflayout",
+                      fromlist=["pdf_scanned_audit"])),
         # table extraction from layout runs (the pdfplumber
         # extract_tables role): >= 2-run line bands, x-rank columns,
         # prose lines break bands
@@ -5627,6 +5633,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ch=' || (1 + doc_id % 2) || ';rate='
                              || (8000 + (doc_id % 3) * 4000) END AS detail
             FROM documents ORDER BY doc_id
+        """,
+        # scanned audit: page counts and sparse counts re-derived from
+        # the %6 fleet rule; corrupt docs land in the reject lane with
+        # n_pages 0 (unparseable == image-only for routing)
+        "p_pdf_scanned": f"""
+            SELECT doc_id,
+                   CAST(np AS BIGINT) AS n_pages,
+                   CAST(sp AS BIGINT) AS n_sparse_pages,
+                   CAST(CASE WHEN np = 0 THEN 10000
+                        ELSE 10000 * sp // np END AS BIGINT) AS sparse_bp,
+                   CASE WHEN np = 0 THEN true
+                        ELSE 10000 * sp // np
+                             >= {PL.SCAN_THRESHOLD_BP} END AS scanned
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % {PL.PDF_CORRUPT_MOD} = 0 THEN 0
+                            WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS np,
+                       CASE WHEN doc_id % {PL.PDF_CORRUPT_MOD} = 0 THEN 0
+                            WHEN doc_id % 6 = 1 THEN
+                                 CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END
+                            WHEN doc_id % 6 = 3 THEN
+                                 CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END
+                            ELSE 0 END AS sp
+                FROM documents
+            ) ORDER BY doc_id
         """,
         # table extraction: cell grid re-derived from the synthesis
         # arithmetic — wrong column ranking, a band not broken by the

@@ -200,6 +200,17 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
         # the composed curation-to-trainer lifecycle (build -> shuffle ->
         # pack) — the heaviest curation chain under one timing
         "c_release_manifest": lambda: curation.release_manifest(docs),
+        # byte-level PDF layout parse (r4s4 north-rule face): synthesis +
+        # xref walk + inflate + segmentation, one Arrow stage each way
+        "p_pdf_layout": lambda: (lambda pl: pl.pdf_layout(
+            pl.synthetic_pdfs(docs)
+        ))(__import__("pdf_parser_spark.operators.pdflayout",
+                      fromlist=["x"])),
+        # magic-byte dispatch over a four-family binary fleet (pdf branch
+        # pays the full layout parse behind its kind filter)
+        "m_ingest_dispatch": lambda: multimodal.ingest_dispatch(
+            multimodal.synthetic_mixed_media(docs)
+        ),
     }
     times: dict[str, float] = {}
     for name, build in suite.items():

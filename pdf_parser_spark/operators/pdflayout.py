@@ -25,6 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pdf_parser_spark.core.pdflayout import parse_layout
 
@@ -318,4 +319,122 @@ def pdf_tables(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         media.select("doc_id", payload_col)
         .mapInPandas(fn, TABLES_SCHEMA)
         .orderBy("doc_id", "page_no", "table_id", "row", "col")
+    )
+
+
+# --- scanned-document rejection from raw bytes (reference S3) ------------
+
+SCAN_MIN_CHARS = 50    # a page with fewer text chars smells image-only
+SCAN_THRESHOLD_BP = 8000  # >= 80% sparse pages -> scanned (ref rule)
+
+
+def make_scan_pdf(doc_id: int) -> bytes:
+    """Scanned-fleet synthesis on top of make_pdf's machinery: %6==1
+    docs are FULLY scanned (every page carries only an OCR'd page-number
+    run), %6==3 docs are half-scanned (page 0 real, page 1 number-only —
+    50% sparse, below the 80% rule), everything else is make_pdf's real
+    text."""
+    k = doc_id % 6
+    if k not in (1, 3):
+        return make_pdf(doc_id)
+    n_pages = 1 if doc_id % 4 == 3 else 2
+    pages = []
+    for p in range(n_pages):
+        if k == 1 or p > 0:
+            pages.append(b"BT /F1 8 Tf 300 30 Td (%d) Tj ET" % (p + 1))
+        else:
+            pages.append(_content_stream(doc_id, p))
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+
+    def obj(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    page_nums = [3 + 2 * p for p in range(n_pages)]
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages)
+    for p, num in enumerate(page_nums):
+        obj(num, b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>"
+            % (num + 1))
+        obj(num + 1, b"<< /Length %d >>\nstream\n" % len(pages[p])
+            + pages[p] + b"\nendstream")
+    n_objs = 2 + 2 * n_pages
+    xref_at = len(out)
+    out.extend(b"xref\n0 %d\n" % (n_objs + 1))
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, n_objs + 1):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def synthetic_scan_pdfs(df: DataFrame) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    (b"%PDF-1.4\nno xref"
+                     if int(d) % PDF_CORRUPT_MOD == 0
+                     else make_scan_pdf(int(d)))
+                    for d in pdf["doc_id"]
+                ],
+            })
+
+    return df.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+def pdf_scanned_audit(media: DataFrame,
+                      payload_col: str = "payload") -> DataFrame:
+    """(doc_id, n_pages, n_sparse_pages, sparse_bp, scanned) — the
+    reference's scanned-PDF rejection (S3, `detect_scanned`
+    `pdf_extract.py:253-266`: raise if > 80% of pages have < 50 chars)
+    re-expressed fail-soft from RAW BYTES over the layout parse: per
+    page, total extracted chars; a page under SCAN_MIN_CHARS is sparse;
+    a document at or above SCAN_THRESHOLD_BP sparse pages flags
+    `scanned` and routes to the errors/lineage sink instead of raising
+    (the per-row status doctrine that replaced the reference's
+    try/except).  Exact integer bp; documents whose bytes parse to zero
+    pages (corrupt xref) count as scanned with n_pages 0 — unparseable
+    and image-only land in the same reject lane.
+
+    One Arrow stage + one JVM rollup; the char counting rides the rows
+    pdf_layout already produces."""
+    lay = pdf_layout(media, payload_col)
+    per_page = (
+        lay.groupBy("doc_id", "page_no")
+        .agg(F.sum(F.length("text")).alias("page_chars"))
+    )
+    per_doc = (
+        per_page.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum((F.col("page_chars") < SCAN_MIN_CHARS).cast("long"))
+            .cast("long").alias("n_sparse_pages"),
+        )
+    )
+    audited = per_doc.select(
+        "doc_id", "n_pages", "n_sparse_pages",
+        F.expr("10000 * n_sparse_pages div n_pages").alias("sparse_bp"),
+        (F.expr("10000 * n_sparse_pages div n_pages")
+         >= SCAN_THRESHOLD_BP).alias("scanned"),
+    )
+    all_docs = media.select("doc_id")
+    return (
+        all_docs.join(audited, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pages", F.lit(0)).cast("long").alias("n_pages"),
+            F.coalesce("n_sparse_pages", F.lit(0)).cast("long")
+            .alias("n_sparse_pages"),
+            F.coalesce("sparse_bp", F.lit(10000)).cast("long")
+            .alias("sparse_bp"),
+            F.coalesce("scanned", F.lit(True)).alias("scanned"),
+        )
+        .orderBy("doc_id")
     )

@@ -4636,6 +4636,25 @@ def _mini_pdf(content: bytes, flate: bool = False) -> bytes:
     return bytes(out)
 
 
+def test_pdf_scanned_audit_threshold(spark):
+    """The reference's detect_scanned rule made fail-soft: fully
+    number-only docs flag scanned, a half-scanned doc (50% sparse) stays
+    BELOW the 80% threshold, real docs pass, and corrupt bytes land in
+    the reject lane with n_pages 0 instead of raising."""
+    from pdf_parser_spark.operators import pdflayout as pl
+
+    # doc 7: %6==1 fully scanned (one page, 7%4==3); doc 9: %6==3
+    # half-scanned; doc 2: real; doc 13: corrupt
+    docs = spark.createDataFrame([(7,), (9,), (2,), (13,)], "doc_id long")
+    out = {r["doc_id"]: r for r in pl.pdf_scanned_audit(
+        pl.synthetic_scan_pdfs(docs)).collect()}
+    assert out[7]["scanned"] and out[7]["sparse_bp"] == 10000
+    assert out[7]["n_pages"] == 1 and out[7]["n_sparse_pages"] == 1
+    assert not out[9]["scanned"] and out[9]["sparse_bp"] == 5000
+    assert not out[2]["scanned"] and out[2]["n_sparse_pages"] == 0
+    assert out[13]["scanned"] and out[13]["n_pages"] == 0
+
+
 def test_pdf_tables_bands_and_ragged_cols():
     """Band semantics: a single-run prose line breaks the table; a
     ragged row keeps column RANKS (a missing middle cell leaves col 2 at
