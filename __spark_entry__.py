@@ -1108,6 +1108,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_phrase_search": lambda s, d: textstats.phrase_search(
             _docs(s, d), textstats.phrase_queries(_docs(s, d))
         ),
+        # code-vs-prose routing signals: brace/keyword/EOL-shape counts,
+        # one JVM scan projection
+        "t_code_detect": lambda s, d: textstats.code_detect(
+            textstats.with_code_blocks(_docs(s, d))
+        ),
         # character entropy in floored milli-bits: the junk detector
         # orthogonal to word rules (repeated-char filler sits far below
         # prose, base64 far above)
@@ -8831,6 +8836,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # labeled retrieval audit: queries from each %31 doc's own 3rd/5th
         # words, the SAME scoring chain as t_bm25, rank of the source doc
+        # code detection: synthesis (appended %9==4 snippet) + the three
+        # signal counts mirrored; prose 'if' hits count in BOTH engines,
+        # which is why the verdict also requires braces
+        "t_code_detect": f"""
+            WITH syn AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % {TS.CODE_MOD} = 4 THEN
+                           text || chr(10) || 'function f' || doc_id
+                           || '(x) ' || chr(123) || chr(10)
+                           || '  var y = x + ' || doc_id || ';' || chr(10)
+                           || '  if (y > 0) ' || chr(123) || ' return y; '
+                           || chr(125) || chr(10)
+                           || '  return 0;' || chr(10) || chr(125)
+                       ELSE text END AS t
+                FROM documents
+            ), sig AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(t, '\n'))
+                            AS BIGINT) AS n_lines,
+                       CAST(len(regexp_extract_all(t, '[{{}}]'))
+                            AS BIGINT) AS n_braces,
+                       CAST(len(regexp_extract_all(t,
+                            '{TS.CODE_KW_RE}')) AS BIGINT) AS kw_hits,
+                       CAST(len(list_filter(
+                            regexp_split_to_array(t, '\n'),
+                            l -> regexp_matches(l, '{TS.CODE_EOL_RE}')))
+                            AS BIGINT) AS code_eol_lines
+                FROM syn
+            )
+            SELECT doc_id, n_lines, n_braces, kw_hits, code_eol_lines,
+                   n_braces >= {TS.CODE_MIN_BRACES}
+                       AND kw_hits >= {TS.CODE_MIN_KEYWORDS} AS is_code
+            FROM sig ORDER BY doc_id
+        """,
         # positional phrase search: adjacency via pos+1 equi-join over
         # the positional postings, self-seeded queries (2nd/3rd tokens)
         "t_phrase_search": f"""

@@ -3042,3 +3042,62 @@ def phrase_search(documents: DataFrame, queries: DataFrame) -> DataFrame:
         .orderBy("query_id", "doc_id")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Code detection: route source code away from (or into) the prose mix.
+# ---------------------------------------------------------------------------
+
+CODE_MOD = 9           # doc_id % 9 == 4 docs get an appended snippet
+CODE_MIN_BRACES = 4
+CODE_MIN_KEYWORDS = 3
+CODE_KW_RE = r"\b(function|var|return|if)\b"
+CODE_EOL_RE = r"[;{]$"
+
+
+def with_code_blocks(documents: DataFrame) -> DataFrame:
+    """Synthesis: %CODE_MOD==4 docs carry an appended deterministic
+    JS-ish snippet (braces, semicolons, keywords — all the signals);
+    everything else keeps its prose.  Re-derivable in SQL."""
+    d = F.col("doc_id")
+    snippet = F.concat(
+        F.lit("\nfunction f"), d, F.lit("(x) {\n  var y = x + "), d,
+        F.lit(";\n  if (y > 0) { return y; }\n  return 0;\n}"),
+    )
+    return documents.withColumn(
+        "text_code",
+        F.when(d % CODE_MOD == 4, F.concat("text", snippet))
+        .otherwise(F.col("text")),
+    )
+
+
+def code_detect(
+    df: DataFrame, text_col: str = "text_code"
+) -> DataFrame:
+    """(doc_id, n_lines, n_braces, kw_hits, code_eol_lines, is_code) —
+    is-this-source-code signals for the mix router (a code file in the
+    prose stream wrecks perplexity filters tuned on prose, and most
+    recipes weight code separately): brace count, keyword hits
+    (word-bounded, so prose 'if' counts too — which is WHY the verdict
+    requires braces as well), and lines ending in ';' or '{' (the
+    statement-terminator shape prose essentially never has).  Verdict:
+    braces >= CODE_MIN_BRACES AND keywords >= CODE_MIN_KEYWORDS.
+
+    All JVM regexp counts in ONE scan projection — no Python, no
+    shuffle, full codegen; exact integers both engines."""
+    t = F.col(text_col)
+    braces = F.regexp_count(t, F.lit(r"[{}]")).cast("long")
+    kws = F.regexp_count(t, F.lit(CODE_KW_RE)).cast("long")
+    lines = F.split(t, "\n")
+    eol = F.size(
+        F.filter(lines, lambda s: s.rlike(CODE_EOL_RE))
+    ).cast("long")
+    return df.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        braces.alias("n_braces"),
+        kws.alias("kw_hits"),
+        eol.alias("code_eol_lines"),
+        ((braces >= CODE_MIN_BRACES)
+         & (kws >= CODE_MIN_KEYWORDS)).alias("is_code"),
+    ).orderBy("doc_id")

@@ -4796,6 +4796,26 @@ def test_mmr_rerank_diversifies(spark):
     assert by_rank[3]["score"] == 7 * 9800 - 3 * 10000
 
 
+def test_code_detect_signals(spark):
+    """Prose with 'if' words never flags (keywords alone are not code —
+    braces are required); a real snippet flags on all three signals; a
+    brace-heavy but keyword-free text (JSON-ish) stays prose."""
+    from pdf_parser_spark.operators import textstats as ts
+
+    rows = [
+        (0, "what if we go, and if not, then what if"),  # kw only
+        (1, "function a(x) { var y = x; if (y) { return y; } return 0; }"),
+        (2, '{"a": {"b": {"c": {"d": 1}}}}'),            # braces only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text_code string")
+    out = {r["doc_id"]: r for r in ts.code_detect(df).collect()}
+    assert not out[0]["is_code"] and out[0]["kw_hits"] == 3
+    assert out[0]["n_braces"] == 0
+    assert out[1]["is_code"] and out[1]["n_braces"] >= 4
+    assert out[1]["kw_hits"] >= 3
+    assert not out[2]["is_code"] and out[2]["kw_hits"] == 0
+
+
 def test_phrase_search_adjacency(spark):
     """Phrase semantics: adjacent bigram hits count per occurrence;
     scattered words, reversed order, and partial presence do NOT hit;
