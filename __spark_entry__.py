@@ -1181,6 +1181,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pdf_parser_spark.streaming.trending",
             fromlist=["trending_via_stream"],
         ).trending_via_stream(s, d),
+        # streaming peak-rate bot gate: bounded per-second histogram
+        # state (applyInPandasWithState); one-batch replay -> the batch
+        # W9 SQL is the oracle verbatim
+        "st_bot_detect": lambda s, d: __import__(
+            "pdf_parser_spark.streaming.botdetect",
+            fromlist=["bot_detect_via_stream"],
+        ).bot_detect_via_stream(s, d),
         # streaming right-to-be-forgotten: delete-request batches ->
         # foreachBatch(delete_keys) MOR commits, exactly-once via the
         # txnAppId-style token; read merges at scan time
@@ -2372,6 +2379,26 @@ def oracle_sql() -> dict[str, str]:
             ) x USING (doc_id))"""
     _SK = LG.SALSA_ITERATIONS
 
+    from pdf_parser_spark.plans import relational as R
+
+    _w9bot_sql = f"""
+        WITH ev AS (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+            FROM events
+        ), rated AS (
+            SELECT user_id,
+                   count(*) OVER (
+                       PARTITION BY user_id ORDER BY es
+                       RANGE BETWEEN {R.BOT_WINDOW_S - 1} PRECEDING
+                             AND CURRENT ROW) AS in_win
+            FROM ev
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(in_win) AS BIGINT) AS peak_rate,
+               max(in_win) >= {R.BOT_RPM_MIN} AS is_bot
+        FROM rated GROUP BY user_id ORDER BY user_id
+    """
+
     # MMR greedy walk, select_k rounds unrolled as chained CTEs (the
     # hits/pagerank unroll doctrine — aggregates are not allowed in a
     # recursive term, and the unroll is the literal twin of the Spark
@@ -3379,23 +3406,11 @@ def oracle_sql() -> dict[str, str]:
         "w8_attribution": _w8_sql,
         # peak-rate bot gate: the same trailing range frame — the exact
         # sliding-window peak via RANGE n PRECEDING over the BIGINT es
-        "w9_bot_detect": f"""
-            WITH ev AS (
-                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
-                FROM events
-            ), rated AS (
-                SELECT user_id,
-                       count(*) OVER (
-                           PARTITION BY user_id ORDER BY es
-                           RANGE BETWEEN {R.BOT_WINDOW_S - 1} PRECEDING
-                                 AND CURRENT ROW) AS in_win
-                FROM ev
-            )
-            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(max(in_win) AS BIGINT) AS peak_rate,
-                   max(in_win) >= {R.BOT_RPM_MIN} AS is_bot
-            FROM rated GROUP BY user_id ORDER BY user_id
-        """,
+        "w9_bot_detect": _w9bot_sql,
+        # streaming twin: one-batch replay, histogram fold == the range
+        # frame (RANGE includes peers, so per-second sums attain the
+        # peak); SAME SQL string (ratelimit doctrine)
+        "st_bot_detect": _w9bot_sql,
         # RFM: identical total-order ntiles; 111 = best (recency ASC
         # seconds, F/M DESC)
         "w10_rfm": f"""

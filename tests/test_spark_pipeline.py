@@ -4907,6 +4907,51 @@ def test_w10_rfm_tiers(spark, tmp_path):
     assert out[4]["recency_s"] > out[1]["recency_s"]
 
 
+def test_streaming_bot_detect_cross_batch_window(spark, tmp_path):
+    """The histogram carry: a burst split across two batches inside one
+    60-second window registers its COMBINED peak (4+4 = bot), and the
+    emitted standing accumulates totals; a slow user never flags."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming.botdetect import stream_bot_detect
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_batch(path, rows):  # (user, off_s)
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(seconds=s) for _, s in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }), path)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    write_batch(str(in_dir / "b0.parquet"),
+                [(1, s) for s in (50, 51, 52, 53)] + [(2, 0)])
+    q = stream_bot_detect(spark, str(in_dir), str(tmp_path / "ckpt"),
+                          "bot_stream_test")
+    q.processAllAvailable()
+    write_batch(str(in_dir / "b1.parquet"),
+                [(1, s) for s in (55, 56, 57, 58)] + [(2, 500)])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("bot_stream_test").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["user_id"], []).append(
+            (r["n_events"], r["peak_rate"], r["is_bot"]))
+    # batch 0 standing: 4 events, peak 4, human; batch 1: combined peak 8
+    assert got[1] == [(4, 4, False), (8, 8, True)]
+    assert got[2] == [(1, 1, False), (2, 1, False)]
+
+
 def test_salsa_kills_tkc_and_floor_math(spark):
     """The Lempel-Moran point, head to head on one graph: a 6-clique
     link farm outranks a 6-endorsed honest page under HITS (mutual
