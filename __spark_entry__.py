@@ -1848,6 +1848,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_salsa": lambda s, d: (lambda lg: lg.salsa(
             _docs(s, d), lg.synthetic_edges(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # personalized PageRank related-pages (Jeh/Widom 2003): singleton
+        # -seed trustrank per seed, top-k excluding the seed
+        "g_related": lambda s, d: (lambda lg: lg.related_docs(
+            _docs(s, d), lg.synthetic_edges(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # co-citation pairs (shared citing sources) + one-row graph audit
         "g_cocitation": lambda s, d: (lambda lg: lg.cocitation_pairs(
             lg.synthetic_edges(_docs(s, d))
@@ -2380,6 +2385,23 @@ def oracle_sql() -> dict[str, str]:
     _SK = LG.SALSA_ITERATIONS
 
     from pdf_parser_spark.plans import relational as R
+
+    _ppr_ctes = ",\n".join(
+        _rank_cte(
+            f"pp{_s}", "ppr",
+            f"CASE WHEN doc_id = {_s} THEN {LG.PPR_UNIT} ELSE 0 END",
+            f"CASE WHEN d.doc_id = {_s} THEN {LG.PPR_UNIT} ELSE 0 END",
+        )
+        for _s in LG.PPR_SEEDS
+    )
+    _ppr_final = " UNION ALL ".join(
+        f"""SELECT CAST({_s} AS BIGINT) AS seed_id, doc_id, ppr,
+            CAST(row_number() OVER (ORDER BY ppr DESC, doc_id ASC)
+                 AS BIGINT) AS rel_rank
+            FROM pp{_s}5 WHERE doc_id != {_s} AND ppr > 0
+            QUALIFY rel_rank <= {LG.PPR_TOPK}"""
+        for _s in LG.PPR_SEEDS
+    )
 
     _w9bot_sql = f"""
         WITH ev AS (
@@ -7739,6 +7761,16 @@ def oracle_sql() -> dict[str, str]:
             {_hits_cte}
             SELECT h{_K}.doc_id, h{_K}.h AS hub, a{_K}.a AS authority
             FROM h{_K} JOIN a{_K} USING (doc_id) ORDER BY doc_id
+        """,
+        # PPR: per-seed singleton _rank_cte chains (same builder as
+        # pagerank/trustrank), top-k excluding the seed, zero-mass pages
+        # are not related
+        "g_related": f"""
+            WITH edges AS ({_edges_sql}),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+            {_ppr_ctes}
+            SELECT * FROM ({_ppr_final})
+            ORDER BY seed_id, rel_rank
         """,
         # SALSA: the same unrolled chain with degree-normalized floors
         "g_salsa": f"""

@@ -1470,3 +1470,61 @@ def salsa(
     )
     ed.unpersist()
     return out
+
+
+PPR_SEEDS = (0, 17, 34)   # demo seed pages (production: any page set)
+PPR_UNIT = UNIT           # single-seed teleport mass per round
+PPR_TOPK = 5
+
+
+def related_docs(
+    documents: DataFrame, edges: DataFrame,
+    seeds: tuple[int, ...] = PPR_SEEDS,
+    iterations: int = 5, k: int = PPR_TOPK,
+) -> DataFrame:
+    """(seed_id, doc_id, ppr, rel_rank) — Personalized PageRank
+    (Jeh/Widom WWW 2003 'Scaling Personalized Web Search'): the random
+    walk restarts at ONE page instead of everywhere, so the stationary
+    mass measures proximity TO THAT PAGE — the 'related pages /
+    more-like-this' primitive, and the link-structure complement to
+    embedding ANN (ANN finds content-similar pages, PPR finds
+    link-endorsed neighbors; recommendation stacks blend both).
+
+    Per seed this is trustrank with a singleton seed set — the SAME
+    _power_iterate dataflow (exact BIGINT micro-units, floor divisions,
+    K cached join+groupBy passes), so PPR cannot drift from the other
+    rank faces; the |seeds| iterations run as separate bounded passes
+    (production batches many seeds as columns of one frame; the per-seed
+    plan is identical).  Top-k per seed excludes the seed itself (its
+    own teleport mass always wins trivially), ties to the lowest
+    doc_id."""
+    from pyspark.sql import Window
+
+    outs = []
+    for s in seeds:
+        seed_base = F.when(
+            F.col("doc_id") == s, F.lit(PPR_UNIT)
+        ).otherwise(F.lit(0)).cast("long")
+        r = _power_iterate(
+            documents, edges, iterations,
+            init_col=seed_base, base_col=seed_base, out_name="ppr",
+        )
+        outs.append(
+            r.where(F.col("doc_id") != s)
+            .withColumn("seed_id", F.lit(s).cast("long"))
+        )
+    un = outs[0]
+    for o in outs[1:]:
+        un = un.unionByName(o)
+    w = Window.partitionBy("seed_id").orderBy(
+        F.col("ppr").desc(), F.col("doc_id").asc()
+    )
+    return (
+        un.where(F.col("ppr") > 0)  # an unreachable page is not 'related'
+        # (filtered BEFORE ranking, so rank indices never skip over
+        # zero-mass rows — the oracle's WHERE-before-window order)
+        .withColumn("rel_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rel_rank") <= k)
+        .select("seed_id", "doc_id", "ppr", "rel_rank")
+        .orderBy("seed_id", "rel_rank")
+    )

@@ -4907,6 +4907,37 @@ def test_w10_rfm_tiers(spark, tmp_path):
     assert out[4]["recency_s"] > out[1]["recency_s"]
 
 
+def test_ppr_related_is_seed_local(spark):
+    """PPR locality (the Jeh-Widom point): on two disjoint link
+    clusters, each seed's related list stays inside its OWN cluster —
+    global PageRank would happily rank the other cluster's hub; PPR
+    mass cannot reach it.  The seed itself is excluded, and unreachable
+    pages never appear."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    # cluster A: 0 -> 1 -> 2 -> 0; cluster B: 10 -> 11 -> 12 -> 10;
+    # isolated page 99
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 10, 11, 12, 99)], "doc_id long"
+    )
+    out = lg.related_docs(docs, edges, seeds=(0, 10), k=3)
+    rows = out.collect()
+    for r in rows:
+        if r["seed_id"] == 0:
+            assert r["doc_id"] in (1, 2), r
+        else:
+            assert r["doc_id"] in (11, 12), r
+    assert all(r["doc_id"] != r["seed_id"] for r in rows)
+    assert all(r["doc_id"] != 99 for r in rows)
+    # proximity order: the direct successor outranks the 2-hop page
+    first = {r["seed_id"]: r["doc_id"] for r in rows if r["rel_rank"] == 1}
+    assert first == {0: 1, 10: 11}
+
+
 def test_streaming_bot_detect_cross_batch_window(spark, tmp_path):
     """The histogram carry: a burst split across two batches inside one
     60-second window registers its COMBINED peak (4+4 = bot), and the
