@@ -984,6 +984,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_http_cache": lambda s, d: weburl.http_cache_policy(
             weburl.with_http_headers(_docs(s, d))
         ),
+        # composed recrawl verdict: dead pages out (hard then soft 404)
+        # before the RFC 9111 ladder routes survivors — stage interaction
+        # under ONE hash
+        "u_recrawl_decision": lambda s, d: weburl.recrawl_decision(
+            _docs(s, d)
+        ),
         # RFC 9309 §2.2.2 longest-match Allow/Disallow decisions: rules
         # parsed from real bytes (shared group resolution), one struct-max
         # per url
@@ -6386,6 +6392,75 @@ def oracle_sql() -> dict[str, str]:
                         WHEN k = 3 THEN 'if-modified-since'
                         ELSE '' END AS validator
             FROM syn ORDER BY doc_id
+        """,
+        # composed recrawl verdict: the soft404 CTE chain + the cache
+        # flavor dims feeding one CASE ladder — precedence across stages
+        # (never honor max-age on a soft-404) is what this face checks
+        "u_recrawl_decision": f"""
+            WITH syn AS (
+                SELECT doc_id, doc_id % 10 AS h,
+                       400 + (doc_id % 10) * 7 AS tmpl,
+                       (doc_id % 13 = 0 OR doc_id % 17 = 0) AS is_hard,
+                       (NOT (doc_id % 13 = 0 OR doc_id % 17 = 0))
+                           AND doc_id % 11 = 0 AS is_soft
+                FROM documents
+            ), log AS (
+                SELECT doc_id,
+                    'https://site' || h || '.example.com/docs/' || doc_id
+                        AS url,
+                    'site' || h || '.example.com' AS host,
+                    CASE WHEN doc_id % 13 = 0 THEN 404
+                         WHEN doc_id % 17 = 0 THEN 410 ELSE 200 END
+                        AS status,
+                    CASE WHEN is_hard THEN '404 Not Found - site' || h
+                         WHEN is_soft AND doc_id % 22 = 0
+                             THEN 'Oops! Page Not Found'
+                         WHEN NOT is_hard AND NOT is_soft
+                                  AND doc_id % 23 = 0
+                             THEN 'Error 404 - doc ' || doc_id
+                         ELSE 'Doc ' || doc_id END AS title,
+                    CAST(CASE WHEN is_hard THEN tmpl + doc_id % 3
+                              WHEN is_soft THEN tmpl + doc_id % 5
+                              ELSE 2000 + (doc_id * 37) % 1500 END
+                         AS BIGINT) AS content_len
+                FROM syn
+            ), tm AS (
+                SELECT host, MIN(content_len) AS template_len
+                FROM log WHERE status IN (404, 410) GROUP BY host
+            ), soft AS (
+                SELECT l.doc_id,
+                       (regexp_matches(l.title, '{WU.SOFT404_TITLE_RE}')
+                        OR (t.template_len IS NOT NULL
+                            AND abs(l.content_len - t.template_len)
+                                <= {WU.SOFT404_LEN_TOL})) AS is_soft404
+                FROM log l LEFT JOIN tm t USING (host)
+                WHERE l.status = 200
+            ), hp AS (
+                SELECT doc_id, doc_id % 5 AS k,
+                       doc_id % 7 = 0 AS priv
+                FROM documents
+            ), dec AS (
+                SELECT l.doc_id, l.url,
+                       CASE WHEN l.status IN (404, 410)
+                                THEN 'drop_hard_error'
+                            WHEN coalesce(sf.is_soft404, false)
+                                THEN 'drop_soft404'
+                            WHEN hp.k = 1 OR hp.priv THEN 'refetch'
+                            WHEN hp.k = 0 THEN 'skip_fresh'
+                            WHEN hp.k IN (2, 3) THEN 'conditional_get'
+                            ELSE 'refetch_heuristic' END AS action,
+                       hp.k
+                FROM log l
+                LEFT JOIN soft sf USING (doc_id)
+                JOIN hp USING (doc_id)
+            )
+            SELECT doc_id, url, action,
+                   CASE WHEN action = 'conditional_get' AND k = 2
+                            THEN 'if-none-match'
+                        WHEN action = 'conditional_get' AND k = 3
+                            THEN 'if-modified-since'
+                        ELSE '' END AS validator
+            FROM dec ORDER BY doc_id
         """,
         # typosquat audit: synthesis mirrored (brand = source||'mart',
         # %9==5 docs mutate by %4 kind), then both channels verbatim —

@@ -2212,3 +2212,49 @@ def http_cache_policy(responses: DataFrame) -> DataFrame:
         "doc_id", "url", policy.alias("policy"), ttl.alias("ttl_s"),
         validator.alias("validator"),
     ).orderBy("doc_id")
+
+
+def recrawl_decision(documents: DataFrame) -> DataFrame:
+    """(doc_id, url, action, validator) — the composed recrawl verdict,
+    one decision ladder over three of this module's stages on the same
+    url universe: dead pages out first (hard 404/410, then soft-404s by
+    the Bar-Yossef rules — refetching an error page wearing a 200 wastes
+    budget forever), then the RFC 9111 policy ladder routes survivors —
+    'refetch' (no-store/private), 'skip_fresh' (inside a max-age TTL),
+    'conditional_get' (ETag/Last-Modified — a 304 costs headers, not the
+    body), 'refetch_heuristic' (no server promise).
+
+    The composition IS the correctness artifact (the ingest-pipeline
+    doctrine): each stage is separately oracle-checked, and this face
+    re-verifies their interaction under ONE hash — a precedence slip
+    between stages (e.g. honoring max-age on a soft-404) mismatches even
+    though every stage is individually green.
+
+    Scale: both stage outputs are keyed by doc_id/url; the composition
+    adds two keyed joins, no new corpus-ordered shuffle, and inherits
+    the broadcast host-template dim from soft404_audit."""
+    log = with_fetch_log(documents)
+    s404 = soft404_audit(log).select("doc_id", "is_soft404")
+    pol = http_cache_policy(with_http_headers(documents)) \
+        .select("doc_id", "policy", F.col("validator").alias("val"))
+    base = log.select("doc_id", "url", "status")
+    j = (
+        base.join(s404, "doc_id", "left")
+        .join(pol, "doc_id")
+    )
+    action = (
+        F.when(F.col("status").isin(*HARD_404_STATUSES),
+               "drop_hard_error")
+        .when(F.coalesce("is_soft404", F.lit(False)), "drop_soft404")
+        .when(F.col("policy") == "refetch", "refetch")
+        .when(F.col("policy") == "ttl", "skip_fresh")
+        .when(F.col("policy") == "revalidate", "conditional_get")
+        .otherwise("refetch_heuristic")
+    )
+    validator = F.when(
+        action == F.lit("conditional_get"), F.col("val")
+    ).otherwise(F.lit(""))
+    return j.select(
+        "doc_id", "url", action.alias("action"),
+        validator.alias("validator"),
+    ).orderBy("doc_id")

@@ -2887,6 +2887,36 @@ def test_trap_url_audit_rules(spark):
     assert syn[3] == "runaway_pagination" and syn[4] == "session_id"
 
 
+def test_recrawl_decision_precedence(spark):
+    """Stage precedence on the full synthesis: hard errors drop before
+    anything, a soft-404 drops even when its headers carry max-age
+    (never honor freshness on an error page), and validators surface
+    only on conditional_get rows."""
+    from pdf_parser_spark.operators import weburl
+
+    ids = list(range(1, 400))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r["doc_id"]: r for r in weburl.recrawl_decision(docs).collect()}
+    # 13 -> hard 404; 17 -> hard 410
+    assert out[13]["action"] == "drop_hard_error"
+    assert out[17]["action"] == "drop_hard_error"
+    # a soft-404 (%11, not hard) whose cache flavor is max-age (%5==0):
+    # doc 55 = 5*11: k = 0 (ttl) but soft-404 wins
+    assert out[55]["action"] == "drop_soft404"
+    # flavor routing on clean docs: 5 -> ttl (k=0) ... doc 5? 5%5==0 ok
+    assert out[10]["action"] == "skip_fresh"       # k=0, clean
+    assert out[6]["action"] == "refetch"           # k=1
+    assert out[7]["action"] == "refetch"           # %7==0 private
+    assert out[12]["action"] == "conditional_get"  # k=2
+    assert out[12]["validator"] == "if-none-match"
+    assert out[18]["action"] == "conditional_get"  # k=3
+    assert out[18]["validator"] == "if-modified-since"
+    assert out[19]["action"] == "refetch_heuristic"
+    # validators only on conditional rows
+    assert all(r["validator"] == "" for r in out.values()
+               if r["action"] != "conditional_get")
+
+
 def test_http_cache_policy_ladder(spark):
     """The RFC 9111 precedence in order: private beats a co-present
     max-age (a crawler is a shared cache), no-store beats everything,
