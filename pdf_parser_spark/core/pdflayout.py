@@ -42,7 +42,6 @@ LINE_TOL = 0.5          # y distance within which runs share a line
 BLOCK_GAP_FACTOR = 1.5  # gap > factor x modal leading starts a new block
 HEAD_RATIO = 1.3        # block font >= ratio x median run size = heading
 
-_XREF_ENTRY = re.compile(rb"^(\d{10}) (\d{5}) ([nf])", re.M)
 _TEXT_OP = re.compile(
     rb"BT|ET"
     rb"|/\w+\s+([0-9.]+)\s+Tf"
@@ -52,23 +51,57 @@ _TEXT_OP = re.compile(
 _UNESCAPE = re.compile(rb"\\([()\\])")
 
 
-def _xref_offsets(data: bytes) -> list[int]:
-    """Object byte offsets from the LAST startxref/xref table (the
-    live table — an incrementally-updated file's older tables are
-    superseded).  Free entries ('f') drop out."""
+def _xref_map(data: bytes) -> dict[int, int]:
+    """object number -> byte offset, honoring INCREMENTAL UPDATES (PDF
+    32000-1 §7.5.6): start at the LAST startxref, parse that section's
+    subsection-structured entries ('start count' headers — an update's
+    table lists only the objects it changed), then follow the trailer's
+    /Prev chain to older sections.  Traversal is newest-first and an
+    object number already seen is never overridden, so an updated
+    object's NEW offset wins and a newer free ('f') entry tombstones the
+    object against resurrection by an older section.  A /Prev cycle or
+    garbage offset terminates the walk (fail-soft)."""
     sx = data.rfind(b"startxref")
     if sx < 0:
-        return []
+        return {}
     m = re.search(rb"startxref\s+(\d+)", data[sx:])
     if not m:
-        return []
-    start = int(m.group(1))
-    section = data[start:data.find(b"trailer", start)]
-    return [
-        int(e.group(1))
-        for e in _XREF_ENTRY.finditer(section)
-        if e.group(3) == b"n"
-    ]
+        return {}
+    start: int | None = int(m.group(1))
+    seen_sections: set[int] = set()
+    result: dict[int, int | None] = {}
+    head_re = re.compile(rb"(\d+)[ \t]+(\d+)[ \t]*\r?\n")
+    entry_re = re.compile(rb"(\d{10}) (\d{5}) ([nf])[ \r]*\n")
+    while (start is not None and start not in seen_sections
+           and 0 <= start < len(data)):
+        seen_sections.add(start)
+        sm = re.compile(rb"xref[ \t]*\r?\n").match(data, start)
+        if sm is None:
+            break
+        pos = sm.end()
+        while True:
+            hm = head_re.match(data, pos)
+            if hm is None:
+                break
+            first, cnt = int(hm.group(1)), int(hm.group(2))
+            pos = hm.end()
+            for i in range(cnt):
+                em = entry_re.match(data, pos)
+                if em is None:
+                    break
+                result.setdefault(
+                    first + i,
+                    int(em.group(1)) if em.group(3) == b"n" else None,
+                )
+                pos = em.end()
+        tm = re.compile(rb"\s*trailer").match(data, pos)
+        start = None
+        if tm is not None:
+            pm = re.search(rb"/Prev[ \t]+(\d+)",
+                           data[tm.end():tm.end() + 512])
+            if pm is not None:
+                start = int(pm.group(1))
+    return {k: v for k, v in result.items() if v is not None}
 
 
 def _object_at(data: bytes, off: int) -> tuple[bytes, bytes | None]:
@@ -97,13 +130,13 @@ def _page_streams(data: bytes) -> list[bytes]:
     """Content-stream bytes in PAGE ORDER: trailer /Root -> catalog
     /Pages -> /Kids order -> each page's /Contents, inflating
     /FlateDecode.  Unknown filters / missing pieces fail soft to []."""
-    offs = _xref_offsets(data)
+    xmap = _xref_map(data)
     objs: dict[int, tuple[bytes, bytes | None]] = {}
-    for off in offs:
+    for num, off in xmap.items():
         m = re.compile(rb"(\d+)\s+0\s+obj").match(data, off)
-        if not m:
-            continue
-        objs[int(m.group(1))] = _object_at(data, m.end())
+        if not m or int(m.group(1)) != num:
+            continue  # offset does not land on the declared object
+        objs[num] = _object_at(data, m.end())
     tm = re.search(rb"/Root\s+(\d+)\s+0\s+R", data[data.rfind(b"trailer"):])
     if not tm:
         return []

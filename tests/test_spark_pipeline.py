@@ -5192,3 +5192,39 @@ def test_snapshots_table_kinds(spark, tmp_path):
     kinds2 = {r["version"]: r["kind"]
               for r in tf.snapshots_table(spark, path).collect()}
     assert kinds2 == {3: "purge", 4: "overwrite", 5: "fast_forward"}
+
+
+def test_pdf_incremental_update_prev_chain():
+    """PDF incremental updates (§7.5.6): the last xref section lists only
+    the changed objects; unchanged objects resolve through the trailer's
+    /Prev chain, the newest definition wins, and a /Prev cycle fails
+    soft instead of looping."""
+    import re
+
+    from pdf_parser_spark.core import pdflayout as core
+    from pdf_parser_spark.operators.pdflayout import make_pdf
+
+    base = make_pdf(5)
+    new_stream = b"BT /F1 12 Tf 72 700 Td (UPDATED content v2) Tj ET"
+    upd = bytearray(base)
+    off4 = len(upd)
+    upd.extend(b"4 0 obj\n<< /Length %d >>\nstream\n" % len(new_stream)
+               + new_stream + b"\nendstream\nendobj\n")
+    xref_at = len(upd)
+    prev = int(re.search(rb"startxref\s+(\d+)",
+                         base[base.rfind(b"startxref"):]).group(1))
+    upd.extend(b"xref\n4 1\n%010d 00000 n \n" % off4)
+    upd.extend(b"trailer\n<< /Size 9 /Root 1 0 R /Prev %d >>\n"
+               b"startxref\n%d\n%%%%EOF\n" % (prev, xref_at))
+    texts = [r["text"] for r in core.parse_layout(bytes(upd))]
+    assert "UPDATED content v2" in texts            # newest wins
+    assert any("Heading 1 of doc 5" in t for t in texts)  # /Prev resolves
+    assert not any("Heading 0" in t for t in texts)       # replaced is gone
+
+    # /Prev pointing at ITSELF must terminate, not loop
+    cyc = bytearray(base)
+    xref_at = len(cyc)
+    cyc.extend(b"xref\n0 1\n0000000000 65535 f \n")
+    cyc.extend(b"trailer\n<< /Size 1 /Root 1 0 R /Prev %d >>\n"
+               b"startxref\n%d\n%%%%EOF\n" % (xref_at, xref_at))
+    assert core.parse_layout(bytes(cyc)) == []  # chain dead-ends, no loop
