@@ -1378,6 +1378,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pl.synthetic_pdfs(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.pdflayout",
                       fromlist=["pdf_text"])),
+        # author-declared outline (PDF §12.3.3 bookmarks): pre-order
+        # /First-before-/Next walk; outline-less docs yield zero rows
+        # (the heuristics-fallback population)
+        "p_pdf_outline": lambda s, d: (lambda pl: pl.pdf_outline(
+            pl.synthetic_outline_pdfs(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.pdflayout",
+                      fromlist=["pdf_outline"])),
         # scanned-document rejection from raw bytes (reference S3
         # detect_scanned rule: >= 80% of pages under 50 chars), fail-soft
         "p_pdf_scanned": lambda s, d: (lambda pl: pl.pdf_scanned_audit(
@@ -5681,6 +5688,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ch=' || (1 + doc_id % 2) || ';rate='
                              || (8000 + (doc_id % 3) * 4000) END AS detail
             FROM documents ORDER BY doc_id
+        """,
+        # outline: chapters + parity children re-derived; ord is the
+        # pre-order row_number, level is the child flag
+        "p_pdf_outline": f"""
+            WITH eligible AS (
+                SELECT doc_id, 1 + doc_id % 3 AS nc FROM documents
+                WHERE doc_id % {PL.PDF_CORRUPT_MOD} <> 0
+                  AND doc_id % 5 <> 2
+            ), chap AS (
+                SELECT doc_id, unnest(range(0, nc)) AS i FROM eligible
+            ), items AS (
+                SELECT doc_id, i, 0 AS is_child FROM chap
+                UNION ALL
+                SELECT doc_id, i, 1 FROM chap WHERE (doc_id + i) % 2 = 1
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY i, is_child) - 1 AS INTEGER) AS ord,
+                   CAST(is_child AS INTEGER) AS level,
+                   CASE WHEN is_child = 1
+                        THEN 'Section ' || i || '.0 of ' || doc_id
+                        ELSE 'Chapter ' || i || ' of ' || doc_id END
+                       AS title
+            FROM items ORDER BY doc_id, ord
         """,
         # scanned audit: page counts and sparse counts re-derived from
         # the %6 fleet rule; corrupt docs land in the reject lane with

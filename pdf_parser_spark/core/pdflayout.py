@@ -126,17 +126,24 @@ def _ref(head: bytes, key: bytes) -> int | None:
     return int(m.group(1)) if m else None
 
 
+def _load_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """object number -> (dict bytes, stream bytes) via the xref map; an
+    offset that does not land on its declared object number is skipped
+    (the xref is the authority, not the bytes)."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for num, off in _xref_map(data).items():
+        m = re.compile(rb"(\d+)\s+0\s+obj").match(data, off)
+        if not m or int(m.group(1)) != num:
+            continue
+        objs[num] = _object_at(data, m.end())
+    return objs
+
+
 def _page_streams(data: bytes) -> list[bytes]:
     """Content-stream bytes in PAGE ORDER: trailer /Root -> catalog
     /Pages -> /Kids order -> each page's /Contents, inflating
     /FlateDecode.  Unknown filters / missing pieces fail soft to []."""
-    xmap = _xref_map(data)
-    objs: dict[int, tuple[bytes, bytes | None]] = {}
-    for num, off in xmap.items():
-        m = re.compile(rb"(\d+)\s+0\s+obj").match(data, off)
-        if not m or int(m.group(1)) != num:
-            continue  # offset does not land on the declared object
-        objs[num] = _object_at(data, m.end())
+    objs = _load_objects(data)
     tm = re.search(rb"/Root\s+(\d+)\s+0\s+R", data[data.rfind(b"trailer"):])
     if not tm:
         return []
@@ -321,4 +328,54 @@ def parse_tables(data: bytes) -> list[dict]:
             else:
                 flush()
         flush()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Document outline (bookmarks) — PDF 32000-1 §12.3.3: the author-declared
+# TOC as linked item objects (/First child, /Next sibling, /Title).  The
+# native complement to the reference's TOC-page HEURISTICS (F3/F4 detect a
+# rendered TOC in page text); when a real outline exists, it is the
+# authoritative section structure and the heuristics are the fallback.
+# ---------------------------------------------------------------------------
+
+OUTLINE_MAX_ITEMS = 1000   # cycle/garbage guard on the link walk
+
+
+def parse_outline(data: bytes) -> list[dict]:
+    """bytes -> pre-order outline records ``{ord, level, title}`` — a
+    depth-first walk over /First (child) before /Next (sibling), titles
+    unescaped; cycles and dangling refs terminate fail-soft."""
+    objs = _load_objects(data)
+    tm = re.search(rb"/Root\s+(\d+)\s+0\s+R", data[data.rfind(b"trailer"):])
+    if not tm:
+        return []
+    root = objs.get(int(tm.group(1)))
+    if root is None:
+        return []
+    ol_ref = _ref(root[0], rb"/Outlines")
+    ol = objs.get(ol_ref) if ol_ref is not None else None
+    if ol is None:
+        return []
+    out: list[dict] = []
+    seen: set[int] = set()
+    stack: list[tuple[int | None, int]] = [(_ref(ol[0], rb"/First"), 0)]
+    while stack and len(out) < OUTLINE_MAX_ITEMS:
+        ref, level = stack.pop()
+        if ref is None or ref in seen:
+            continue
+        seen.add(ref)
+        item = objs.get(ref)
+        if item is None:
+            continue
+        m = re.search(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)", item[0])
+        title = (
+            _UNESCAPE.sub(rb"\1", m.group(1)).decode("latin-1", "replace")
+            if m else ""
+        )
+        out.append({"ord": len(out), "level": level, "title": title})
+        # push sibling FIRST so the child (pushed last) pops next:
+        # pre-order, /First before /Next
+        stack.append((_ref(item[0], rb"/Next"), level))
+        stack.append((_ref(item[0], rb"/First"), level + 1))
     return out

@@ -438,3 +438,110 @@ def pdf_scanned_audit(media: DataFrame,
         )
         .orderBy("doc_id")
     )
+
+
+# --- outline-bearing PDFs: synthesis + the outline Arrow stage -----------
+
+
+def make_outline_pdf(doc_id: int) -> bytes:
+    """One-page PDF whose catalog carries a document outline: nc = 1 +
+    d%3 chapters, chapter i followed by one child section iff (d+i)%2 —
+    items as real /First//Next linked objects in pre-order ids."""
+    nc = 1 + doc_id % 3
+    kids = [(doc_id + i) % 2 for i in range(nc)]
+    # pre-order item ids starting at 6
+    chap_ids = []
+    nxt = 6
+    for i in range(nc):
+        chap_ids.append(nxt)
+        nxt += 1 + kids[i]
+    items = []  # (obj_num, body)
+    for i in range(nc):
+        cid = chap_ids[i]
+        nxt_ref = (b" /Next %d 0 R" % chap_ids[i + 1]
+                   if i + 1 < nc else b"")
+        first_ref = b" /First %d 0 R /Count 1" % (cid + 1) if kids[i] else b""
+        items.append((cid, b"<< /Title (" + _esc(
+            f"Chapter {i} of {doc_id}") + b") /Parent 5 0 R"
+            + first_ref + nxt_ref + b" >>"))
+        if kids[i]:
+            items.append((cid + 1, b"<< /Title (" + _esc(
+                f"Section {i}.0 of {doc_id}")
+                + b") /Parent %d 0 R >>" % cid))
+    content = _content_stream(doc_id, 0)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+
+    def obj(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    obj(1, b"<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>")
+    obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    obj(4, b"<< /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream")
+    obj(5, b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
+        % (chap_ids[0], chap_ids[-1], nc))
+    for num, body in items:
+        obj(num, body)
+    n_objs = 5 + len(items)
+    xref_at = len(out)
+    out.extend(b"xref\n0 %d\n" % (n_objs + 1))
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, n_objs + 1):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def synthetic_outline_pdfs(df: DataFrame) -> DataFrame:
+    """%13 corrupt; %5==2 docs have NO outline (plain make_pdf — the
+    heuristics-fallback population); everything else carries one."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % PDF_CORRUPT_MOD == 0:
+                    payloads.append(b"%PDF-1.4\nno xref")
+                elif d % 5 == 2:
+                    payloads.append(make_pdf(d))
+                else:
+                    payloads.append(make_outline_pdf(d))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+def pdf_outline(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, ord, level, title) — the author-declared outline
+    (PDF §12.3.3 bookmarks) in pre-order: the AUTHORITATIVE section
+    structure when present, with the reference's TOC-page heuristics
+    (F3/F4) as the fallback for the (many) documents without one — both
+    routes now exist in this engine, which is precisely how a production
+    extractor chooses.  Same one-Arrow-stage shape; outline-less and
+    corrupt documents yield zero rows."""
+    from pdf_parser_spark.core.pdflayout import parse_outline
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "ord": [], "level": [], "title": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                for rec in parse_outline(bytes(payload)):
+                    out["doc_id"].append(int(doc_id))
+                    out["ord"].append(rec["ord"])
+                    out["level"].append(rec["level"])
+                    out["title"].append(rec["title"])
+            yield pd.DataFrame(out)
+
+    return (
+        media.select("doc_id", payload_col)
+        .mapInPandas(fn, "doc_id long, ord int, level int, title string")
+        .orderBy("doc_id", "ord")
+    )

@@ -5228,3 +5228,32 @@ def test_pdf_incremental_update_prev_chain():
     cyc.extend(b"trailer\n<< /Size 1 /Root 1 0 R /Prev %d >>\n"
                b"startxref\n%d\n%%%%EOF\n" % (xref_at, xref_at))
     assert core.parse_layout(bytes(cyc)) == []  # chain dead-ends, no loop
+
+
+def test_pdf_outline_preorder_and_negatives():
+    """Pre-order: a chapter's child section comes before the next
+    chapter; outline-less and corrupt documents yield zero items; a
+    cyclic /Next chain terminates fail-soft."""
+    from pdf_parser_spark.core.pdflayout import parse_outline
+    from pdf_parser_spark.operators.pdflayout import (
+        make_outline_pdf, make_pdf,
+    )
+
+    rows = parse_outline(make_outline_pdf(1))  # nc=2, chapter 0 has child
+    assert [(r["level"], r["title"]) for r in rows] == [
+        (0, "Chapter 0 of 1"), (1, "Section 0.0 of 1"),
+        (0, "Chapter 1 of 1")]
+    assert [r["ord"] for r in rows] == [0, 1, 2]
+    assert parse_outline(make_pdf(1)) == []          # no /Outlines
+    assert parse_outline(b"%PDF-1.4\nnothing") == []  # corrupt
+
+    # cyclic /Next: doc 3 has one chapter (obj 6) with one child (obj
+    # 7); point the child's /Next back at its own PARENT — without the
+    # seen-set the walk would revisit 6 forever
+    data = make_outline_pdf(3)
+    assert b"/Parent 6 0 R >>" in data
+    # SAME-LENGTH byte patch (a splice would shift every xref offset)
+    cyc = data.replace(b"/Parent 6 0 R >>", b"/Next 6 0 R   >>", 1)
+    out = parse_outline(cyc)
+    assert [r["title"] for r in out] == [
+        "Chapter 0 of 3", "Section 0.0 of 3"]  # the cycle adds nothing
