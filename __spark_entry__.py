@@ -1591,6 +1591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             weburl.with_synthetic_urls(_docs(s, d))
         ),
         # crawl snapshot diff: added/removed/changed/unchanged by fingerprint
+        # token-multiset change magnitude between snapshots: HOW MUCH a
+        # page changed (order-insensitive bp), not just the md5 boolean
+        "d_change_magnitude": lambda s, d: (lambda sn: sn.change_magnitude(
+            *sn.demo_text_snapshots(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.snapshot",
+                      fromlist=["change_magnitude"])),
         "u_snapshot_diff": lambda s, d: (lambda sn: sn.snapshot_diff(
             *sn.demo_snapshots(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.snapshot", fromlist=["x"])),
@@ -6886,6 +6892,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         # snapshot diff: old = even doc_ids, new = doc_id%5 != 4 with a
         # ' [rev]' edit on doc_id%11 == 0 — full outer fingerprint compare
+        # change magnitude: both-present docs, per-term full-outer counts,
+        # |c_old - c_new| folded to exact bp; both revision flavors
+        # re-derived
+        "d_change_magnitude": f"""
+            WITH oldt AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            ), newt AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 6
+                            THEN 'totally new page about topic ' || doc_id
+                            WHEN doc_id % 11 = 0
+                            THEN regexp_replace(text, '^\S+\s*', '')
+                                 || ' rev update'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 5 <> 4
+            ), bothd AS (
+                SELECT o.doc_id FROM oldt o JOIN newt n USING (doc_id)
+            ), oc AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c_old
+                FROM (
+                    SELECT doc_id, lower(unnest(
+                        regexp_split_to_array(trim(text), '\s+'))) AS term
+                    FROM oldt JOIN bothd USING (doc_id)
+                ) WHERE term <> '' GROUP BY doc_id, term
+            ), nc AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c_new
+                FROM (
+                    SELECT doc_id, lower(unnest(
+                        regexp_split_to_array(trim(text), '\s+'))) AS term
+                    FROM newt JOIN bothd USING (doc_id)
+                ) WHERE term <> '' GROUP BY doc_id, term
+            ), j AS (
+                SELECT coalesce(oc.doc_id, nc.doc_id) AS doc_id,
+                       coalesce(c_old, 0) AS c_old,
+                       coalesce(c_new, 0) AS c_new
+                FROM oc FULL OUTER JOIN nc
+                  ON oc.doc_id = nc.doc_id AND oc.term = nc.term
+            )
+            SELECT doc_id,
+                   CAST(sum(c_old) AS BIGINT) AS n_old_tokens,
+                   CAST(sum(c_new) AS BIGINT) AS n_new_tokens,
+                   CAST(sum(abs(c_old - c_new)) AS BIGINT) AS sym_diff,
+                   CAST(10000 * sum(abs(c_old - c_new))
+                        // (sum(c_old) + sum(c_new)) AS BIGINT)
+                       AS changed_bp
+            FROM j GROUP BY doc_id ORDER BY doc_id
+        """,
         "u_snapshot_diff": """
             WITH old AS (
                 SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0

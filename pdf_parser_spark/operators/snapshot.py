@@ -187,3 +187,90 @@ def recrawl_schedule(snaps: DataFrame, k: int = N_SNAPSHOTS) -> DataFrame:
         interval.alias("interval_hours"),
         (F.col("last_ts") * 24 + interval).alias("next_fetch_ts"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token-level change magnitude between crawl snapshots — snapshot_diff says
+# WHICH pages changed (fingerprint boolean); this says HOW MUCH, the number
+# recrawl scheduling actually wants (a timestamp-only touch and a full
+# rewrite both flip the md5; only one deserves a faster revisit cadence).
+# ---------------------------------------------------------------------------
+
+HEAVY_REV_MOD = 13   # doc_id % 13 == 6 -> full rewrite in the demo fleet
+
+
+def demo_text_snapshots(
+    documents: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(old, new) (doc_id, text) frames: old = even doc_ids, new =
+    %5 != 4 (the snapshot_diff split), with two revision flavors the
+    oracle re-derives — %13==6 full rewrite, else %11==0 light edit
+    (first token dropped, ' rev update' appended)."""
+    d = F.col("doc_id")
+    new_text = (
+        F.when(d % HEAVY_REV_MOD == 6,
+               F.concat(F.lit("totally new page about topic "), d))
+        .when(d % REV_MOD == 0,
+              F.concat(F.regexp_replace("text", r"^\S+\s*", ""),
+                       F.lit(" rev update")))
+        .otherwise(F.col("text"))
+    )
+    old = documents.where(d % OLD_MOD == 0).select("doc_id", "text")
+    new = documents.where(d % NEW_MOD != NEW_MOD - 1).select(
+        "doc_id", new_text.alias("text")
+    )
+    return old, new
+
+
+def change_magnitude(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(doc_id, n_old_tokens, n_new_tokens, sym_diff, changed_bp) for
+    every page present in BOTH snapshots: the token-MULTISET symmetric
+    difference (sum over terms of |c_old - c_new|) against the combined
+    mass, in exact integer bp.  Multiset, not set: a page that repeats
+    its one ad block ten more times HAS changed, and sequence alignment
+    is deliberately avoided — the multiset diff is order-insensitive, so
+    a reshuffled nav bar scores near zero while real content turnover
+    scores high, which is the signal a recrawl scheduler wants (and it
+    keeps the whole op in keyed joins — no per-doc edit-distance
+    Python).
+
+    Scale: two narrow token explodes -> two map-side-combined (doc,
+    term) groupBys -> one full-outer keyed join -> one per-doc rollup;
+    the both-present filter is a broadcast-able id semi-join.  Nothing
+    corpus-ordered."""
+    from pdf_parser_spark.functions import words
+
+    both = old.select("doc_id").join(new.select("doc_id"), "doc_id")
+
+    def counts(df, col):
+        return (
+            df.join(both, "doc_id")
+            .select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+            .where(F.col("term") != "")
+            .select("doc_id", F.lower("term").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("long").alias(col))
+        )
+
+    oc = counts(old, "c_old")
+    nc = counts(new, "c_new")
+    j = oc.join(nc, ["doc_id", "term"], "full_outer").select(
+        "doc_id",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("c_old").cast("long").alias("n_old_tokens"),
+            F.sum("c_new").cast("long").alias("n_new_tokens"),
+            F.sum(F.abs(F.col("c_old") - F.col("c_new"))).cast("long")
+            .alias("sym_diff"),
+        )
+        .select(
+            "doc_id", "n_old_tokens", "n_new_tokens", "sym_diff",
+            F.expr("10000 * sym_diff div (n_old_tokens + n_new_tokens)")
+            .cast("long").alias("changed_bp"),
+        )
+        .orderBy("doc_id")
+    )

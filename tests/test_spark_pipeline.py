@@ -5257,3 +5257,32 @@ def test_pdf_outline_preorder_and_negatives():
     out = parse_outline(cyc)
     assert [r["title"] for r in out] == [
         "Chapter 0 of 3", "Section 0.0 of 3"]  # the cycle adds nothing
+
+
+def test_change_magnitude_multiset(spark):
+    """Multiset, order-insensitive: a reshuffled page scores 0, a
+    repeated ad block COUNTS (set semantics would miss it), a light
+    edit scores low, a full rewrite scores near 10000."""
+    from pdf_parser_spark.operators import snapshot as sn
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "one two three four"),
+         (3, "ad text ad text content here"),
+         (4, "completely original page body")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "delta gamma beta alpha"),          # reshuffle: 0
+         (2, "one two three four five"),         # light add: 1/9
+         (3, "ad text ad text ad text ad text content here"),  # repeats
+         (4, "brand new words entirely different")],           # rewrite
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in sn.change_magnitude(old, new).collect()}
+    assert out[1]["sym_diff"] == 0 and out[1]["changed_bp"] == 0
+    assert out[2]["sym_diff"] == 1
+    assert out[2]["changed_bp"] == 10000 * 1 // 9
+    # doc 3: ad/text counts 2->4 each: sym = 4; set semantics would say 0
+    assert out[3]["sym_diff"] == 4
+    assert out[4]["sym_diff"] == 9 and out[4]["changed_bp"] == 10000
