@@ -1119,6 +1119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_code_detect": lambda s, d: textstats.code_detect(
             textstats.with_code_blocks(_docs(s, d))
         ),
+        # BM25F body+anchor field ranking (Robertson CIKM'04): weighted
+        # tf merged BEFORE saturation, either-field df
+        "t_bm25f": lambda s, d: textstats.bm25f_topk(
+            _docs(s, d), textstats.with_anchor_field(_docs(s, d))
+        ),
         # character entropy in floored milli-bits: the junk detector
         # orthogonal to word rules (repeated-char filler sits far below
         # prose, base64 far above)
@@ -8876,6 +8881,98 @@ def oracle_sql() -> dict[str, str]:
         # engines build (x1000T clears k1/b and the avgdl division); the
         # idf ln() is the one libm call, guarded by the 4dp round; 2-term
         # queries keep the per-query sum IEEE-commutative
+        # BM25F: the t_bm25 chain with the anchor field merged in —
+        # weighted tf / dl BEFORE saturation, either-field df, anchors
+        # re-derived from the 2nd/3rd-token echo formula
+        "t_bm25f": f"""
+            WITH btoks AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(list_transform({_TOKS}, t -> lower(t)))
+                               AS term
+                    FROM documents) u
+                WHERE term <> ''
+            ), anch AS (
+                SELECT doc_id,
+                       CASE WHEN base = '' THEN ''
+                            WHEN doc_id % 2 = 1
+                                THEN base || ' ' || base
+                            ELSE base END AS anchor
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN len({_TOKS}) >= 3
+                                THEN lower(({_TOKS})[2] || ' '
+                                           || ({_TOKS})[3])
+                                ELSE '' END AS base
+                    FROM documents)
+            ), atoks AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(anchor),
+                                                        '\s+')) AS term
+                    FROM anch) u
+                WHERE term <> ''
+            ), btf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tfb
+                FROM btoks GROUP BY doc_id, term
+            ), atf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tfa
+                FROM atoks GROUP BY doc_id, term
+            ), ctf AS (
+                SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+                       coalesce(b.term, a.term) AS term,
+                       CAST({TS.BM25F_W_BODY} * coalesce(tfb, 0)
+                            + {TS.BM25F_W_ANCHOR} * coalesce(tfa, 0)
+                            AS BIGINT) AS tfc
+                FROM btf b FULL OUTER JOIN atf a
+                  ON b.doc_id = a.doc_id AND b.term = a.term
+            ), dlc AS (
+                SELECT doc_id, CAST(sum(tfc) AS BIGINT) AS dlc
+                FROM ctf GROUP BY doc_id
+            ), stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dlc) AS BIGINT) AS t_tokens FROM dlc
+            ), dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM ctf GROUP BY term
+            ), qterms AS (
+                SELECT CAST((rn + 1) // 2 AS BIGINT) AS query_id, rn,
+                       term, df
+                FROM (
+                    SELECT term, df,
+                           row_number() OVER (ORDER BY df DESC, term ASC)
+                               AS rn
+                    FROM dfreq) x
+                WHERE rn <= 2 * {TS.BM25_QUERIES}
+            ), qdim AS (
+                SELECT query_id, string_agg(term, ' ' ORDER BY rn)
+                           AS q_terms
+                FROM qterms GROUP BY query_id
+            ), scored AS (
+                SELECT q.query_id, t.doc_id,
+                       round(sum(
+                           ln(1 + (2*s.n_docs - 2*q.df + 1)
+                                  / (2*q.df + 1))
+                           * ({TS._BM25_NUM_C} * t.tfc * s.t_tokens)
+                           / (1000 * t.tfc * s.t_tokens
+                              + {TS._BM25_DEN_T} * s.t_tokens
+                              + {TS._BM25_DEN_DL} * d.dlc * s.n_docs)
+                       ), 4) AS bm25f
+                FROM ctf t JOIN qterms q USING (term)
+                     JOIN dlc d ON d.doc_id = t.doc_id
+                     CROSS JOIN stats s
+                GROUP BY q.query_id, t.doc_id
+            )
+            SELECT query_id, q_terms, doc_id, bm25f,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+                SELECT query_id, doc_id, bm25f, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY bm25f DESC, doc_id ASC) AS rank
+                FROM scored) r JOIN qdim USING (query_id)
+            WHERE rank <= {TS.BM25_TOP_K}
+            ORDER BY query_id, rank
+        """,
         "t_bm25": f"""
             WITH toks AS (
                 SELECT doc_id, term FROM (

@@ -3101,3 +3101,133 @@ def code_detect(
         ((braces >= CODE_MIN_BRACES)
          & (kws >= CODE_MIN_KEYWORDS)).alias("is_code"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25F: weighted multi-field ranking (Robertson/Zaragoza/Taylor, CIKM 2004
+# "Simple BM25 extension to multiple weighted fields").  The web-search
+# canonical: anchor text is the strongest ranking field the web gives you,
+# and the CORRECT combination is weighted term frequencies merged BEFORE
+# the BM25 saturation — scoring fields separately and adding the scores
+# lets one spammy field saturate independently; merging first means a term
+# must be endorsed across fields to keep climbing.
+# ---------------------------------------------------------------------------
+
+BM25F_W_BODY = 1
+BM25F_W_ANCHOR = 3   # the classic strong anchor upweight
+
+
+def with_anchor_field(documents: DataFrame) -> DataFrame:
+    """(doc_id, anchor): deterministic incoming-anchor text — the doc's
+    own 2nd/3rd tokens lowered (anchors echo titles), doubled for odd
+    doc_ids (popular pages accrete repeated anchors).  Re-derivable in
+    SQL."""
+    d = F.col("doc_id")
+    toks = words(F.col("text"))
+    base = F.when(
+        F.size(toks) >= 3,
+        F.lower(F.concat_ws(" ", F.element_at(toks, 2),
+                            F.element_at(toks, 3))),
+    ).otherwise(F.lit(""))
+    anchor = (
+        F.when(base == "", F.lit(""))
+        .when(d % 2 == 1, F.concat(base, F.lit(" "), base))
+        .otherwise(base)
+    )
+    return documents.select("doc_id", anchor.alias("anchor"))
+
+
+def bm25f_topk(
+    documents: DataFrame, anchors: DataFrame,
+    n_queries: int = BM25_QUERIES, k: int = BM25_TOP_K,
+) -> DataFrame:
+    """(query_id, q_terms, doc_id, bm25f, rank) — BM25F over body +
+    anchor: tf_c = W_BODY*tf_body + W_ANCHOR*tf_anchor and dl_c likewise
+    merge BEFORE saturation; df counts documents containing the term in
+    EITHER field; queries pair the combined df-top terms (bm25_topk's
+    rule).  Same exact-integer saturation constants as _bm25_scores, so
+    the two rankers differ ONLY in the field merge — the anchor-flip
+    pytest isolates exactly that.
+
+    Scale: two narrow field explodes -> keyed (doc, term) groupBys ->
+    one full-outer field merge -> the same broadcast query-dim probe
+    plan as _bm25_scores; anchors are a per-doc dim (the anchor-text cap
+    in linkgraph bounds its width at the source)."""
+    btoks = documents.select(
+        "doc_id",
+        F.explode(F.transform(words(F.col("text")), F.lower)).alias("term"),
+    ).where(F.col("term") != "")
+    atoks = anchors.select(
+        "doc_id",
+        F.explode(F.transform(words(F.col("anchor")), F.lower))
+        .alias("term"),
+    ).where(F.col("term") != "")
+    btf = btoks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tfb"))
+    atf = atoks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tfa"))
+    ctf = (
+        btf.join(atf, ["doc_id", "term"], "full_outer")
+        .select(
+            "doc_id", "term",
+            (F.lit(BM25F_W_BODY) * F.coalesce("tfb", F.lit(0))
+             + F.lit(BM25F_W_ANCHOR) * F.coalesce("tfa", F.lit(0)))
+            .cast("long").alias("tfc"),
+        )
+    )
+    dlc = ctf.groupBy("doc_id").agg(F.sum("tfc").cast("long").alias("dlc"))
+    stats = dlc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dlc").cast("long").alias("t_tokens"),
+    )
+    dfreq = ctf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    from pyspark.sql import Window
+
+    qterms = (
+        dfreq.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), F.col("term").asc())),
+        )
+        .where(F.col("rn") <= 2 * n_queries)
+        .select(((F.col("rn") + 1) / 2).cast("long").alias("query_id"),
+                "rn", "term", "df")
+    )
+    qdim = qterms.groupBy("query_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "term"))),
+                lambda s: s["term"],
+            ),
+        ).alias("q_terms")
+    )
+    cand = (
+        ctf.join(F.broadcast(qterms.select("query_id", "term", "df")),
+                 "term")
+        .join(dlc, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    num = F.lit(_BM25_NUM_C).cast("long") * F.col("tfc") * F.col("t_tokens")
+    den = (
+        F.lit(1000).cast("long") * F.col("tfc") * F.col("t_tokens")
+        + F.lit(_BM25_DEN_T).cast("long") * F.col("t_tokens")
+        + F.lit(_BM25_DEN_DL).cast("long") * F.col("dlc") * F.col("n_docs")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (2 * F.col("n_docs") - 2 * F.col("df") + 1) / (2 * F.col("df") + 1)
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(idf * num / den), 4).alias("bm25f")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25f").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .join(qdim, "query_id")
+        .select("query_id", "q_terms", "doc_id", "bm25f", "rank")
+        .orderBy("query_id", "rank")
+    )

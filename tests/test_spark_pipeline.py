@@ -5286,3 +5286,36 @@ def test_change_magnitude_multiset(spark):
     # doc 3: ad/text counts 2->4 each: sym = 4; set semantics would say 0
     assert out[3]["sym_diff"] == 4
     assert out[4]["sym_diff"] == 9 and out[4]["changed_bp"] == 10000
+
+
+def test_bm25f_anchor_flips_the_tie(spark):
+    """The field-merge effect isolated: two docs with IDENTICAL bodies —
+    body-only BM25 ties them (rank by doc_id, A first); BM25F sees B's
+    anchor endorsement of 'widget' and ranks B first for the widget
+    query.  Same saturation constants, so the flip is purely the
+    anchor-weighted tf merge."""
+    from pdf_parser_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "widget common stuff"),
+         (2, "widget common stuff"),
+         (3, "filler words here"),
+         (4, "other page body")],
+        "doc_id long, text string",
+    )
+    anchors = spark.createDataFrame(
+        [(1, ""), (2, "widget"), (3, ""), (4, "")],
+        "doc_id long, anchor string",
+    )
+    f_rows = ts.bm25f_topk(docs, anchors, n_queries=6, k=4).collect()
+    b_rows = ts.bm25_topk(docs, n_queries=6, k=4).collect()
+
+    def ranks(rows, col):
+        for r in rows:
+            if "widget" in r["q_terms"].split():
+                yield r["doc_id"], r["rank"]
+
+    f = dict(ranks(f_rows, "rank"))
+    b = dict(ranks(b_rows, "rank"))
+    assert f[2] < f[1], (f)   # BM25F: anchored doc wins
+    assert b[1] < b[2], (b)   # body-only: tie broken by doc_id, A first
