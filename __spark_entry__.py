@@ -1770,6 +1770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # fixed-size per-source eval holdout: deterministic hash-rank
         # reservoir (exactly k per source, not a drifting rate)
+        # cross-split near-dup leakage: banded pairs x holdout split
+        # under one hash (eval-integrity, Lee et al. 2022)
+        "c_leakage_audit": lambda s, d: curation.leakage_audit(_docs(s, d)),
         "c_holdout_split": lambda s, d: curation.holdout_split(_docs(s, d)),
         # the burn-down funnel (stage chain shared with corpus_build)
         "c_corpus_funnel": lambda s, d: curation.corpus_funnel(_docs(s, d)),
@@ -7989,6 +7992,60 @@ def oracle_sql() -> dict[str, str]:
             FROM sh ORDER BY doc_id
         """,
         # holdout split: k-smallest (md5, doc_id) hash ranks per source
+        # leakage audit: the bands_cte pair chain at the 0.5 default +
+        # the holdout hash-rank rule, one crossing join, zero-filled
+        "c_leakage_audit": bands_cte + f"""
+            , cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ), pairs AS (
+                SELECT c.doc_a, c.doc_b
+                FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                            JOIN sh sb ON sb.doc_id = c.doc_b
+                WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+                      / len(list_distinct(
+                            list_concat(sa.shingles, sb.shingles))), 4)
+                      >= 0.5
+            ), sp AS (
+                SELECT doc_id, source,
+                       CASE WHEN row_number() OVER (
+                                PARTITION BY source ORDER BY
+                                CAST(('0x' || substr(md5('{C.HOLDOUT_SEED}:'
+                                    || doc_id), 1, 8)) AS BIGINT), doc_id)
+                                <= {C.HOLDOUT_K}
+                            THEN 'holdout' ELSE 'train' END AS split
+                FROM documents
+            ), crossing AS (
+                SELECT CASE WHEN x.split = 'holdout' THEN p.doc_a
+                            ELSE p.doc_b END AS holdout_doc
+                FROM pairs p
+                JOIN sp x ON x.doc_id = p.doc_a
+                JOIN sp y ON y.doc_id = p.doc_b
+                WHERE x.split <> y.split
+            ), leaks AS (
+                SELECT s2.source,
+                       CAST(count(*) AS BIGINT) AS n_leaky_pairs,
+                       CAST(count(DISTINCT c.holdout_doc) AS BIGINT)
+                           AS n_leaky_holdout_docs
+                FROM crossing c JOIN sp s2 ON s2.doc_id = c.holdout_doc
+                GROUP BY s2.source
+            ), sizes AS (
+                SELECT source,
+                       CAST(sum(CASE WHEN split = 'train' THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_train,
+                       CAST(sum(CASE WHEN split = 'holdout' THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_holdout
+                FROM sp GROUP BY source
+            )
+            SELECT z.source, z.n_train, z.n_holdout,
+                   coalesce(l.n_leaky_pairs, 0) AS n_leaky_pairs,
+                   coalesce(l.n_leaky_holdout_docs, 0)
+                       AS n_leaky_holdout_docs
+            FROM sizes z LEFT JOIN leaks l USING (source)
+            ORDER BY source
+        """,
         "c_holdout_split": f"""
             WITH hr AS (
                 SELECT doc_id, source,

@@ -2246,3 +2246,64 @@ def shard_rebalance(
         )
         .orderBy("scheme")
     )
+
+
+def leakage_audit(
+    documents: DataFrame, k: int = HOLDOUT_K, threshold: float = 0.5
+) -> DataFrame:
+    """(source, n_train, n_holdout, n_leaky_pairs, n_leaky_holdout_docs)
+    — near-duplicate LEAKAGE across the train/holdout boundary, the
+    classic eval bug (Lee et al. 2022 found wide benchmark/train overlap
+    in deployed corpora; a holdout doc whose near-copy sits in train
+    measures memorization, not generalization): every banded+verified
+    near-dup pair (the ngram_jaccard_pairs default path) with exactly
+    one side held out is a leak, attributed to the HOLDOUT doc's source
+    and zero-filled over the source dim so a clean source is visibly
+    clean.
+
+    The composition reuses holdout_split and the shared LSH band layer
+    verbatim — no new similarity machinery, which is the point: the
+    leakage question is a JOIN between two already-verified faces.
+    Scale: the pair stream is band-bounded, the split is a per-source
+    window, the audit adds two keyed joins and one rollup."""
+    from pdf_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    split = holdout_split(documents, k)
+    pairs = ngram_jaccard_pairs(documents, threshold=threshold)
+    sa = split.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"),
+                      F.col("source").alias("source_b"),
+                      F.col("split").alias("split_b"))
+    crossing = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "holdout", F.col("doc_a"))
+            .otherwise(F.col("doc_b")).alias("holdout_doc"),
+        )
+        .join(split.select(F.col("doc_id").alias("holdout_doc"),
+                           "source"), "holdout_doc")
+    )
+    leaks = crossing.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_leaky_pairs"),
+        F.countDistinct("holdout_doc").cast("long")
+        .alias("n_leaky_holdout_docs"),
+    )
+    sizes = split.groupBy("source").agg(
+        F.sum((F.col("split") == "train").cast("long")).cast("long")
+        .alias("n_train"),
+        F.sum((F.col("split") == "holdout").cast("long")).cast("long")
+        .alias("n_holdout"),
+    )
+    return (
+        sizes.join(leaks, "source", "left")
+        .select(
+            "source", "n_train", "n_holdout",
+            F.coalesce("n_leaky_pairs", F.lit(0)).cast("long")
+            .alias("n_leaky_pairs"),
+            F.coalesce("n_leaky_holdout_docs", F.lit(0)).cast("long")
+            .alias("n_leaky_holdout_docs"),
+        )
+        .orderBy("source")
+    )

@@ -5319,3 +5319,35 @@ def test_bm25f_anchor_flips_the_tie(spark):
     b = dict(ranks(b_rows, "rank"))
     assert f[2] < f[1], (f)   # BM25F: anchored doc wins
     assert b[1] < b[2], (b)   # body-only: tie broken by doc_id, A first
+
+
+def test_leakage_audit_crossing_only(spark):
+    """Only pairs CROSSING the split leak: a near-dup pair entirely
+    inside train is not leakage, an exact within-holdout pair is not
+    leakage, and a clean source reads zero-filled."""
+    from pdf_parser_spark.operators import curation
+
+    body = ("the quick brown fox jumps over the lazy dog again and again"
+            " with many repeated shingles to share")
+    rows = (
+        # source sa: 4 docs; k=2 holdout by hash rank (whichever two) —
+        # make ALL FOUR near-identical so every cross pair qualifies
+        [(i, body + f" tail{i}", "en", "sa", 1) for i in range(4)]
+        # source sb: 3 unique docs, no near-dups at all
+        + [(10, "completely unrelated text about alpine skiing", "en",
+            "sb", 1),
+           (11, "a different page on deep sea creatures", "en", "sb", 1),
+           (12, "thirdly a page about medieval castles", "en", "sb", 1)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["source"]: r
+           for r in curation.leakage_audit(docs, k=2).collect()}
+    sa = out["sa"]
+    assert sa["n_train"] == 2 and sa["n_holdout"] == 2
+    # 4 near-identical docs -> 6 pairs; 2x2 = 4 cross pairs leak
+    assert sa["n_leaky_pairs"] == 4
+    assert sa["n_leaky_holdout_docs"] == 2
+    sb = out["sb"]
+    assert sb["n_leaky_pairs"] == 0 and sb["n_leaky_holdout_docs"] == 0
