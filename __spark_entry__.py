@@ -845,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RFM quartile segmentation: fixed as-of recency, total-order
         # ntiles (ties split by user_id, the documented rule)
         "w10_rfm": R.w10_rfm,
+        # per-week DAU/WAU stickiness in exact bp (floor-epoch periods)
+        "w11_stickiness": R.w11_stickiness,
         # native session_window (third sessionize face; INCLUSIVE merge
         # boundary — an event at exactly prev+gap merges, same as W4's lag
         # rule; pinned by the oracle's `> gap` new-session test and the
@@ -989,6 +991,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # under ONE hash
         "u_recrawl_decision": lambda s, d: weburl.recrawl_decision(
             _docs(s, d)
+        ),
+        # RFC 3986 §5.2.4 dot-segment removal: one string fold, root
+        # clamp, directory-ness preserved
+        "u_dot_segments": lambda s, d: weburl.remove_dot_segments(
+            weburl.with_dot_urls(_docs(s, d))
         ),
         # RFC 9309 §2.2.2 longest-match Allow/Disallow decisions: rules
         # parsed from real bytes (shared group resolution), one struct-max
@@ -3490,6 +3497,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_tier * 100 + f_tier * 10 + m_tier AS BIGINT)
                        AS segment
             FROM tiled ORDER BY user_id
+        """,
+        # stickiness: same floor-epoch day/week buckets, two distinct
+        # aggregations, 10000*sum(DAU) div (7*WAU)
+        "w11_stickiness": f"""
+            WITH base AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es
+                FROM events
+            ), days AS (
+                SELECT DISTINCT user_id, es // {R.DAY_S} AS day,
+                       es // {R.WEEK_S} AS week
+                FROM base
+            ), dau AS (
+                SELECT week, day,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+                FROM days GROUP BY week, day
+            ), wau AS (
+                SELECT week, CAST(count(*) AS BIGINT) AS wau FROM (
+                    SELECT DISTINCT user_id, es // {R.WEEK_S} AS week
+                    FROM base)
+                GROUP BY week
+            )
+            SELECT d.week, CAST(sum(d.dau) AS BIGINT) AS sum_dau,
+                   CAST(count(*) AS BIGINT) AS n_active_days,
+                   w.wau,
+                   CAST(10000 * sum(d.dau) // (7 * w.wau) AS BIGINT)
+                       AS stickiness_bp
+            FROM dau d JOIN wau w USING (week)
+            GROUP BY d.week, w.wau ORDER BY d.week
         """,
         # streaming twin: one-batch replay makes stream order = global
         # order, so the batch SQL is the oracle VERBATIM (ratelimit
@@ -6437,6 +6473,41 @@ def oracle_sql() -> dict[str, str]:
                         WHEN k = 3 THEN 'if-modified-since'
                         ELSE '' END AS validator
             FROM syn ORDER BY doc_id
+        """,
+        # dot segments: the SAME ''-seeded fold via list_reduce; the
+        # synthesis flavors re-derived
+        "u_dot_segments": f"""
+            WITH syn AS (
+                SELECT doc_id,
+                       CASE doc_id % 6
+                         WHEN 0 THEN '/a/./b/' || doc_id
+                         WHEN 1 THEN '/a/b/../c/' || doc_id
+                         WHEN 2 THEN '/../x/' || doc_id
+                         WHEN 3 THEN '/a/b/c/../../d/' || doc_id
+                         WHEN 4 THEN '/a/b/.'
+                         ELSE '/docs/' || doc_id END AS path,
+                       'https://site' || (doc_id % 10)
+                           || '.example.com' AS base
+                FROM documents
+            ), folded AS (
+                SELECT doc_id, base || path AS url, path,
+                       list_reduce(
+                           list_prepend('', list_filter(
+                               regexp_split_to_array(path, '/'),
+                               s -> s <> '')),
+                           (acc, x) -> CASE
+                               WHEN x = '.' THEN acc
+                               WHEN x = '..' THEN
+                                    regexp_replace(acc, '/[^/]*$', '')
+                               ELSE acc || '/' || x END) AS f
+                FROM syn
+            )
+            SELECT doc_id, url,
+                   CASE WHEN f = '' THEN '/'
+                        WHEN regexp_matches(path, '(/|/\.|/\.\.)$')
+                            THEN f || '/'
+                        ELSE f END AS clean_path
+            FROM folded ORDER BY doc_id
         """,
         # composed recrawl verdict: the soft404 CTE chain + the cache
         # flavor dims feeding one CASE ladder — precedence across stages

@@ -2258,3 +2258,58 @@ def recrawl_decision(documents: DataFrame) -> DataFrame:
         "doc_id", "url", action.alias("action"),
         validator.alias("validator"),
     ).orderBy("doc_id")
+
+
+def with_dot_urls(documents: DataFrame) -> DataFrame:
+    """Synthesis: traversal-style url paths by doc_id%6 — ./ noise,
+    one-level .., leading .. (must clamp at root), a two-level pop
+    chain, a trailing /., and a clean control.  Re-derivable in SQL."""
+    d = F.col("doc_id")
+    base = F.concat(F.lit("https://site"), d % 10, F.lit(".example.com"))
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/a/./b/"), d))
+        .when(d % 6 == 1, F.concat(F.lit("/a/b/../c/"), d))
+        .when(d % 6 == 2, F.concat(F.lit("/../x/"), d))
+        .when(d % 6 == 3, F.concat(F.lit("/a/b/c/../../d/"), d))
+        .when(d % 6 == 4, F.lit("/a/b/."))
+        .otherwise(F.concat(F.lit("/docs/"), d))
+    )
+    return documents.select("doc_id", F.concat(base, path).alias("url"))
+
+
+def remove_dot_segments(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(doc_id, url, clean_path) — RFC 3986 §5.2.4 dot-segment removal,
+    the canonicalization step `canonicalize` deliberately leaves to this
+    op: '/a/./b' and '/a/x/../b' are the SAME resource as '/a/b', and a
+    crawler that treats them as distinct urls dedups, budgets, and
+    rate-limits the same page three times (path-traversal-looking urls
+    are also a standard trap/evasion shape — the cleaned path is what
+    belongs in the frontier key).
+
+    The removal is ONE string fold over the path segments — identical in
+    both engines (Spark `aggregate`, DuckDB `list_reduce` over a
+    ''-seeded list): '.' keeps the accumulator, '..' strips its last
+    '/segment' (clamping at root, per the RFC's 'if the buffer is empty,
+    do nothing'), anything else appends.  Directory-ness survives: a
+    path ending in '/', '/.' or '/..' keeps a trailing slash.  All JVM,
+    one scan projection."""
+    u = F.col(url_col)
+    path = F.regexp_extract(u, URL_RE, 4)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    folded = F.aggregate(
+        segs, F.lit(""),
+        lambda acc, x: (
+            F.when(x == ".", acc)
+            .when(x == "..", F.regexp_replace(acc, "/[^/]*$", ""))
+            .otherwise(F.concat(acc, F.lit("/"), x))
+        ),
+    )
+    ends_dir = path.rlike(r"(/|/\.|/\.\.)$")
+    clean = (
+        F.when(folded == "", F.lit("/"))
+        .when(ends_dir, F.concat(folded, F.lit("/")))
+        .otherwise(folded)
+    )
+    return df.select(
+        "doc_id", u.alias("url"), clean.alias("clean_path")
+    ).orderBy("doc_id")

@@ -1280,3 +1280,57 @@ def w10_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+DAY_S = 86400
+
+
+def w11_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-week DAU/WAU stickiness — the engagement ratio product
+    analytics tracks beside retention (w7): for each epoch week, the
+    average daily-active count over its 7 days against the weekly-active
+    count, in exact integer bp: stickiness_bp = 10000 * sum(DAU) div
+    (7 * WAU).  A corpus of one-visit drive-by users scores ~1429bp
+    (1/7); a daily-habit product scores toward 10000.
+
+    Exactness: day = es div 86400, week = es div 604800 (the w7 floor
+    conventions — NB the epoch week boundary, not ISO); both distinct
+    sets are exact.  Scale: two distinct aggregations keyed by (period,
+    user), then a 7-row-per-week rollup — the same shuffle family as
+    w7, nothing corpus-ordered."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = ev.select("user_id", es.alias("es"))
+    days = (
+        base.selectExpr(
+            "user_id",
+            f"CAST(es div {DAY_S} AS BIGINT) AS day",
+            f"CAST(es div {WEEK_S} AS BIGINT) AS week",
+        )
+        .distinct()
+    )
+    dau = days.groupBy("week", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    wau = (
+        base.selectExpr(
+            "user_id", f"CAST(es div {WEEK_S} AS BIGINT) AS week"
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").cast("long").alias("wau"))
+    )
+    return (
+        dau.groupBy("week")
+        .agg(
+            F.sum("dau").cast("long").alias("sum_dau"),
+            F.count("*").cast("long").alias("n_active_days"),
+        )
+        .join(wau, "week")
+        .select(
+            "week", "sum_dau", "n_active_days", "wau",
+            F.expr("10000 * sum_dau div (7 * wau)").cast("long")
+            .alias("stickiness_bp"),
+        )
+        .orderBy("week")
+    )

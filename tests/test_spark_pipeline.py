@@ -5351,3 +5351,70 @@ def test_leakage_audit_crossing_only(spark):
     assert sa["n_leaky_holdout_docs"] == 2
     sb = out["sb"]
     assert sb["n_leaky_pairs"] == 0 and sb["n_leaky_holdout_docs"] == 0
+
+
+def test_dot_segment_removal_rfc3986(spark):
+    """§5.2.4 semantics: ./ noise vanishes, .. pops one level, a leading
+    .. clamps at root ('if the buffer is empty, do nothing'), chains pop
+    in order, and directory-ness survives a trailing /."""
+    from pdf_parser_spark.operators import weburl
+
+    rows = [
+        (0, "https://a.com/a/./b"),
+        (1, "https://a.com/a/b/../c"),
+        (2, "https://a.com/../x"),
+        (3, "https://a.com/a/b/c/../../d"),
+        (4, "https://a.com/a/b/."),
+        (5, "https://a.com/a/.."),
+        (6, "https://a.com/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["clean_path"]
+           for r in weburl.remove_dot_segments(df).collect()}
+    assert out[0] == "/a/b"
+    assert out[1] == "/a/c"
+    assert out[2] == "/x"          # root clamp
+    assert out[3] == "/a/d"
+    assert out[4] == "/a/b/"       # trailing /. keeps directory-ness
+    assert out[5] == "/"           # everything popped
+    assert out[6] == "/"
+
+
+def test_w11_stickiness_bounds(spark, tmp_path):
+    """Drive-by users floor at ~1/7 (one active day each), a daily-habit
+    cohort hits 10000bp, and the mix sits in between — exact integers."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.plans.relational import w11_stickiness
+
+    rows = []  # (user, day_off)
+    # week bucket: epoch day 19723 (2024-01-01 era) -- use raw epochs
+    # aligned to a week start: week = es // 604800; pick es base at a
+    # multiple of 604800 so all 7 days land in ONE week bucket
+    base_week_start = (1704067200 // 604800 + 1) * 604800
+    # 3 daily users active all 7 days
+    for u in (1, 2, 3):
+        rows += [(u, d) for d in range(7)]
+    # 7 drive-by users, one distinct day each
+    rows += [(10 + d, d) for d in range(7)]
+    t0 = dt.datetime.fromtimestamp(base_week_start, dt.timezone.utc) \
+        .replace(tzinfo=None)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([t0 + dt.timedelta(days=d, seconds=30)
+                        for _, d in rows], pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = w11_stickiness(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # DAU per day = 3 daily + 1 drive-by = 4; sum = 28; WAU = 10
+    assert r["sum_dau"] == 28 and r["wau"] == 10
+    assert r["n_active_days"] == 7
+    assert r["stickiness_bp"] == 10000 * 28 // 70  # 4000
