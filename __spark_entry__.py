@@ -1887,6 +1887,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_related": lambda s, d: (lambda lg: lg.related_docs(
             _docs(s, d), lg.synthetic_edges(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
+        # degree-assortativity moments (Newman 2002): exact BIGINT
+        # per-edge (outdeg(src), indeg(dst)) moments + covariance sign
+        "g_assortativity": lambda s, d: (lambda lg: lg.assortativity_moments(
+            _docs(s, d), lg.synthetic_edges(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.linkgraph", fromlist=["x"])),
         # co-citation pairs (shared citing sources) + one-row graph audit
         "g_cocitation": lambda s, d: (lambda lg: lg.cocitation_pairs(
             lg.synthetic_edges(_docs(s, d))
@@ -8009,6 +8014,33 @@ def oracle_sql() -> dict[str, str]:
             {_ppr_ctes}
             SELECT * FROM ({_ppr_final})
             ORDER BY seed_id, rel_rank
+        """,
+        # assortativity: same per-edge degree join, one-row fold
+        "g_assortativity": f"""
+            WITH edges AS ({_edges_sql}),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS x
+                   FROM edges GROUP BY src),
+            idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS y
+                    FROM edges GROUP BY dst),
+            exy AS (
+                SELECT od.x, idg.y
+                FROM edges e JOIN od ON od.src = e.src
+                JOIN idg ON idg.dst = e.dst
+            ), m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                       CAST(sum(x) AS BIGINT) AS sum_x,
+                       CAST(sum(y) AS BIGINT) AS sum_y,
+                       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+                       CAST(sum(y * y) AS BIGINT) AS sum_y2
+                FROM exy
+            )
+            SELECT *,
+                   CAST(n_edges * sum_xy - sum_x * sum_y AS BIGINT)
+                       AS cov_num,
+                   CAST(sign(n_edges * sum_xy - sum_x * sum_y) AS BIGINT)
+                       AS cov_sign
+            FROM m
         """,
         # SALSA: the same unrolled chain with degree-normalized floors
         "g_salsa": f"""

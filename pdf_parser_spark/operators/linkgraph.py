@@ -1528,3 +1528,40 @@ def related_docs(
         .select("seed_id", "doc_id", "ppr", "rel_rank")
         .orderBy("seed_id", "rel_rank")
     )
+
+
+def assortativity_moments(
+    documents: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """One-row exact-integer moment table for DEGREE ASSORTATIVITY
+    (Newman 2002): over every edge, x = outdeg(src), y = indeg(dst) —
+    n_edges, sum x, sum y, sum xy, sum x2, sum y2, plus the covariance
+    numerator n*sum_xy - sum_x*sum_y and its sign.  Web graphs are
+    famously DISASSORTATIVE (hubs link to low-degree pages; negative
+    sign), and the sign flipping positive on a crawl slice is a strong
+    mirror-farm/link-ring smell — the datasheet number next to
+    degree_distribution's shape.
+
+    Float-free on purpose (the len_quality_assoc doctrine): the full
+    correlation needs only two sqrts on top, downstream; the moments
+    themselves are exact BIGINTs both engines.  Scale: two degree
+    groupBys + two keyed joins back onto the edge stream + one
+    map-side-combined 1-row fold — no corpus-ordered shuffle."""
+    odeg = edges.groupBy("src").agg(F.count("*").cast("long").alias("x"))
+    ideg = edges.groupBy("dst").agg(F.count("*").cast("long").alias("y"))
+    exy = edges.join(odeg, "src").join(ideg, "dst")
+    row = exy.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
+    )
+    cov_num = (F.col("n_edges") * F.col("sum_xy")
+               - F.col("sum_x") * F.col("sum_y"))
+    return row.select(
+        "*",
+        cov_num.cast("long").alias("cov_num"),
+        F.signum(cov_num).cast("long").alias("cov_sign"),
+    )

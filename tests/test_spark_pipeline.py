@@ -5418,3 +5418,36 @@ def test_w11_stickiness_bounds(spark, tmp_path):
     assert r["sum_dau"] == 28 and r["wau"] == 10
     assert r["n_active_days"] == 7
     assert r["stickiness_bp"] == 10000 * 28 // 70  # 4000
+
+
+def test_assortativity_sign(spark):
+    """Disassortative star vs assortative chain-of-hubs: the covariance
+    sign flips, computed from exact moments against a python twin."""
+    from pdf_parser_spark.operators import linkgraph as lg
+
+    # star: hub 0 -> leaves (hub outdeg 4; every dst indeg 1) — constant
+    # x and y per edge -> cov 0; make it disassortative by adding one
+    # leaf-to-leaf edge (low-out src hits a dst whose indeg rises)
+    star = [(0, i) for i in range(1, 5)] + [(1, 2)]
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    e1 = spark.createDataFrame(star, "src long, dst long")
+    r1 = lg.assortativity_moments(docs, e1).collect()[0]
+
+    def twin(edges):
+        from collections import Counter
+        od, idg = Counter(s for s, _ in edges), Counter(d for _, d in edges)
+        xs = [(od[s], idg[d]) for s, d in edges]
+        n = len(xs)
+        sx = sum(x for x, _ in xs); sy = sum(y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        return n, sx, sy, sxy, n * sxy - sx * sy
+
+    n, sx, sy, sxy, cov = twin(star)
+    assert (r1["n_edges"], r1["sum_x"], r1["sum_y"], r1["sum_xy"],
+            r1["cov_num"]) == (n, sx, sy, sxy, cov)
+    assert r1["cov_sign"] == (cov > 0) - (cov < 0)
+    # assortative: two hubs linking each other plus their own leaves
+    assrt = [(0, 1), (1, 0), (0, 2), (1, 3), (4, 0)]
+    e2 = spark.createDataFrame(assrt, "src long, dst long")
+    r2 = lg.assortativity_moments(docs, e2).collect()[0]
+    assert r2["cov_num"] == twin(assrt)[4]
