@@ -1390,6 +1390,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pl.synthetic_pdfs(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.pdflayout",
                       fromlist=["pdf_text"])),
+        # /Link-annotation URI outlinks (§12.5.6.5 + §12.6.4.7): the PDF
+        # half of the outlink story; decoy annots/actions skipped
+        "p_pdf_links": lambda s, d: (lambda pl: pl.pdf_links(
+            pl.synthetic_link_pdfs(_docs(s, d))
+        ))(__import__("pdf_parser_spark.operators.pdflayout",
+                      fromlist=["pdf_links"])),
         # author-declared outline (PDF §12.3.3 bookmarks): pre-order
         # /First-before-/Next walk; outline-less docs yield zero rows
         # (the heuristics-fallback population)
@@ -5743,6 +5749,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ch=' || (1 + doc_id % 2) || ';rate='
                              || (8000 + (doc_id % 3) * 4000) END AS detail
             FROM documents ORDER BY doc_id
+        """,
+        # pdf links: uris re-derived from the (doc_id+i)%10 formula over
+        # k = 1 + d%3 annots; the %7==2 stratum is annotation-free
+        "p_pdf_links": f"""
+            SELECT doc_id, 0 AS page_no, CAST(i AS INTEGER) AS ord,
+                   'https://site' || ((doc_id + i) % 10)
+                       || '.example.com/docs/' || (doc_id * 10 + i)
+                       AS uri
+            FROM (
+                SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS i
+                FROM documents
+                WHERE doc_id % {PL.PDF_CORRUPT_MOD} <> 0
+                  AND doc_id % 7 <> 2
+            ) ORDER BY doc_id, page_no, ord
         """,
         # outline: chapters + parity children re-derived; ord is the
         # pre-order row_number, level is the child flag

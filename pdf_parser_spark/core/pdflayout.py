@@ -379,3 +379,46 @@ def parse_outline(data: bytes) -> list[dict]:
         stack.append((_ref(item[0], rb"/Next"), level))
         stack.append((_ref(item[0], rb"/First"), level + 1))
     return out
+
+
+def parse_links(data: bytes) -> list[dict]:
+    """bytes -> link-annotation records ``{page_no, ord, uri}`` — PDF
+    32000-1 §12.5.6.5 /Link annotations with §12.6.4.7 /URI actions, in
+    page order then /Annots array order: the OUTLINK channel of the PDF
+    ingress (a crawler that only parses <a href> never sees the links
+    inside the web's PDFs).  Non-link annots and non-URI actions are
+    skipped; dangling refs fail soft."""
+    objs = _load_objects(data)
+    tm = re.search(rb"/Root\s+(\d+)\s+0\s+R", data[data.rfind(b"trailer"):])
+    if not tm:
+        return []
+    root = objs.get(int(tm.group(1)))
+    pages_ref = _ref(root[0], rb"/Pages") if root else None
+    pages = objs.get(pages_ref) if pages_ref is not None else None
+    if pages is None:
+        return []
+    km = re.search(rb"/Kids\s*\[([^\]]*)\]", pages[0])
+    if not km:
+        return []
+    out = []
+    for page_no, kid in enumerate(re.finditer(rb"(\d+)\s+0\s+R",
+                                              km.group(1))):
+        page = objs.get(int(kid.group(1)))
+        if page is None:
+            continue
+        am = re.search(rb"/Annots\s*\[([^\]]*)\]", page[0])
+        if not am:
+            continue
+        ord_ = 0
+        for aref in re.finditer(rb"(\d+)\s+0\s+R", am.group(1)):
+            annot = objs.get(int(aref.group(1)))
+            if annot is None or b"/Subtype /Link" not in annot[0]:
+                continue
+            um = re.search(rb"/URI\s*\(((?:[^()\\]|\\.)*)\)", annot[0])
+            if um is None:
+                continue
+            uri = _UNESCAPE.sub(rb"\1", um.group(1)).decode(
+                "latin-1", "replace")
+            out.append({"page_no": page_no, "ord": ord_, "uri": uri})
+            ord_ += 1
+    return out

@@ -545,3 +545,98 @@ def pdf_outline(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         .mapInPandas(fn, "doc_id long, ord int, level int, title string")
         .orderBy("doc_id", "ord")
     )
+
+
+# --- link-annotation PDFs: synthesis + the outlink Arrow stage -----------
+
+
+def make_link_pdf(doc_id: int) -> bytes:
+    """One-page PDF whose page carries /Annots: k = 1 + d%3 /Link
+    annotations with /URI actions (targets doc_id-derived), plus one
+    non-link annot (a /Square) and one link with a non-URI action
+    (/GoTo) that the parser must SKIP."""
+    k = 1 + doc_id % 3
+    annot_ids = list(range(5, 5 + k + 2))
+    content = _content_stream(doc_id, 0)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+
+    def obj(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    annots = b" ".join(b"%d 0 R" % n for n in annot_ids)
+    obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Annots ["
+        + annots + b"] >>")
+    obj(4, b"<< /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream")
+    for i in range(k):
+        uri = (f"https://site{(doc_id + i) % 10}.example.com/docs/"
+               f"{doc_id * 10 + i}")
+        obj(5 + i, b"<< /Type /Annot /Subtype /Link /Rect [0 0 10 10]"
+            b" /A << /S /URI /URI (" + _esc(uri) + b") >> >>")
+    # decoys: a square annot, and a link whose action is a GoTo
+    obj(5 + k, b"<< /Type /Annot /Subtype /Square /Rect [0 0 5 5] >>")
+    obj(5 + k + 1, b"<< /Type /Annot /Subtype /Link /Rect [0 0 5 5]"
+        b" /A << /S /GoTo /D (page2) >> >>")
+    n_objs = 4 + k + 2
+    xref_at = len(out)
+    out.extend(b"xref\n0 %d\n" % (n_objs + 1))
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, n_objs + 1):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def synthetic_link_pdfs(df: DataFrame) -> DataFrame:
+    """%13 corrupt; %7==2 docs carry NO annotations (plain make_pdf);
+    else the annotated page."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % PDF_CORRUPT_MOD == 0:
+                    payloads.append(b"%PDF-1.4\nno xref")
+                elif d % 7 == 2:
+                    payloads.append(make_pdf(d))
+                else:
+                    payloads.append(make_link_pdf(d))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+def pdf_links(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, page_no, ord, uri) — /Link-annotation URI outlinks in
+    page-then-/Annots order: the PDF half of the outlink story (html has
+    extract_outlinks; a frontier fed by the ingest dispatcher needs BOTH
+    channels or every link inside the web's PDFs is invisible).  Same
+    one-Arrow-stage shape; non-link annots, non-URI actions, and corrupt
+    or annotation-free documents contribute nothing."""
+    from pdf_parser_spark.core.pdflayout import parse_links
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "page_no": [], "ord": [], "uri": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                for rec in parse_links(bytes(payload)):
+                    out["doc_id"].append(int(doc_id))
+                    out["page_no"].append(rec["page_no"])
+                    out["ord"].append(rec["ord"])
+                    out["uri"].append(rec["uri"])
+            yield pd.DataFrame(out)
+
+    return (
+        media.select("doc_id", payload_col)
+        .mapInPandas(fn, "doc_id long, page_no int, ord int, uri string")
+        .orderBy("doc_id", "page_no", "ord")
+    )

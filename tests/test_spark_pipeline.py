@@ -5451,3 +5451,21 @@ def test_assortativity_sign(spark):
     e2 = spark.createDataFrame(assrt, "src long, dst long")
     r2 = lg.assortativity_moments(docs, e2).collect()[0]
     assert r2["cov_num"] == twin(assrt)[4]
+
+
+def test_pdf_links_skip_decoys():
+    """Only /Link annots with /URI actions count: the /Square annot and
+    the /GoTo link in every synthesized page contribute nothing, order
+    follows the /Annots array, and annotation-free docs yield zero."""
+    from pdf_parser_spark.core.pdflayout import parse_links
+    from pdf_parser_spark.operators.pdflayout import (
+        make_link_pdf, make_pdf,
+    )
+
+    rows = parse_links(make_link_pdf(5))  # k = 1 + 5%3 = 3 links
+    assert [r["ord"] for r in rows] == [0, 1, 2]
+    assert [r["uri"] for r in rows] == [
+        f"https://site{(5 + i) % 10}.example.com/docs/{50 + i}"
+        for i in range(3)]
+    assert parse_links(make_pdf(5)) == []
+    assert parse_links(b"%PDF-1.4\nnope") == []
