@@ -1131,6 +1131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bm25f": lambda s, d: textstats.bm25f_topk(
             _docs(s, d), textstats.with_anchor_field(_docs(s, d))
         ),
+        # KWIC concordance for the df-top term: in-row context slicing,
+        # positional per-doc cap
+        "t_kwic": lambda s, d: textstats.kwic(_docs(s, d)),
         # character entropy in floored milli-bits: the junk detector
         # orthogonal to word rules (repeated-char filler sits far below
         # prose, base64 far above)
@@ -9061,6 +9064,43 @@ def oracle_sql() -> dict[str, str]:
         # engines build (x1000T clears k1/b and the avgdl division); the
         # idf ln() is the one libm call, guarded by the 4dp round; 2-term
         # queries keep the per-query sum IEEE-commutative
+        # KWIC: same df-top pick, 1-based inclusive list slices clamp at
+        # the edges exactly like Spark's slice
+        "t_kwic": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_transform({_TOKS}, t -> lower(t)) AS toks
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) + 1)) AS pos
+                FROM base
+            ), terms AS (
+                SELECT doc_id, toks, pos, toks[pos] AS term
+                FROM ex WHERE toks[pos] <> ''
+            ), dfreq AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM terms GROUP BY term
+            ), topt AS (
+                SELECT term FROM dfreq ORDER BY df DESC, term ASC LIMIT 1
+            ), hits AS (
+                SELECT t.doc_id, t.toks, t.pos, t.term AS kw,
+                       row_number() OVER (PARTITION BY t.doc_id
+                                          ORDER BY t.pos) AS k
+                FROM terms t JOIN topt USING (term)
+            )
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   coalesce(array_to_string(
+                       toks[greatest(pos - {TS.KWIC_WINDOW}, 1) : pos - 1],
+                       ' '), '') AS left_ctx,
+                   kw,
+                   coalesce(array_to_string(
+                       toks[pos + 1 : least(pos + {TS.KWIC_WINDOW},
+                                            len(toks))], ' '), '')
+                       AS right_ctx
+            FROM hits WHERE k <= {TS.KWIC_PER_DOC}
+            ORDER BY doc_id, pos
+        """,
         # BM25F: the t_bm25 chain with the anchor field merged in —
         # weighted tf / dl BEFORE saturation, either-field df, anchors
         # re-derived from the 2nd/3rd-token echo formula

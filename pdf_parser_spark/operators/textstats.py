@@ -3231,3 +3231,53 @@ def bm25f_topk(
         .select("query_id", "q_terms", "doc_id", "bm25f", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+KWIC_WINDOW = 3     # context tokens each side
+KWIC_PER_DOC = 2    # occurrences kept per doc (positional cap)
+
+
+def kwic(documents: DataFrame) -> DataFrame:
+    """(doc_id, pos, left_ctx, kw, right_ctx) — Keyword-In-Context
+    concordance lines for the corpus's highest-df term (ties to the
+    alphabetically first), the corpus-inspection tool lexicographers and
+    corpus QA have used since Luhn (1960): every gate threshold argument
+    ends with someone reading concordance lines, and shipping them as a
+    face means the review reads the SAME lines in both engines.
+
+    Occurrences are capped per doc by POSITION (first KWIC_PER_DOC — a
+    deterministic cap, not a sample); context windows clamp at document
+    edges.  Scale: the keyword dim is one broadcast row; the posexplode
+    carries the token array alongside, so context slicing is in-row
+    array math — no self-join back to the text, no second explode."""
+    from pyspark.sql import Window
+
+    toks_col = F.transform(words(F.col("text")), F.lower)
+    base = documents.select(
+        "doc_id", toks_col.alias("toks")
+    ).select(
+        "doc_id", "toks",
+        F.posexplode("toks").alias("pos0", "term"),
+    ).where(F.col("term") != "")
+    dfreq = base.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    top = dfreq.withColumn(
+        "rn", F.row_number().over(
+            Window.orderBy(F.col("df").desc(), F.col("term").asc())),
+    ).where(F.col("rn") == 1).select("term")
+    hits = base.join(F.broadcast(top), "term").select(
+        "doc_id", "toks", (F.col("pos0") + 1).alias("pos"),
+        F.col("term").alias("kw"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    capped = hits.withColumn("k", F.row_number().over(w)) \
+        .where(F.col("k") <= KWIC_PER_DOC)
+    start = F.greatest(F.col("pos") - KWIC_WINDOW, F.lit(1))
+    left = F.concat_ws(
+        " ", F.slice(F.col("toks"), start, F.col("pos") - start))
+    right = F.concat_ws(
+        " ", F.slice(F.col("toks"), F.col("pos") + 1, KWIC_WINDOW))
+    return capped.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        left.alias("left_ctx"), "kw", right.alias("right_ctx"),
+    ).orderBy("doc_id", "pos")

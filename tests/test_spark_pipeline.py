@@ -5469,3 +5469,30 @@ def test_pdf_links_skip_decoys():
         for i in range(3)]
     assert parse_links(make_pdf(5)) == []
     assert parse_links(b"%PDF-1.4\nnope") == []
+
+
+def test_kwic_windows_and_cap(spark):
+    """Context clamps at both document edges, the per-doc cap keeps the
+    FIRST occurrences by position, and the keyword is the df-top term
+    (df, not cf: one doc repeating a word does not outvote presence)."""
+    from pdf_parser_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data at start here ok"),            # kw at pos 1
+            (2, "one two three data five six seven"),
+            (3, "tail words end in data"),           # kw at last pos
+            (4, "data a data b data c data d"),      # 4 hits, cap 2
+            (5, "spam spam spam spam spam"),         # cf-heavy, df 1
+        ],
+        "doc_id long, text string",
+    )
+    out = ts.kwic(docs).collect()
+    assert all(r["kw"] == "data" for r in out)  # df 4 beats spam's df 1
+    rows = {(r["doc_id"], r["pos"]): r for r in out}
+    assert rows[(1, 1)]["left_ctx"] == ""
+    assert rows[(1, 1)]["right_ctx"] == "at start here"
+    assert rows[(2, 4)]["left_ctx"] == "one two three"
+    assert rows[(2, 4)]["right_ctx"] == "five six seven"
+    assert rows[(3, 5)]["right_ctx"] == ""
+    assert sorted(p for d, p in rows if d == 4) == [1, 3]  # first two
