@@ -1380,6 +1380,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_exif_meta": lambda s, d: multimodal.exif_meta(
             multimodal.synthetic_exif_images(_docs(s, d))
         ).na.fill({"orientation": -1, "byte_order": "", "make": ""}),
+        # orientation-corrected display dims: SOF walk x APP1 walk on ONE
+        # byte fleet; orientations 5-8 transpose (-1 = corrupt, no dims)
+        "m_exif_display_dims": lambda s, d: multimodal.exif_display_dims(
+            multimodal.synthetic_exif_images(_docs(s, d))
+        ).na.fill({"width": -1, "height": -1}),
         # byte-level PDF layout parse (north rule): xref walk ->
         # FlateDecode -> text operators -> line/block segmentation +
         # font-size heading heuristic, one Arrow stage
@@ -5686,6 +5691,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 16 + (doc_id * 7) % 93 END AS BIGINT) AS height,
                    doc_id % {MM.IMG_CORRUPT_MOD} <> 0 AS ok
             FROM documents ORDER BY doc_id
+        """,
+        # display dims: stored dims from the synthesis formulas, swapped
+        # when the %8-derived orientation lands in 5..8 (exif-less %3==2
+        # docs keep stored dims; corrupt docs have none)
+        "m_exif_display_dims": f"""
+            WITH syn AS (
+                SELECT doc_id,
+                       doc_id % {MM.IMG_CORRUPT_MOD} = 0 AS corrupt,
+                       16 + doc_id % 117 AS w,
+                       16 + (doc_id * 7) % 93 AS h,
+                       CASE WHEN doc_id % {MM.IMG_CORRUPT_MOD} <> 0
+                                 AND doc_id % 3 <> 2
+                            THEN 1 + doc_id % 8 ELSE 1 END AS ori
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN corrupt THEN -1
+                        WHEN ori BETWEEN 5 AND 8 THEN h
+                        ELSE w END AS BIGINT) AS width,
+                   CAST(CASE WHEN corrupt THEN -1
+                        WHEN ori BETWEEN 5 AND 8 THEN w
+                        ELSE h END AS BIGINT) AS height,
+                   ori BETWEEN 5 AND 8 AS rotated
+            FROM syn ORDER BY doc_id
         """,
         # header-only EXIF parse: the oracle recomputes orientation/make/
         # byte order from the doc_id synthesis formulas, so an endianness

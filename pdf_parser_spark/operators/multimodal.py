@@ -2153,3 +2153,29 @@ def ingest_dispatch(media: DataFrame) -> DataFrame:
         .orderBy("doc_id")
     )
     return out
+
+
+def exif_display_dims(media: DataFrame) -> DataFrame:
+    """(doc_id, width, height, rotated) — the dimensions a RENDERER must
+    use: EXIF orientations 5-8 are the transposed ones (90/270-degree
+    rotations, TIFF 6.0 orientation table), so the stored SOF dimensions
+    swap; 1-4 are flips/180s that keep the aspect.  The thumbnailer bug
+    this face exists to catch is real and everywhere: planning storage
+    from SOF dims alone letter-boxes every portrait phone photo.
+
+    A composition over ONE byte fleet: image_dims (SOF walk) joined with
+    exif_meta (APP1/TIFF walk) on the same payloads — two header parses,
+    one keyed join, no decode; no-EXIF images keep their stored dims
+    (orientation defaults to 1, the spec default)."""
+    dims = image_dims(media).select("doc_id", "width", "height")
+    meta = exif_meta(media).select("doc_id", "orientation")
+    j = dims.join(meta, "doc_id")
+    transposed = F.coalesce("orientation", F.lit(1)).between(5, 8)
+    return j.select(
+        "doc_id",
+        F.when(transposed, F.col("height")).otherwise(F.col("width"))
+        .cast("long").alias("width"),
+        F.when(transposed, F.col("width")).otherwise(F.col("height"))
+        .cast("long").alias("height"),
+        transposed.alias("rotated"),
+    ).orderBy("doc_id")

@@ -5496,3 +5496,24 @@ def test_kwic_windows_and_cap(spark):
     assert rows[(2, 4)]["right_ctx"] == "five six seven"
     assert rows[(3, 5)]["right_ctx"] == ""
     assert sorted(p for d, p in rows if d == 4) == [1, 3]  # first two
+
+
+def test_exif_display_dims_transpose(spark):
+    """Orientations 5-8 swap the stored SOF dims; 1-4 and EXIF-less
+    images keep them (spec default orientation 1)."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    imgs = [
+        (0, mm.make_jpeg_exif(100, 40, orientation=6, make="C")),  # swap
+        (1, mm.make_jpeg_exif(100, 40, orientation=3, make="C")),  # keep
+        (2, mm.make_jpeg(100, 40)),                                # no exif
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in imgs], "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mm.exif_display_dims(df).collect()}
+    assert (out[0]["width"], out[0]["height"], out[0]["rotated"]) == (
+        40, 100, True)
+    assert (out[1]["width"], out[1]["height"], out[1]["rotated"]) == (
+        100, 40, False)
+    assert (out[2]["width"], out[2]["height"], out[2]["rotated"]) == (
+        100, 40, False)
