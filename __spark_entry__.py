@@ -969,6 +969,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_url_templates": lambda s, d: weburl.url_templates(
             weburl.with_trap_urls(_docs(s, d))
         ),
+        # per-template duplicate-content rates: template mining x exact
+        # fingerprints -> cap the TEMPLATE, not urls one by one
+        "u_template_dup": lambda s, d: weburl.template_dup_rates(
+            weburl.with_trap_urls(_docs(s, d))
+        ),
         # soft-404 detection (Bar-Yossef WWW 2004 probe trick, the crawl's
         # own hard 404s as the free probes): error-title regexp + host
         # error-template length band, broadcast host dim
@@ -6449,6 +6454,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, trap_reasons,
                    trap_reasons <> '' AS is_trap
             FROM flags ORDER BY doc_id
+        """,
+        # template dup rates: the trap-url synthesis + the {h}/{d} slot
+        # collapse + md5(text) distinct counts per (host, template)
+        "u_template_dup": f"""
+            WITH syn AS (
+                SELECT doc_id, text,
+                    'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                    || '.example.com' || CASE doc_id % 7
+                      WHEN 1 THEN '/a/b/c/d/e/f/g/h/i/j/' || doc_id
+                      WHEN 2 THEN '/cal/2026/2026/2026/' || doc_id
+                      WHEN 3 THEN '/list?page=' || (doc_id + 50000)
+                      WHEN 4 THEN '/item?sid=' || md5(CAST(doc_id AS VARCHAR))
+                      ELSE '/docs/' || doc_id END AS url
+                FROM documents
+            ), parsed AS (
+                SELECT regexp_extract(url, '{WU.URL_RE}', 2) AS host,
+                       regexp_replace(regexp_replace(
+                           regexp_extract(url, '{WU.URL_RE}', 4)
+                           || regexp_extract(url, '{WU.URL_RE}', 5),
+                           '{WU.TEMPLATE_HEX_RE}', '{{h}}', 'g'),
+                           '{WU.TEMPLATE_DIGIT_RE}', '{{d}}', 'g')
+                           AS template,
+                       md5(text) AS fp
+                FROM syn
+            )
+            SELECT host, template,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+                   CAST(10000 * (count(*) - count(DISTINCT fp))
+                        // count(*) AS BIGINT) AS dup_bp
+            FROM parsed GROUP BY host, template
+            ORDER BY host, template
         """,
         # soft-404 audit: synthesis mirrored (hosts, statuses, titles,
         # template lengths), then the op's two rules verbatim — per-host

@@ -2313,3 +2313,44 @@ def remove_dot_segments(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.select(
         "doc_id", u.alias("url"), clean.alias("clean_path")
     ).orderBy("doc_id")
+
+
+def template_dup_rates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, template, n_urls, n_distinct_fp, dup_bp) — WHICH url
+    templates produce duplicate content: the join of template mining and
+    exact dedup that turns two per-url signals into a per-template
+    crawl-budget verdict (a /cal/{d}/{d}/{d} template whose thousand
+    urls carry six distinct fingerprints is a generated space serving
+    one page — cap the TEMPLATE, not the urls one by one).  dup_bp =
+    10000 * (n_urls - n_distinct_fp) div n_urls, exact integers.
+
+    Scale: the same two JVM regexp_replaces as url_templates in the
+    scan, fingerprints ride the same projection, one groupBy on (host,
+    template) with an exact distinct — the shuffle IS the question being
+    asked (how many distinct payloads per template)."""
+    u = F.col(url_col)
+    host = F.regexp_extract(u, URL_RE, 2)
+    pq = F.concat(
+        F.regexp_extract(u, URL_RE, 4), F.regexp_extract(u, URL_RE, 5)
+    )
+    tpl = F.regexp_replace(
+        F.regexp_replace(pq, TEMPLATE_HEX_RE, "{h}"),
+        TEMPLATE_DIGIT_RE, "{d}",
+    )
+    return (
+        df.select(
+            host.alias("host"), tpl.alias("template"),
+            F.md5("text").alias("fp"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+        )
+        .select(
+            "host", "template", "n_urls", "n_distinct_fp",
+            F.expr("10000 * (n_urls - n_distinct_fp) div n_urls")
+            .cast("long").alias("dup_bp"),
+        )
+        .orderBy("host", "template")
+    )

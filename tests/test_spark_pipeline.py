@@ -5517,3 +5517,25 @@ def test_exif_display_dims_transpose(spark):
         100, 40, False)
     assert (out[2]["width"], out[2]["height"], out[2]["rotated"]) == (
         100, 40, False)
+
+
+def test_template_dup_rates(spark):
+    """A generated template serving one payload scores near 10000bp; a
+    template of genuinely distinct pages scores 0; rates are per (host,
+    template)."""
+    from pdf_parser_spark.operators import weburl
+
+    rows = (
+        [(i, f"https://a.com/cal/{i}", "same calendar page")
+         for i in range(4)]
+        + [(10 + i, f"https://a.com/post/{i}", f"unique article {i}")
+           for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {(r["host"], r["template"]): r
+           for r in weburl.template_dup_rates(df).collect()}
+    cal = out[("a.com", "/cal/{d}")]
+    assert cal["n_urls"] == 4 and cal["n_distinct_fp"] == 1
+    assert cal["dup_bp"] == 10000 * 3 // 4
+    post = out[("a.com", "/post/{d}")]
+    assert post["dup_bp"] == 0 and post["n_distinct_fp"] == 3
