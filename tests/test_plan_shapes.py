@@ -530,3 +530,28 @@ def test_r4s4_dispatch_filters_before_arrow(spark):
     # and the pdf parse sits above an explicit kind = pdf filter, so only
     # pdf rows cross into Python
     assert _re.search(r"Condition : \(kind#\d+ = pdf\)", p), p
+
+
+def test_r4s4_ranking_and_audit_plans(spark):
+    """Second session-4 batch: BM25F's query dim broadcasts and nothing
+    non-broadcast goes cartesian (the 1-row stats scalar rides a
+    broadcast nested loop by design); MMR's greedy rounds are keyed hash
+    joins over keyed slivers (not plan-assertable post-hoc: its eager
+    localCheckpoint collapses the returned frame to a Scan, so MMR's
+    shape is covered by its row-level tests instead); the leakage audit
+    and change magnitude stay in keyed joins end to end."""
+    from pdf_parser_spark.operators import curation, snapshot, textstats
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+
+    p = plan(textstats.bm25f_topk(docs, textstats.with_anchor_field(docs)))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(curation.leakage_audit(docs))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+    p = plan(snapshot.change_magnitude(*snapshot.demo_text_snapshots(docs)))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "FullOuter" in p, p  # the field merge is a keyed full-outer
