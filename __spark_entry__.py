@@ -690,6 +690,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _table_files(spark, sf_dir):
+        """The files metadata table over a two-append identity(lang)
+        table written one-file-per-partition-value: every footer row
+        count and zone-map key range must equal the oracle's direct
+        per-(stratum, lang) aggregation, ordinal = (min, max, rows)
+        rank — uuid paths never surface."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.sources import tableformat as tf
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        work = tempfile.mkdtemp(prefix="tblfiles_")
+        try:
+            for stratum in (0, 1):
+                tf.partitioned_append(
+                    docs.where(F.col("doc_id") % 3 == stratum).coalesce(1),
+                    work, [("identity", "lang")],
+                )
+            out = tf.files_table(spark, work).persist()
+            out.count()  # materialize before the table dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _table_rollback(spark, sf_dir):
         """Rollback end to end: good append, bad append, metadata-only
         rollback (history moves FORWARD — the bad version stays time-
@@ -1654,6 +1679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_table_spec_evolution": _table_spec_evolution,
         # metadata-only rollback: forward history, surviving token ledger
         "u_table_rollback": _table_rollback,
+        # files metadata table: footer rows + zone-map ranges as a frame
+        "u_table_files": _table_files,
         # write-audit-publish: staged snapshot invisible, audit on the
         # staged view, abort the poisoned batch, publish rebases over a
         # concurrent append, replayed publish no-ops (wap token ledger)
@@ -7188,6 +7215,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents WHERE lang = 'en' AND source = 'src3'
             ORDER BY scan
+        """,
+        # files table: per-(stratum, lang) direct aggregation == footer
+        # counts + zone ranges; ordinal is the (min, max, rows) rank
+        "u_table_files": """
+            WITH strata AS (
+                SELECT doc_id, lang, doc_id % 3 AS s FROM documents
+                WHERE doc_id % 3 < 2
+            ), g AS (
+                SELECT s, lang, CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(min(doc_id) AS BIGINT) AS min_key,
+                       CAST(max(doc_id) AS BIGINT) AS max_key
+                FROM strata GROUP BY s, lang
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY min_key, max_key, n_rows) - 1 AS BIGINT)
+                       AS ordinal,
+                   n_rows, min_key, max_key,
+                   lang AS partition, '0' AS spec_id
+            FROM g ORDER BY ordinal
         """,
         # rollback: final state = the good batch + the recovery batch
         # (the rolled-back %3==1 batch is gone from current, and its

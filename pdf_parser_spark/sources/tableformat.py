@@ -2317,3 +2317,57 @@ def snapshots_table(spark: SparkSession, path: str) -> DataFrame:
         "version long, parent_version long, kind string, n_added_files int,"
         " n_all_files int, added_rows long, n_delete_files int",
     ).orderBy("version")
+
+
+def files_table(
+    spark: SparkSession, path: str, key_col: str = "doc_id",
+    version: int | None = None,
+) -> DataFrame:
+    """The `files` metadata table (Iceberg `db.tbl.files`) — the sibling
+    of snapshots_table and the other metadata surface every operator
+    dashboard queries: one row per LIVE data file with its footer row
+    count, zone-map min/max of `key_col`, partition tuple, and partition
+    spec id.  'Is this table small-file-sick', 'which files would this
+    predicate touch', and 'did compaction actually help' are all plain
+    SQL over this frame.
+
+    Deterministic face doctrine (snapshots_table's rule): uuid paths are
+    never exposed; the row identity is `ordinal` = rank by (min_key,
+    max_key, n_rows) — a total order whenever files carry distinct key
+    ranges, which partitioned/compacted tables do by construction.  The
+    footer row counts are one metadata read per file on the DRIVER —
+    manifest-scale work (the file list is already driver-side), not a
+    data scan."""
+    import pyarrow.parquet as pq
+
+    v = current_version(path) if version is None else version
+    meta = _read_version(path, v)
+    stats = meta.get("file_stats", {})
+    fparts = meta.get("file_partitions", {})
+    fspecs = meta.get("file_spec_ids", {})
+    recs = []
+    for f in meta["all_files"]:
+        st = stats.get(f, {}).get(key_col, {})
+        n = int(pq.read_metadata(f).num_rows)
+        pv = fparts.get(f)
+        part = (
+            "/".join("" if x is None else str(x) for x in pv)
+            if pv else ""
+        )
+        mn = st.get("min")
+        mx = st.get("max")
+        recs.append((
+            int(mn) if mn is not None else None,
+            int(mx) if mx is not None else None,
+            n, part, fspecs.get(f, "0") if pv else "",
+        ))
+    recs.sort(key=lambda r: (r[0] is None, r[0] or 0, r[1] or 0, r[2]))
+    rows = [
+        (i, n, mn, mx, part, spec)
+        for i, (mn, mx, n, part, spec) in enumerate(recs)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "ordinal long, n_rows long, min_key long, max_key long,"
+        " partition string, spec_id string",
+    ).orderBy("ordinal")

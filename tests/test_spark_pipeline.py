@@ -5539,3 +5539,25 @@ def test_template_dup_rates(spark):
     assert cal["dup_bp"] == 10000 * 3 // 4
     post = out[("a.com", "/post/{d}")]
     assert post["dup_bp"] == 0 and post["n_distinct_fp"] == 3
+
+
+def test_files_table_surface(spark, tmp_path):
+    """Footer counts and zone ranges per file, compaction visibly
+    shrinks the file list, and stat-less columns surface as NULL keys
+    at the end of the ordinal order."""
+    from pdf_parser_spark.sources import tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id long, v string"
+    ).coalesce(1)
+    tf.append_snapshot(mk(0, 4), path)
+    tf.append_snapshot(mk(10, 16), path)
+    rows = tf.files_table(spark, path, key_col="id").collect()
+    assert [(r["n_rows"], r["min_key"], r["max_key"]) for r in rows] == [
+        (4, 0, 3), (6, 10, 15)]
+    assert [r["ordinal"] for r in rows] == [0, 1]
+    tf.compact_table(spark, path)
+    rows2 = tf.files_table(spark, path, key_col="id").collect()
+    assert len(rows2) == 1 and rows2[0]["n_rows"] == 10
+    assert (rows2[0]["min_key"], rows2[0]["max_key"]) == (0, 15)
