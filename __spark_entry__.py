@@ -872,6 +872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_rfm": R.w10_rfm,
         # per-week DAU/WAU stickiness in exact bp (floor-epoch periods)
         "w11_stickiness": R.w11_stickiness,
+        # Pareto user-concentration curve: ceil-sized top slices, exact
+        # cumulative shares off one user-dim rank window
+        "w12_user_concentration": R.w12_user_concentration,
         # native session_window (third sessionize face; INCLUSIVE merge
         # boundary — an event at exactly prev+gap merges, same as W4's lag
         # rule; pinned by the oracle's `> gap` new-session test and the
@@ -3548,6 +3551,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_tier * 100 + f_tier * 10 + m_tier AS BIGINT)
                        AS segment
             FROM tiled ORDER BY user_id
+        """,
+        # concentration: same ceil slice rule (a + b - 1) div b — both
+        # engines TRUNCATE integer division toward zero, so the negate
+        # trick would floor, not ceil — and cumulative window
+        "w12_user_concentration": f"""
+            WITH pu AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY user_id
+            ), rk AS (
+                SELECT user_id, n_events,
+                       row_number() OVER (
+                           ORDER BY n_events DESC, user_id ASC) AS rk,
+                       sum(n_events) OVER (
+                           ORDER BY n_events DESC, user_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM pu
+            ), tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_users,
+                       CAST(sum(n_events) AS BIGINT) AS t_events
+                FROM pu
+            ), grid AS (
+                SELECT unnest([{", ".join(str(b) for b in R.CONC_TOP_BP)}])
+                           AS top_bp
+            )
+            SELECT CAST(g.top_bp AS BIGINT) AS top_bp,
+                   CAST(r.rk AS BIGINT) AS n_top_users,
+                   CAST(10000 * r.cum // t.t_events AS BIGINT)
+                       AS share_bp
+            FROM grid g CROSS JOIN tot t
+            JOIN rk r ON r.rk = (g.top_bp * t.n_users + 9999) // 10000
+            ORDER BY top_bp
         """,
         # stickiness: same floor-epoch day/week buckets, two distinct
         # aggregations, 10000*sum(DAU) div (7*WAU)

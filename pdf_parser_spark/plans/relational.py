@@ -1334,3 +1334,42 @@ def w11_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+CONC_TOP_BP = (100, 1000, 2500)   # top 1%, 10%, 25% of users
+
+
+def w12_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(top_bp, n_top_users, share_bp) — how concentrated activity is:
+    for each top-k% slice of users (ranked by event count desc, user_id
+    asc), the share of ALL events they generate, exact integer bp — the
+    Pareto curve behind 'bots and power users dominate traffic', and the
+    user-side twin of q11's supplier revenue concentration.  Slice size
+    is ceil(bp * n_users / 10000), so the top slice is never empty.
+
+    Scale: one keyed groupBy to the user dim, one rank window over that
+    dim (not the event stream), a 3-row grid join — the cumulative sum
+    rides the same window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    ranked = per_user.withColumn("rk", F.row_number().over(w)) \
+        .withColumn("cum", F.sum("n_events").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    totals = ranked.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("t_events"),
+    )
+    grid = ranked.sparkSession.createDataFrame(
+        [(bp,) for bp in CONC_TOP_BP], "top_bp long")
+    j = ranked.crossJoin(F.broadcast(totals)).join(
+        F.broadcast(grid),
+        F.col("rk") == F.expr(
+            "CAST((top_bp * n_users + 9999) div 10000 AS BIGINT)"),
+    )
+    return j.select(
+        "top_bp",
+        F.col("rk").cast("long").alias("n_top_users"),
+        F.expr("10000 * cum div t_events").cast("long").alias("share_bp"),
+    ).orderBy("top_bp")

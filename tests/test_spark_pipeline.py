@@ -5561,3 +5561,39 @@ def test_files_table_surface(spark, tmp_path):
     rows2 = tf.files_table(spark, path, key_col="id").collect()
     assert len(rows2) == 1 and rows2[0]["n_rows"] == 10
     assert (rows2[0]["min_key"], rows2[0]["max_key"]) == (0, 15)
+
+
+def test_w12_user_concentration_pareto(spark, tmp_path):
+    """An engineered 80/20 fleet: one whale of 80 events among 9 users
+    of 2-3 each; the top-25% slice (ceil(0.25*10) = 3 users) carries the
+    whale's share exactly; the top-1% slice is NON-empty by the ceil
+    rule (1 user even though 0.01*10 < 1)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.plans.relational import w12_user_concentration
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i) for i in range(80)]
+    for u in range(2, 11):
+        rows += [(u, 100 * u + i) for i in range(2 + u % 2)]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([t0 + dt.timedelta(seconds=s) for _, s in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = {r["top_bp"]: r
+           for r in w12_user_concentration(spark, str(tmp_path)).collect()}
+    total = len(rows)
+    assert out[100]["n_top_users"] == 1          # ceil keeps it non-empty
+    assert out[100]["share_bp"] == 10000 * 80 // total
+    assert out[1000]["n_top_users"] == 1         # ceil(0.1*10) = 1
+    assert out[2500]["n_top_users"] == 3         # ceil(2.5) = 3
+    top3 = 80 + 3 + 3                            # whale + two 3-event users
+    assert out[2500]["share_bp"] == 10000 * top3 // total
