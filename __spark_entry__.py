@@ -1194,6 +1194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_gate_impact": lambda s, d: textstats.gate_impact(_docs(s, d)),
         # curriculum tiers: exact decile binning via the 4dp value histogram
         # (no global-sort ntile window)
+        # dup-vs-quality concentration: injected recrawl copies, exact
+        # groups over the augmented stream, per-tier rates
+        "c_dup_by_tier": lambda s, d: curation.dup_by_quality_tier(
+            _docs(s, d)
+        ),
         "c_quality_tiers": lambda s, d: curation.quality_tiers(
             textstats.quality_score(_docs(s, d)).select("doc_id", "quality")
         ),
@@ -9703,6 +9708,32 @@ def oracle_sql() -> dict[str, str]:
         # exact decile tiers from the 4dp quality-value histogram: every
         # distinct value maps to ONE tier (value-quantile semantics), so no
         # global per-row sort exists in either engine
+        # dup-by-tier: the shared tier map + the synthesis rule (a base
+        # doc is dup iff it has an injected copy or a base fp twin)
+        "c_dup_by_tier": f"""
+            WITH {_tiers_ctes},
+            fpb AS (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\s+', ' ',
+                                                'g'))) AS fp
+                FROM documents
+            ), gcnt AS (
+                SELECT fp, count(*) AS n FROM fpb GROUP BY fp
+            ), flags AS (
+                SELECT f.doc_id,
+                       (f.doc_id % {C.DUP_COPY_MOD} = 0 OR g.n > 1)
+                           AS is_dup
+                FROM fpb f JOIN gcnt g USING (fp)
+            )
+            SELECT t.tier, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN fl.is_dup THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dups,
+                   CAST(10000 * sum(CASE WHEN fl.is_dup THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS dup_bp
+            FROM scored sc JOIN tiers t USING (quality)
+            JOIN flags fl ON fl.doc_id = sc.doc_id
+            GROUP BY t.tier ORDER BY t.tier
+        """,
         "c_quality_tiers": f"""
             WITH {_tiers_ctes}
             SELECT s.doc_id, s.quality, t.tier

@@ -2307,3 +2307,68 @@ def leakage_audit(
         )
         .orderBy("source")
     )
+
+
+DUP_COPY_MOD = 17
+DUP_COPY_OFFSET = 5_000_000
+
+
+def dup_by_quality_tier(
+    documents: DataFrame,
+    copy_mod: int = DUP_COPY_MOD,
+    copy_offset: int = DUP_COPY_OFFSET,
+) -> DataFrame:
+    """(tier, n_docs, n_dups, dup_bp) — are duplicates CONCENTRATED in
+    low-quality content?  The question decides dedup-vs-filter ordering
+    in a pipeline recipe: if dups cluster in the junk tiers, the quality
+    gate already removes most of them and dedup can run on the survivors
+    (cheaper); if they spread evenly, dedup must run first or the gate's
+    corpus statistics are double-counted by every mirror.
+
+    Demo fleet: recrawl copies injected for every %copy_mod doc (the
+    u_table_dedup_inplace injection), exact-fingerprint groups computed
+    over the AUGMENTED corpus, and each BASE doc flagged if its content
+    participates in any dup group; tiers are the shared value-quantile
+    map (quality_tiers), zero-filled so a dup-free tier is visibly
+    clean.  Copies share their original's text, hence its quality and
+    tier — which is exactly why the question is well-posed per tier.
+
+    Scale: one fingerprint groupBy over the augmented stream, one keyed
+    join back, the bounded tier-map broadcast, one tier rollup."""
+    from pdf_parser_spark.operators.textstats import quality_score
+
+    d = F.col("doc_id")
+    copies = documents.where(d % copy_mod == 0).withColumn(
+        "doc_id", d + copy_offset
+    )
+    aug = documents.unionByName(copies)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    dup_fps = (
+        aug.select(F.md5(norm).alias("fp"))
+        .groupBy("fp").agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("fp")
+    )
+    flagged = (
+        documents.select("doc_id", F.md5(norm).alias("fp"))
+        .join(dup_fps.withColumn("is_dup", F.lit(True)), "fp", "left")
+        .select("doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+    tiers = quality_tiers(
+        quality_score(documents).select("doc_id", "quality")
+    ).select("doc_id", "tier")
+    per_tier = (
+        tiers.join(flagged, "doc_id")
+        .groupBy("tier")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).cast("long")
+            .alias("n_dups"),
+        )
+        .select(
+            "tier", "n_docs", "n_dups",
+            F.expr("10000 * n_dups div n_docs").cast("long")
+            .alias("dup_bp"),
+        )
+    )
+    return per_tier.orderBy("tier")

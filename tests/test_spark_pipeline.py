@@ -5597,3 +5597,23 @@ def test_w12_user_concentration_pareto(spark, tmp_path):
     assert out[2500]["n_top_users"] == 3         # ceil(2.5) = 3
     top3 = 80 + 3 + 3                            # whale + two 3-event users
     assert out[2500]["share_bp"] == 10000 * top3 // total
+
+
+def test_dup_by_quality_tier(spark):
+    """Base docs sharing text count as dups WITHOUT any injected copy,
+    injected copies flag their originals, and tier rates are exact."""
+    from pdf_parser_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, ("the same boilerplate page body here"
+              if i in (1, 2) else f"unique content {i} " * 3),
+          "en", "s", 1) for i in range(1, 6)] + [(17, "copy me", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = curation.dup_by_quality_tier(docs, copy_mod=17).collect()
+    total_dups = sum(r["n_dups"] for r in out)
+    total_docs = sum(r["n_docs"] for r in out)
+    # dups: the base twins 1 and 2, plus 17 (injected copy) = 3 of 6
+    assert total_docs == 6 and total_dups == 3
+    for r in out:
+        assert r["dup_bp"] == 10000 * r["n_dups"] // r["n_docs"]
