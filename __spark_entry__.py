@@ -1167,6 +1167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KWIC concordance for the df-top term: in-row context slicing,
         # positional per-doc cap
         "t_kwic": lambda s, d: textstats.kwic(_docs(s, d)),
+        # in-text ISO-date freshness: real month/day ranges, lexicographic
+        # min/max (ISO's gift), decoys pinned
+        "t_date_extract": lambda s, d: textstats.date_extract(
+            textstats.with_pub_dates(_docs(s, d))
+        ),
         # character entropy in floored milli-bits: the junk detector
         # orthogonal to word rules (repeated-char filler sits far below
         # prose, base64 far above)
@@ -9215,6 +9220,25 @@ def oracle_sql() -> dict[str, str]:
         # engines build (x1000T clears k1/b and the avgdl division); the
         # idf ln() is the one libm call, guarded by the 4dp round; 2-term
         # queries keep the per-query sum IEEE-commutative
+        # date extract: the synthesis flavors re-derived — %6==1 one date
+        # (malformed 2024-99-99 rejected by the range classes), %6==3 a
+        # two-date range, %6==5 the US-format decoy never matches
+        "t_date_extract": f"""
+            SELECT doc_id,
+                   CAST(CASE doc_id % 6 WHEN 1 THEN 1 WHEN 3 THEN 2
+                        ELSE 0 END AS BIGINT) AS n_dates,
+                   CASE doc_id % 6
+                     WHEN 1 THEN '2024-0' || (doc_id % 9 + 1) || '-1'
+                                 || (doc_id % 3)
+                     WHEN 3 THEN '2023-1' || (doc_id % 2) || '-05'
+                     ELSE '' END AS min_date,
+                   CASE doc_id % 6
+                     WHEN 1 THEN '2024-0' || (doc_id % 9 + 1) || '-1'
+                                 || (doc_id % 3)
+                     WHEN 3 THEN '2024-02-2' || (doc_id % 3)
+                     ELSE '' END AS max_date
+            FROM documents ORDER BY doc_id
+        """,
         # KWIC: same df-top pick, 1-based inclusive list slices clamp at
         # the edges exactly like Spark's slice
         "t_kwic": f"""

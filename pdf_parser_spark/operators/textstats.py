@@ -3281,3 +3281,50 @@ def kwic(documents: DataFrame) -> DataFrame:
         "doc_id", F.col("pos").cast("long").alias("pos"),
         left.alias("left_ctx"), "kw", right.alias("right_ctx"),
     ).orderBy("doc_id", "pos")
+
+
+# ISO-8601 calendar dates, word-bounded, with real month/day ranges (a
+# version string 2024-99-99 must not parse as a date)
+DATE_ISO_RE = (
+    r"\b(20[0-9]{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01]))\b"
+)
+
+
+def with_pub_dates(documents: DataFrame) -> DataFrame:
+    """Synthesis: %6==1 docs carry one appended ISO date, %6==3 a date
+    RANGE (two dates), %6==5 a US-format decoy (12/31/2024) the ISO
+    subset must NOT match, plus a malformed 2024-99-99 on %6==1 that the
+    range classes must reject.  Re-derivable in SQL."""
+    d = F.col("doc_id")
+    tail = (
+        F.when(d % 6 == 1, F.concat(
+            F.lit(" Published: 2024-0"), d % 9 + 1,
+            F.lit("-1"), d % 3, F.lit(" v2024-99-99")))
+        .when(d % 6 == 3, F.concat(
+            F.lit(" From 2023-1"), d % 2, F.lit("-05 to 2024-02-2"),
+            d % 3))
+        .when(d % 6 == 5, F.lit(" updated 12/31/2024"))
+        .otherwise(F.lit(""))
+    )
+    return documents.withColumn("text_dated", F.concat("text", tail))
+
+
+def date_extract(
+    df: DataFrame, text_col: str = "text_dated"
+) -> DataFrame:
+    """(doc_id, n_dates, min_date, max_date) — document freshness from
+    in-text ISO dates, the metadata pass recency-weighted corpus mixes
+    need when the crawl's Last-Modified lies (it usually does; the body
+    date is the content's own claim).  ISO-8601 only, word-bounded, with
+    REAL month/day ranges so 2024-99-99 never parses; min/max work
+    lexicographically BECAUSE the format is ISO — the property that
+    makes this a pure string aggregate, no date parsing in the hot path.
+    One JVM regexp_extract_all in the scan; '' min/max for dateless
+    docs (the nullable-string doctrine)."""
+    dates = F.regexp_extract_all(F.col(text_col), F.lit(DATE_ISO_RE), 1)
+    return df.select(
+        "doc_id",
+        F.size(dates).cast("long").alias("n_dates"),
+        F.coalesce(F.array_min(dates), F.lit("")).alias("min_date"),
+        F.coalesce(F.array_max(dates), F.lit("")).alias("max_date"),
+    ).orderBy("doc_id")

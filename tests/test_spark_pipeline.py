@@ -5617,3 +5617,25 @@ def test_dup_by_quality_tier(spark):
     assert total_docs == 6 and total_dups == 3
     for r in out:
         assert r["dup_bp"] == 10000 * r["n_dups"] // r["n_docs"]
+
+
+def test_date_extract_iso_subset(spark):
+    """Real calendar ranges: 2024-99-99 and 2024-13-01 never parse, the
+    US-format decoy never matches, lexicographic min/max order a
+    multi-year set correctly, and word boundaries hold."""
+    from pdf_parser_spark.operators import textstats as ts
+
+    rows = [
+        (0, "released 2023-12-31 and updated 2024-01-02 ok"),
+        (1, "versions 2024-99-99 and 2024-13-01 and 12/31/2024"),
+        (2, "serial a2024-05-05b has no boundary"),
+        (3, "plain text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text_dated string")
+    out = {r["doc_id"]: r for r in ts.date_extract(df).collect()}
+    assert out[0]["n_dates"] == 2
+    assert (out[0]["min_date"], out[0]["max_date"]) == (
+        "2023-12-31", "2024-01-02")
+    assert out[1]["n_dates"] == 0
+    assert out[2]["n_dates"] == 0
+    assert out[3]["min_date"] == "" and out[3]["max_date"] == ""
