@@ -875,6 +875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Pareto user-concentration curve: ceil-sized top slices, exact
         # cumulative shares off one user-dim rank window
         "w12_user_concentration": R.w12_user_concentration,
+        # per-type think-time histogram: floor-log2 gap buckets off one
+        # (user, type) lag window — the bot signature lives at bucket 0
+        "w13_interevent_gaps": R.w13_interevent_gaps,
         # native session_window (third sessionize face; INCLUSIVE merge
         # boundary — an event at exactly prev+gap merges, same as W4's lag
         # rule; pinned by the oracle's `> gap` new-session test and the
@@ -2501,6 +2504,13 @@ def oracle_sql() -> dict[str, str]:
         for _s in LG.PPR_SEEDS
     )
 
+    # floor-log2 gap buckets as the same bounded power-comparison chain
+    # the Spark side folds (k = 1..40)
+    _gap_powers = " + ".join(
+        f"CASE WHEN gap + 1 >= {2 ** _k} THEN 1 ELSE 0 END"
+        for _k in range(1, 41)
+    )
+
     _w9bot_sql = f"""
         WITH ev AS (
             SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
@@ -3561,6 +3571,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_tier * 100 + f_tier * 10 + m_tier AS BIGINT)
                        AS segment
             FROM tiled ORDER BY user_id
+        """,
+        # gaps: same lag window and the same bounded power-comparison
+        # chain for floor-log2
+        "w13_interevent_gaps": f"""
+            WITH ev AS (
+                SELECT user_id, event_type, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es
+                FROM events
+            ), g AS (
+                SELECT event_type,
+                       es - lag(es) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY es, event_id) AS gap
+                FROM ev
+            )
+            SELECT event_type,
+                   CAST({_gap_powers} AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_gaps
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type, bucket ORDER BY event_type, bucket
         """,
         # concentration: same ceil slice rule (a + b - 1) div b — both
         # engines TRUNCATE integer division toward zero, so the negate

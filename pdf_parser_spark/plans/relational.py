@@ -1373,3 +1373,42 @@ def w12_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("long").alias("n_top_users"),
         F.expr("10000 * cum div t_events").cast("long").alias("share_bp"),
     ).orderBy("top_bp")
+
+
+def w13_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bucket, n_gaps) — the per-type think-time histogram:
+    per user, consecutive same-type event gaps in seconds, bucketed by
+    floor-log2 (bucket = number of doublings; 0 covers gaps of 0-1 s) —
+    the distribution whose LOW end is a bot signature (humans do not
+    click twice in the same second for hours) and whose shape feeds
+    session-gap calibration (w4's 1800 s threshold is readable straight
+    off this histogram's valley).
+
+    Exact integers: gap = es - lag(es), log2 via the BIGINT bit length
+    (63 - number of leading zeros computed by comparison folds is
+    overkill here — gaps are bounded by the crawl window, so a bounded
+    power comparison chain suffices and stays engine-identical).
+    Scale: one lag window keyed by (user, type) — the same shuffle w4
+    pays — then a map-side-combined groupBy on the tiny (type, bucket)
+    dim; zero-filled nowhere (an absent bucket IS the signal)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    es = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "es", "event_id")
+    gaps = (
+        ev.select("user_id", "event_type", "event_id", es.alias("es"))
+        .withColumn("gap", F.col("es") - F.lag("es").over(w))
+        .where(F.col("gap").isNotNull())
+    )
+    # floor-log2 of (gap + 1) via a bounded comparison chain: bucket =
+    # count of powers 2^k <= gap+1 for k in 1..40, identical in SQL
+    bucket = sum(
+        (F.col("gap") + 1 >= F.lit(2 ** k)).cast("long")
+        for k in range(1, 41)
+    )
+    return (
+        gaps.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("n_gaps"))
+        .orderBy("event_type", "bucket")
+    )

@@ -5673,3 +5673,38 @@ def test_pdf_parsers_never_raise_fuzz():
                 assert isinstance(p(data), list)
                 cases += 1
     assert cases > 1000
+
+
+def test_w13_interevent_gap_buckets(spark, tmp_path):
+    """Bucket math exact at the boundaries: gap 0 -> bucket 0, gap 1 ->
+    bucket 1 (2^1 <= 2), gap 3 -> 2, gap 1800 -> 10; gaps are PER
+    (user, type) — a user alternating types contributes no cross-type
+    gaps."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.plans.relational import w13_interevent_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [  # (user, type, off_s)
+        (1, "view", 0), (1, "view", 0),      # gap 0 -> bucket 0
+        (1, "view", 1),                      # gap 1 -> bucket 1
+        (1, "view", 4),                      # gap 3 -> bucket 2
+        (1, "view", 1804),                   # gap 1800 -> bucket 10
+        (2, "view", 0), (2, "click", 5),     # cross-type: no gap at all
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([t0 + dt.timedelta(seconds=r[2]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = {(r["event_type"], r["bucket"]): r["n_gaps"]
+           for r in w13_interevent_gaps(spark, str(tmp_path)).collect()}
+    assert out == {("view", 0): 1, ("view", 1): 1, ("view", 2): 1,
+                   ("view", 10): 1}
