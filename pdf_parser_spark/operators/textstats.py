@@ -2028,11 +2028,14 @@ def bm25_topk(
     index probe (tf join broadcast terms), never a corpus scan; dl joins
     AFTER the probe so document lengths ship only for candidates; the
     final top-k window partitions by query_id — n_queries-way parallel,
-    bounded by sum(df) candidate rows.  The ONE unpartitioned window is
-    the demo query derivation (a top-2Q rank over the vocabulary-scale df
-    table); production supplies its query dim externally and skips that
-    stage entirely — scoring itself has no global sort and no driver
-    action.
+    bounded by sum(df) candidate rows.  The demo query derivation selects
+    its top-2Q terms with orderBy().limit() — Spark's distributed
+    TakeOrdered, every partition contributes its local top-2Q and only
+    2Q rows ever meet — and the row_number that labels them runs over
+    those 2Q bounded rows, never the vocabulary-scale df table (the
+    pmi_collocations pattern); production supplies its query dim
+    externally and skips that stage entirely — scoring itself has no
+    global sort and no driver action.
     """
     from pyspark.sql import Window
 
@@ -2044,10 +2047,12 @@ def bm25_topk(
         F.count("*").cast("long").alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    top2q = dfreq.orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    ).limit(2 * n_queries)
     rank_w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
     qterms = (
-        dfreq.withColumn("rn", F.row_number().over(rank_w))
-        .where(F.col("rn") <= 2 * n_queries)
+        top2q.withColumn("rn", F.row_number().over(rank_w))
         .select(
             F.expr("(rn + 1) div 2").cast("long").alias("query_id"),
             "rn", "term",
@@ -3183,13 +3188,17 @@ def bm25f_topk(
     dfreq = ctf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     from pyspark.sql import Window
 
+    # top-2Q selection via distributed TakeOrdered (orderBy().limit()),
+    # then the labeling row_number runs over 2Q bounded rows — never a
+    # single-partition window over the vocabulary-scale df table
     qterms = (
-        dfreq.withColumn(
+        dfreq.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(2 * n_queries)
+        .withColumn(
             "rn",
             F.row_number().over(
                 Window.orderBy(F.col("df").desc(), F.col("term").asc())),
         )
-        .where(F.col("rn") <= 2 * n_queries)
         .select(((F.col("rn") + 1) / 2).cast("long").alias("query_id"),
                 "rn", "term", "df")
     )
@@ -3261,10 +3270,10 @@ def kwic(documents: DataFrame) -> DataFrame:
     ).where(F.col("term") != "")
     dfreq = base.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df"))
-    top = dfreq.withColumn(
-        "rn", F.row_number().over(
-            Window.orderBy(F.col("df").desc(), F.col("term").asc())),
-    ).where(F.col("rn") == 1).select("term")
+    # top-1 via distributed TakeOrdered, not a vocabulary-scale window
+    top = dfreq.orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    ).limit(1).select("term")
     hits = base.join(F.broadcast(top), "term").select(
         "doc_id", "toks", (F.col("pos0") + 1).alias("pos"),
         F.col("term").alias("kw"),

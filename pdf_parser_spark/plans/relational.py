@@ -1226,6 +1226,79 @@ def w9_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANK_PARTS = 64        # range splits for the two-phase global rank
+
+
+def _two_phase_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str = "rk",
+    cum_col: str | None = None,
+    parts: int = RANK_PARTS,
+) -> DataFrame:
+    """Exact global row_number over a total order WITHOUT the
+    single-partition WindowExec a bare ``Window.orderBy`` costs at scale:
+    range-shuffle on the order (every partition holds one contiguous
+    slice of it), per-partition local row_number, plus broadcast
+    per-partition count offsets — the offset window runs over at most
+    ``parts`` rows, bounded by the partition count, never the data (the
+    quality_tiers bounded-dim doctrine).  The rank is independent of
+    where the range boundaries land BECAUSE the order is total: callers
+    must include a tiebreak column.  ``cum_col`` additionally threads the
+    exact running sum of that column over the same order via the same
+    offset trick.  Appends ``rank_name`` (1-based BIGINT) and, when
+    requested, ``cum`` (BIGINT)."""
+    d = df.repartitionByRange(parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id())
+    aggs = [F.count("*").alias("_c")]
+    if cum_col is not None:
+        aggs.append(F.sum(cum_col).alias("_s"))
+    stats = d.groupBy("_pid").agg(*aggs)
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offs = [
+        "_pid",
+        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_roff"),
+    ]
+    if cum_col is not None:
+        offs.append(
+            F.coalesce(F.sum("_s").over(off_w), F.lit(0)).alias("_soff"))
+    stats = stats.select(*offs)
+    loc_w = Window.partitionBy("_pid").orderBy(*order_cols)
+    d = d.withColumn("_lrk", F.row_number().over(loc_w))
+    if cum_col is not None:
+        d = d.withColumn(
+            "_lcum",
+            F.sum(cum_col).over(
+                loc_w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    out = d.join(F.broadcast(stats), "_pid").withColumn(
+        rank_name, (F.col("_roff") + F.col("_lrk")).cast("long"))
+    drop = ["_pid", "_lrk", "_roff"]
+    if cum_col is not None:
+        out = out.withColumn(
+            "cum", (F.col("_soff") + F.col("_lcum")).cast("long"))
+        drop += ["_soff", "_lcum"]
+    return out.drop(*drop)
+
+
+def _ntile_from_rank(rank_col: str, n_col: str, tiers: int):
+    """Standard SQL ntile(tiers) recomputed from an exact global rank and
+    the total row count: the first (N mod tiers) tiles take ceil(N/tiers)
+    rows, the rest floor(N/tiers) — the identical bucket rule Spark and
+    DuckDB implement, as pure nonnegative BIGINT arithmetic (div == floor
+    there), so replacing the ntile window with this expression cannot
+    move a single row's tile."""
+    q = f"({n_col} div {tiers})"
+    r = f"({n_col} % {tiers})"
+    head = f"{r} * ({q} + 1)"
+    return F.expr(
+        f"CASE WHEN {rank_col} <= {head} "
+        f"THEN ({rank_col} - 1) div ({q} + 1) + 1 "
+        f"ELSE {r} + 1 + ({rank_col} - 1 - {head}) div {q} END"
+    ).cast("long")
+
+
 RFM_TIERS = 4          # quartile tiers per dimension
 RFM_ASOF_S = 1706745600  # 2024-02-01T00:00:00Z: fixed as-of for recency
 
@@ -1245,8 +1318,15 @@ def w10_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     — every tile orders by (metric, user_id), so equal metrics split by
     user_id identically in both engines (the documented tie rule; a
     bare metric order would let engines disagree inside tied runs).
-    Scale: one groupBy on user_id, three ntile windows over the USER dim
-    (not the event stream), no corpus-ordered shuffle."""
+
+    Scale: one groupBy on user_id, then each dimension's quartile comes
+    from the _two_phase_rank range-partitioned exact rank plus the
+    _ntile_from_rank closed form — NO single-partition ntile window
+    anywhere (the naive form moves the whole user dim, 10^8-10^9 rows
+    at corpus scale, through one sort task per dimension; here each
+    dimension costs one range shuffle of the user dim with `parts`-way
+    parallel local sorts).  Bucket arithmetic is byte-identical to both
+    engines' ntile, so the oracle keeps the plain ntile SQL."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     es = F.col("ts").cast("timestamp").cast("long")
     per_user = (
@@ -1263,16 +1343,22 @@ def w10_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("monetary_cents"),
         )
     )
-    r_w = Window.orderBy(F.col("recency_s").asc(), F.col("user_id").asc())
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
-    m_w = Window.orderBy(
-        F.col("monetary_cents").desc(), F.col("user_id").asc()
-    )
+    n_users = per_user.groupBy().agg(
+        F.count("*").cast("long").alias("_n"))
+    ranked = per_user.crossJoin(F.broadcast(n_users))
+    for rank_name, order in (
+        ("_r_rk", [F.col("recency_s").asc(), F.col("user_id").asc()]),
+        ("_f_rk", [F.col("frequency").desc(), F.col("user_id").asc()]),
+        ("_m_rk", [F.col("monetary_cents").desc(),
+                   F.col("user_id").asc()]),
+    ):
+        ranked = _two_phase_rank(ranked, order, rank_name=rank_name)
     return (
-        per_user
-        .withColumn("r_tier", F.ntile(RFM_TIERS).over(r_w).cast("long"))
-        .withColumn("f_tier", F.ntile(RFM_TIERS).over(f_w).cast("long"))
-        .withColumn("m_tier", F.ntile(RFM_TIERS).over(m_w).cast("long"))
+        ranked
+        .withColumn("r_tier", _ntile_from_rank("_r_rk", "_n", RFM_TIERS))
+        .withColumn("f_tier", _ntile_from_rank("_f_rk", "_n", RFM_TIERS))
+        .withColumn("m_tier", _ntile_from_rank("_m_rk", "_n", RFM_TIERS))
+        .drop("_r_rk", "_f_rk", "_m_rk", "_n")
         .withColumn(
             "segment",
             (F.col("r_tier") * 100 + F.col("f_tier") * 10
@@ -1347,16 +1433,21 @@ def w12_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-side twin of q11's supplier revenue concentration.  Slice size
     is ceil(bp * n_users / 10000), so the top slice is never empty.
 
-    Scale: one keyed groupBy to the user dim, one rank window over that
-    dim (not the event stream), a 3-row grid join — the cumulative sum
-    rides the same window."""
+    Scale: one keyed groupBy to the user dim, then the rank AND the
+    running sum both come from ONE _two_phase_rank pass (range shuffle +
+    broadcast per-partition offsets) — no single-partition row_number/
+    running-sum window over the user dim (the naive form funnels
+    10^8-10^9 users through one sort task at corpus scale); the 3-row
+    grid join is unchanged."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     per_user = ev.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_events"))
-    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
-    ranked = per_user.withColumn("rk", F.row_number().over(w)) \
-        .withColumn("cum", F.sum("n_events").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
+    ranked = _two_phase_rank(
+        per_user,
+        [F.col("n_events").desc(), F.col("user_id").asc()],
+        rank_name="rk",
+        cum_col="n_events",
+    )
     totals = ranked.agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("n_events").cast("long").alias("t_events"),
