@@ -5928,7 +5928,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # scanned audit: page counts and sparse counts re-derived from
         # the %6 fleet rule; corrupt docs land in the reject lane with
-        # n_pages 0 (unparseable == image-only for routing)
+        # n_pages 0 (unparseable == image-only for routing); STRICT >
+        # threshold, the reference's detect_scanned comparison — exactly
+        # 80% sparse is accepted
         "p_pdf_scanned": f"""
             SELECT doc_id,
                    CAST(np AS BIGINT) AS n_pages,
@@ -5937,7 +5939,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 10000 * sp // np END AS BIGINT) AS sparse_bp,
                    CASE WHEN np = 0 THEN true
                         ELSE 10000 * sp // np
-                             >= {PL.SCAN_THRESHOLD_BP} END AS scanned
+                             > {PL.SCAN_THRESHOLD_BP} END AS scanned
             FROM (
                 SELECT doc_id,
                        CASE WHEN doc_id % {PL.PDF_CORRUPT_MOD} = 0 THEN 0

@@ -202,6 +202,39 @@ def _runs(stream: bytes) -> list[tuple[float, float, float, str]]:
     return runs
 
 
+def _group_lines(
+    runs: list[tuple[float, float, float, str]],
+) -> list[tuple[float, float, str]]:
+    """Runs -> (y, size, text) lines: grouped by y within LINE_TOL,
+    x-sorted within a line, joined with single spaces — the one place
+    the run->line rule lives (parse_layout and page_char_counts must
+    count the same characters)."""
+    runs = sorted(runs, key=lambda r: (-r[1], r[0]))
+    lines: list[tuple[float, float, str]] = []
+    for rx, ry, rsize, rtext in runs:
+        if lines and abs(lines[-1][0] - ry) <= LINE_TOL:
+            py, psize, ptext = lines[-1]
+            lines[-1] = (py, max(psize, rsize), ptext + " " + rtext)
+        else:
+            lines.append((ry, rsize, rtext))
+    return lines
+
+
+def page_char_counts(data: bytes) -> list[int]:
+    """Per-page extracted-text character counts IN PAGE ORDER, including
+    pages whose content stream yields zero text runs (they count as 0 —
+    parse_layout emits no rows for them, which is exactly why the
+    scanned audit must not derive page presence from layout rows: an
+    image-only page with no text operators would otherwise vanish from
+    the page count instead of counting as sparse).  Characters are the
+    line texts _group_lines builds (runs joined by single spaces), the
+    same text every other consumer sees."""
+    return [
+        sum(len(t) for _, _, t in _group_lines(_runs(stream)))
+        for stream in _page_streams(data)
+    ]
+
+
 def parse_layout(data: bytes) -> list[dict]:
     """bytes -> flat line records:
     ``{page_no, block_id, line_id, font_tenths, y_tenths, is_heading,
@@ -213,16 +246,7 @@ def parse_layout(data: bytes) -> list[dict]:
     for stream in streams:
         runs = _runs(stream)
         all_sizes.extend(r[2] for r in runs)
-        # group runs into lines by y (tolerance), x-sorted within
-        runs.sort(key=lambda r: (-r[1], r[0]))
-        lines: list[tuple[float, float, str]] = []
-        for rx, ry, rsize, rtext in runs:
-            if lines and abs(lines[-1][0] - ry) <= LINE_TOL:
-                py, psize, ptext = lines[-1]
-                lines[-1] = (py, max(psize, rsize), ptext + " " + rtext)
-            else:
-                lines.append((ry, rsize, rtext))
-        pages.append(lines)
+        pages.append(_group_lines(runs))
     if not all_sizes:
         return []
     med = sorted(all_sizes)[len(all_sizes) // 2]

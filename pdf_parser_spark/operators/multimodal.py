@@ -2087,6 +2087,22 @@ def synthetic_mixed_media(df: DataFrame) -> DataFrame:
 
 
 def ingest_dispatch(media: DataFrame) -> DataFrame:
+    """Public face of _ingest_dispatch_lazy: materializes the union with
+    an eager localCheckpoint and releases the sniffed-base cache before
+    returning (the salsa/mmr_rerank release pattern — a bare persist()
+    here has no post-action hook to unpersist and accumulates across a
+    full registry sweep, the r4-advice leak).  Plan-shape assertions use
+    _ingest_dispatch_lazy, since the checkpoint collapses this frame to
+    a Scan."""
+    out, base = _ingest_dispatch_lazy(media)
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
+
+
+def _ingest_dispatch_lazy(
+    media: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
     """(doc_id, kind, detail) — the multimodal ingest front door: sniff
     the container from MAGIC BYTES (never a declared type — mime_sniff's
     lesson) and route each family to its typed extractor:
@@ -2152,7 +2168,7 @@ def ingest_dispatch(media: DataFrame) -> DataFrame:
         .unionByName(aud).unionByName(unk)
         .orderBy("doc_id")
     )
-    return out
+    return out, base
 
 
 def exif_display_dims(media: DataFrame) -> DataFrame:

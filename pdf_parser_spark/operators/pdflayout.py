@@ -325,7 +325,7 @@ def pdf_tables(media: DataFrame, payload_col: str = "payload") -> DataFrame:
 # --- scanned-document rejection from raw bytes (reference S3) ------------
 
 SCAN_MIN_CHARS = 50    # a page with fewer text chars smells image-only
-SCAN_THRESHOLD_BP = 8000  # >= 80% sparse pages -> scanned (ref rule)
+SCAN_THRESHOLD_BP = 8000  # STRICTLY > 80% sparse pages -> scanned (ref rule)
 
 
 def make_scan_pdf(doc_id: int) -> bytes:
@@ -344,6 +344,16 @@ def make_scan_pdf(doc_id: int) -> bytes:
             pages.append(b"BT /F1 8 Tf 300 30 Td (%d) Tj ET" % (p + 1))
         else:
             pages.append(_content_stream(doc_id, p))
+    return assemble_pdf(pages)
+
+
+def assemble_pdf(pages: list[bytes]) -> bytes:
+    """Assemble a minimal well-formed PDF from raw per-page content
+    streams (catalog -> pages -> page/contents pairs -> xref -> trailer)
+    — the synthesis backbone behind make_scan_pdf, exposed so tests can
+    build arbitrary page mixes (boundary sparse ratios, zero-run
+    pages)."""
+    n_pages = len(pages)
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
 
@@ -393,51 +403,52 @@ def pdf_scanned_audit(media: DataFrame,
                       payload_col: str = "payload") -> DataFrame:
     """(doc_id, n_pages, n_sparse_pages, sparse_bp, scanned) — the
     reference's scanned-PDF rejection (S3, `detect_scanned`
-    `pdf_extract.py:253-266`: raise if > 80% of pages have < 50 chars)
-    re-expressed fail-soft from RAW BYTES over the layout parse: per
-    page, total extracted chars; a page under SCAN_MIN_CHARS is sparse;
-    a document at or above SCAN_THRESHOLD_BP sparse pages flags
-    `scanned` and routes to the errors/lineage sink instead of raising
-    (the per-row status doctrine that replaced the reference's
+    `pdf_extract.py:253-266`: reject when STRICTLY more than 80% of
+    pages have < 50 chars — at exactly 80% sparse the reference
+    accepts, and so does this audit) re-expressed fail-soft from RAW
+    BYTES: per page, total extracted chars via page_char_counts, which
+    counts pages INDEPENDENTLY of whether they yield text runs — a
+    parsed page whose content stream has zero text operators (image-only
+    with no OCR layer) counts as a 0-char sparse page instead of
+    vanishing from the denominator, matching the reference's
+    len(text) < 50 rule on an empty string.  A page under SCAN_MIN_CHARS
+    is sparse; a document STRICTLY above SCAN_THRESHOLD_BP sparse pages
+    flags `scanned` and routes to the errors/lineage sink instead of
+    raising (the per-row status doctrine that replaced the reference's
     try/except).  Exact integer bp; documents whose bytes parse to zero
     pages (corrupt xref) count as scanned with n_pages 0 — unparseable
     and image-only land in the same reject lane.
 
-    One Arrow stage + one JVM rollup; the char counting rides the rows
-    pdf_layout already produces."""
-    lay = pdf_layout(media, payload_col)
-    per_page = (
-        lay.groupBy("doc_id", "page_no")
-        .agg(F.sum(F.length("text")).alias("page_chars"))
-    )
-    per_doc = (
-        per_page.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_pages"),
-            F.sum((F.col("page_chars") < SCAN_MIN_CHARS).cast("long"))
-            .cast("long").alias("n_sparse_pages"),
-        )
-    )
-    audited = per_doc.select(
+    ONE Arrow stage emitting the per-doc (n_pages, n_sparse_pages) pair
+    directly — the per-doc fold is bounded by page count and happens
+    inside the kernel, so the JVM side is a pure projection: no groupBy,
+    no join, no shuffle at all before the presentation sort."""
+    from pdf_parser_spark.core.pdflayout import page_char_counts
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, n_pages, n_sparse = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                chars = page_char_counts(bytes(payload))
+                doc_ids.append(int(doc_id))
+                n_pages.append(len(chars))
+                n_sparse.append(
+                    sum(1 for c in chars if c < SCAN_MIN_CHARS))
+            yield pd.DataFrame({
+                "doc_id": doc_ids, "n_pages": n_pages,
+                "n_sparse_pages": n_sparse,
+            })
+
+    counted = media.select("doc_id", payload_col).mapInPandas(
+        fn, "doc_id long, n_pages long, n_sparse_pages long")
+    bp = F.expr(
+        "CASE WHEN n_pages = 0 THEN 10000 "
+        "ELSE 10000 * n_sparse_pages div n_pages END")
+    return counted.select(
         "doc_id", "n_pages", "n_sparse_pages",
-        F.expr("10000 * n_sparse_pages div n_pages").alias("sparse_bp"),
-        (F.expr("10000 * n_sparse_pages div n_pages")
-         >= SCAN_THRESHOLD_BP).alias("scanned"),
-    )
-    all_docs = media.select("doc_id")
-    return (
-        all_docs.join(audited, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_pages", F.lit(0)).cast("long").alias("n_pages"),
-            F.coalesce("n_sparse_pages", F.lit(0)).cast("long")
-            .alias("n_sparse_pages"),
-            F.coalesce("sparse_bp", F.lit(10000)).cast("long")
-            .alias("sparse_bp"),
-            F.coalesce("scanned", F.lit(True)).alias("scanned"),
-        )
-        .orderBy("doc_id")
-    )
+        bp.cast("long").alias("sparse_bp"),
+        (bp > SCAN_THRESHOLD_BP).alias("scanned"),
+    ).orderBy("doc_id")
 
 
 # --- outline-bearing PDFs: synthesis + the outline Arrow stage -----------

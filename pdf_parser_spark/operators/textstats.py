@@ -3021,7 +3021,12 @@ def phrase_search(documents: DataFrame, queries: DataFrame) -> DataFrame:
         .select("doc_id", (F.col("pos") + 1).alias("pos"),
                 F.lower("term").alias("term"))
     )
-    q = queries.persist()
+    # the query dim is consumed three times (two term prefilters + the
+    # final label join): materialize it ONCE with an eager localCheckpoint
+    # — its blocks are ContextCleaner-released, unlike a persist() this
+    # operator would have no post-action hook to unpersist (the r4-advice
+    # cache leak across long sweeps)
+    q = queries.localCheckpoint(eager=True)
     p1 = (
         post.join(broadcast(q.select(F.col("w1").alias("term")).distinct()),
                   "term")

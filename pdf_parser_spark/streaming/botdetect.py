@@ -18,6 +18,16 @@ Cross-batch carry pinned in pytest: a burst split across two batches
 inside one 60-second window must register its combined peak, and
 history beyond the window must age out of state.
 
+Late-data contract (stated, not hidden — the trending.py doctrine): a
+batch's new seconds re-evaluate EVERY retained histogram second at or
+after the batch's earliest new second, so out-of-order arrivals within
+the retained horizon raise exactly the windows they belong to.  The
+horizon is the trailing BOT_WINDOW_S of the maximum second ever seen:
+events older than that still count toward n_events and combine with
+whatever history remains retained, but histogram entries behind the
+horizon are pruned, so a window reaching entirely behind it cannot be
+reconstructed — watermark semantics, the price of bounded state.
+
 Scale: one shuffle on user_id (state co-location); state is at most
 BOT_WINDOW_S (sec, count) pairs + two BIGINTs per user; the fold is
 O(batch seconds x window) per user with no joins in the stateful stage.
@@ -79,8 +89,14 @@ def _bot_fn(
     new_counts = batch["es"].value_counts()
     for sec, cnt in new_counts.items():
         hist[int(sec)] = hist.get(int(sec), 0) + int(cnt)
-    # recompute trailing-window sums at every second the batch touched
-    for sec in sorted(int(s) for s in new_counts.index):
+    # recompute trailing-window sums at EVERY histogram second at or
+    # after the batch's earliest new second — not only the seconds this
+    # batch touched: an out-of-order batch carrying seconds EARLIER than
+    # a previous batch's raises the histogram under already-seen later
+    # seconds, and the windows ending there must be re-evaluated or the
+    # peak under-reports vs the batch W9 oracle
+    lo = min(int(s) for s in new_counts.index)
+    for sec in sorted(t for t in hist if t >= lo):
         win = sum(c for t, c in hist.items()
                   if sec - (BOT_WINDOW_S - 1) <= t <= sec)
         peak = max(peak, win)

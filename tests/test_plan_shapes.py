@@ -520,7 +520,11 @@ def test_r4s4_dispatch_filters_before_arrow(spark):
     from pdf_parser_spark.operators import multimodal as mm
 
     docs = spark.read.parquet(f"{SF001}/documents.parquet")
-    p = plan(mm.ingest_dispatch(mm.synthetic_mixed_media(docs)))
+    # the public face eagerly localCheckpoints (collapsing its plan to a
+    # Scan) and releases the base cache; assert on the lazy builder
+    out, base = mm._ingest_dispatch_lazy(mm.synthetic_mixed_media(docs))
+    p = plan(out)
+    base.unpersist()
     import re as _re
 
     assert "CartesianProduct" not in p, p

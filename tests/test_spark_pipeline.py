@@ -4685,6 +4685,46 @@ def test_pdf_scanned_audit_threshold(spark):
     assert out[13]["scanned"] and out[13]["n_pages"] == 0
 
 
+def test_pdf_scanned_audit_strict_boundary_and_zero_run_pages(spark):
+    """The two r4-advice boundary holes, pinned: (a) the reference's
+    detect_scanned comparison is STRICT — a 5-page doc with exactly 4
+    sparse pages (8000 bp) is ACCEPTED, 5-of-5 rejects; (b) a parsed
+    page whose content stream yields ZERO text runs must count as a
+    0-char sparse page, not vanish from n_pages."""
+    from pdf_parser_spark.operators import pdflayout as pl
+
+    real = b"BT /F1 10 Tf 72 700 Td (%s) Tj ET" % (b"word " * 20)
+    sparse = b"BT /F1 8 Tf 300 30 Td (1) Tj ET"
+    import pandas as pd_
+
+    def media(pages_by_doc):
+        return spark.createDataFrame(pd_.DataFrame({
+            "doc_id": list(pages_by_doc),
+            "payload": [pl.assemble_pdf(p) for p in pages_by_doc.values()],
+        }))
+
+    out = {r["doc_id"]: r for r in pl.pdf_scanned_audit(media({
+        # exactly 80% sparse: boundary, must NOT flag
+        0: [real] + [sparse] * 4,
+        # 100% sparse: must flag
+        1: [sparse] * 5,
+        # zero-run page (no text operators at all): counts sparse, so
+        # 1 real + 1 empty = 50% -> not scanned, but n_pages must be 2
+        2: [real, b"% image-only page, no BT/Tj"],
+        # 1 real + 4 zero-run = 80% boundary again via empty pages
+        3: [real] + [b""] * 4,
+        # 5 zero-run pages: 100% sparse without a single text run
+        4: [b""] * 5,
+    })).collect()}
+    assert out[0]["sparse_bp"] == 8000 and not out[0]["scanned"]
+    assert out[0]["n_pages"] == 5 and out[0]["n_sparse_pages"] == 4
+    assert out[1]["scanned"] and out[1]["sparse_bp"] == 10000
+    assert out[2]["n_pages"] == 2 and out[2]["n_sparse_pages"] == 1
+    assert out[2]["sparse_bp"] == 5000 and not out[2]["scanned"]
+    assert out[3]["sparse_bp"] == 8000 and not out[3]["scanned"]
+    assert out[4]["n_pages"] == 5 and out[4]["scanned"]
+
+
 def test_pdf_tables_bands_and_ragged_cols():
     """Band semantics: a single-run prose line breaks the table; a
     ragged row keeps column RANKS (a missing middle cell leaves col 2 at
@@ -5011,6 +5051,51 @@ def test_streaming_bot_detect_cross_batch_window(spark, tmp_path):
     # batch 0 standing: 4 events, peak 4, human; batch 1: combined peak 8
     assert got[1] == [(4, 4, False), (8, 8, True)]
     assert got[2] == [(1, 1, False), (2, 1, False)]
+
+
+def test_streaming_bot_detect_out_of_order_batches(spark, tmp_path):
+    """The r4-advice late-data hole, pinned: batch 2 carries seconds
+    EARLIER than batch 1's — the windows ending at batch 1's
+    already-seen later seconds must be re-evaluated against the raised
+    histogram, or the combined peak under-reports vs the batch oracle."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming.botdetect import stream_bot_detect
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_batch(path, rows):
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(seconds=s) for _, s in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }), path)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 0: the LATER half of the burst
+    write_batch(str(in_dir / "b0.parquet"),
+                [(1, s) for s in (55, 56, 57, 58)])
+    q = stream_bot_detect(spark, str(in_dir), str(tmp_path / "ckpt"),
+                          "bot_stream_ooo_test")
+    q.processAllAvailable()
+    # batch 1: the EARLIER half, arriving late but within the window
+    write_batch(str(in_dir / "b1.parquet"),
+                [(1, s) for s in (50, 51, 52, 53)])
+    q.processAllAvailable()
+    q.stop()
+    got = [(r["n_events"], r["peak_rate"], r["is_bot"])
+           for r in spark.table("bot_stream_ooo_test")
+           .orderBy("n_events").collect()]
+    # window ending at 58 now holds all 8 events -> combined peak 8
+    assert got == [(4, 4, False), (8, 8, True)]
 
 
 def test_salsa_kills_tkc_and_floor_math(spark):
