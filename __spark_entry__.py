@@ -1387,8 +1387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RESIDUAL vs the coarse centroid, query ADC tables become per-probe
         # — the Spark query fits both stages itself, the oracle composes the
         # frozen centroid + residual-codebook numpy twins
+        # rerank=None: ADC-only face, same rationale as s_ann_pq
         "s_ann_ivfpq_residual": lambda s, d: similarity.ivfpq_residual_topk(
-            _emb(s, d)
+            _emb(s, d), rerank=None
         ),
         # matryoshka dim audit: exact recall of prefix-truncated rankings
         # vs the full dim, per ladder step, integer bp
@@ -1397,7 +1398,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # score by asymmetric distance (ADC) — the compressed-scan path; the
         # Spark query fits its OWN per-subspace Lloyd codebooks, the oracle
         # uses the frozen numpy twins (E.PQ_CODEBOOKS)
-        "s_ann_pq": lambda s, d: similarity.pq_topk(_emb(s, d)),
+        # rerank=None pins the textbook ADC-only stage (the library
+        # DEFAULT is now rerank=PQ_RERANK — ADC+R — per the r5 retune;
+        # this face keeps the raw quantization error measurable)
+        "s_ann_pq": lambda s, d: similarity.pq_topk(_emb(s, d),
+                                                    rerank=None),
         # ADC+R: the ADC scan shortlists PQ_RERANK candidates, only those
         # fetch full-precision vectors (key equi join) for exact re-rank —
         # the production second stage that confines recall loss to
@@ -5724,7 +5729,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT p, j,
                        ('0x' || substr(md5('plane_' || p || '_' || j), 1, 8))::UBIGINT
                            / 2147483648.0 - 1.0 AS w
-                FROM unnest(range(0, 16)) tp(p),
+                FROM unnest(range(0, 48)) tp(p),
                      unnest(range(0, (SELECT len(v) FROM emb LIMIT 1))) tj(j)
             ), proj AS (
                 SELECT e.vec_id, pl.p, round(sum(e.v[pl.j + 1] * pl.w), 6) AS pr
@@ -5737,7 +5742,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM proj GROUP BY vec_id
             ), bands AS (
                 SELECT vec_id, b, (sig >> (4 * b)) & 15 AS bv
-                FROM sig, unnest([0, 1, 2, 3]) tb(b)
+                FROM sig, unnest(range(0, 12)) tb(b)
             ), cand AS (
                 SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
                 FROM bands q JOIN bands c ON q.b = c.b AND q.bv = c.bv

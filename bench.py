@@ -253,8 +253,8 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
     books = similarity.pq_fit(emb)
     times["s_ann_pq_fit"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    similarity.pq_topk(emb, codebooks=books).write.format("noop").mode(
-        "overwrite").save()
+    similarity.pq_topk(emb, codebooks=books, rerank=None).write.format(
+        "noop").mode("overwrite").save()
     times["s_ann_pq"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     similarity.pq_topk(
@@ -274,7 +274,7 @@ def relational_queries(spark, sf_dir: str) -> dict[str, float]:
     times["s_ann_pq_fit_residual"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     similarity.ivfpq_residual_topk(
-        emb, centroids=centroids, codebooks=res_books
+        emb, centroids=centroids, codebooks=res_books, rerank=None
     ).write.format("noop").mode("overwrite").save()
     times["s_ann_ivfpq_residual"] = round(time.perf_counter() - t0, 3)
     return times
@@ -307,7 +307,7 @@ def ann_recall(spark, sf_dir: str, k: int = 3) -> dict[str, float]:
                  emb, k=k, centroids=sample_cents).collect()}
     out[f"s_ann_ivf_recall_at_{k}_samplefit"] = round(
         len(brute & ivf_s) / max(len(brute), 1), 4)
-    for bb in (8, 4, 2):  # LSH recall/cost knob sweep (default 4)
+    for bb in (8, 4, 2):  # LSH recall/cost knob sweep (default 48x4)
         lsh = {(r["query_id"], r["neighbor_id"])
                for r in similarity.lsh_topk(emb, k=k, band_bits=bb).collect()}
         out[f"s_ann_lsh_recall_at_{k}_bandbits{bb}"] = round(
@@ -317,7 +317,8 @@ def ann_recall(spark, sf_dir: str, k: int = 3) -> dict[str, float]:
     # codebook's resolution at this corpus size
     books = similarity.pq_fit(emb)
     pq = {(r["query_id"], r["neighbor_id"])
-          for r in similarity.pq_topk(emb, k=k, codebooks=books).collect()}
+          for r in similarity.pq_topk(emb, k=k, codebooks=books,
+                                      rerank=None).collect()}
     out[f"s_ann_pq_recall_at_{k}"] = round(
         len(brute & pq) / max(len(brute), 1), 4)
     # IVFADC recall: both stages' losses compound

@@ -235,12 +235,19 @@ def ivf_topk(
 # tuned by n_planes/band_bits exactly like MinHash-LSH band math.
 # ---------------------------------------------------------------------------
 
-LSH_PLANES = 16
-# 4 bands x 4 bits: measured recall@3 on the sf0.1 embeddings is 0.53 vs
-# 0.03 at 2x8 (too selective: P[8-bit band match] ~ p^8 dies for moderate
-# cosine) and 0.93 at 8x2 (too permissive: 4 buckets/band makes the
-# candidate set ~the corpus — brute force in disguise).  band_bits is the
-# standard LSH recall/cost knob; bench.py reports the measured sweep.
+# 12 bands x 4 bits (one 48-bit BIGINT signature): the r5 default retune.
+# Raising recall by WIDENING bands (fewer bits/band) explodes the candidate
+# set — measured on the sf0.1 embeddings: 32x2 hits recall 1.0 but its
+# bands have 4 buckets, candidates ~ the corpus (brute force in disguise);
+# 32x3 recall 0.93 at 73% of corpus.  Raising recall by adding BANDS at the
+# SAME per-band selectivity (16 buckets) is the textbook knob that survives
+# scale: 16 planes/4 bands -> recall 0.53 at 23% candidates; 48 planes/12
+# bands -> recall 0.77 at 54% candidates on this NEAR-RANDOM synthetic
+# corpus (the adversarial case for sign-LSH — true neighbors sit at
+# moderate cosine, so per-band match ~ p^4 is weak; clustered real
+# embeddings collide far more selectively at the same config).  bench.py
+# reports the measured band_bits sweep beside the default.
+LSH_PLANES = 48
 LSH_BAND_BITS = 4
 LSH_ROUND_DP = 6
 
@@ -364,12 +371,16 @@ def lsh_topk(
 PQ_M = 4          # subspaces (64-dim corpus -> 16-dim subvectors)
 PQ_KSUB = 8       # centroids per subspace codebook (codes fit in 3 bits)
 PQ_ROUND_DP = 4   # ADC rounding before the rank window (oracle hash guard)
-# default ADC-shortlist width for the re-rank face: measured recall@3 on
+# default ADC-shortlist width for the re-rank stage: measured recall@3 on
 # the sf0.01 embeddings is 0.27 raw-ADC -> 0.40/0.53/0.70 at R=16/32/64
 # (random-ish synthetic vectors are PQ's worst case: quantization error is
 # the same order as the cosine gaps it must preserve; bench.py reports the
-# measured numbers per scale)
-PQ_RERANK = 32
+# measured numbers per scale).  R=64 is the r5 default retune: at 10^12
+# rows the exact-fetch cost is |Q| x R keyed lookups — negligible — while
+# raw ADC's 0.13-0.27 measured recall made the undressed default a
+# near-useless index (the r4 review's point); callers wanting the textbook
+# ADC-only stage pass rerank=None explicitly.
+PQ_RERANK = 64
 
 
 def pq_fit(
@@ -416,7 +427,7 @@ def pq_topk(
     n_queries: int = 10,
     k: int = 3,
     codebooks: list[list[list[float]]] | None = None,
-    rerank: int | None = None,
+    rerank: int | None = PQ_RERANK,
 ) -> DataFrame:
     """ADC top-k over PQ codes: (query_id, neighbor_id, adc_dist, rank),
     rank by (adc_dist asc, neighbor_id asc) so ties are total-ordered for
@@ -707,7 +718,7 @@ def ivfpq_residual_topk(
     nprobe: int = 2,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
-    rerank: int | None = None,
+    rerank: int | None = PQ_RERANK,
 ) -> DataFrame:
     """IVFADC as PUBLISHED (Jegou/Douze/Schmid PAMI 2011 §IV-A): PQ codes
     quantize each vector's RESIDUAL w.r.t. its coarse centroid, not the raw

@@ -1063,7 +1063,8 @@ def test_pq_adc_is_exact_when_corpus_lies_on_the_codebook(spark):
              for r in S.pq_encode(emb, books).collect()}
     assert codes == {i * 3 + j: [i, j] for i in range(3) for j in range(3)}
 
-    out = S.pq_topk(emb, n_queries=1, k=8, codebooks=books).collect()
+    out = S.pq_topk(emb, n_queries=1, k=8, codebooks=books,
+                    rerank=None).collect()
     got = [(r["rank"], r["neighbor_id"], r["adc_dist"]) for r in out]
     q = np.asarray(corpus[0][1])
     exact = sorted(
@@ -1159,7 +1160,8 @@ def test_ivfpq_composition(spark):
     books = S.pq_fit(emb)
     full = sorted(map(tuple, S.ivfpq_topk(
         emb, nprobe=S.KMEANS_K, centroids=cents, codebooks=books).collect()))
-    pq = sorted(map(tuple, S.pq_topk(emb, codebooks=books).collect()))
+    pq = sorted(map(tuple, S.pq_topk(emb, codebooks=books,
+                                     rerank=None).collect()))
     assert full == pq and len(full) > 0
 
     narrow = S.ivfpq_topk(emb, nprobe=1, centroids=cents, codebooks=books)
@@ -1219,7 +1221,8 @@ def test_ivfpq_residual_mechanism_and_binding_constraint(spark):
     res_books = S.pq_fit_residual(emb, cents)
     res = {(r["query_id"], r["neighbor_id"])
            for r in S.ivfpq_residual_topk(
-               emb, centroids=cents, codebooks=res_books).collect()}
+               emb, centroids=cents, codebooks=res_books,
+               rerank=None).collect()}
     assert len(brute & res) > len(brute & raw)  # measured: 13 vs 8 of 30
 
     # (b) nprobe=all cells + full-width shortlist == brute force exactly
