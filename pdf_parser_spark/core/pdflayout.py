@@ -11,13 +11,21 @@ from RAW BYTES for the subset of PDF a deterministic engine can own:
 - content streams either plain or ``/FlateDecode`` (zlib — the filter
   that covers essentially every text-bearing stream in the wild; other
   filters surface as a fail-soft empty page, the scanned-doc doctrine);
-- text operators ``BT``/``ET``, ``Tf`` (font size), ``Td`` (RELATIVE
-  line-origin translation — positions accumulate within a text object
-  and reset at ``BT``, per PDF 32000-1 §9.4.2), ``Tj`` with the
-  ``\\( \\) \\\\`` string escapes;
+- text operators ``BT``/``ET``, ``Tf`` (font size), ``Td``/``TD``
+  (RELATIVE line-origin translation — positions accumulate within a
+  text object and reset at ``BT``, per PDF 32000-1 §9.4.2; TD also sets
+  the leading to -ty), ``TL`` (leading), ``T*`` (next line by leading),
+  ``Tm`` (text matrix: the translation components e,f set the ABSOLUTE
+  line origin, and the d component scales the effective font size — the
+  dominant real-world uses; full a/b/c shear/rotation composition is
+  out of scope), ``Tj`` and ``'`` with the ``\\( \\) \\\\`` string
+  escapes, and ``TJ`` kerning arrays (string parts concatenate into ONE
+  run; a kern adjustment <= -TJ_SPACE_MILLIEMS thousandths of an em
+  renders as a single space, the deterministic form of the gap
+  heuristic every text extractor applies to TJ positioning);
 - stated out of scope: xref streams, object streams, indirect /Length,
-  TJ-array kerning, CID fonts (each would widen coverage, none changes
-  the layout algorithm below).
+  CID fonts, full text-matrix composition (each would widen coverage,
+  none changes the layout algorithm below).
 
 Layout algorithm (the reference's font-size/position heuristics,
 re-expressed):
@@ -42,13 +50,19 @@ LINE_TOL = 0.5          # y distance within which runs share a line
 BLOCK_GAP_FACTOR = 1.5  # gap > factor x modal leading starts a new block
 HEAD_RATIO = 1.3        # block font >= ratio x median run size = heading
 
+TJ_SPACE_MILLIEMS = 180  # TJ kern <= -this (thousandths of em) -> a space
+
 _TEXT_OP = re.compile(
-    rb"BT|ET"
-    rb"|/\w+\s+([0-9.]+)\s+Tf"
-    rb"|(-?[0-9.]+)\s+(-?[0-9.]+)\s+Td"
-    rb"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
+    rb"BT|ET|T\*"
+    rb"|/\w+\s+(?P<tf>[0-9.]+)\s+Tf"
+    rb"|(?P<tl>-?[0-9.]+)\s+TL"
+    rb"|(?P<tdx>-?[0-9.]+)\s+(?P<tdy>-?[0-9.]+)\s+(?P<tdop>TD|Td)"
+    rb"|(?P<tm>(?:-?[0-9.]+\s+){6})Tm"
+    rb"|\((?P<tj>(?:[^()\\]|\\.)*)\)\s*(?P<tjop>Tj|')"
+    rb"|\[(?P<tja>(?:[^\[\]()\\]|\((?:[^()\\]|\\.)*\))*)\]\s*TJ"
 )
 _UNESCAPE = re.compile(rb"\\([()\\])")
+_TJ_PART = re.compile(rb"\((?P<s>(?:[^()\\]|\\.)*)\)|(?P<n>-?[0-9.]+)")
 
 
 def _xref_map(data: bytes) -> dict[int, int]:
@@ -177,28 +191,71 @@ def _page_streams(data: bytes) -> list[bytes]:
     return out
 
 
+def _decode_str(raw: bytes) -> str:
+    return _UNESCAPE.sub(rb"\1", raw).decode("latin-1", "replace")
+
+
+def _tj_text(raw: bytes) -> str:
+    """TJ array body -> one text string: string parts concatenate; a kern
+    adjustment <= -TJ_SPACE_MILLIEMS renders as a single space (the
+    word-gap form of TJ positioning), smaller adjustments are pure
+    kerning and join the parts directly."""
+    parts: list[str] = []
+    for m in _TJ_PART.finditer(raw):
+        if m.group("s") is not None:
+            parts.append(_decode_str(m.group("s")))
+        else:
+            try:
+                adj = float(m.group("n"))
+            except ValueError:
+                continue
+            if adj <= -TJ_SPACE_MILLIEMS and parts and \
+                    not parts[-1].endswith(" "):
+                parts.append(" ")
+    return "".join(parts)
+
+
 def _runs(stream: bytes) -> list[tuple[float, float, float, str]]:
-    """(x, y, size, text) glyph runs from one content stream.  Td is
-    relative to the current line origin; BT resets it (PDF §9.4.2)."""
+    """(x, y, size, text) glyph runs from one content stream.  Td/TD are
+    relative to the current line origin; BT resets it; Tm sets it
+    absolutely from the matrix translation (and scales the effective
+    size by |d|); TL/TD set the leading T* and ' consume
+    (PDF 32000-1 §9.4.2-9.4.3)."""
     runs = []
     x = y = 0.0
     size = 0.0
+    scale = 1.0   # |d| of the last Tm: vertical text-space scale
+    lead = 0.0
     for m in _TEXT_OP.finditer(stream):
         tok = m.group(0)
         if tok == b"BT":
             x = y = 0.0
+            scale = 1.0
         elif tok == b"ET":
             pass
-        elif m.group(1) is not None:
-            size = float(m.group(1))
-        elif m.group(2) is not None:
-            x += float(m.group(2))
-            y += float(m.group(3))
-        elif m.group(4) is not None:
-            text = _UNESCAPE.sub(rb"\1", m.group(4)).decode(
-                "latin-1", "replace"
-            )
-            runs.append((x, y, size, text))
+        elif tok == b"T*":
+            y -= lead
+        elif m.group("tf") is not None:
+            size = float(m.group("tf"))
+        elif m.group("tl") is not None:
+            lead = float(m.group("tl"))
+        elif m.group("tdx") is not None:
+            x += float(m.group("tdx"))
+            y += float(m.group("tdy"))
+            if m.group("tdop") == b"TD":
+                lead = -float(m.group("tdy"))
+        elif m.group("tm") is not None:
+            nums = [float(v) for v in m.group("tm").split()]
+            x, y = nums[4], nums[5]
+            scale = abs(nums[3])
+        elif m.group("tj") is not None:
+            if m.group("tjop") == b"'":
+                y -= lead
+            runs.append((x, y, size * scale, _decode_str(m.group("tj"))))
+        elif m.group("tja") is not None:
+            text = _tj_text(m.group("tja"))
+            if text:
+                runs.append((x, y, size * scale, text))
     return runs
 
 
@@ -300,16 +357,163 @@ def parse_layout(data: bytes) -> list[dict]:
 
 TABLE_MIN_COLS = 2   # a line needs >= 2 runs to smell tabular
 X_TOL = 0.5          # x starts within this collapse to one column
+RULE_TOL = 1.0       # ruling coordinates within this merge to one grid line
+RULED_SPLIT_GAP = 40.0  # h-ruling y gap above this splits into two tables
+
+# The reference's financial-page hint (`pdf_extract.py:20-28`
+# _FINANCIAL_HINT): the gate on its text-strategy table retry
+# (`pdf_extract.py:240-247`) — when the line strategy finds nothing on a
+# page whose text smells like financial statements, retry with alignment
+FINANCIAL_HINT_RE = re.compile(
+    r"(?:total\s+(?:assets|liabilities|revenue|equity)|"
+    r"net\s+(?:income|loss|cash)|"
+    r"operating\s+(?:income|expenses|activities)|"
+    r"cash\s+and\s+cash\s+equivalents|"
+    r"balance\s+sheets?|"
+    r"statements?\s+of\s+(?:income|operations|cash\s+flows?))",
+    re.IGNORECASE,
+)
+
+# path operators for ruling detection; string literals consumed first so
+# a bare s/f/B inside shown text can never read as a paint operator
+_RULE_OP = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)"
+    rb"|(?P<mx>-?[0-9.]+)\s+(?P<my>-?[0-9.]+)\s+m(?![\w*])"
+    rb"|(?P<lx>-?[0-9.]+)\s+(?P<ly>-?[0-9.]+)\s+l(?![\w*])"
+    rb"|(?P<rx>-?[0-9.]+)\s+(?P<ry>-?[0-9.]+)\s+(?P<rw>[0-9.]+)\s+"
+    rb"(?P<rh>[0-9.]+)\s+re(?![\w*])"
+    rb"|(?<![\w*)])(?P<paint>[SsBbFfn]\*?)(?![\w*])"
+)
+
+
+def _rulings(stream: bytes) -> tuple[list, list]:
+    """(horizontal, vertical) painted ruling segments from the content
+    stream's path operators: m/l subpaths and re rectangle edges,
+    committed by a painting operator (S s B b f F; n discards — it is
+    the no-paint clip op).  Horizontal = (y, x0, x1); vertical =
+    (x, y0, y1).  Diagonals are decoration, not rules: dropped."""
+    h: list[tuple[float, float, float]] = []
+    v: list[tuple[float, float, float]] = []
+    pend: list[tuple[float, float, float, float]] = []
+    cx = cy = None
+    for m in _RULE_OP.finditer(stream):
+        if m.group("mx") is not None:
+            cx, cy = float(m.group("mx")), float(m.group("my"))
+        elif m.group("lx") is not None:
+            nx, ny = float(m.group("lx")), float(m.group("ly"))
+            if cx is not None:
+                pend.append((cx, cy, nx, ny))
+            cx, cy = nx, ny
+        elif m.group("rx") is not None:
+            x0, y0 = float(m.group("rx")), float(m.group("ry"))
+            w, hh = float(m.group("rw")), float(m.group("rh"))
+            pend += [(x0, y0, x0 + w, y0), (x0, y0 + hh, x0 + w, y0 + hh),
+                     (x0, y0, x0, y0 + hh), (x0 + w, y0, x0 + w, y0 + hh)]
+        elif m.group("paint") is not None:
+            if not m.group("paint").startswith(b"n"):
+                for x0, y0, x1, y1 in pend:
+                    if abs(y1 - y0) <= RULE_TOL and abs(x1 - x0) > RULE_TOL:
+                        h.append((y0, min(x0, x1), max(x0, x1)))
+                    elif (abs(x1 - x0) <= RULE_TOL
+                          and abs(y1 - y0) > RULE_TOL):
+                        v.append((x0, min(y0, y1), max(y0, y1)))
+            pend = []
+            cx = cy = None
+    return h, v
+
+
+def _cluster(vals: list[float]) -> list[float]:
+    out: list[float] = []
+    for val in sorted(vals):
+        if not out or val - out[-1] > RULE_TOL:
+            out.append(val)
+    return out
+
+
+def _ruled_cells(
+    runs: list, h: list, v: list, page_no: int
+) -> list[dict]:
+    """pdfplumber's default "lines" strategy, byte-level: horizontal
+    rulings clustered by y and split into table grids at vertical gaps >
+    RULED_SPLIT_GAP; each grid with >= 2 h-rulings and >= 2 v-rulings
+    (those whose span overlaps the grid's y-range) defines row bands
+    (between consecutive h-lines, top-down) and column bands (between
+    consecutive v-lines, left-right); text runs inside a band pair
+    become the cell, multiple runs joined in reading order.  Emits the
+    same record shape as the text-strategy band path so downstream
+    T-operators cannot tell the strategies apart."""
+    ys = _cluster([s[0] for s in h])
+    if len(ys) < 2 or not v:
+        return []
+    ys = ys[::-1]  # top-down
+    # split into grids at large vertical gaps
+    grids: list[list[float]] = [[ys[0]]]
+    for y in ys[1:]:
+        if grids[-1][-1] - y > RULED_SPLIT_GAP:
+            grids.append([y])
+        else:
+            grids[-1].append(y)
+    out: list[dict] = []
+    table_id = -1
+    for gys in grids:
+        if len(gys) < 2:
+            continue
+        top, bot = gys[0], gys[-1]
+        xs = _cluster([
+            s[0] for s in v
+            if s[1] <= top + RULE_TOL and s[2] >= bot - RULE_TOL
+        ])
+        if len(xs) < 2:
+            continue
+        cells: dict[tuple[int, int], list] = {}
+        for r in runs:
+            rx, ry = r[0], r[1]
+            if not (bot <= ry <= top and xs[0] <= rx <= xs[-1]):
+                continue
+            row = next(
+                (i for i in range(len(gys) - 1)
+                 if gys[i + 1] < ry <= gys[i]), None)
+            col = next(
+                (j for j in range(len(xs) - 1)
+                 if xs[j] <= rx < xs[j + 1]), None)
+            if row is not None and col is not None:
+                cells.setdefault((row, col), []).append(r)
+        if not cells:
+            continue
+        table_id += 1
+        for (row, col), rs in sorted(cells.items()):
+            rs.sort(key=lambda r: (-r[1], r[0]))
+            out.append({
+                "page_no": page_no, "table_id": table_id,
+                "row": row, "col": col,
+                "x_tenths": int(round(rs[0][0] * 10)),
+                "y_tenths": int(round(rs[0][1] * 10)),
+                "text": " ".join(r[3] for r in rs),
+            })
+    return out
 
 
 def parse_tables(data: bytes) -> list[dict]:
     """bytes -> flat cell records ``{page_no, table_id, row, col,
-    x_tenths, y_tenths, text}``.  Single-run lines (headings, prose)
-    break the band and are not cells; table_id counts bands per page in
-    reading order."""
+    x_tenths, y_tenths, text}`` — the reference's two-strategy page
+    policy (`pdf_extract.py:236-247`), byte-level: the ruled "lines"
+    strategy runs FIRST (painted path rulings define the grid, the
+    pdfplumber default); when it finds nothing on a page whose text
+    matches FINANCIAL_HINT_RE, the text-alignment band strategy runs as
+    the retry — a financially-hinted page never silently loses its
+    unruled table, and an unhinted unruled page yields none (exactly the
+    reference's behavior).  In the band strategy, single-run lines
+    (headings, prose) break the band and are not cells; table_id counts
+    tables per page in reading order under either strategy."""
     out = []
     for page_no, stream in enumerate(_page_streams(data)):
         runs = _runs(stream)
+        ruled = _ruled_cells(runs, *_rulings(stream), page_no)
+        if ruled:
+            out.extend(ruled)
+            continue
+        if not FINANCIAL_HINT_RE.search(" ".join(r[3] for r in runs)):
+            continue
         runs.sort(key=lambda r: (-r[1], r[0]))
         # group into lines by y tolerance (same rule as parse_layout)
         lines: list[list[tuple[float, float, float, str]]] = []

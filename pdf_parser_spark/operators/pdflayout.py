@@ -213,15 +213,27 @@ def pdf_text(media: DataFrame, payload_col: str = "payload") -> DataFrame:
 T0_Y, T1_Y, COL_X0, COL_W, ROW_LEAD = 600, 350, 72, 90, 20
 
 
+RULED_MOD = 5  # doc_id % 5 == 2 tables are RULED (line-strategy flavor)
+
+
 def make_table_pdf(doc_id: int) -> bytes:
     """One page: a heading line, table 0 (R = 2 + d%3 rows x C = 2 + d%2
     cols, one BT per row with HORIZONTAL Td hops between cells — x
     accumulation is part of what the parser must get right), a single-run
     prose line that must BREAK the band, then table 1 (1 + d%2 rows x 2
-    cols)."""
+    cols).
+
+    Two detection flavors over the SAME cell grid (so the oracle's cell
+    arithmetic is flavor-blind): doc_id % RULED_MOD == 2 docs draw
+    painted ruling segments around every row/column band — the ruled
+    "lines" strategy extracts them with NO financial hint present —
+    while all other docs carry no rulings plus a financial-hint prose
+    line, so their tables are reachable ONLY through the reference's
+    hint-gated text-strategy retry."""
     r0 = 2 + doc_id % 3
     c0 = 2 + doc_id % 2
     r1 = 1 + doc_id % 2
+    ruled = doc_id % RULED_MOD == 2
     parts = [
         b"BT /F1 18 Tf 72 700 Td ("
         + _esc(f"Tables of doc {doc_id}") + b") Tj ET"
@@ -236,12 +248,31 @@ def make_table_pdf(doc_id: int) -> bytes:
         ops.append(b"ET")
         return b" ".join(ops)
 
+    def grid_ops(top_y, nrows, ncols):
+        # h-rulings 4pt above each baseline and one below the last;
+        # v-rulings 4pt left of each column and one right of the last
+        ys = [top_y + 4 - ROW_LEAD * r for r in range(nrows + 1)]
+        xs = [COL_X0 - 4 + COL_W * c for c in range(ncols + 1)]
+        ops = []
+        for y in ys:
+            ops.append(b"%d %d m %d %d l S" % (xs[0], y, xs[-1], y))
+        for x in xs:
+            ops.append(b"%d %d m %d %d l S" % (x, ys[-1], x, ys[0]))
+        return b" ".join(ops)
+
+    if ruled:
+        parts.append(grid_ops(T0_Y, r0, c0))
+        parts.append(grid_ops(T1_Y, r1, 2))
     for r in range(r0):
         parts.append(row_ops(T0_Y - ROW_LEAD * r, r, c0, "a"))
     parts.append(b"BT /F1 10 Tf 72 450 Td ("
                  + _esc(f"prose between tables {doc_id}") + b") Tj ET")
     for r in range(r1):
         parts.append(row_ops(T1_Y - ROW_LEAD * r, r, 2, "b"))
+    if not ruled:
+        parts.append(b"BT /F1 10 Tf 72 60 Td ("
+                     + _esc(f"Statements of operations {doc_id}")
+                     + b") Tj ET")
     content = b"\n".join(parts)
 
     out = bytearray(b"%PDF-1.4\n")

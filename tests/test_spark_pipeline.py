@@ -4731,10 +4731,13 @@ def test_pdf_scanned_audit_strict_boundary_and_zero_run_pages(spark):
 def test_pdf_tables_bands_and_ragged_cols():
     """Band semantics: a single-run prose line breaks the table; a
     ragged row keeps column RANKS (a missing middle cell leaves col 2 at
-    col 2, not col 1); x accumulates across horizontal Td hops."""
+    col 2, not col 1); x accumulates across horizontal Td hops.  The
+    page carries a financial-hint line (and no rulings), so these bands
+    come out of the reference's hint-gated text-strategy retry."""
     from pdf_parser_spark.core.pdflayout import parse_tables
 
     content = (
+        b"BT /F1 10 Tf 72 620 Td (Total assets at year end) Tj ET\n"
         b"BT /F1 10 Tf 72 600 Td (r0c0) Tj 90 0 Td (r0c1) Tj"
         b" 90 0 Td (r0c2) Tj ET\n"
         # ragged row: skips the middle column (x jumps 180)
@@ -4751,6 +4754,65 @@ def test_pdf_tables_bands_and_ragged_cols():
           if r["table_id"] == 1]
     assert t1 == [(0, 0, "t2a"), (0, 1, "t2b")]
     assert all(r["text"] != "prose only line" for r in rows)
+
+
+def test_pdf_text_ops_tj_tm_and_leading():
+    """The r4-verdict operator gaps, closed and pinned: TJ arrays join
+    string parts into ONE run with a space only at kerns <=
+    -TJ_SPACE_MILLIEMS; Tm sets the ABSOLUTE line origin and its d
+    component scales the effective font size; TD sets leading, T* and
+    ' advance by it."""
+    from pdf_parser_spark.core.pdflayout import _runs
+
+    s = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm"
+         b" [(Hel) -40 (lo) -250 (world) 30 (!)] TJ ET\n"
+         b"BT /F1 10 Tf 72 650 Td 14 TL (one) Tj T* (two) Tj (three) ' ET\n"
+         b"BT /F1 8 Tf 10 20 Td 5 -12 TD (a) Tj T* (b) Tj ET\n"
+         b"BT /F1 6 Tf 2 0 0 2 50 100 Tm (double) Tj ET")
+    runs = _runs(s)
+    assert runs[0] == (72.0, 700.0, 12.0, "Hello world!")
+    assert [(r[1], r[3]) for r in runs[1:4]] == [
+        (650.0, "one"), (636.0, "two"), (622.0, "three")]
+    # TD leading -(-12)=12: T* drops y by 12 from the Td-translated origin
+    assert [(r[0], r[1], r[3]) for r in runs[4:6]] == [
+        (15.0, 8.0, "a"), (15.0, -4.0, "b")]
+    assert runs[6] == (50.0, 100.0, 12.0, "double")  # 6 x |d|=2
+
+
+def test_pdf_ruled_table_strategy_and_hint_gating():
+    """The reference's two-strategy policy, byte-level: painted rulings
+    are the PRIMARY strategy (multi-run cells join, empty grid cells are
+    absent, runs outside the grid are not cells); with no rulings the
+    text-band retry fires ONLY on a financially-hinted page — an
+    unhinted unruled page yields no tables at all."""
+    from pdf_parser_spark.core.pdflayout import parse_tables
+
+    grid = (
+        b"68 604 m 248 604 l S 68 584 m 248 584 l S 68 564 m 248 564 l S "
+        b"68 564 m 68 604 l S 158 564 m 158 604 l S 248 564 m 248 604 l S\n"
+    )
+    cells = (
+        b"BT /F1 10 Tf 72 600 Td (alpha) Tj 20 0 Td (beta) Tj"
+        b" 90 0 Td (gamma) Tj ET\n"           # alpha+beta share cell (0,0)
+        b"BT /F1 10 Tf 162 580 Td (delta) Tj ET\n"   # (1,1); (1,0) EMPTY
+        b"BT /F1 10 Tf 72 500 Td (outside the grid) Tj ET\n"
+    )
+    rows = parse_tables(_mini_pdf(grid + cells))
+    got = [(r["row"], r["col"], r["text"]) for r in rows]
+    assert got == [(0, 0, "alpha beta"), (0, 1, "gamma"),
+                   (1, 1, "delta")], got
+
+    # unruled + unhinted: the line strategy finds nothing and the retry
+    # never fires (reference pdf_extract.py:240 gate)
+    bands = (b"BT /F1 10 Tf 72 600 Td (x0) Tj 90 0 Td (x1) Tj ET\n"
+             b"BT /F1 10 Tf 72 580 Td (y0) Tj 90 0 Td (y1) Tj ET\n")
+    assert parse_tables(_mini_pdf(bands)) == []
+    # same page + a hint line: the text-strategy retry recovers the band
+    hinted = bands + (b"BT /F1 10 Tf 72 60 Td"
+                      b" (Consolidated Balance Sheets) Tj ET\n")
+    got = [(r["row"], r["col"], r["text"])
+           for r in parse_tables(_mini_pdf(hinted))]
+    assert got == [(0, 0, "x0"), (0, 1, "x1"), (1, 0, "y0"), (1, 1, "y1")]
 
 
 def test_rollback_semantics(spark, tmp_path):
