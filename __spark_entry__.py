@@ -24,9 +24,39 @@ BLOCKED_DOMAINS = ["src3.example.com", "src5.co.uk", "src7.io", "src11.org"]
 
 
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents(doc_id, text, ...) -> pages(url, warc_ts, html, text, lang)."""
+    """documents(doc_id, text, ...) -> pages(url, warc_ts, html, text, lang).
+
+    doc_id % FILING_FLAVOR_MOD == FILING_FLAVOR_REM rows swap their webtext
+    for filing_text(doc_id) — a filing-shaped page stream (cover, TOC,
+    statements) — so the flagship extraction hash discriminates the G1
+    splitter, the T8/T16 table path, E-field extraction, and W1 sequencing
+    over real (company, period) groups, not only classification
+    (r4-verdict oracle-net gap).  The flavor is applied identically by
+    tools/gen_expected.py, so every oracle that reads the frozen fixture
+    stays exact; it is NOT SQL-derivable, which is why no text-deriving
+    SQL oracle consumes these pages."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pdf_parser_spark.sources.corpus import (
+        FILING_FLAVOR_MOD,
+        FILING_FLAVOR_REM,
+        filing_text,
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
+
+    def fn(batches):
+        for pdf in batches:
+            pdf = pdf.assign(text=[
+                filing_text(int(d))
+                if int(d) % FILING_FLAVOR_MOD == FILING_FLAVOR_REM else t
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ])
+            yield pdf
+
+    flavored = docs.select("doc_id", "source", "lang", "text").mapInPandas(
+        fn, "doc_id long, source string, lang string, text string")
+    return flavored.select(
         F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),

@@ -388,6 +388,36 @@ def _press_release(rng: random.Random) -> tuple[str, str]:
     return html, text
 
 
+# filing-shaped text flavor for the DRIVER documents table: doc_id %
+# FILING_FLAVOR_MOD == FILING_FLAVOR_REM rows of _docs_as_pages swap their
+# webtext for filing_text(doc_id), so the flagship sf0.01 hash
+# discriminates the G1 splitter, the T8/T16 table machinery, the E-field
+# cover extraction, and W1 sequencing over REAL (company, period) groups —
+# not only classification + fail-soft (the r4-verdict oracle-net gap)
+FILING_FLAVOR_MOD = 10
+FILING_FLAVOR_REM = 7
+
+
+def filing_text(doc_id: int) -> str:
+    """Pure function of doc_id: one 10-K/10-Q-shaped page-stream TEXT
+    (cover, TOC, statements, MD&A...) from the corpus builders with a
+    doc_id-seeded rng.  NOT SQL-re-derivable — consumed only by faces
+    whose oracles read the frozen core-path fixture
+    (tools/gen_expected.py applies the identical flavor rule)."""
+    rng = random.Random(1_000_003 * doc_id + 17)
+    k = doc_id // FILING_FLAVOR_MOD  # flavored ordinal: cycles companies
+    company, ticker, cik = COMPANIES[k % len(COMPANIES)]
+    q = (k // len(COMPANIES)) % 4 + 1
+    year = 2024 + (k // (len(COMPANIES) * 4)) % 2
+    if q == 4:
+        period, form = f"December 31, {year}", "10-K"
+    else:
+        period, form = f"{_Q_MONTH_DAY[q]}, {year}", "10-Q"
+    v = _statement_numbers(rng)
+    _, text = _filing_html(company, ticker, cik, period, year, form, v, q)
+    return text
+
+
 def generate_corpus(n_docs: int = 64, seed: int = 42) -> list[dict]:
     """Deterministic corpus rows: url, warc_ts (datetime), html (bytes), text,
     lang.  ~70% clean filings (series per company/quarter), the rest special

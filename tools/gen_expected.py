@@ -35,6 +35,11 @@ def _driver_doc_rows() -> list[tuple]:
     import pyarrow.parquet as pq
 
     from pdf_parser_spark.core.document import extract_document
+    from pdf_parser_spark.sources.corpus import (
+        FILING_FLAVOR_MOD,
+        FILING_FLAVOR_REM,
+        filing_text,
+    )
 
     table = pq.read_table(f"{SF_DIR}/documents.parquet",
                           columns=["doc_id", "source", "text"])
@@ -45,6 +50,9 @@ def _driver_doc_rows() -> list[tuple]:
         table["text"].to_pylist(),
     ):
         url = f"doc://{source}/{doc_id}"
+        # the filing-shaped flavor rule — identical to _docs_as_pages
+        if doc_id % FILING_FLAVOR_MOD == FILING_FLAVOR_REM:
+            text = filing_text(doc_id)
         d = extract_document(url, None, text, RUN_TS)
         rows.append((
             url, d["status"], d["report_type"], d["n_pages"],
