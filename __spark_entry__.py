@@ -865,6 +865,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _run_lineage(spark, sf_dir):
+        """The north rule's checkpoint/lineage/resume channel in the
+        driver gate (previously pytest-only): run r0 extracts the EVEN
+        doc_ids through the versioned checkpoint sink, run r1 submits
+        ALL pages with resume=True — the anti-join must route exactly
+        the odd half through extraction — and the returned rollup
+        aggregates the per-partition lineage rows per run: totals,
+        ok/error split, url range.  Partition-count and per-partition
+        splits are parallelism-dependent and deliberately NOT in the
+        output; the SUMS are exact and provably lossless against the
+        frozen fixture (a dropped or double-counted partition breaks
+        the hash)."""
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.operators.pipeline import run_batch
+
+        work = tempfile.mkdtemp(prefix="lineage_")
+        try:
+            pages = _docs_as_pages(spark, sf_dir).withColumn(
+                "doc_id",
+                F.regexp_extract("url", r"/([0-9]+)$", 1).cast("long"),
+            )
+            run_batch(
+                pages.where(F.col("doc_id") % 2 == 0).drop("doc_id"),
+                work, run_ts=RUN_TS, run_id="r0", versioned=True,
+            )
+            run_batch(
+                pages.drop("doc_id"), work, run_ts=RUN_TS, run_id="r1",
+                resume=True, versioned=True,
+            )
+            from pdf_parser_spark.sources import tableformat as tf
+
+            out = (
+                tf.read_table(spark, f"{work}/lineage_tbl")
+                .groupBy("run_id")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("n_ok").cast("long").alias("n_ok"),
+                    F.sum("n_error").cast("long").alias("n_error"),
+                    F.min("url_min").alias("url_min"),
+                    F.max("url_max").alias("url_max"),
+                )
+                .orderBy("run_id")
+                .persist()
+            )
+            out.count()  # materialize before the temp dir is deleted
+            return out
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def extract_pipeline(spark, sf_dir):
         extracted = extract_stage(
             _docs_as_pages(spark, sf_dir), run_ts=RUN_TS
@@ -2120,6 +2171,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_head_meta": lambda s, d: (lambda hm: hm.head_meta(
             hm.with_head_html(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.htmlmeta", fromlist=["x"])),
+        # boilerplate-gate audit: the north-star text/link-density block
+        # verdicts as records (real DOM walk); per-block char arithmetic
+        # re-derived exactly by the oracle from the synthesis formula
+        "p_boilerplate_audit": lambda s, d: (lambda hm:
+            hm.boilerplate_audit(hm.with_boilerplate_html(_docs(s, d)))
+        )(__import__("pdf_parser_spark.operators.htmlmeta",
+                     fromlist=["x"])),
         # SCD2 recrawl history: per-url validity intervals over 4 cycles
         "u_scd2_history": lambda s, d: (lambda sn: sn.scd2_history(
             sn.snapshot_series(_docs(s, d))
@@ -2157,6 +2215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- full extraction pipeline (non-SQL-expressible; rows-only) ---
         "extract_pipeline": extract_pipeline,
+        # versioned checkpoint + lineage + resume (north rule): two-run
+        # rollup of the per-partition lineage sink; run r1's resume
+        # anti-join must extract exactly the odd half
+        "p_run_lineage": _run_lineage,
     }
 
 
@@ -6059,6 +6121,29 @@ def oracle_sql() -> dict[str, str]:
         "st_extract": f"""
             SELECT url, status, report_type, n_pages, n_sections
             FROM {extract_cte} ORDER BY url
+        """,
+        # checkpoint/lineage/resume rollup: run r0 = even doc_ids, run r1
+        # = the odd half the resume anti-join lets through; sums and url
+        # ranges re-derived from the frozen fixture
+        "p_run_lineage": f"""
+            WITH exp AS (SELECT * FROM {extract_cte}),
+            ids AS (
+                SELECT *, CAST(regexp_extract(url, '/([0-9]+)$', 1)
+                               AS BIGINT) AS doc_id
+                FROM exp
+            ), runs AS (
+                SELECT 'r0' AS run_id, * FROM ids WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT 'r1', * FROM ids WHERE doc_id % 2 = 1
+            )
+            SELECT run_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok,
+                   CAST(sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   min(url) AS url_min, max(url) AS url_max
+            FROM runs GROUP BY run_id ORDER BY run_id
         """,
         # incremental re-extraction: added = in-new-not-old (odd doc_ids in
         # the %5!=4 snapshot), changed = both + the %11 revision — the
@@ -10149,6 +10234,44 @@ def oracle_sql() -> dict[str, str]:
                        list_sort(list_distinct(list(atext)))
                            [1:{LG.ANCHOR_MAX_TEXTS}], '|'), '') AS texts
             FROM at GROUP BY dst ORDER BY dst
+        """,
+        # boilerplate-gate audit: four synthesized blocks per doc; the
+        # oracle re-derives every counter from the synthesis formula —
+        # the body block's chars ride rtrim(substr(text,1,80)) because
+        # the gate's cleanup strips a trailing mid-word space (98 sf0.01
+        # docs land exactly on that edge), and the mixed block flips
+        # kept/link_dense by parity across the exact 2a > t gate
+        "p_boilerplate_audit": """
+            WITH base AS (
+                SELECT doc_id,
+                       6 + length(rtrim(substr(text, 1, 80))) AS bchars
+                FROM documents
+            ), blocks AS (
+                SELECT doc_id, 0 AS block_ord, 'div' AS tag,
+                       31 AS text_chars, 31 AS anchor_chars,
+                       31 AS total_chars, 'link_dense' AS verdict
+                FROM base
+                UNION ALL
+                SELECT doc_id, 1, 'p', 2, 0, 2, 'too_short' FROM base
+                UNION ALL
+                SELECT doc_id, 2, 'p', bchars, 0, bchars, 'kept' FROM base
+                UNION ALL
+                SELECT doc_id, 3, 'p',
+                       CASE WHEN doc_id % 2 = 1 THEN 32 ELSE 57 END,
+                       CASE WHEN doc_id % 2 = 1 THEN 23 ELSE 4 END,
+                       CASE WHEN doc_id % 2 = 1 THEN 30 ELSE 55 END,
+                       CASE WHEN doc_id % 2 = 1 THEN 'link_dense'
+                            ELSE 'kept' END
+                FROM base
+            )
+            SELECT doc_id, CAST(block_ord AS BIGINT) AS block_ord, tag,
+                   CAST(text_chars AS BIGINT) AS text_chars,
+                   CAST(anchor_chars AS BIGINT) AS anchor_chars,
+                   CAST(total_chars AS BIGINT) AS total_chars,
+                   CAST(10000 * anchor_chars // total_chars AS BIGINT)
+                       AS link_bp,
+                   verdict
+            FROM blocks ORDER BY doc_id, block_ord
         """,
         # head metadata: oracle rebuilds the identical <head> bytes, then
         # runs the byte-identical regexes (RE2/Java-compatible; Spark's

@@ -477,6 +477,55 @@ def _content_text(node: _Node) -> str:
     return "".join(out)
 
 
+def block_audit(html: bytes | str) -> list[dict]:
+    """Per-block verdicts of the text-density/link-density gate — the
+    north-star scoring heuristic (BASELINE.json: "DOM-tree text-density
+    and link-density scoring") exposed as auditable records instead of
+    silently folded into the extracted text.  Walks exactly the blocks
+    _content_text gates, in the same order, with the same rules:
+    ``too_short`` when the cleaned text is under MIN_BLOCK_CHARS,
+    ``link_dense`` when anchor_chars/total_chars exceeds
+    MAX_LINK_DENSITY (compared exactly as 2a > t — no float), else
+    ``kept``; kept blocks recurse like the extractor does.  Records:
+    (block_ord, tag, text_chars, anchor_chars, total_chars, link_bp,
+    verdict); link_bp = floor(10000a/t).  text_chars counts the CLEANED
+    text (whitespace collapsed), total_chars the per-part stripped sum —
+    the two counting rules the gate actually mixes, both pinned."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    out: list[dict] = []
+
+    def walk(node: _Node) -> None:
+        for child in node.children:
+            if (child is None or child.tag in _DROP_TAGS
+                    or child.tag == "table"):
+                continue
+            if child.tag in _BLOCK_TAGS:
+                text = _clean_block_text(_iter_text(child))
+                if not text:
+                    continue
+                a, t = _anchor_chars(child)
+                bp = (10000 * a) // t if t else 10000
+                if len(text) < MIN_BLOCK_CHARS:
+                    verdict = "too_short"
+                elif t == 0 or 2 * a > t:
+                    verdict = "link_dense"
+                else:
+                    verdict = "kept"
+                out.append({
+                    "block_ord": len(out), "tag": child.tag,
+                    "text_chars": len(text), "anchor_chars": a,
+                    "total_chars": t, "link_bp": bp, "verdict": verdict,
+                })
+                if verdict == "kept":
+                    walk(child)
+            else:
+                walk(child)
+
+    walk(_fast_dom(html))
+    return out
+
+
 def _find_page_nodes(node: _Node, acc: list[_Node]) -> None:
     cls = node.attrs.get("class", "")
     if node.tag in ("div", "section", "article") and "page" in cls.split():

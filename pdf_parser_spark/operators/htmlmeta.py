@@ -85,3 +85,83 @@ def head_meta(pages: DataFrame) -> DataFrame:
         F.regexp_extract(h, CANON_RE, 1).alias("canonical"),
         F.regexp_extract(h, OG_TITLE_RE, 1).alias("og_title"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-gate audit: the north-star text/link-density scoring as records
+# ---------------------------------------------------------------------------
+
+
+def with_boilerplate_html(documents: DataFrame) -> DataFrame:
+    """Add an ``html`` column exercising every verdict of the block gate,
+    pure function of (doc_id, text) so the oracle re-derives each block's
+    exact character arithmetic: a link-only <div> (chrome, link_bp
+    10000), a 2-char <p> (under MIN_BLOCK_CHARS), the body <p> carrying
+    'Body: ' + the doc's first 80 chars (always kept), and a mixed
+    prose+anchor <p> whose link density lands on opposite sides of the
+    50% gate by doc_id parity."""
+    d = F.col("doc_id")
+    mixed = F.when(
+        d % 2 == 1,
+        F.lit('<p>see <a href="/x">this linked phrase here</a> tail</p>'),
+    ).otherwise(F.lit(
+        '<p>plenty of surrounding prose here <a href="/x">tiny</a>'
+        ' and much more after</p>'))
+    html = F.concat(
+        F.lit('<html><body>'
+              '<div><a href="/m1">menu alpha beta</a>'
+              '<a href="/m2">menu gamma delta</a></div>'
+              '<p>ok</p><p>Body: '),
+        F.substring(F.col("text"), 1, 80),
+        F.lit("</p>"),
+        mixed,
+        F.lit("</body></html>"),
+    )
+    return documents.withColumn("html", html)
+
+
+def boilerplate_audit(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, block_ord, tag, text_chars, anchor_chars, total_chars,
+    link_bp, verdict) — core.html_extract.block_audit over the html
+    column: the per-block text-density/link-density verdicts of the
+    north-star boilerplate gate, as an auditable table instead of a
+    silent fold into the extracted text (the tuning loop every
+    production extractor needs: lowering MAX_LINK_DENSITY is a diff on
+    THIS table, not a rerun-and-eyeball).
+
+    One Arrow stage over (doc_id, html) — the same shape as every other
+    per-document kernel; all counting is exact integers."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pdf_parser_spark.core.html_extract import block_audit
+
+    cols = ["block_ord", "text_chars", "anchor_chars",
+            "total_chars", "link_bp"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": []}
+            out.update({c: [] for c in cols})
+            out["tag"] = []
+            out["verdict"] = []
+            for doc_id, html in zip(pdf["doc_id"], pdf[html_col]):
+                for rec in block_audit(html):
+                    out["doc_id"].append(int(doc_id))
+                    for c in cols:
+                        out[c].append(int(rec[c]))
+                    out["tag"].append(rec["tag"])
+                    out["verdict"].append(rec["verdict"])
+            yield pd.DataFrame(out)
+
+    return (
+        pages.select("doc_id", html_col)
+        .mapInPandas(
+            fn,
+            "doc_id long, block_ord long, tag string, text_chars long,"
+            " anchor_chars long, total_chars long, link_bp long,"
+            " verdict string",
+        )
+        .orderBy("doc_id", "block_ord")
+    )

@@ -5858,3 +5858,52 @@ def test_w13_interevent_gap_buckets(spark, tmp_path):
            for r in w13_interevent_gaps(spark, str(tmp_path)).collect()}
     assert out == {("view", 0): 1, ("view", 1): 1, ("view", 2): 1,
                    ("view", 10): 1}
+
+
+def test_block_audit_gate_semantics():
+    """The north-star block gate as records: drop-tags vanish entirely,
+    the 50% link-density BOUNDARY is kept (the gate is a/t <= 0.5,
+    compared exactly as 2a > t), 51% drops, and kept blocks recurse so
+    nested chrome is audited inside them."""
+    from pdf_parser_spark.core.html_extract import block_audit
+
+    html = (
+        "<html><body>"
+        "<nav><a href='/x'>never seen</a></nav>"
+        "<p>edges <a href='/y'>limit</a></p>"          # a=5, t=10: kept
+        "<p>edge <a href='/y'>limit</a></p>"           # a=5, t=9: dropped
+        "<div><p>real prose body here</p>"
+        "<p><a href='/z'>pure links</a></p></div>"     # nested chrome
+        "</body></html>"
+    )
+    recs = block_audit(html)
+    by_ord = {r["block_ord"]: r for r in recs}
+    assert all(r["tag"] != "nav" for r in recs)
+    assert "never" not in str(recs)
+    assert by_ord[0]["verdict"] == "kept"            # exactly 50%
+    assert by_ord[0]["link_bp"] == 5000
+    assert by_ord[1]["verdict"] == "link_dense"      # 5/9 > 50%
+    # the kept outer div recurses: its two children get their own rows
+    verdicts = [r["verdict"] for r in recs]
+    assert verdicts.count("kept") == 3               # p@50, div, inner p
+    assert by_ord[4]["verdict"] == "link_dense"      # nested pure-link p
+
+
+def test_run_lineage_face_resume_split(spark):
+    """The p_run_lineage registry face: run r0 (even doc_ids) + resumed
+    run r1 must produce lineage sums that partition the fixture exactly —
+    the anti-join routed precisely the odd half, and no partition lost or
+    double-counted a row."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF001
+
+    out = {r["run_id"]: r for r in
+           entry.queries()["p_run_lineage"](spark, SF001).collect()}
+    assert set(out) == {"r0", "r1"}
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    n = docs.count()
+    n_even = docs.where("doc_id % 2 = 0").count()
+    assert out["r0"]["n_rows"] == n_even
+    assert out["r1"]["n_rows"] == n - n_even
+    for r in out.values():
+        assert r["n_ok"] + r["n_error"] == r["n_rows"]
