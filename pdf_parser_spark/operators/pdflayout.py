@@ -42,22 +42,49 @@ def _esc(s: str) -> bytes:
     ).encode("latin-1")
 
 
+TJ_FLAVOR_MOD = 7  # doc_id % 7 == 5 pages use TJ/Tm/TL/T* operators
+
+
 def _content_stream(doc_id: int, p: int) -> bytes:
+    """Two operator FLAVORS over the SAME line grid (so every layout/text/
+    scanned oracle is flavor-blind): the default writes Td/Tj chains; doc_id
+    % TJ_FLAVOR_MOD == 5 writes the r5 operator set — the heading via an
+    absolute `Tm`, paragraph "one" via `TL` + `T*` leading advances with its
+    first line as a TJ KERNING ARRAY (an intra-word -40 kern that must join
+    silently and a -250 word-gap kern that must render as the space) —
+    producing byte-identical extracted lines, which puts the TJ/Tm/TL/T*
+    interpreter under the cross-engine hash of p_pdf_layout / p_pdf_text /
+    p_pdf_scanned, not just pytest."""
+    alt = doc_id % TJ_FLAVOR_MOD == 5
     k1 = 2 + (doc_id + p) % 3
     k2 = 1 + (doc_id + p) % 2
-    parts = [
-        b"BT /F1 %d Tf 72 %d Td (" % (HEAD_SIZE, HEAD_Y)
-        + _esc(f"Heading {p} of doc {doc_id}") + b") Tj ET"
-    ]
+    head_txt = _esc(f"Heading {p} of doc {doc_id}")
+    if alt:
+        parts = [
+            b"BT /F1 %d Tf 1 0 0 1 72 %d Tm (" % (HEAD_SIZE, HEAD_Y)
+            + head_txt + b") Tj ET"
+        ]
+    else:
+        parts = [
+            b"BT /F1 %d Tf 72 %d Td (" % (HEAD_SIZE, HEAD_Y)
+            + head_txt + b") Tj ET"
+        ]
     for start_y, k, tag in ((P1_Y, k1, "one"), (P2_Y, k2, "two")):
         ops = [b"BT /F1 %d Tf 72 %d Td" % (BODY_SIZE, start_y)]
+        if alt and tag == "one":
+            ops.append(b"%d TL" % LEADING)
         for i in range(k):
             if i:
-                ops.append(b"0 -%d Td" % LEADING)
-            ops.append(
-                b"(" + _esc(f"Body (para {tag}) line {i} of {doc_id}")
-                + b") Tj"
-            )
+                ops.append(b"T*" if alt and tag == "one"
+                           else b"0 -%d Td" % LEADING)
+            text = f"Body (para {tag}) line {i} of {doc_id}"
+            if alt and tag == "one" and i == 0:
+                # TJ array: "Bo|dy| |rest" — -40 joins, -250 spaces
+                rest = text[5:]  # after "Body "
+                ops.append(
+                    b"[(Bo) -40 (dy) -250 (" + _esc(rest) + b")] TJ")
+            else:
+                ops.append(b"(" + _esc(text) + b") Tj")
         ops.append(b"ET")
         parts.append(b" ".join(ops))
     return b"\n".join(parts)

@@ -5907,3 +5907,30 @@ def test_run_lineage_face_resume_split(spark):
     assert out["r1"]["n_rows"] == n - n_even
     for r in out.values():
         assert r["n_ok"] + r["n_error"] == r["n_rows"]
+
+
+def test_pdf_tj_flavor_produces_identical_line_grid():
+    """doc_id % 7 == 5 content streams use Tm/TL/T*/TJ instead of Td/Tj
+    chains but must parse to EXACTLY the formula line grid the oracles
+    re-derive — flavor-blindness is what puts the r5 operator set under
+    the cross-engine hash."""
+    from pdf_parser_spark.core.pdflayout import parse_layout
+    from pdf_parser_spark.operators import pdflayout as pl
+
+    for d in (5, 12, 33):          # all ≡5 (mod 7), varying page counts
+        assert d % pl.TJ_FLAVOR_MOD == 5
+        rows = parse_layout(pl.make_pdf(d))
+        n_pages = 1 if d % 4 == 3 else 2
+        want = []
+        for p in range(n_pages):
+            k1 = 2 + (d + p) % 3
+            k2 = 1 + (d + p) % 2
+            want.append((p, 7200, f"Heading {p} of doc {d}"))
+            for i in range(k1):
+                want.append((p, 6800 - 140 * i,
+                             f"Body (para one) line {i} of {d}"))
+            for i in range(k2):
+                want.append((p, 5600 - 140 * i,
+                             f"Body (para two) line {i} of {d}"))
+        got = [(r["page_no"], r["y_tenths"], r["text"]) for r in rows]
+        assert got == want, (d, got[:4], want[:4])
