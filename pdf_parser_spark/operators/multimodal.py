@@ -18,6 +18,7 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,7 +42,9 @@ def decode_stub(payload: bytes) -> dict:
     import hashlib
 
     n = len(payload)
-    mean = sum(payload) / n if n else 0.0
+    # vectorized byte sum (the r4-verdict hot-spot note): numpy's uint8
+    # reduction, not a per-byte Python loop — the integer sum is identical
+    mean = int(np.frombuffer(payload, dtype=np.uint8).sum()) / n if n else 0.0
     return {
         "media_type": "unknown",
         "byte_len": n,
@@ -144,7 +147,10 @@ def decode_media(payload: bytes) -> dict:
     n = len(payload)
     parsed["byte_len"] = n
     parsed["checksum"] = hashlib.md5(payload).hexdigest()
-    parsed["feature_norm"] = round(sum(payload) / n, 4) if n else 0.0
+    parsed["feature_norm"] = (
+        round(int(np.frombuffer(payload, dtype=np.uint8).sum()) / n, 4)
+        if n else 0.0
+    )
     return parsed
 
 
