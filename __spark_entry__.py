@@ -959,6 +959,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-type think-time histogram: floor-log2 gap buckets off one
         # (user, type) lag window — the bot signature lives at bucket 0
         "w13_interevent_gaps": R.w13_interevent_gaps,
+        # growth accounting: dense-week WAU decomposition (new/retained/
+        # resurrected/churned) with both accounting identities holding at
+        # every row; churn derives as lag(n_active) - n_retained
+        "w14_growth_accounting": R.w14_growth_accounting,
+        # activity Gini in exact bp: rank-weighted form over the
+        # two-phase exact rank (w10/w12 machinery), one floor division
+        "w15_activity_gini": R.w15_activity_gini,
         # native session_window (third sessionize face; INCLUSIVE merge
         # boundary — an event at exactly prev+gap merges, same as W4's lag
         # rule; pinned by the oracle's `> gap` new-session test and the
@@ -1544,11 +1551,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ))(__import__("pdf_parser_spark.operators.pdflayout",
                       fromlist=["pdf_outline"])),
         # scanned-document rejection from raw bytes (reference S3
-        # detect_scanned rule: >= 80% of pages under 50 chars), fail-soft
+        # detect_scanned rule: strictly > 80% of pages under 50 chars),
+        # fail-soft
         "p_pdf_scanned": lambda s, d: (lambda pl: pl.pdf_scanned_audit(
             pl.synthetic_scan_pdfs(_docs(s, d))
         ))(__import__("pdf_parser_spark.operators.pdflayout",
                       fromlist=["pdf_scanned_audit"])),
+        # two-strategy policy observability: which path (ruled grids /
+        # hint-gated text retry / none) produced each doc's tables
+        "p_pdf_table_strategy": lambda s, d: (
+            lambda pl: pl.pdf_table_strategy_audit(
+                pl.synthetic_table_pdfs(_docs(s, d)))
+        )(__import__("pdf_parser_spark.operators.pdflayout",
+                     fromlist=["pdf_table_strategy_audit"])),
         # table extraction from layout runs (the pdfplumber
         # extract_tables role): >= 2-run line bands, x-rank columns,
         # prose lines break bands
@@ -3671,6 +3686,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         # gaps: same lag window and the same bounded power-comparison
         # chain for floor-log2
+        # activity Gini: ascending total-order rank, one floor division
+        # of nonnegative BIGINTs — bit-identical in both engines
+        "w15_activity_gini": """
+            WITH pu AS (
+                SELECT user_id, count(*) AS n_events
+                FROM events GROUP BY user_id
+            ), rk AS (
+                SELECT n_events,
+                       row_number() OVER (
+                           ORDER BY n_events ASC, user_id ASC) AS rk
+                FROM pu
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n_events) AS BIGINT) AS t_events,
+                   CAST((10000 * (2 * sum(rk * n_events)
+                         - (count(*) + 1) * sum(n_events)))
+                        // (count(*) * sum(n_events)) AS BIGINT)
+                       AS gini_bp
+            FROM rk
+        """,
+        # growth accounting: dense weeks via range(w0, w1+1); churn =
+        # lag(n_active) - n_retained so both identities hold at every row
+        "w14_growth_accounting": f"""
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) // {R.WEEK_S}
+                           AS week
+                FROM events
+            ), fl AS (
+                SELECT week,
+                       CASE WHEN week = min(week)
+                                 OVER (PARTITION BY user_id)
+                            THEN 1 ELSE 0 END AS is_new,
+                       CASE WHEN lag(week) OVER (
+                                 PARTITION BY user_id ORDER BY week)
+                                 = week - 1
+                            THEN 1 ELSE 0 END AS is_retained
+                FROM uw
+            ), agg AS (
+                SELECT week, count(*) AS n_active,
+                       sum(is_new) AS n_new,
+                       sum(is_retained) AS n_retained,
+                       sum((1 - is_new) * (1 - is_retained))
+                           AS n_resurrected
+                FROM fl GROUP BY week
+            ), bnd AS (SELECT min(week) AS w0, max(week) AS w1 FROM uw),
+            wk AS (SELECT unnest(range(w0, w1 + 1)) AS week FROM bnd),
+            dense AS (
+                SELECT wk.week,
+                       coalesce(n_active, 0) AS n_active,
+                       coalesce(n_new, 0) AS n_new,
+                       coalesce(n_retained, 0) AS n_retained,
+                       coalesce(n_resurrected, 0) AS n_resurrected
+                FROM wk LEFT JOIN agg ON agg.week = wk.week
+            )
+            SELECT CAST(week AS BIGINT) AS week,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   CAST(n_retained AS BIGINT) AS n_retained,
+                   CAST(n_resurrected AS BIGINT) AS n_resurrected,
+                   CAST(coalesce(lag(n_active) OVER (ORDER BY week), 0)
+                        - n_retained AS BIGINT) AS n_churned
+            FROM dense ORDER BY week
+        """,
         "w13_interevent_gaps": f"""
             WITH ev AS (
                 SELECT user_id, event_type, event_id,
@@ -6022,6 +6101,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Chapter ' || i || ' of ' || doc_id END
                        AS title
             FROM items ORDER BY doc_id, ord
+        """,
+        # two-strategy observability: the fleet's flavor arithmetic IS
+        # the strategy verdict — corrupt bytes parse to no pages (none),
+        # the ruled flavor never needs the hint, everyone else reaches
+        # cells only through the hint-gated text retry
+        "p_pdf_table_strategy": f"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % {PL.PDF_CORRUPT_MOD} = 0
+                        THEN 'none'
+                        WHEN doc_id % {PL.RULED_MOD} = 2 THEN 'ruled'
+                        ELSE 'text_retry' END AS strategy
+            FROM documents ORDER BY doc_id
         """,
         # scanned audit: page counts and sparse counts re-derived from
         # the %6 fleet rule; corrupt docs land in the reject lane with

@@ -507,56 +507,82 @@ def parse_tables(data: bytes) -> list[dict]:
     tables per page in reading order under either strategy."""
     out = []
     for page_no, stream in enumerate(_page_streams(data)):
-        runs = _runs(stream)
-        ruled = _ruled_cells(runs, *_rulings(stream), page_no)
-        if ruled:
-            out.extend(ruled)
-            continue
-        if not FINANCIAL_HINT_RE.search(" ".join(r[3] for r in runs)):
-            continue
-        runs.sort(key=lambda r: (-r[1], r[0]))
-        # group into lines by y tolerance (same rule as parse_layout)
-        lines: list[list[tuple[float, float, float, str]]] = []
-        for r in runs:
-            if lines and abs(lines[-1][0][1] - r[1]) <= LINE_TOL:
-                lines[-1].append(r)
-            else:
-                lines.append([r])
-        table_id = -1
-        band: list[list[tuple[float, float, float, str]]] = []
-
-        def flush():
-            nonlocal table_id
-            if not band:
-                return
-            table_id += 1
-            # columns: rank of x start within the band's distinct xs
-            xs: list[float] = []
-            for line in band:
-                for run in line:
-                    if not any(abs(run[0] - x) <= X_TOL for x in xs):
-                        xs.append(run[0])
-            xs.sort()
-            for row, line in enumerate(band):
-                for run in sorted(line, key=lambda r: r[0]):
-                    col = next(i for i, x in enumerate(xs)
-                               if abs(run[0] - x) <= X_TOL)
-                    out.append({
-                        "page_no": page_no, "table_id": table_id,
-                        "row": row, "col": col,
-                        "x_tenths": int(round(run[0] * 10)),
-                        "y_tenths": int(round(run[1] * 10)),
-                        "text": run[3],
-                    })
-            band.clear()
-
-        for line in lines:
-            if len(line) >= TABLE_MIN_COLS:
-                band.append(line)
-            else:
-                flush()
-        flush()
+        _, cells = _page_tables(stream, page_no)
+        out.extend(cells)
     return out
+
+
+def table_strategy(data: bytes) -> str:
+    """'ruled' | 'text_retry' | 'none' — which path of the two-strategy
+    policy produced this document's tables, doc-level with precedence
+    ruled > text_retry > none over its pages: the observability face of
+    parse_tables (strategy drift in a corpus shows up as a verdict-mix
+    diff, not a silent cell-count change)."""
+    strategies = set()
+    for page_no, stream in enumerate(_page_streams(data)):
+        strategy, cells = _page_tables(stream, page_no)
+        if cells:
+            strategies.add(strategy)
+    if "ruled" in strategies:
+        return "ruled"
+    if "text_retry" in strategies:
+        return "text_retry"
+    return "none"
+
+
+def _page_tables(stream: bytes, page_no: int) -> tuple[str, list[dict]]:
+    """One page through the two-strategy policy: ('ruled'|'text_retry'|
+    'none', cell records)."""
+    runs = _runs(stream)
+    ruled = _ruled_cells(runs, *_rulings(stream), page_no)
+    if ruled:
+        return "ruled", ruled
+    if not FINANCIAL_HINT_RE.search(" ".join(r[3] for r in runs)):
+        return "none", []
+    out: list[dict] = []
+    runs.sort(key=lambda r: (-r[1], r[0]))
+    # group into lines by y tolerance (same rule as parse_layout)
+    lines: list[list[tuple[float, float, float, str]]] = []
+    for r in runs:
+        if lines and abs(lines[-1][0][1] - r[1]) <= LINE_TOL:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+    table_id = -1
+    band: list[list[tuple[float, float, float, str]]] = []
+
+    def flush():
+        nonlocal table_id
+        if not band:
+            return
+        table_id += 1
+        # columns: rank of x start within the band's distinct xs
+        xs: list[float] = []
+        for line in band:
+            for run in line:
+                if not any(abs(run[0] - x) <= X_TOL for x in xs):
+                    xs.append(run[0])
+        xs.sort()
+        for row, line in enumerate(band):
+            for run in sorted(line, key=lambda r: r[0]):
+                col = next(i for i, x in enumerate(xs)
+                           if abs(run[0] - x) <= X_TOL)
+                out.append({
+                    "page_no": page_no, "table_id": table_id,
+                    "row": row, "col": col,
+                    "x_tenths": int(round(run[0] * 10)),
+                    "y_tenths": int(round(run[1] * 10)),
+                    "text": run[3],
+                })
+        band.clear()
+
+    for line in lines:
+        if len(line) >= TABLE_MIN_COLS:
+            band.append(line)
+        else:
+            flush()
+    flush()
+    return ("text_retry" if out else "none"), out
 
 
 # ---------------------------------------------------------------------------

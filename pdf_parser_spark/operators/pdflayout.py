@@ -709,3 +709,31 @@ def pdf_links(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         .mapInPandas(fn, "doc_id long, page_no int, ord int, uri string")
         .orderBy("doc_id", "page_no", "ord")
     )
+
+
+def pdf_table_strategy_audit(media: DataFrame,
+                             payload_col: str = "payload") -> DataFrame:
+    """(doc_id, strategy) — which path of the reference's two-strategy
+    table policy (`pdf_extract.py:236-247`) produced each document's
+    tables: 'ruled' (painted-ruling grids, the pdfplumber default),
+    'text_retry' (the financial-hint-gated alignment fallback), or
+    'none' (unhinted unruled pages, and unparseable bytes).  The
+    corpus-level observability face of parse_tables: a strategy-mix
+    drift is a table-extraction regression you can SEE before any cell
+    diff.  One Arrow stage, one projection — no shuffle before the
+    presentation sort."""
+    from pdf_parser_spark.core.pdflayout import table_strategy
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": [int(d) for d in pdf["doc_id"]],
+                "strategy": [table_strategy(bytes(p))
+                             for p in pdf[payload_col]],
+            })
+
+    return (
+        media.select("doc_id", payload_col)
+        .mapInPandas(fn, "doc_id long, strategy string")
+        .orderBy("doc_id")
+    )

@@ -1503,3 +1503,122 @@ def w13_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_gaps"))
         .orderBy("event_type", "bucket")
     )
+
+
+def w14_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(week, n_active, n_new, n_retained, n_resurrected, n_churned) —
+    growth accounting, the WAU decomposition every product/crawl
+    dashboard reconciles against (the "growth accounting identity":
+    active(w) = retained(w) + new(w) + resurrected(w), and
+    active(w-1) = retained(w) + churned(w)): per epoch week, actives
+    split by whether this is their FIRST week (new), they were active
+    the adjacent previous week (retained), or they returned after a gap
+    (resurrected); churned(w) is the w-1 actives who sat out w.
+
+    Weeks are emitted DENSELY from min to max (a zero-activity gap week
+    shows n_active 0 and churns the whole prior week's actives) so both
+    identities hold at every row — the property that makes this table
+    self-auditing and the reason a sparse weeks-present-only version is
+    the wrong shape.
+
+    Exactness: week = es div WEEK_S on nonnegative seconds (div ==
+    floor); churned derives arithmetically as lag(n_active) - n_retained
+    — no second join against the previous week's user set.  Scale: one
+    distinct on (user, week) (same shuffle family as w7/w11), one lag
+    window keyed BY USER, one map-side-combined groupBy to the week dim;
+    the only unpartitioned window is the churn lag over the DENSE WEEK
+    dim — bounded by the calendar (52 rows/year at any corpus size), the
+    quality_tiers bounded-dim doctrine."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    es = F.col("ts").cast("timestamp").cast("long")
+    uw = (
+        ev.select("user_id", es.alias("es"))
+        .selectExpr(
+            "user_id", f"CAST(es div {WEEK_S} AS BIGINT) AS week")
+        .distinct()
+    )
+    u_w = Window.partitionBy("user_id").orderBy("week")
+    flags = (
+        uw.withColumn("first_week", F.min("week").over(
+            u_w.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)))
+        .withColumn("prev_week", F.lag("week").over(u_w))
+        .select(
+            "week",
+            (F.col("week") == F.col("first_week")).cast("long")
+            .alias("is_new"),
+            (F.col("prev_week") == F.col("week") - 1).cast("long")
+            .alias("is_retained"),
+        )
+        .fillna(0, ["is_retained"])
+        .withColumn(
+            "is_resurrected",
+            (1 - F.col("is_new")) * (1 - F.col("is_retained")),
+        )
+    )
+    agg = flags.groupBy("week").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum("is_retained").cast("long").alias("n_retained"),
+        F.sum("is_resurrected").cast("long").alias("n_resurrected"),
+    )
+    weeks = uw.agg(
+        F.min("week").alias("w0"), F.max("week").alias("w1")
+    ).select(F.explode(F.sequence("w0", "w1")).alias("week"))
+    dense = (
+        weeks.join(agg, "week", "left")
+        .fillna(0, ["n_active", "n_new", "n_retained", "n_resurrected"])
+    )
+    churn_w = Window.orderBy("week")  # dense week dim: calendar-bounded
+    return (
+        dense.withColumn(
+            "n_churned",
+            (F.coalesce(F.lag("n_active").over(churn_w), F.lit(0))
+             - F.col("n_retained")).cast("long"),
+        )
+        .select("week", "n_active", "n_new", "n_retained",
+                "n_resurrected", "n_churned")
+        .orderBy("week")
+    )
+
+
+def w15_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_users, t_events, gini_bp) — the Gini coefficient of per-user
+    event counts, the single-number inequality summary behind w12's
+    Pareto curve (0 = everyone equally active, ->10000 = one user is the
+    whole crawl; THE standard skew headline for traffic/bot reports).
+
+    Exact integers end to end: with counts ranked ASCENDING by
+    (n_events, user_id) — a total order, rank i in 1..n — the classic
+    rank-weighted form G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    becomes ONE floor division of nonnegative BIGINTs:
+    gini_bp = (10000 * (2*sum(i*x_i) - (n+1)*T)) div (n*T) — the
+    numerator is provably >= 0 for ascending ranks, so div == floor and
+    both engines agree bit-for-bit.
+
+    Scale: the rank is _two_phase_rank's range-partitioned exact rank
+    over the user dim (the w10/w12 machinery reused — NO
+    single-partition window anywhere), then one algebraic aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"))
+    ranked = _two_phase_rank(
+        per_user,
+        [F.col("n_events").asc(), F.col("user_id").asc()],
+        rank_name="rk",
+    )
+    return (
+        ranked.agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("t_events"),
+            F.sum(F.col("rk") * F.col("n_events")).cast("long")
+            .alias("_rx"),
+        )
+        .select(
+            "n_users", "t_events",
+            F.expr(
+                "CAST((10000 * (2 * _rx - (n_users + 1) * t_events))"
+                " div (n_users * t_events) AS BIGINT)"
+            ).alias("gini_bp"),
+        )
+    )

@@ -5934,3 +5934,93 @@ def test_pdf_tj_flavor_produces_identical_line_grid():
                              f"Body (para two) line {i} of {d}"))
         got = [(r["page_no"], r["y_tenths"], r["text"]) for r in rows]
         assert got == want, (d, got[:4], want[:4])
+
+
+def test_w14_growth_accounting_identities(spark, tmp_path):
+    """Growth accounting on a hand-built stream: user A active weeks
+    0,1,3 (retained at 1, resurrected at 3 after the gap), user B active
+    week 0 only (churns into 1).  Both accounting identities must hold
+    at EVERY dense row, including the zero-activity gap week 2."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pdf_parser_spark.plans.relational as R
+
+    wk = R.WEEK_S
+    rows = [(1, 0), (1, wk), (1, 3 * wk), (2, 0)]
+    (tmp_path / "w14").mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([dt.datetime(1970, 1, 1)
+                        + dt.timedelta(seconds=s) for _, s in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "w14" / "events.parquet"))
+    out = [r.asDict() for r in
+           R.w14_growth_accounting(spark, str(tmp_path / "w14")).collect()]
+    assert [tuple(r.values()) for r in out] == [
+        # week, active, new, retained, resurrected, churned
+        (0, 2, 2, 0, 0, 0),
+        (1, 1, 0, 1, 0, 1),   # A retained, B churned
+        (2, 0, 0, 0, 0, 1),   # gap week: A churns into it
+        (3, 1, 0, 0, 1, 0),   # A resurrects
+    ]
+    prev_active = 0
+    for r in out:
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + \
+            r["n_resurrected"]
+        assert prev_active == r["n_retained"] + r["n_churned"]
+        prev_active = r["n_active"]
+
+
+def test_table_strategy_verdicts():
+    """Doc-level strategy observability: ruled-flavor docs report
+    'ruled', hint-flavor docs 'text_retry', corrupt bytes 'none' — and
+    an unhinted unruled doc with would-be bands is also 'none' (the
+    retry never engaged)."""
+    from pdf_parser_spark.core.pdflayout import table_strategy
+    from pdf_parser_spark.operators import pdflayout as pl
+
+    assert table_strategy(pl.make_table_pdf(7)) == "ruled"   # 7%5==2
+    assert table_strategy(pl.make_table_pdf(3)) == "text_retry"
+    assert table_strategy(b"%PDF-1.4\nno xref") == "none"
+    bands = (b"BT /F1 10 Tf 72 600 Td (x0) Tj 90 0 Td (x1) Tj ET\n"
+             b"BT /F1 10 Tf 72 580 Td (y0) Tj 90 0 Td (y1) Tj ET\n")
+    assert table_strategy(_mini_pdf(bands)) == "none"
+
+
+def test_w15_gini_known_distributions(spark, tmp_path):
+    """Gini pins on hand distributions: perfectly equal counts -> 0 bp;
+    4 users with counts 1,1,1,7 -> G = (2*(1+2+3+28) - 5*10)/(4*10)
+    = 18/40 -> 4500 bp exactly."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pdf_parser_spark.plans.relational as R
+
+    def write(rows, name):
+        (tmp_path / name).mkdir()
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([dt.datetime(2024, 1, 1)] * len(rows),
+                           pa.timestamp("us")),
+            "user_id": pa.array(rows, pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }), str(tmp_path / name / "events.parquet"))
+
+    write([1, 2, 3, 4], "eq")
+    r = R.w15_activity_gini(spark, str(tmp_path / "eq")).first()
+    assert (r["n_users"], r["t_events"], r["gini_bp"]) == (4, 4, 0)
+
+    write([1, 2, 3] + [4] * 7, "skew")
+    r = R.w15_activity_gini(spark, str(tmp_path / "skew")).first()
+    assert (r["n_users"], r["t_events"], r["gini_bp"]) == (4, 10, 4500)
