@@ -5804,8 +5804,12 @@ def test_pdf_parsers_never_raise_fuzz():
 
     parsers = (core.parse_layout, core.parse_tables,
                core.parse_outline, core.parse_links)
+    # make_pdf(5) is the TJ/Tm/TL/T* flavor, make_table_pdf(7) the
+    # ruled-grid flavor, make_table_pdf(3) the hint-retry flavor — the
+    # full r5 grammar is inside the mutation corpus
     bases = [op.make_pdf(5), op.make_pdf(4), op.make_table_pdf(3),
-             op.make_outline_pdf(1), op.make_link_pdf(7)]
+             op.make_table_pdf(7), op.make_outline_pdf(1),
+             op.make_link_pdf(7)]
     rng = random.Random(99)
     cases = 0
     for base in bases:
@@ -5822,6 +5826,8 @@ def test_pdf_parsers_never_raise_fuzz():
             for p in parsers:
                 assert isinstance(p(data), list)
                 cases += 1
+            assert core.table_strategy(data) in (
+                "ruled", "text_retry", "none")
     assert cases > 1000
 
 
