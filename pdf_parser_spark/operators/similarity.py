@@ -384,27 +384,62 @@ PQ_RERANK = 64
 
 
 def pq_fit(
-    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB
+    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
+    max_iter: int = KMEANS_ITERS, dp: int = KMEANS_ROUND_DP,
 ) -> list[list[list[float]]]:
-    """Fit M per-subspace codebooks by running the shared Lloyd loop on each
-    sliced subvector column.  Returns codebooks[sub][cluster][dim_in_sub].
-    The model is M x ksub x (dim/m) doubles — driver-resident and broadcast
-    as literals, the same fit-small/apply-big split as kmeans_fit; at 10^12
-    rows compose with kmeans_fit(sample_bp=...) semantics by fitting on the
-    md5 sample (the Lloyd loop is the shared code path)."""
+    """Fit M per-subspace codebooks with ONE FUSED Lloyd loop: every round
+    assigns each vector to its nearest centroid in ALL M subspaces and
+    aggregates means per (subspace, cluster, position) in a single job —
+    the r5 rewrite of the sequential M x kmeans_fit form, which paid M
+    separate source scans and M x iters job launches for arithmetic that
+    is independent per subspace anyway.  Per-subspace trajectories are
+    IDENTICAL to the sequential fit (same lowest-ksub vec_id seeds, same
+    argmin, same rounded means; a subspace that has converged recomputes
+    to itself, so the global fixed point equals the per-subspace ones) —
+    the frozen-twin oracles stay green.  Jobs: max(iters) instead of
+    sum(iters); the (sampled) source is scanned once per round, not M
+    times.  Returns codebooks[sub][cluster][dim_in_sub], driver-resident
+    M x ksub x (dim/m) doubles; at 10^12 rows fit on the md5 sample and
+    persist with save_pq_codebooks."""
     first = embeddings.select("embedding").first()
     dim = len(first["embedding"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    books = []
-    for s in range(m):
-        sliced = embeddings.select(
-            "vec_id",
-            F.slice(F.col("embedding").cast("array<double>"), s * sub + 1, sub)
-             .alias("embedding"),
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = emb.orderBy("vec_id").limit(ksub).collect()
+    books = [
+        [[round(float(x), dp) for x in r["v"][s * sub:(s + 1) * sub]]
+         for r in seeds]
+        for s in range(m)
+    ]
+    for _ in range(max_iter):
+        per_sub = [
+            F.struct(
+                F.lit(s).alias("s"),
+                _cluster_of(
+                    F.slice(F.col("v"), s * sub + 1, sub), books[s]
+                ).alias("cluster"),
+                F.slice(F.col("v"), s * sub + 1, sub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+        means = (
+            emb.select(F.explode(F.array(*per_sub)).alias("a"))
+            .select("a.s", "a.cluster",
+                    F.posexplode("a.sv").alias("pos", "x"))
+            .groupBy("s", "cluster", "pos")
+            .agg(F.avg("x").alias("mn"))
+            .collect()
         )
-        books.append(kmeans_fit(sliced, k=ksub))
+        new = [[list(c) for c in b] for b in books]
+        for r in means:
+            new[r["s"]][r["cluster"]][r["pos"]] = round(float(r["mn"]), dp)
+        if new == books:
+            break
+        books = new
     return books
 
 
